@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared engine operator: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) a DuckDB oracle query over the same
+  * parquet tables. The driver hash-compares the two at sf=0.01.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Tiny loaders for the driver-generated star schema (TESTDATA.md). */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects — read nanos as long and truncate to microseconds
+    // (identical to DuckDB's ns→us truncation).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+      df.schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}
+
+/** Oracle-parity helpers.
+  *
+  * Floating-point SUMs are order-dependent, and Spark and DuckDB will not in
+  * general add partitions in the same order — so every aggregated DOUBLE is
+  * routed through an exact DECIMAL(28,10) accumulator on BOTH sides, then cast
+  * back to DOUBLE. The per-row double arithmetic (e.g. price*(1-disc)) is
+  * identical IEEE754 in both engines; only the reduction order needed fixing.
+  * At 100 TB the decimal sum stays a single-pass partial aggregate (map-side
+  * combine + final merge), so this costs nothing architecturally.
+  */
+object sqlx {
+  val dec: DecimalType = DecimalType(28, 10)
+
+  /** DECIMAL→DOUBLE must go through VARCHAR: DuckDB converts big decimals as
+    * unscaled-int→double then ÷10^scale (two roundings once the unscaled
+    * value exceeds 2^53), while Spark converts correctly-rounded in one step.
+    * A decimal→string→double round-trip is correctly rounded in BOTH engines. */
+  def dec2dbl(c: Column): Column = c.cast("string").cast("double")
+  def DEC2DBL(e: String): String = s"CAST(CAST(($e) AS VARCHAR) AS DOUBLE)"
+
+  /** Exact sum of a double expression, returned as DOUBLE (matches
+    * `SUM(CAST(x AS DECIMAL(28,10)))` → VARCHAR → DOUBLE in DuckDB). */
+  def dsum(c: Column): Column = dec2dbl(sum(c.cast(dec)))
+
+  /** Exact sum kept as DECIMAL — for thresholds/ordering where double
+    * round-off could flip a comparison. */
+  def dsumExact(c: Column): Column = sum(c.cast(dec))
+
+  /** Deterministic average: exact sum / COUNT(*), one double division. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** SQL snippet twins (keep in sync with the above). */
+  def SUM(e: String): String = DEC2DBL(s"SUM(CAST(($e) AS DECIMAL(28,10)))")
+  def AVG(e: String): String = s"${SUM(e)}/COUNT(*)"
+
+  def ts(s: String): Column = to_timestamp(lit(s))
+}

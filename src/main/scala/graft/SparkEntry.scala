@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The declared operator inventory: each entry is one operator family from
+  * SURVEY.md §2 (or a north-star LLM-pipeline operator), implemented
+  * Spark-first, with a DuckDB oracle for the hash-compare gate.
+  */
 object SparkEntry {
+
+  private lazy val all: Seq[QueryDef] =
+    analytics.Tpch.defs ++
+      analytics.Events.defs ++
+      analytics.CdcQueries.defs ++
+      analytics.TextOps.defs ++
+      analytics.Dedup.defs ++
+      analytics.Similarity.defs ++
+      analytics.Multimodal.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ListMap(all.map(q => q.name -> q.run): _*)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    ListMap(all.collect { case QueryDef(n, _, Some(sql)) => n -> sql }: _*)
 }

@@ -1,0 +1,136 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import graft.sqlx._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Batch twins of the reference's CDC dataflow operators, expressed over the
+  * `events` table (the driver's change-stream stand-in) so the DuckDB oracle
+  * can hash-check the semantics:
+  *
+  *  - c01: replaying an ordered change stream into current state per key —
+  *    the MERGE/upsert pattern of a CDC sink (canal/sync.go row replay).
+  *  - c02: the per-sink duplicate-event filter on restart — drop everything
+  *    at-or-below the checkpointed position (canal/handler_mux.go:81-103).
+  *  - c03: the include/exclude regex table filter with the reference's F1
+  *    truth table — include-list empty ⇒ include-all, excludes override
+  *    (canal/canal.go:290-326).
+  *  - c04: min-progress across sinks — the restart position is the MINIMUM
+  *    over per-sink checkpoints (ckp/manager.go:160-196), here per
+  *    event_type = "sink", position = max processed (ts, event_id).
+  */
+object CdcQueries {
+  import Tables.t
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "c01_current_state",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
+        t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id".as("last_event_id"),
+            $"event_type".as("last_event_type"), $"us".as("last_us"), $"value".as("last_value"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+               us AS last_us, value AS last_value
+        FROM (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events) x
+        WHERE rn = 1 ORDER BY user_id"""),
+    ),
+
+    QueryDef(
+      "c02_restart_dedup_filter",
+      (s, dir) => {
+        import s.implicits._
+        // checkpointed position: (ts, event_id) of the 5000th event overall —
+        // a fixed, data-derived progress point, like a persisted checkpoint
+        val ev = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
+        val w = Window.orderBy($"us", $"event_id")
+        val ckp = ev.withColumn("rn", row_number().over(w)).filter($"rn" === 5000)
+          .select($"us".as("ckp_us"), $"event_id".as("ckp_id"))
+        ev.join(broadcast(ckp))
+          .filter($"us" > $"ckp_us" || ($"us" === $"ckp_us" && $"event_id" > $"ckp_id"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_after_ckp"), min($"us").as("first_us"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH ordered AS (
+          SELECT event_type, event_id, epoch_us(ts) AS us,
+                 ROW_NUMBER() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+        ckp AS (SELECT us AS ckp_us, event_id AS ckp_id FROM ordered WHERE rn = 5000)
+        SELECT event_type, COUNT(*) AS n_after_ckp, MIN(us) AS first_us
+        FROM ordered CROSS JOIN ckp
+        WHERE us > ckp_us OR (us = ckp_us AND event_id > ckp_id)
+        GROUP BY event_type ORDER BY event_type"""),
+    ),
+
+    QueryDef(
+      "c03_table_filter_truthtable",
+      (s, dir) => {
+        import s.implicits._
+        // db.table keys derived from documents.source; F1 semantics:
+        // empty include-list ⇒ include, exclude overrides
+        val keys = t(s, dir, "documents")
+          .select(concat(lit("appdb."), $"source").as("table_key"))
+          .distinct()
+        keys
+          .withColumn("inc_match", $"table_key".rlike("^appdb\\.src[0-9]+$"))
+          .withColumn("exc_match", $"table_key".rlike("^.*\\.src1[0-9]$"))
+          .withColumn("included", $"inc_match" && !$"exc_match")
+          .orderBy($"table_key")
+      },
+      Some("""
+        SELECT table_key,
+               regexp_matches(table_key, '^appdb\.src[0-9]+$') AS inc_match,
+               regexp_matches(table_key, '^.*\.src1[0-9]$') AS exc_match,
+               regexp_matches(table_key, '^appdb\.src[0-9]+$')
+                 AND NOT regexp_matches(table_key, '^.*\.src1[0-9]$') AS included
+        FROM (SELECT DISTINCT 'appdb.' || source AS table_key FROM documents) x
+        ORDER BY table_key"""),
+    ),
+
+    QueryDef(
+      "c04_min_progress_across_sinks",
+      (s, dir) => {
+        import s.implicits._
+        // each event_type plays the role of a sink; its checkpoint is the max
+        // (us, event_id) it has processed; restart position = min over sinks
+        val perSink = t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .groupBy($"event_type")
+          .agg(max(struct($"us", $"event_id")).as("ckp"))
+          .select($"event_type", $"ckp.us".as("ckp_us"), $"ckp.event_id".as("ckp_event_id"))
+        val minP = perSink.agg(min(struct($"ckp_us", $"ckp_event_id")).as("m"))
+          .select(lit("(min)").as("event_type"), $"m.ckp_us".as("ckp_us"),
+            $"m.ckp_event_id".as("ckp_event_id"))
+        perSink.unionAll(minP).orderBy($"event_type")
+      },
+      Some("""
+        WITH per_sink AS (
+          SELECT event_type, us AS ckp_us, event_id AS ckp_event_id FROM (
+            SELECT event_type, epoch_us(ts) AS us, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events) x WHERE rn = 1)
+        SELECT event_type, ckp_us, ckp_event_id FROM per_sink
+        UNION ALL
+        SELECT '(min)', ckp_us, ckp_event_id FROM (
+          SELECT ckp_us, ckp_event_id,
+                 ROW_NUMBER() OVER (ORDER BY ckp_us, ckp_event_id) AS rn
+          FROM per_sink) y WHERE rn = 1
+        ORDER BY event_type"""),
+    ),
+  )
+}

@@ -1,0 +1,245 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, over `documents`:
+  * exact (hash groupBy), word-3-gram Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * Hash choice: every hash is md5 (identical, deterministic output in Spark
+  * and DuckDB), so the oracle can replay the exact pipeline. MinHash values
+  * are 16-hex-char md5 prefixes compared lexicographically — a uniform hash
+  * min-ed as a string is a valid minwise signature and avoids any
+  * hex→integer dialect differences.
+  *
+  * Scale notes (100 TB):
+  *  - the shingle→doc inverted index is the shuffle unit; hot shingles are
+  *    the skew risk — the LSH path (d03) only shuffles fixed-width band
+  *    hashes, which is the design that survives 1000 executors;
+  *  - candidate verification joins are restricted to the candidate-pair set
+  *    before touching shingle sets again (no all-pairs work anywhere except
+  *    the tiny d02 demo threshold, which documents the quadratic baseline).
+  */
+object Dedup {
+  import Tables.t
+
+  /** tokens + distinct word-3-gram shingles (guard: empty when < 3 tokens,
+    * because Spark's sequence(a,b) descends when a > b). */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", regexp_extract_all(lower(col("text")), lit("[a-z0-9']+"), lit(0)))
+      .withColumn("sh", expr(
+        "CASE WHEN size(toks) >= 3 THEN array_distinct(transform(sequence(2, size(toks)-1), " +
+          "i -> concat(toks[i-2], ' ', toks[i-1], ' ', toks[i]))) ELSE array() END"))
+
+  private val SHINGLES_SQL =
+    """list_distinct(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9'']+'))-1),
+       i -> regexp_extract_all(lower(text), '[a-z0-9'']+')[i] || ' ' ||
+            regexp_extract_all(lower(text), '[a-z0-9'']+')[i+1] || ' ' ||
+            regexp_extract_all(lower(text), '[a-z0-9'']+')[i+2]))"""
+
+  /** doc_id → exploded distinct shingles. */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    withShingles(t(s, dir, "documents"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- d01: exact dedup via normalized-content hash groupBy ----
+    QueryDef(
+      "d01_exact_dedup",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupBy(md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("content_hash"))
+          .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+          .groupBy($"n_copies")
+          .agg(count(lit(1)).as("n_groups"))
+          .orderBy($"n_copies")
+      },
+      Some("""
+        SELECT n_copies, COUNT(*) AS n_groups FROM (
+          SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+                 MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+          FROM documents GROUP BY 1) x
+        GROUP BY n_copies ORDER BY n_copies"""),
+    ),
+
+    // ---- d02: n-gram Jaccard near-duplicate pairs (inverted-index join) --
+    QueryDef(
+      "d02_ngram_jaccard_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingleIndex(s, dir)
+        val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val shared = sh.as("a")
+          .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(cnt.select($"doc_id".as("i"), $"n".as("ni")), "i")
+          .join(cnt.select($"doc_id".as("j"), $"n".as("nj")), "j")
+          .withColumn("jaccard", $"shared".cast("double") / ($"ni" + $"nj" - $"shared"))
+          .filter($"jaccard" >= 0.8)
+          .select($"i", $"j", $"shared", $"jaccard")
+          .orderBy($"i", $"j")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT i, j, shared,
+               CAST(shared AS DOUBLE)/(ci.n + cj.n - shared) AS jaccard
+        FROM shared JOIN cnt ci ON ci.doc_id = i JOIN cnt cj ON cj.doc_id = j
+        WHERE CAST(shared AS DOUBLE)/(ci.n + cj.n - shared) >= 0.8
+        ORDER BY i, j"""),
+    ),
+
+    // ---- d03: MinHash (16 perms) + LSH banding (4 bands × 4 rows) ----
+    QueryDef(
+      "d03_minhash_lsh_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingleIndex(s, dir)
+        // 16 minhash values per doc: min over shingles of md5(shingle#h)
+        val sigs = sh
+          .withColumn("h", explode(sequence(lit(0), lit(15))))
+          .groupBy($"doc_id", $"h")
+          .agg(min(substring(md5(concat($"s", lit("#"), $"h".cast("string"))), 1, 16)).as("mh"))
+        // band hash = md5 of the band's 4 signature values in h order
+        val bands = sigs
+          .withColumn("band", expr("h div 4"))
+          .groupBy($"doc_id", $"band")
+          .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(h, mh))), x -> x.mh), '|'))")
+            .as("band_hash"))
+        val cands = bands.as("a")
+          .join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+          .distinct()
+        // verify candidates with true Jaccard
+        val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val shared = sh.as("a")
+          .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+          .agg(count(lit(1)).as("shared"))
+        cands
+          .join(shared, Seq("i", "j"))
+          .join(cnt.select($"doc_id".as("i"), $"n".as("ni")), "i")
+          .join(cnt.select($"doc_id".as("j"), $"n".as("nj")), "j")
+          .withColumn("jaccard", $"shared".cast("double") / ($"ni" + $"nj" - $"shared"))
+          .filter($"jaccard" >= 0.7)
+          .select($"i", $"j", $"jaccard")
+          .orderBy($"i", $"j")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
+        sigs AS (
+          SELECT doc_id, h, MIN(substr(md5(s || '#' || CAST(h AS VARCHAR)), 1, 16)) AS mh
+          FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) hh
+          GROUP BY doc_id, h),
+        bands AS (
+          SELECT doc_id, h // 4 AS band, md5(string_agg(mh, '|' ORDER BY h)) AS band_hash
+          FROM sigs GROUP BY doc_id, h // 4),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT c.i, c.j, CAST(shared AS DOUBLE)/(ci.n + cj.n - shared) AS jaccard
+        FROM cands c JOIN shared sd ON sd.i = c.i AND sd.j = c.j
+             JOIN cnt ci ON ci.doc_id = c.i JOIN cnt cj ON cj.doc_id = c.j
+        WHERE CAST(shared AS DOUBLE)/(ci.n + cj.n - shared) >= 0.7
+        ORDER BY c.i, c.j"""),
+    ),
+
+    // ---- d04: 16-bit SimHash fingerprints ----
+    QueryDef(
+      "d04_simhash",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("toks", regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0)))
+          .select($"doc_id", explode(array_distinct($"toks")).as("tok"))
+          .withColumn("j", explode(sequence(lit(1), lit(16))))
+          .withColumn("contrib", expr(
+            "CASE WHEN instr('89abcdef', substring(md5(tok), j, 1)) > 0 THEN 1 ELSE -1 END"))
+          .groupBy($"doc_id", $"j")
+          .agg(sum($"contrib").as("bal"))
+          .withColumn("bit", expr(
+            "CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), j-1) ELSE CAST(0 AS BIGINT) END"))
+          .groupBy($"doc_id")
+          .agg(sum($"bit").as("simhash"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM (
+          SELECT doc_id, j,
+                 CASE WHEN SUM(contrib) > 0 THEN (CAST(1 AS BIGINT) << (j-1))
+                      ELSE CAST(0 AS BIGINT) END AS bit
+          FROM (
+            SELECT doc_id, tok, j,
+                   CASE WHEN instr('89abcdef', substr(md5(tok), j, 1)) > 0 THEN 1 ELSE -1 END AS contrib
+            FROM (SELECT doc_id,
+                         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9'']+'))) AS tok
+                  FROM documents) tk
+            CROSS JOIN (SELECT unnest(range(1, 17)) AS j) jj) c
+          GROUP BY doc_id, j) b
+        GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+
+    // ---- d05: SimHash near-dup pairs (banded halves + hamming verify) ----
+    QueryDef(
+      "d05_simhash_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val simhash = defs.find(_.name == "d04_simhash").get.run(s, dir)
+        val h = simhash
+          .withColumn("hi", expr("CAST(simhash AS BIGINT) div 256"))
+          .withColumn("lo", expr("CAST(simhash AS BIGINT) % 256"))
+        // candidates share at least one half (pigeonhole for hamming<=2 per half);
+        // two equi-joins + distinct instead of an OR-join (OR would be a nested loop)
+        def half(k: String) = h.as("a")
+          .join(h.as(s"b"), col(s"a.$k") === col(s"b.$k") && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+            $"a.simhash".as("sa"), $"b.simhash".as("sb"))
+        half("hi").unionAll(half("lo")).distinct()
+          .withColumn("hamming", expr("bit_count(CAST(sa AS BIGINT) ^ CAST(sb AS BIGINT))"))
+          .filter($"hamming" <= 2)
+          .select($"i", $"j", $"hamming")
+          .orderBy($"i", $"j")
+      },
+      Some("""
+        WITH sims AS (
+          SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM (
+            SELECT doc_id, j,
+                   CASE WHEN SUM(contrib) > 0 THEN (CAST(1 AS BIGINT) << (j-1))
+                        ELSE CAST(0 AS BIGINT) END AS bit
+            FROM (
+              SELECT doc_id, tok, j,
+                     CASE WHEN instr('89abcdef', substr(md5(tok), j, 1)) > 0 THEN 1 ELSE -1 END AS contrib
+              FROM (SELECT doc_id,
+                           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9'']+'))) AS tok
+                    FROM documents) tk
+              CROSS JOIN (SELECT unnest(range(1, 17)) AS j) jj) c
+            GROUP BY doc_id, j) b
+          GROUP BY doc_id),
+        halves AS (SELECT doc_id, simhash, simhash // 256 AS hi, simhash % 256 AS lo FROM sims),
+        cands AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, a.simhash AS sa, b.simhash AS sb
+          FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+          FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id)
+        SELECT i, j, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cands WHERE bit_count(xor(sa, sb)) <= 2
+        ORDER BY i, j"""),
+    ),
+  )
+}

@@ -1,0 +1,238 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import graft.sqlx._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics over the `events` table.
+  *
+  * These are the batch twins of the streaming semantics the CDC reference
+  * needs (SURVEY.md §2.8): event-time windowing (T10 — absent in the
+  * reference, added here), sessionization by gap (the delimiter-based
+  * grouping of sink/kafka/kafka.go:294-336 generalized to time gaps),
+  * stateful dedup (canal/handler_mux.go:81-103 F3 semantics), and
+  * ordered per-key state replay (the current-state MERGE pattern).
+  *
+  * All time arithmetic is done on exact epoch-microsecond longs
+  * (unix_micros / epoch_us) so Spark and the DuckDB oracle agree bit-for-bit.
+  * Scale: everything partitions by user_id (or the window bucket) — no
+  * global sort, no driver-side state; at 100 TB these are plain shuffles
+  * on high-cardinality keys.
+  */
+object Events {
+  import Tables.t
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- e01: hourly tumbling-window aggregation ----
+    QueryDef(
+      "e01_hourly_window_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd").as("day"),
+            hour($"ts").as("hr"), $"event_type")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"),
+            min($"value").as("min_value"), max($"value").as("max_value"))
+          .orderBy($"day", $"hr", $"event_type")
+      },
+      Some(s"""
+        SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d') AS day,
+               CAST(HOUR(ts) AS INT) AS hr, event_type,
+               COUNT(*) AS n, ${SUM("value")} AS total_value,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY day, hr, event_type"""),
+    ),
+
+    // ---- e02: gap-based sessionization (30-min inactivity gap) ----
+    QueryDef(
+      "e02_sessionization",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        val gapUs = 30L * 60 * 1000 * 1000
+        t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .withColumn("prev_us", lag($"us", 1).over(w))
+          .withColumn("new_session",
+            when($"prev_us".isNull || $"us" - $"prev_us" > gapUs, 1L).otherwise(0L))
+          .withColumn("session_id", sum($"new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"), min($"us").as("start_us"),
+            max($"us").as("end_us"), dsum($"value").as("session_value"))
+          .withColumn("duration_us", $"end_us" - $"start_us")
+          .orderBy($"user_id", $"session_id")
+      },
+      Some(s"""
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(us) AS start_us, MAX(us) AS end_us,
+               ${SUM("value")} AS session_value,
+               MAX(us) - MIN(us) AS duration_us
+        FROM (
+          SELECT user_id, value, us,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM (
+            SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                   CASE WHEN LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                          OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events) g) x
+        GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+    ),
+
+    // ---- e03: conversion funnel view → purchase within 7 days ----
+    QueryDef(
+      "e03_funnel_conversion",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
+        val firstView = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"us").as("t0"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"us".as("pt"))
+        firstView
+          .join(purchases,
+            $"user_id" === $"p_user" && $"pt" > $"t0" && $"pt" <= $"t0" + lit(604800000000L),
+            "left_semi")
+          .agg(count(lit(1)).as("converted_users"))
+      },
+      Some("""
+        SELECT COUNT(*) AS converted_users FROM (
+          SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+          WHERE event_type = 'view' GROUP BY user_id) v
+        WHERE EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+            AND epoch_us(p.ts) > v.t0 AND epoch_us(p.ts) <= v.t0 + 604800000000)"""),
+    ),
+
+    // ---- e04: per-user event-type pivot (conditional aggregation) ----
+    QueryDef(
+      "e04_user_type_pivot",
+      (s, dir) => {
+        import s.implicits._
+        def cnt(tpe: String) = sum(when($"event_type" === tpe, 1L).otherwise(0L))
+        t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(cnt("view").as("n_view"), cnt("click").as("n_click"),
+            cnt("signup").as("n_signup"), cnt("purchase").as("n_purchase"),
+            cnt("error").as("n_error"), dsum($"value").as("total_value"))
+          .orderBy($"user_id")
+      },
+      Some(s"""
+        SELECT user_id,
+          CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+          CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+          CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+          CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+          CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+          ${SUM("value")} AS total_value
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+    ),
+
+    // ---- e05: top users by exact total value (rank on exact decimal) ----
+    QueryDef(
+      "e05_top_users",
+      (s, dir) => {
+        import s.implicits._
+        val agg = t(s, dir, "events").groupBy($"user_id")
+          .agg(dsumExact($"value").as("v_exact"), count(lit(1)).as("n_events"))
+        val w = Window.orderBy($"v_exact".desc, $"user_id")
+        agg.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 20)
+          .select($"rk", $"user_id", dec2dbl($"v_exact").as("total_value"), $"n_events")
+          .orderBy($"rk")
+      },
+      Some("""
+        SELECT rk, user_id, CAST(CAST(v_exact AS VARCHAR) AS DOUBLE) AS total_value, n_events FROM (
+          SELECT user_id, SUM(CAST(value AS DECIMAL(28,10))) AS v_exact, COUNT(*) AS n_events,
+                 ROW_NUMBER() OVER (ORDER BY SUM(CAST(value AS DECIMAL(28,10))) DESC, user_id) AS rk
+          FROM events GROUP BY user_id) x
+        WHERE rk <= 20 ORDER BY rk"""),
+    ),
+
+    // ---- e06: per-user lag/lead (time-since-previous, next type) ----
+    QueryDef(
+      "e06_inter_event_gaps",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"user_id" < 20)
+          .select($"user_id", $"event_id", $"event_type", $"gap_us", $"next_type")
+          .orderBy($"user_id", $"us", $"event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us,
+               LEAD(event_type, 1) OVER w AS next_type
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ORDER BY user_id, epoch_us(ts), event_id"""),
+    ),
+
+    // ---- e07: JSON property extraction (props is a JSON string) ----
+    QueryDef(
+      "e07_json_props",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .withColumn("k", regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("long"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+            (sum($"k").cast("double") / count(lit(1))).as("avg_k"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_k
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+    ),
+
+    // ---- e08: streaming-style dedup — first event per (user, type) ----
+    QueryDef(
+      "e08_dedup_first_per_key",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id", $"event_type").orderBy($"us", $"event_id")
+        t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_type", $"event_id", $"us")
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""
+        SELECT user_id, event_type, event_id, us FROM (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events) x
+        WHERE rn = 1 ORDER BY user_id, event_type"""),
+    ),
+
+    // ---- e09: per-minute event rate (fine-grained tumbling window) ----
+    QueryDef(
+      "e09_minutely_rate",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(unix_micros(date_trunc("minute", $"ts")).as("minute_us"))
+          .agg(count(lit(1)).as("n"))
+          .filter($"n" >= 3)
+          .orderBy($"minute_us")
+      },
+      Some("""
+        SELECT epoch_us(DATE_TRUNC('minute', ts)) AS minute_us, COUNT(*) AS n
+        FROM events GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY minute_us"""),
+    ),
+  )
+}

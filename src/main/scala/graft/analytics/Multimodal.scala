@@ -1,0 +1,79 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media treated as opaque BINARY payloads with
+  * typed metadata, processed by deterministic, partition-parallel transforms.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub (`fakeDecode*` — md5-derived features);
+  * everything around it — the binary column, the typed metadata struct, the
+  * fixed-size frame slicing, the per-frame fan-out (explode), partitioning
+  * and batch shape — is the real Spark plumbing a codec UDF would slot into.
+  * Payload bytes are the UTF-8 text of `documents` (ASCII here), so the
+  * DuckDB oracle can replay byte-level ops on the string form.
+  */
+object Multimodal {
+  import Tables.t
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- m01: binary ingest + typed metadata + fake decode ----
+    QueryDef(
+      "m01_blob_metadata",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("payload", $"text".cast("binary"))
+          // typed metadata struct over the opaque payload
+          .withColumn("meta", struct(
+            lit("fake/v1").as("format"),
+            length($"payload").as("n_bytes"),
+            md5($"payload").as("checksum")))
+          // fakeDecodeDims: deterministic stand-in for a codec UDF — derives
+          // "width/height" from the first two checksum hex digits
+          .withColumn("width", lit(640) + (instr(lit("0123456789abcdef"), substring($"meta.checksum", 1, 1)) - 1))
+          .withColumn("height", lit(480) + (instr(lit("0123456789abcdef"), substring($"meta.checksum", 2, 1)) - 1))
+          .select($"doc_id", $"meta.format".as("format"), $"meta.n_bytes".as("n_bytes"),
+            $"meta.checksum".as("checksum"), $"width", $"height")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, 'fake/v1' AS format,
+               CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+               md5(text) AS checksum,
+               640 + instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS width,
+               480 + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS height
+        FROM documents ORDER BY doc_id"""),
+    ),
+
+    // ---- m02: frame sampling — fixed 64-byte frames, every 2nd kept ----
+    QueryDef(
+      "m02_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("payload", $"text".cast("binary"))
+          .withColumn("n_frames", ceil(length($"payload") / lit(64.0)).cast("int"))
+          .withColumn("frame_idx", explode(expr(
+            "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
+          .filter($"frame_idx" % 2 === 0) // sample every 2nd frame
+          // frame bytes == substring of the ASCII text; feature = md5 stub
+          .withColumn("frame_hash", md5(expr("substring(text, frame_idx*64 + 1, 64)")))
+          .withColumn("frame_len", length(expr("substring(text, frame_idx*64 + 1, 64)")))
+          .select($"doc_id", $"frame_idx", $"frame_len", $"frame_hash")
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""
+        SELECT doc_id, frame_idx,
+               CAST(length(substr(text, frame_idx*64 + 1, 64)) AS INT) AS frame_len,
+               md5(substr(text, frame_idx*64 + 1, 64)) AS frame_hash
+        FROM (
+          SELECT doc_id, text, unnest(range(CAST(ceil(length(text)/64.0) AS BIGINT))) AS frame_idx
+          FROM documents) x
+        WHERE frame_idx % 2 = 0
+        ORDER BY doc_id, frame_idx"""),
+    ),
+  )
+}

@@ -1,0 +1,215 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import graft.sqlx._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, over the
+  * `documents` table: tokenization, quality scoring, language-ID heuristic,
+  * fingerprinting. All are per-row narrow transforms (no shuffle except the
+  * final aggregate/sort) built from codegen'd `functions._` expressions —
+  * at 100 TB these run at scan speed inside WholeStageCodegen.
+  */
+object TextOps {
+  import Tables.t
+
+  /** Word tokens of lower-cased text — same regex in the DuckDB oracle. */
+  private def toks(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9']+"), lit(0))
+  private val TOKS_SQL = """regexp_extract_all(lower(text), '[a-z0-9'']+')"""
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val STOP_SQL = stop.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- t01: token statistics ----
+    QueryDef(
+      "t01_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("toks", toks($"text"))
+          .select(
+            $"doc_id",
+            size($"toks").as("n_tokens"),
+            length($"text").as("n_chars_text"),
+            $"n_chars",
+            size(array_distinct($"toks")).as("n_unique_tokens"),
+            (aggregate($"toks", lit(0L), (acc, x) => acc + length(x)).cast("double")
+              / size($"toks")).as("avg_token_len"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST(len($TOKS_SQL) AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars_text,
+               n_chars,
+               CAST(len(list_distinct($TOKS_SQL)) AS INT) AS n_unique_tokens,
+               CAST(list_sum(list_transform($TOKS_SQL, x -> length(x))) AS DOUBLE)
+                 / len($TOKS_SQL) AS avg_token_len
+        FROM documents ORDER BY doc_id"""),
+    ),
+
+    // ---- t02: stopword ratio ----
+    QueryDef(
+      "t02_stopword_ratio",
+      (s, dir) => {
+        import s.implicits._
+        val stopArr = array(stop.map(lit): _*)
+        t(s, dir, "documents")
+          .withColumn("toks", toks($"text"))
+          .withColumn("n_stop", size(filter($"toks", x => array_contains(stopArr, x))))
+          .select($"doc_id", size($"toks").as("n_tokens"), $"n_stop",
+            ($"n_stop".cast("double") / size($"toks")).as("stop_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST(len($TOKS_SQL) AS INT) AS n_tokens,
+               CAST(len(list_filter($TOKS_SQL, x -> x IN $STOP_SQL)) AS INT) AS n_stop,
+               CAST(len(list_filter($TOKS_SQL, x -> x IN $STOP_SQL)) AS DOUBLE)
+                 / len($TOKS_SQL) AS stop_ratio
+        FROM documents ORDER BY doc_id"""),
+    ),
+
+    // ---- t03: language-ID heuristic (marker-word n-gram scoring) ----
+    QueryDef(
+      "t03_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        val lc = concat(lit(" "), lower($"text"), lit(" "))
+        def hits(words: Seq[String]): Column =
+          words.map(w => when(lc.contains(s" $w "), 1).otherwise(0)).reduce(_ + _)
+        t(s, dir, "documents")
+          .withColumn("en_score", hits(Seq("the", "a", "of", "and")))
+          .withColumn("fr_score", hits(Seq("le", "la", "et", "de")))
+          .withColumn("es_score", hits(Seq("el", "los", "y", "que")))
+          .withColumn("pred_lang",
+            when($"en_score" >= $"fr_score" && $"en_score" >= $"es_score" && $"en_score" > 0, "en")
+              .when($"fr_score" >= $"es_score" && $"fr_score" > 0, "fr")
+              .when($"es_score" > 0, "es")
+              .otherwise("und"))
+          .select($"doc_id", $"lang", $"en_score", $"fr_score", $"es_score", $"pred_lang")
+          .orderBy($"doc_id")
+      },
+      {
+        def hitsSql(words: Seq[String]) = words
+          .map(w => s"(CASE WHEN contains(' '||lower(text)||' ', ' $w ') THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", ")")
+        val en = hitsSql(Seq("the", "a", "of", "and"))
+        val fr = hitsSql(Seq("le", "la", "et", "de"))
+        val es = hitsSql(Seq("el", "los", "y", "que"))
+        Some(s"""
+        SELECT doc_id, lang, en_score, fr_score, es_score,
+               CASE WHEN en_score >= fr_score AND en_score >= es_score AND en_score > 0 THEN 'en'
+                    WHEN fr_score >= es_score AND fr_score > 0 THEN 'fr'
+                    WHEN es_score > 0 THEN 'es'
+                    ELSE 'und' END AS pred_lang
+        FROM (SELECT doc_id, lang, $en AS en_score, $fr AS fr_score, $es AS es_score
+              FROM documents) x
+        ORDER BY doc_id""")
+      },
+    ),
+
+    // ---- t04: composite quality score ----
+    QueryDef(
+      "t04_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        val stopArr = array(stop.map(lit): _*)
+        t(s, dir, "documents")
+          .withColumn("toks", toks($"text"))
+          .withColumn("n_tokens", size($"toks"))
+          .withColumn("stop_ratio",
+            size(filter($"toks", x => array_contains(stopArr, x))).cast("double") / $"n_tokens")
+          .withColumn("len_score",
+            when($"n_tokens" >= 100, 1.0).otherwise($"n_tokens".cast("double") / 100.0))
+          .withColumn("score", lit(0.5) * $"len_score" + lit(0.5) * $"stop_ratio")
+          .withColumn("tier",
+            when($"score" >= 0.5, "high").when($"score" >= 0.3, "medium").otherwise("low"))
+          .select($"doc_id", $"n_tokens", $"stop_ratio", $"score", $"tier")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, n_tokens, stop_ratio,
+               0.5*len_score + 0.5*stop_ratio AS score,
+               CASE WHEN 0.5*len_score + 0.5*stop_ratio >= 0.5 THEN 'high'
+                    WHEN 0.5*len_score + 0.5*stop_ratio >= 0.3 THEN 'medium'
+                    ELSE 'low' END AS tier
+        FROM (
+          SELECT doc_id,
+                 CAST(len($TOKS_SQL) AS INT) AS n_tokens,
+                 CAST(len(list_filter($TOKS_SQL, x -> x IN $STOP_SQL)) AS DOUBLE)
+                   / len($TOKS_SQL) AS stop_ratio,
+                 CASE WHEN len($TOKS_SQL) >= 100 THEN 1.0
+                      ELSE CAST(len($TOKS_SQL) AS DOUBLE)/100.0 END AS len_score
+          FROM documents) x
+        ORDER BY doc_id"""),
+    ),
+
+    // ---- t05: document fingerprint (normalized-content hash) ----
+    QueryDef(
+      "t05_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"),
+            substring(md5(trim(regexp_replace(lower($"text"), "\\s+", " "))), 1, 8).as("fp_short"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS fp_short
+        FROM documents ORDER BY doc_id"""),
+    ),
+
+    // ---- t06: top word bigrams (n-gram frequency) ----
+    QueryDef(
+      "t06_top_bigrams",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("toks", toks($"text"))
+          .withColumn("grams", expr(
+            // guard: Spark's sequence(1, 0) would DESCEND, not return empty
+            "CASE WHEN size(toks) >= 2 THEN " +
+              "transform(sequence(1, size(toks)-1), i -> concat(toks[i-1], ' ', toks[i])) " +
+              "ELSE array() END"))
+          .select(explode($"grams").as("gram"))
+          .groupBy($"gram").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"gram")
+          .limit(20)
+      },
+      Some(s"""
+        SELECT gram, COUNT(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len($TOKS_SQL)),
+                        i -> $TOKS_SQL[i] || ' ' || $TOKS_SQL[i+1])) AS gram
+          FROM documents) x
+        GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""),
+    ),
+
+    // ---- t07: BPE-ish token counting (runs of letters | digits | other) ----
+    QueryDef(
+      "t07_bpeish_token_count",
+      (s, dir) => {
+        import s.implicits._
+        val pieces = regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+        t(s, dir, "documents")
+          .select($"doc_id", size(pieces).as("n_pieces"), $"n_chars")
+          .withColumn("chars_per_piece", $"n_chars".cast("double") / $"n_pieces")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_pieces,
+               n_chars,
+               CAST(n_chars AS DOUBLE)
+                 / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS chars_per_piece
+        FROM documents ORDER BY doc_id"""),
+    ),
+  )
+
+}

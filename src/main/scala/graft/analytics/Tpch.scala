@@ -1,0 +1,763 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import graft.sqlx._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory over the TPC-H-ish star schema.
+  *
+  * The reference (bytewatch/dolphinbeat) has no relational operators of its
+  * own — SURVEY.md §2.9 documents their absence — so this layer is the
+  * Spark-built-in analytics surface the port adds on top of the change
+  * stream: scans with pushdown, filters, broadcast/sort-merge/semi/anti
+  * joins, hash aggregation (partial+final), distinct, rollup/cube, window
+  * functions, sorts/limits/top-k, set operations, and scalar functions.
+  * Everything is declarative DataFrame API: Catalyst handles predicate
+  * pushdown, column pruning, and join selection (AQE at runtime).
+  *
+  * Scale notes (100 TB): all joins against region/nation/customer/supplier/
+  * part are explicitly broadcast (dimension tables); lineitem/orders-sized
+  * inputs only ever shuffle on their aggregation/join keys, with map-side
+  * partial aggregation from the decimal-sum accumulators.
+  */
+object Tpch {
+  import Tables.t
+
+  private def li(s: SparkSession, dir: String) = t(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String) = t(s, dir, "orders")
+  private def cust(s: SparkSession, dir: String) = t(s, dir, "customer")
+  private def supp(s: SparkSession, dir: String) = t(s, dir, "supplier")
+  private def part(s: SparkSession, dir: String) = t(s, dir, "part")
+  private def nat(s: SparkSession, dir: String) = t(s, dir, "nation")
+  private def reg(s: SparkSession, dir: String) = t(s, dir, "region")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- q01: pricing summary (hash agg, partial+final, exact sums) ----
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir)
+          .filter($"l_shipdate" <= ts("1998-09-02 00:00:00"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum($"l_quantity").as("sum_qty"),
+            dsum($"l_extendedprice").as("sum_base_price"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+            davg($"l_quantity").as("avg_qty"),
+            davg($"l_extendedprice").as("avg_price"),
+            davg($"l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          ${SUM("l_quantity")} AS sum_qty,
+          ${SUM("l_extendedprice")} AS sum_base_price,
+          ${SUM("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+          ${SUM("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)")} AS sum_charge,
+          ${AVG("l_quantity")} AS avg_qty,
+          ${AVG("l_extendedprice")} AS avg_price,
+          ${AVG("l_discount")} AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+    ),
+
+    // ---- q02: best supplier per nation (window rank over broadcast join) --
+    QueryDef(
+      "q02_top_supplier_per_nation",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"n_nationkey").orderBy($"s_acctbal".desc, $"s_suppkey")
+        supp(s, dir)
+          .join(broadcast(nat(s, dir)), $"s_nationkey" === $"n_nationkey")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"n_name", $"s_name", $"s_acctbal")
+          .orderBy($"n_name")
+      },
+      Some("""
+        SELECT n_name, s_name, s_acctbal FROM (
+          SELECT n_name, s_name, s_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY n_nationkey
+                                    ORDER BY s_acctbal DESC, s_suppkey) AS rn
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey) x
+        WHERE rn = 1 ORDER BY n_name"""),
+    ),
+
+    // ---- q03: shipping priority (3-way join + agg + top-k) ----
+    QueryDef(
+      "q03_shipping_priority",
+      (s, dir) => {
+        import s.implicits._
+        cust(s, dir).filter($"c_mktsegment" === "BUILDING")
+          .join(ord(s, dir), $"c_custkey" === $"o_custkey")
+          .filter($"o_orderdate" < ts("1998-03-15 00:00:00"))
+          .join(li(s, dir), $"o_orderkey" === $"l_orderkey")
+          .filter($"l_shipdate" > ts("1998-03-15 00:00:00"))
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .select($"l_orderkey", $"revenue", date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"), $"o_orderpriority")
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some(s"""
+        SELECT l_orderkey, ${SUM("l_extendedprice*(1.0-l_discount)")} AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    ),
+
+    // ---- q04: order priority count (EXISTS / left-semi join) ----
+    QueryDef(
+      "q04_order_priority",
+      (s, dir) => {
+        import s.implicits._
+        ord(s, dir)
+          .filter($"o_orderdate" >= ts("1997-07-01 00:00:00") && $"o_orderdate" < ts("1997-10-01 00:00:00"))
+          .join(li(s, dir).filter($"l_quantity" > 45).select($"l_orderkey"),
+            $"o_orderkey" === $"l_orderkey", "left_semi")
+          .groupBy($"o_orderpriority").agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    ),
+
+    // ---- q05: regional revenue (5-way join, broadcast dims) ----
+    QueryDef(
+      "q05_regional_revenue",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir)
+          .join(ord(s, dir), $"l_orderkey" === $"o_orderkey")
+          .filter($"o_orderdate" >= ts("1997-01-01 00:00:00") && $"o_orderdate" < ts("1998-01-01 00:00:00"))
+          .join(broadcast(cust(s, dir)), $"o_custkey" === $"c_custkey")
+          .join(broadcast(supp(s, dir)),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nat(s, dir)), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg(s, dir)), $"n_regionkey" === $"r_regionkey")
+          .filter($"r_name" === "ASIA")
+          .groupBy($"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some(s"""
+        SELECT n_name, ${SUM("l_extendedprice*(1.0-l_discount)")} AS revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+    ),
+
+    // ---- q06: revenue forecast (scan + filter pushdown + scalar agg) ----
+    QueryDef(
+      "q06_revenue_forecast",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir)
+          .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") && $"l_shipdate" < ts("1998-01-01 00:00:00"))
+          .filter($"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+          .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""
+        SELECT ${SUM("l_extendedprice*l_discount")} AS revenue, COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""),
+    ),
+
+    // ---- q09: revenue by supplier-nation and order year ----
+    QueryDef(
+      "q09_nation_year_revenue",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir)
+          .join(ord(s, dir), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(supp(s, dir)), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(nat(s, dir)), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name", year($"o_orderdate").as("o_year"))
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .orderBy($"n_name", $"o_year".desc)
+      },
+      Some(s"""
+        SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               ${SUM("l_extendedprice*(1.0-l_discount)")} AS revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, YEAR(o_orderdate) ORDER BY n_name, o_year DESC"""),
+    ),
+
+    // ---- q10: returned items report (join + agg + top-k) ----
+    QueryDef(
+      "q10_returned_items",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir).filter($"l_returnflag" === "R")
+          .join(ord(s, dir), $"l_orderkey" === $"o_orderkey")
+          .filter($"o_orderdate" >= ts("1997-10-01 00:00:00") && $"o_orderdate" < ts("1998-01-01 00:00:00"))
+          .join(broadcast(cust(s, dir)), $"o_custkey" === $"c_custkey")
+          .join(broadcast(nat(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .orderBy($"revenue".desc, $"c_custkey")
+          .limit(20)
+      },
+      Some(s"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               ${SUM("l_extendedprice*(1.0-l_discount)")} AS revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    ),
+
+    // ---- q12: priority classification (conditional agg / CASE WHEN) ----
+    QueryDef(
+      "q12_priority_lines",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir)
+          .join(ord(s, dir), $"l_orderkey" === $"o_orderkey")
+          .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") && $"l_shipdate" < ts("1998-01-01 00:00:00"))
+          .groupBy($"l_linestatus")
+          .agg(
+            sum(when($"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH", 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when($"o_orderpriority" =!= "1-URGENT" && $"o_orderpriority" =!= "2-HIGH", 1L)
+              .otherwise(0L)).as("low_line_count"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""
+        SELECT l_linestatus,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus ORDER BY l_linestatus"""),
+    ),
+
+    // ---- q13: customer order-count distribution (left outer join) ----
+    QueryDef(
+      "q13_customer_distribution",
+      (s, dir) => {
+        import s.implicits._
+        val counts = cust(s, dir)
+          .join(ord(s, dir).filter(!$"o_orderpriority".startsWith("5")),
+            $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+        counts.groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      Some("""
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '5%'
+          GROUP BY c_custkey) x
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
+    ),
+
+    // ---- q14: promo revenue (ratio of conditional exact sums) ----
+    QueryDef(
+      "q14_promo_revenue",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir)
+          .filter($"l_shipdate" >= ts("1997-09-01 00:00:00") && $"l_shipdate" < ts("1997-10-01 00:00:00"))
+          .join(broadcast(part(s, dir)), $"l_partkey" === $"p_partkey")
+          .agg(
+            (lit(100.0) * dsum(when($"p_type" === "PROMO",
+              $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0))
+              / dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("promo_revenue"))
+      },
+      Some(s"""
+        SELECT 100.0 * ${SUM("CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END")}
+               / ${SUM("l_extendedprice*(1.0-l_discount)")} AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'"""),
+    ),
+
+    // ---- q15: top supplier(s) by quarter revenue (exact-decimal rank) ----
+    QueryDef(
+      "q15_top_supplier",
+      (s, dir) => {
+        import s.implicits._
+        val rev = li(s, dir)
+          .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") && $"l_shipdate" < ts("1997-04-01 00:00:00"))
+          .groupBy($"l_suppkey")
+          .agg(dsumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_exact"))
+        val w = Window.orderBy($"rev_exact".desc)
+        rev.withColumn("rk", rank().over(w)).filter($"rk" === 1)
+          .join(broadcast(supp(s, dir)), $"l_suppkey" === $"s_suppkey")
+          .select($"s_suppkey", $"s_name", dec2dbl($"rev_exact").as("total_revenue"))
+          .orderBy($"s_suppkey")
+      },
+      Some("""
+        SELECT s_suppkey, s_name, CAST(CAST(rev_exact AS VARCHAR) AS DOUBLE) AS total_revenue FROM (
+          SELECT l_suppkey, SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))) AS rev_exact,
+                 RANK() OVER (ORDER BY SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))) DESC) AS rk
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey) x
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rk = 1 ORDER BY s_suppkey"""),
+    ),
+
+    // ---- q16: supplier diversity per brand/size (distinct agg) ----
+    QueryDef(
+      "q16_brand_supplier_counts",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir)
+          .join(broadcast(part(s, dir)), $"l_partkey" === $"p_partkey")
+          .filter($"p_type" =!= "MEDIUM" && $"p_size".isin(1, 5, 9, 13, 17, 21, 25, 29))
+          .groupBy($"p_brand", $"p_size")
+          .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+          .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+      },
+      Some("""
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type <> 'MEDIUM' AND p_size IN (1,5,9,13,17,21,25,29)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size"""),
+    ),
+
+    // ---- q17: small-quantity revenue (per-key avg threshold join) ----
+    QueryDef(
+      "q17_small_quantity_revenue",
+      (s, dir) => {
+        import s.implicits._
+        val pa = li(s, dir).groupBy($"l_partkey".as("pa_partkey"))
+          .agg(davg($"l_quantity").as("avg_qty"))
+        li(s, dir)
+          .join(broadcast(part(s, dir).filter($"p_brand" === "Brand#23")),
+            $"l_partkey" === $"p_partkey")
+          .join(pa, $"l_partkey" === $"pa_partkey")
+          .filter($"l_quantity" < lit(0.5) * $"avg_qty")
+          .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"))
+      },
+      Some(s"""
+        SELECT ${SUM("l_extendedprice")}/7.0 AS avg_yearly
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN (SELECT l_partkey AS pa_partkey, ${AVG("l_quantity")} AS avg_qty
+                FROM lineitem GROUP BY l_partkey) pa
+            ON l_partkey = pa_partkey
+        WHERE p_brand = 'Brand#23' AND l_quantity < 0.5*avg_qty"""),
+    ),
+
+    // ---- q18: large-volume customers (group-having on exact sum) ----
+    QueryDef(
+      "q18_large_volume_customers",
+      (s, dir) => {
+        import s.implicits._
+        val big = li(s, dir).groupBy($"l_orderkey".as("big_orderkey"))
+          .agg(dsumExact($"l_quantity").as("sum_qty_exact"))
+          .filter($"sum_qty_exact" > 212)
+        ord(s, dir)
+          .join(big, $"o_orderkey" === $"big_orderkey")
+          .join(broadcast(cust(s, dir)), $"o_custkey" === $"c_custkey")
+          .select($"c_name", $"c_custkey", $"o_orderkey",
+            date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"), $"o_totalprice",
+            dec2dbl($"sum_qty_exact").as("sum_qty"))
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(100)
+      },
+      Some("""
+        SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_totalprice, CAST(CAST(sum_qty_exact AS VARCHAR) AS DOUBLE) AS sum_qty
+        FROM orders
+          JOIN (SELECT l_orderkey AS big_orderkey,
+                       SUM(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty_exact
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(28,10))) > 212) big
+            ON o_orderkey = big_orderkey
+          JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+    ),
+
+    // ---- q19: disjunctive pushdown predicate (OR-of-ANDs) ----
+    QueryDef(
+      "q19_disjunctive_revenue",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir)
+          .join(broadcast(part(s, dir)), $"l_partkey" === $"p_partkey")
+          .filter(
+            ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) && $"l_quantity".between(1, 11)) ||
+            ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||
+            ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) && $"l_quantity".between(20, 30)))
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""
+        SELECT ${SUM("l_extendedprice*(1.0-l_discount)")} AS revenue, COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""),
+    ),
+
+    // ---- q22: rich customers with no orders (scalar subq + anti join) ----
+    QueryDef(
+      "q22_idle_rich_customers",
+      (s, dir) => {
+        import s.implicits._
+        val c = cust(s, dir)
+        val avgBal = c.filter($"c_acctbal" > 0.0)
+          .agg(davg($"c_acctbal").as("a")).select($"a")
+        c.join(broadcast(avgBal))
+          .filter($"c_acctbal" > $"a")
+          .join(ord(s, dir).select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
+          .orderBy($"c_nationkey")
+      },
+      Some(s"""
+        SELECT c_nationkey, COUNT(*) AS numcust, ${SUM("c_acctbal")} AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT ${AVG("c_acctbal")} FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey"""),
+    ),
+
+    // ---- sort / limit / top-k ----
+    QueryDef(
+      "q23_topk_orders",
+      (s, dir) => {
+        import s.implicits._
+        ord(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+            date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"))
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(100)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+    ),
+
+    // ---- set operations: INTERSECT / EXCEPT / UNION ----
+    QueryDef(
+      "q24_set_ops_nations",
+      (s, dir) => {
+        import s.implicits._
+        val cn = cust(s, dir).select($"c_nationkey".as("nk")).distinct()
+        val sn = supp(s, dir).select($"s_nationkey".as("nk")).distinct()
+        val both = cn.intersect(sn).withColumn("op", lit("intersect"))
+        val onlyC = cn.except(sn).withColumn("op", lit("except"))
+        both.unionAll(onlyC).select($"op", $"nk").orderBy($"op", $"nk")
+      },
+      Some("""
+        SELECT 'intersect' AS op, nk FROM (
+          SELECT DISTINCT c_nationkey AS nk FROM customer
+          INTERSECT SELECT DISTINCT s_nationkey FROM supplier) a
+        UNION ALL
+        SELECT 'except' AS op, nk FROM (
+          SELECT DISTINCT c_nationkey AS nk FROM customer
+          EXCEPT SELECT DISTINCT s_nationkey FROM supplier) b
+        ORDER BY op, nk"""),
+    ),
+
+    // ---- rollup ----
+    QueryDef(
+      "q25_rollup_acctbal",
+      (s, dir) => {
+        import s.implicits._
+        cust(s, dir)
+          .join(broadcast(nat(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(reg(s, dir)), $"n_regionkey" === $"r_regionkey")
+          .rollup($"r_name", $"n_name")
+          .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("total_bal"))
+          .select(coalesce($"r_name", lit("(all)")).as("region"),
+            coalesce($"n_name", lit("(all)")).as("nation"),
+            $"n_cust", $"total_bal")
+          .orderBy($"region", $"nation")
+      },
+      Some(s"""
+        SELECT COALESCE(r_name,'(all)') AS region, COALESCE(n_name,'(all)') AS nation,
+               COUNT(*) AS n_cust, ${SUM("c_acctbal")} AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation"""),
+    ),
+
+    // ---- cube ----
+    QueryDef(
+      "q26_cube_orders",
+      (s, dir) => {
+        import s.implicits._
+        ord(s, dir)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
+          .select(coalesce($"o_orderstatus", lit("(all)")).as("status"),
+            coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+            $"n_orders", $"total_price")
+          .orderBy($"status", $"priority")
+      },
+      Some(s"""
+        SELECT COALESCE(o_orderstatus,'(all)') AS status,
+               COALESCE(o_orderpriority,'(all)') AS priority,
+               COUNT(*) AS n_orders, ${SUM("o_totalprice")} AS total_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority"""),
+    ),
+
+    // ---- window: running/lag/lead over customer order history ----
+    QueryDef(
+      "q27_order_history_window",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        ord(s, dir).filter($"o_custkey" % 100 === 0)
+          .withColumn("order_seq", row_number().over(w))
+          .withColumn("running_spend",
+            dec2dbl(sum($"o_totalprice".cast(dec))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0))))
+          .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+          .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+          .select($"o_custkey", $"o_orderkey", $"order_seq", $"running_spend",
+            $"prev_price", $"next_price")
+          .orderBy($"o_custkey", $"order_seq")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          ROW_NUMBER() OVER w AS order_seq,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+               OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend,
+          LAG(o_totalprice, 1) OVER w AS prev_price,
+          LEAD(o_totalprice, 1) OVER w AS next_price
+        FROM orders WHERE o_custkey % 100 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, order_seq"""),
+    ),
+
+    // ---- window: ntile deciles ----
+    QueryDef(
+      "q28_acctbal_deciles",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"c_acctbal", $"c_custkey")
+        cust(s, dir)
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n"), min($"c_acctbal").as("min_bal"),
+            max($"c_acctbal").as("max_bal"), davg($"c_acctbal").as("avg_bal"))
+          .orderBy($"decile")
+      },
+      Some(s"""
+        SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal,
+               MAX(c_acctbal) AS max_bal, ${AVG("c_acctbal")} AS avg_bal
+        FROM (SELECT c_acctbal, NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+              FROM customer) x
+        GROUP BY decile ORDER BY decile"""),
+    ),
+
+    // ---- distinct aggregation ----
+    QueryDef(
+      "q29_distinct_counts",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir).agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          countDistinct($"l_returnflag", $"l_linestatus").as("n_flag_status"))
+      },
+      Some("""
+        SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        FROM lineitem"""),
+    ),
+
+    // ---- approx distinct (HLL) — no SQL oracle (approximate by design) ----
+    QueryDef(
+      "q30_approx_distinct",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir).agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          approx_count_distinct($"l_orderkey").as("approx_orders"))
+      },
+      None,
+    ),
+
+    // ---- scalar function coverage: strings / dates / math / casewhen ----
+    QueryDef(
+      "q31_scalar_functions",
+      (s, dir) => {
+        import s.implicits._
+        part(s, dir).filter($"p_partkey" <= 100)
+          .select(
+            $"p_partkey",
+            upper($"p_name").as("uname"),
+            lower($"p_brand").as("lbrand"),
+            length($"p_name").as("name_len"),
+            substring($"p_name", 1, 8).as("name_pref"),
+            concat($"p_brand", lit("/"), $"p_type").as("brand_type"),
+            regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+            abs($"p_retailprice" - 1000.0).as("abs_diff"),
+            floor($"p_retailprice").as("price_floor"),
+            ceil($"p_retailprice").as("price_ceil"),
+            ($"p_partkey" % 7).as("key_mod"),
+            when($"p_size" < 10, "small").when($"p_size" < 30, "medium")
+              .otherwise("large").as("size_class"))
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand,
+               LENGTH(p_name) AS name_len, SUBSTRING(p_name, 1, 8) AS name_pref,
+               p_brand || '/' || p_type AS brand_type,
+               REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               ABS(p_retailprice - 1000.0) AS abs_diff,
+               CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+               CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+               p_partkey % 7 AS key_mod,
+               CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium'
+                    ELSE 'large' END AS size_class
+        FROM part WHERE p_partkey <= 100 ORDER BY p_partkey"""),
+    ),
+
+    // ---- date function coverage ----
+    QueryDef(
+      "q32_date_functions",
+      (s, dir) => {
+        import s.implicits._
+        ord(s, dir).filter($"o_orderkey" <= 200)
+          .select(
+            $"o_orderkey",
+            year($"o_orderdate").as("o_year"),
+            month($"o_orderdate").as("o_month"),
+            dayofmonth($"o_orderdate").as("o_day"),
+            quarter($"o_orderdate").as("o_quarter"),
+            datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date")).as("days_since_epoch0"),
+            date_format(date_add($"o_orderdate".cast("date"), 30), "yyyy-MM-dd").as("due_date"),
+            date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("order_month"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               CAST(MONTH(o_orderdate) AS INT) AS o_month,
+               CAST(DAY(o_orderdate) AS INT) AS o_day,
+               CAST(QUARTER(o_orderdate) AS INT) AS o_quarter,
+               CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch0,
+               strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+               strftime(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS order_month
+        FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey"""),
+    ),
+
+    // ---- IN-subquery (SQL surface via spark.sql) ----
+    QueryDef(
+      "q33_in_subquery",
+      (s, dir) => {
+        ord(s, dir).createOrReplaceTempView("g_orders")
+        cust(s, dir).createOrReplaceTempView("g_customer")
+        s.sql("""
+          SELECT o_orderstatus, COUNT(*) AS n
+          FROM g_orders
+          WHERE o_custkey IN (SELECT c_custkey FROM g_customer
+                              WHERE c_mktsegment = 'BUILDING')
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    ),
+
+    // ---- anti join (NOT IN semantics over keys) ----
+    QueryDef(
+      "q34_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        cust(s, dir)
+          .join(ord(s, dir).select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("customers_without_orders"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS customers_without_orders
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    ),
+
+    // ---- cross join (small dims) ----
+    QueryDef(
+      "q35_cross_join_matrix",
+      (s, dir) => {
+        import s.implicits._
+        reg(s, dir).crossJoin(nat(s, dir))
+          .select($"r_name", $"n_name",
+            ($"n_regionkey" === $"r_regionkey").as("is_member"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""
+        SELECT r_name, n_name, n_regionkey = r_regionkey AS is_member
+        FROM region CROSS JOIN nation ORDER BY r_name, n_name"""),
+    ),
+
+    // ---- union-all + distinct over heterogeneous entities ----
+    QueryDef(
+      "q36_union_entities",
+      (s, dir) => {
+        import s.implicits._
+        val c = cust(s, dir).select($"c_nationkey".as("nationkey"), lit("customer").as("kind"))
+        val sp = supp(s, dir).select($"s_nationkey".as("nationkey"), lit("supplier").as("kind"))
+        c.unionAll(sp).groupBy($"nationkey", $"kind").agg(count(lit(1)).as("n"))
+          .orderBy($"nationkey", $"kind")
+      },
+      Some("""
+        SELECT nationkey, kind, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+          UNION ALL
+          SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier) x
+        GROUP BY nationkey, kind ORDER BY nationkey, kind"""),
+    ),
+  )
+}
