@@ -1,0 +1,261 @@
+package graft.cdc
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardOpenOption}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Per-sink checkpoint: progress + free-form string context
+  * (acked_seq/acked_offset for the Kafka sink —
+  * /root/reference/ckp/checkpoint.go:67-71). */
+final case class Checkpoint(progress: Progress, ctx: Map[String, String] = Map.empty) {
+  def withIntCtx(key: String, v: Long): Checkpoint = copy(ctx = ctx.updated(key, v.toString))
+  def getIntCtx(key: String, dflt: Long): Long = ctx.get(key).map(_.toLong).getOrElse(dflt)
+}
+
+trait CkpStorage {
+  def save(data: Array[Byte]): Unit
+  def load(): Option[Array[Byte]]
+}
+
+/** Atomic dual-file ping-pong storage
+  * (/root/reference/ckp/storage_file.go:70-104): writes alternate between
+  * two files so a torn write can never destroy the last good checkpoint;
+  * load picks the newer parseable one (we embed a monotonic version rather
+  * than trusting mtime). */
+final class FileCkpStorage(dir: Path) extends CkpStorage {
+  Files.createDirectories(dir)
+  private val files = Array(dir.resolve("ckp.0"), dir.resolve("ckp.1"))
+  private var nextToWrite = 0
+  private var version: Long = {
+    val vs = files.map(readVersioned(_).map(_._1).getOrElse(-1L))
+    // continue writing after the newer file, into the older slot
+    nextToWrite = if (vs(0) > vs(1)) 1 else 0
+    math.max(vs(0), math.max(vs(1), 0L))
+  }
+
+  private def readVersioned(p: Path): Option[(Long, Array[Byte])] =
+    try {
+      if (!Files.exists(p)) None
+      else {
+        val all = Files.readAllBytes(p)
+        if (all.length < 12) None
+        else {
+          val in = new DataInputStream(new ByteArrayInputStream(all))
+          val v = in.readLong()
+          val n = in.readInt()
+          if (n < 0 || n > all.length - 12) None
+          else {
+            val data = new Array[Byte](n)
+            in.readFully(data)
+            Some((v, data))
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
+  override def save(data: Array[Byte]): Unit = {
+    version += 1
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(version)
+    out.writeInt(data.length)
+    out.write(data)
+    out.flush()
+    val ch = Files.newByteChannel(files(nextToWrite),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.SYNC)
+    try ch.write(java.nio.ByteBuffer.wrap(bos.toByteArray))
+    finally ch.close()
+    nextToWrite = (nextToWrite + 1) % 2
+  }
+
+  override def load(): Option[Array[Byte]] =
+    files.flatMap(readVersioned).sortBy(-_._1).headOption.map(_._2)
+}
+
+/** In-memory storage for tests (mirrors ckp/storage_mock.go). */
+final class MemoryCkpStorage extends CkpStorage {
+  private var data: Option[Array[Byte]] = None
+  override def save(d: Array[Byte]): Unit = data = Some(d)
+  override def load(): Option[Array[Byte]] = data
+}
+
+/** Checkpoint manager: registry of per-sink checkpoints, min-progress
+  * computation with the aligned-progress fallback, persistence
+  * (/root/reference/ckp/manager.go). */
+final class CkpManager(storage: CkpStorage) {
+  private val ckps = mutable.LinkedHashMap.empty[String, Checkpoint]
+  private var alignedProgress: Option[Progress] = None
+
+  loadAll()
+
+  def update(name: String, ckp: Checkpoint): Unit = ckps.update(name, ckp)
+  def get(name: String): Option[Checkpoint] = ckps.get(name)
+  def names: Vector[String] = ckps.keys.toVector
+
+  def setAlignedProgress(p: Progress): Unit = {
+    alignedProgress = Some(p)
+    persist()
+  }
+
+  /** Restart position: the MINIMUM progress across all sinks — every sink
+    * must see everything at least once. When sinks sit on different
+    * server_ids (mid-failover), positions are incomparable and the last
+    * aligned progress is the only safe floor
+    * (/root/reference/ckp/manager.go:160-196). */
+  def getMinProgress: Progress = {
+    var min: Progress = Progress.zero
+    for (ckp <- ckps.values) {
+      val p = ckp.progress
+      if (!p.isZero) {
+        if (min.isZero) min = p
+        else if (p.pos.serverId != min.pos.serverId) {
+          return alignedProgress.getOrElse(
+            throw new IllegalStateException("different server_id in ckps but no aligned progress"))
+        } else if (p.compare(min) < 0) min = p
+      }
+    }
+    min
+  }
+
+  /** All sinks caught up to `target` (the drain barrier for DDL/failover,
+    * /root/reference/ckp/manager.go:224-262). */
+  def allReached(target: Progress): Boolean =
+    ckps.values.forall { ckp =>
+      val p = ckp.progress
+      !p.isZero && p.pos.serverId == target.pos.serverId && p.compare(target) >= 0
+    }
+
+  // ---------- persistence ----------
+
+  private def writeStr(out: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(UTF_8); out.writeInt(b.length); out.write(b)
+  }
+  private def readStr(in: DataInputStream): String = {
+    val b = new Array[Byte](in.readInt()); in.readFully(b); new String(b, UTF_8)
+  }
+  private def writeProgress(out: DataOutputStream, p: Progress): Unit = {
+    writeStr(out, p.pos.name); out.writeLong(p.pos.pos); out.writeLong(p.pos.serverId)
+    writeStr(out, p.gset.map(_.toString).getOrElse(""))
+    out.writeBoolean(p.gset.isDefined)
+  }
+  private def readProgress(in: DataInputStream): Progress = {
+    val name = readStr(in); val pos = in.readLong(); val sid = in.readLong()
+    val gs = readStr(in); val hasG = in.readBoolean()
+    Progress(Position(name, pos, sid), if (hasG) Some(GtidSet.parse(gs)) else None)
+  }
+
+  def persist(): Unit = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeBoolean(alignedProgress.isDefined)
+    alignedProgress.foreach(writeProgress(out, _))
+    out.writeInt(ckps.size)
+    ckps.foreach { case (name, ckp) =>
+      writeStr(out, name)
+      writeProgress(out, ckp.progress)
+      out.writeInt(ckp.ctx.size)
+      ckp.ctx.foreach { case (k, v) => writeStr(out, k); writeStr(out, v) }
+    }
+    out.flush()
+    storage.save(bos.toByteArray)
+  }
+
+  private def loadAll(): Unit =
+    storage.load().foreach { data =>
+      val in = new DataInputStream(new ByteArrayInputStream(data))
+      if (in.readBoolean()) alignedProgress = Some(readProgress(in))
+      val n = in.readInt()
+      (0 until n).foreach { _ =>
+        val name = readStr(in)
+        val p = readProgress(in)
+        val ctx = (0 until in.readInt()).map(_ => (readStr(in), readStr(in))).toMap
+        ckps.update(name, Checkpoint(p, ctx))
+      }
+    }
+}
+
+/** Schema snapshots keyed by replication position — restart restores the
+  * catalog AS OF the resume position (/root/reference/schema/tracker.go:54-72,
+  * boltdb semantics of storage_boltdb.go:75-114 incl. the 7-day purge at
+  * :200-238). One binary file per snapshot in a directory. */
+final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7) {
+  Files.createDirectories(dir)
+
+  private def writeStr(out: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(UTF_8); out.writeInt(b.length); out.write(b)
+  }
+  private def readStr(in: DataInputStream): String = {
+    val b = new Array[Byte](in.readInt()); in.readFully(b); new String(b, UTF_8)
+  }
+
+  private def fileFor(pos: Position): Path =
+    // big-endian-style zero-padded offset keeps lexicographic == numeric order
+    // (the reference's boltdb key trick, storage_boltdb.go:256-264)
+    dir.resolve(f"snap-${pos.serverId}%020d-${pos.name}-${pos.pos}%020d.bin")
+
+  def save(pos: Position, databases: Seq[String], defs: Seq[TableDef]): Unit = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    writeStr(out, pos.name); out.writeLong(pos.pos); out.writeLong(pos.serverId)
+    out.writeInt(databases.size); databases.foreach(writeStr(out, _))
+    out.writeInt(defs.size)
+    defs.foreach { t =>
+      writeStr(out, t.database); writeStr(out, t.name); writeStr(out, t.charset)
+      out.writeInt(t.columns.size)
+      t.columns.foreach { c =>
+        writeStr(out, c.name); writeStr(out, c.sqlType); out.writeInt(c.innerType)
+        writeStr(out, c.key); writeStr(out, c.charset)
+        out.writeBoolean(c.unsigned); out.writeBoolean(c.nullable)
+      }
+    }
+    out.flush()
+    Files.write(fileFor(pos), bos.toByteArray)
+    purge()
+  }
+
+  /** Load the newest snapshot at-or-below `pos` (same server_id only). */
+  def load(pos: Position): Option[(Position, Vector[String], Vector[TableDef])] = {
+    val candidates = list()
+      .filter(p => p.serverId == pos.serverId && p.compare(pos) <= 0)
+    candidates.sortWith((a, b) => a.compare(b) > 0).headOption.map(read)
+  }
+
+  def list(): Vector[Position] =
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("snap-"))
+      .flatMap(p => readHeader(p))
+      .toVector
+
+  private def readHeader(p: Path): Option[Position] =
+    try {
+      val in = new DataInputStream(new ByteArrayInputStream(Files.readAllBytes(p)))
+      val name = readStr(in); val pos = in.readLong(); val sid = in.readLong()
+      Some(Position(name, pos, sid))
+    } catch { case _: Exception => None }
+
+  private def read(pos: Position): (Position, Vector[String], Vector[TableDef]) = {
+    val in = new DataInputStream(new ByteArrayInputStream(Files.readAllBytes(fileFor(pos))))
+    val name = readStr(in); val p = in.readLong(); val sid = in.readLong()
+    val dbs = Vector.fill(in.readInt())(readStr(in))
+    val defs = Vector.fill(in.readInt()) {
+      val db = readStr(in); val tname = readStr(in); val charset = readStr(in)
+      val cols = Vector.fill(in.readInt()) {
+        ColumnDef(readStr(in), readStr(in), in.readInt(), readStr(in), readStr(in),
+          in.readBoolean(), in.readBoolean())
+      }
+      TableDef(db, tname, cols, charset)
+    }
+    (Position(name, p, sid), dbs, defs)
+  }
+
+  private def purge(): Unit = {
+    val cutoff = java.time.Instant.now().minus(java.time.Duration.ofDays(purgeAfterDays.toLong))
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("snap-"))
+      .filter(p => Files.getLastModifiedTime(p).toInstant.isBefore(cutoff))
+      .foreach(Files.deleteIfExists(_))
+  }
+}

@@ -1,0 +1,460 @@
+package graft.cdc
+
+import scala.collection.mutable
+
+/** In-memory schema mirror maintained by replaying DDL — the role of the
+  * reference's tracker + external ddl-executor
+  * (/root/reference/schema/tracker.go:26-34, 110-150). The reference
+  * outsources MySQL grammar to a TiDB-based parser; this implementation
+  * interprets the DDL subset its tests exercise (SURVEY.md §7 step 2):
+  *
+  *   CREATE/DROP DATABASE, CREATE/DROP TABLE, TRUNCATE,
+  *   ALTER TABLE ADD/DROP/MODIFY/CHANGE COLUMN (FIRST/AFTER), ALTER RENAME,
+  *   RENAME TABLE.
+  *
+  * Unparseable DDL throws DdlParseException — the pipeline parks it for
+  * manual repair, mirroring the reference's failed-DDL loop (T7,
+  * /root/reference/canal/sync.go:237-257).
+  */
+final class SchemaTracker {
+  // db -> (table -> def), insertion-ordered for stable listings
+  private val dbs = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[String, TableDef]]
+
+  def getDatabases: Vector[String] = dbs.keys.toVector
+  def getTables(db: String): Vector[String] =
+    dbs.get(db).map(_.keys.toVector).getOrElse(Vector.empty)
+  def getTableDef(db: String, table: String): Option[TableDef] =
+    dbs.get(db).flatMap(_.get(table))
+
+  def createDatabase(db: String): Unit =
+    dbs.getOrElseUpdate(db, mutable.LinkedHashMap.empty)
+
+  def snapshotCatalog: Vector[TableDef] =
+    dbs.values.flatMap(_.values).toVector
+
+  def restoreCatalog(defs: Seq[TableDef], databases: Seq[String]): Unit = {
+    dbs.clear()
+    databases.foreach(createDatabase)
+    defs.foreach { t =>
+      dbs.getOrElseUpdate(t.database, mutable.LinkedHashMap.empty).update(t.name, t)
+    }
+  }
+
+  /** True if the statement parses under the tracked DDL subset. */
+  def isDdl(statement: String): Boolean =
+    DdlParser.parse(statement, "").isDefined
+
+  /** Replay one DDL against the mirror. `currentDb` resolves unqualified
+    * table names (the binlog QUERY event's schema field). */
+  def execDdl(statement: String, currentDb: String): Unit = {
+    val ddl = DdlParser.parse(statement, currentDb)
+      .getOrElse(throw new DdlParseException(statement))
+    apply(ddl)
+  }
+
+  private def apply(ddl: Ddl): Unit = ddl match {
+    case CreateDatabase(db, ifNotExists) =>
+      if (dbs.contains(db) && !ifNotExists) throw new DdlApplyException(s"database exists: $db")
+      createDatabase(db)
+    case DropDatabase(db, ifExists) =>
+      if (!dbs.contains(db) && !ifExists) throw new DdlApplyException(s"no such database: $db")
+      dbs.remove(db)
+    case CreateTable(db, name, cols, ifNotExists) =>
+      val tables = dbs.getOrElseUpdate(db, mutable.LinkedHashMap.empty)
+      if (tables.contains(name)) {
+        if (!ifNotExists) throw new DdlApplyException(s"table exists: $db.$name")
+      } else tables.update(name, TableDef(db, name, cols))
+    case DropTable(targets, ifExists) =>
+      targets.foreach { case (db, name) =>
+        val removed = dbs.get(db).flatMap(_.remove(name))
+        if (removed.isEmpty && !ifExists) throw new DdlApplyException(s"no such table: $db.$name")
+      }
+    case Truncate(_, _) => () // data-only; schema unchanged
+    case RenameTable(pairs) =>
+      pairs.foreach { case ((fdb, fname), (tdb, tname)) =>
+        val t = dbs.get(fdb).flatMap(_.remove(fname))
+          .getOrElse(throw new DdlApplyException(s"no such table: $fdb.$fname"))
+        dbs.getOrElseUpdate(tdb, mutable.LinkedHashMap.empty)
+          .update(tname, t.copy(database = tdb, name = tname))
+      }
+    case AlterTable(db, name, specs) =>
+      val tables = dbs.getOrElse(db,
+        throw new DdlApplyException(s"no such database: $db"))
+      var t = tables.getOrElse(name, throw new DdlApplyException(s"no such table: $db.$name"))
+      specs.foreach { spec => t = applyAlter(t, spec) }
+      tables.remove(name)
+      dbs.getOrElseUpdate(t.database, mutable.LinkedHashMap.empty).update(t.name, t)
+  }
+
+  private def placed(cols: Vector[ColumnDef], c: ColumnDef, pos: Placement): Vector[ColumnDef] =
+    pos match {
+      case Default => cols :+ c
+      case First => c +: cols
+      case After(ref) =>
+        val i = cols.indexWhere(_.name == ref)
+        if (i < 0) throw new DdlApplyException(s"no such column: $ref")
+        (cols.take(i + 1) :+ c) ++ cols.drop(i + 1)
+    }
+
+  private def applyAlter(t: TableDef, spec: AlterSpec): TableDef = spec match {
+    case AddColumn(c, pos) =>
+      if (t.columnIndex(c.name) >= 0) throw new DdlApplyException(s"duplicate column: ${c.name}")
+      t.copy(columns = placed(t.columns, c, pos))
+    case DropColumn(name) =>
+      val i = t.columnIndex(name)
+      if (i < 0) throw new DdlApplyException(s"no such column: $name")
+      t.copy(columns = t.columns.patch(i, Nil, 1))
+    case ModifyColumn(c, pos) =>
+      val i = t.columnIndex(c.name)
+      if (i < 0) throw new DdlApplyException(s"no such column: ${c.name}")
+      val without = t.columns.patch(i, Nil, 1)
+      pos match {
+        case Default => t.copy(columns = t.columns.updated(i, c)) // keep position
+        case p => t.copy(columns = placed(without, c, p))
+      }
+    case ChangeColumn(oldName, c, pos) =>
+      val i = t.columnIndex(oldName)
+      if (i < 0) throw new DdlApplyException(s"no such column: $oldName")
+      val without = t.columns.patch(i, Nil, 1)
+      pos match {
+        case Default => t.copy(columns = t.columns.updated(i, c))
+        case p => t.copy(columns = placed(without, c, p))
+      }
+    case RenameTo(db, name) =>
+      t.copy(database = if (db.isEmpty) t.database else db, name = name)
+  }
+}
+
+final class DdlParseException(statement: String)
+  extends RuntimeException(s"unsupported DDL: $statement")
+final class DdlApplyException(msg: String) extends RuntimeException(msg)
+
+// ---------- DDL AST ----------
+
+sealed trait Ddl
+final case class CreateDatabase(db: String, ifNotExists: Boolean) extends Ddl
+final case class DropDatabase(db: String, ifExists: Boolean) extends Ddl
+final case class CreateTable(db: String, name: String, cols: Vector[ColumnDef],
+    ifNotExists: Boolean) extends Ddl
+final case class DropTable(targets: Vector[(String, String)], ifExists: Boolean) extends Ddl
+final case class Truncate(db: String, name: String) extends Ddl
+final case class RenameTable(pairs: Vector[((String, String), (String, String))]) extends Ddl
+final case class AlterTable(db: String, name: String, specs: Vector[AlterSpec]) extends Ddl
+
+sealed trait Placement
+case object Default extends Placement
+case object First extends Placement
+final case class After(col: String) extends Placement
+
+sealed trait AlterSpec
+final case class AddColumn(col: ColumnDef, pos: Placement) extends AlterSpec
+final case class DropColumn(name: String) extends AlterSpec
+final case class ModifyColumn(col: ColumnDef, pos: Placement) extends AlterSpec
+final case class ChangeColumn(oldName: String, col: ColumnDef, pos: Placement) extends AlterSpec
+final case class RenameTo(db: String, name: String) extends AlterSpec
+
+// ---------- tokenizer + recursive-descent parser ----------
+
+object DdlParser {
+
+  /** Tokenize respecting backtick identifiers, quoted strings, parens and
+    * commas; comments already stripped by Statement.trim-like pre-pass
+    * (we strip them here ourselves, preserving case for identifiers). */
+  private[cdc] def tokenize(sql: String): Vector[String] = {
+    val s = sql
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("--[^\r\n]*", " ")
+      .replaceAll("(?m)^#[^\r\n]*", " ")
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch.isWhitespace) i += 1
+      else if (ch == '`') {
+        val j = s.indexOf('`', i + 1)
+        require(j > 0, "unterminated backtick identifier")
+        out += s.substring(i + 1, j)
+        i = j + 1
+      } else if (ch == '\'' || ch == '"') {
+        val sb = new StringBuilder
+        var j = i + 1
+        var done = false
+        while (j < s.length && !done) {
+          val c = s.charAt(j)
+          if (c == '\\' && j + 1 < s.length) { sb.append(s.charAt(j + 1)); j += 2 }
+          else if (c == ch) { done = true; j += 1 }
+          else { sb.append(c); j += 1 }
+        }
+        out += ("'" + sb.toString) // string literal token, marked with leading quote
+        i = j
+      } else if ("(),.;".indexOf(ch) >= 0) {
+        out += ch.toString; i += 1
+      } else {
+        var j = i
+        while (j < s.length && !s.charAt(j).isWhitespace && "(),.;`'\"".indexOf(s.charAt(j)) < 0) j += 1
+        out += s.substring(i, j)
+        i = j
+      }
+    }
+    out.result()
+  }
+
+  def parse(sql: String, currentDb: String): Option[Ddl] =
+    try {
+      val p = new P(tokenize(sql), currentDb)
+      val r = p.statement()
+      if (r != null && p.atEndOrSemicolon) Some(r) else None
+    } catch { case _: Exception => None }
+
+  private final class P(toks: Vector[String], currentDb: String) {
+    private var i = 0
+    private def peek: String = if (i < toks.length) toks(i) else ""
+    private def peekUp: String = peek.toUpperCase
+    private def next(): String = { val t = peek; i += 1; t }
+    private def accept(kw: String): Boolean =
+      if (peekUp == kw) { i += 1; true } else false
+    private def expect(kw: String): Unit =
+      require(accept(kw), s"expected $kw got $peek")
+    def atEndOrSemicolon: Boolean = i >= toks.length || (peek == ";" && i == toks.length - 1)
+
+    private def ident(): String = {
+      val t = next()
+      require(t.nonEmpty && t != "(" && t != ")" && t != ",", s"bad identifier: $t")
+      t
+    }
+
+    /** [db .] name */
+    private def qualified(): (String, String) = {
+      val a = ident()
+      if (peek == ".") { next(); (a, ident()) } else (currentDb, a)
+    }
+
+    def statement(): Ddl = peekUp match {
+      case "CREATE" =>
+        next()
+        if (accept("DATABASE") || accept("SCHEMA")) {
+          val ine = ifNotExists()
+          CreateDatabase(ident(), ine)
+        } else {
+          accept("TEMPORARY")
+          expect("TABLE")
+          val ine = ifNotExists()
+          val (db, name) = qualified()
+          expect("(")
+          val cols = columnDefs()
+          CreateTable(db, name, cols, ine)
+        }
+      case "DROP" =>
+        next()
+        if (accept("DATABASE") || accept("SCHEMA")) {
+          val ie = ifExists()
+          DropDatabase(ident(), ie)
+        } else {
+          accept("TEMPORARY")
+          expect("TABLE")
+          val ie = ifExists()
+          val targets = Vector.newBuilder[(String, String)]
+          targets += qualified()
+          while (accept(",")) targets += qualified()
+          DropTable(targets.result(), ie)
+        }
+      case "TRUNCATE" =>
+        next(); accept("TABLE")
+        val (db, name) = qualified()
+        Truncate(db, name)
+      case "RENAME" =>
+        next(); expect("TABLE")
+        val pairs = Vector.newBuilder[((String, String), (String, String))]
+        def onePair(): Unit = {
+          val from = qualified()
+          require(accept("TO") || accept("AS"), "expected TO")
+          pairs += ((from, qualified()))
+        }
+        onePair()
+        while (accept(",")) onePair()
+        RenameTable(pairs.result())
+      case "ALTER" =>
+        next(); expect("TABLE")
+        val (db, name) = qualified()
+        val specs = Vector.newBuilder[AlterSpec]
+        def oneSpec(): Unit = peekUp match {
+          case "ADD" =>
+            next(); accept("COLUMN")
+            if (peekUp == "PRIMARY" || peekUp == "UNIQUE" || peekUp == "INDEX" ||
+              peekUp == "KEY" || peekUp == "CONSTRAINT" || peekUp == "FULLTEXT") {
+              skipIndexSpec()
+            } else {
+              val c = columnDef()
+              specs += AddColumn(c, placement())
+            }
+          case "DROP" =>
+            next()
+            if (accept("PRIMARY")) { expect("KEY") }
+            else if (accept("INDEX") || accept("KEY")) { ident(); () }
+            else { accept("COLUMN"); specs += DropColumn(ident()) }
+          case "MODIFY" =>
+            next(); accept("COLUMN")
+            val c = columnDef()
+            specs += ModifyColumn(c, placement())
+          case "CHANGE" =>
+            next(); accept("COLUMN")
+            val oldName = ident()
+            val c = columnDef()
+            specs += ChangeColumn(oldName, c, placement())
+          case "RENAME" =>
+            next()
+            if (!accept("TO")) accept("AS")
+            val a = ident()
+            // unqualified rename stays in the table's own database
+            val (tdb, tname) = if (peek == ".") { next(); (a, ident()) } else ("", a)
+            specs += RenameTo(tdb, tname)
+          case other =>
+            throw new IllegalArgumentException(s"unsupported alter spec: $other")
+        }
+        oneSpec()
+        while (accept(",")) oneSpec()
+        AlterTable(db, name, specs.result())
+      case _ => null
+    }
+
+    private def ifNotExists(): Boolean =
+      if (accept("IF")) { expect("NOT"); expect("EXISTS"); true } else false
+    private def ifExists(): Boolean =
+      if (accept("IF")) { expect("EXISTS"); true } else false
+
+    private def placement(): Placement =
+      if (accept("FIRST")) First
+      else if (accept("AFTER")) After(ident())
+      else Default
+
+    private def skipParens(): Unit = {
+      if (peek == "(") {
+        next()
+        var depth = 1
+        while (depth > 0 && i < toks.length) {
+          val t = next()
+          if (t == "(") depth += 1 else if (t == ")") depth -= 1
+        }
+      }
+    }
+
+    private def skipIndexSpec(): Unit = {
+      // consume PRIMARY KEY (...) / UNIQUE [KEY] [name] (...) / KEY name (...)
+      while (i < toks.length && peek != "(" && peek != ",") next()
+      skipParens()
+    }
+
+    private def columnDefs(): Vector[ColumnDef] = {
+      val cols = Vector.newBuilder[ColumnDef]
+      var done = false
+      while (!done) {
+        peekUp match {
+          case "PRIMARY" | "UNIQUE" | "KEY" | "INDEX" | "CONSTRAINT" | "FULLTEXT" | "FOREIGN" =>
+            val isPrimary = peekUp == "PRIMARY"
+            // capture PRIMARY KEY column to mark ColumnDef.key
+            while (i < toks.length && peek != "(") next()
+            if (isPrimary && peek == "(") {
+              next()
+              val pkCols = mutable.Buffer.empty[String]
+              while (peek != ")") { if (peek != ",") pkCols += next() else next() }
+              next() // )
+              val built = cols.result()
+              cols.clear()
+              cols ++= built.map(c =>
+                if (pkCols.contains(c.name)) c.copy(key = "PRI", nullable = false) else c)
+            } else skipParens()
+          case _ =>
+            cols += columnDef()
+        }
+        if (accept(",")) ()
+        else { expect(")"); done = true }
+      }
+      cols.result()
+    }
+
+    /** name TYPE[(n[,m])] [UNSIGNED] [ZEROFILL] [CHARACTER SET x] [COLLATE x]
+      * [NOT NULL | NULL] [DEFAULT v] [AUTO_INCREMENT] [UNIQUE | PRIMARY KEY]
+      * [COMMENT 'x'] */
+    private def columnDef(): ColumnDef = {
+      val name = ident()
+      val baseType = next().toUpperCase
+      val sb = new StringBuilder(baseType.toLowerCase)
+      if (peek == "(") {
+        sb.append('(')
+        next()
+        var first = true
+        while (peek != ")") {
+          val t = next()
+          if (t == ",") sb.append(',')
+          else { if (!first && !sb.endsWith(",")) sb.append(','); sb.append(stripQuote(t)); first = false }
+        }
+        next()
+        sb.append(')')
+      }
+      var unsigned = false
+      var nullable = true
+      var key = ""
+      var charset = ""
+      var done = false
+      while (!done) {
+        peekUp match {
+          case "UNSIGNED" => next(); unsigned = true
+          case "SIGNED" | "ZEROFILL" | "BINARY" => next()
+          case "CHARACTER" => next(); expect("SET"); charset = ident()
+          case "CHARSET" => next(); charset = ident()
+          case "COLLATE" => next(); ident()
+          case "NOT" => next(); expect("NULL"); nullable = false
+          case "NULL" => next()
+          case "DEFAULT" =>
+            next()
+            if (peek == "(") skipParens()
+            else { next(); if (peek == "(") skipParens() } // e.g. CURRENT_TIMESTAMP(3)
+          case "ON" => next(); expect("UPDATE"); next(); if (peek == "(") skipParens()
+          case "AUTO_INCREMENT" => next()
+          case "UNIQUE" => next(); accept("KEY"); if (key.isEmpty) key = "UNI"
+          case "PRIMARY" => next(); expect("KEY"); key = "PRI"; nullable = false
+          case "KEY" => next(); if (key.isEmpty) key = "MUL"
+          case "COMMENT" => next(); next()
+          case _ => done = true
+        }
+      }
+      val inner = innerTypeOf(baseType)
+      if (unsigned) sb.append(" unsigned")
+      ColumnDef(name, sb.toString, inner, key, charset, unsigned, nullable)
+    }
+
+    private def stripQuote(t: String): String =
+      if (t.startsWith("'")) "'" + t.drop(1) + "'" else t
+  }
+
+  private def innerTypeOf(baseType: String): Int = {
+    import InnerType._
+    baseType match {
+      case "TINYINT" | "BOOL" | "BOOLEAN" => TINY
+      case "SMALLINT" => SHORT
+      case "MEDIUMINT" => INT24
+      case "INT" | "INTEGER" => LONG
+      case "BIGINT" => LONGLONG
+      case "DECIMAL" | "NUMERIC" | "DEC" | "FIXED" => NEWDECIMAL
+      case "FLOAT" => FLOAT
+      case "DOUBLE" | "REAL" => DOUBLE
+      case "BIT" => BIT
+      case "DATE" => DATE
+      case "TIME" => TIME
+      case "DATETIME" => DATETIME
+      case "TIMESTAMP" => TIMESTAMP
+      case "YEAR" => YEAR
+      case "CHAR" => STRING
+      case "VARCHAR" => VARCHAR
+      case "TINYTEXT" | "TINYBLOB" => TINY_BLOB
+      case "MEDIUMTEXT" | "MEDIUMBLOB" => MEDIUM_BLOB
+      case "LONGTEXT" | "LONGBLOB" => LONG_BLOB
+      case "TEXT" | "BLOB" | "VARBINARY" => BLOB
+      case "ENUM" => ENUM
+      case "SET" => SET
+      case "JSON" => JSON
+      case "GEOMETRY" | "POINT" | "LINESTRING" | "POLYGON" => GEOMETRY
+      case _ => VARCHAR
+    }
+  }
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.cdc._
+import graft.streaming.ChangeStream._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+
+/** End-to-end binlog replay (SURVEY.md §7 step 3): recorded binlog-event
+  * JSON fixtures → Structured Streaming → two sinks:
+  *
+  *  - a stdout-twin JSON-lines sink (K2, /root/reference/sink/stdout/) with
+  *    progress checkpointed only at transaction boundaries (T1 —
+  *    /root/reference/canal/sync.go:86-91) through the dual-file CkpManager;
+  *  - a Kafka-twin wire sink (K1): trx batching → fragmentation → seq
+  *    protocol, written as base64 lines (one per would-be Kafka message).
+  *
+  * Restart honors F3: events at-or-below the persisted checkpoint are
+  * dropped, so re-feeding the stream from the beginning emits no duplicates.
+  *
+  * Usage: Replay <fixture.jsonl> <outDir>  (run twice to observe dedup)
+  */
+object Replay {
+
+  def main(args: Array[String]): Unit = {
+    val Array(fixture, outDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-replay")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val stats = run(spark, Paths.get(fixture), Paths.get(outDir))
+      // one-line machine-readable outcome (driver/smoke-friendly)
+      println(s"""{"emitted":${stats.emitted},"droppedAsDuplicate":${stats.dropped},""" +
+        s""""wireMessages":${stats.wireMessages},"checkpoint":"${stats.checkpoint}"}""")
+    } finally spark.stop()
+  }
+
+  final case class ReplayStats(emitted: Long, dropped: Long, wireMessages: Long, checkpoint: String)
+
+  def run(spark: SparkSession, fixture: Path, outDir: Path,
+      includes: Seq[String] = Nil, excludes: Seq[String] = Nil): ReplayStats = {
+    Files.createDirectories(outDir)
+    val ckpMgr = new CkpManager(new FileCkpStorage(outDir.resolve("ckp")))
+    val startCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
+
+    // source: ordered fixture lines → threaded envelopes (single-stream
+    // protocol stage), fed through Structured Streaming
+    val lines = Files.readAllLines(fixture).asScala.filter(_.trim.nonEmpty)
+    val envelopes = threadLogNames(lines.iterator.map(OperationJson.parse)).toVector
+    val totalInput = envelopes.size.toLong
+
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[String]
+    // transport as JSON strings (memory stream needs a simple encoder);
+    // decode back into envelopes distributed
+    val seqJson = envelopes.map(e => s"${e.seqNo}\t${e.logName}\t${OperationJson.render(e.op)}")
+    stream.addData(seqJson)
+
+    val ds = stream.toDS().map { s =>
+      val Array(seqNo, logName, json) = s.split("\t", 3)
+      OpEnvelope(seqNo.toLong, logName, OperationJson.parse(json))
+    }
+
+    val filtered = dedupBelowCheckpoint(
+      globalFilter(ds, includes, excludes), startCkp)
+
+    val jsonOut = outDir.resolve("operations.jsonl")
+    val wireOut = outDir.resolve("wire.b64l")
+    var emitted = 0L
+    var wireMessages = 0L
+    val producer = new FragmentingProducer(producerId = 1L, maxPayloadSize = 1 << 20)
+    val batcher = new TrxBatcher()
+
+    val query = filtered.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[OpEnvelope], _: Long) =>
+        // per-sink ordered consumption (the sink's single run-loop analogue)
+        val ordered = batch.collect().sortBy(_.seqNo)
+        val jsonLines = ordered.map(e => OperationJson.render(e.op))
+        Files.write(jsonOut, jsonLines.toSeq.asJava,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        emitted += ordered.length
+
+        // K1 twin: trx batching → wire messages
+        val wireLines = ordered.toVector.flatMap { e =>
+          batcher.offer(e.op).toVector.flatten match {
+            case Vector() => Vector.empty
+            case trx => producer.produce(trx)
+              .map(m => Base64.getEncoder.encodeToString(Wire.encodeMessage(m)))
+          }
+        }
+        Files.write(wireOut, wireLines.asJava,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        wireMessages += wireLines.size
+
+        // T1: progress advances only at transaction boundaries
+        ordered.reverseIterator
+          .flatMap(e => e.op.progress.map(_ => e))
+          .nextOption()
+          .foreach { e =>
+            ckpMgr.update("stdout", Checkpoint(e.op.progress.get))
+            ckpMgr.persist()
+          }
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+
+    val finalCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
+    ReplayStats(emitted, totalInput - emitted, wireMessages, finalCkp.toString)
+  }
+}

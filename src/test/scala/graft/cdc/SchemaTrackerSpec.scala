@@ -1,0 +1,187 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** DDL-replay scenarios, incl. the reference integration test's mid-stream
+  * ALTER (/root/reference/canal/canal_test.go:73-130) and the snapshot
+  * restore-as-of-position semantics (/root/reference/schema/tracker.go:54-72). */
+class SchemaTrackerSpec extends AnyFunSuite {
+
+  private def freshTracker: SchemaTracker = {
+    val t = new SchemaTracker
+    t.execDdl("CREATE DATABASE test", "")
+    t.execDdl(
+      """CREATE TABLE test.canal_test (
+        |  id int AUTO_INCREMENT,
+        |  content blob DEFAULT NULL,
+        |  name varchar(100),
+        |  PRIMARY KEY(id)
+        |) ENGINE=innodb""".stripMargin.replaceAll("ENGINE=innodb", ""), "test")
+    t
+  }
+
+  test("create table: columns, types, primary key") {
+    val t = freshTracker
+    val d = t.getTableDef("test", "canal_test").get
+    assert(d.columns.map(_.name) == Vector("id", "content", "name"))
+    assert(d.columns(0).innerType == InnerType.LONG)
+    assert(d.columns(0).key == "PRI")
+    assert(!d.columns(0).nullable)
+    assert(d.columns(1).innerType == InnerType.BLOB)
+    assert(d.columns(2).innerType == InnerType.VARCHAR)
+    assert(d.columns(2).sqlType == "varchar(100)")
+  }
+
+  test("the reference's mid-stream ALTER ADD AFTER (canal_test.go:129)") {
+    val t = freshTracker
+    t.execDdl("ALTER TABLE test.canal_test ADD `age` INT(5) NOT NULL AFTER `name`", "test")
+    val d = t.getTableDef("test", "canal_test").get
+    assert(d.columns.map(_.name) == Vector("id", "content", "name", "age"))
+    assert(!d.columns(3).nullable)
+    assert(d.columns(3).innerType == InnerType.LONG)
+  }
+
+  test("alter add FIRST / drop / modify / change") {
+    val t = freshTracker
+    t.execDdl("ALTER TABLE canal_test ADD flag tinyint(1) unsigned FIRST", "test")
+    assert(t.getTableDef("test", "canal_test").get.columns.head.name == "flag")
+    assert(t.getTableDef("test", "canal_test").get.columns.head.unsigned)
+
+    t.execDdl("ALTER TABLE canal_test MODIFY name text", "test")
+    val afterModify = t.getTableDef("test", "canal_test").get
+    assert(afterModify.columns.map(_.name) == Vector("flag", "id", "content", "name"))
+    assert(afterModify.columns(3).innerType == InnerType.BLOB)
+
+    t.execDdl("ALTER TABLE canal_test CHANGE content payload longblob", "test")
+    assert(t.getTableDef("test", "canal_test").get.columns(2).name == "payload")
+    assert(t.getTableDef("test", "canal_test").get.columns(2).innerType == InnerType.LONG_BLOB)
+
+    t.execDdl("ALTER TABLE canal_test DROP COLUMN flag", "test")
+    assert(t.getTableDef("test", "canal_test").get.columns.map(_.name) ==
+      Vector("id", "payload", "name"))
+  }
+
+  test("multi-spec alter in one statement") {
+    val t = freshTracker
+    t.execDdl("ALTER TABLE canal_test ADD a int, ADD b varchar(10), DROP content", "test")
+    assert(t.getTableDef("test", "canal_test").get.columns.map(_.name) ==
+      Vector("id", "name", "a", "b"))
+  }
+
+  test("rename table (both syntaxes) and drop/truncate") {
+    val t = freshTracker
+    t.execDdl("RENAME TABLE test.canal_test TO test.renamed", "")
+    assert(t.getTableDef("test", "canal_test").isEmpty)
+    assert(t.getTableDef("test", "renamed").isDefined)
+
+    t.execDdl("ALTER TABLE renamed RENAME TO canal_test", "test")
+    assert(t.getTableDef("test", "canal_test").isDefined)
+
+    t.execDdl("TRUNCATE TABLE canal_test", "test") // schema unchanged
+    assert(t.getTableDef("test", "canal_test").get.columns.size == 3)
+
+    t.execDdl("DROP TABLE IF EXISTS test.canal_test", "")
+    assert(t.getTableDef("test", "canal_test").isEmpty)
+    t.execDdl("DROP TABLE IF EXISTS test.canal_test", "") // idempotent with IF EXISTS
+  }
+
+  test("database ddl + listings") {
+    val t = freshTracker
+    t.execDdl("CREATE DATABASE IF NOT EXISTS test", "")
+    t.execDdl("CREATE DATABASE other", "")
+    assert(t.getDatabases == Vector("test", "other"))
+    assert(t.getTables("test") == Vector("canal_test"))
+    t.execDdl("DROP DATABASE other", "")
+    assert(t.getDatabases == Vector("test"))
+  }
+
+  test("unsupported DDL throws DdlParseException (parks for repair, T7)") {
+    val t = freshTracker
+    assertThrows[DdlParseException](
+      t.execDdl("CREATE TRIGGER trg BEFORE INSERT ON t FOR EACH ROW SET @x=1", "test"))
+    // DML is not DDL
+    assert(!t.isDdl("INSERT INTO t VALUES (1)"))
+    assert(t.isDdl("ALTER TABLE t ADD c INT"))
+  }
+
+  test("comment-laden and quoted DDL parses") {
+    val t = freshTracker
+    t.execDdl("/*hint*/ ALTER TABLE `canal_test` ADD /*com\nment*/ `x` varchar(10) -- trailing\n", "test")
+    assert(t.getTableDef("test", "canal_test").get.columns.map(_.name).contains("x"))
+  }
+
+  test("full type-coverage table (FIXTURES.md §1.4)") {
+    val t = new SchemaTracker
+    t.execDdl("CREATE DATABASE test", "")
+    t.execDdl(
+      """CREATE TABLE test.all_types (
+        |  c_tiny TINYINT, c_utiny TINYINT UNSIGNED, c_short SMALLINT,
+        |  c_int24 MEDIUMINT, c_long INT, c_ulong INT UNSIGNED,
+        |  c_longlong BIGINT, c_ulonglong BIGINT UNSIGNED,
+        |  c_dec DECIMAL(18,4), c_float FLOAT, c_double DOUBLE,
+        |  c_date DATE, c_time TIME, c_dt DATETIME(3), c_ts TIMESTAMP(3),
+        |  c_year YEAR, c_bit BIT(8), c_char CHAR(8), c_vc VARCHAR(64),
+        |  c_blob BLOB, c_text TEXT, c_enum ENUM('a','b'), c_set SET('x','y'),
+        |  c_json JSON, c_null INT,
+        |  PRIMARY KEY (c_long)
+        |)""".stripMargin, "")
+    val d = t.getTableDef("test", "all_types").get
+    assert(d.columns.size == 25)
+    import org.apache.spark.sql.types._
+    val struct = TypeMapper.toStruct(d)
+    def tpe(n: String) = struct(n).dataType
+    assert(tpe("c_tiny") == ByteType)
+    assert(tpe("c_utiny") == ShortType) // unsigned widens
+    assert(tpe("c_short") == ShortType)
+    assert(tpe("c_int24") == IntegerType)
+    assert(tpe("c_long") == IntegerType)
+    assert(tpe("c_ulong") == LongType)
+    assert(tpe("c_longlong") == LongType)
+    assert(tpe("c_ulonglong") == DecimalType(20, 0))
+    assert(tpe("c_dec") == DecimalType(18, 4))
+    assert(tpe("c_float") == FloatType)
+    assert(tpe("c_double") == DoubleType)
+    assert(tpe("c_date") == DateType)
+    assert(tpe("c_dt") == TimestampType)
+    assert(tpe("c_ts") == TimestampType)
+    assert(tpe("c_year") == ShortType)
+    assert(tpe("c_bit") == BinaryType)
+    assert(tpe("c_char") == StringType)
+    assert(tpe("c_vc") == StringType)
+    assert(tpe("c_blob") == BinaryType)
+    assert(tpe("c_enum") == StringType)
+    assert(tpe("c_json") == StringType)
+    assert(!struct("c_long").nullable) // PK not null
+    assert(struct("c_ulong").metadata.getBoolean("unsigned"))
+  }
+
+  test("snapshot save/restore as-of position") {
+    val dir = Files.createTempDirectory("snapstore")
+    val store = new SchemaSnapshotStore(dir)
+    val t = freshTracker
+
+    store.save(Position("mysql-bin.000001", 1000, 7), t.getDatabases, t.snapshotCatalog)
+    t.execDdl("ALTER TABLE test.canal_test ADD age INT", "test")
+    store.save(Position("mysql-bin.000001", 2000, 7), t.getDatabases, t.snapshotCatalog)
+
+    // resume at 1500 → schema as of 1000 (without age)
+    val (pos, dbs, defs) = store.load(Position("mysql-bin.000001", 1500, 7)).get
+    assert(pos == Position("mysql-bin.000001", 1000, 7))
+    val restored = new SchemaTracker
+    restored.restoreCatalog(defs, dbs)
+    assert(restored.getTableDef("test", "canal_test").get.columns.map(_.name) ==
+      Vector("id", "content", "name"))
+
+    // resume at 3000 → schema as of 2000 (with age)
+    val (_, dbs2, defs2) = store.load(Position("mysql-bin.000001", 3000, 7)).get
+    val r2 = new SchemaTracker
+    r2.restoreCatalog(defs2, dbs2)
+    assert(r2.getTableDef("test", "canal_test").get.columns.map(_.name).contains("age"))
+
+    // resume below the first snapshot → none
+    assert(store.load(Position("mysql-bin.000001", 500, 7)).isEmpty)
+    // different server_id → none
+    assert(store.load(Position("mysql-bin.000001", 1500, 8)).isEmpty)
+  }
+}
