@@ -20,11 +20,22 @@ object Tables {
     // reader rejects — read nanos as long and truncate to microseconds
     // (identical to DuckDB's ns→us truncation).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-      df.schema.fields.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events" &&
+        raw.schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    // The test tables are single-file/single-row-group parquet, which Spark
+    // reads as ONE input split — every operator above the scan would run on
+    // one core. When the scan is under-split, spread it by the leading key
+    // column (unique in every table here). At production scale the scan
+    // arrives in thousands of splits and this branch never fires, so no
+    // shuffle is added to the plans that matter at 100 TB. Filters and
+    // column pruning still push through the repartition to the scan.
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < par) df.repartition(par, col(df.columns.head))
     else df
   }
 }

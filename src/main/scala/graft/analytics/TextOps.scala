@@ -173,11 +173,9 @@ object TextOps {
         import s.implicits._
         t(s, dir, "documents")
           .withColumn("toks", toks($"text"))
-          .withColumn("grams", expr(
-            // guard: Spark's sequence(1, 0) would DESCEND, not return empty
-            "CASE WHEN size(toks) >= 2 THEN " +
-              "transform(sequence(1, size(toks)-1), i -> concat(toks[i-1], ' ', toks[i])) " +
-              "ELSE array() END"))
+          // Scala UDF over the interpreted SQL higher-order transform:
+          // ~5x faster (see graft.functions.Shingles).
+          .withColumn("grams", graft.functions.Shingles.ngrams(2)($"toks"))
           .select(explode($"grams").as("gram"))
           .groupBy($"gram").agg(count(lit(1)).as("n"))
           .orderBy($"n".desc, $"gram")
