@@ -1,34 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Scratch diagnostic harness — contents change per investigation. */
 object Diag {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"[diag] $name: ${(System.nanoTime()-t0)/1e9}%.2fs rows=$n")
-    }
-    time("warmup")(spark.range(1000000).count())
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val tokExpr = regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0))
-    val shSlice = expr("CASE WHEN size(toks) >= 3 THEN array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3)))) ELSE array() END")
-    val toks = docs.select($"doc_id", tokExpr.as("toks")).repartition(32, $"doc_id")
-    // E: transform only, no explode
-    time("E transform no explode")(
-      toks.withColumn("sh", shSlice).select(sum(size($"sh"))).as[Long].collect().head)
-    // F: explode tokens directly, no transform
-    time("F explode toks only")(toks.select($"doc_id", explode($"toks")).count())
-    // G: Scala UDF shingles
-    val shUdf = udf((ts: Seq[String]) =>
-      if (ts.length < 3) Seq.empty[String]
-      else ts.sliding(3).map(_.mkString(" ")).toVector.distinct)
-    val g = toks.withColumn("sh", shUdf($"toks")).select($"doc_id", explode($"sh").as("s"))
-    time("G udf shingles+explode")(g.count())
-    time("G again")(g.count())
+    // probe 1: missing path option
+    try {
+      spark.read.format("binlog-replay").load().count()
+      println("[diag] probe1: NO ERROR (unexpected)")
+    } catch { case e: Throwable => println(s"[diag] probe1 missing-path: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}") }
+    // probe 2: nonexistent file
+    try {
+      spark.read.format("binlog-replay").option("path", "/nope.jsonl").load().count()
+      println("[diag] probe2: NO ERROR (unexpected)")
+    } catch { case e: Throwable => println(s"[diag] probe2 bad-path: ${e.getClass.getSimpleName}") }
+    // probe 3: pushdown visible in the physical plan
+    val df = spark.read.format("binlog-replay").option("path", "fixtures/canal_test.jsonl").load()
+      .filter(col("op_type") === "insert").select("seq_no", "op_type", "table_name")
+    println("[diag] probe3 plan: " + df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("pushed")).getOrElse("NO pushed= LINE"))
+    println("[diag] probe3 rows=" + df.count())
     spark.stop()
   }
 }

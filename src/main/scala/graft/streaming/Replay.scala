@@ -3,7 +3,7 @@ package graft.streaming
 import graft.cdc._
 import graft.streaming.ChangeStream._
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.util.Base64
 import scala.jdk.CollectionConverters._
@@ -49,24 +49,18 @@ object Replay {
     val ckpMgr = new CkpManager(new FileCkpStorage(outDir.resolve("ckp")))
     val startCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
 
-    // source: ordered fixture lines → threaded envelopes (single-stream
-    // protocol stage), fed through Structured Streaming
-    val lines = Files.readAllLines(fixture).asScala.filter(_.trim.nonEmpty)
-    val envelopes = threadLogNames(lines.iterator.map(OperationJson.parse)).toVector
-    val totalInput = envelopes.size.toLong
+    // source: the DSv2 binlog-replay stream (graft.sources) — offsets are
+    // binlog positions, rotate/log-name threading happens in the source
+    val totalInput =
+      Files.readAllLines(fixture).asScala.count(_.trim.nonEmpty).toLong
 
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val stream = MemoryStream[String]
-    // transport as JSON strings (memory stream needs a simple encoder);
-    // decode back into envelopes distributed
-    val seqJson = envelopes.map(e => s"${e.seqNo}\t${e.logName}\t${OperationJson.render(e.op)}")
-    stream.addData(seqJson)
-
-    val ds = stream.toDS().map { s =>
-      val Array(seqNo, logName, json) = s.split("\t", 3)
-      OpEnvelope(seqNo.toLong, logName, OperationJson.parse(json))
-    }
+    val ds = spark.readStream.format("binlog-replay")
+      .option("path", fixture.toString).load()
+      .select("seq_no", "log_name", "op_json").as[(Long, String, String)]
+      .map { case (seqNo, logName, json) =>
+        OpEnvelope(seqNo, logName, OperationJson.parse(json))
+      }
 
     val filtered = dedupBelowCheckpoint(
       globalFilter(ds, includes, excludes), startCkp)
