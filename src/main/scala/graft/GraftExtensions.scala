@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point — wire with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Injects the engine's native Catalyst functions into every session's
+  * FunctionRegistry (the extensions path of SURVEY.md §2.11; per-session
+  * programmatic registration is also available via
+  * [[graft.functions.WordNgrams.register]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((functions.WordNgrams.identifier,
+      functions.WordNgrams.info, functions.WordNgrams.builder))
+  }
+}

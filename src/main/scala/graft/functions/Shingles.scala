@@ -17,7 +17,21 @@ import org.apache.spark.sql.functions.udf
   * with the scan, no shuffle implications.
   */
 object Shingles {
-  private def gen(k: Int, distinct: Boolean): UserDefinedFunction =
+  import org.apache.spark.sql.graft.ColumnBridge
+  private def native(k: Int, distinct: Boolean)(toks: Column): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(toks), k, distinct))
+
+  /** Distinct word k-grams of a token array (set semantics, for Jaccard /
+    * MinHash signatures). */
+  def distinctNgrams(k: Int)(toks: Column): Column = native(k, distinct = true)(toks)
+
+  /** All word k-grams in order (bag semantics, for frequency counting). */
+  def ngrams(k: Int)(toks: Column): Column = native(k, distinct = false)(toks)
+
+  /** UDF form, kept as the measured baseline the native expression is
+    * compared against (see DiagSpec history: HOF 5.9s / UDF 0.8s / native
+    * expression fastest, all at sf0.1). */
+  def udfNgrams(k: Int, distinct: Boolean): UserDefinedFunction =
     udf { (ts: Seq[String]) =>
       if (ts == null || ts.length < k) Seq.empty[String]
       else {
@@ -25,11 +39,4 @@ object Shingles {
         if (distinct) all.distinct else all
       }
     }
-
-  /** Distinct word k-grams of a token array (set semantics, for Jaccard /
-    * MinHash signatures). */
-  def distinctNgrams(k: Int)(toks: Column): Column = gen(k, distinct = true)(toks)
-
-  /** All word k-grams in order (bag semantics, for frequency counting). */
-  def ngrams(k: Int)(toks: Column): Column = gen(k, distinct = false)(toks)
 }
