@@ -75,5 +75,80 @@ object Multimodal {
         WHERE frame_idx % 2 = 0
         ORDER BY doc_id, frame_idx"""),
     ),
+
+    // ---- m03: resize stub — byte decimation (every 4th byte kept) ----
+    QueryDef(
+      "m03_resize_decimate",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("n", length($"text"))
+          // "thumbnail" = every 4th byte of the payload; the decimation
+          // indexing is the real resize plumbing, the codec is the stub
+          .withColumn("thumb", concat_ws("",
+            transform(sequence(lit(0), (($"n" + 3) / 4).cast("int") - 1),
+              i => $"text".substr(i * 4 + 1, lit(1)))))
+          .select($"doc_id", $"n".as("orig_len"),
+            length($"thumb").as("thumb_len"), md5($"thumb").as("thumb_hash"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(length(text) AS INT) AS orig_len,
+               CAST(length(thumb) AS INT) AS thumb_len,
+               md5(thumb) AS thumb_hash
+        FROM (
+          SELECT doc_id, text,
+                 list_aggregate(list_transform(range((length(text)+3)//4),
+                   i -> substr(text, CAST(i*4+1 AS INT), 1)), 'string_agg', '') AS thumb
+          FROM documents) x
+        ORDER BY doc_id"""),
+    ),
+
+    // ---- m04: batched feature extraction (mapPartitions batch plumbing) --
+    // The Spark-side shape a batched codec/model-inference UDF needs:
+    // typed Dataset → mapPartitions → fixed-size batches (64 rows, the
+    // mapInPandas batch shape) → per-row feature vectors. The feature
+    // extractor itself is a deterministic stub (byte-class histogram +
+    // mean byte) so the DuckDB oracle can replay it; a real image/audio
+    // model would slot into `extractBatch` unchanged.
+    QueryDef(
+      "m04_batch_features",
+      (s, dir) => {
+        import s.implicits._
+        val src = t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        def extractBatch(batch: Seq[(Long, String)]): Seq[(Long, Int, Int, Int, Int, Double)] =
+          batch.map { case (id, text) =>
+            var alpha, digit, space, other = 0
+            var sum = 0L
+            var i = 0
+            while (i < text.length) {
+              val c = text.charAt(i)
+              if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha += 1
+              else if (c >= '0' && c <= '9') digit += 1
+              else if (c == ' ' || c == '\t' || c == '\n') space += 1
+              else other += 1
+              sum += c.toLong
+              i += 1
+            }
+            (id, alpha, digit, space, other, sum.toDouble / text.length)
+          }
+        src.mapPartitions(_.grouped(64).flatMap(extractBatch))
+          .toDF("doc_id", "n_alpha", "n_digit", "n_space", "n_other", "mean_byte")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digit,
+               CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS INT) AS n_space,
+               CAST(length(text)
+                  - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  - length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS INT) AS n_other,
+               CAST(list_sum(list_transform(range(length(text)),
+                   i -> ascii(substr(text, CAST(i+1 AS INT), 1)))) AS DOUBLE)
+                 / length(text) AS mean_byte
+        FROM documents ORDER BY doc_id"""),
+    ),
   )
 }

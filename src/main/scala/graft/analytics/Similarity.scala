@@ -160,6 +160,89 @@ object Similarity {
         ORDER BY d.i, d.j"""),
     ),
 
+    // ---- s05: IVF coarse-quantized ANN (inverted-file probe search) ----
+    QueryDef(
+      "s05_ivf_ann",
+      (s, dir) => {
+        import s.implicits._
+        val NLIST = 8
+        val NPROBE = 2
+        val emb = withQNorm(t(s, dir, "embeddings"))
+        // Coarse quantizer: the first NLIST vectors serve as deterministic
+        // centroids (a seeded stand-in for k-means — the oracle can replay
+        // it; the IVF *plumbing* is identical either way).
+        val cent = emb.filter($"vec_id" < NLIST)
+          .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+        // List assignment: every corpus vector joins the BROADCAST centroid
+        // set (tiny) and keeps its argmax-cosine list — a narrow map over
+        // the corpus scan; no corpus self-shuffle. At 100 TB this is the
+        // index-build pass, embarrassingly parallel.
+        val corpus = emb.filter($"vec_id" >= NLIST)
+          .select($"vec_id".as("cid"), $"q".as("qb"), $"n2".as("n2b"))
+        val wA = Window.partitionBy($"cid").orderBy($"ccos".desc, $"cent_id")
+        val assigned = corpus.join(broadcast(cent))
+          .withColumn("ccos", cosine(dotInt("qc", "qb"), $"n2c", $"n2b"))
+          .withColumn("ar", row_number().over(wA)).filter($"ar" === 1)
+          .select($"cid", $"qb", $"n2b", $"cent_id")
+        // Probe: each query searches only its NPROBE nearest lists — the
+        // candidate join shuffles on the fixed-width list id instead of
+        // all pairs (the IVF recall/cost dial).
+        val q = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("qid"), $"q".as("qa"), $"n2".as("n2a"))
+        val wP = Window.partitionBy($"qid").orderBy($"pcos".desc, $"cent_id")
+        val probes = q.join(broadcast(cent))
+          .withColumn("pcos", cosine(dotInt("qc", "qa"), $"n2c", $"n2a"))
+          .withColumn("pr", row_number().over(wP)).filter($"pr" <= NPROBE)
+          .select($"qid", $"qa", $"n2a", $"cent_id")
+        val wT = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+        probes.join(assigned, "cent_id")
+          .withColumn("cos", cosine(dotInt("qa", "qb"), $"n2a", $"n2b"))
+          .withColumn("rn", row_number().over(wT)).filter($"rn" <= 10)
+          .select($"qid", $"cid", $"cos", $"rn")
+          .orderBy($"qid", $"rn")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        cent AS (SELECT vec_id AS cent_id, q FROM qv WHERE vec_id < 8),
+        cdots AS (
+          SELECT v.vec_id, c.cent_id, CAST(SUM(v.q[i+1]*c.q[i+1]) AS BIGINT) AS dot
+          FROM qv v CROSS JOIN cent c CROSS JOIN dims
+          GROUP BY v.vec_id, c.cent_id),
+        ccos AS (
+          SELECT d.vec_id, d.cent_id,
+                 CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) AS ccos
+          FROM cdots d JOIN norms nv ON nv.vec_id = d.vec_id
+               JOIN norms nc ON nc.vec_id = d.cent_id),
+        assign AS (
+          SELECT vec_id AS cid, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS ar
+            FROM ccos WHERE vec_id >= 8) x
+          WHERE ar = 1),
+        probes AS (
+          SELECT vec_id AS qid, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS pr
+            FROM ccos WHERE vec_id < 5) x
+          WHERE pr <= 2),
+        cands AS (
+          SELECT DISTINCT p.qid, a.cid
+          FROM probes p JOIN assign a ON a.cent_id = p.cent_id),
+        pdots AS (
+          SELECT c.qid, c.cid, CAST(SUM(qa.q[i+1]*qb.q[i+1]) AS BIGINT) AS dot
+          FROM cands c JOIN qv qa ON qa.vec_id = c.qid JOIN qv qb ON qb.vec_id = c.cid
+          CROSS JOIN dims GROUP BY c.qid, c.cid)
+        SELECT qid, cid, cos, rn FROM (
+          SELECT d.qid, d.cid,
+                 CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
+                   CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) DESC,
+                   d.cid) AS rn
+          FROM pdots d JOIN norms na ON na.vec_id = d.qid JOIN norms nb ON nb.vec_id = d.cid) r
+        WHERE rn <= 10 ORDER BY qid, rn"""),
+    ),
+
     // ---- s03: kNN-label classification (majority vote of top-5) ----
     QueryDef(
       "s03_knn_classify",

@@ -189,6 +189,46 @@ object TextOps {
         GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""),
     ),
 
+    // ---- t08: rolling-hash winnowing fingerprints (MOSS-style) ----
+    // Polynomial rolling hash over 8-char grams of the normalized text,
+    // winnowed to the min hash of each 4-gram window — the classic
+    // document-fingerprinting scheme. All arithmetic is exact BIGINT
+    // (max sum 127·Σ31^j ≈ 3.6e12 < 2^53), so the DuckDB oracle replays it
+    // bit-for-bit. Per-row narrow transform + explode: runs at scan speed,
+    // shuffle only in the final sort.
+    QueryDef(
+      "t08_winnow_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
+        t(s, dir, "documents")
+          .withColumn("fps",
+            graft.functions.RollingHash.winnowFingerprints(8, 4, 1L << 25)(norm))
+          .select($"doc_id", explode($"fps").as("fp"))
+          .orderBy($"doc_id", $"fp")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+          FROM documents),
+        g AS (
+          SELECT doc_id, list_transform(range(length(norm)-7), i ->
+                   (CAST(ascii(substr(norm, CAST(i+1 AS INT), 1)) AS BIGINT)*27512614111
+                  + CAST(ascii(substr(norm, CAST(i+2 AS INT), 1)) AS BIGINT)*887503681
+                  + CAST(ascii(substr(norm, CAST(i+3 AS INT), 1)) AS BIGINT)*28629151
+                  + CAST(ascii(substr(norm, CAST(i+4 AS INT), 1)) AS BIGINT)*923521
+                  + CAST(ascii(substr(norm, CAST(i+5 AS INT), 1)) AS BIGINT)*29791
+                  + CAST(ascii(substr(norm, CAST(i+6 AS INT), 1)) AS BIGINT)*961
+                  + CAST(ascii(substr(norm, CAST(i+7 AS INT), 1)) AS BIGINT)*31
+                  + CAST(ascii(substr(norm, CAST(i+8 AS INT), 1)) AS BIGINT)) % 33554432) AS grams
+          FROM d WHERE length(norm) >= 8),
+        w AS (
+          SELECT doc_id, list_distinct(list_transform(range(len(grams)-3), p ->
+                   list_min(grams[CAST(p+1 AS INT):CAST(p+4 AS INT)]))) AS fps
+          FROM g WHERE len(grams) >= 4)
+        SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp"""),
+    ),
+
     // ---- t07: BPE-ish token counting (runs of letters | digits | other) ----
     QueryDef(
       "t07_bpeish_token_count",

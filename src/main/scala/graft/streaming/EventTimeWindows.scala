@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation with watermark-driven late-data handling
+  * (SURVEY.md §2.8 T10 — absent in the reference, where time is binlog
+  * order; added here for the analytics layer over the emitted change
+  * stream). These are the streaming twins of the batch queries in
+  * `graft.analytics.Events` (e01 hourly stats, e02 sessionization).
+  *
+  * Scale notes: state is keyed by (window, group) — bounded by the
+  * watermark horizon, evicted as the watermark passes; the shuffle is on
+  * the same (window, key) the batch twin uses. At 100 TB the knobs are the
+  * watermark delay (state size) and `spark.sql.shuffle.partitions` — the
+  * operator shape needs no change.
+  */
+object EventTimeWindows {
+
+  /** Tumbling event-time windows over an event stream with columns
+    * (ts: timestamp, event_type: string, value: double). Append-mode
+    * emission: a window row is final — emitted exactly once, when the
+    * watermark passes its end; events arriving later than `watermark`
+    * behind the max seen event time are dropped, not re-aggregated. */
+  def tumbling(
+      events: DataFrame,
+      duration: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based session windows per user: the streaming twin of the batch
+    * lag()-based sessionization (e02). Sessions merge while events arrive
+    * within `gap` of each other; a session is emitted once the watermark
+    * passes its close. */
+  def sessions(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+}
