@@ -234,5 +234,43 @@ object Events {
         SELECT epoch_us(DATE_TRUNC('minute', ts)) AS minute_us, COUNT(*) AS n
         FROM events GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY minute_us"""),
     ),
+
+    // ---- e10: as-of join (latest view at-or-before each purchase) ----
+    // The classic operator Spark lacks natively, composed from built-ins
+    // the scalable way: tag both sides, ONE shuffle on the join key, sort
+    // within partition, running `last(ignoreNulls)` — never a per-row
+    // range probe. At 100 TB this is a single sort-shuffle by user_id
+    // (equivalently: a merge of two pre-bucketed streams); the naive
+    // correlated-subquery form the oracle uses would be quadratic.
+    QueryDef(
+      "e10_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"us", $"tag", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(s, dir, "events")
+          .filter($"event_type".isin("view", "purchase"))
+          .withColumn("us", unix_micros($"ts"))
+          // views sort before purchases at equal timestamps ⇒ "at-or-before"
+          .withColumn("tag", when($"event_type" === "view", 0).otherwise(1))
+          .withColumn("view_us",
+            last(when($"event_type" === "view", $"us"), ignoreNulls = true).over(w))
+          .filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"us".as("purchase_us"), $"view_us",
+            ($"us" - $"view_us").as("gap_us"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""
+        SELECT e.user_id, e.event_id, epoch_us(e.ts) AS purchase_us,
+               (SELECT MAX(epoch_us(v.ts)) FROM events v
+                WHERE v.user_id = e.user_id AND v.event_type = 'view'
+                  AND epoch_us(v.ts) <= epoch_us(e.ts)) AS view_us,
+               epoch_us(e.ts) - (SELECT MAX(epoch_us(v.ts)) FROM events v
+                WHERE v.user_id = e.user_id AND v.event_type = 'view'
+                  AND epoch_us(v.ts) <= epoch_us(e.ts)) AS gap_us
+        FROM events e WHERE e.event_type = 'purchase'
+        ORDER BY e.user_id, e.event_id"""),
+    ),
   )
 }

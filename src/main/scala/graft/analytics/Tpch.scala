@@ -365,11 +365,17 @@ object Tpch {
       "q17_small_quantity_revenue",
       (s, dir) => {
         import s.implicits._
-        val pa = li(s, dir).groupBy($"l_partkey".as("pa_partkey"))
+        // Push the brand filter below the per-part average: the avg is only
+        // consumed for Brand#23 parts, so semi-restricting lineitem first
+        // (broadcast of the tiny filtered part side) shrinks the aggregate
+        // input ~25x — the classic Q17 decorrelation. Result is identical:
+        // the per-part avg doesn't change by dropping parts never joined.
+        val liBrand = li(s, dir)
+          .join(broadcast(part(s, dir).filter($"p_brand" === "Brand#23")
+            .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+        val pa = liBrand.groupBy($"l_partkey".as("pa_partkey"))
           .agg(davg($"l_quantity").as("avg_qty"))
-        li(s, dir)
-          .join(broadcast(part(s, dir).filter($"p_brand" === "Brand#23")),
-            $"l_partkey" === $"p_partkey")
+        liBrand
           .join(pa, $"l_partkey" === $"pa_partkey")
           .filter($"l_quantity" < lit(0.5) * $"avg_qty")
           .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"))
@@ -758,6 +764,39 @@ object Tpch {
           UNION ALL
           SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier) x
         GROUP BY nationkey, kind ORDER BY nationkey, kind"""),
+    ),
+
+    // ---- non-equi range join (broadcast nested-loop, the RIGHT plan) ----
+    // Price-band bucketing: parts join a tiny derived band table on a
+    // range predicate (no equi-key). Spark picks BroadcastNestedLoopJoin
+    // because the band side is broadcast() — at 100 TB the fact scan
+    // streams once past an in-memory 6-row table; the wrong plan here
+    // (shuffle + cartesian) is what range joins degrade to when the small
+    // side isn't broadcast. Bands derive from `region` so the oracle sees
+    // the identical input (no synthesized literals).
+    QueryDef(
+      "q37_price_band_rangejoin",
+      (s, dir) => {
+        import s.implicits._
+        val bands = reg(s, dir)
+          .select($"r_regionkey".cast("int").as("band"))
+          .withColumn("lo", lit(900.0) + $"band" * 25.0)
+          .withColumn("hi", lit(900.0) + ($"band" + 1) * 25.0)
+        part(s, dir)
+          .join(broadcast(bands), $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_parts"),
+            graft.sqlx.dsum($"p_retailprice").as("sum_price"))
+          .orderBy($"band")
+      },
+      Some(s"""
+        SELECT band, COUNT(*) AS n_parts, ${graft.sqlx.SUM("p_retailprice")} AS sum_price
+        FROM part JOIN (
+          SELECT CAST(r_regionkey AS INT) AS band,
+                 900.0 + r_regionkey * 25.0 AS lo, 900.0 + (r_regionkey + 1) * 25.0 AS hi
+          FROM region) bands
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band ORDER BY band"""),
     ),
   )
 }
