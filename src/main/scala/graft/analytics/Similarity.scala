@@ -195,7 +195,9 @@ object Similarity {
           .withColumn("pr", row_number().over(wP)).filter($"pr" <= NPROBE)
           .select($"qid", $"qa", $"n2a", $"cent_id")
         val wT = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-        probes.join(assigned, "cent_id")
+        // the probe set is (n_queries × NPROBE) rows — broadcast it so the
+        // corpus-sized assigned side never shuffles (SMJ would sort both)
+        broadcast(probes).join(assigned, "cent_id")
           .withColumn("cos", cosine(dotInt("qa", "qb"), $"n2a", $"n2b"))
           .withColumn("rn", row_number().over(wT)).filter($"rn" <= 10)
           .select($"qid", $"cid", $"cos", $"rn")

@@ -1,0 +1,56 @@
+package graft.cdc
+
+/** T7: the DDL-failure park/repair loop (SURVEY.md §2.8). A DDL the schema
+  * interpreter cannot parse or apply must NOT be silently skipped — the
+  * schema mirror would drift and every subsequent row decode would be
+  * wrong. Instead the pipeline parks: the failed statement is exposed for
+  * inspection, an operator can execute a corrected statement and/or retry,
+  * or explicitly skip. Mirrors the reference's parked-DDL workflow
+  * (/root/reference/canal/sync.go:237-257 retry loop,
+  * /root/reference/cmd/dolphinbeat/hook.go:27-49 park + retry channel,
+  * /root/reference/cmd/dolphinbeat/http_handler.go:124-166 the
+  * /ddl/failed|exec|retry admin surface).
+  *
+  * In the Spark pipeline this sits at the micro-batch boundary where DDL
+  * operations replay into the tracked catalog: `apply` returning false
+  * means "stop consuming further batches until repaired" (park the
+  * streaming query), exactly the reference's drain-then-block behavior.
+  */
+final class DdlGate(val tracker: SchemaTracker) {
+
+  final case class FailedDdl(db: String, statement: String, error: String)
+
+  @volatile private var parkedDdl: Option[FailedDdl] = None
+
+  def isParked: Boolean = parkedDdl.isDefined
+  def failed: Option[FailedDdl] = parkedDdl
+
+  /** Replay one DDL. True = applied (or already parked statement retried
+    * successfully); false = failed and now parked. */
+  def apply(statement: String, db: String): Boolean =
+    try {
+      tracker.execDdl(statement, db)
+      parkedDdl = None
+      true
+    } catch {
+      case e: Exception =>
+        parkedDdl = Some(FailedDdl(db, statement, e.getMessage))
+        false
+    }
+
+  /** Operator repair: run a corrected statement against the tracker
+    * (the /ddl/exec endpoint). Does not unpark by itself. */
+  def exec(statement: String, db: String): Either[String, Unit] =
+    try { tracker.execDdl(statement, db); Right(()) }
+    catch { case e: Exception => Left(e.getMessage) }
+
+  /** Retry the parked statement (the /ddl/retry endpoint). */
+  def retry(): Boolean = parkedDdl match {
+    case Some(f) => apply(f.statement, f.db)
+    case None => true
+  }
+
+  /** Skip the parked statement — operator asserts the mirror is already
+    * correct (e.g. repaired via exec). */
+  def skip(): Unit = parkedDdl = None
+}
