@@ -247,14 +247,17 @@ object Dedup {
           .withColumn("hi", expr("CAST(simhash AS BIGINT) div 256"))
           .withColumn("lo", expr("CAST(simhash AS BIGINT) % 256"))
         // candidates share at least one half (pigeonhole for hamming<=2 per half);
-        // two equi-joins + distinct instead of an OR-join (OR would be a nested loop)
+        // two equi-joins + distinct instead of an OR-join (OR would be a nested
+        // loop). The hamming verify runs BEFORE the union+distinct shuffle —
+        // it's a per-row map on the join output, so the dedup exchange only
+        // carries surviving pairs (the bucket joins emit ~n²/buckets rows,
+        // the verified set is orders of magnitude smaller).
         def half(k: String) = h.as("a")
           .join(h.as(s"b"), col(s"a.$k") === col(s"b.$k") && $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
-            $"a.simhash".as("sa"), $"b.simhash".as("sb"))
-        half("hi").unionAll(half("lo")).distinct()
-          .withColumn("hamming", expr("bit_count(CAST(sa AS BIGINT) ^ CAST(sb AS BIGINT))"))
+            expr("bit_count(CAST(a.simhash AS BIGINT) ^ CAST(b.simhash AS BIGINT))").as("hamming"))
           .filter($"hamming" <= 2)
+        half("hi").unionAll(half("lo")).distinct()
           .select($"i", $"j", $"hamming")
           .orderBy($"i", $"j")
       },
