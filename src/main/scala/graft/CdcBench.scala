@@ -1,0 +1,91 @@
+package graft
+
+import graft.cdc._
+import graft.streaming.{OperationJson, Replay}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** CDC replay throughput benchmark — the single-node-throughput claim
+  * against the reference (BASELINE.md publishes no numbers, so the honest
+  * comparison is ops/sec through the equivalent pipeline stages).
+  *
+  * Generates N operations (BEGIN + 3 INSERTs + COMMIT transactions with
+  * monotonically increasing positions, row shapes from the recorded
+  * fixture), then measures:
+  *  - `pipeline_ops_per_sec`: the full ordered Replay path — streaming
+  *    source → JSON decode → filters → restart dedup → trx batching → wire
+  *    encode (seq/fragment/zlib) → JSON + wire sinks + checkpoints. Ordered
+  *    delivery pins the sink to one consumer, like the reference's
+  *    single-threaded loop (W1).
+  *  - `encode_ops_per_sec`: the pure encode stage (trx batching + wire
+  *    protocol) on one thread — the reference's produce-loop analogue.
+  *
+  * Usage: CdcBench [nOps] (default 60k).
+  */
+object CdcBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(60000)
+    val tmp = Files.createTempDirectory("cdcbench")
+    val fixture = tmp.resolve("stream.jsonl")
+
+    // synthesize n ops from the fixture's table shape
+    val cols = Vector(
+      ColumnDef("id", "int(11)", InnerType.LONG),
+      ColumnDef("content", "blob", InnerType.BLOB),
+      ColumnDef("name", "varchar(100)", InnerType.VARCHAR))
+    val tdef = TableDef("test", "canal_test", cols, "utf8")
+    def header(tpe: String, pos: Long) = OperationHeader(66693L, tpe, 1589442258L, pos)
+    val sb = new StringBuilder
+    var pos = 4L
+    var written = 0
+    var trx = 0
+    while (written < n) {
+      val ops = Vector(
+        Operation(header(OpType.Begin, pos + 1)),
+        Operation(header(OpType.Insert, pos + 2), table = Some(tdef), rows = Vector(
+          OpRow(None, Some(Vector(Some(s"${trx * 3 + 1}"), Some("payload-" + trx), Some("a")))))),
+        Operation(header(OpType.Insert, pos + 3), table = Some(tdef), rows = Vector(
+          OpRow(None, Some(Vector(Some(s"${trx * 3 + 2}"), None, Some("b")))))),
+        Operation(header(OpType.Insert, pos + 4), table = Some(tdef), rows = Vector(
+          OpRow(None, Some(Vector(Some(s"${trx * 3 + 3}"), Some("x\ny"), Some("c")))))),
+        Operation(header(OpType.Commit, pos + 5),
+          progress = Some(Progress("mysql-bin.000008", pos + 5, 66693L))))
+      ops.foreach { op => sb.append(OperationJson.render(op)).append('\n') }
+      written += ops.size
+      trx += 1
+      pos += 5
+    }
+    Files.writeString(fixture, sb.toString)
+
+    // stage throughput: trx batching + wire encode on one thread
+    val ops = Files.readAllLines(fixture).asScala.map(OperationJson.parse).toVector
+    val batcher = new TrxBatcher()
+    val producer = new FragmentingProducer(producerId = 1L, maxPayloadSize = 1 << 20)
+    val t0 = System.nanoTime()
+    var messages = 0L
+    ops.foreach { op =>
+      batcher.offer(op).toVector.flatten match {
+        case Vector() => ()
+        case batch => messages += producer.produce(batch).size
+      }
+    }
+    val encSec = (System.nanoTime() - t0) / 1e9
+
+    // full pipeline throughput (ordered sinks, checkpoints, restart dedup)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t1 = System.nanoTime()
+    val stats = Replay.run(spark, fixture, tmp.resolve("out"))
+    val pipeSec = (System.nanoTime() - t1) / 1e9
+    spark.stop()
+
+    println(s"""{"metric":"cdc_throughput","n_ops":$n,""" +
+      s""""encode_ops_per_sec":${(n / encSec).toLong},""" +
+      s""""pipeline_ops_per_sec":${(stats.emitted / pipeSec).toLong},""" +
+      s""""wire_messages":$messages,"emitted":${stats.emitted}}""")
+  }
+}
