@@ -14,5 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((functions.WordNgrams.identifier,
       functions.WordNgrams.info, functions.WordNgrams.builder))
+    ext.injectFunction((functions.WinnowFingerprints.identifier,
+      functions.WinnowFingerprints.info, functions.WinnowFingerprints.builder))
   }
 }

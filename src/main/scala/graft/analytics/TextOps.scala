@@ -203,7 +203,7 @@ object TextOps {
         val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
         t(s, dir, "documents")
           .withColumn("fps",
-            graft.functions.RollingHash.winnowFingerprints(8, 4, 1L << 25)(norm))
+            graft.functions.RollingHash.winnow(8, 4, 1L << 25)(norm))
           .select($"doc_id", explode($"fps").as("fp"))
           .orderBy($"doc_id", $"fp")
       },

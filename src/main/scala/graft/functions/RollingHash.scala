@@ -16,7 +16,15 @@ import org.apache.spark.sql.functions.udf
   * `sum(c_j·31^(k-1-j)) mod M` formulation.
   */
 object RollingHash {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
 
+  /** Native-expression form (preferred): stays inside whole-stage codegen —
+    * see [[WinnowFingerprints]]. */
+  def winnow(k: Int, w: Int, mod: Long)(text: Column): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w, mod))
+
+  /** UDF form, kept as the measured baseline for the native expression. */
   def winnowFingerprints(k: Int, w: Int, mod: Long): UserDefinedFunction =
     udf((norm: String) => compute(norm, k, w, mod))
 

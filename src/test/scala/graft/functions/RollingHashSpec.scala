@@ -34,6 +34,25 @@ class RollingHashSpec extends AnyFunSuite {
     }
   }
 
+  test("native expression and SQL registration agree with the pure function") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      WinnowFingerprints.register(spark)
+      val s = "the quick brown fox jumps over the lazy dog"
+      val viaCol = Seq(s).toDF("t")
+        .select(RollingHash.winnow(K, W, M)($"t")).as[Seq[Long]].head
+      val viaSql = spark.sql(
+        s"SELECT winnow_fingerprints('$s', $K, $W)").as[Seq[Long]].head
+      assert(viaCol == RollingHash.compute(s, K, W, M).toSeq)
+      assert(viaSql == viaCol)
+    } finally spark.stop()
+  }
+
   test("short inputs produce no fingerprints") {
     assert(udfWinnow("") == Vector.empty)
     assert(udfWinnow("abcdefg") == Vector.empty) // 7 chars < k grams
