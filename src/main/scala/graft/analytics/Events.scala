@@ -235,6 +235,37 @@ object Events {
         FROM events GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY minute_us"""),
     ),
 
+    // ---- e11: weekly retention cohorts ----
+    // Cohort = week of a user's first event; cell = distinct users from
+    // that cohort active k weeks later. Two shuffles (per-user min, then
+    // cohort×offset distinct count) — the standard shape; at 100 TB the
+    // distinct count is the heavy op and would swap to approx_count_distinct.
+    QueryDef(
+      "e11_retention_cohorts",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .withColumn("wk", expr("unix_micros(date_trunc('week', ts)) div 604800000000"))
+        val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+        ev.join(cohort, "user_id")
+          .withColumn("offset_wk", $"wk" - $"cohort_wk")
+          .groupBy($"cohort_wk", $"offset_wk")
+          .agg(countDistinct($"user_id").as("active_users"))
+          .orderBy($"cohort_wk", $"offset_wk")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 epoch_us(DATE_TRUNC('week', ts)) // 604800000000 AS wk
+          FROM events),
+        cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        SELECT c.cohort_wk, e.wk - c.cohort_wk AS offset_wk,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM ev e JOIN cohort c ON c.user_id = e.user_id
+        GROUP BY c.cohort_wk, e.wk - c.cohort_wk
+        ORDER BY cohort_wk, offset_wk"""),
+    ),
+
     // ---- e10: as-of join (latest view at-or-before each purchase) ----
     // The classic operator Spark lacks natively, composed from built-ins
     // the scalable way: tag both sides, ONE shuffle on the join key, sort

@@ -766,6 +766,33 @@ object Tpch {
         GROUP BY nationkey, kind ORDER BY nationkey, kind"""),
     ),
 
+    // ---- exact quantiles (sort-based aggregate) ----
+    // Spark `percentile` and DuckDB `quantile_cont` share the same exact
+    // definition (index p·(n-1), linear interpolation), so the doubles
+    // tie out bit-for-bit. At 100 TB the exact form requires a per-group
+    // sort — the scale swap is approx_percentile (t-digest), same plan
+    // shape, documented here rather than benched because the oracle
+    // can't replay a sketch.
+    QueryDef(
+      "q38_quantity_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(l_quantity, 0.25)").as("q25"),
+            expr("percentile(l_quantity, 0.5)").as("q50"),
+            expr("percentile(l_quantity, 0.75)").as("q75"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.5) AS q50,
+               quantile_cont(l_quantity, 0.75) AS q75
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    ),
+
     // ---- non-equi range join (broadcast nested-loop, the RIGHT plan) ----
     // Price-band bucketing: parts join a tiny derived band table on a
     // range predicate (no equi-key). Spark picks BroadcastNestedLoopJoin
