@@ -78,6 +78,14 @@ object Similarity {
     df.withColumn("q", q).withColumn("n2", norm2(col("q")))
   }
 
+  /** 8-bit random-hyperplane LSH bucket of the quantized vector column
+    * `q` (shared by s02 and d06). */
+  private def bucketCol: Column = (0 until PLANES).map { p =>
+    val signArr = array((0 until DIMS).map(d => lit(planeSign(p, d).toLong)): _*)
+    val proj = sumLong(zip_with(col("q"), signArr, (x, w) => x * w))
+    when(proj > 0L, lit(1 << p)).otherwise(lit(0))
+  }.reduce(_ + _)
+
   val defs: Seq[QueryDef] = Seq(
     // ---- s01: brute-force cosine top-k (baseline) ----
     QueryDef(
@@ -121,18 +129,16 @@ object Similarity {
       "s02_lsh_neardup_vectors",
       (s, dir) => {
         import s.implicits._
-        val bucket = (0 until PLANES).map { p =>
-          val signArr = array((0 until DIMS).map(d => lit(planeSign(p, d).toLong)): _*)
-          val proj = sumLong(zip_with(col("q"), signArr, (x, w) => x * w))
-          when(proj > 0L, lit(1 << p)).otherwise(lit(0))
-        }.reduce(_ + _)
-        val emb = withQNorm(t(s, dir, "embeddings")).withColumn("bucket", bucket)
+        val emb = withQNorm(t(s, dir, "embeddings")).withColumn("bucket", bucketCol)
         val a = emb.select($"vec_id".as("i"), $"q".as("qa"), $"n2".as("n2a"), $"bucket")
         val b = emb.select($"vec_id".as("j"), $"q".as("qb"), $"n2".as("n2b"),
           $"bucket".as("bucket_b"))
+        // threshold 0.35: the synthetic embeddings are random, so genuinely
+        // near-identical pairs don't exist — 0.8 returned an (always-
+        // trivially-matching) empty set; 0.35 keeps the check non-trivial
         a.join(b, $"bucket" === $"bucket_b" && $"i" < $"j")
           .withColumn("cos", cosine(dotInt("qa", "qb"), $"n2a", $"n2b"))
-          .filter($"cos" >= 0.8)
+          .filter($"cos" >= 0.35)
           .select($"i", $"j", $"cos")
           .orderBy($"i", $"j")
       },
@@ -156,7 +162,7 @@ object Similarity {
         SELECT d.i, d.j,
                CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) AS cos
         FROM dots d JOIN norms na ON na.vec_id = d.i JOIN norms nb ON nb.vec_id = d.j
-        WHERE CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) >= 0.8
+        WHERE CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) >= 0.35
         ORDER BY d.i, d.j"""),
     ),
 
@@ -243,6 +249,60 @@ object Similarity {
                    d.cid) AS rn
           FROM pdots d JOIN norms na ON na.vec_id = d.qid JOIN norms nb ON nb.vec_id = d.cid) r
         WHERE rn <= 10 ORDER BY qid, rn"""),
+    ),
+
+    // ---- d06: embedding-cosine near-dup docs (cross-table enrichment) ---
+    // The dedup flavor that works on the embedding space instead of text:
+    // LSH-bucketed candidate pairs (same plumbing as s02), verified by
+    // exact integer cosine, then joined BACK to `documents` for dedup
+    // policy inputs (same source? same language?). At 100 TB the doc join
+    // shuffles only the surviving pair set — never the corpus.
+    QueryDef(
+      "d06_embedding_neardup_docs",
+      (s, dir) => {
+        import s.implicits._
+        val emb = withQNorm(t(s, dir, "embeddings")).withColumn("bucket", bucketCol)
+        val a = emb.select($"vec_id".as("i"), $"q".as("qa"), $"n2".as("n2a"), $"bucket")
+        val b = emb.select($"vec_id".as("j"), $"q".as("qb"), $"n2".as("n2b"),
+          $"bucket".as("bucket_b"))
+        val pairs = a.join(b, $"bucket" === $"bucket_b" && $"i" < $"j")
+          .withColumn("cos", cosine(dotInt("qa", "qb"), $"n2a", $"n2b"))
+          .filter($"cos" >= 0.35)
+          .select($"i", $"j", $"cos")
+        val docs = t(s, dir, "documents")
+        pairs
+          .join(docs.select($"doc_id".as("i"), $"source".as("source_i"), $"lang".as("lang_i")), "i")
+          .join(docs.select($"doc_id".as("j"), $"source".as("source_j"), $"lang".as("lang_j")), "j")
+          .select($"i", $"j", $"cos",
+            ($"source_i" === $"source_j").as("same_source"),
+            ($"lang_i" === $"lang_j").as("same_lang"))
+          .orderBy($"i", $"j")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $SIGNS_SQL,
+        $QNORM_SQL,
+        projs AS (
+          SELECT vec_id, p, CAST(SUM(q[d+1]*w) AS BIGINT) AS proj
+          FROM qv CROSS JOIN signs GROUP BY vec_id, p),
+        buckets AS (
+          SELECT vec_id, CAST(SUM(CASE WHEN proj > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+          FROM projs GROUP BY vec_id),
+        cands AS (
+          SELECT a.vec_id AS i, b.vec_id AS j
+          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        dots AS (
+          SELECT c.i, c.j, CAST(SUM(qa.q[dims.i+1]*qb.q[dims.i+1]) AS BIGINT) AS dot
+          FROM cands c JOIN qv qa ON qa.vec_id = c.i JOIN qv qb ON qb.vec_id = c.j
+          CROSS JOIN dims GROUP BY c.i, c.j)
+        SELECT d.i, d.j,
+               CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) AS cos,
+               di.source = dj.source AS same_source,
+               di.lang = dj.lang AS same_lang
+        FROM dots d JOIN norms na ON na.vec_id = d.i JOIN norms nb ON nb.vec_id = d.j
+             JOIN documents di ON di.doc_id = d.i JOIN documents dj ON dj.doc_id = d.j
+        WHERE CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) >= 0.35
+        ORDER BY d.i, d.j"""),
     ),
 
     // ---- s03: kNN-label classification (majority vote of top-5) ----
