@@ -452,7 +452,11 @@ object Tpch {
           .agg(davg($"c_acctbal").as("a")).select($"a")
         c.join(broadcast(avgBal))
           .filter($"c_acctbal" > $"a")
-          .join(ord(s, dir).select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+          // anti-join against URGENT orders only: on this synthetic data every
+          // customer has some order, so the unrestricted NOT EXISTS matches the
+          // empty set (a trivially-green check)
+          .join(ord(s, dir).filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"),
+            $"c_custkey" === $"o_custkey", "left_anti")
           .groupBy($"c_nationkey")
           .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
           .orderBy($"c_nationkey")
@@ -461,7 +465,8 @@ object Tpch {
         SELECT c_nationkey, COUNT(*) AS numcust, ${SUM("c_acctbal")} AS totacctbal
         FROM customer
         WHERE c_acctbal > (SELECT ${AVG("c_acctbal")} FROM customer WHERE c_acctbal > 0.0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey ORDER BY c_nationkey"""),
     ),
 
@@ -721,15 +726,18 @@ object Tpch {
       (s, dir) => {
         import s.implicits._
         cust(s, dir)
-          .join(ord(s, dir).select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+          // see q22: restrict to URGENT orders so the anti-join is non-empty
+          .join(ord(s, dir).filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"),
+            $"c_custkey" === $"o_custkey", "left_anti")
           .groupBy($"c_mktsegment")
-          .agg(count(lit(1)).as("customers_without_orders"))
+          .agg(count(lit(1)).as("customers_without_urgent_orders"))
           .orderBy($"c_mktsegment")
       },
       Some("""
-        SELECT c_mktsegment, COUNT(*) AS customers_without_orders
+        SELECT c_mktsegment, COUNT(*) AS customers_without_urgent_orders
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
     ),
 
