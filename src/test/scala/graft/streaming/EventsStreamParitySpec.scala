@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Batch = stream: the watermarked tumbling-window pipeline over the REAL
+  * driver-generated `events` table (file-stream source, two micro-batches)
+  * must emit exactly the batch aggregation's rows for every window it
+  * closes — the T10 contract on actual data rather than a hand fixture. */
+class EventsStreamParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("events-stream-parity-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("streaming tumbling windows equal the batch aggregation for closed windows") {
+    import spark.implicits._
+    // events.parquet carries TIMESTAMP(NANOS): read nanos as long, truncate
+    // to micros (same as graft.Tables.t)
+    val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("ts", "event_type", "value")
+
+    // two time-ordered files → two micro-batches → the second batch's
+    // watermark closes the first batch's windows
+    val n = all.count()
+    val ordered = all.orderBy($"ts").collect()
+    val dir = Files.createTempDirectory("evstream")
+    val (first, second) = ordered.splitAt((n / 2).toInt)
+    Seq("0" -> first, "1" -> second).foreach { case (name, rows) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 2), all.schema)
+        .write.parquet(s"$dir/f$name")
+    }
+
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+    val q = EventTimeWindows.tumbling(stream, "1 hour", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("parity").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT * FROM parity")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toVector
+    assert(streamed.nonEmpty, "no window closed — expected emissions after batch 2")
+
+    val batch = all
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total_value"))
+      .select($"w.start", $"event_type", $"n", $"total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+
+    streamed.foreach { r =>
+      val b = batch.get((r._1, r._2))
+      assert(b.isDefined, s"streamed window ${r._1}/${r._2} missing from batch result")
+      assert(b.get == r, s"mismatch for ${r._1}/${r._2}: batch=${b.get} stream=$r")
+    }
+  }
+}
