@@ -84,6 +84,14 @@ final class SchemaTracker {
       specs.foreach { spec => t = applyAlter(t, spec) }
       tables.remove(name)
       dbs.getOrElseUpdate(t.database, mutable.LinkedHashMap.empty).update(t.name, t)
+    case CreateTableLike(db, name, srcDb, srcName, ifNotExists) =>
+      val src = getTableDef(srcDb, srcName)
+        .getOrElse(throw new DdlApplyException(s"no such table: $srcDb.$srcName"))
+      val tables = dbs.getOrElseUpdate(db, mutable.LinkedHashMap.empty)
+      if (tables.contains(name)) {
+        if (!ifNotExists) throw new DdlApplyException(s"table exists: $db.$name")
+      } else tables.update(name, src.copy(database = db, name = name))
+    case NoOpDdl => ()
   }
 
   private def placed(cols: Vector[ColumnDef], c: ColumnDef, pos: Placement): Vector[ColumnDef] =
@@ -140,6 +148,14 @@ final case class DropTable(targets: Vector[(String, String)], ifExists: Boolean)
 final case class Truncate(db: String, name: String) extends Ddl
 final case class RenameTable(pairs: Vector[((String, String), (String, String))]) extends Ddl
 final case class AlterTable(db: String, name: String, specs: Vector[AlterSpec]) extends Ddl
+final case class CreateTableLike(db: String, name: String, srcDb: String, srcName: String,
+    ifNotExists: Boolean) extends Ddl
+/** Recognized DDL with no schema-shape effect (index DDL, ALTER DATABASE,
+  * SET DEFAULT, table options): replaying it is a no-op, NOT a parse
+  * failure — real binlogs carry these constantly and parking on them
+  * (T7) would stall replication for statements that cannot drift the
+  * mirror. */
+case object NoOpDdl extends Ddl
 
 sealed trait Placement
 case object Default extends Placement
@@ -229,26 +245,52 @@ object DdlParser {
       if (peek == ".") { next(); (a, ident()) } else (currentDb, a)
     }
 
+    /** Consume everything up to the terminating semicolon/end — for table
+      * options (`ENGINE=`, `DEFAULT CHARSET=`, `COMMENT=`, ...) and other
+      * schema-shape-neutral tails. */
+    private def skipToEnd(): Unit =
+      while (i < toks.length && peek != ";") { if (peek == "(") skipParens() else next() }
+
     def statement(): Ddl = peekUp match {
       case "CREATE" =>
         next()
         if (accept("DATABASE") || accept("SCHEMA")) {
           val ine = ifNotExists()
-          CreateDatabase(ident(), ine)
+          val db = ident()
+          skipToEnd() // charset/collation options
+          CreateDatabase(db, ine)
+        } else if (peekUp == "UNIQUE" || peekUp == "FULLTEXT" || peekUp == "SPATIAL" ||
+          peekUp == "INDEX") {
+          // CREATE [UNIQUE|FULLTEXT|SPATIAL] INDEX name ON tbl (...): no
+          // schema-shape effect
+          skipToEnd(); NoOpDdl
         } else {
           accept("TEMPORARY")
           expect("TABLE")
           val ine = ifNotExists()
           val (db, name) = qualified()
-          expect("(")
-          val cols = columnDefs()
-          CreateTable(db, name, cols, ine)
+          if (accept("LIKE")) {
+            val (sdb, sname) = qualified()
+            CreateTableLike(db, name, sdb, sname, ine)
+          } else if (peek == "(" && toks.lift(i + 1).map(_.toUpperCase).contains("LIKE")) {
+            next(); next() // ( LIKE
+            val (sdb, sname) = qualified()
+            expect(")")
+            CreateTableLike(db, name, sdb, sname, ine)
+          } else {
+            expect("(")
+            val cols = columnDefs()
+            skipToEnd() // ENGINE= / CHARSET= / COMMENT= table options
+            CreateTable(db, name, cols, ine)
+          }
         }
       case "DROP" =>
         next()
         if (accept("DATABASE") || accept("SCHEMA")) {
           val ie = ifExists()
           DropDatabase(ident(), ie)
+        } else if (peekUp == "INDEX") {
+          skipToEnd(); NoOpDdl // DROP INDEX name ON tbl
         } else {
           accept("TEMPORARY")
           expect("TABLE")
@@ -274,15 +316,20 @@ object DdlParser {
         while (accept(",")) onePair()
         RenameTable(pairs.result())
       case "ALTER" =>
-        next(); expect("TABLE")
+        next()
+        if (peekUp == "DATABASE" || peekUp == "SCHEMA") {
+          skipToEnd(); return NoOpDdl // charset/collation only
+        }
+        expect("TABLE")
         val (db, name) = qualified()
         val specs = Vector.newBuilder[AlterSpec]
         def oneSpec(): Unit = peekUp match {
           case "ADD" =>
             next(); accept("COLUMN")
             if (peekUp == "PRIMARY" || peekUp == "UNIQUE" || peekUp == "INDEX" ||
-              peekUp == "KEY" || peekUp == "CONSTRAINT" || peekUp == "FULLTEXT") {
-              skipIndexSpec()
+              peekUp == "KEY" || peekUp == "CONSTRAINT" || peekUp == "FULLTEXT" ||
+              peekUp == "SPATIAL" || peekUp == "FOREIGN") {
+              skipSpecTail() // index/constraint DDL: no schema-shape effect
             } else {
               val c = columnDef()
               specs += AddColumn(c, placement())
@@ -303,14 +350,37 @@ object DdlParser {
             specs += ChangeColumn(oldName, c, placement())
           case "RENAME" =>
             next()
-            if (!accept("TO")) accept("AS")
-            val a = ident()
-            // unqualified rename stays in the table's own database
-            val (tdb, tname) = if (peek == ".") { next(); (a, ident()) } else ("", a)
-            specs += RenameTo(tdb, tname)
+            if (peekUp == "INDEX" || peekUp == "KEY") { skipSpecTail() } // index rename: no-op
+            else {
+              if (!accept("TO")) accept("AS")
+              val a = ident()
+              // unqualified rename stays in the table's own database
+              val (tdb, tname) = if (peek == ".") { next(); (a, ident()) } else ("", a)
+              specs += RenameTo(tdb, tname)
+            }
+          case "ALTER" =>
+            // ALTER [COLUMN] x SET DEFAULT v | DROP DEFAULT: no shape change
+            next(); skipSpecTail()
+          case kw if kw == "ENGINE" || kw.startsWith("ENGINE=") ||
+            kw == "AUTO_INCREMENT" || kw.startsWith("AUTO_INCREMENT=") ||
+            kw == "COMMENT" || kw.startsWith("COMMENT=") ||
+            kw == "ROW_FORMAT" || kw.startsWith("ROW_FORMAT=") ||
+            kw == "ALGORITHM" || kw.startsWith("ALGORITHM=") ||
+            kw == "LOCK" || kw.startsWith("LOCK=") ||
+            kw == "DEFAULT" || kw == "CHARACTER" || kw == "CHARSET" ||
+            kw.startsWith("CHARSET=") || kw == "COLLATE" || kw.startsWith("COLLATE=") ||
+            kw == "CONVERT" || kw == "ORDER" || kw == "FORCE" ||
+            kw == "ENABLE" || kw == "DISABLE" =>
+            // table options / maintenance specs: recognized, no schema effect
+            skipSpecTail()
           case other =>
             throw new IllegalArgumentException(s"unsupported alter spec: $other")
         }
+
+        def skipSpecTail(): Unit =
+          while (i < toks.length && peek != "," && peek != ";") {
+            if (peek == "(") skipParens() else next()
+          }
         oneSpec()
         while (accept(",")) oneSpec()
         AlterTable(db, name, specs.result())
@@ -336,12 +406,6 @@ object DdlParser {
           if (t == "(") depth += 1 else if (t == ")") depth -= 1
         }
       }
-    }
-
-    private def skipIndexSpec(): Unit = {
-      // consume PRIMARY KEY (...) / UNIQUE [KEY] [name] (...) / KEY name (...)
-      while (i < toks.length && peek != "(" && peek != ",") next()
-      skipParens()
     }
 
     private def columnDefs(): Vector[ColumnDef] = {

@@ -156,6 +156,39 @@ class SchemaTrackerSpec extends AnyFunSuite {
     assert(struct("c_ulong").metadata.getBoolean("unsigned"))
   }
 
+  test("real-world DDL dialect: table options, index DDL, LIKE, no-op alters") {
+    val t = freshTracker
+    // trailing table options no longer need stripping
+    t.execDdl(
+      """CREATE TABLE test.opts (
+        |  id int NOT NULL,
+        |  PRIMARY KEY (id)
+        |) ENGINE=InnoDB AUTO_INCREMENT=17 DEFAULT CHARSET=utf8mb4 COMMENT='x'""".stripMargin,
+      "test")
+    assert(t.getTableDef("test", "opts").get.columns.map(_.name) == Vector("id"))
+    // index DDL is recognized but schema-shape neutral
+    t.execDdl("CREATE INDEX idx_name ON test.opts (id)", "test")
+    t.execDdl("CREATE UNIQUE INDEX u_name ON opts (id)", "test")
+    t.execDdl("DROP INDEX idx_name ON test.opts", "test")
+    t.execDdl("ALTER TABLE opts ADD INDEX i2 (id), ADD KEY i3 (id) USING BTREE", "test")
+    t.execDdl("ALTER TABLE opts RENAME INDEX i2 TO i2x", "test")
+    // ALTER COLUMN default / table options / charset conversions: no-ops
+    t.execDdl("ALTER TABLE opts ALTER COLUMN id SET DEFAULT 5", "test")
+    t.execDdl("ALTER TABLE opts ALTER id DROP DEFAULT", "test")
+    t.execDdl("ALTER TABLE opts ENGINE=InnoDB, AUTO_INCREMENT = 100", "test")
+    t.execDdl("ALTER TABLE opts CONVERT TO CHARACTER SET utf8mb4 COLLATE utf8mb4_bin", "test")
+    t.execDdl("ALTER DATABASE test DEFAULT CHARACTER SET utf8mb4", "")
+    assert(t.getTableDef("test", "opts").get.columns.map(_.name) == Vector("id"))
+    // no-op alters mixed with real ones still apply the real ones
+    t.execDdl("ALTER TABLE opts ADD COLUMN v varchar(10), ENGINE=InnoDB, ADD INDEX vi (v)", "test")
+    assert(t.getTableDef("test", "opts").get.columns.map(_.name) == Vector("id", "v"))
+    // CREATE TABLE ... LIKE copies the shape
+    t.execDdl("CREATE TABLE test.opts2 LIKE test.opts", "test")
+    assert(t.getTableDef("test", "opts2").get.columns.map(_.name) == Vector("id", "v"))
+    t.execDdl("CREATE TABLE opts3 (LIKE opts2)", "test")
+    assert(t.getTableDef("test", "opts3").get.columns.map(_.name) == Vector("id", "v"))
+  }
+
   test("snapshot save/restore as-of position") {
     val dir = Files.createTempDirectory("snapstore")
     val store = new SchemaSnapshotStore(dir)
