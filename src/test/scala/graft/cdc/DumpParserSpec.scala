@@ -22,7 +22,7 @@ class DumpParserSpec extends AnyFunSuite {
     "  `id` int(11) NOT NULL,",
     "  `name` varchar(100) DEFAULT NULL,",
     "  PRIMARY KEY (`id`)",
-    ");",
+    ") ENGINE=InnoDB AUTO_INCREMENT=4 DEFAULT CHARSET=utf8mb4;",
     "INSERT INTO `t1` VALUES (1,'a');",
     "INSERT INTO `t1` VALUES (3,'a\\nb,c',NULL);",
     "USE `test2`;",
