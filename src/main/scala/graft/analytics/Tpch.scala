@@ -774,6 +774,44 @@ object Tpch {
         GROUP BY nationkey, kind ORDER BY nationkey, kind"""),
     ),
 
+    // ---- window over aggregate output (ratio-to-report) ----
+    QueryDef(
+      "q39_revenue_share",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"r_name")
+        li(s, dir)
+          .join(ord(s, dir), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust(s, dir)), $"o_custkey" === $"c_custkey")
+          .join(broadcast(nat(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(reg(s, dir)), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(dsumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+          // window over the (tiny) aggregate output: share of region total
+          .withColumn("region_rev", sum($"rev").over(w))
+          // share computed in DOUBLE over the exact decimal sums — decimal
+          // division result precision/scale rules differ between engines
+          .select($"r_name", $"n_name",
+            dec2dbl($"rev").as("revenue"),
+            (dec2dbl($"rev") * lit(100.0) / dec2dbl($"region_rev")).as("share_pct"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some(s"""
+        WITH nrev AS (
+          SELECT r_name, n_name,
+                 SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))) AS rev
+          FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name)
+        SELECT r_name, n_name, ${DEC2DBL("rev")} AS revenue,
+               ${DEC2DBL("rev")} * 100.0
+                 / ${DEC2DBL("SUM(rev) OVER (PARTITION BY r_name)")} AS share_pct
+        FROM nrev ORDER BY r_name, n_name"""),
+    ),
+
     // ---- exact quantiles (sort-based aggregate) ----
     // Spark `percentile` and DuckDB `quantile_cont` share the same exact
     // definition (index p·(n-1), linear interpolation), so the doubles
