@@ -47,7 +47,16 @@ object Replay {
       includes: Seq[String] = Nil, excludes: Seq[String] = Nil): ReplayStats = {
     Files.createDirectories(outDir)
     val ckpMgr = new CkpManager(new FileCkpStorage(outDir.resolve("ckp")))
-    val startCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
+    // per-sink checkpoints (K4 mux: each sink dedups against its OWN
+    // progress, F3) — the stream-level filter below uses their MINIMUM
+    // (A2), the reference's resume position across sinks
+    val stdoutCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
+    val wireCkp = ckpMgr.get("wire").map(_.progress).getOrElse(Progress.zero)
+    val startCkp =
+      if (stdoutCkp.isZero || wireCkp.isZero) Progress.zero
+      else if (stdoutCkp.pos.tryCompare(wireCkp.pos).exists(_ <= 0)) stdoutCkp
+      else if (stdoutCkp.pos.tryCompare(wireCkp.pos).isDefined) wireCkp
+      else Progress.zero // cross-server_id: incomparable → replay from zero
 
     // source: the DSv2 binlog-replay stream (graft.sources) — offsets are
     // binlog positions, rotate/log-name threading happens in the source
@@ -72,6 +81,16 @@ object Replay {
     val producer = new FragmentingProducer(producerId = 1L, maxPayloadSize = 1 << 20)
     val batcher = new TrxBatcher()
 
+    // F3 as a per-sink predicate (same rule as dedupBelowCheckpoint),
+    // applied inside the mux so each sink honors its own checkpoint
+    def aboveCkp(e: OpEnvelope, ckp: Progress): Boolean =
+      ckp.isZero || {
+        val pos = Position(e.logName, e.op.header.logPos, e.op.header.serverId)
+        pos.serverId != ckp.pos.serverId || pos.compare(ckp.pos) > 0
+      }
+    def lastProgress(ops: Array[OpEnvelope]): Option[Progress] =
+      ops.reverseIterator.flatMap(_.op.progress).nextOption()
+
     val query = filtered.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[OpEnvelope], _: Long) =>
@@ -80,13 +99,16 @@ object Replay {
         // was MEASURED SLOWER (14k vs 19k ops/s) than this driver-side
         // render — the doubled collect payload costs more than the render.
         val ordered = batch.collect().sortBy(_.seqNo)
-        val jsonLines = ordered.map(e => OperationJson.render(e.op))
-        Files.write(jsonOut, jsonLines.toSeq.asJava,
-          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-        emitted += ordered.length
 
-        // K1 twin: trx batching → wire messages
-        val wireLines = ordered.toVector.flatMap { e =>
+        // sink 1 (K2 twin): JSON lines
+        val forJson = ordered.filter(aboveCkp(_, stdoutCkp))
+        Files.write(jsonOut, forJson.map(e => OperationJson.render(e.op)).toSeq.asJava,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        emitted += forJson.length
+
+        // sink 2 (K1 twin): trx batching → wire messages
+        val forWire = ordered.filter(aboveCkp(_, wireCkp))
+        val wireLines = forWire.toVector.flatMap { e =>
           batcher.offer(e.op).toVector.flatten match {
             case Vector() => Vector.empty
             case trx => producer.produce(trx)
@@ -97,14 +119,11 @@ object Replay {
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         wireMessages += wireLines.size
 
-        // T1: progress advances only at transaction boundaries
-        ordered.reverseIterator
-          .flatMap(e => e.op.progress.map(_ => e))
-          .nextOption()
-          .foreach { e =>
-            ckpMgr.update("stdout", Checkpoint(e.op.progress.get))
-            ckpMgr.persist()
-          }
+        // T1: progress advances only at transaction boundaries, per sink
+        lastProgress(forJson).foreach(p => ckpMgr.update("stdout", Checkpoint(p)))
+        lastProgress(forWire).foreach(p => ckpMgr.update("wire", Checkpoint(p)))
+        if (lastProgress(forJson).isDefined || lastProgress(forWire).isDefined)
+          ckpMgr.persist()
       }
       .start()
     query.processAllAvailable()

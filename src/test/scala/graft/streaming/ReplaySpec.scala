@@ -69,6 +69,30 @@ class ReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(OperationJson.parse(lines.head).opType == OpType.Ddl)
   }
 
+  test("per-sink checkpoints: sinks at different positions replay different tails") {
+    val out = freshDir("replay5")
+    // stdout resumed at 602, wire sink fresh (zero) — the mux must give the
+    // JSON sink only the tail while the wire sink replays everything
+    val mgr = new CkpManager(new FileCkpStorage(out.resolve("ckp")))
+    mgr.update("stdout", Checkpoint(Progress("mysql-bin.000008", 602, 66693)))
+    mgr.persist()
+
+    val stats = Replay.run(spark, fixture, out)
+    assert(stats.emitted == 6) // JSON sink: tail only
+    val wire = Files.readAllLines(out.resolve("wire.b64l")).asScala
+    val dec = new OperationDecoder
+    val ops = wire.zipWithIndex.flatMap { case (b64, i) =>
+      dec.feed(Base64.getDecoder.decode(b64), i.toLong).toSeq.flatMap(_.ops)
+    }
+    // wire sink: full stream (5 insert row-images, as in the fresh-run test)
+    assert(ops.filter(_.opType == OpType.Insert).flatMap(_.rows).size == 5)
+
+    // both sinks' checkpoints advanced to the end
+    val mgr2 = new CkpManager(new FileCkpStorage(out.resolve("ckp")))
+    assert(mgr2.get("stdout").exists(_.progress.pos.pos == 1260))
+    assert(mgr2.get("wire").exists(_.progress.pos.pos == 1260))
+  }
+
   test("global F1 filter removes excluded tables' row events but keeps markers") {
     val out = freshDir("replay3")
     val stats = Replay.run(spark, fixture, out,
