@@ -266,6 +266,32 @@ object Events {
         ORDER BY cohort_wk, offset_wk"""),
     ),
 
+    // ---- e12: event-type transition matrix (per-user Markov pairs) ----
+    QueryDef(
+      "e12_transition_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type", $"event_type".as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"prev_type", $"next_type")
+      },
+      Some("""
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM (
+          SELECT user_id, event_type,
+                 LAG(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev_type
+          FROM events) x
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY prev_type, next_type"""),
+    ),
+
     // ---- e10: as-of join (latest view at-or-before each purchase) ----
     // The classic operator Spark lacks natively, composed from built-ins
     // the scalable way: tag both sides, ONE shuffle on the join key, sort
