@@ -39,10 +39,26 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double): String = f"$v%.3f"
+    // Full per-query map goes to a FILE, not stdout: a 73-entry JSON line is
+    // long enough to be truncated by tail-capture, losing the whole round's
+    // perf signal (round 1's parsed:null). Stdout gets one short totals line.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_queries.json")
+    val detail =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"queries":$qs,"sf":"$sfDir","method":"warm-cache (tables persisted + codegen warmup before timing; cold-read parquet numbers would be higher — see README)"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    // Headline subset keeps the stdout line short (<400 chars) while still
+    // carrying per-query signal if the detail file is not collected.
+    val headline = Seq("q01_pricing_summary", "q05_regional_revenue",
+      "q18_large_volume_customers", "d03_minhash_lsh_pairs", "d05_simhash_pairs",
+      "s05_ivf_ann", "e10_asof_join", "t06_top_bigrams")
+      .flatMap(k => results.get(k).map(v => "\"" + k + "\":" + r3(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"sf":"$sfDir","detail":"$detailPath","method":"warm-cache"}""")
     spark.stop()
   }
 }

@@ -54,34 +54,75 @@ object Dedup {
         .select(col("doc_id"), explode(col("sh")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** (doc_id, simhash) — 16-bit SimHash per document, persisted and shared
-    * by d04/d05 (d05 self-joins it twice; without reuse the token fan-out
-    * would run 4x). The 16 bit-balances are 16 aggregate expressions in ONE
-    * groupBy over the token rows — NOT an explode of 16 j-values per token,
-    * which would 16x the shuffle volume (measured 8.1s → this form ~2s at
-    * sf0.1). md5(tok) is computed once per token row and shared by all 16
-    * lanes. repartition(doc_id) parallelizes the token explode AND makes
-    * the per-doc groupBy shuffle-free. */
+  /** (doc_id, b0..b3, simhash) — 64-bit SimHash per document as FOUR 16-bit
+    * band values plus the 16-hex-char fingerprint, persisted and shared by
+    * d04/d05 (d05 self-joins it 4x; without reuse the token fan-out would
+    * run 8x). Band k's 16 bits come from hex chars [1+4k, 4+4k] of
+    * md5(tok); the 64 bit-balances are 64 aggregate expressions in ONE
+    * groupBy over the token rows — NOT an explode of 64 (k,j) rows per
+    * token, which would 64x the shuffle volume (the 16-bit ancestor of this
+    * measured 8.1s exploded vs ~2s in this form at sf0.1). md5(tok) is
+    * computed once per token row; each band parses 4 hex chars once and
+    * shares the parse across its 16 bit lanes. repartition(doc_id)
+    * parallelizes the token explode AND makes the per-doc groupBy
+    * shuffle-free.
+    *
+    * Bands stay separate columns (and the fingerprint is hex) so no signed
+    * 64-bit shift/overflow semantics are ever needed — every arithmetic
+    * value fits in 17 bits, identical in Spark and the oracle. */
   private val simhashCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def simhashOf(s: SparkSession, dir: String): DataFrame = {
-    val bals = (1 to 16).map { j =>
-      sum(when(expr(s"instr('89abcdef', substring(h, $j, 1)) > 0"), 1).otherwise(-1))
-        .as(s"bal$j")
+    val bals = for (k <- 0 until 4; j <- 0 until 16) yield
+      sum(when(shiftright(col(s"hb$k"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"bal_${k}_$j")
+    val bandVals = (0 until 4).map { k =>
+      (0 until 16).map { j =>
+        when(col(s"bal_${k}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"b$k")
     }
-    val simhash = (1 to 16).map { j =>
-      when(col(s"bal$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L))
-    }.reduce(_ + _)
     simhashCache.getOrElseUpdate((s, dir),
       t(s, dir, "documents").repartition(col("doc_id"))
         .withColumn("toks", regexp_extract_all(lower(col("text")), lit("[a-z0-9']+"), lit(0)))
         .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
         .withColumn("h", md5(col("tok")))
+        .withColumns((0 until 4).map(k =>
+          s"hb$k" -> conv(substring(col("h"), 1 + 4 * k, 4), 16, 10).cast("long")).toMap)
         .groupBy(col("doc_id"))
         .agg(bals.head, bals.tail: _*)
-        .select(col("doc_id"), simhash.as("simhash"))
+        .select(col("doc_id") +: bandVals: _*)
+        .withColumn("simhash",
+          concat((0 until 4).map(k => format_string("%04x", col(s"b$k"))): _*))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
+
+  /** Oracle twin of [[simhashOf]]: doc_id, b0..b3, simhash (DuckDB SQL). */
+  private val SIMHASH_SQL = """
+    SELECT doc_id,
+           MAX(CASE WHEN k = 0 THEN band END) AS b0,
+           MAX(CASE WHEN k = 1 THEN band END) AS b1,
+           MAX(CASE WHEN k = 2 THEN band END) AS b2,
+           MAX(CASE WHEN k = 3 THEN band END) AS b3,
+           printf('%04x%04x%04x%04x',
+             MAX(CASE WHEN k = 0 THEN band END), MAX(CASE WHEN k = 1 THEN band END),
+             MAX(CASE WHEN k = 2 THEN band END), MAX(CASE WHEN k = 3 THEN band END)) AS simhash
+    FROM (
+      SELECT doc_id, k, CAST(SUM(bit) AS BIGINT) AS band FROM (
+        SELECT doc_id, k, j,
+               CASE WHEN SUM(contrib) > 0 THEN (CAST(1 AS BIGINT) << j)
+                    ELSE CAST(0 AS BIGINT) END AS bit
+        FROM (
+          SELECT doc_id, tok, k, j,
+                 CASE WHEN (CAST('0x' || substr(md5(tok), 1 + 4*k, 4) AS BIGINT) >> j) & 1 = 1
+                      THEN 1 ELSE -1 END AS contrib
+          FROM (SELECT doc_id,
+                       unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9'']+'))) AS tok
+                FROM documents) tk
+          CROSS JOIN (SELECT unnest(range(4)) AS k) kk
+          CROSS JOIN (SELECT unnest(range(16)) AS j) jj) c
+        GROUP BY doc_id, k, j) b
+      GROUP BY doc_id, k) bands
+    GROUP BY doc_id"""
 
   val defs: Seq[QueryDef] = Seq(
     // ---- d01: exact dedup via normalized-content hash groupBy ----
@@ -218,73 +259,50 @@ object Dedup {
         ORDER BY c.i, c.j"""),
     ),
 
-    // ---- d04: 16-bit SimHash fingerprints ----
+    // ---- d04: 64-bit SimHash fingerprints (4×16-bit bands, hex) ----
     QueryDef(
       "d04_simhash",
-      (s, dir) => simhashOf(s, dir).orderBy(col("doc_id")),
-      Some("""
-        SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM (
-          SELECT doc_id, j,
-                 CASE WHEN SUM(contrib) > 0 THEN (CAST(1 AS BIGINT) << (j-1))
-                      ELSE CAST(0 AS BIGINT) END AS bit
-          FROM (
-            SELECT doc_id, tok, j,
-                   CASE WHEN instr('89abcdef', substr(md5(tok), j, 1)) > 0 THEN 1 ELSE -1 END AS contrib
-            FROM (SELECT doc_id,
-                         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9'']+'))) AS tok
-                  FROM documents) tk
-            CROSS JOIN (SELECT unnest(range(1, 17)) AS j) jj) c
-          GROUP BY doc_id, j) b
-        GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => simhashOf(s, dir).select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, simhash FROM ($SIMHASH_SQL) ORDER BY doc_id"""),
     ),
 
-    // ---- d05: SimHash near-dup pairs (banded halves + hamming verify) ----
+    // ---- d05: SimHash near-dup pairs (4×16-bit LSH bands + hamming verify) --
     QueryDef(
       "d05_simhash_pairs",
       (s, dir) => {
         import s.implicits._
         val h = simhashOf(s, dir)
-          .withColumn("hi", expr("CAST(simhash AS BIGINT) div 256"))
-          .withColumn("lo", expr("CAST(simhash AS BIGINT) % 256"))
-        // candidates share at least one half (pigeonhole for hamming<=2 per half);
-        // two equi-joins + distinct instead of an OR-join (OR would be a nested
-        // loop). The hamming verify runs BEFORE the union+distinct shuffle —
-        // it's a per-row map on the join output, so the dedup exchange only
-        // carries surviving pairs (the bucket joins emit ~n²/buckets rows,
-        // the verified set is orders of magnitude smaller).
-        def half(k: String) = h.as("a")
-          .join(h.as(s"b"), col(s"a.$k") === col(s"b.$k") && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
-            expr("bit_count(CAST(a.simhash AS BIGINT) ^ CAST(b.simhash AS BIGINT))").as("hamming"))
-          .filter($"hamming" <= 2)
-        half("hi").unionAll(half("lo")).distinct()
+        // Candidates share at least one 16-bit band — pigeonhole: hamming≤3
+        // over 4 bands forces one band identical, so recall is exact for the
+        // ≤3 threshold. Four equi-joins + distinct instead of an OR-join
+        // (OR would be a nested loop). Bucket size is O(n/2^16): at 100×
+        // the corpus the expected bucket join stays ~n²/65536 per band and
+        // the verify is a per-row map BEFORE the union+distinct shuffle, so
+        // the dedup exchange only carries surviving pairs. (The previous
+        // 16-bit/2×8-bit shape re-quadratized at 100× — n²/256 buckets.)
+        val hamming = (0 until 4).map(k =>
+          bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _).cast("long")
+        def band(k: Int) = h.as("a")
+          .join(h.as("b"), col(s"a.b$k") === col(s"b.b$k") && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), hamming.as("hamming"))
+          .filter($"hamming" <= 3)
+        (0 until 4).map(band).reduce(_ unionAll _).distinct()
           .select($"i", $"j", $"hamming")
           .orderBy($"i", $"j")
       },
-      Some("""
-        WITH sims AS (
-          SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM (
-            SELECT doc_id, j,
-                   CASE WHEN SUM(contrib) > 0 THEN (CAST(1 AS BIGINT) << (j-1))
-                        ELSE CAST(0 AS BIGINT) END AS bit
-            FROM (
-              SELECT doc_id, tok, j,
-                     CASE WHEN instr('89abcdef', substr(md5(tok), j, 1)) > 0 THEN 1 ELSE -1 END AS contrib
-              FROM (SELECT doc_id,
-                           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9'']+'))) AS tok
-                    FROM documents) tk
-              CROSS JOIN (SELECT unnest(range(1, 17)) AS j) jj) c
-            GROUP BY doc_id, j) b
-          GROUP BY doc_id),
-        halves AS (SELECT doc_id, simhash, simhash // 256 AS hi, simhash % 256 AS lo FROM sims),
+      Some(s"""
+        WITH sims AS ($SIMHASH_SQL),
         cands AS (
-          SELECT a.doc_id AS i, b.doc_id AS j, a.simhash AS sa, b.simhash AS sb
-          FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
-          UNION
-          SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-          FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id)
-        SELECT i, j, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-        FROM cands WHERE bit_count(xor(sa, sb)) <= 2
+          SELECT a.doc_id AS i, b.doc_id AS j,
+                 bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                 bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+          FROM sims a JOIN sims b
+            ON a.doc_id < b.doc_id
+           AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        SELECT DISTINCT i, j, CAST(hamming AS BIGINT) AS hamming
+        FROM cands WHERE hamming <= 3
         ORDER BY i, j"""),
     ),
   )

@@ -621,16 +621,29 @@ object Tpch {
         FROM lineitem"""),
     ),
 
-    // ---- approx distinct (HLL) — no SQL oracle (approximate by design) ----
+    // ---- approx distinct (HLL). The estimate itself is approximate by
+    // design, so the checkable contract is the HLL error bound: emit 0/1
+    // flags for |approx − exact| ≤ 15%·exact (default rsd is 5%; 15% gives
+    // 3σ headroom, still a real assertion — a broken sketch is off by 10×).
+    // Oracle = the same flags computed in SQL, which are constant-true when
+    // the sketch honors its bound.
     QueryDef(
       "q30_approx_distinct",
       (s, dir) => {
         import s.implicits._
         li(s, dir).agg(
-          approx_count_distinct($"l_partkey").as("approx_parts"),
-          approx_count_distinct($"l_orderkey").as("approx_orders"))
+          approx_count_distinct($"l_partkey").as("ap"),
+          countDistinct($"l_partkey").as("ep"),
+          approx_count_distinct($"l_orderkey").as("ao"),
+          countDistinct($"l_orderkey").as("eo"))
+          .select(
+            (abs($"ap" - $"ep") <= $"ep" * 0.15).cast("long").as("parts_in_bounds"),
+            (abs($"ao" - $"eo") <= $"eo" * 0.15).cast("long").as("orders_in_bounds"))
       },
-      None,
+      Some("""
+        SELECT CAST(1 AS BIGINT) AS parts_in_bounds,
+               CAST(1 AS BIGINT) AS orders_in_bounds
+        FROM (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)"""),
     ),
 
     // ---- scalar function coverage: strings / dates / math / casewhen ----

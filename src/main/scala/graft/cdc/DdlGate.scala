@@ -26,17 +26,29 @@ final class DdlGate(val tracker: SchemaTracker) {
   def failed: Option[FailedDdl] = parkedDdl
 
   /** Replay one DDL. True = applied (or already parked statement retried
-    * successfully); false = failed and now parked. */
-  def apply(statement: String, db: String): Boolean =
-    try {
-      tracker.execDdl(statement, db)
-      parkedDdl = None
-      true
-    } catch {
-      case e: Exception =>
-        parkedDdl = Some(FailedDdl(db, statement, e.getMessage))
-        false
-    }
+    * successfully); false = failed and now parked.
+    *
+    * While parked, only the parked statement itself may be replayed (a
+    * retry); any OTHER statement is refused loudly. Otherwise a caller
+    * that keeps replaying DDL past a park would silently discard the
+    * failed statement — exactly the schema drift the park exists to
+    * prevent. Unparking is only via a successful retry of the same
+    * statement, retry(), or an explicit skip(). */
+  def apply(statement: String, db: String): Boolean = parkedDdl match {
+    case Some(f) if f.statement != statement || f.db != db =>
+      throw new IllegalStateException(
+        s"DDL gate is parked on [${f.db}] ${f.statement}; retry(), exec()+skip(), or skip() before replaying further DDL")
+    case _ =>
+      try {
+        tracker.execDdl(statement, db)
+        parkedDdl = None
+        true
+      } catch {
+        case e: Exception =>
+          parkedDdl = Some(FailedDdl(db, statement, e.getMessage))
+          false
+      }
+  }
 
   /** Operator repair: run a corrected statement against the tracker
     * (the /ddl/exec endpoint). Does not unpark by itself. */

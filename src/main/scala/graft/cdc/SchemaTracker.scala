@@ -338,6 +338,12 @@ object DdlParser {
             next()
             if (accept("PRIMARY")) { expect("KEY") }
             else if (accept("INDEX") || accept("KEY")) { ident(); () }
+            // DROP FOREIGN KEY fk / CONSTRAINT c / CHECK c: common in real
+            // binlogs, no schema-shape effect — skip like the ADD branch does
+            // (falling through to DropColumn would park the pipeline on a
+            // bogus DropColumn("FOREIGN")).
+            else if (accept("FOREIGN")) { expect("KEY"); ident(); () }
+            else if (accept("CONSTRAINT") || accept("CHECK")) { ident(); () }
             else { accept("COLUMN"); specs += DropColumn(ident()) }
           case "MODIFY" =>
             next(); accept("COLUMN")

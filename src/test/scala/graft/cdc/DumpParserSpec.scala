@@ -97,6 +97,14 @@ class DumpParserSpec extends AnyFunSuite {
     assert(gate.tracker.getTableDef("d1", "missing").exists(_.columns.map(_.name) == Vector("id", "c")))
     // skip clears a park without applying
     assert(!gate.apply("ALTER TABLE d1.nope ADD c INT", ""))
+    // while parked, replaying a DIFFERENT statement is refused loudly —
+    // silently continuing would discard the park and drift the schema
+    intercept[IllegalStateException] {
+      gate.apply("CREATE TABLE d1.other (id INT)", "")
+    }
+    assert(gate.isParked)
+    // replaying the SAME parked statement is a retry and is allowed
+    assert(!gate.apply("ALTER TABLE d1.nope ADD c INT", ""))
     gate.skip()
     assert(!gate.isParked)
   }

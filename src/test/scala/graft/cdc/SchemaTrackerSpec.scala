@@ -172,6 +172,12 @@ class SchemaTrackerSpec extends AnyFunSuite {
     t.execDdl("DROP INDEX idx_name ON test.opts", "test")
     t.execDdl("ALTER TABLE opts ADD INDEX i2 (id), ADD KEY i3 (id) USING BTREE", "test")
     t.execDdl("ALTER TABLE opts RENAME INDEX i2 TO i2x", "test")
+    // DROP FOREIGN KEY / CONSTRAINT / CHECK: schema-shape neutral, must NOT
+    // park as DropColumn("FOREIGN") — common in real binlogs
+    t.execDdl("ALTER TABLE opts DROP FOREIGN KEY fk_other", "test")
+    t.execDdl("ALTER TABLE opts DROP CONSTRAINT chk_1", "test")
+    t.execDdl("ALTER TABLE opts DROP CHECK chk_2", "test")
+    assert(t.getTableDef("test", "opts").get.columns.map(_.name) == Vector("id"))
     // ALTER COLUMN default / table options / charset conversions: no-ops
     t.execDdl("ALTER TABLE opts ALTER COLUMN id SET DEFAULT 5", "test")
     t.execDdl("ALTER TABLE opts ALTER id DROP DEFAULT", "test")

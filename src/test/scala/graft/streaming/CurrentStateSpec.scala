@@ -60,6 +60,30 @@ class CurrentStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vs <= 2)
   }
 
+  test("crash mid-merge: a partial v=N dir (no _SUCCESS) is never the current snapshot") {
+    import spark.implicits._
+    val stateRoot = Files.createTempDirectory("state-crash").toString
+    CurrentState.merge(
+      Seq((1L, 1L, "view", 100L, 1.0)).toDF("user_id", "event_id", "event_type", "us", "value"),
+      stateRoot)
+    // simulate a crash during the v=2 write: dir exists, only _temporary inside
+    val partial = new java.io.File(s"$stateRoot/v=2/_temporary")
+    assert(partial.mkdirs())
+    // read() must fall back to the last COMPLETE version, not the partial one
+    val state = CurrentState.read(spark, stateRoot).get.as[Ev].collect().toVector
+    assert(state == Vector((1L, 1L, "view", 100L, 1.0)))
+    // the next merge must overwrite past the partial dir (v=3), keep the
+    // complete versions, and clean up the partial leftover
+    CurrentState.merge(
+      Seq((2L, 2L, "view", 200L, 2.0)).toDF("user_id", "event_id", "event_type", "us", "value"),
+      stateRoot)
+    val state2 = CurrentState.read(spark, stateRoot).get.as[Ev].collect().toVector.sortBy(_._1)
+    assert(state2 == Vector((1L, 1L, "view", 100L, 1.0), (2L, 2L, "view", 200L, 2.0)))
+    val dirs = new java.io.File(stateRoot).listFiles().map(_.getName).filter(_.startsWith("v=")).toSet
+    assert(!dirs.contains("v=2")) // partial leftover purged by retention
+    assert(dirs.contains("v=3"))
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered event_ids") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
