@@ -18,14 +18,27 @@ import scala.collection.mutable
   *  - consumers dedup by consecutive seq and reassemble fragment groups
   *    before decode (/root/reference/sink/kafka/client/go/decoder.go:146-266).
   *
-  * The reference encodes with protobuf; this library uses an equivalent
-  * explicit binary codec (length-prefixed, versioned) so it has zero extra
-  * dependencies — the protocol-level semantics (seq, grouping, fragmentation,
-  * zlib) are preserved exactly. Note: the reference's produce() has a
+  * The reference encodes with protobuf; this object is the no-dependency
+  * explicit binary codec (length-prefixed, versioned), and [[ProtoWire]] is
+  * the protobuf-wire-compatible alternative honoring the reference's .proto
+  * layout — both plug into the producer/decoder via [[WireCodec]]; the
+  * protocol-level semantics (seq, grouping, fragmentation, zlib) are
+  * identical. Note: the reference's produce() has a
   * double-send fall-through for single oversized ops (kafka.go:403-416 lacks
   * a continue); we implement the evident intent (send once).
   */
-object Wire {
+/** Pluggable ops/envelope serialization: [[Wire]] is the no-dependency
+  * length-prefixed codec; [[ProtoWire]] is the reference-compatible
+  * protobuf layout. Producer/decoder are codec-agnostic — the seq/
+  * fragmentation/compression semantics live above this seam. */
+trait WireCodec {
+  def encodeOps(ops: Seq[Operation]): Array[Byte]
+  def decodeOps(bytes: Array[Byte]): Vector[Operation]
+  def encodeMessage(m: Wire.Message): Array[Byte]
+  def decodeMessage(bytes: Array[Byte]): Wire.Message
+}
+
+object Wire extends WireCodec {
 
   final case class Message(
       producerId: Long,
@@ -173,7 +186,8 @@ object Wire {
 final class FragmentingProducer(
     producerId: Long,
     maxPayloadSize: Int = 1 << 20, // 1 MiB default (kafka.go:109)
-    compress: Boolean = false) {
+    compress: Boolean = false,
+    codec: WireCodec = Wire) {
 
   private var seq: Long = 0L
   def currentSeq: Long = seq
@@ -184,7 +198,7 @@ final class FragmentingProducer(
   }
 
   private def marshal(ops: Seq[Operation]): Array[Byte] = {
-    val raw = Wire.encodeOps(ops)
+    val raw = codec.encodeOps(ops)
     if (compress) Wire.compress(raw) else raw
   }
 
@@ -267,7 +281,7 @@ final class TrxBatcher(emptyTrxLimit: Int = 1000) {
 /** Consumer side: seq dedup + fragment reassembly + decode
   * (/root/reference/sink/kafka/client/go/decoder.go:146-266).
   */
-final class OperationDecoder {
+final class OperationDecoder(codec: WireCodec = Wire) {
   private var curSeq: Long = 0L
   private var curProducerId: Long = -1L
   private var fragments = Vector.empty[Array[Byte]]
@@ -288,7 +302,7 @@ final class OperationDecoder {
   /** Feed one raw message; emits a batch when a fragment group completes.
     * Duplicated/disordered seq → dropped (exactly-once consumption). */
   def feed(data: Array[Byte], offset: Long): Option[DecodedBatch] = {
-    val msg = Wire.decodeMessage(data)
+    val msg = codec.decodeMessage(data)
 
     if (curSeq == 0L) curSeq = msg.seq - 1 // init from first message
     if (msg.seq != curSeq + 1) return None // dup or gap → ignore
@@ -315,7 +329,7 @@ final class OperationDecoder {
       val whole = fragments.reduce(_ ++ _)
       fragments = Vector.empty
       val raw = if (groupCompressed) Wire.decompress(whole) else whole
-      Some(DecodedBatch(Wire.decodeOps(raw), beginSeq, msg.seq, beginOffset, offset,
+      Some(DecodedBatch(codec.decodeOps(raw), beginSeq, msg.seq, beginOffset, offset,
         commitSeq = msg.seq, commitOffset = offset))
     }
   }

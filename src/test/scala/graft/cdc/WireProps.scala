@@ -50,20 +50,27 @@ object WireProps extends Properties("Wire") {
   private val genOps: Gen[Vector[Operation]] =
     Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, genOp).map(_.toVector))
 
-  property("encodeOps/decodeOps round-trip") = forAll(genOps) { ops =>
-    Wire.decodeOps(Wire.encodeOps(ops)) == ops
-  }
+  // both codecs must satisfy the same laws — the envelope semantics sit
+  // above the WireCodec seam
+  private val codecs = Seq("framed" -> (Wire: WireCodec), "proto" -> (ProtoWire: WireCodec))
 
-  property("produce → feed reassembles the exact op stream (split∘merge = id)") =
-    forAll(genOps, Gen.chooseNum(64, 4096)) { (ops, maxPayload) =>
-      val producer = new FragmentingProducer(producerId = 7L, maxPayloadSize = maxPayload)
-      val messages = producer.produce(ops)
-      val dec = new OperationDecoder
-      val out = messages.zipWithIndex.flatMap { case (m, i) =>
-        dec.feed(Wire.encodeMessage(m), i.toLong).toVector.flatMap(_.ops)
-      }
-      Prop(out == ops) :| s"got ${out.size} ops, expected ${ops.size} (maxPayload=$maxPayload)"
+  for ((cname, codec) <- codecs) {
+    property(s"encodeOps/decodeOps round-trip [$cname]") = forAll(genOps) { ops =>
+      codec.decodeOps(codec.encodeOps(ops)) == ops
     }
+
+    property(s"produce → feed reassembles the exact op stream (split∘merge = id) [$cname]") =
+      forAll(genOps, Gen.chooseNum(64, 4096)) { (ops, maxPayload) =>
+        val producer = new FragmentingProducer(producerId = 7L,
+          maxPayloadSize = maxPayload, codec = codec)
+        val messages = producer.produce(ops)
+        val dec = new OperationDecoder(codec)
+        val out = messages.zipWithIndex.flatMap { case (m, i) =>
+          dec.feed(codec.encodeMessage(m), i.toLong).toVector.flatMap(_.ops)
+        }
+        Prop(out == ops) :| s"got ${out.size} ops, expected ${ops.size} (maxPayload=$maxPayload)"
+      }
+  }
 
   property("seq dedup: re-feeding every message changes nothing") =
     forAll(genOps) { ops =>
