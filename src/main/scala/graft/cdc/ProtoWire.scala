@@ -167,6 +167,20 @@ object ProtoWire extends WireCodec {
     w.result
   }
 
+  /** One tagged repeated-field entry; proto repeated fields concatenate, so
+    * assembleOps is plain concatenation (byte-identical to encodeOps). */
+  def encodeOp(op: Operation): Array[Byte] = {
+    val w = new W
+    w.msg(1, encOperation(op))
+    w.result
+  }
+
+  def assembleOps(fragments: Seq[Array[Byte]]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(fragments.iterator.map(_.length).sum)
+    fragments.foreach(buf.put)
+    buf.array()
+  }
+
   // ---------- message decoders ----------
 
   private def decColumn(r: R): Option[String] = {

@@ -31,11 +31,17 @@ import scala.collection.mutable
   * length-prefixed codec; [[ProtoWire]] is the reference-compatible
   * protobuf layout. Producer/decoder are codec-agnostic — the seq/
   * fragmentation/compression semantics live above this seam. */
-trait WireCodec {
+trait WireCodec extends Serializable {
   def encodeOps(ops: Seq[Operation]): Array[Byte]
   def decodeOps(bytes: Array[Byte]): Vector[Operation]
   def encodeMessage(m: Wire.Message): Array[Byte]
   def decodeMessage(bytes: Array[Byte]): Wire.Message
+  /** Single-op fragment, such that `assembleOps(ops.map(encodeOp))` is
+    * byte-identical to `encodeOps(ops)`. The contract that lets executors
+    * encode ops in parallel while the ordered sink assembles payloads
+    * without re-encoding (see [[FragmentingProducer.produceEncoded]]). */
+  def encodeOp(op: Operation): Array[Byte]
+  def assembleOps(fragments: Seq[Array[Byte]]): Array[Byte]
 }
 
 object Wire extends WireCodec {
@@ -82,7 +88,29 @@ object Wire extends WireCodec {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(ops.length)
-    ops.foreach { op =>
+    ops.foreach(writeOp(out, _))
+    out.flush()
+    bos.toByteArray
+  }
+
+  def encodeOp(op: Operation): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    writeOp(out, op)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** int32 count ++ concatenated per-op records == encodeOps. */
+  def assembleOps(fragments: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 4 + fragments.iterator.map(_.length).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+    buf.putInt(fragments.length)
+    fragments.foreach(buf.put)
+    buf.array()
+  }
+
+  private def writeOp(out: DataOutputStream, op: Operation): Unit = {
       out.writeLong(op.header.serverId)
       writeStr(out, op.header.opType)
       out.writeLong(op.header.timestamp)
@@ -109,9 +137,6 @@ object Wire extends WireCodec {
         writeStr(out, p.pos.name); out.writeLong(p.pos.pos); out.writeLong(p.pos.serverId)
         writeOptStr(out, p.gset.map(_.toString))
       }
-    }
-    out.flush()
-    bos.toByteArray
   }
 
   def decodeOps(bytes: Array[Byte]): Vector[Operation] = {
@@ -220,6 +245,32 @@ final class FragmentingProducer(
     out.result()
   }
 
+  /** Same protocol over ops pre-encoded with [[WireCodec.encodeOp]] (in
+    * executors, in parallel): payloads are assembled by concatenation, so
+    * the ordered sink never re-encodes. Byte-identical to `produce` on the
+    * corresponding Operations — split decisions use the same marshaled
+    * lengths, seq/group assignment is the same code path. */
+  def produceEncoded(fragments: Seq[Array[Byte]]): Vector[Wire.Message] = {
+    def marshalFrags(fs: Seq[Array[Byte]]): Array[Byte] = {
+      val raw = codec.assembleOps(fs)
+      if (compress) Wire.compress(raw) else raw
+    }
+    val out = Vector.newBuilder[Wire.Message]
+    val stack = mutable.Stack[Seq[Array[Byte]]](fragments)
+    while (stack.nonEmpty) {
+      val batch = stack.pop()
+      val payload = marshalFrags(batch)
+      if (payload.length > maxPayloadSize && batch.length != 1) {
+        val mid = batch.length / 2
+        stack.push(batch.drop(mid))
+        stack.push(batch.take(mid))
+      } else {
+        out ++= doProduce(payload)
+      }
+    }
+    out.result()
+  }
+
   private def doProduce(payload: Array[Byte]): Vector[Wire.Message] = {
     val groupId = seq + 1
     if (payload.length < maxPayloadSize) Vector(next(groupId, payload, more = false))
@@ -239,20 +290,21 @@ final class FragmentingProducer(
   * `emptyTrxLimit` consecutive empties (default 1000, kafka.go:322), so
   * progress keeps moving without spamming the sink.
   */
-final class TrxBatcher(emptyTrxLimit: Int = 1000) {
-  private val buf = mutable.ArrayBuffer.empty[Operation]
+class TypedTrxBatcher[T](opTypeOf: T => String, emptyTrxLimit: Int = 1000) {
+  private val buf = mutable.ArrayBuffer.empty[T]
   private var emptyTrxCount = 0
+  private var hasDml = false
 
   /** Feed one operation; returns a batch to produce, if any. */
-  def offer(op: Operation): Option[Vector[Operation]] = op.opType match {
+  def offer(op: T): Option[Vector[T]] = opTypeOf(op) match {
     case OpType.Begin | OpType.Gtid =>
       buf += op; None
-    case OpType.Insert | OpType.Update | OpType.Delete | OpType.Query =>
+    case OpType.Insert | OpType.Update | OpType.Delete =>
+      buf += op; hasDml = true; None
+    case OpType.Query =>
       buf += op; None
     case OpType.Commit =>
       buf += op
-      val hasDml = buf.exists(o =>
-        o.opType == OpType.Insert || o.opType == OpType.Update || o.opType == OpType.Delete)
       if (hasDml) { emptyTrxCount = 0; flush() }
       else {
         emptyTrxCount += 1
@@ -265,7 +317,8 @@ final class TrxBatcher(emptyTrxLimit: Int = 1000) {
       buf += op; None
   }
 
-  def flush(): Option[Vector[Operation]] = {
+  def flush(): Option[Vector[T]] = {
+    hasDml = false
     if (buf.isEmpty) None
     else {
       val out = buf.toVector
@@ -277,6 +330,9 @@ final class TrxBatcher(emptyTrxLimit: Int = 1000) {
   def pendingCount: Int = buf.size
   def consecutiveEmptyTrx: Int = emptyTrxCount
 }
+
+final class TrxBatcher(emptyTrxLimit: Int = 1000)
+  extends TypedTrxBatcher[Operation](_.opType, emptyTrxLimit)
 
 /** Consumer side: seq dedup + fragment reassembly + decode
   * (/root/reference/sink/kafka/client/go/decoder.go:146-266).

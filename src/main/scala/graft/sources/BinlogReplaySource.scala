@@ -54,7 +54,8 @@ class BinlogReplaySource extends TableProvider with DataSourceRegister {
     // option keys arrive case-insensitively (lower-cased by DSv2)
     val opts = new CaseInsensitiveStringMap(properties)
     new BinlogReplayTable(opts.get("path"),
-      Option(opts.get("maxEventsPerTrigger")).map(_.toLong))
+      Option(opts.get("maxEventsPerTrigger")).map(_.toLong),
+      Option(opts.get("maxEventsPerSlice")).map(_.toInt).getOrElse(65536))
   }
 }
 
@@ -78,12 +79,37 @@ object BinlogReplaySource {
   /** One threaded event, precomputed driver-side at fixture load. */
   final case class Ev(seqNo: Long, logName: String, json: String, op: Operation)
 
+  /** Per-JVM parsed-fixture cache, keyed by (path, size, mtime): the
+    * protocol-parse stage runs ONCE per file per JVM. Driver and executors
+    * each pay one parse; tasks ship only (path, index range), never the
+    * event data (a live source would ship (connection, offset range) the
+    * same way). Bounded: replay fixtures are small and test-scoped. */
+  private val evCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Vector[Ev]]()
+
   def load(path: String): Vector[Ev] = {
+    val p = Paths.get(path)
+    val key = (path, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    if (evCache.size > 8) evCache.clear() // crude cap; reload is cheap
+    evCache.computeIfAbsent(key, _ => doLoad(path))
+  }
+
+  private def doLoad(path: String): Vector[Ev] = {
     val lines = Files.readAllLines(Paths.get(path)).asScala.toVector
       .map(_.trim).filter(_.nonEmpty)
     ChangeStream.threadLogNames(lines.iterator.map(OperationJson.parse)).toVector
       .zip(lines)
       .map { case (env, line) => Ev(env.seqNo, env.logName, line, env.op) }
+  }
+
+  /** Contiguous index-range slices in seqNo order: partition i holds seqNos
+    * strictly below partition i+1's, so downstream narrow stages can restore
+    * TOTAL order by draining partitions in index order — no range shuffle,
+    * no sampling pass (W1 at scale). */
+  def sliceRanges(total: Int, maxPerSlice: Int): Array[(Int, Int)] = {
+    if (total == 0) Array((0, 0))
+    else (0 until total by math.max(1, maxPerSlice))
+      .map(s => (s, math.min(total, s + math.max(1, maxPerSlice)))).toArray
   }
 
   private def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
@@ -138,7 +164,7 @@ object BinlogReplaySource {
     Set("op_type", "server_id", "database", "table_name", "log_name")(a)
 }
 
-class BinlogReplayTable(path: String, maxPerTrigger: Option[Long])
+class BinlogReplayTable(path: String, maxPerTrigger: Option[Long], maxPerSlice: Int = 65536)
     extends Table with SupportsRead {
   require(path != null, "binlog-replay requires option 'path'")
   override def name(): String = s"binlog-replay($path)"
@@ -146,10 +172,10 @@ class BinlogReplayTable(path: String, maxPerTrigger: Option[Long])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BinlogReplayScanBuilder(path, maxPerTrigger)
+    new BinlogReplayScanBuilder(path, maxPerTrigger, maxPerSlice)
 }
 
-class BinlogReplayScanBuilder(path: String, maxPerTrigger: Option[Long])
+class BinlogReplayScanBuilder(path: String, maxPerTrigger: Option[Long], maxPerSlice: Int = 65536)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
@@ -169,26 +195,26 @@ class BinlogReplayScanBuilder(path: String, maxPerTrigger: Option[Long])
     // never materializes it
     required = requiredSchema
 
-  override def build(): Scan = new BinlogReplayScan(path, maxPerTrigger, pushed, required)
+  override def build(): Scan =
+    new BinlogReplayScan(path, maxPerTrigger, maxPerSlice, pushed, required)
 }
 
-class BinlogReplayScan(path: String, maxPerTrigger: Option[Long], pushed: Array[Filter],
-    required: StructType) extends Scan {
+class BinlogReplayScan(path: String, maxPerTrigger: Option[Long], maxPerSlice: Int,
+    pushed: Array[Filter], required: StructType) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"binlog-replay $path pushed=[${pushed.mkString(", ")}]"
 
   override def toBatch: Batch = new Batch {
-    private lazy val events = BinlogReplaySource.load(path)
     override def planInputPartitions(): Array[InputPartition] =
-      Array(ReplaySlice(events.filter(e => pushed.forall(BinlogReplaySource.eval(_, e)))
-        .map(e => (e.seqNo, e.logName, e.json))))
+      BinlogReplaySource.sliceRanges(BinlogReplaySource.load(path).size, maxPerSlice)
+        .map { case (s, e) => ReplaySlice(path, s, e): InputPartition }
     override def createReaderFactory(): PartitionReaderFactory =
-      new ReplayReaderFactory(required)
+      new ReplayReaderFactory(required, pushed)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BinlogReplayMicroBatchStream(path, maxPerTrigger, pushed, required)
+    new BinlogReplayMicroBatchStream(path, maxPerTrigger, maxPerSlice, pushed, required)
 }
 
 /** Offset = event index + the binlog position reached at that index
@@ -209,26 +235,26 @@ object ReplayOffset {
   val zero: ReplayOffset = ReplayOffset(0L, "", 0L, 0L)
 }
 
-/** A slice of threaded events shipped to the executor. A live source would
-  * ship (connection params, offset range) instead; for file replay the
-  * pre-threaded slice keeps the sequential protocol stage on the driver and
-  * the decode distributed. */
-final case class ReplaySlice(events: Vector[(Long, String, String)]) extends InputPartition
+/** An index-range slice of the threaded event file. Ships only coordinates —
+  * the executor materializes events from its per-JVM parsed cache. A live
+  * source would ship (connection params, offset range) the same way. */
+final case class ReplaySlice(path: String, start: Int, end: Int) extends InputPartition
 
-class ReplayReaderFactory(required: StructType) extends PartitionReaderFactory {
+class ReplayReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
   private val ordinals: Array[Int] =
     required.fieldNames.map(BinlogReplaySource.SCHEMA.fieldIndex)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val slice = partition.asInstanceOf[ReplaySlice]
     new PartitionReader[InternalRow] {
-      private val it = slice.events.iterator
+      private val it = BinlogReplaySource.load(slice.path)
+        .slice(slice.start, slice.end).iterator
+        .filter(ev => pushed.forall(BinlogReplaySource.eval(_, ev)))
       private var cur: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) {
-          val (seqNo, logName, json) = it.next()
-          val values = BinlogReplaySource.toValues(
-            BinlogReplaySource.Ev(seqNo, logName, json, OperationJson.parse(json)))
+          val values = BinlogReplaySource.toValues(it.next())
           cur = new GenericInternalRow(ordinals.map(values))
           true
         } else false
@@ -239,7 +265,7 @@ class ReplayReaderFactory(required: StructType) extends PartitionReaderFactory {
 }
 
 class BinlogReplayMicroBatchStream(path: String, maxPerTrigger: Option[Long],
-    pushed: Array[Filter], required: StructType) extends MicroBatchStream
+    maxPerSlice: Int, pushed: Array[Filter], required: StructType) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import BinlogReplaySource._
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
@@ -286,14 +312,12 @@ class BinlogReplayMicroBatchStream(path: String, maxPerTrigger: Option[Long],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ReplayOffset].eventIdx.toInt
     val e = end.asInstanceOf[ReplayOffset].eventIdx.toInt
-    val slice = events.slice(s, e)
-      .filter(ev => pushed.forall(eval(_, ev)))
-      .map(ev => (ev.seqNo, ev.logName, ev.json))
-    Array(ReplaySlice(slice))
+    sliceRanges(e - s, maxPerSlice)
+      .map { case (a, b) => ReplaySlice(path, s + a, s + b): InputPartition }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ReplayReaderFactory(required)
+    new ReplayReaderFactory(required, pushed)
 
   override def commit(end: Offset): Unit = () // file replay: nothing to ack
 

@@ -70,7 +70,33 @@ object WireProps extends Properties("Wire") {
         }
         Prop(out == ops) :| s"got ${out.size} ops, expected ${ops.size} (maxPayload=$maxPayload)"
       }
+
+    property(s"assembleOps ∘ encodeOp == encodeOps (parallel-encode contract) [$cname]") =
+      forAll(genOps) { ops =>
+        codec.assembleOps(ops.map(codec.encodeOp)).toSeq == codec.encodeOps(ops).toSeq
+      }
+
+    property(s"produceEncoded == produce, byte-for-byte [$cname]") =
+      forAll(genOps, Gen.chooseNum(64, 4096)) { (ops, maxPayload) =>
+        val p1 = new FragmentingProducer(7L, maxPayloadSize = maxPayload, codec = codec)
+        val p2 = new FragmentingProducer(7L, maxPayloadSize = maxPayload, codec = codec)
+        val m1 = p1.produce(ops).map(m => codec.encodeMessage(m).toSeq)
+        val m2 = p2.produceEncoded(ops.map(codec.encodeOp)).map(m => codec.encodeMessage(m).toSeq)
+        Prop(m1 == m2) :| s"${m1.size} vs ${m2.size} messages (maxPayload=$maxPayload)"
+      }
   }
+
+  property("TypedTrxBatcher over (opType, bytes) emits the same trx boundaries") =
+    forAll(genOps, Gen.chooseNum(1, 5)) { (ops, emptyLimit) =>
+      val b1 = new TrxBatcher(emptyLimit)
+      val b2 = new TypedTrxBatcher[(String, Array[Byte])](_._1, emptyLimit)
+      val out1 = ops.flatMap(op => b1.offer(op).toVector.flatten)
+      val out2 = ops.flatMap { op =>
+        b2.offer((op.opType, Wire.encodeOp(op))).toVector.flatten
+      }
+      Prop(out1.map(Wire.encodeOp(_).toSeq) == out2.map(_._2.toSeq)) :|
+        s"${out1.size} vs ${out2.size} batched ops (emptyLimit=$emptyLimit)"
+    }
 
   property("seq dedup: re-feeding every message changes nothing") =
     forAll(genOps) { ops =>
