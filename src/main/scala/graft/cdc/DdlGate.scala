@@ -16,7 +16,7 @@ package graft.cdc
   * means "stop consuming further batches until repaired" (park the
   * streaming query), exactly the reference's drain-then-block behavior.
   */
-final class DdlGate(val tracker: SchemaTracker) {
+final class DdlGate(val tracker: SchemaTracker, onPark: () => Unit = () => ()) {
 
   final case class FailedDdl(db: String, statement: String, error: String)
 
@@ -46,6 +46,7 @@ final class DdlGate(val tracker: SchemaTracker) {
       } catch {
         case e: Exception =>
           parkedDdl = Some(FailedDdl(db, statement, e.getMessage))
+          onPark() // metrics: failed_ddl_total
           false
       }
   }

@@ -45,7 +45,8 @@ object Replay {
   final case class ReplayStats(emitted: Long, dropped: Long, wireMessages: Long, checkpoint: String)
 
   def run(spark: SparkSession, fixture: Path, outDir: Path,
-      includes: Seq[String] = Nil, excludes: Seq[String] = Nil): ReplayStats = {
+      includes: Seq[String] = Nil, excludes: Seq[String] = Nil,
+      counters: graft.metrics.Counters = new graft.metrics.Counters): ReplayStats = {
     Files.createDirectories(outDir)
     val ckpMgr = new CkpManager(new FileCkpStorage(outDir.resolve("ckp")))
     // per-sink checkpoints (K4 mux: each sink dedups against its OWN
@@ -138,9 +139,9 @@ object Replay {
                 if (inWire) flags |= 2
                 if (op.progress.isDefined) flags |= 4
                 ww.writeByte(flags)
+                wstr(op.header.opType) // always present: drives A1 counters
                 if (inJson) { jw.write(OperationJson.render(op)); jw.write('\n') }
                 if (inWire) {
-                  wstr(op.header.opType)
                   val b = codec.encodeOp(op)
                   ww.writeInt(b.length); ww.write(b)
                 }
@@ -195,8 +196,15 @@ object Replay {
                     val flags = in.readByte()
                     val inJson = (flags & 1) != 0
                     if (inJson) emitted += 1
+                    val opType = rstr()
+                    opType match { // A1 counters
+                      case OpType.Commit => counters.trxTotal.inc()
+                      case OpType.Insert | OpType.Update | OpType.Delete =>
+                        counters.iudTotal.inc()
+                      case OpType.Ddl => counters.ddlTotal.inc()
+                      case _ => ()
+                    }
                     if ((flags & 2) != 0) {
-                      val opType = rstr()
                       val b = new Array[Byte](in.readInt()); in.readFully(b)
                       batcher.offer((opType, b)).foreach { trx =>
                         producer.produceEncoded(trx.map(_._2)).foreach { m =>
@@ -240,6 +248,9 @@ object Replay {
     query.stop()
 
     val finalCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
+    counters.opsEmittedTotal.add(emitted)
+    counters.opsDroppedTotal.add(totalInput - emitted)
+    counters.wireMessagesTotal.add(wireMessages)
     ReplayStats(emitted, totalInput - emitted, wireMessages, finalCkp.toString)
   }
 }
