@@ -884,5 +884,94 @@ object Tpch {
           ON p_retailprice >= lo AND p_retailprice < hi
         GROUP BY band ORDER BY band"""),
     ),
+
+    // ---- q40: TPC-H q21 shape — EXISTS + NOT EXISTS correlated on the ----
+    // ---- same fact table ("suppliers who kept orders waiting")        ----
+    // The oracle states it as the two correlated subqueries; the Spark plan
+    // is the decorrelation that survives 100 TB: ONE lineitem⋈orders join,
+    // per-(order, supplier) late-row counts, then per-order supplier/
+    // late-supplier counts as WINDOW aggregates over the orderkey clustering
+    // — every exchange past the join moves only the small per-(order,
+    // supplier) aggregate, the fact table is scanned once and never
+    // self-joined row-to-row. EXISTS/NOT-EXISTS becomes
+    // n_supp > 1 && n_late_supp == 1.
+    QueryDef(
+      "q40_waiting_suppliers",
+      (s, dir) => {
+        import s.implicits._
+        val lo = li(s, dir)
+          .join(ord(s, dir).filter($"o_orderstatus" === "F"),
+            $"l_orderkey" === $"o_orderkey")
+          .withColumn("late",
+            ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).cast("int"))
+        val perOS = lo.groupBy($"l_orderkey", $"l_suppkey")
+          .agg(sum($"late").as("late_rows"))
+        val w = Window.partitionBy($"l_orderkey")
+        perOS
+          .withColumn("n_supp", count(lit(1)).over(w))
+          .withColumn("n_late_supp", sum(($"late_rows" > 0).cast("int")).over(w))
+          .filter($"late_rows" > 0 && $"n_supp" > 1 && $"n_late_supp" === 1)
+          .join(broadcast(supp(s, dir)), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(nat(s, dir)), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name", $"s_name")
+          .agg(sum($"late_rows").as("numwait"))
+          .orderBy($"numwait".desc, $"n_name", $"s_name")
+          .limit(50)
+      },
+      Some("""
+        SELECT n_name, s_name, count(*) AS numwait
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY n_name, s_name
+        ORDER BY numwait DESC, n_name, s_name
+        LIMIT 50"""),
+    ),
+
+    // ---- q41: TPC-H q20 shape — IN-subquery wrapping a correlated ----
+    // ---- scalar-aggregate subquery ("dominant supplier of a part") ----
+    // The oracle nests sum-per-(supplier, part) HAVING > 0.2 * correlated
+    // per-part total; Spark decorrelates to ONE partkey/suppkey-shuffle
+    // aggregate, derives the per-part total by REGROUPING that aggregate
+    // (no second fact scan), joins the two on the same key, and semi-joins
+    // supplier. l_quantity values are integral doubles, so every sum is
+    // exact and the 0.2-share comparison is deterministic in both engines.
+    QueryDef(
+      "q41_dominant_supplier",
+      (s, dir) => {
+        import s.implicits._
+        val perPS = li(s, dir).groupBy($"l_partkey", $"l_suppkey")
+          .agg(sum($"l_quantity").as("ps_qty"))
+        val perP = perPS.groupBy($"l_partkey")
+          .agg(sum($"ps_qty").as("p_qty"))
+        val candidates = perPS.join(perP, "l_partkey")
+          .join(broadcast(part(s, dir).filter($"p_name".like("%a%"))),
+            $"p_partkey" === $"l_partkey")
+          .filter($"ps_qty" > lit(0.2) * $"p_qty")
+          .select($"l_suppkey").distinct()
+        supp(s, dir)
+          .join(candidates, $"s_suppkey" === $"l_suppkey", "left_semi")
+          .select($"s_name", $"s_acctbal")
+          .orderBy($"s_name")
+      },
+      Some("""
+        SELECT s_name, s_acctbal FROM supplier WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE '%a%'
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(l_quantity) > 0.2 * (SELECT sum(l2.l_quantity) FROM lineitem l2
+                                          WHERE l2.l_partkey = lineitem.l_partkey))
+        ORDER BY s_name"""),
+    ),
   )
 }
