@@ -1,0 +1,249 @@
+package graft.mysql
+
+import graft.cdc._
+import java.io.{InputStream, OutputStream}
+import java.net.Socket
+import scala.collection.mutable
+
+/** The live-source front door (S1/S2/S3): a MySQL replication client over
+  * raw streams — handshake/auth, COM_QUERY with text resultsets, the
+  * ROW-format precondition (S2, /root/reference/canal/canal.go:368-377),
+  * COM_REGISTER_SLAVE + COM_BINLOG_DUMP, the replication heartbeat (T8,
+  * master_heartbeat_period), and the event stream mapped to the same
+  * `Operation` model the replay source feeds (so everything downstream —
+  * filters, sinks, checkpoints — is source-agnostic).
+  *
+  * The transport is a pluggable stream pair: production wraps a Socket
+  * ([[BinlogClient.connect]]), specs drive the protocol with scripted
+  * conversations. Rows→Operation mapping resolves column names through the
+  * schema mirror (the binlog carries no names — exactly why the reference
+  * tracks schema, SURVEY §1.3).
+  */
+final class BinlogClient(in: InputStream, out: OutputStream, user: String, password: String) {
+
+  import Packets._
+
+  private var seq = 0
+  private def send(payload: Array[Byte]): Unit = { writePacket(out, seq, payload); seq += 1 }
+  private def recv(): Array[Byte] = {
+    val (s, p) = readPacket(in)
+    seq = s + 1
+    p
+  }
+  private def resetSeq(): Unit = seq = 0
+
+  /** Connection phase: greeting → HandshakeResponse41 → OK (or
+    * AuthSwitchRequest for mysql_native_password → scramble → OK). */
+  def connect(): Handshake.HandshakeV10 = {
+    val greeting = Handshake.parseHandshake(recv())
+    send(Handshake.response41(user, password, greeting.authPluginData))
+    var res = recv()
+    if ((res(0) & 0xff) == 0xfe && res.length > 5) {
+      // AuthSwitchRequest: plugin name NUL, fresh nonce
+      val r = new Reader(res); r.skip(1)
+      val plugin = r.nulString()
+      require(plugin == "mysql_native_password",
+        s"unsupported auth plugin switch: $plugin")
+      val nonce = r.restBytes().takeWhile(_ != 0)
+      send(Handshake.nativePasswordScramble(password, nonce))
+      res = recv()
+    }
+    Handshake.parseOkErr(res) match {
+      case Left(e) => throw new IllegalStateException(s"auth failed: ${e.code} ${e.message}")
+      case Right(_) => greeting
+    }
+  }
+
+  final case class ResultSet(columns: Vector[String], rows: Vector[Vector[Option[String]]]) {
+    def getString(row: Int, col: Int): Option[String] = rows(row)(col)
+  }
+
+  /** COM_QUERY with a text-protocol resultset (or OK for non-SELECT). */
+  def query(sql: String): Either[ResultSet, Handshake.Ok] = {
+    resetSeq()
+    send(new Writer().u8(COM_QUERY).eofStr(sql).result)
+    val first = recv()
+    (first(0) & 0xff) match {
+      case 0x00 | 0xff =>
+        Handshake.parseOkErr(first) match {
+          case Left(e) => throw new IllegalStateException(s"query failed: ${e.code} ${e.message}")
+          case Right(ok) => Right(ok)
+        }
+      case _ =>
+        val nCols = new Reader(first).lenenc().toInt
+        val cols = Vector.fill(nCols) {
+          val r = new Reader(recv())
+          // ColumnDefinition41: catalog, schema, table, org_table, name, ...
+          r.lenencString(); r.lenencString(); r.lenencString(); r.lenencString()
+          r.lenencString()
+        }
+        skipEof() // EOF after column definitions
+        val rows = Vector.newBuilder[Vector[Option[String]]]
+        var done = false
+        while (!done) {
+          val p = recv()
+          if (((p(0) & 0xff) == 0xfe && p.length < 9) || (p(0) & 0xff) == 0xff) done = true
+          else {
+            val r = new Reader(p)
+            rows += Vector.fill(nCols)(r.lenencStringOpt())
+          }
+        }
+        Left(ResultSet(cols, rows.result()))
+    }
+  }
+
+  private def skipEof(): Unit = { recv(); () }
+
+  /** S2 — the ROW-format precondition (canal.go:368-377): refuse to stream
+    * unless the server logs row images. */
+  def checkBinlogRowFormat(): Either[String, Unit] =
+    query("""SHOW GLOBAL VARIABLES LIKE "binlog_format";""") match {
+      case Left(rs) if rs.rows.nonEmpty =>
+        rs.getString(0, 1) match {
+          case Some("ROW") => Right(())
+          case other => Left(s"binlog must be ROW format, but ${other.getOrElse("unknown")} now")
+        }
+      case _ => Left("could not read binlog_format variable")
+    }
+
+  /** T8 — replication heartbeat: the master emits HEARTBEAT events when
+    * idle longer than this period, keeping the connection verifiably
+    * alive. Set BEFORE requesting the dump (value is nanoseconds). */
+  def setHeartbeatPeriod(seconds: Double): Unit =
+    query(s"SET @master_heartbeat_period = ${(seconds * 1e9).toLong};") match {
+      case Right(_) => ()
+      case Left(_) => throw new IllegalStateException("expected OK for SET heartbeat")
+    }
+
+  def registerSlave(serverId: Long, host: String = "", port: Int = 0): Unit = {
+    resetSeq()
+    val w = new Writer().u8(COM_REGISTER_SLAVE).u32(serverId)
+    w.u8(host.length); w.eofStr(host)
+    w.u8(0) // user
+    w.u8(0) // password
+    w.u16(port); w.u32(0); w.u32(0)
+    send(w.result)
+    Handshake.parseOkErr(recv()) match {
+      case Left(e) => throw new IllegalStateException(s"register slave failed: ${e.message}")
+      case Right(_) => ()
+    }
+  }
+
+  /** COM_BINLOG_DUMP from (file, pos): the replication stream. Each packet
+    * is 0x00 ++ event; CRC32 checksums (announced by the FDE) are stripped
+    * before parsing; TABLE_MAP registrations accumulate for rows decode. */
+  def dump(fileName: String, position: Long, serverId: Long):
+      Iterator[(BinlogEvents.EventHeader, BinlogEvents.Event)] = {
+    resetSeq()
+    send(new Writer().u8(COM_BINLOG_DUMP).u32(position).u16(0).u32(serverId)
+      .eofStr(fileName).result)
+    val tables = mutable.Map.empty[Long, BinlogEvents.TableMap]
+    var checksummed = false
+    new Iterator[(BinlogEvents.EventHeader, BinlogEvents.Event)] {
+      private var nextEv: (BinlogEvents.EventHeader, BinlogEvents.Event) = _
+      private var eof = false
+      private def advance(): Unit = {
+        nextEv = null
+        while (nextEv == null && !eof) {
+          val p = try recv() catch { case _: java.io.EOFException => eof = true; null }
+          if (p != null) (p(0) & 0xff) match {
+            case 0x00 =>
+              val body =
+                if (checksummed) java.util.Arrays.copyOfRange(p, 1, p.length - 4)
+                else java.util.Arrays.copyOfRange(p, 1, p.length)
+              val r = new Reader(body)
+              val header = BinlogEvents.parseHeader(r)
+              val ev = BinlogEvents.parseEvent(header, r, tables)
+              ev match {
+                case fd: BinlogEvents.FormatDescription =>
+                  checksummed = fd.checksumAlg == 1
+                case tm: BinlogEvents.TableMap => tables(tm.tableId) = tm
+                case _ => ()
+              }
+              nextEv = (header, ev)
+            case 0xfe => eof = true // server EOF
+            case 0xff =>
+              val e = Handshake.parseOkErr(p).swap.getOrElse(
+                Handshake.Err(0, "", "unknown"))
+              throw new IllegalStateException(s"dump error: ${e.code} ${e.message}")
+          }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextEv != null
+      override def next(): (BinlogEvents.EventHeader, BinlogEvents.Event) = {
+        val v = nextEv; advance(); v
+      }
+    }
+  }
+}
+
+object BinlogClient {
+  /** Production entry: TCP socket transport. Fixture-driven tests construct
+    * the class directly with scripted streams. */
+  def connect(host: String, port: Int, user: String, password: String): BinlogClient = {
+    val sock = new Socket(host, port)
+    sock.setTcpNoDelay(true)
+    new BinlogClient(sock.getInputStream, sock.getOutputStream, user, password)
+  }
+}
+
+/** Binlog events → the `Operation` model (the exact stream the replay
+  * source feeds — /root/reference/canal/sync.go:84-225 event switch).
+  * Column NAMES come from the schema mirror: the binlog's TABLE_MAP carries
+  * only type codes, so rows decode consults `schemaLookup` (SchemaTracker)
+  * and falls back to positional names. Statement events route through the
+  * normalizer downstream; this mapper only classifies BEGIN vs DDL. */
+final class BinlogToOps(schemaLookup: (String, String) => Option[TableDef]) {
+  import BinlogEvents._
+
+  private var gtidPending: Option[String] = None
+
+  def toOperation(header: EventHeader, ev: Event): Option[Operation] = {
+    def h(opType: String) =
+      OperationHeader(header.serverId, opType, header.timestamp, header.logPos)
+    ev match {
+      case Rotate(pos, next) =>
+        Some(Operation(h(OpType.Rotate), nextLogName = Some(next), nextLogPos = Some(pos)))
+      case Query(_, schema, q) if q.trim.equalsIgnoreCase("BEGIN") =>
+        Some(Operation(h(OpType.Begin), gtid = consumeGtid(), database = Some(schema)))
+      case Query(_, schema, q) =>
+        Some(Operation(h(OpType.Ddl), gtid = consumeGtid(),
+          database = Some(schema), statement = Some(q)))
+      case Xid(_) =>
+        Some(Operation(h(OpType.Commit)))
+      case Gtid(uuid, gno) =>
+        gtidPending = Some(s"$uuid:$gno")
+        Some(Operation(h(OpType.Gtid), gtid = gtidPending))
+      case _: Rows =>
+        None // handled by toRowsOperation (needs the client's TableMap)
+      case _: Heartbeat => None // T8 keepalive: no operation, stream is alive
+      case _: FormatDescription | _: TableMap | _: Unsupported => None
+    }
+  }
+
+  /** Rows events carry the TableMap explicitly (the client's registry). */
+  def toRowsOperation(header: EventHeader, rows: Rows, tm: TableMap): Operation = {
+    val opType = rows.kind match {
+      case "insert" => OpType.Insert
+      case "update" => OpType.Update
+      case _ => OpType.Delete
+    }
+    val tdef = schemaLookup(tm.schema, tm.table).getOrElse(
+      TableDef(tm.schema, tm.table,
+        tm.columnTypes.zipWithIndex.map { case (t, i) =>
+          ColumnDef(s"col_$i", s"type_$t", t)
+        }.toVector, "utf8"))
+    Operation(
+      OperationHeader(header.serverId, opType, header.timestamp, header.logPos),
+      gtid = consumeGtid(),
+      table = Some(tdef),
+      rows = rows.rows.map { case (b, a) => OpRow(b, a) })
+  }
+
+  private def consumeGtid(): Option[String] = {
+    val g = gtidPending
+    gtidPending = None
+    g
+  }
+}
