@@ -1,0 +1,215 @@
+package graft.sources
+
+import graft.cdc._
+import graft.mysql.{BinlogClient, BinlogEvents, BinlogToOps}
+import graft.streaming.OperationJson
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.collection.mutable
+
+/** S1, live: the socket client wired into the SAME DSv2 offset/envelope
+  * model as the replay source (the reference's syncer loop,
+  * /root/reference/canal/sync.go:69-225, expressed as: ONE sequential
+  * protocol thread on the driver feeding a bounded buffer; micro-batches
+  * slice the buffer; executors decode/render the generic envelope).
+  *
+  * Startup mirrors the reference's order: connect → ROW-format
+  * precondition (S2) → heartbeat period (T8) → register slave → dump.
+  * Committed offsets trim the buffer prefix, so memory is bounded by
+  * (uncommitted window) — the same admission story as the replay source's
+  * maxEventsPerTrigger.
+  *
+  * `spark.readStream.format("binlog-live").option("host", …)` for
+  * production; specs drive [[LiveBinlogFeed]] and the stream directly with
+  * scripted conversations (no live server in CI).
+  */
+final class LiveBinlogFeed(
+    client: BinlogClient,
+    serverId: Long,
+    startFile: String,
+    startPos: Long,
+    schemaLookup: (String, String) => Option[TableDef],
+    heartbeatPeriodSec: Double = 30.0) {
+
+  import BinlogReplaySource.Ev
+
+  private val buf = mutable.ArrayBuffer.empty[Ev]
+  private var base = 0L // absolute index of buf(0) (committed prefix trimmed)
+  @volatile private var failureOpt: Option[Throwable] = None
+  private val mapper = new BinlogToOps(schemaLookup)
+  private val tablesSeen = mutable.Map.empty[Long, BinlogEvents.TableMap]
+  private var logName = startFile
+  private var seq = 0L
+
+  def failure: Option[Throwable] = failureOpt
+
+  /** Absolute high-watermark (event count ingested so far). */
+  def watermark: Long = synchronized(base + buf.size)
+
+  /** Events in [from, until) by absolute index. */
+  def slice(from: Long, until: Long): Vector[Ev] = synchronized {
+    buf.slice((from - base).toInt, (until - base).toInt).toVector
+  }
+
+  def positionAt(idx: Long): Option[Ev] = synchronized {
+    val i = (idx - 1 - base).toInt
+    if (i >= 0 && i < buf.size) Some(buf(i)) else None
+  }
+
+  /** Drop the committed prefix (micro-batch commit). */
+  def trimTo(idx: Long): Unit = synchronized {
+    val drop = (idx - base).toInt
+    if (drop > 0) { buf.remove(0, math.min(drop, buf.size)); base += math.min(drop, buf.size) }
+  }
+
+  def start(): LiveBinlogFeed = {
+    val t = new Thread(() => run(), "binlog-live-feed")
+    t.setDaemon(true)
+    t.start()
+    this
+  }
+
+  /** The sequential protocol loop (runs on the feed thread; also callable
+    * synchronously in tests with a finite scripted stream). */
+  def run(): Unit =
+    try {
+      client.connect()
+      client.checkBinlogRowFormat() match { // S2 precondition
+        case Left(reason) => throw new IllegalStateException(reason)
+        case Right(()) => ()
+      }
+      client.setHeartbeatPeriod(heartbeatPeriodSec) // T8
+      client.registerSlave(serverId)
+      client.dump(startFile, startPos, serverId).foreach { case (h, ev) =>
+        val ops: Seq[Operation] = ev match {
+          case r: BinlogEvents.Rows =>
+            val tm = tablesSeen.getOrElse(r.tableId,
+              throw new IllegalStateException(s"rows for unmapped table ${r.tableId}"))
+            Seq(mapper.toRowsOperation(h, r, tm))
+          case tm: BinlogEvents.TableMap =>
+            tablesSeen(tm.tableId) = tm
+            Nil
+          case other => mapper.toOperation(h, other).toSeq
+        }
+        ops.foreach { op =>
+          if (op.opType == OpType.Rotate) logName = op.nextLogName.getOrElse(logName)
+          seq += 1
+          val e = Ev(seq, logName, OperationJson.render(op), op)
+          synchronized { buf += e }
+        }
+      }
+    } catch { case e: Throwable => failureOpt = Some(e) }
+}
+
+class BinlogLiveSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "binlog-live"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BinlogReplaySource.SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new LiveBinlogTable(opts)
+  }
+}
+
+class LiveBinlogTable(opts: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  require(opts.get("host") != null, "binlog-live requires option 'host'")
+  override def name(): String = s"binlog-live(${opts.get("host")}:${opts.get("port")})"
+  override def schema(): StructType = BinlogReplaySource.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = BinlogReplaySource.SCHEMA
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+        val client = BinlogClient.connect(opts.get("host"),
+          Option(opts.get("port")).map(_.toInt).getOrElse(3306),
+          opts.get("user"), Option(opts.get("password")).getOrElse(""))
+        val feed = new LiveBinlogFeed(client,
+          Option(opts.get("serverId")).map(_.toLong).getOrElse(1001L),
+          Option(opts.get("startFile")).getOrElse(""),
+          Option(opts.get("startPos")).map(_.toLong).getOrElse(4L),
+          (_, _) => None).start()
+        new LiveBinlogMicroBatchStream(feed,
+          Option(opts.get("maxEventsPerTrigger")).map(_.toLong))
+      }
+    }
+}
+
+/** Offsets reuse [[ReplayOffset]] — the (event_idx, file, pos, server_id)
+  * axis a restart resumes from. */
+class LiveBinlogMicroBatchStream(feed: LiveBinlogFeed, maxPerTrigger: Option[Long])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+
+  private def offsetAt(idx: Long): ReplayOffset =
+    if (idx <= 0) ReplayOffset.zero
+    else feed.positionAt(idx) match {
+      case Some(e) => ReplayOffset(idx, e.logName, e.op.header.logPos, e.op.header.serverId)
+      case None => ReplayOffset(idx, "", 0L, 0L) // trimmed: identity only
+    }
+
+  override def initialOffset(): Offset = ReplayOffset.zero
+  override def latestOffset(): Offset = {
+    feed.failure.foreach(e => throw new IllegalStateException("binlog feed failed", e))
+    offsetAt(feed.watermark)
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    feed.failure.foreach(e => throw new IllegalStateException("binlog feed failed", e))
+    val s = start.asInstanceOf[ReplayOffset].eventIdx
+    limit match {
+      case mr: ReadMaxRows => offsetAt(math.min(feed.watermark, s + mr.maxRows))
+      case _ => offsetAt(feed.watermark)
+    }
+  }
+  override def deserializeOffset(json: String): Offset = ReplayOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ReplayOffset].eventIdx
+    val e = end.asInstanceOf[ReplayOffset].eventIdx
+    // the feed buffer lives on the driver: ship the slice (a live stream
+    // has no executor-side replayable store; this IS the handoff point)
+    Array(LiveSlice(feed.slice(s, e).map(ev => (ev.seqNo, ev.logName, ev.json))))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LiveReaderFactory(BinlogReplaySource.SCHEMA)
+  override def commit(end: Offset): Unit =
+    feed.trimTo(end.asInstanceOf[ReplayOffset].eventIdx)
+  override def stop(): Unit = ()
+}
+
+final case class LiveSlice(events: Vector[(Long, String, String)]) extends InputPartition
+
+class LiveReaderFactory(required: StructType) extends PartitionReaderFactory {
+  private val ordinals: Array[Int] =
+    required.fieldNames.map(BinlogReplaySource.SCHEMA.fieldIndex)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[LiveSlice]
+    new PartitionReader[InternalRow] {
+      private val it = slice.events.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val (seqNo, logName, json) = it.next()
+          val values = BinlogReplaySource.toValues(
+            BinlogReplaySource.Ev(seqNo, logName, json, OperationJson.parse(json)))
+          cur = new GenericInternalRow(ordinals.map(values))
+          true
+        } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

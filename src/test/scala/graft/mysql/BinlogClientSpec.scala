@@ -3,7 +3,6 @@ package graft.mysql
 import graft.cdc._
 import org.scalatest.funsuite.AnyFunSuite
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 
@@ -15,86 +14,7 @@ import java.security.MessageDigest
   * (ROW-format check), canal/sync.go:84-225 (event switch). */
 class BinlogClientSpec extends AnyFunSuite {
 
-  // ---------- script builders ----------
-
-  private def frame(seq: Int, payload: Array[Byte]): Array[Byte] =
-    Array[Byte](
-      (payload.length & 0xff).toByte,
-      ((payload.length >> 8) & 0xff).toByte,
-      ((payload.length >> 16) & 0xff).toByte,
-      seq.toByte) ++ payload
-
-  private val nonce1 = (1 to 8).map(_.toByte).toArray
-  private val nonce2 = (9 to 20).map(_.toByte).toArray
-  private val nonce = nonce1 ++ nonce2
-
-  /** Protocol::HandshakeV10, as documented. */
-  private def greeting: Array[Byte] = {
-    val w = new Packets.Writer
-    w.u8(10)
-    w.nulStr("8.0.99-test")
-    w.u32(42) // thread id
-    w.raw(nonce1)
-    w.u8(0) // filler
-    w.u16(0x8200 | 0x0002) // caps low: PROTOCOL_41 | SECURE_CONNECTION (0x8000+0x200)
-    w.u8(33) // charset
-    w.u16(2) // status
-    w.u16(0x0008) // caps high: PLUGIN_AUTH (0x00080000 >> 16)
-    w.u8(21) // auth data len (8 + 12 + NUL)
-    w.zeros(10)
-    w.raw(nonce2); w.u8(0)
-    w.nulStr("mysql_native_password")
-    w.result
-  }
-
-  private def okPacket: Array[Byte] =
-    new Packets.Writer().u8(0).u8(0).u8(0).u16(2).u16(0).result
-
-  private def eofPacket: Array[Byte] =
-    new Packets.Writer().u8(0xfe).u16(0).u16(2).result
-
-  private def colDef(name: String): Array[Byte] = {
-    val w = new Packets.Writer
-    def ls(s: String): Unit = { w.lenenc(s.getBytes(UTF_8).length.toLong); w.eofStr(s) }
-    ls("def"); ls(""); ls(""); ls(""); ls(name)
-    ls(name); w.u8(0x0c); w.u16(33); w.u32(255); w.u8(253); w.u16(0); w.u8(0); w.u16(0)
-    w.result
-  }
-
-  private def textRow(values: Option[String]*): Array[Byte] = {
-    val w = new Packets.Writer
-    values.foreach {
-      case Some(s) => w.lenenc(s.getBytes(UTF_8).length.toLong); w.eofStr(s)
-      case None => w.u8(0xfb)
-    }
-    w.result
-  }
-
-  /** One binlog stream packet: 0x00 ++ 19-byte header ++ payload [++ crc]. */
-  private def eventPacket(tpe: Int, logPos: Long, payload: Array[Byte],
-      crc: Boolean, timestamp: Long = 1546300800L, serverId: Long = 77L): Array[Byte] = {
-    val size = 19 + payload.length + (if (crc) 4 else 0)
-    val w = new Packets.Writer
-    w.u8(0) // network stream OK byte
-    w.u32(timestamp); w.u8(tpe); w.u32(serverId); w.u32(size); w.u32(logPos); w.u16(0)
-    w.raw(payload)
-    if (crc) w.u32(0xdeadbeefL) // CRC value itself is not verified
-    w.result
-  }
-
-  private def fdePayload(alg: Int): Array[Byte] = {
-    val w = new Packets.Writer
-    w.u16(4)
-    val sv = "8.0.99-test".getBytes(UTF_8)
-    w.raw(sv); w.zeros(50 - sv.length)
-    w.u32(0); w.u8(19)
-    w.zeros(39) // post-header length table (content irrelevant here)
-    w.u8(alg)
-    w.result // the +4 crc is appended by eventPacket
-  }
-
-  private def script(packets: Array[Byte]*): (ByteArrayInputStream, ByteArrayOutputStream) =
-    (new ByteArrayInputStream(packets.flatten.toArray), new ByteArrayOutputStream())
+  import MysqlScript._
 
   // ---------- connection phase ----------
 
@@ -141,12 +61,7 @@ class BinlogClientSpec extends AnyFunSuite {
   // ---------- COM_QUERY / S2 ----------
 
   private def variablesConversation(value: String) = script(
-    frame(0, greeting), frame(2, okPacket),
-    frame(1, new Packets.Writer().lenenc(2L).result),
-    frame(2, colDef("Variable_name")), frame(3, colDef("Value")),
-    frame(4, eofPacket),
-    frame(5, textRow(Some("binlog_format"), Some(value))),
-    frame(6, eofPacket))
+    (Seq(frame(0, greeting), frame(2, okPacket)) ++ binlogFormatResult(value)): _*)
 
   test("S2: ROW-format precondition accepts ROW") {
     val (in, out) = variablesConversation("ROW")

@@ -1,0 +1,127 @@
+package graft.sources
+
+import graft.cdc._
+import graft.mysql.{BinlogClient, BinlogEvents, MysqlScript, Packets}
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The live source wired end-to-end over a scripted conversation: the feed
+  * runs the reference's startup order (connect → ROW check → heartbeat →
+  * register → dump — canal.go prepare + sync.go loop), buffers threaded
+  * envelopes, and the DSv2 stream slices it with Progress offsets; commit
+  * trims the buffer. No live server — the transport is the scripted byte
+  * stream, which is exactly what the socket would carry. */
+class BinlogLiveSourceSpec extends AnyFunSuite {
+
+  import BinlogEvents._
+  import MysqlScript._
+
+  private def tableMapPayload: Array[Byte] = {
+    val w = new Packets.Writer
+    w.raw(Array[Byte](9, 0, 0, 0, 0, 0)); w.u16(1)
+    w.u8(4); w.eofStr("shop"); w.u8(0)
+    w.u8(6); w.eofStr("orders"); w.u8(0)
+    w.lenenc(2L)
+    w.u8(3); w.u8(15) // LONG, VARCHAR
+    w.lenenc(2L); w.u16(100)
+    w.u8(0x03)
+    w.result
+  }
+
+  private def writeRowsPayload: Array[Byte] = {
+    val w = new Packets.Writer
+    w.raw(Array[Byte](9, 0, 0, 0, 0, 0)); w.u16(1)
+    w.u16(2)
+    w.lenenc(2L)
+    w.u8(0x03)
+    w.u8(0x00); w.u32(7); w.u8(2); w.eofStr("ok")
+    w.result
+  }
+
+  private def beginPayload: Array[Byte] = {
+    val w = new Packets.Writer
+    w.u32(11); w.u32(0); w.u8(4); w.u16(0); w.u16(0)
+    w.eofStr("shop"); w.u8(0); w.eofStr("BEGIN")
+    w.result
+  }
+
+  private def conversation = script(
+    (Seq(frame(0, greeting), frame(2, okPacket)) ++ // connect
+      binlogFormatResult("ROW") ++ // S2
+      Seq(
+        frame(1, okPacket), // SET heartbeat
+        frame(1, okPacket), // register slave
+        frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 1), crc = true)),
+        frame(2, eventPacket(ROTATE_EVENT, 0,
+          new Packets.Writer().u64(4L).eofStr("mysql-bin.000099").result,
+          crc = true, timestamp = 0)),
+        frame(3, eventPacket(QUERY_EVENT, 260, beginPayload, crc = true)),
+        frame(4, eventPacket(TABLE_MAP_EVENT, 320, tableMapPayload, crc = true)),
+        frame(5, eventPacket(WRITE_ROWS_V2, 400, writeRowsPayload, crc = true)),
+        frame(6, eventPacket(XID_EVENT, 440,
+          new Packets.Writer().u64(777L).result, crc = true)),
+        frame(7, eofPacket))): _*)
+
+  private def newFeed: LiveBinlogFeed = {
+    val (in, out) = conversation
+    val tracker = new SchemaTracker
+    tracker.execDdl("CREATE DATABASE shop", "")
+    tracker.execDdl("CREATE TABLE orders (id INT, name VARCHAR(100))", "shop")
+    new LiveBinlogFeed(new BinlogClient(in, out, "repl", "secret"),
+      serverId = 1001, startFile = "mysql-bin.000099", startPos = 4,
+      schemaLookup = tracker.getTableDef(_, _))
+  }
+
+  test("feed runs the reference startup order and buffers threaded envelopes") {
+    val feed = newFeed
+    feed.run() // synchronous: the scripted stream is finite
+    assert(feed.failure.isEmpty)
+    assert(feed.watermark == 4) // rotate, begin, insert, commit
+    val evs = feed.slice(0, 4)
+    assert(evs.map(_.op.opType) ==
+      Vector(OpType.Rotate, OpType.Begin, OpType.Insert, OpType.Commit))
+    assert(evs.map(_.seqNo) == Vector(1L, 2L, 3L, 4L))
+    assert(evs.forall(_.logName == "mysql-bin.000099"))
+    val ins = evs(2).op
+    assert(ins.table.get.columns.map(_.name) == Vector("id", "name"))
+    assert(ins.rows == Vector(OpRow(None, Some(Vector(Some("7"), Some("ok"))))))
+  }
+
+  test("S2 gate: a STATEMENT-format server fails the feed") {
+    val (in, out) = script(
+      (Seq(frame(0, greeting), frame(2, okPacket)) ++
+        binlogFormatResult("STATEMENT")): _*)
+    val feed = new LiveBinlogFeed(new BinlogClient(in, out, "repl", "secret"),
+      1001, "mysql-bin.000099", 4, (_, _) => None)
+    feed.run()
+    assert(feed.failure.exists(_.getMessage.contains("binlog must be ROW format")))
+  }
+
+  test("micro-batch stream slices the buffer with Progress offsets; commit trims") {
+    val feed = newFeed
+    feed.run()
+    val stream = new LiveBinlogMicroBatchStream(feed, maxPerTrigger = Some(2))
+
+    val o1 = stream.latestOffset(ReplayOffset.zero, ReadLimit.maxRows(2))
+      .asInstanceOf[ReplayOffset]
+    assert(o1.eventIdx == 2)
+    assert(o1.logName == "mysql-bin.000099")
+    val parts = stream.planInputPartitions(ReplayOffset.zero, o1)
+    assert(parts.length == 1)
+    val reader = stream.createReaderFactory().createReader(parts(0))
+    val rows = Iterator.continually(reader)
+      .takeWhile(_.next()).map(_.get().copy()).toVector
+    assert(rows.size == 2)
+    assert(rows.map(_.getLong(0)) == Vector(1L, 2L)) // seq_no column
+    assert(rows.map(_.getUTF8String(3).toString) == Vector("rotate", "begin"))
+
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable()).asInstanceOf[ReplayOffset]
+    assert(o2.eventIdx == 4)
+
+    stream.commit(o1)
+    assert(feed.slice(2, 4).size == 2) // tail intact after trim
+    assert(feed.watermark == 4)
+  }
+}
