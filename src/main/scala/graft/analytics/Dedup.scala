@@ -152,8 +152,18 @@ object Dedup {
         import s.implicits._
         val sh = shingleIndex(s, dir)
         val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val shared = sh.as("a")
-          .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        // Stop-shingle cap (prefix-filtering heuristic): shingles appearing
+        // in more than 128 documents generate no candidates — boilerplate
+        // n-grams carry no near-dup signal at 0.8 Jaccard, and the cap
+        // bounds the inverted-index self-join at |docs|·128 pairs instead
+        // of quadratic blowup on hot shingles. At test SF max DF is 7, so
+        // the cap is semantically inert here; at 100 TB it is the
+        // difference between a linear candidate join and a stalled stage.
+        // d03 (MinHash+LSH) remains the principled scale path.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"s")
+        val capped = sh.withColumn("df", count(lit(1)).over(w)).filter($"df" <= 128)
+        val shared = capped.as("a")
+          .join(capped.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
           .agg(count(lit(1)).as("shared"))
         shared
@@ -167,9 +177,13 @@ object Dedup {
       Some(s"""
         WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        capped AS (
+          SELECT doc_id, s FROM (
+            SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh) x
+          WHERE df <= 128),
         shared AS (
           SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id)
         SELECT i, j, shared,
                CAST(shared AS DOUBLE)/(ci.n + cj.n - shared) AS jaccard
@@ -304,6 +318,40 @@ object Dedup {
         SELECT DISTINCT i, j, CAST(hamming AS BIGINT) AS hamming
         FROM cands WHERE hamming <= 3
         ORDER BY i, j"""),
+    ),
+
+    // ---- d07: benchmark decontamination (n-gram overlap vs a held-out ----
+    // ---- set — the GPT-3-style 13-gram check, here 3-gram at test SF) ----
+    // The benchmark side (doc_id % 97 == 0, a deterministic sample of the
+    // same table so the oracle sees identical input) is SMALL by
+    // construction — exactly the real-world shape (eval suites are tiny vs
+    // a 100 TB corpus). The plan broadcasts the benchmark shingle index and
+    // streams the corpus once through a broadcast hash join: linear in
+    // corpus shingles, no corpus self-join, no shuffle of the big side.
+    // Reuses the shared persisted shingle index (d02/d03).
+    QueryDef(
+      "d07_decontamination",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingleIndex(s, dir)
+        val bench = sh.filter($"doc_id" % 97 === 0)
+          .select($"s", $"doc_id".as("bench_id"))
+        val corpus = sh.filter($"doc_id" % 97 =!= 0)
+        corpus.join(broadcast(bench), "s")
+          .groupBy($"doc_id", $"bench_id")
+          .agg(count(lit(1)).as("overlap")) // shingles are distinct per doc
+          .filter($"overlap" >= 3)
+          .orderBy($"doc_id", $"bench_id")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
+        bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+        corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+        SELECT c.doc_id, b.bench_id, COUNT(*) AS overlap
+        FROM corpus c JOIN bench b USING (s)
+        GROUP BY c.doc_id, b.bench_id
+        HAVING COUNT(*) >= 3
+        ORDER BY doc_id, bench_id"""),
     ),
   )
 }
