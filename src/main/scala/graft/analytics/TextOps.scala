@@ -248,6 +248,57 @@ object TextOps {
                  / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS chars_per_piece
         FROM documents ORDER BY doc_id"""),
     ),
+
+    // ---- t09: repetition signals (Gopher-style quality filters: ----
+    // ---- top-bigram share, duplicate bi/tri-gram occurrence counts) ----
+    // All outputs are exact integer counts (numerators/denominators), so
+    // the hash compare needs no float discipline; downstream ratios are
+    // the consumer's division. One tagged union keeps both n-gram lengths
+    // in ONE (doc_id, n, gram) shuffle; the per-doc regroup moves only the
+    // small aggregate. N-gram lists come from the native codegen
+    // expression, not interpreted HOF lambdas.
+    QueryDef(
+      "t09_repetition",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+          .withColumn("tk", toks($"text"))
+        val grams = d
+          .select($"doc_id", lit(2).as("n"),
+            explode(graft.functions.Shingles.ngrams(2)($"tk")).as("g"))
+          .unionByName(d.select($"doc_id", lit(3).as("n"),
+            explode(graft.functions.Shingles.ngrams(3)($"tk")).as("g")))
+        grams.groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(
+            max(when($"n" === 2, $"c")).as("top2_cnt"),
+            sum(when($"n" === 2, $"c" - 1)).as("dup2_cnt"),
+            sum(when($"n" === 2, $"c")).as("n2"),
+            sum(when($"n" === 3, $"c" - 1)).as("dup3_cnt"),
+            sum(when($"n" === 3, $"c")).as("n3"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH tks AS (SELECT doc_id, $TOKS_SQL AS tk FROM documents),
+        grams AS (
+          SELECT doc_id, 2 AS n,
+                 unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tks
+          UNION ALL
+          SELECT doc_id, 3 AS n,
+                 unnest(list_transform(range(1, len(tk)-1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+          FROM tks),
+        cnt AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g)
+        SELECT doc_id,
+               MAX(CASE WHEN n=2 THEN c END) AS top2_cnt,
+               CAST(SUM(CASE WHEN n=2 THEN c-1 END) AS BIGINT) AS dup2_cnt,
+               CAST(SUM(CASE WHEN n=2 THEN c END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN n=3 THEN c-1 END) AS BIGINT) AS dup3_cnt,
+               CAST(SUM(CASE WHEN n=3 THEN c END) AS BIGINT) AS n3
+        FROM cnt GROUP BY doc_id ORDER BY doc_id"""),
+    ),
   )
 
 }
