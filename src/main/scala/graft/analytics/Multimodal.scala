@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
 object Multimodal {
   import Tables.t
 
+  /** m05 band k: sum of region bits 16k..16k+15, shifted into a 16-bit
+    * band value (0 when the payload has no frames in the band). */
+  private def bandBit(k: Int) = {
+    import org.apache.spark.sql.Column
+    val c: Column = coalesce(sum(when(
+      col("frame_idx") >= k * 16 && col("frame_idx") < (k + 1) * 16,
+      expr(s"shiftleft(bit, CAST(frame_idx - ${k * 16} AS INT))"))), lit(0L))
+    c.as(s"b$k")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---- m01: binary ingest + typed metadata + fake decode ----
     QueryDef(
@@ -149,6 +159,65 @@ object Multimodal {
                    i -> ascii(substr(text, CAST(i+1 AS INT), 1)))) AS DOUBLE)
                  / length(text) AS mean_byte
         FROM documents ORDER BY doc_id"""),
+    ),
+
+    // ---- m05: perceptual-hash near-duplicate media (banded pairs) ----
+    // The real-pipeline shape for image/video dedup: a 64-bit fingerprint
+    // with one bit per LOCAL REGION of the payload (here 4-byte frames,
+    // capped at 64 — the md5-parity stand-in for a DCT phash; similar
+    // payloads agree on most region bits), then the d05 machinery: 4×16-bit
+    // bands, per-band equi-joins (never an OR nested-loop), hamming
+    // verified per-row BEFORE the union+distinct, ≤3 over 4 bands is
+    // pigeonhole-exact recall. Bucket sizes are O(n/2^16) — survives 100×.
+    QueryDef(
+      "m05_phash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val ph = t(s, dir, "documents")
+          .withColumn("payload", $"text".cast("binary"))
+          .withColumn("n_frames",
+            least(ceil(length($"payload") / lit(4.0)).cast("int"), lit(64)))
+          .withColumn("frame_idx", explode(expr(
+            "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
+          .withColumn("bit",
+            conv(substring(md5(expr("substring(text, frame_idx*4 + 1, 4)")), 1, 1), 16, 10)
+              .cast("long") % 2)
+          .groupBy($"doc_id")
+          .agg(bandBit(0), (1 until 4).map(bandBit): _*)
+        val hamming = (0 until 4).map(k =>
+          bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _).cast("long")
+        def band(k: Int) = ph.as("a")
+          .join(ph.as("b"), col(s"a.b$k") === col(s"b.b$k") && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), hamming.as("hamming"))
+          .filter($"hamming" <= 3)
+        (0 until 4).map(band).reduce(_ unionAll _).distinct()
+          .select($"i", $"j", $"hamming")
+          .orderBy($"i", $"j")
+      },
+      Some("""
+        WITH frames AS (
+          SELECT doc_id, frame_idx,
+                 CAST('0x' || substr(md5(substr(text, CAST(frame_idx*4 + 1 AS BIGINT), 4)), 1, 1) AS BIGINT) % 2 AS bit
+          FROM (SELECT doc_id, text,
+                       unnest(range(least(CAST(ceil(length(text)/4.0) AS BIGINT), 64))) AS frame_idx
+                FROM documents) x),
+        ph AS (
+          SELECT doc_id,
+            CAST(COALESCE(SUM(CASE WHEN frame_idx < 16 THEN bit << (frame_idx) END), 0) AS BIGINT) AS b0,
+            CAST(COALESCE(SUM(CASE WHEN frame_idx >= 16 AND frame_idx < 32 THEN bit << (frame_idx-16) END), 0) AS BIGINT) AS b1,
+            CAST(COALESCE(SUM(CASE WHEN frame_idx >= 32 AND frame_idx < 48 THEN bit << (frame_idx-32) END), 0) AS BIGINT) AS b2,
+            CAST(COALESCE(SUM(CASE WHEN frame_idx >= 48 THEN bit << (frame_idx-48) END), 0) AS BIGINT) AS b3
+          FROM frames GROUP BY doc_id),
+        cands AS (
+          SELECT a.doc_id AS i, b.doc_id AS j,
+                 bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                 bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+          FROM ph a JOIN ph b
+            ON a.doc_id < b.doc_id
+           AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        SELECT DISTINCT i, j, CAST(hamming AS BIGINT) AS hamming
+        FROM cands WHERE hamming <= 3
+        ORDER BY i, j"""),
     ),
   )
 }
