@@ -77,12 +77,15 @@ object WireProps extends Properties("Wire") {
       }
 
     property(s"produceEncoded == produce, byte-for-byte [$cname]") =
-      forAll(genOps, Gen.chooseNum(64, 4096)) { (ops, maxPayload) =>
-        val p1 = new FragmentingProducer(7L, maxPayloadSize = maxPayload, codec = codec)
-        val p2 = new FragmentingProducer(7L, maxPayloadSize = maxPayload, codec = codec)
-        val m1 = p1.produce(ops).map(m => codec.encodeMessage(m).toSeq)
-        val m2 = p2.produceEncoded(ops.map(codec.encodeOp)).map(m => codec.encodeMessage(m).toSeq)
-        Prop(m1 == m2) :| s"${m1.size} vs ${m2.size} messages (maxPayload=$maxPayload)"
+      forAll(genOps, Gen.chooseNum(64, 4096), Gen.oneOf(false, true)) {
+        (ops, maxPayload, compress) =>
+          val p1 = new FragmentingProducer(7L, maxPayloadSize = maxPayload,
+            compress = compress, codec = codec)
+          val p2 = new FragmentingProducer(7L, maxPayloadSize = maxPayload,
+            compress = compress, codec = codec)
+          val m1 = p1.produce(ops).map(m => codec.encodeMessage(m).toSeq)
+          val m2 = p2.produceEncoded(ops.map(codec.encodeOp)).map(m => codec.encodeMessage(m).toSeq)
+          Prop(m1 == m2) :| s"${m1.size} vs ${m2.size} messages (maxPayload=$maxPayload, compress=$compress)"
       }
   }
 
