@@ -28,6 +28,29 @@ object Multimodal {
     c.as(s"b$k")
   }
 
+  /** (doc_id, b0..b3) perceptual fingerprints, persisted: m05's four band
+    * joins reference the subtree on both sides — without reuse the
+    * explode+md5 fingerprint build would run 8x (same pattern as Dedup's
+    * shared simhash/shingle caches). */
+  private val phCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def phashOf(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    phCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("payload", $"text".cast("binary"))
+        .withColumn("n_frames",
+          least(ceil(length($"payload") / lit(4.0)).cast("int"), lit(64)))
+        .withColumn("frame_idx", explode(expr(
+          "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
+        .withColumn("bit",
+          conv(substring(md5(expr("substring(text, frame_idx*4 + 1, 4)")), 1, 1), 16, 10)
+            .cast("long") % 2)
+        .groupBy($"doc_id")
+        .agg(bandBit(0), (1 until 4).map(bandBit): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   val defs: Seq[QueryDef] = Seq(
     // ---- m01: binary ingest + typed metadata + fake decode ----
     QueryDef(
@@ -173,17 +196,7 @@ object Multimodal {
       "m05_phash_neardup",
       (s, dir) => {
         import s.implicits._
-        val ph = t(s, dir, "documents")
-          .withColumn("payload", $"text".cast("binary"))
-          .withColumn("n_frames",
-            least(ceil(length($"payload") / lit(4.0)).cast("int"), lit(64)))
-          .withColumn("frame_idx", explode(expr(
-            "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
-          .withColumn("bit",
-            conv(substring(md5(expr("substring(text, frame_idx*4 + 1, 4)")), 1, 1), 16, 10)
-              .cast("long") % 2)
-          .groupBy($"doc_id")
-          .agg(bandBit(0), (1 until 4).map(bandBit): _*)
+        val ph = phashOf(s, dir)
         val hamming = (0 until 4).map(k =>
           bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _).cast("long")
         def band(k: Int) = ph.as("a")

@@ -942,8 +942,8 @@ object Tpch {
     // ---- scalar-aggregate subquery ("dominant supplier of a part") ----
     // The oracle nests sum-per-(supplier, part) HAVING > 0.2 * correlated
     // per-part total; Spark decorrelates to ONE partkey/suppkey-shuffle
-    // aggregate, derives the per-part total by REGROUPING that aggregate
-    // (no second fact scan), joins the two on the same key, and semi-joins
+    // aggregate, derives the per-part total as a WINDOW over that
+    // aggregate's partkey clustering (no second fact scan), and semi-joins
     // supplier. l_quantity values are integral doubles, so every sum is
     // exact and the 0.2-share comparison is deterministic in both engines.
     QueryDef(
@@ -952,9 +952,12 @@ object Tpch {
         import s.implicits._
         val perPS = li(s, dir).groupBy($"l_partkey", $"l_suppkey")
           .agg(sum($"l_quantity").as("ps_qty"))
-        val perP = perPS.groupBy($"l_partkey")
-          .agg(sum($"ps_qty").as("p_qty"))
-        val candidates = perPS.join(perP, "l_partkey")
+        // per-part total as a WINDOW over the same partkey clustering — a
+        // groupBy-then-join would recompute the whole lineitem aggregate
+        // for the second branch (Spark does not reuse subtrees)
+        val candidates = perPS
+          .withColumn("p_qty",
+            sum($"ps_qty").over(Window.partitionBy($"l_partkey")))
           .join(broadcast(part(s, dir).filter($"p_name".like("%a%"))),
             $"p_partkey" === $"l_partkey")
           .filter($"ps_qty" > lit(0.2) * $"p_qty")
