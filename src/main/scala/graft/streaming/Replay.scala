@@ -34,12 +34,22 @@ object Replay {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // operator surface: SPARK_GRAFT_ADMIN_PORT serves /status /schema
+    // /ddl/* /metrics for the run (the reference's HTTP server lifecycle)
+    val counters = new graft.metrics.Counters
+    spark.streams.addListener(new graft.metrics.GraftStreamingListener(counters))
+    val admin = sys.env.get("SPARK_GRAFT_ADMIN_PORT").map { p =>
+      val tracker = new SchemaTracker
+      new graft.http.AdminServer(tracker,
+        new DdlGate(tracker, onPark = () => counters.failedDdlTotal.inc()),
+        counters, port = p.toInt).start()
+    }
     try {
-      val stats = run(spark, Paths.get(fixture), Paths.get(outDir))
+      val stats = run(spark, Paths.get(fixture), Paths.get(outDir), counters = counters)
       // one-line machine-readable outcome (driver/smoke-friendly)
       println(s"""{"emitted":${stats.emitted},"droppedAsDuplicate":${stats.dropped},""" +
         s""""wireMessages":${stats.wireMessages},"checkpoint":"${stats.checkpoint}"}""")
-    } finally spark.stop()
+    } finally { admin.foreach(_.stop()); spark.stop() }
   }
 
   final case class ReplayStats(emitted: Long, dropped: Long, wireMessages: Long, checkpoint: String)
