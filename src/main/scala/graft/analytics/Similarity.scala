@@ -86,6 +86,85 @@ object Similarity {
     when(proj > 0L, lit(1 << p)).otherwise(lit(0))
   }.reduce(_ + _)
 
+  /** IVF top-k search, shared by s05 (the operator) and s06 (its recall
+    * eval). Coarse quantizer: the first NLIST vectors serve as
+    * deterministic centroids (a seeded stand-in for k-means — the oracle
+    * can replay it; the IVF *plumbing* is identical either way). List
+    * assignment joins every corpus vector to the BROADCAST centroid set
+    * and keeps its argmax-cosine list — a narrow map over the corpus scan,
+    * no corpus self-shuffle (the 100 TB index-build pass). Each query
+    * probes only its NPROBE nearest lists; the probe set is broadcast so
+    * the corpus-sized assigned side never shuffles. */
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val NLIST = 8
+    val NPROBE = 2
+    val emb = withQNorm(t(s, dir, "embeddings"))
+    val cent = emb.filter($"vec_id" < NLIST)
+      .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+    val corpus = emb.filter($"vec_id" >= NLIST)
+      .select($"vec_id".as("cid"), $"q".as("qb"), $"n2".as("n2b"))
+    val wA = Window.partitionBy($"cid").orderBy($"ccos".desc, $"cent_id")
+    val assigned = corpus.join(broadcast(cent))
+      .withColumn("ccos", cosine(dotInt("qc", "qb"), $"n2c", $"n2b"))
+      .withColumn("ar", row_number().over(wA)).filter($"ar" === 1)
+      .select($"cid", $"qb", $"n2b", $"cent_id")
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"q".as("qa"), $"n2".as("n2a"))
+    val wP = Window.partitionBy($"qid").orderBy($"pcos".desc, $"cent_id")
+    val probes = q.join(broadcast(cent))
+      .withColumn("pcos", cosine(dotInt("qc", "qa"), $"n2c", $"n2a"))
+      .withColumn("pr", row_number().over(wP)).filter($"pr" <= NPROBE)
+      .select($"qid", $"qa", $"n2a", $"cent_id")
+    val wT = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    broadcast(probes).join(assigned, "cent_id")
+      .withColumn("cos", cosine(dotInt("qa", "qb"), $"n2a", $"n2b"))
+      .withColumn("rn", row_number().over(wT)).filter($"rn" <= 10)
+      .select($"qid", $"cid", $"cos", $"rn")
+  }
+
+  /** The IVF search as DuckDB CTEs ending in `ivf(qid, cid, cos, rn)` —
+    * appended after dims/QNORM_SQL by s05 and s06. */
+  private val IVF_CTES = """
+        cent AS (SELECT vec_id AS cent_id, q FROM qv WHERE vec_id < 8),
+        cdots AS (
+          SELECT v.vec_id, c.cent_id, CAST(SUM(v.q[i+1]*c.q[i+1]) AS BIGINT) AS dot
+          FROM qv v CROSS JOIN cent c CROSS JOIN dims
+          GROUP BY v.vec_id, c.cent_id),
+        ccos AS (
+          SELECT d.vec_id, d.cent_id,
+                 CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) AS ccos
+          FROM cdots d JOIN norms nv ON nv.vec_id = d.vec_id
+               JOIN norms nc ON nc.vec_id = d.cent_id),
+        assign AS (
+          SELECT vec_id AS cid, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS ar
+            FROM ccos WHERE vec_id >= 8) x
+          WHERE ar = 1),
+        probes AS (
+          SELECT vec_id AS qid, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS pr
+            FROM ccos WHERE vec_id < 5) x
+          WHERE pr <= 2),
+        cands AS (
+          SELECT DISTINCT p.qid, a.cid
+          FROM probes p JOIN assign a ON a.cent_id = p.cent_id),
+        pdots AS (
+          SELECT c.qid, c.cid, CAST(SUM(qa.q[i+1]*qb.q[i+1]) AS BIGINT) AS dot
+          FROM cands c JOIN qv qa ON qa.vec_id = c.qid JOIN qv qb ON qb.vec_id = c.cid
+          CROSS JOIN dims GROUP BY c.qid, c.cid),
+        ivf AS (
+          SELECT qid, cid, cos, rn FROM (
+            SELECT d.qid, d.cid,
+                   CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
+                     CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) DESC,
+                     d.cid) AS rn
+            FROM pdots d JOIN norms na ON na.vec_id = d.qid JOIN norms nb ON nb.vec_id = d.cid) r
+          WHERE rn <= 10)"""
+
   val defs: Seq[QueryDef] = Seq(
     // ---- s01: brute-force cosine top-k (baseline) ----
     QueryDef(
@@ -169,86 +248,67 @@ object Similarity {
     // ---- s05: IVF coarse-quantized ANN (inverted-file probe search) ----
     QueryDef(
       "s05_ivf_ann",
+      (s, dir) => ivfTopK(s, dir)
+        .select(col("qid"), col("cid"), col("cos"), col("rn"))
+        .orderBy(col("qid"), col("rn")),
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        $IVF_CTES
+        SELECT qid, cid, cos, rn FROM ivf ORDER BY qid, rn"""),
+    ),
+
+    // ---- s06: ANN recall@k — the IVF index evaluated against exact ----
+    // ---- ground truth (the accept/reject gate for any ANN rollout)  ----
+    // Exact and IVF top-10 run over the SAME corpus/query split; recall is
+    // the per-query intersection count (integers — hash-stable). Ground
+    // truth is the brute-force plan (broadcast query side), the IVF side
+    // reuses the s05 build; the join moves only 2×(queries×k) rows.
+    QueryDef(
+      "s06_ivf_recall",
       (s, dir) => {
         import s.implicits._
-        val NLIST = 8
-        val NPROBE = 2
         val emb = withQNorm(t(s, dir, "embeddings"))
-        // Coarse quantizer: the first NLIST vectors serve as deterministic
-        // centroids (a seeded stand-in for k-means — the oracle can replay
-        // it; the IVF *plumbing* is identical either way).
-        val cent = emb.filter($"vec_id" < NLIST)
-          .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
-        // List assignment: every corpus vector joins the BROADCAST centroid
-        // set (tiny) and keeps its argmax-cosine list — a narrow map over
-        // the corpus scan; no corpus self-shuffle. At 100 TB this is the
-        // index-build pass, embarrassingly parallel.
-        val corpus = emb.filter($"vec_id" >= NLIST)
-          .select($"vec_id".as("cid"), $"q".as("qb"), $"n2".as("n2b"))
-        val wA = Window.partitionBy($"cid").orderBy($"ccos".desc, $"cent_id")
-        val assigned = corpus.join(broadcast(cent))
-          .withColumn("ccos", cosine(dotInt("qc", "qb"), $"n2c", $"n2b"))
-          .withColumn("ar", row_number().over(wA)).filter($"ar" === 1)
-          .select($"cid", $"qb", $"n2b", $"cent_id")
-        // Probe: each query searches only its NPROBE nearest lists — the
-        // candidate join shuffles on the fixed-width list id instead of
-        // all pairs (the IVF recall/cost dial).
         val q = emb.filter($"vec_id" < 5)
           .select($"vec_id".as("qid"), $"q".as("qa"), $"n2".as("n2a"))
-        val wP = Window.partitionBy($"qid").orderBy($"pcos".desc, $"cent_id")
-        val probes = q.join(broadcast(cent))
-          .withColumn("pcos", cosine(dotInt("qc", "qa"), $"n2c", $"n2a"))
-          .withColumn("pr", row_number().over(wP)).filter($"pr" <= NPROBE)
-          .select($"qid", $"qa", $"n2a", $"cent_id")
-        val wT = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-        // the probe set is (n_queries × NPROBE) rows — broadcast it so the
-        // corpus-sized assigned side never shuffles (SMJ would sort both)
-        broadcast(probes).join(assigned, "cent_id")
+        val corpus = emb.filter($"vec_id" >= 8)
+          .select($"vec_id".as("cid"), $"q".as("qb"), $"n2".as("n2b"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+        val exact = corpus.join(broadcast(q))
           .withColumn("cos", cosine(dotInt("qa", "qb"), $"n2a", $"n2b"))
-          .withColumn("rn", row_number().over(wT)).filter($"rn" <= 10)
-          .select($"qid", $"cid", $"cos", $"rn")
-          .orderBy($"qid", $"rn")
+          .withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+          .select($"qid", $"cid")
+        val ivf = ivfTopK(s, dir).select($"qid", $"cid")
+        val hits = exact.join(ivf, Seq("qid", "cid"), "left_semi")
+          .groupBy($"qid").agg(count(lit(1)).as("hits"))
+        exact.select($"qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .na.fill(0L, Seq("hits"))
+          .withColumn("k", lit(10))
+          .orderBy($"qid")
       },
       Some(s"""
         WITH dims AS (SELECT unnest(range(64)) AS i),
         $QNORM_SQL,
-        cent AS (SELECT vec_id AS cent_id, q FROM qv WHERE vec_id < 8),
-        cdots AS (
-          SELECT v.vec_id, c.cent_id, CAST(SUM(v.q[i+1]*c.q[i+1]) AS BIGINT) AS dot
-          FROM qv v CROSS JOIN cent c CROSS JOIN dims
-          GROUP BY v.vec_id, c.cent_id),
-        ccos AS (
-          SELECT d.vec_id, d.cent_id,
-                 CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) AS ccos
-          FROM cdots d JOIN norms nv ON nv.vec_id = d.vec_id
-               JOIN norms nc ON nc.vec_id = d.cent_id),
-        assign AS (
-          SELECT vec_id AS cid, cent_id FROM (
-            SELECT vec_id, cent_id,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS ar
-            FROM ccos WHERE vec_id >= 8) x
-          WHERE ar = 1),
-        probes AS (
-          SELECT vec_id AS qid, cent_id FROM (
-            SELECT vec_id, cent_id,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS pr
-            FROM ccos WHERE vec_id < 5) x
-          WHERE pr <= 2),
-        cands AS (
-          SELECT DISTINCT p.qid, a.cid
-          FROM probes p JOIN assign a ON a.cent_id = p.cent_id),
-        pdots AS (
-          SELECT c.qid, c.cid, CAST(SUM(qa.q[i+1]*qb.q[i+1]) AS BIGINT) AS dot
-          FROM cands c JOIN qv qa ON qa.vec_id = c.qid JOIN qv qb ON qb.vec_id = c.cid
-          CROSS JOIN dims GROUP BY c.qid, c.cid)
-        SELECT qid, cid, cos, rn FROM (
-          SELECT d.qid, d.cid,
-                 CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) AS cos,
-                 ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
-                   CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) DESC,
-                   d.cid) AS rn
-          FROM pdots d JOIN norms na ON na.vec_id = d.qid JOIN norms nb ON nb.vec_id = d.cid) r
-        WHERE rn <= 10 ORDER BY qid, rn"""),
+        $IVF_CTES,
+        edots AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 CAST(SUM(a.q[i+1]*b.q[i+1]) AS BIGINT) AS dot
+          FROM qv a JOIN qv b ON a.vec_id < 5 AND b.vec_id >= 8
+          CROSS JOIN dims GROUP BY a.vec_id, b.vec_id),
+        exact AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                     CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) DESC,
+                     cid) AS rn
+            FROM edots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid) x
+          WHERE rn <= 10)
+        SELECT e.qid,
+               CAST(COALESCE(SUM(CASE WHEN i.cid IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits,
+               10 AS k
+        FROM exact e LEFT JOIN ivf i ON i.qid = e.qid AND i.cid = e.cid
+        GROUP BY e.qid ORDER BY e.qid"""),
     ),
 
     // ---- d06: embedding-cosine near-dup docs (cross-table enrichment) ---
