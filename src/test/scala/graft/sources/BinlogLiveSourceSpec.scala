@@ -124,4 +124,50 @@ class BinlogLiveSourceSpec extends AnyFunSuite {
     assert(feed.slice(2, 4).size == 2) // tail intact after trim
     assert(feed.watermark == 4)
   }
+
+  test("spark.readStream format binlog-live over a real localhost socket") {
+    // a minimal scripted "server": accept one connection, stream the
+    // recorded bytes, half-close — the client reads the exact bytes a
+    // MySQL master would send
+    val (scriptIn, _) = conversation
+    val scriptBytes = scriptIn.readAllBytes()
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val serverThread = new Thread(() => {
+      val sock = server.accept()
+      sock.getOutputStream.write(scriptBytes)
+      sock.getOutputStream.flush()
+      sock.shutdownOutput() // EOF for the client; keep reading side open
+      val in = sock.getInputStream
+      while (in.read() >= 0) () // drain client writes until it closes
+    }, "scripted-mysql-server")
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("binlog-live-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val q = spark.readStream.format("binlog-live")
+        .option("host", "127.0.0.1")
+        .option("port", server.getLocalPort.toString)
+        .option("user", "repl")
+        .option("password", "secret")
+        .option("serverId", "1001")
+        .option("startFile", "mysql-bin.000099")
+        .load()
+        .writeStream.format("memory").queryName("livemem").outputMode("append")
+        .start()
+      try {
+        val deadline = System.nanoTime() + 30_000_000_000L
+        def rows() = spark.sql("SELECT op_type FROM livemem").collect()
+        while (rows().length < 4 && System.nanoTime() < deadline) Thread.sleep(100)
+        assert(rows().map(_.getString(0)).toVector ==
+          Vector("rotate", "begin", "insert", "commit"))
+      } finally q.stop()
+    } finally { spark.stop(); server.close() }
+  }
 }
