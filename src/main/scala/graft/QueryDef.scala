@@ -50,8 +50,17 @@ object Tables {
     // arrives in thousands of splits and this branch never fires, so no
     // shuffle is added to the plans that matter at 100 TB. Filters and
     // column pruning still push through the repartition to the scan.
+    // Split count comes from the file layout (size / maxPartitionBytes),
+    // not df.rdd.getNumPartitions — materializing the RDD lineage just to
+    // count splits would de-optimize the plan boundary.
     val par = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < par) df.repartition(par, col(df.columns.head))
+    val bytes = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    val maxSplit =
+      try spark.conf.get("spark.sql.files.maxPartitionBytes", s"${128L << 20}")
+        .toLowerCase.stripSuffix("b").toLong
+      catch { case _: NumberFormatException => 128L << 20 }
+    val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (splits * 2 < par) df.repartition(par, col(df.columns.head))
     else df
   }
 }
