@@ -37,7 +37,8 @@ final class LiveBinlogFeed(
     startFile: String,
     startPos: Long,
     schemaLookup: (String, String) => Option[TableDef],
-    heartbeatPeriodSec: Double = 30.0) {
+    heartbeatPeriodSec: Double = 30.0,
+    maxBuffer: Int = 1 << 20) {
 
   import BinlogReplaySource.Ev
 
@@ -64,10 +65,12 @@ final class LiveBinlogFeed(
     if (i >= 0 && i < buf.size) Some(buf(i)) else None
   }
 
-  /** Drop the committed prefix (micro-batch commit). */
+  /** Drop the committed prefix (micro-batch commit); releases a feed
+    * thread blocked on a full buffer. */
   def trimTo(idx: Long): Unit = synchronized {
-    val drop = (idx - base).toInt
-    if (drop > 0) { buf.remove(0, math.min(drop, buf.size)); base += math.min(drop, buf.size) }
+    val drop = math.min((idx - base).toInt, buf.size) // bound BEFORE mutating
+    if (drop > 0) { buf.remove(0, drop); base += drop }
+    notifyAll()
   }
 
   def start(): LiveBinlogFeed = {
@@ -103,7 +106,13 @@ final class LiveBinlogFeed(
           if (op.opType == OpType.Rotate) logName = op.nextLogName.getOrElse(logName)
           seq += 1
           val e = Ev(seq, logName, OperationJson.render(op), op)
-          synchronized { buf += e }
+          // backpressure: the socket reader blocks while the uncommitted
+          // window is full — a slow consumer must not turn into unbounded
+          // driver memory (commit/trimTo releases the feed)
+          synchronized {
+            while (buf.size >= maxBuffer) wait()
+            buf += e
+          }
         }
       }
     } catch { case e: Throwable => failureOpt = Some(e) }

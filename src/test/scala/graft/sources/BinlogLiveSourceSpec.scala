@@ -125,6 +125,29 @@ class BinlogLiveSourceSpec extends AnyFunSuite {
     assert(feed.watermark == 4)
   }
 
+  test("backpressure: a full uncommitted window blocks the feed until commit trims") {
+    val (in, out) = conversation
+    val tracker = new SchemaTracker
+    tracker.execDdl("CREATE DATABASE shop", "")
+    tracker.execDdl("CREATE TABLE orders (id INT, name VARCHAR(100))", "shop")
+    val feed = new LiveBinlogFeed(new BinlogClient(in, out, "repl", "secret"),
+      1001, "mysql-bin.000099", 4, tracker.getTableDef(_, _), maxBuffer = 2)
+    val t = new Thread(() => feed.run())
+    t.setDaemon(true)
+    t.start()
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (feed.watermark < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+    Thread.sleep(200) // would overfill here if backpressure were absent
+    assert(feed.watermark == 2, "feed must stall at the buffer cap")
+    assert(t.isAlive)
+    feed.trimTo(2) // consumer commits -> feed resumes
+    while (feed.watermark < 4 && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(feed.failure.isEmpty, s"feed failed: ${feed.failure}")
+    assert(feed.watermark == 4)
+    // and the uncommitted tail is exactly the post-trim events
+    assert(feed.slice(2, 4).map(_.op.opType) == Vector(OpType.Insert, OpType.Commit))
+  }
+
   test("spark.readStream format binlog-live over a real localhost socket") {
     // a minimal scripted "server": accept one connection, stream the
     // recorded bytes, half-close — the client reads the exact bytes a
