@@ -38,14 +38,21 @@ object Replay {
     // /ddl/* /metrics for the run (the reference's HTTP server lifecycle)
     val counters = new graft.metrics.Counters
     spark.streams.addListener(new graft.metrics.GraftStreamingListener(counters))
+    val tracker = new SchemaTracker
+    val gate = new DdlGate(tracker, onPark = () => counters.failedDdlTotal.inc())
+    // SPARK_GRAFT_SCHEMA_SQL: seed DDL (one statement per line), the
+    // bootstrap/snapshot the reference restores before syncing — required
+    // for in-stream DDL replay (else an ALTER on an unseeded table parks)
+    val seeded = sys.env.get("SPARK_GRAFT_SCHEMA_SQL").map { f =>
+      Files.readAllLines(Paths.get(f)).asScala.map(_.trim).filter(_.nonEmpty)
+        .foreach(stmt => tracker.execDdl(stmt, ""))
+    }
     val admin = sys.env.get("SPARK_GRAFT_ADMIN_PORT").map { p =>
-      val tracker = new SchemaTracker
-      new graft.http.AdminServer(tracker,
-        new DdlGate(tracker, onPark = () => counters.failedDdlTotal.inc()),
-        counters, port = p.toInt).start()
+      new graft.http.AdminServer(tracker, gate, counters, port = p.toInt).start()
     }
     try {
-      val stats = run(spark, Paths.get(fixture), Paths.get(outDir), counters = counters)
+      val stats = run(spark, Paths.get(fixture), Paths.get(outDir), counters = counters,
+        gate = seeded.map(_ => gate))
       // one-line machine-readable outcome (driver/smoke-friendly)
       println(s"""{"emitted":${stats.emitted},"droppedAsDuplicate":${stats.dropped},""" +
         s""""wireMessages":${stats.wireMessages},"checkpoint":"${stats.checkpoint}"}""")
@@ -54,9 +61,16 @@ object Replay {
 
   final case class ReplayStats(emitted: Long, dropped: Long, wireMessages: Long, checkpoint: String)
 
+  /** `gate`: when provided, DDL operations replay through the park/repair
+    * gate into its schema mirror IN STREAM ORDER (the reference's sync
+    * loop: tracker.ExecAndPersist behind the drain barrier). A parked DDL
+    * throws — the pipeline must stop consuming until the operator repairs
+    * via the admin surface (T7); seed the tracker from a bootstrap/snapshot
+    * first, exactly like the reference restores schema before syncing. */
   def run(spark: SparkSession, fixture: Path, outDir: Path,
       includes: Seq[String] = Nil, excludes: Seq[String] = Nil,
-      counters: graft.metrics.Counters = new graft.metrics.Counters): ReplayStats = {
+      counters: graft.metrics.Counters = new graft.metrics.Counters,
+      gate: Option[graft.cdc.DdlGate] = None): ReplayStats = {
     Files.createDirectories(outDir)
     val ckpMgr = new CkpManager(new FileCkpStorage(outDir.resolve("ckp")))
     // per-sink checkpoints (K4 mux: each sink dedups against its OWN
@@ -150,6 +164,11 @@ object Replay {
                 if (op.progress.isDefined) flags |= 4
                 ww.writeByte(flags)
                 wstr(op.header.opType) // always present: drives A1 counters
+                if (op.header.opType == OpType.Ddl) {
+                  // DDL payload for the driver's schema-gate replay (T7)
+                  wstr(op.database.getOrElse(""))
+                  wstr(op.statement.getOrElse(""))
+                }
                 if (inJson) { jw.write(OperationJson.render(op)); jw.write('\n') }
                 if (inWire) {
                   val b = codec.encodeOp(op)
@@ -213,6 +232,15 @@ object Replay {
                         counters.iudTotal.inc()
                       case OpType.Ddl => counters.ddlTotal.inc()
                       case _ => ()
+                    }
+                    if (opType == OpType.Ddl) {
+                      val db = rstr(); val stmt = rstr()
+                      gate.foreach { g =>
+                        if (stmt.nonEmpty && !g.apply(stmt, db))
+                          throw new IllegalStateException(
+                            s"DDL parked, stopping the pipeline (repair via /ddl): [$db] $stmt — " +
+                              g.failed.map(_.error).getOrElse(""))
+                      }
                     }
                     if ((flags & 2) != 0) {
                       val b = new Array[Byte](in.readInt()); in.readFully(b)

@@ -145,6 +145,33 @@ class ReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!structAfter.get("age").nullable)
   }
 
+  test("in-stream DDL replays through the gate into the schema mirror (T7 wiring)") {
+    val tracker = new SchemaTracker
+    tracker.execDdl("CREATE DATABASE test", "")
+    tracker.execDdl("CREATE TABLE test.canal_test (id int PRIMARY KEY, content blob, name varchar(100))", "")
+    val gate = new DdlGate(tracker)
+    val out = freshDir("replay-ddl-gate")
+    val stats = Replay.run(spark, fixture, out, gate = Some(gate))
+    assert(stats.emitted == 12)
+    assert(!gate.isParked)
+    // the fixture's mid-stream ALTER landed in the mirror, in stream order
+    assert(tracker.getTableDef("test", "canal_test").get.columns.map(_.name) ==
+      Vector("id", "content", "name", "age"))
+  }
+
+  test("an unseeded schema mirror parks the gate and stops the pipeline") {
+    val gate = new DdlGate(new SchemaTracker) // no seed: ALTER hits unknown table
+    val out = freshDir("replay-ddl-park")
+    val e = intercept[Exception] {
+      Replay.run(spark, fixture, out, gate = Some(gate))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("DDL parked")), e.toString)
+    assert(gate.isParked)
+    assert(gate.failed.get.statement.startsWith("ALTER TABLE"))
+  }
+
   test("stateful transaction grouping (flatMapGroupsWithState)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
