@@ -9,10 +9,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * Covered: ROTATE, FORMAT_DESCRIPTION (incl. CRC32 checksum detection),
   * QUERY, XID, GTID, HEARTBEAT (T8), TABLE_MAP and WRITE/UPDATE/DELETE
-  * ROWS v1/v2 for the common column-type subset (ints, float/double,
-  * varchar/string, blob, date, datetime2, timestamp2, year, newdecimal).
-  * Unsupported column types fail loudly — a silent wrong decode would
-  * corrupt the change stream.
+  * ROWS v1/v2 for the full column-type matrix: ints, float/double,
+  * varchar/string, blob, date, classic+v2 temporals (TIME/TIME2,
+  * DATETIME/DATETIME2, TIMESTAMP/TIMESTAMP2), year, newdecimal, BIT,
+  * ENUM/SET (real type unpacked from STRING packed meta), binary JSON
+  * (JsonBinary) and GEOMETRY. Anything genuinely unknown still fails
+  * loudly — a silent wrong decode would corrupt the change stream.
   */
 object BinlogEvents {
 
@@ -130,8 +132,9 @@ object BinlogEvents {
     case 249 | 250 | 251 | 252 => r.u8() // BLOBs: length-byte count
     case 246 => (r.u8() << 8) | r.u8() // NEWDECIMAL: precision, scale
     case 4 | 5 => r.u8() // FLOAT/DOUBLE: size
-    case 16 => (r.u8() << 8) | r.u8() // BIT
+    case 16 => (r.u8() << 8) | r.u8() // BIT: bits%8, bits/8
     case 17 | 18 | 19 => r.u8() // TIMESTAMP2/DATETIME2/TIME2: fsp
+    case 245 | 255 => r.u8() // JSON/GEOMETRY: length-byte count
     case _ => 0
   }
 
@@ -202,22 +205,47 @@ object BinlogEvents {
     case 15 | 253 => // VARCHAR / VAR_STRING: meta = max length
       val len = if (meta > 255) r.u16() else r.u8()
       new String(r.bytes(len), UTF_8)
-    case 254 => // STRING: packed meta
+    case 254 | 247 | 248 => // STRING family: packed meta b0 = real type, b1 = length
+      // CHAR >255 bytes steals bits from b0; ENUM/SET arrive with their real
+      // type in b0 (the TABLE_MAP writes them under STRING) — unpack before
+      // choosing the length decode, or a 2-byte ENUM reads the wrong width.
       val b0 = (meta >> 8) & 0xff; val b1 = meta & 0xff
-      val maxLen = if ((b0 & 0x30) != 0x30) b1 | (((b0 & 0x30) ^ 0x30) << 4) else b1
-      val len = if (maxLen > 255) r.u16() else r.u8()
-      new String(r.bytes(len), UTF_8)
-    case 249 | 250 | 251 | 252 => // BLOB family: meta = length-byte count
-      val len = meta match {
-        case 1 => r.u8().toLong
-        case 2 => r.u16().toLong
-        case 3 => r.u24().toLong
-        case _ => r.u32()
+      val (realType, maxLen) =
+        if ((b0 & 0x30) != 0x30) (b0 | 0x30, b1 | (((b0 & 0x30) ^ 0x30) << 4))
+        else (b0, b1)
+      realType match {
+        case 247 => // ENUM: 1- or 2-byte little-endian 1-based index
+          (if (maxLen == 1) r.u8() else r.u16()).toString
+        case 248 => // SET: maxLen-byte little-endian member bitmask
+          var v = 0L; var i = 0
+          while (i < maxLen) { v |= (r.u8().toLong << (8 * i)); i += 1 }
+          java.lang.Long.toUnsignedString(v)
+        case _ => // CHAR/BINARY
+          val len = if (maxLen > 255) r.u16() else r.u8()
+          new String(r.bytes(len), UTF_8)
       }
-      new String(r.bytes(len.toInt), UTF_8)
-    case 10 => // DATE: 3 bytes, day 5 bits, month 4, year rest
+    case 249 | 250 | 251 | 252 => // BLOB family: meta = length-byte count
+      new String(r.bytes(blobLen(meta, r)), UTF_8)
+    case 245 => // JSON: blob-framed binary JSON document
+      JsonBinary.decode(r.bytes(blobLen(meta, r)))
+    case 255 => // GEOMETRY: blob-framed WKB+SRID; hex render (binary payload)
+      r.bytes(blobLen(meta, r)).map(b => f"${b & 0xff}%02x").mkString
+    case 16 => // BIT: meta hi = bits%8, lo = bits/8 (readMeta order); BE bytes
+      val nbits = (meta >> 8) + (meta & 0xff) * 8
+      java.lang.Long.toUnsignedString(r.beInt((nbits + 7) / 8))
+    case 10 | 14 => // DATE/NEWDATE: 3 bytes, day 5 bits, month 4, year rest
       val v = r.u24()
       f"${v >> 9}%04d-${(v >> 5) & 0xf}%02d-${v & 0x1f}%02d"
+    case 7 => r.u32().toString // classic TIMESTAMP: epoch seconds (TIMESTAMP2 parity)
+    case 11 => // classic TIME: 3 bytes LE packed hh*10000 + mm*100 + ss
+      val v = r.u24()
+      f"${v / 10000}%02d:${(v / 100) % 100}%02d:${v % 100}%02d"
+    case 12 => // classic DATETIME: u64 = YYYYMMDD * 1e6 + HHMMSS
+      val v = r.u64()
+      val d = v / 1000000; val t = v % 1000000
+      f"${d / 10000}%04d-${(d / 100) % 100}%02d-${d % 100}%02d " +
+        f"${t / 10000}%02d:${(t / 100) % 100}%02d:${t % 100}%02d"
+    case 19 => readTime2(meta, r) // TIME2: meta = fsp
     case 18 => // DATETIME2: 5 bytes BE packed + fractional
       val raw = r.beInt(5) - 0x8000000000L
       val sec = raw & 0x3f
@@ -239,10 +267,54 @@ object BinlogEvents {
 
   private def skipFsp(fsp: Int, r: Packets.Reader): Unit = r.skip((fsp + 1) / 2)
 
+  /** Blob-framed length: meta = how many bytes encode the payload length. */
+  private def blobLen(meta: Int, r: Packets.Reader): Int = meta match {
+    case 1 => r.u8()
+    case 2 => r.u16()
+    case 3 => r.u24()
+    case _ => r.u32().toInt
+  }
+
+  /** TIME2: offset-binary 3-byte BE intpart (1 sign + 2 pad + 10 hour +
+    * 6 min + 6 sec) plus 0–3 fractional bytes by fsp; negative values use
+    * two's-complement borrow against the fraction (public format:
+    * mysql-server my_time.cc TIME_from/to_longlong_time_packed). */
+  private def readTime2(fsp: Int, r: Packets.Reader): String = {
+    val intOfs = 0x800000L
+    val ofs6 = 0x800000000000L
+    var tmp = 0L
+    fsp match {
+      case 1 | 2 =>
+        var intPart = r.beInt(3) - intOfs
+        var frac = r.u8().toLong
+        if (intPart < 0 && frac != 0) { intPart += 1; frac -= 0x100 }
+        tmp = (intPart << 24) + frac * 10000
+      case 3 | 4 =>
+        var intPart = r.beInt(3) - intOfs
+        var frac = r.beInt(2)
+        if (intPart < 0 && frac != 0) { intPart += 1; frac -= 0x10000 }
+        tmp = (intPart << 24) + frac * 100
+      case 5 | 6 =>
+        tmp = r.beInt(6) - ofs6
+      case _ =>
+        tmp = (r.beInt(3) - intOfs) << 24
+    }
+    val sign = if (tmp < 0) "-" else ""
+    val a = math.abs(tmp)
+    val hms = a >> 24
+    val micro = a % (1 << 24)
+    val base = f"$sign${(hms >> 12) & 0x3ff}%02d:${(hms >> 6) & 0x3f}%02d:${hms & 0x3f}%02d"
+    if (fsp > 0) {
+      var scale = 1L; var i = 0
+      while (i < 6 - fsp) { scale *= 10; i += 1 }
+      base + "." + s"%0${fsp}d".format(micro / scale)
+    } else base
+  }
+
   /** NEWDECIMAL: sign-flipped big-endian base-10^9 groups of 9 digits
     * packed into 4-byte words, with compressed leading/trailing groups
     * (public format: strings/decimal.c bin2decimal layout). */
-  private def readNewDecimal(precision: Int, scale: Int, r: Packets.Reader): String = {
+  private[mysql] def readNewDecimal(precision: Int, scale: Int, r: Packets.Reader): String = {
     val digitsPerWord = 9
     val wordBytes = 4
     val leftoverBytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
