@@ -137,6 +137,47 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
     resetSeq()
     send(new Writer().u8(COM_BINLOG_DUMP).u32(position).u16(0).u32(serverId)
       .eofStr(fileName).result)
+    eventStream()
+  }
+
+  /** COM_BINLOG_DUMP_GTID from a GTID set: the failover-surviving start
+    * (the server resolves the right file+pos for the gaps itself, so a
+    * checkpointed GtidSet replays correctly even after the master changed
+    * — the reference's GtidEnabled mode, canal/sync.go:46-67). The wire
+    * SID block is the public layout: n_sids, then per SID 16 uuid bytes +
+    * interval pairs with EXCLUSIVE upper bounds (our model is inclusive). */
+  def dumpGtid(gset: GtidSet, serverId: Long,
+      fileName: String = "", position: Long = 4):
+      Iterator[(BinlogEvents.EventHeader, BinlogEvents.Event)] = {
+    resetSeq()
+    val w = new Writer().u8(COM_BINLOG_DUMP_GTID)
+      .u16(BINLOG_THROUGH_GTID)
+      .u32(serverId)
+      .u32(fileName.length.toLong)
+    w.eofStr(fileName)
+    w.u64(position)
+    val sid = new Writer
+    sid.u64(gset.sets.size.toLong)
+    for ((uuid, ivs) <- gset.sets.toSeq.sortBy(_._1)) {
+      sid.raw(uuidBytes(uuid))
+      sid.u64(ivs.size.toLong)
+      for ((lo, hi) <- ivs) { sid.u64(lo); sid.u64(hi + 1) }
+    }
+    val sidData = sid.result
+    w.u32(sidData.length.toLong)
+    w.raw(sidData)
+    send(w.result)
+    eventStream()
+  }
+
+  private def uuidBytes(uuid: String): Array[Byte] = {
+    val hex = uuid.replace("-", "")
+    require(hex.length == 32, s"malformed GTID source id: $uuid")
+    Array.tabulate(16)(i => Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
+  }
+
+  /** Shared dump-response loop for both dump commands. */
+  private def eventStream(): Iterator[(BinlogEvents.EventHeader, BinlogEvents.Event)] = {
     val tables = mutable.Map.empty[Long, BinlogEvents.TableMap]
     var checksummed = false
     new Iterator[(BinlogEvents.EventHeader, BinlogEvents.Event)] {

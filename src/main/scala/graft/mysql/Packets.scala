@@ -108,6 +108,10 @@ object Packets {
   val COM_PING = 0x0e
   val COM_BINLOG_DUMP = 0x12
   val COM_REGISTER_SLAVE = 0x15
+  val COM_BINLOG_DUMP_GTID = 0x1e
+
+  // COM_BINLOG_DUMP_GTID flags
+  val BINLOG_THROUGH_GTID = 0x04
 
   // capability flags (subset we negotiate)
   val CLIENT_LONG_PASSWORD = 0x00000001L

@@ -38,7 +38,8 @@ final class LiveBinlogFeed(
     startPos: Long,
     schemaLookup: (String, String) => Option[TableDef],
     heartbeatPeriodSec: Double = 30.0,
-    maxBuffer: Int = 1 << 20) {
+    maxBuffer: Int = 1 << 20,
+    startGtid: Option[GtidSet] = None) {
 
   import BinlogReplaySource.Ev
 
@@ -91,7 +92,14 @@ final class LiveBinlogFeed(
       }
       client.setHeartbeatPeriod(heartbeatPeriodSec) // T8
       client.registerSlave(serverId)
-      client.dump(startFile, startPos, serverId).foreach { case (h, ev) =>
+      // GTID start survives master failover (the server resolves file+pos
+      // for us); empty/absent set falls back to the (file, pos) dump —
+      // the reference's GtidEnabled switch (canal/sync.go:46-67)
+      val stream = startGtid.filter(!_.isEmpty) match {
+        case Some(gset) => client.dumpGtid(gset, serverId)
+        case None => client.dump(startFile, startPos, serverId)
+      }
+      stream.foreach { case (h, ev) =>
         val ops: Seq[Operation] = ev match {
           case r: BinlogEvents.Rows =>
             val tm = tablesSeen.getOrElse(r.tableId,
@@ -147,7 +155,8 @@ class LiveBinlogTable(opts: CaseInsensitiveStringMap) extends Table with Support
           Option(opts.get("serverId")).map(_.toLong).getOrElse(1001L),
           Option(opts.get("startFile")).getOrElse(""),
           Option(opts.get("startPos")).map(_.toLong).getOrElse(4L),
-          (_, _) => None).start()
+          (_, _) => None,
+          startGtid = Option(opts.get("startGtid")).map(GtidSet.parse)).start()
         new LiveBinlogMicroBatchStream(feed,
           Option(opts.get("maxEventsPerTrigger")).map(_.toLong))
       }

@@ -218,6 +218,56 @@ class BinlogClientSpec extends AnyFunSuite {
     assert(evs.map(_._2).collect { case Xid(x) => x } == Vector(42L))
   }
 
+  test("GTID dump: COM_BINLOG_DUMP_GTID carries the documented SID block " +
+      "with exclusive interval upper bounds") {
+    import BinlogEvents._
+    val (in, out) = script(
+      frame(0, greeting), frame(2, okPacket),
+      frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 1), crc = true)),
+      frame(2, eventPacket(XID_EVENT, 200,
+        new Packets.Writer().u64(7L).result, crc = true)),
+      frame(3, eofPacket))
+    val c = new BinlogClient(in, out, "repl", "secret")
+    c.connect()
+    val gset = GtidSet.parse(
+      "01020304-0506-0708-090a-0b0c0d0e0f10:1-5:7,aaaabbbb-cccc-dddd-eeee-ffff00001111:3")
+    val evs = c.dumpGtid(gset, serverId = 1001).toVector
+    assert(evs.map(_._2).collect { case Xid(x) => x } == Vector(7L))
+
+    // the last packet the client wrote is the dump command; walk its layout
+    val sent = out.toByteArray
+    // skip the handshake response: find the frame whose first payload byte is 0x1e
+    var off = 0
+    var dump: Array[Byte] = null
+    while (off < sent.length) {
+      val len = (sent(off) & 0xff) | ((sent(off + 1) & 0xff) << 8) | ((sent(off + 2) & 0xff) << 16)
+      val payload = java.util.Arrays.copyOfRange(sent, off + 4, off + 4 + len)
+      if ((payload(0) & 0xff) == Packets.COM_BINLOG_DUMP_GTID) dump = payload
+      off += 4 + len
+    }
+    assert(dump != null, "no COM_BINLOG_DUMP_GTID frame written")
+    val r = new Packets.Reader(dump)
+    assert(r.u8() == Packets.COM_BINLOG_DUMP_GTID)
+    assert(r.u16() == Packets.BINLOG_THROUGH_GTID)
+    assert(r.u32() == 1001L) // server id
+    assert(r.u32() == 0L) // empty filename
+    assert(r.u64() == 4L) // start pos
+    val dataSize = r.u32()
+    assert(dataSize == r.remaining.toLong)
+    assert(r.u64() == 2L) // n_sids
+    // first SID (sorted): 01020304-...
+    assert(r.bytes(16).toSeq == (1 to 16).map(_.toByte).toSeq)
+    assert(r.u64() == 2L) // two intervals
+    assert((r.u64(), r.u64()) == ((1L, 6L))) // 1-5 inclusive -> [1,6)
+    assert((r.u64(), r.u64()) == ((7L, 8L))) // 7 -> [7,8)
+    // second SID
+    assert(r.bytes(16).map(b => f"${b & 0xff}%02x").mkString ==
+      "aaaabbbbccccddddeeeeffff00001111")
+    assert(r.u64() == 1L)
+    assert((r.u64(), r.u64()) == ((3L, 4L)))
+    assert(!r.hasNext)
+  }
+
   test("NEWDECIMAL decodes sign, integral and fractional groups") {
     // decimal(14,4) value 1234567890.1234:
     // int part 1234567890 -> leftover 1 digit group "1" (1 byte) + word 234567890

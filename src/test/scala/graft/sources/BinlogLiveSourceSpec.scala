@@ -99,6 +99,46 @@ class BinlogLiveSourceSpec extends AnyFunSuite {
     assert(feed.failure.exists(_.getMessage.contains("binlog must be ROW format")))
   }
 
+  test("restart from a persisted GtidSet issues COM_BINLOG_DUMP_GTID and " +
+      "resumes the stream (file+pos is the fallback)") {
+    val (in, out) = conversation
+    val feed = new LiveBinlogFeed(new BinlogClient(in, out, "repl", "secret"),
+      serverId = 1001, startFile = "", startPos = 4, schemaLookup = (_, _) => None,
+      startGtid = Some(GtidSet.parse("01020304-0506-0708-090a-0b0c0d0e0f10:1-42")))
+    feed.run()
+    assert(feed.failure.isEmpty)
+    assert(feed.watermark == 4) // same stream, GTID-started
+    // the dump command on the wire must be the GTID form
+    val sent = out.toByteArray
+    var off = 0
+    val cmds = Vector.newBuilder[Int]
+    while (off < sent.length) {
+      val len = (sent(off) & 0xff) | ((sent(off + 1) & 0xff) << 8) | ((sent(off + 2) & 0xff) << 16)
+      cmds += (sent(off + 4) & 0xff)
+      off += 4 + len
+    }
+    assert(cmds.result().contains(Packets.COM_BINLOG_DUMP_GTID))
+    assert(!cmds.result().contains(Packets.COM_BINLOG_DUMP))
+  }
+
+  test("an empty GtidSet falls back to the (file, pos) dump") {
+    val (in, out) = conversation
+    val feed = new LiveBinlogFeed(new BinlogClient(in, out, "repl", "secret"),
+      serverId = 1001, startFile = "mysql-bin.000099", startPos = 4,
+      schemaLookup = (_, _) => None, startGtid = Some(GtidSet.empty))
+    feed.run()
+    assert(feed.failure.isEmpty)
+    val sent = out.toByteArray
+    var off = 0
+    val cmds = Vector.newBuilder[Int]
+    while (off < sent.length) {
+      val len = (sent(off) & 0xff) | ((sent(off + 1) & 0xff) << 8) | ((sent(off + 2) & 0xff) << 16)
+      cmds += (sent(off + 4) & 0xff)
+      off += 4 + len
+    }
+    assert(cmds.result().contains(Packets.COM_BINLOG_DUMP))
+  }
+
   test("micro-batch stream slices the buffer with Progress offsets; commit trims") {
     val feed = newFeed
     feed.run()
