@@ -19,6 +19,19 @@ trait CkpStorage {
   def load(): Option[Array[Byte]]
 }
 
+object CkpStorage {
+  /** Selectable storage: `zk://host:port[,host:port]/path` → ZooKeeper
+    * ([[ZkCkpStorage]]); anything else is a local directory for the
+    * dual-file store. */
+  def forUri(uri: String): CkpStorage =
+    if (uri.startsWith("zk://")) {
+      val rest = uri.stripPrefix("zk://")
+      val slash = rest.indexOf('/')
+      require(slash > 0, s"zk checkpoint uri needs a znode path: $uri")
+      new ZkCkpStorage(rest.substring(0, slash), rest.substring(slash))
+    } else new FileCkpStorage(java.nio.file.Paths.get(uri))
+}
+
 /** Atomic dual-file ping-pong storage
   * (/root/reference/ckp/storage_file.go:70-104): writes alternate between
   * two files so a torn write can never destroy the last good checkpoint;

@@ -25,7 +25,77 @@ import scala.jdk.CollectionConverters._
   */
 object Replay {
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    if (args.length == 1 && args(0).endsWith(".toml")) runFromConfig(args(0))
+    else mainArgs(args)
+
+  /** Single-file deployment: everything — source, per-sink filters,
+    * checkpoint storage, schema seed, admin port, election — comes from
+    * the config (the reference's `dolphinbeat -config x.toml` entry,
+    * /root/reference/cmd/dolphinbeat/config.go:73-106). No env vars. */
+  def runFromConfig(cfgPath: String): Unit = {
+    val cfg = AppConfig.parseFile(Paths.get(cfgPath))
+    val fixture = cfg.replayFixture.getOrElse(
+      throw new IllegalArgumentException("config needs [replay] fixture"))
+    val outDir = cfg.replayOutDir.getOrElse(
+      throw new IllegalArgumentException("config needs [replay] out_dir"))
+    // reuse a live session when embedded (specs); own + stop when the app
+    // entry created it
+    val existing = SparkSession.getDefaultSession.filterNot(_.sparkContext.isStopped)
+    val spark = existing.getOrElse(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-replay")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    val counters = new graft.metrics.Counters
+    spark.streams.addListener(new graft.metrics.GraftStreamingListener(counters))
+    val tracker = new SchemaTracker
+    val gate = new DdlGate(tracker, onPark = () => counters.failedDdlTotal.inc())
+    val seeded = cfg.schemaSeedSql.map { f =>
+      Files.readAllLines(Paths.get(f)).asScala.map(_.trim).filter(_.nonEmpty)
+        .foreach(stmt => tracker.execDdl(stmt, ""))
+    }
+    val admin = cfg.adminPort.map { p =>
+      new graft.http.AdminServer(tracker, gate, counters, port = p).start()
+    }
+    // HA: with election enabled, block until this node leads — a standby
+    // must not produce (the reference's app loop waits on Notify())
+    val election =
+      if (cfg.electionEnabled)
+        Some(new graft.election.ZkElection(
+          cfg.electionZkHosts, cfg.electionZkPath, s"graft-${cfg.serverId}").start())
+      else None
+    election.foreach { e =>
+      while (!e.isLeader) {
+        val note = e.notifications.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+        require(note != null, "timed out waiting for leadership")
+      }
+    }
+    val sinkFilters = Seq(
+      "stdout" -> cfg.sinkOfType("stdout"),
+      // the wire sink is this port's kafka twin — accept either type name
+      "wire" -> cfg.sinkOfType("kafka").orElse(cfg.sinkOfType("wire")),
+    ).collect { case (k, Some(sk)) =>
+      k -> CanalTableFilter(sk.includeTable, sk.excludeTable)
+    }.toMap
+    try {
+      val stats = run(spark, Paths.get(fixture), Paths.get(outDir),
+        counters = counters,
+        gate = seeded.map(_ => gate),
+        ckpStorage = cfg.ckpUri.map(CkpStorage.forUri),
+        sinkFilters = sinkFilters)
+      println(s"""{"emitted":${stats.emitted},"droppedAsDuplicate":${stats.dropped},""" +
+        s""""wireMessages":${stats.wireMessages},"checkpoint":"${stats.checkpoint}"}""")
+    } finally {
+      election.foreach(_.close())
+      admin.foreach(_.stop())
+      if (existing.isEmpty) spark.stop()
+    }
+  }
+
+  private def mainArgs(args: Array[String]): Unit = {
     val Array(fixture, outDir) = args.take(2)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -70,9 +140,16 @@ object Replay {
   def run(spark: SparkSession, fixture: Path, outDir: Path,
       includes: Seq[String] = Nil, excludes: Seq[String] = Nil,
       counters: graft.metrics.Counters = new graft.metrics.Counters,
-      gate: Option[graft.cdc.DdlGate] = None): ReplayStats = {
+      gate: Option[graft.cdc.DdlGate] = None,
+      ckpStorage: Option[CkpStorage] = None,
+      sinkFilters: Map[String, CanalTableFilter] = Map.empty): ReplayStats = {
     Files.createDirectories(outDir)
-    val ckpMgr = new CkpManager(new FileCkpStorage(outDir.resolve("ckp")))
+    // selectable checkpoint storage (SPARK_GRAFT_CKP_URI / config): HA
+    // deployments point at ZooKeeper so a standby resumes from the same
+    // progress; default is the dual-file store next to the sink output
+    val ckpMgr = new CkpManager(ckpStorage.getOrElse(
+      sys.env.get("SPARK_GRAFT_CKP_URI").map(CkpStorage.forUri)
+        .getOrElse(new FileCkpStorage(outDir.resolve("ckp")))))
     // per-sink checkpoints (K4 mux: each sink dedups against its OWN
     // progress, F3) — the stream-level filter below uses their MINIMUM
     // (A2), the reference's resume position across sinks
@@ -108,6 +185,10 @@ object Replay {
     val batcher = new TypedTrxBatcher[(String, Array[Byte])](_._1)
 
     val globalF = CanalTableFilter(includes, excludes)
+    // F2: per-sink truth tables on top of the global filter (config's
+    // include_table/exclude_table per [[sink]]); empty = match-all
+    val jsonF = sinkFilters.getOrElse("stdout", CanalTableFilter(Nil, Nil))
+    val wireF = sinkFilters.getOrElse("wire", CanalTableFilter(Nil, Nil))
 
     val segDirPath = outDir.resolve("segments")
     val segPrefix = segDirPath.toString
@@ -154,8 +235,10 @@ object Replay {
                   val pos = Position(logName, op.header.logPos, op.header.serverId)
                   pos.serverId != ckp.pos.serverId || pos.compare(ckp.pos) > 0
                 }
-              val inJson = above(stdoutCkp)
-              val inWire = above(wireCkp)
+              val inJson = above(stdoutCkp) &&
+                op.table.forall(t => jsonF.matches(t.database, t.name))
+              val inWire = above(wireCkp) &&
+                op.table.forall(t => wireF.matches(t.database, t.name))
               if (inJson || inWire) {
                 ww.writeLong(seqNo)
                 var flags = 0
