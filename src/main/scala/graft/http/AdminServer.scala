@@ -27,7 +27,8 @@ final class AdminServer(
     gate: DdlGate,
     counters: Counters,
     mode: () => String = () => "standalone",
-    port: Int = 8080) {
+    port: Int = 8080,
+    progress: () => Option[String] = () => None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(null) // serve on the dispatch thread; admin traffic is tiny
@@ -105,10 +106,12 @@ final class AdminServer(
     segs match {
       case "status" :: Nil =>
         ok(ex, jobj(
-          "version" -> jstr(AdminServer.Version),
-          "git_hash" -> jstr(""),
-          "build_ts" -> jstr(""),
-          "mode" -> jstr(mode())))
+          (Seq(
+            "version" -> jstr(AdminServer.Version),
+            "git_hash" -> jstr(""),
+            "build_ts" -> jstr(""),
+            "mode" -> jstr(mode())) ++
+            progress().map(p => "progress" -> jstr(p))): _*))
 
       case "metrics" :: Nil =>
         respond(ex, 200, counters.prometheusText, json = false)

@@ -50,6 +50,7 @@ final class LiveBinlogFeed(
   private val tablesSeen = mutable.Map.empty[Long, BinlogEvents.TableMap]
   private var logName = startFile
   private var seq = 0L
+  private var gset = startGtid.getOrElse(GtidSet.empty)
 
   def failure: Option[Throwable] = failureOpt
 
@@ -110,8 +111,21 @@ final class LiveBinlogFeed(
             Nil
           case other => mapper.toOperation(h, other).toSeq
         }
-        ops.foreach { op =>
-          if (op.opType == OpType.Rotate) logName = op.nextLogName.getOrElse(logName)
+        ops.foreach { op0 =>
+          if (op0.opType == OpType.Rotate) logName = op0.nextLogName.getOrElse(logName)
+          if (op0.opType == OpType.Gtid) op0.gtid.foreach { g =>
+            val i = g.lastIndexOf(':')
+            gset = gset.add(g.substring(0, i), g.substring(i + 1).toLong)
+          }
+          // progress attaches only at trx boundaries (T1) — XID/DDL with
+          // the accumulated GTID set, the reference's savePos points
+          // (canal/sync.go:86-91); this is what the sink checkpoints read
+          val op =
+            if (op0.opType == OpType.Commit || op0.opType == OpType.Ddl)
+              op0.copy(progress = Some(Progress(
+                Position(logName, op0.header.logPos, op0.header.serverId),
+                if (gset.isEmpty) None else Some(gset))))
+            else op0
           seq += 1
           val e = Ev(seq, logName, OperationJson.render(op), op)
           // backpressure: the socket reader blocks while the uncommitted

@@ -35,8 +35,6 @@ object Replay {
     * /root/reference/cmd/dolphinbeat/config.go:73-106). No env vars. */
   def runFromConfig(cfgPath: String): Unit = {
     val cfg = AppConfig.parseFile(Paths.get(cfgPath))
-    val fixture = cfg.replayFixture.getOrElse(
-      throw new IllegalArgumentException("config needs [replay] fixture"))
     val outDir = cfg.replayOutDir.getOrElse(
       throw new IllegalArgumentException("config needs [replay] out_dir"))
     // reuse a live session when embedded (specs); own + stop when the app
@@ -57,8 +55,12 @@ object Replay {
       Files.readAllLines(Paths.get(f)).asScala.map(_.trim).filter(_.nonEmpty)
         .foreach(stmt => tracker.execDdl(stmt, ""))
     }
+    // admin /status progress is wired up once the pipeline owns a ckp
+    // manager (live mode) — a mutable hook bridges the start-order gap
+    @volatile var progressView: () => Option[String] = () => None
     val admin = cfg.adminPort.map { p =>
-      new graft.http.AdminServer(tracker, gate, counters, port = p).start()
+      new graft.http.AdminServer(tracker, gate, counters, port = p,
+        progress = () => progressView()).start()
     }
     // HA: with election enabled, block until this node leads — a standby
     // must not produce (the reference's app loop waits on Notify())
@@ -81,13 +83,32 @@ object Replay {
       k -> CanalTableFilter(sk.includeTable, sk.excludeTable)
     }.toMap
     try {
-      val stats = run(spark, Paths.get(fixture), Paths.get(outDir),
-        counters = counters,
-        gate = seeded.map(_ => gate),
-        ckpStorage = cfg.ckpUri.map(CkpStorage.forUri),
-        sinkFilters = sinkFilters)
-      println(s"""{"emitted":${stats.emitted},"droppedAsDuplicate":${stats.dropped},""" +
-        s""""wireMessages":${stats.wireMessages},"checkpoint":"${stats.checkpoint}"}""")
+      cfg.replayFixture match {
+        case Some(fixture) =>
+          val stats = run(spark, Paths.get(fixture), Paths.get(outDir),
+            counters = counters,
+            gate = seeded.map(_ => gate),
+            ckpStorage = cfg.ckpUri.map(CkpStorage.forUri),
+            sinkFilters = sinkFilters)
+          println(s"""{"emitted":${stats.emitted},"droppedAsDuplicate":${stats.dropped},""" +
+            s""""wireMessages":${stats.wireMessages},"checkpoint":"${stats.checkpoint}"}""")
+        case None =>
+          // no fixture → live replication from mysql_addr
+          val addr = cfg.mysqlAddr.getOrElse(
+            throw new IllegalArgumentException("config needs [replay] fixture or mysql_addr"))
+          val colon = addr.lastIndexOf(':')
+          val live = runLive(spark,
+            host = addr.substring(0, colon), port = addr.substring(colon + 1).toInt,
+            user = cfg.mysqlUser, password = cfg.mysqlPassword,
+            serverId = cfg.serverId, outDir = Paths.get(outDir),
+            gtidEnabled = cfg.gtidEnabled,
+            counters = counters,
+            gate = seeded.map(_ => gate),
+            ckpStorage = cfg.ckpUri.map(CkpStorage.forUri),
+            sinkFilters = sinkFilters)
+          progressView = () => Some(live.minProgress.toString)
+          live.query.awaitTermination()
+      }
     } finally {
       election.foreach(_.close())
       admin.foreach(_.stop())
@@ -143,40 +164,115 @@ object Replay {
       gate: Option[graft.cdc.DdlGate] = None,
       ckpStorage: Option[CkpStorage] = None,
       sinkFilters: Map[String, CanalTableFilter] = Map.empty): ReplayStats = {
+    val ckpMgr = managerFor(outDir, ckpStorage)
+    // source: the DSv2 binlog-replay stream (graft.sources) — offsets are
+    // binlog positions, rotate/log-name threading happens in the source
+    val totalInput =
+      graft.sources.BinlogReplaySource.load(fixture.toString).size.toLong
+    import spark.implicits._
+    val ds = spark.readStream.format("binlog-replay")
+      .option("path", fixture.toString).load()
+      .select("seq_no", "log_name", "op_json").as[(Long, String, String)]
+    val (query, st) = startSinks(ds, outDir, includes, excludes, counters, gate,
+      ckpMgr, sinkFilters)
+    query.processAllAvailable()
+    query.stop()
+    val finalCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
+    counters.opsEmittedTotal.add(st.emitted)
+    counters.opsDroppedTotal.add(totalInput - st.emitted)
+    counters.wireMessagesTotal.add(st.wireMessages)
+    ReplayStats(st.emitted, totalInput - st.emitted, st.wireMessages, finalCkp.toString)
+  }
+
+  /** A running live pipeline: the streaming query plus live views of its
+    * state (for the admin surface and for orderly shutdown). */
+  final class LiveRun(val query: org.apache.spark.sql.streaming.StreamingQuery,
+      private[Replay] val st: SinkState, val ckpMgr: CkpManager) {
+    def emitted: Long = st.emitted
+    def wireMessages: Long = st.wireMessages
+    def minProgress: Progress = ckpMgr.getMinProgress
+    def stop(): Unit = query.stop()
+  }
+
+  /** S1-live → the SAME sink stack as the fixture replay: the binlog-live
+    * DSv2 source feeds the fused executor render + ordered driver pass,
+    * both sinks, per-sink checkpoints, and the schema gate. Restart reads
+    * the checkpoint store FIRST and starts replication from min-progress —
+    * GTID set when `gtidEnabled` and one was checkpointed, else file+pos
+    * (the reference's startSyncer switch, canal/sync.go:46-67); the F3
+    * per-sink predicates then drop the overlap exactly like replay.
+    * Returns the running query — a live stream has no natural end; callers
+    * own its lifecycle (`processAllAvailable` in specs, awaitTermination
+    * in production). */
+  def runLive(spark: SparkSession, host: String, port: Int,
+      user: String, password: String, serverId: Long,
+      outDir: Path,
+      gtidEnabled: Boolean = false,
+      includes: Seq[String] = Nil, excludes: Seq[String] = Nil,
+      counters: graft.metrics.Counters = new graft.metrics.Counters,
+      gate: Option[graft.cdc.DdlGate] = None,
+      ckpStorage: Option[CkpStorage] = None,
+      sinkFilters: Map[String, CanalTableFilter] = Map.empty): LiveRun = {
+    val ckpMgr = managerFor(outDir, ckpStorage)
+    val resume = ckpMgr.getMinProgress
+    import spark.implicits._
+    var reader = spark.readStream.format("binlog-live")
+      .option("host", host).option("port", port.toString)
+      .option("user", user).option("password", password)
+      .option("serverId", serverId.toString)
+    if (!resume.isZero) {
+      reader = reader.option("startFile", resume.pos.name)
+        .option("startPos", resume.pos.pos.toString)
+      if (gtidEnabled) resume.gset.foreach(g => reader = reader.option("startGtid", g.toString))
+    }
+    val ds = reader.load()
+      .select("seq_no", "log_name", "op_json").as[(Long, String, String)]
+    val (query, st) = startSinks(ds, outDir, includes, excludes, counters, gate,
+      ckpMgr, sinkFilters)
+    new LiveRun(query, st, ckpMgr)
+  }
+
+  private def managerFor(outDir: Path, ckpStorage: Option[CkpStorage]): CkpManager = {
     Files.createDirectories(outDir)
     // selectable checkpoint storage (SPARK_GRAFT_CKP_URI / config): HA
     // deployments point at ZooKeeper so a standby resumes from the same
     // progress; default is the dual-file store next to the sink output
-    val ckpMgr = new CkpManager(ckpStorage.getOrElse(
+    new CkpManager(ckpStorage.getOrElse(
       sys.env.get("SPARK_GRAFT_CKP_URI").map(CkpStorage.forUri)
         .getOrElse(new FileCkpStorage(outDir.resolve("ckp")))))
+  }
+
+  final class SinkState {
+    @volatile var emitted = 0L
+    @volatile var wireMessages = 0L
+  }
+
+  /** The shared two-sink stack over any (seq_no, log_name, op_json)
+    * stream. Stay on the product-encoded source columns (codegen'd tuple
+    * encoder, no kryo): ALL per-op work — JSON decode, F1 global filter,
+    * F3 per-sink dedup, JSON render, per-op wire encode — happens in ONE
+    * executor-side pass inside foreachBatch. The OpEnvelope/Dataset forms
+    * of F1/F3 (ChangeStream.globalFilter/dedupBelowCheckpoint) remain the
+    * composable operator API; this is the fused hot path with the same
+    * truth tables. */
+  private def startSinks(
+      ds: org.apache.spark.sql.Dataset[(Long, String, String)],
+      outDir: Path,
+      includes: Seq[String], excludes: Seq[String],
+      counters: graft.metrics.Counters,
+      gate: Option[graft.cdc.DdlGate],
+      ckpMgr: CkpManager,
+      sinkFilters: Map[String, CanalTableFilter])
+      : (org.apache.spark.sql.streaming.StreamingQuery, SinkState) = {
     // per-sink checkpoints (K4 mux: each sink dedups against its OWN
     // progress, F3) — the stream-level filter below uses their MINIMUM
     // (A2), the reference's resume position across sinks
     val stdoutCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
     val wireCkp = ckpMgr.get("wire").map(_.progress).getOrElse(Progress.zero)
-
-    // source: the DSv2 binlog-replay stream (graft.sources) — offsets are
-    // binlog positions, rotate/log-name threading happens in the source
-    val totalInput =
-      graft.sources.BinlogReplaySource.load(fixture.toString).size.toLong
-
-    import spark.implicits._
-    // Stay on the product-encoded source columns (codegen'd tuple encoder,
-    // no kryo): ALL per-op work — JSON decode, F1 global filter, F3 per-sink
-    // dedup, JSON render, per-op wire encode — happens in ONE executor-side
-    // mapPartitions inside foreachBatch. The OpEnvelope/Dataset forms of
-    // F1/F3 (ChangeStream.globalFilter/dedupBelowCheckpoint) remain the
-    // composable operator API; this is the fused hot path with the same
-    // truth tables.
-    val ds = spark.readStream.format("binlog-replay")
-      .option("path", fixture.toString).load()
-      .select("seq_no", "log_name", "op_json").as[(Long, String, String)]
+    val st = new SinkState
 
     val jsonOut = outDir.resolve("operations.jsonl")
     val wireOut = outDir.resolve("wire.b64l")
-    var emitted = 0L
-    var wireMessages = 0L
     val codec: WireCodec = Wire
     val producer = new FragmentingProducer(producerId = 1L, maxPayloadSize = 1 << 20, codec = codec)
     // trx batching over PRE-ENCODED ops: the state machine only looks at
@@ -307,7 +403,7 @@ object Replay {
                     lastSeq = seqNo
                     val flags = in.readByte()
                     val inJson = (flags & 1) != 0
-                    if (inJson) emitted += 1
+                    if (inJson) st.emitted += 1
                     val opType = rstr()
                     opType match { // A1 counters
                       case OpType.Commit => counters.trxTotal.inc()
@@ -331,7 +427,7 @@ object Replay {
                         producer.produceEncoded(trx.map(_._2)).foreach { m =>
                           wireW.write(Base64.getEncoder.encodeToString(codec.encodeMessage(m)))
                           wireW.write('\n')
-                          wireMessages += 1
+                          st.wireMessages += 1
                         }
                       }
                     }
@@ -365,13 +461,6 @@ object Replay {
           ckpMgr.persist()
       }
       .start()
-    query.processAllAvailable()
-    query.stop()
-
-    val finalCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
-    counters.opsEmittedTotal.add(emitted)
-    counters.opsDroppedTotal.add(totalInput - emitted)
-    counters.wireMessagesTotal.add(wireMessages)
-    ReplayStats(emitted, totalInput - emitted, wireMessages, finalCkp.toString)
+    (query, st)
   }
 }
