@@ -190,13 +190,9 @@ final class CkpManager(storage: CkpStorage) {
     }
 }
 
-/** Schema snapshots keyed by replication position — restart restores the
-  * catalog AS OF the resume position (/root/reference/schema/tracker.go:54-72,
-  * boltdb semantics of storage_boltdb.go:75-114 incl. the 7-day purge at
-  * :200-238). One binary file per snapshot in a directory. */
-final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7) {
-  Files.createDirectories(dir)
-
+/** The snapshot binary codec, shared by the file store and the
+  * MySQL-backed store ([[graft.mysql.MysqlSnapshotStorage]]). */
+object SchemaSnapshotCodec {
   private def writeStr(out: DataOutputStream, s: String): Unit = {
     val b = s.getBytes(UTF_8); out.writeInt(b.length); out.write(b)
   }
@@ -204,12 +200,7 @@ final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7) {
     val b = new Array[Byte](in.readInt()); in.readFully(b); new String(b, UTF_8)
   }
 
-  private def fileFor(pos: Position): Path =
-    // big-endian-style zero-padded offset keeps lexicographic == numeric order
-    // (the reference's boltdb key trick, storage_boltdb.go:256-264)
-    dir.resolve(f"snap-${pos.serverId}%020d-${pos.name}-${pos.pos}%020d.bin")
-
-  def save(pos: Position, databases: Seq[String], defs: Seq[TableDef]): Unit = {
+  def encode(pos: Position, databases: Seq[String], defs: Seq[TableDef]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     writeStr(out, pos.name); out.writeLong(pos.pos); out.writeLong(pos.serverId)
@@ -225,7 +216,46 @@ final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7) {
       }
     }
     out.flush()
-    Files.write(fileFor(pos), bos.toByteArray)
+    bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): (Position, Vector[String], Vector[TableDef]) = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val name = readStr(in); val p = in.readLong(); val sid = in.readLong()
+    val dbs = Vector.fill(in.readInt())(readStr(in))
+    val defs = Vector.fill(in.readInt()) {
+      val db = readStr(in); val tname = readStr(in); val charset = readStr(in)
+      val cols = Vector.fill(in.readInt()) {
+        ColumnDef(readStr(in), readStr(in), in.readInt(), readStr(in), readStr(in),
+          in.readBoolean(), in.readBoolean())
+      }
+      TableDef(db, tname, cols, charset)
+    }
+    (Position(name, p, sid), dbs, defs)
+  }
+
+  /** Position header only (for cheap listings). */
+  def decodeHeader(bytes: Array[Byte]): Position = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val name = readStr(in); val pos = in.readLong(); val sid = in.readLong()
+    Position(name, pos, sid)
+  }
+}
+
+/** Schema snapshots keyed by replication position — restart restores the
+  * catalog AS OF the resume position (/root/reference/schema/tracker.go:54-72,
+  * boltdb semantics of storage_boltdb.go:75-114 incl. the 7-day purge at
+  * :200-238). One binary file per snapshot in a directory. */
+final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7) {
+  Files.createDirectories(dir)
+
+  private def fileFor(pos: Position): Path =
+    // big-endian-style zero-padded offset keeps lexicographic == numeric order
+    // (the reference's boltdb key trick, storage_boltdb.go:256-264)
+    dir.resolve(f"snap-${pos.serverId}%020d-${pos.name}-${pos.pos}%020d.bin")
+
+  def save(pos: Position, databases: Seq[String], defs: Seq[TableDef]): Unit = {
+    Files.write(fileFor(pos), SchemaSnapshotCodec.encode(pos, databases, defs))
     purge()
   }
 
@@ -243,26 +273,11 @@ final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7) {
       .toVector
 
   private def readHeader(p: Path): Option[Position] =
-    try {
-      val in = new DataInputStream(new ByteArrayInputStream(Files.readAllBytes(p)))
-      val name = readStr(in); val pos = in.readLong(); val sid = in.readLong()
-      Some(Position(name, pos, sid))
-    } catch { case _: Exception => None }
+    try Some(SchemaSnapshotCodec.decodeHeader(Files.readAllBytes(p)))
+    catch { case _: Exception => None }
 
-  private def read(pos: Position): (Position, Vector[String], Vector[TableDef]) = {
-    val in = new DataInputStream(new ByteArrayInputStream(Files.readAllBytes(fileFor(pos))))
-    val name = readStr(in); val p = in.readLong(); val sid = in.readLong()
-    val dbs = Vector.fill(in.readInt())(readStr(in))
-    val defs = Vector.fill(in.readInt()) {
-      val db = readStr(in); val tname = readStr(in); val charset = readStr(in)
-      val cols = Vector.fill(in.readInt()) {
-        ColumnDef(readStr(in), readStr(in), in.readInt(), readStr(in), readStr(in),
-          in.readBoolean(), in.readBoolean())
-      }
-      TableDef(db, tname, cols, charset)
-    }
-    (Position(name, p, sid), dbs, defs)
-  }
+  private def read(pos: Position): (Position, Vector[String], Vector[TableDef]) =
+    SchemaSnapshotCodec.decode(Files.readAllBytes(fileFor(pos)))
 
   private def purge(): Unit = {
     val cutoff = java.time.Instant.now().minus(java.time.Duration.ofDays(purgeAfterDays.toLong))

@@ -1,0 +1,170 @@
+package graft.cdc
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import scala.collection.mutable
+
+/** A socket-served single-partition topic — the wire-twin's stand-in for a
+  * Kafka broker (no kafka-clients jar resolves in this environment, see
+  * SURVEY §2.12), so the K1 recovery scan (S5) runs against a SERVER
+  * rather than a local file. The surface mirrors exactly what the
+  * reference's recovery consumes from sarama
+  * (/root/reference/sink/kafka/kafka.go:134-255): the partition's high
+  * water mark, and a fetch of (offset, message) pairs from a given offset.
+  *
+  * Wire protocol (all big-endian):
+  *   request  = 0x01                      — high water mark
+  *            | 0x02 ++ int64 fromOffset  — fetch to current hwm
+  *            | 0x03 ++ int32 len ++ data — append one message (producer)
+  *   response = int64 hwm                          (for 0x01 and 0x03)
+  *            | { int64 offset, int32 len, data }* ++ int64 -1   (for 0x02)
+  * One request per connection; the topic itself is in-memory + optionally
+  * seeded from the wire-twin's b64 lines.
+  */
+final class TopicServer(seed: Seq[Array[Byte]] = Nil) {
+
+  private val messages = mutable.ArrayBuffer[Array[Byte]](seed: _*)
+  private val server = new ServerSocket(0, 16, InetAddress.getByName("127.0.0.1"))
+  @volatile private var closed = false
+
+  def port: Int = server.getLocalPort
+  def highWaterMark: Long = synchronized(messages.size.toLong)
+  def append(msg: Array[Byte]): Long = synchronized { messages += msg; messages.size - 1L }
+  def messageAt(offset: Long): Array[Byte] = synchronized(messages(offset.toInt))
+
+  def start(): TopicServer = {
+    val t = new Thread(() => {
+      while (!closed) {
+        try {
+          val sock = server.accept()
+          val h = new Thread(() => handle(sock), "topic-sim-conn")
+          h.setDaemon(true)
+          h.start()
+        } catch { case _: Exception => () } // closed
+      }
+    }, "topic-sim-accept")
+    t.setDaemon(true)
+    t.start()
+    this
+  }
+
+  private def handle(sock: Socket): Unit =
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      in.readByte() match {
+        case 0x01 =>
+          out.writeLong(highWaterMark)
+        case 0x02 =>
+          val from = in.readLong()
+          // snapshot hwm first: fetch is bounded, like a consumer reading
+          // up to the hwm it observed
+          val hwm = highWaterMark
+          var off = from
+          while (off < hwm) {
+            val m = messageAt(off)
+            out.writeLong(off); out.writeInt(m.length); out.write(m)
+            off += 1
+          }
+          out.writeLong(-1L) // end of fetch
+        case 0x03 =>
+          val data = new Array[Byte](in.readInt())
+          in.readFully(data)
+          append(data)
+          out.writeLong(highWaterMark)
+        case other =>
+          throw new IllegalStateException(s"unknown topic-sim command $other")
+      }
+      out.flush()
+    } catch { case _: EOFException => () }
+    finally sock.close()
+
+  def close(): Unit = { closed = true; server.close() }
+}
+
+/** Client side of the simulator — the consumer surface the recovery scan
+  * needs (GetOffset + ConsumePartition in the reference). */
+final class TopicClient(host: String, port: Int) {
+
+  private def withConn[A](f: (DataInputStream, DataOutputStream) => A): A = {
+    val sock = new Socket(host, port)
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      f(in, out)
+    } finally sock.close()
+  }
+
+  def highWaterMark(): Long = withConn { (in, out) =>
+    out.writeByte(0x01); out.flush()
+    in.readLong()
+  }
+
+  def produce(msg: Array[Byte]): Long = withConn { (in, out) =>
+    out.writeByte(0x03); out.writeInt(msg.length); out.write(msg); out.flush()
+    in.readLong()
+  }
+
+  /** All (offset, message) pairs in [fromOffset, hwm-at-fetch-time). */
+  def fetchFrom(fromOffset: Long): Vector[(Long, Array[Byte])] = withConn { (in, out) =>
+    out.writeByte(0x02); out.writeLong(fromOffset); out.flush()
+    val res = Vector.newBuilder[(Long, Array[Byte])]
+    var done = false
+    while (!done) {
+      val off = in.readLong()
+      if (off < 0) done = true
+      else {
+        val data = new Array[Byte](in.readInt())
+        in.readFully(data)
+        res += ((off, data))
+      }
+    }
+    res.result()
+  }
+}
+
+/** The K1 recovery scan (S5) over the served topic — the exact semantics
+  * of the reference's KafkaSink.Initialize + recover
+  * (/root/reference/sink/kafka/kafka.go:134-255): read acked state from
+  * the checkpoint, fast-path when the topic has nothing newer, otherwise
+  * scan from ackedOffset+1 through the seq-dedup decoder and advance
+  * acked seq/offset/progress to what the topic actually holds. The
+  * producer then restarts its seq from the recovered ackedSeq, so the
+  * (topic ++ re-produced ops) stream never carries a duplicate. */
+object KafkaRecovery {
+
+  /** Sentinel: "no acked offset recorded yet" (the reference's maxOffset). */
+  val NoOffset: Long = Long.MaxValue
+
+  final case class Recovered(ckp: Checkpoint, scanned: Int) {
+    def ackedSeq: Long = ckp.getIntCtx("acked_seq", 0L)
+    def ackedOffset: Long = ckp.getIntCtx("acked_offset", NoOffset)
+  }
+
+  def recover(client: TopicClient, ckp: Checkpoint, codec: WireCodec = Wire): Recovered = {
+    var ackedOffset = ckp.getIntCtx("acked_offset", NoOffset)
+    var ackedSeq = ckp.getIntCtx("acked_seq", 0L)
+    var ackedProgress = ckp.progress
+    val hwm = client.highWaterMark()
+    if (ackedOffset == NoOffset) ackedOffset = hwm - 1 // first run: nothing to scan
+    require(hwm >= ackedOffset + 1, "invalid topic high water mark")
+    var scanned = 0
+    if (hwm > ackedOffset + 1) {
+      val dec = new OperationDecoder(codec, lastCommitSeq = ackedSeq)
+      client.fetchFrom(ackedOffset + 1).foreach { case (off, data) =>
+        scanned += 1
+        dec.feed(data, off).foreach { batch =>
+          ackedOffset = batch.commitOffset
+          ackedSeq = batch.commitSeq
+          batch.ops.foreach { op =>
+            if (op.opType == OpType.Commit || op.opType == OpType.Ddl)
+              op.progress.foreach(p => ackedProgress = p)
+          }
+        }
+      }
+    }
+    Recovered(Checkpoint(ackedProgress)
+      .withIntCtx("acked_seq", ackedSeq)
+      .withIntCtx("acked_offset", ackedOffset), scanned)
+  }
+}

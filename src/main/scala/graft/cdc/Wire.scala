@@ -212,9 +212,10 @@ final class FragmentingProducer(
     producerId: Long,
     maxPayloadSize: Int = 1 << 20, // 1 MiB default (kafka.go:109)
     compress: Boolean = false,
-    codec: WireCodec = Wire) {
+    codec: WireCodec = Wire,
+    startSeq: Long = 0L) { // restart: seq resumes from the recovered ackedSeq
 
-  private var seq: Long = 0L
+  private var seq: Long = startSeq
   def currentSeq: Long = seq
 
   private def next(groupId: Long, payload: Array[Byte], more: Boolean): Wire.Message = {
@@ -337,8 +338,8 @@ final class TrxBatcher(emptyTrxLimit: Int = 1000)
 /** Consumer side: seq dedup + fragment reassembly + decode
   * (/root/reference/sink/kafka/client/go/decoder.go:146-266).
   */
-final class OperationDecoder(codec: WireCodec = Wire) {
-  private var curSeq: Long = 0L
+final class OperationDecoder(codec: WireCodec = Wire, lastCommitSeq: Long = 0L) {
+  private var curSeq: Long = lastCommitSeq
   private var curProducerId: Long = -1L
   private var fragments = Vector.empty[Array[Byte]]
   private var groupId: Long = 0L
