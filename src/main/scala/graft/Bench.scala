@@ -31,13 +31,24 @@ object Bench {
       try Tables.t(spark, sfDir, name).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Median-of-N per query (default 3): this box has ±40% run-to-run
+    // variance (JIT/GC), and per-query numbers are order-sensitive (the
+    // first dedup query pays the shared shingle-index build) — the median
+    // absorbs both, so the per-query signal is stable across driver runs.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val samples = collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    for (_ <- 1 to rounds; (name, fn) <- SparkEntry.queries) {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples.updateWith(name)(prev => Some(dt :: prev.getOrElse(Nil)))
+    }
+    val results = samples.map { case (name, ts) =>
+      val sorted = ts.sorted
+      name -> sorted(sorted.size / 2)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def r3(v: Double): String = f"$v%.3f"
@@ -48,7 +59,7 @@ object Bench {
       .mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_queries.json")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"queries":$qs,"sf":"$sfDir","method":"warm-cache (tables persisted + codegen warmup before timing; cold-read parquet numbers would be higher — see README)"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"rounds":$rounds,"queries":$qs,"sf":"$sfDir","method":"warm-cache, median-of-$rounds per query (tables persisted + codegen warmup before timing; cold-read parquet numbers would be higher — see README)"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     // Headline subset keeps the stdout line short (<400 chars) while still
@@ -58,7 +69,7 @@ object Bench {
       "s05_ivf_ann", "e10_asof_join", "t06_top_bigrams")
       .flatMap(k => results.get(k).map(v => "\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"sf":"$sfDir","detail":"$detailPath","method":"warm-cache"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"sf":"$sfDir","detail":"$detailPath","method":"warm-cache median-of-$rounds"}""")
     spark.stop()
   }
 }

@@ -153,7 +153,7 @@ object Similarity {
     * no corpus self-shuffle (the 100 TB index-build pass). Each query
     * probes only its NPROBE nearest lists; the probe set is broadcast so
     * the corpus-sized assigned side never shuffles. */
-  private def ivfTopK(s: SparkSession, dir: String,
+  private def ivfCandidates(s: SparkSession, dir: String,
       nlist: Int = NLIST, nprobe: Int = NPROBE): DataFrame = {
     import s.implicits._
     val emb = withQNorm(t(s, dir, "embeddings"))
@@ -189,10 +189,21 @@ object Similarity {
     val probes = q.join(broadcast(cent1))
       .withColumn("pcos", cosine(dotInt("qc", "qa"), $"n2c", $"n2a"))
       .withColumn("pr", row_number().over(wP)).filter($"pr" <= nprobe)
-      .select($"qid", $"qa", $"n2a", $"cent_id")
-    val wT = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      .select($"qid", $"qa", $"n2a", $"cent_id", $"pr")
     broadcast(probes).join(assigned, "cent_id")
       .withColumn("cos", cosine(dotInt("qa", "qb"), $"n2a", $"n2b"))
+      .select($"qid", $"cid", $"cos", $"pr")
+  }
+
+  /** Rank the probe-limited candidates to the final top-k. */
+  private def ivfTopK(s: SparkSession, dir: String,
+      nlist: Int = NLIST, nprobe: Int = NPROBE): DataFrame =
+    rankTopK(s, ivfCandidates(s, dir, nlist, nprobe))
+
+  private def rankTopK(s: SparkSession, cands: DataFrame): DataFrame = {
+    import s.implicits._
+    val wT = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    cands
       .withColumn("rn", row_number().over(wT)).filter($"rn" <= 10)
       .select($"qid", $"cid", $"cos", $"rn")
   }
@@ -357,8 +368,13 @@ object Similarity {
           .withColumn("cos", cosine(dotInt("qa", "qb"), $"n2a", $"n2b"))
           .withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
           .select($"qid", $"cid")
+        // ONE index build + candidate join serves both probe settings: the
+        // pr column says which probe admitted a candidate, so nprobe=1 is a
+        // filter over the persisted nprobe=2 candidate set — the index is
+        // never built twice (this is also how a real eval sweeps the dial)
+        val cands = ivfCandidates(s, dir).persist()
         val perSetting = Seq(1, NPROBE).map { np =>
-          val ivf = ivfTopK(s, dir, nprobe = np).select($"qid", $"cid")
+          val ivf = rankTopK(s, cands.filter($"pr" <= np)).select($"qid", $"cid")
           val hits = exact.join(ivf, Seq("qid", "cid"), "left_semi")
             .groupBy($"qid").agg(count(lit(1)).as("hits"))
           exact.select($"qid").distinct()

@@ -73,6 +73,48 @@ object GtidSet {
     }
   }
 
+  /** MariaDB flavor: `domain-server-seq` per domain (e.g. `0-1-100,1-2-5`)
+    * — one current GTID per replication domain, ordering is per-domain seq
+    * (the reference parses both flavors via go-mysql ParseGTIDSet,
+    * ckp/checkpoint.go:56-63). Modeled separately from the MySQL
+    * uuid-interval sets because the algebra differs: union is per-domain
+    * max, containment is per-domain seq ≥. */
+  final case class Mariadb(domains: Map[Long, (Long, Long)]) { // domain -> (server, seq)
+    def isEmpty: Boolean = domains.isEmpty
+    def contains(other: Mariadb): Boolean =
+      other.domains.forall { case (d, (_, seq)) =>
+        domains.get(d).exists { case (_, mySeq) => mySeq >= seq }
+      }
+    /** Per-domain max — the later stream position wins. */
+    def union(other: Mariadb): Mariadb =
+      Mariadb((domains.keySet ++ other.domains.keySet).map { d =>
+        d -> (domains.get(d).toSeq ++ other.domains.get(d).toSeq).maxBy(_._2)
+      }.toMap)
+    def add(domain: Long, server: Long, seq: Long): Mariadb =
+      Mariadb(domains.get(domain) match {
+        case Some((_, cur)) if cur >= seq => domains
+        case _ => domains.updated(domain, (server, seq))
+      })
+    override def toString: String =
+      domains.toVector.sortBy(_._1)
+        .map { case (d, (srv, seq)) => s"$d-$srv-$seq" }.mkString(",")
+  }
+
+  object Mariadb {
+    val empty: Mariadb = Mariadb(Map.empty)
+    /** Parse `0-1-100,1-2-5`; empty string → empty set. */
+    def parse(s: String): Mariadb = {
+      val trimmed = s.trim
+      if (trimmed.isEmpty) empty
+      else Mariadb(trimmed.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
+        part.split("-") match {
+          case Array(d, srv, seq) => d.toLong -> (srv.toLong, seq.toLong)
+          case _ => throw new IllegalArgumentException(s"malformed mariadb gtid: $part")
+        }
+      }.toMap)
+    }
+  }
+
   /** Parse `uuid:1-10:12,uuid:...`; empty string → empty set. */
   def parse(s: String): GtidSet = {
     val trimmed = s.trim

@@ -170,6 +170,25 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
     eventStream()
   }
 
+  /** MariaDB-flavor GTID start: MariaDB has no dump-GTID command — the
+    * replica announces its state in session variables, then issues a plain
+    * COM_BINLOG_DUMP from (\"\", 0) and the server resolves the position
+    * (public MariaDB replication protocol; the reference reaches it
+    * through go-mysql's mariadb path when flavor = \"mariadb\",
+    * ckp/checkpoint.go:56-63). */
+  def dumpMariadbGtid(gset: GtidSet.Mariadb, serverId: Long):
+      Iterator[(BinlogEvents.EventHeader, BinlogEvents.Event)] = {
+    def setVar(sql: String): Unit = query(sql) match {
+      case Right(_) => ()
+      case Left(_) => throw new IllegalStateException(s"expected OK for: $sql")
+    }
+    setVar("SET @mariadb_slave_capability = 4")
+    setVar(s"SET @slave_connect_state = '${gset.toString}'")
+    setVar("SET @slave_gtid_strict_mode = 0")
+    setVar("SET @slave_gtid_ignore_duplicates = 0")
+    dump("", 0, serverId)
+  }
+
   private def uuidBytes(uuid: String): Array[Byte] = {
     val hex = uuid.replace("-", "")
     require(hex.length == 32, s"malformed GTID source id: $uuid")

@@ -82,6 +82,22 @@ class ProgressSpec extends AnyFunSuite {
     Position(names(r.nextInt(names.length)), 4L + r.nextLong(1L << 32), 7)
   }
 
+  test("mariadb gtid: parse/format, per-domain union, containment") {
+    val a = GtidSet.Mariadb.parse("0-1-100,1-2-5")
+    assert(a.toString == "0-1-100,1-2-5")
+    assert(GtidSet.Mariadb.parse("").isEmpty)
+    // union takes the per-domain max seq
+    val b = GtidSet.Mariadb.parse("0-3-150,2-1-7")
+    assert(a.union(b).toString == "0-3-150,1-2-5,2-1-7")
+    // containment: per-domain seq >=
+    assert(a.contains(GtidSet.Mariadb.parse("0-1-50")))
+    assert(!a.contains(GtidSet.Mariadb.parse("0-1-200")))
+    assert(!a.contains(GtidSet.Mariadb.parse("2-1-1"))) // unknown domain
+    // add keeps the max
+    assert(a.add(0, 9, 50).domains(0L) == ((1L, 100L)))
+    assert(a.add(0, 9, 200).domains(0L) == ((9L, 200L)))
+  }
+
   test("property: position ordering is a total order within a server_id") {
     val r = new Random(42)
     (1 to 500).foreach { _ =>

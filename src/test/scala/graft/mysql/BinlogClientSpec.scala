@@ -268,6 +268,40 @@ class BinlogClientSpec extends AnyFunSuite {
     assert(!r.hasNext)
   }
 
+  test("MariaDB GTID start: slave_connect_state announced, then a plain dump") {
+    import BinlogEvents._
+    val (in, out) = script(
+      frame(0, greeting), frame(2, okPacket),
+      frame(1, okPacket), frame(1, okPacket), frame(1, okPacket), frame(1, okPacket), // 4 SETs
+      frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 1), crc = true)),
+      frame(2, eventPacket(XID_EVENT, 200,
+        new Packets.Writer().u64(5L).result, crc = true)),
+      frame(3, eofPacket))
+    val c = new BinlogClient(in, out, "repl", "secret")
+    c.connect()
+    val evs = c.dumpMariadbGtid(GtidSet.Mariadb.parse("0-1-100,1-2-5"), serverId = 1001).toVector
+    assert(evs.map(_._2).collect { case Xid(x) => x } == Vector(5L))
+    val sent = new String(out.toByteArray, UTF_8)
+    assert(sent.contains("SET @mariadb_slave_capability = 4"))
+    assert(sent.contains("SET @slave_connect_state = '0-1-100,1-2-5'"))
+    assert(sent.contains("SET @slave_gtid_strict_mode = 0"))
+    // and the dump command itself is the plain (file, pos) form from ("", 0)
+    var off = 0
+    var found = false
+    val bytes = out.toByteArray
+    while (off < bytes.length) {
+      val len = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) | ((bytes(off + 2) & 0xff) << 16)
+      if ((bytes(off + 4) & 0xff) == Packets.COM_BINLOG_DUMP) {
+        val r = new Packets.Reader(java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len))
+        r.u8()
+        assert(r.u32() == 0L) // pos 0: the session variables carry the state
+        found = true
+      }
+      off += 4 + len
+    }
+    assert(found)
+  }
+
   test("NEWDECIMAL decodes sign, integral and fractional groups") {
     // decimal(14,4) value 1234567890.1234:
     // int part 1234567890 -> leftover 1 digit group "1" (1 byte) + word 234567890
