@@ -14,6 +14,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** S1, live: the socket client wired into the SAME DSv2 offset/envelope
   * model as the replay source (the reference's syncer loop,
@@ -23,9 +24,14 @@ import scala.collection.mutable
   *
   * Startup mirrors the reference's order: connect → ROW-format
   * precondition (S2) → heartbeat period (T8) → register slave → dump.
-  * Committed offsets trim the buffer prefix, so memory is bounded by
-  * (uncommitted window) — the same admission story as the replay source's
-  * maxEventsPerTrigger.
+  * Committed offsets trim the buffer prefix, so driver memory is bounded
+  * by the uncommitted window: at most `maxBuffer` events × (rendered JSON
+  * + Operation) bytes — with the 2^20 default and typical ~1 KiB ops,
+  * ≈1 GiB worst case; size `maxBuffer` to the driver heap, or lower
+  * `maxEventsPerTrigger` so commits trim faster. (A disk-spill ring for
+  * the uncommitted window is the next escalation if a deployment needs a
+  * deeper window than the heap allows; a single ordered protocol thread
+  * is inherent to CDC — the reference's syncer goroutine is the same.)
   *
   * `spark.readStream.format("binlog-live").option("host", …)` for
   * production; specs drive [[LiveBinlogFeed]] and the stream directly with
@@ -165,11 +171,24 @@ class LiveBinlogTable(opts: CaseInsensitiveStringMap) extends Table with Support
         val client = BinlogClient.connect(opts.get("host"),
           Option(opts.get("port")).map(_.toInt).getOrElse(3306),
           opts.get("user"), Option(opts.get("password")).getOrElse(""))
+        // schemaSql: seed DDL file (one statement per line) — the schema
+        // mirror that names row columns (the binlog carries only type
+        // codes); without it rows fall back to positional col_N names
+        val lookup: (String, String) => Option[TableDef] =
+          Option(opts.get("schemaSql")) match {
+            case Some(f) =>
+              val tracker = new SchemaTracker
+              java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
+                .asScala.map(_.trim).filter(_.nonEmpty)
+                .foreach(stmt => tracker.execDdl(stmt, ""))
+              tracker.getTableDef(_, _)
+            case None => (_, _) => None
+          }
         val feed = new LiveBinlogFeed(client,
           Option(opts.get("serverId")).map(_.toLong).getOrElse(1001L),
           Option(opts.get("startFile")).getOrElse(""),
           Option(opts.get("startPos")).map(_.toLong).getOrElse(4L),
-          (_, _) => None,
+          lookup,
           startGtid = Option(opts.get("startGtid")).map(GtidSet.parse)).start()
         new LiveBinlogMicroBatchStream(feed,
           Option(opts.get("maxEventsPerTrigger")).map(_.toLong))

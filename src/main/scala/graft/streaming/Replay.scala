@@ -105,7 +105,8 @@ object Replay {
             counters = counters,
             gate = seeded.map(_ => gate),
             ckpStorage = cfg.ckpUri.map(CkpStorage.forUri),
-            sinkFilters = sinkFilters)
+            sinkFilters = sinkFilters,
+            schemaSql = cfg.schemaSeedSql)
           progressView = () => Some(live.minProgress.toString)
           live.query.awaitTermination()
       }
@@ -212,7 +213,8 @@ object Replay {
       counters: graft.metrics.Counters = new graft.metrics.Counters,
       gate: Option[graft.cdc.DdlGate] = None,
       ckpStorage: Option[CkpStorage] = None,
-      sinkFilters: Map[String, CanalTableFilter] = Map.empty): LiveRun = {
+      sinkFilters: Map[String, CanalTableFilter] = Map.empty,
+      schemaSql: Option[String] = None): LiveRun = {
     val ckpMgr = managerFor(outDir, ckpStorage)
     val resume = ckpMgr.getMinProgress
     import spark.implicits._
@@ -220,6 +222,7 @@ object Replay {
       .option("host", host).option("port", port.toString)
       .option("user", user).option("password", password)
       .option("serverId", serverId.toString)
+    schemaSql.foreach(f => reader = reader.option("schemaSql", f))
     if (!resume.isZero) {
       reader = reader.option("startFile", resume.pos.name)
         .option("startPos", resume.pos.pos.toString)

@@ -136,8 +136,13 @@ class ReplayLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
       trx(gno = 7, basePos = 200, id = 1, name = "aa", startSeq = 3) ++
       Seq(frame(8, eofPacket))).flatten.toArray
     val (server1, t1, _) = serve(script1)
+    // schema seed names the row columns (the binlog only carries type codes)
+    val seedSql = Files.createTempFile("seed", ".sql")
+    Files.writeString(seedSql,
+      "CREATE DATABASE shop\nCREATE TABLE shop.orders (id INT, name VARCHAR(100))\n")
     val live1 = Replay.runLive(spark, "127.0.0.1", server1.getLocalPort,
-      "repl", "secret", serverId = 1001, outDir = out)
+      "repl", "secret", serverId = 1001, outDir = out,
+      schemaSql = Some(seedSql.toString))
     val admin = new graft.http.AdminServer(new SchemaTracker,
       new DdlGate(new SchemaTracker), new graft.metrics.Counters, port = 0,
       progress = () => Some(live1.minProgress.toString)).start()
@@ -163,6 +168,10 @@ class ReplayLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val jsonAfter1 = Files.readAllLines(out.resolve("operations.jsonl")).asScala.toVector
     assert(jsonAfter1.exists(_.contains("\"type\":\"insert\"")))
+    // the schema mirror named the columns — not positional col_N fallbacks
+    val insertLine = jsonAfter1.find(_.contains("\"type\":\"insert\"")).get
+    assert(insertLine.contains("\"name\":\"id\""))
+    assert(!insertLine.contains("col_0"))
     val wireAfter1 = Files.readAllLines(out.resolve("wire.b64l")).asScala.toVector
     assert(wireAfter1.nonEmpty)
 
