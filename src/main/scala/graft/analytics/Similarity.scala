@@ -100,12 +100,24 @@ object Similarity {
     when(proj > 0L, lit(1 << b)).otherwise(lit(0))
   }.reduce(_ + _)
 
+  /** Banded signatures (vec_id, q, n2, b0, b1), persisted and shared by
+    * s02 and d06 — the 32 sign projections are per-row linear work worth
+    * computing once, not once per join side per band (the d05 shared-index
+    * pattern). */
+  private val bandedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def bandedSignatures(s: SparkSession, dir: String): DataFrame =
+    bandedCache.getOrElseUpdate((s, dir), {
+      val emb = withQNorm(t(s, dir, "embeddings"))
+      (0 until BANDS).foldLeft(emb) { (df, k) => df.withColumn(s"b$k", bandCol(k)) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Banded-LSH near-dup pairs (i, j, cos): per-band equi-joins, exact
     * integer cosine verified per-row before the union+distinct. */
   private def bandedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = withQNorm(t(s, dir, "embeddings"))
-    val h = (0 until BANDS).foldLeft(emb) { (df, k) => df.withColumn(s"b$k", bandCol(k)) }
+    val h = bandedSignatures(s, dir)
     def band(k: Int) = h.as("a")
       .join(h.as("b"), col(s"a.b$k") === col(s"b.b$k") && $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", cosine(dotInt("a.q", "b.q"), $"a.n2", $"b.n2"))
