@@ -16,10 +16,16 @@ import scala.jdk.CollectionConverters._
   *    progress checkpointed only at transaction boundaries (T1 —
   *    /root/reference/canal/sync.go:86-91) through the dual-file CkpManager;
   *  - a Kafka-twin wire sink (K1): trx batching → fragmentation → seq
-  *    protocol, written as base64 lines (one per would-be Kafka message).
+  *    protocol. With a broker configured (`topicAddr` / config
+  *    `broker_list`, the TopicSim protocol) messages are PRODUCED into the
+  *    served topic with the reference's full sink lifecycle — recovery
+  *    scan at startup, acked seq/offset in the checkpoint, producer seq
+  *    resumed; without one, base64 lines (one per would-be message).
   *
   * Restart honors F3: events at-or-below the persisted checkpoint are
-  * dropped, so re-feeding the stream from the beginning emits no duplicates.
+  * dropped, so re-feeding the stream from the beginning emits no duplicates
+  * — and a broker-backed restart additionally repairs a LOST ack from the
+  * topic itself before anything streams.
   *
   * Usage: Replay <fixture.jsonl> <outDir>  (run twice to observe dedup)
   */
@@ -82,6 +88,10 @@ object Replay {
     ).collect { case (k, Some(sk)) =>
       k -> CanalTableFilter(sk.includeTable, sk.excludeTable)
     }.toMap
+    // broker_list on the kafka sink → produce into the served topic with
+    // the recovery lifecycle (TopicSim protocol)
+    val topicAddr = cfg.sinkOfType("kafka").orElse(cfg.sinkOfType("wire"))
+      .flatMap(_.cfg.get("broker_list"))
     try {
       cfg.replayFixture match {
         case Some(fixture) =>
@@ -89,7 +99,8 @@ object Replay {
             counters = counters,
             gate = seeded.map(_ => gate),
             ckpStorage = cfg.ckpUri.map(CkpStorage.forUri),
-            sinkFilters = sinkFilters)
+            sinkFilters = sinkFilters,
+            topicAddr = topicAddr)
           println(s"""{"emitted":${stats.emitted},"droppedAsDuplicate":${stats.dropped},""" +
             s""""wireMessages":${stats.wireMessages},"checkpoint":"${stats.checkpoint}"}""")
         case None =>
@@ -106,7 +117,8 @@ object Replay {
             gate = seeded.map(_ => gate),
             ckpStorage = cfg.ckpUri.map(CkpStorage.forUri),
             sinkFilters = sinkFilters,
-            schemaSql = cfg.schemaSeedSql)
+            schemaSql = cfg.schemaSeedSql,
+            topicAddr = topicAddr)
           progressView = () => Some(live.minProgress.toString)
           live.query.awaitTermination()
       }
@@ -164,7 +176,8 @@ object Replay {
       counters: graft.metrics.Counters = new graft.metrics.Counters,
       gate: Option[graft.cdc.DdlGate] = None,
       ckpStorage: Option[CkpStorage] = None,
-      sinkFilters: Map[String, CanalTableFilter] = Map.empty): ReplayStats = {
+      sinkFilters: Map[String, CanalTableFilter] = Map.empty,
+      topicAddr: Option[String] = None): ReplayStats = {
     val ckpMgr = managerFor(outDir, ckpStorage)
     // source: the DSv2 binlog-replay stream (graft.sources) — offsets are
     // binlog positions, rotate/log-name threading happens in the source
@@ -175,7 +188,7 @@ object Replay {
       .option("path", fixture.toString).load()
       .select("seq_no", "log_name", "op_json").as[(Long, String, String)]
     val (query, st) = startSinks(ds, outDir, includes, excludes, counters, gate,
-      ckpMgr, sinkFilters)
+      ckpMgr, sinkFilters, topicAddr)
     query.processAllAvailable()
     query.stop()
     val finalCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
@@ -214,7 +227,8 @@ object Replay {
       gate: Option[graft.cdc.DdlGate] = None,
       ckpStorage: Option[CkpStorage] = None,
       sinkFilters: Map[String, CanalTableFilter] = Map.empty,
-      schemaSql: Option[String] = None): LiveRun = {
+      schemaSql: Option[String] = None,
+      topicAddr: Option[String] = None): LiveRun = {
     val ckpMgr = managerFor(outDir, ckpStorage)
     val resume = ckpMgr.getMinProgress
     import spark.implicits._
@@ -231,7 +245,7 @@ object Replay {
     val ds = reader.load()
       .select("seq_no", "log_name", "op_json").as[(Long, String, String)]
     val (query, st) = startSinks(ds, outDir, includes, excludes, counters, gate,
-      ckpMgr, sinkFilters)
+      ckpMgr, sinkFilters, topicAddr)
     new LiveRun(query, st, ckpMgr)
   }
 
@@ -265,19 +279,38 @@ object Replay {
       counters: graft.metrics.Counters,
       gate: Option[graft.cdc.DdlGate],
       ckpMgr: CkpManager,
-      sinkFilters: Map[String, CanalTableFilter])
+      sinkFilters: Map[String, CanalTableFilter],
+      topicAddr: Option[String] = None)
       : (org.apache.spark.sql.streaming.StreamingQuery, SinkState) = {
     // per-sink checkpoints (K4 mux: each sink dedups against its OWN
     // progress, F3) — the stream-level filter below uses their MINIMUM
     // (A2), the reference's resume position across sinks
     val stdoutCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
-    val wireCkp = ckpMgr.get("wire").map(_.progress).getOrElse(Progress.zero)
     val st = new SinkState
 
     val jsonOut = outDir.resolve("operations.jsonl")
     val wireOut = outDir.resolve("wire.b64l")
     val codec: WireCodec = Wire
-    val producer = new FragmentingProducer(producerId = 1L, maxPayloadSize = 1 << 20, codec = codec)
+    // K1 lifecycle against a broker (the served-topic twin): Initialize →
+    // recovery scan from ackedOffset+1 → resume the producer seq from the
+    // recovered ackedSeq (kafka.go:134-255). A lost ack is repaired from
+    // the topic itself BEFORE anything streams; without a broker the wire
+    // sink appends base64 lines and restart dedup is F3-only.
+    val topic = topicAddr.map { addr =>
+      val colon = addr.lastIndexOf(':')
+      new TopicClient(addr.substring(0, colon), addr.substring(colon + 1).toInt)
+    }
+    val (wireCkp, producerStartSeq) = topic match {
+      case Some(client) =>
+        val rec = KafkaRecovery.recover(client,
+          ckpMgr.get("wire").getOrElse(Checkpoint(Progress.zero)), codec)
+        ckpMgr.update("wire", rec.ckp)
+        (rec.ckp.progress, rec.ackedSeq)
+      case None =>
+        (ckpMgr.get("wire").map(_.progress).getOrElse(Progress.zero), 0L)
+    }
+    val producer = new FragmentingProducer(producerId = 1L, maxPayloadSize = 1 << 20,
+      codec = codec, startSeq = producerStartSeq)
     // trx batching over PRE-ENCODED ops: the state machine only looks at
     // opType, so executors can run codec.encodeOp in parallel and the
     // driver assembles payloads by concatenation (never re-encodes)
@@ -380,8 +413,10 @@ object Replay {
         var lastSeq = Long.MinValue
         val jsonCh = java.nio.channels.FileChannel.open(jsonOut,
           StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
-        val wireW = Files.newBufferedWriter(wireOut,
-          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        val wireW = // file twin only when no broker is configured
+          if (topic.isEmpty) Some(Files.newBufferedWriter(wireOut,
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND))
+          else None
         try {
           for (pid <- 0 until np) {
             val jseg = segDirPath.resolve(f"json-$pid%05d")
@@ -428,8 +463,14 @@ object Replay {
                       val b = new Array[Byte](in.readInt()); in.readFully(b)
                       batcher.offer((opType, b)).foreach { trx =>
                         producer.produceEncoded(trx.map(_._2)).foreach { m =>
-                          wireW.write(Base64.getEncoder.encodeToString(codec.encodeMessage(m)))
-                          wireW.write('\n')
+                          val bytes = codec.encodeMessage(m)
+                          topic match {
+                            case Some(client) => client.produce(bytes)
+                            case None => wireW.foreach { w =>
+                              w.write(Base64.getEncoder.encodeToString(bytes))
+                              w.write('\n')
+                            }
+                          }
                           st.wireMessages += 1
                         }
                       }
@@ -455,11 +496,22 @@ object Replay {
             }
             Files.deleteIfExists(jseg); Files.deleteIfExists(wseg)
           }
-        } finally { jsonCh.close(); wireW.close() }
+        } finally { jsonCh.close(); wireW.foreach(_.close()) }
 
-        // T1: progress advances only at transaction boundaries, per sink
+        // T1: progress advances only at transaction boundaries, per sink;
+        // the broker-backed sink also records acked seq/offset (the
+        // recovery scan's resume keys) — produce here is synchronous, so
+        // acked == produced
         lastJsonProg.foreach(p => ckpMgr.update("stdout", Checkpoint(p)))
-        lastWireProg.foreach(p => ckpMgr.update("wire", Checkpoint(p)))
+        lastWireProg.foreach { p =>
+          val base = Checkpoint(p)
+          ckpMgr.update("wire", topic match {
+            case Some(client) => base
+              .withIntCtx("acked_seq", producer.currentSeq)
+              .withIntCtx("acked_offset", client.highWaterMark() - 1)
+            case None => base
+          })
+        }
         if (lastJsonProg.isDefined || lastWireProg.isDefined)
           ckpMgr.persist()
       }
