@@ -59,6 +59,8 @@ object AppConfig {
     def replayFixture: Option[String] = str("replay.fixture")
     def replayOutDir: Option[String] = str("replay.out_dir")
     def schemaSeedSql: Option[String] = str("schema_tracker.seed_sql")
+    /** Position-keyed schema-snapshot directory (the boltdb-twin store). */
+    def schemaTrackerDir: Option[String] = str("schema_tracker.dir")
   }
 
   def parseFile(p: Path): Config = parse(Files.readAllLines(p).asScala.mkString("\n"))

@@ -92,6 +92,7 @@ object Replay {
     // the recovery lifecycle (TopicSim protocol)
     val topicAddr = cfg.sinkOfType("kafka").orElse(cfg.sinkOfType("wire"))
       .flatMap(_.cfg.get("broker_list"))
+    val snapshots = cfg.schemaTrackerDir.map(d => new SchemaSnapshotStore(Paths.get(d)))
     try {
       cfg.replayFixture match {
         case Some(fixture) =>
@@ -100,7 +101,8 @@ object Replay {
             gate = seeded.map(_ => gate),
             ckpStorage = cfg.ckpUri.map(CkpStorage.forUri),
             sinkFilters = sinkFilters,
-            topicAddr = topicAddr)
+            topicAddr = topicAddr,
+            snapshots = snapshots)
           println(s"""{"emitted":${stats.emitted},"droppedAsDuplicate":${stats.dropped},""" +
             s""""wireMessages":${stats.wireMessages},"checkpoint":"${stats.checkpoint}"}""")
         case None =>
@@ -118,7 +120,8 @@ object Replay {
             ckpStorage = cfg.ckpUri.map(CkpStorage.forUri),
             sinkFilters = sinkFilters,
             schemaSql = cfg.schemaSeedSql,
-            topicAddr = topicAddr)
+            topicAddr = topicAddr,
+            snapshots = snapshots)
           progressView = () => Some(live.minProgress.toString)
           live.query.awaitTermination()
       }
@@ -177,7 +180,8 @@ object Replay {
       gate: Option[graft.cdc.DdlGate] = None,
       ckpStorage: Option[CkpStorage] = None,
       sinkFilters: Map[String, CanalTableFilter] = Map.empty,
-      topicAddr: Option[String] = None): ReplayStats = {
+      topicAddr: Option[String] = None,
+      snapshots: Option[SchemaSnapshotStore] = None): ReplayStats = {
     val ckpMgr = managerFor(outDir, ckpStorage)
     // source: the DSv2 binlog-replay stream (graft.sources) — offsets are
     // binlog positions, rotate/log-name threading happens in the source
@@ -188,7 +192,7 @@ object Replay {
       .option("path", fixture.toString).load()
       .select("seq_no", "log_name", "op_json").as[(Long, String, String)]
     val (query, st) = startSinks(ds, outDir, includes, excludes, counters, gate,
-      ckpMgr, sinkFilters, topicAddr)
+      ckpMgr, sinkFilters, topicAddr, snapshots)
     query.processAllAvailable()
     query.stop()
     val finalCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
@@ -228,7 +232,8 @@ object Replay {
       ckpStorage: Option[CkpStorage] = None,
       sinkFilters: Map[String, CanalTableFilter] = Map.empty,
       schemaSql: Option[String] = None,
-      topicAddr: Option[String] = None): LiveRun = {
+      topicAddr: Option[String] = None,
+      snapshots: Option[SchemaSnapshotStore] = None): LiveRun = {
     val ckpMgr = managerFor(outDir, ckpStorage)
     val resume = ckpMgr.getMinProgress
     import spark.implicits._
@@ -245,7 +250,7 @@ object Replay {
     val ds = reader.load()
       .select("seq_no", "log_name", "op_json").as[(Long, String, String)]
     val (query, st) = startSinks(ds, outDir, includes, excludes, counters, gate,
-      ckpMgr, sinkFilters, topicAddr)
+      ckpMgr, sinkFilters, topicAddr, snapshots)
     new LiveRun(query, st, ckpMgr)
   }
 
@@ -280,8 +285,19 @@ object Replay {
       gate: Option[graft.cdc.DdlGate],
       ckpMgr: CkpManager,
       sinkFilters: Map[String, CanalTableFilter],
-      topicAddr: Option[String] = None)
+      topicAddr: Option[String] = None,
+      snapshots: Option[SchemaSnapshotStore] = None)
       : (org.apache.spark.sql.streaming.StreamingQuery, SinkState) = {
+    // restart restores the schema mirror AS OF the resume position (the
+    // reference's tracker restore, schema/tracker.go:54-72) — the mirror
+    // must describe the schema the FIRST replayed event was written under
+    for (store <- snapshots; g <- gate) {
+      val resume = ckpMgr.getMinProgress
+      if (!resume.isZero)
+        store.load(resume.pos).foreach { case (_, dbs, defs) =>
+          g.tracker.restoreCatalog(defs, dbs)
+        }
+    }
     // per-sink checkpoints (K4 mux: each sink dedups against its OWN
     // progress, F3) — the stream-level filter below uses their MINIMUM
     // (A2), the reference's resume position across sinks
@@ -450,6 +466,7 @@ object Replay {
                       case OpType.Ddl => counters.ddlTotal.inc()
                       case _ => ()
                     }
+                    var ddlApplied = false
                     if (opType == OpType.Ddl) {
                       val db = rstr(); val stmt = rstr()
                       gate.foreach { g =>
@@ -457,6 +474,7 @@ object Replay {
                           throw new IllegalStateException(
                             s"DDL parked, stopping the pipeline (repair via /ddl): [$db] $stmt — " +
                               g.failed.map(_.error).getOrElse(""))
+                        ddlApplied = stmt.nonEmpty
                       }
                     }
                     if ((flags & 2) != 0) {
@@ -481,6 +499,12 @@ object Replay {
                       val prog = Progress(Position(name, pos, sid), gset)
                       if (inJson) lastJsonProg = Some(prog)
                       if ((flags & 2) != 0) lastWireProg = Some(prog)
+                      // the reference's ExecAndPersist: a snapshot keyed by
+                      // the DDL's own position, so any later restart can
+                      // restore the catalog as of its resume point
+                      if (ddlApplied)
+                        for (store <- snapshots; g <- gate)
+                          store.save(prog.pos, g.tracker.getDatabases, g.tracker.snapshotCatalog)
                     }
                   }
                 }

@@ -159,6 +159,34 @@ class ReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       Vector("id", "content", "name", "age"))
   }
 
+  test("DDL persists position-keyed schema snapshots; a restart restores " +
+      "the catalog as of the resume position without any seed") {
+    val tracker = new SchemaTracker
+    tracker.execDdl("CREATE DATABASE test", "")
+    tracker.execDdl("CREATE TABLE test.canal_test (id int PRIMARY KEY, content blob, name varchar(100))", "")
+    val out = freshDir("replay-snap")
+    val store = new graft.cdc.SchemaSnapshotStore(out.resolve("schema"))
+    Replay.run(spark, fixture, out, gate = Some(new DdlGate(tracker)),
+      snapshots = Some(store))
+    // the mid-stream ALTER wrote a snapshot keyed by ITS position, with
+    // the post-ALTER shape
+    val positions = store.list()
+    assert(positions.nonEmpty)
+    val (_, _, defs) = store.load(positions.max((a: Position, b: Position) => a.compare(b))).get
+    assert(defs.find(_.name == "canal_test").get.columns.map(_.name) ==
+      Vector("id", "content", "name", "age"))
+
+    // restart with a FRESH, UNSEEDED tracker: the snapshot store restores
+    // the catalog at the resume position — the run that previously parked
+    // ("unseeded mirror" test) now comes up with the right schema
+    val fresh = new SchemaTracker
+    val stats2 = Replay.run(spark, fixture, out, gate = Some(new DdlGate(fresh)),
+      snapshots = Some(store))
+    assert(stats2.emitted == 0) // F3: nothing re-emits
+    assert(fresh.getTableDef("test", "canal_test").get.columns.map(_.name) ==
+      Vector("id", "content", "name", "age"))
+  }
+
   test("an unseeded schema mirror parks the gate and stops the pipeline") {
     val gate = new DdlGate(new SchemaTracker) // no seed: ALTER hits unknown table
     val out = freshDir("replay-ddl-park")
