@@ -18,7 +18,8 @@ object SparkEntry {
       analytics.TextOps.defs ++
       analytics.Dedup.defs ++
       analytics.Similarity.defs ++
-      analytics.Multimodal.defs
+      analytics.Multimodal.defs ++
+      analytics.Curation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
