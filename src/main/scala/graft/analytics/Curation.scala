@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators — the composition layer a training-data
@@ -93,6 +94,139 @@ object Curation {
                COUNT(*) AS total,
                CAST(COUNT(*) FILTER (WHERE bucket < rate) AS DOUBLE)/COUNT(*) AS frac
         FROM b GROUP BY lang ORDER BY lang"""),
+    ),
+
+    // ---- p03: duplicate-cluster formation (connected components) ----
+    // Near-dup PAIRS (d05) are not what a curation pipeline acts on — it
+    // needs CLUSTERS, so it can keep one representative per component and
+    // drop the rest. Components via iterative min-label propagation over
+    // the d05 edge set: each round every node takes the min label among
+    // itself and its neighbors; converged when no label shrinks. Rounds ≈
+    // graph diameter (LSH-band components are dense, so small); each round
+    // is one shuffle on the edge list — the standard distributed-CC shape
+    // (at 1000-executor scale you'd upgrade to alternating large-star/
+    // small-star, which contracts in O(log n) rounds, and swap
+    // localCheckpoint for a checkpoint dir; the data movement per round is
+    // identical). The loop is driver-side CONTROL only — per-round work is
+    // fully distributed, nothing but the change-count crosses to the driver.
+    QueryDef(
+      "p03_dup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Dedup.simhashPairs(s, dir).select($"i", $"j")
+        val edges = pairs.union(pairs.select($"j", $"i"))
+          .toDF("src", "dst")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // every endpoint appears as src (edges are bidirectional)
+        var labels: DataFrame = edges.select($"src".as("node")).distinct()
+          .withColumn("lab", $"node")
+          .localCheckpoint(true)
+        var shrunk = 1L
+        while (shrunk > 0) {
+          val msgs = edges.join(labels, edges("src") === labels("node"))
+            .groupBy(edges("dst").as("node")).agg(min($"lab").as("mlab"))
+          val next = labels.as("o")
+            .join(msgs.as("m"), $"o.node" === $"m.node", "left")
+            .select($"o.node".as("node"),
+              least($"o.lab", coalesce($"m.mlab", $"o.lab")).as("lab"))
+            .localCheckpoint(true) // truncate the per-round lineage
+          shrunk = next.as("n").join(labels.as("o"), $"n.node" === $"o.node")
+            .filter($"n.lab" < $"o.lab").count()
+          labels = next
+        }
+        edges.unpersist()
+        labels.groupBy($"lab".as("cluster_rep"))
+          .agg(count(lit(1)).as("size"), max($"node").as("max_doc"))
+          .orderBy($"cluster_rep")
+      },
+      Some(s"""
+        WITH RECURSIVE sims AS (${Dedup.simhashSql}),
+        pairs AS (${Dedup.SIMHASH_PAIRS_SQL}),
+        edges AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
+        reach(node, lab) AS (
+          SELECT i, i FROM edges
+          UNION
+          SELECT e.j, r.lab FROM reach r JOIN edges e ON e.i = r.node
+          WHERE r.lab < e.j),
+        labels AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node)
+        SELECT rep AS cluster_rep, COUNT(*) AS size, MAX(node) AS max_doc
+        FROM labels GROUP BY rep ORDER BY rep"""),
+    ),
+
+    // ---- p04: sequence packing for training windows ----
+    // Assign documents to fixed-token-budget packs (context windows) by
+    // cumulative token offset within a source stream — the deterministic
+    // streaming-packing rule (a doc goes to the pack its start offset
+    // falls in). One window shuffle, partitioned by source; at 100 TB the
+    // window key becomes (source, shard) so no single source serializes
+    // into one partition — the rule itself is unchanged.
+    QueryDef(
+      "p04_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        t(s, dir, "documents")
+          .withColumn("n",
+            size(regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0))).cast("long"))
+          .withColumn("pack", floor((sum($"n").over(w) - $"n") / 256L))
+          .groupBy($"source", $"pack")
+          .agg(count(lit(1)).as("docs"), sum($"n").as("tokens"))
+          .orderBy($"source", $"pack")
+      },
+      Some(s"""
+        WITH n AS (
+          SELECT doc_id, source,
+                 CAST(len($TOKS_SQL) AS BIGINT) AS n
+          FROM documents),
+        o AS (
+          SELECT source, n,
+                 CAST((SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n) // 256 AS BIGINT) AS pack
+          FROM n)
+        SELECT source, pack, COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS tokens
+        FROM o GROUP BY source, pack ORDER BY source, pack"""),
+    ),
+
+    // ---- p05: vocabulary build + per-source OOV rate ----
+    // The tokenizer-prep pass: global top-K token vocabulary (count desc,
+    // token asc — fully deterministic at the cutoff), then each source's
+    // out-of-vocabulary token rate against it. Two aggregate shuffles plus
+    // a broadcast of the (tiny, top-K) vocab against the token stream —
+    // the corpus never self-joins and the vocab side is K rows regardless
+    // of corpus size, so the shape is identical at 100 TB.
+    QueryDef(
+      "p05_vocab_oov",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"source",
+            explode(regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0))).as("tok"))
+        val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+          .orderBy($"c".desc, $"tok").limit(16).select($"tok", lit(1).as("iv"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("total_tokens"),
+            sum(when($"iv".isNull, 1L).otherwise(0L)).as("oov_tokens"))
+          .withColumn("oov_rate", $"oov_tokens".cast("double") / $"total_tokens")
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT source, unnest($TOKS_SQL) AS tok FROM documents),
+        vocab AS (
+          SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok)
+          ORDER BY c DESC, tok LIMIT 16),
+        j AS (
+          SELECT t.source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+          FROM tok t LEFT JOIN vocab v ON v.tok = t.tok)
+        SELECT source, COUNT(*) AS total_tokens,
+               CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+               CAST(SUM(oov) AS DOUBLE)/COUNT(*) AS oov_rate
+        FROM j GROUP BY source ORDER BY source"""),
     ),
   )
 }

@@ -124,6 +124,44 @@ object Dedup {
       GROUP BY doc_id, k) bands
     GROUP BY doc_id"""
 
+  /** SimHash near-dup pairs `(i, j, hamming)` with i<j, hamming≤3 — the d05
+    * edge set, shared with the cluster-formation operator (Curation p03).
+    *
+    * Candidates share at least one 16-bit band — pigeonhole: hamming≤3
+    * over 4 bands forces one band identical, so recall is exact for the
+    * ≤3 threshold. Four equi-joins + distinct instead of an OR-join
+    * (OR would be a nested loop). Bucket size is O(n/2^16): at 100×
+    * the corpus the expected bucket join stays ~n²/65536 per band and
+    * the verify is a per-row map BEFORE the union+distinct shuffle, so
+    * the dedup exchange only carries surviving pairs. (The previous
+    * 16-bit/2×8-bit shape re-quadratized at 100× — n²/256 buckets.) */
+  private[analytics] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = simhashOf(s, dir)
+    val hamming = (0 until 4).map(k =>
+      bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _).cast("long")
+    def band(k: Int) = h.as("a")
+      .join(h.as("b"), col(s"a.b$k") === col(s"b.b$k") && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), hamming.as("hamming"))
+      .filter($"hamming" <= 3)
+    (0 until 4).map(band).reduce(_ unionAll _).distinct()
+      .select($"i", $"j", $"hamming")
+  }
+
+  /** Oracle twin of [[simhashPairs]] (unordered): needs `sims` bound to
+    * [[SIMHASH_SQL]] in the enclosing WITH. */
+  private[analytics] val SIMHASH_PAIRS_SQL = """
+        SELECT DISTINCT i, j FROM (
+          SELECT a.doc_id AS i, b.doc_id AS j,
+                 bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                 bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+          FROM sims a JOIN sims b
+            ON a.doc_id < b.doc_id
+           AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        WHERE hamming <= 3"""
+
+  private[analytics] def simhashSql: String = SIMHASH_SQL
+
   val defs: Seq[QueryDef] = Seq(
     // ---- d01: exact dedup via normalized-content hash groupBy ----
     QueryDef(
@@ -285,27 +323,7 @@ object Dedup {
     // ---- d05: SimHash near-dup pairs (4×16-bit LSH bands + hamming verify) --
     QueryDef(
       "d05_simhash_pairs",
-      (s, dir) => {
-        import s.implicits._
-        val h = simhashOf(s, dir)
-        // Candidates share at least one 16-bit band — pigeonhole: hamming≤3
-        // over 4 bands forces one band identical, so recall is exact for the
-        // ≤3 threshold. Four equi-joins + distinct instead of an OR-join
-        // (OR would be a nested loop). Bucket size is O(n/2^16): at 100×
-        // the corpus the expected bucket join stays ~n²/65536 per band and
-        // the verify is a per-row map BEFORE the union+distinct shuffle, so
-        // the dedup exchange only carries surviving pairs. (The previous
-        // 16-bit/2×8-bit shape re-quadratized at 100× — n²/256 buckets.)
-        val hamming = (0 until 4).map(k =>
-          bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _).cast("long")
-        def band(k: Int) = h.as("a")
-          .join(h.as("b"), col(s"a.b$k") === col(s"b.b$k") && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), hamming.as("hamming"))
-          .filter($"hamming" <= 3)
-        (0 until 4).map(band).reduce(_ unionAll _).distinct()
-          .select($"i", $"j", $"hamming")
-          .orderBy($"i", $"j")
-      },
+      (s, dir) => simhashPairs(s, dir).orderBy(col("i"), col("j")),
       Some(s"""
         WITH sims AS ($SIMHASH_SQL),
         cands AS (
