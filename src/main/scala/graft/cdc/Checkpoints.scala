@@ -157,7 +157,7 @@ final class CkpManager(storage: CkpStorage) {
   private def readProgress(in: DataInputStream): Progress = {
     val name = readStr(in); val pos = in.readLong(); val sid = in.readLong()
     val gs = readStr(in); val hasG = in.readBoolean()
-    Progress(Position(name, pos, sid), if (hasG) Some(GtidSet.parse(gs)) else None)
+    Progress(Position(name, pos, sid), if (hasG) Some(Gset.parse(gs)) else None)
   }
 
   def persist(): Unit = {

@@ -133,10 +133,10 @@ object DumpParser {
     * ignored (schema-only dump), coordinates become the starting Progress. */
   def bootstrap(lines: Iterator[String], tracker: SchemaTracker, serverId: Long = 0L): Progress = {
     var pos = Position("", 0L, serverId)
-    var gset: Option[GtidSet] = None
+    var gset: Option[Gset] = None
     parse(lines, new Handler {
       override def binlog(name: String, p: Long): Unit = pos = Position(name, p, serverId)
-      override def gtid(g: String): Unit = gset = Some(GtidSet.parse(g))
+      override def gtid(g: String): Unit = gset = Some(Gset.parse(g))
       override def ddl(db: String, statement: String): Unit = tracker.execDdl(statement, db)
     })
     Progress(pos, gset)

@@ -29,13 +29,33 @@ object Position {
   val zero: Position = Position("", 0L, 0L)
 }
 
+/** Flavor-spanning GTID set — what a [[Progress]] carries. Two concrete
+  * flavors (the reference's go-mysql GTIDSet interface,
+  * ckp/checkpoint.go:56-63): MySQL uuid-interval sets ([[GtidSet]]) and
+  * MariaDB per-domain positions ([[GtidSet.Mariadb]]). Serialization is
+  * the flavor's own public text format; [[Gset.parse]] auto-detects it,
+  * so checkpoints/wire/JSON round-trip either flavor unchanged. */
+sealed trait Gset {
+  def isEmpty: Boolean
+}
+
+object Gset {
+  /** Auto-detecting parse: every MySQL fragment contains a ':'
+    * (`uuid:interval[:interval…]`); a MariaDB one (`domain-server-seq`)
+    * never does. Empty → the empty MySQL-flavor set. */
+  def parse(s: String): Gset = {
+    val t = s.trim
+    if (t.isEmpty || t.contains(':')) GtidSet.parse(t) else GtidSet.Mariadb.parse(t)
+  }
+}
+
 /** A MySQL GTID set: `uuid:1-10:12,uuid2:5-8`. The reference delegates to
   * go-mysql's parser (/root/reference/canal/prog/progress.go:15-24 uses
   * mysql.GTIDSet); this is an independent implementation of the same
   * public format: parse, normalize (sorted, merged intervals), union,
   * containment, round-trip formatting.
   */
-final case class GtidSet(sets: Map[String, Vector[(Long, Long)]]) {
+final case class GtidSet(sets: Map[String, Vector[(Long, Long)]]) extends Gset {
   def isEmpty: Boolean = sets.isEmpty
 
   def contains(other: GtidSet): Boolean =
@@ -79,7 +99,7 @@ object GtidSet {
     * ckp/checkpoint.go:56-63). Modeled separately from the MySQL
     * uuid-interval sets because the algebra differs: union is per-domain
     * max, containment is per-domain seq ≥. */
-  final case class Mariadb(domains: Map[Long, (Long, Long)]) { // domain -> (server, seq)
+  final case class Mariadb(domains: Map[Long, (Long, Long)]) extends Gset { // domain -> (server, seq)
     def isEmpty: Boolean = domains.isEmpty
     def contains(other: Mariadb): Boolean =
       other.domains.forall { case (d, (_, seq)) =>
@@ -141,7 +161,7 @@ object GtidSet {
   * everything; a non-nil-but-empty GTID set means zero even when file&pos
   * are set (/root/reference/canal/prog/progress.go:55-67).
   */
-final case class Progress(pos: Position, gset: Option[GtidSet]) {
+final case class Progress(pos: Position, gset: Option[Gset]) {
   def isZero: Boolean = gset match {
     case Some(g) => g.isEmpty
     case None => pos.isZero

@@ -246,7 +246,7 @@ object ProtoWire extends WireCodec {
       case (5, 2) => gset = Some(r.strVal())
       case (_, w) => r.skip(w)
     }
-    Progress(Position(logName, logPos, serverId), gset.map(GtidSet.parse))
+    Progress(Position(logName, logPos, serverId), gset.map(Gset.parse))
   }
 
   private def decHeader(r: R): OperationHeader = {

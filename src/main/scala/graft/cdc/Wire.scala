@@ -163,7 +163,7 @@ object Wire extends WireCodec {
       val progress = if (!in.readBoolean()) None else {
         val name = readStr(in); val pos = in.readLong(); val sid = in.readLong()
         val gset = readOptStr(in)
-        Some(Progress(Position(name, pos, sid), gset.map(GtidSet.parse)))
+        Some(Progress(Position(name, pos, sid), gset.map(Gset.parse)))
       }
       Operation(OperationHeader(serverId, opType, ts, logPos),
         nextLogName, nextLogPos, gtid, database, statement, table, rows, progress)

@@ -11,11 +11,21 @@ import java.util.concurrent.{CountDownLatch, TimeUnit}
   * ping-pong needed), load = getData, missing/empty node = no checkpoint.
   * The node (and its parents) are created on construction. Uses the same
   * classpath ZK client the election (T9) already proves out.
+  *
+  * A long-running pipeline survives ZK blips: `ConnectionLoss` retries with
+  * backoff against the same handle (the client library reconnects within
+  * the session timeout), and `SessionExpired` rebuilds the handle — without
+  * this, one expired session would fail every subsequent save() until the
+  * process restarts (the reference's go-zookeeper client reconnects
+  * transparently inside `conn.SetData`).
   */
 final class ZkCkpStorage(hosts: String, path: String, sessionTimeoutMs: Int = 40000)
     extends CkpStorage with AutoCloseable {
 
-  private val zk: ZooKeeper = {
+  @volatile private var zk: ZooKeeper = connect()
+  private var closed = false
+
+  private def connect(): ZooKeeper = {
     val connected = new CountDownLatch(1)
     val z = new ZooKeeper(hosts, sessionTimeoutMs, (e: WatchedEvent) => {
       if (e.getState == KeeperState.SyncConnected) connected.countDown()
@@ -24,25 +34,69 @@ final class ZkCkpStorage(hosts: String, path: String, sessionTimeoutMs: Int = 40
     z
   }
 
+  /** Rebuild the handle after a session expiry (old session's ephemeral
+    * state is gone server-side; the old handle is permanently dead). */
+  private def rebuild(): Unit = synchronized {
+    if (closed) throw new IllegalStateException("storage closed")
+    try zk.close() catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    zk = connect()
+  }
+
+  /** Retry loop shared by save/load: ConnectionLoss → backoff + retry on
+    * the same handle; SessionExpired → rebuild the handle and retry. Gives
+    * up after `attempts` so a hard ZK outage still surfaces as an error. */
+  private def withRetry[A](attempts: Int = 5)(op: ZooKeeper => A): A = {
+    var backoffMs = 100L
+    var i = 0
+    while (true) {
+      i += 1
+      try return op(zk)
+      catch {
+        case e: KeeperException.SessionExpiredException =>
+          if (i >= attempts) throw e
+          rebuild()
+        case e: KeeperException.ConnectionLossException =>
+          if (i >= attempts) throw e
+          Thread.sleep(backoffMs); backoffMs = math.min(backoffMs * 2, 2000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   locally {
     val parts = path.split('/').filter(_.nonEmpty)
     var cur = ""
     parts.foreach { seg =>
       cur = s"$cur/$seg"
-      try zk.create(cur, Array.emptyByteArray, ZooDefs.Ids.OPEN_ACL_UNSAFE,
-        CreateMode.PERSISTENT)
-      catch { case _: KeeperException.NodeExistsException => () }
+      withRetry() { z =>
+        try z.create(cur, Array.emptyByteArray, ZooDefs.Ids.OPEN_ACL_UNSAFE,
+          CreateMode.PERSISTENT)
+        catch { case _: KeeperException.NodeExistsException => () }
+      }
     }
   }
 
-  override def save(data: Array[Byte]): Unit = zk.setData(path, data, -1)
+  override def save(data: Array[Byte]): Unit =
+    withRetry() { z =>
+      try z.setData(path, data, -1)
+      catch {
+        case _: KeeperException.NoNodeException =>
+          // node vanished (e.g. rebuilt against a wiped ensemble): recreate
+          try z.create(path, data, ZooDefs.Ids.OPEN_ACL_UNSAFE, CreateMode.PERSISTENT)
+          catch { case _: KeeperException.NodeExistsException => z.setData(path, data, -1) }
+      }
+    }
 
   override def load(): Option[Array[Byte]] = {
-    val data =
-      try zk.getData(path, false, null)
+    val data = withRetry() { z =>
+      try z.getData(path, false, null)
       catch { case _: KeeperException.NoNodeException => null }
+    }
     Option(data).filter(_.nonEmpty)
   }
 
-  override def close(): Unit = zk.close()
+  override def close(): Unit = synchronized {
+    closed = true
+    zk.close()
+  }
 }

@@ -34,7 +34,7 @@ final class ZkElection(
   private var myNode: String = _ // full path of our member node
 
   /** Role-change notifications (the reference's Notify() channel). */
-  val notifications = new LinkedBlockingQueue[Boolean]()
+  val notifications = new LinkedBlockingQueue[java.lang.Boolean]()
   /** Fatal session errors (the reference's Err() channel). */
   val errors = new LinkedBlockingQueue[String]()
 

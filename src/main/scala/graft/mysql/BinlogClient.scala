@@ -275,6 +275,10 @@ final class BinlogToOps(schemaLookup: (String, String) => Option[TableDef]) {
       case Gtid(uuid, gno) =>
         gtidPending = Some(s"$uuid:$gno")
         Some(Operation(h(OpType.Gtid), gtid = gtidPending))
+      case MariadbGtid(domain, seq) =>
+        // MariaDB flavor: domain-server-seq (server from the event header)
+        gtidPending = Some(s"$domain-${header.serverId}-$seq")
+        Some(Operation(h(OpType.Gtid), gtid = gtidPending))
       case _: Rows =>
         None // handled by toRowsOperation (needs the client's TableMap)
       case _: Heartbeat => None // T8 keepalive: no operation, stream is alive

@@ -32,6 +32,7 @@ object BinlogEvents {
   val UPDATE_ROWS_V2 = 31
   val DELETE_ROWS_V2 = 32
   val GTID_EVENT = 33
+  val MARIADB_GTID_EVENT = 162 // MariaDB flavor: per-domain (domain, seq)
 
   final case class EventHeader(
       timestamp: Long, eventType: Int, serverId: Long,
@@ -44,6 +45,9 @@ object BinlogEvents {
   final case class Query(threadId: Long, schema: String, query: String) extends Event
   final case class Xid(xid: Long) extends Event
   final case class Gtid(uuid: String, gno: Long) extends Event
+  /** MariaDB GTID_EVENT (0xa2): the server component comes from the common
+    * header's serverId, so the full GTID is `domain-serverId-seq`. */
+  final case class MariadbGtid(domain: Long, seq: Long) extends Event
   final case class Heartbeat(logIdent: String) extends Event
   final case class TableMap(
       tableId: Long, schema: String, table: String,
@@ -96,6 +100,12 @@ object BinlogEvents {
       val sid = r.bytes(16)
       val uuid = f"${hex(sid, 0, 4)}-${hex(sid, 4, 2)}-${hex(sid, 6, 2)}-${hex(sid, 8, 2)}-${hex(sid, 10, 6)}"
       Gtid(uuid, r.u64())
+
+    case MARIADB_GTID_EVENT =>
+      // public MariaDB layout: u64 LE sequence number, u32 LE domain id,
+      // u8 flags2 (+ optional commit id) — server id is in the header
+      val seq = r.u64()
+      MariadbGtid(r.u32(), seq)
 
     case HEARTBEAT_EVENT =>
       Heartbeat(r.restString())
@@ -237,9 +247,12 @@ object BinlogEvents {
       val v = r.u24()
       f"${v >> 9}%04d-${(v >> 5) & 0xf}%02d-${v & 0x1f}%02d"
     case 7 => r.u32().toString // classic TIMESTAMP: epoch seconds (TIMESTAMP2 parity)
-    case 11 => // classic TIME: 3 bytes LE packed hh*10000 + mm*100 + ss
-      val v = r.u24()
-      f"${v / 10000}%02d:${(v / 100) % 100}%02d:${v % 100}%02d"
+    case 11 => // classic TIME: 3 bytes LE SIGNED int24, hh*10000 + mm*100 + ss
+      var v = r.u24().toLong
+      if ((v & 0x800000L) != 0) v |= ~0xffffffL // sign-extend: negative TIME
+      val sign = if (v < 0) "-" else ""
+      val a = math.abs(v)
+      f"$sign${a / 10000}%02d:${(a / 100) % 100}%02d:${a % 100}%02d"
     case 12 => // classic DATETIME: u64 = YYYYMMDD * 1e6 + HHMMSS
       val v = r.u64()
       val d = v / 1000000; val t = v % 1000000

@@ -45,7 +45,7 @@ final class LiveBinlogFeed(
     schemaLookup: (String, String) => Option[TableDef],
     heartbeatPeriodSec: Double = 30.0,
     maxBuffer: Int = 1 << 20,
-    startGtid: Option[GtidSet] = None) {
+    startGtid: Option[Gset] = None) {
 
   import BinlogReplaySource.Ev
 
@@ -56,7 +56,7 @@ final class LiveBinlogFeed(
   private val tablesSeen = mutable.Map.empty[Long, BinlogEvents.TableMap]
   private var logName = startFile
   private var seq = 0L
-  private var gset = startGtid.getOrElse(GtidSet.empty)
+  private var gset: Gset = startGtid.getOrElse(GtidSet.empty)
 
   def failure: Option[Throwable] = failureOpt
 
@@ -101,9 +101,12 @@ final class LiveBinlogFeed(
       client.registerSlave(serverId)
       // GTID start survives master failover (the server resolves file+pos
       // for us); empty/absent set falls back to the (file, pos) dump —
-      // the reference's GtidEnabled switch (canal/sync.go:46-67)
+      // the reference's GtidEnabled switch (canal/sync.go:46-67). The
+      // flavor is the start set's own: MariaDB announces its state in
+      // session vars + a plain dump, MySQL issues COM_BINLOG_DUMP_GTID
       val stream = startGtid.filter(!_.isEmpty) match {
-        case Some(gset) => client.dumpGtid(gset, serverId)
+        case Some(m: GtidSet.Mariadb) => client.dumpMariadbGtid(m, serverId)
+        case Some(s: GtidSet) => client.dumpGtid(s, serverId)
         case None => client.dump(startFile, startPos, serverId)
       }
       stream.foreach { case (h, ev) =>
@@ -120,8 +123,17 @@ final class LiveBinlogFeed(
         ops.foreach { op0 =>
           if (op0.opType == OpType.Rotate) logName = op0.nextLogName.getOrElse(logName)
           if (op0.opType == OpType.Gtid) op0.gtid.foreach { g =>
-            val i = g.lastIndexOf(':')
-            gset = gset.add(g.substring(0, i), g.substring(i + 1).toLong)
+            // the event's own format picks the flavor: MySQL `uuid:gno`
+            // vs MariaDB `domain-server-seq` (a server emits exactly one)
+            if (g.contains(':')) {
+              val i = g.lastIndexOf(':')
+              val base = gset match { case s: GtidSet => s; case _ => GtidSet.empty }
+              gset = base.add(g.substring(0, i), g.substring(i + 1).toLong)
+            } else {
+              val parts = g.split("-")
+              val base = gset match { case m: GtidSet.Mariadb => m; case _ => GtidSet.Mariadb.empty }
+              gset = base.add(parts(0).toLong, parts(1).toLong, parts(2).toLong)
+            }
           }
           // progress attaches only at trx boundaries (T1) — XID/DDL with
           // the accumulated GTID set, the reference's savePos points
@@ -189,7 +201,7 @@ class LiveBinlogTable(opts: CaseInsensitiveStringMap) extends Table with Support
           Option(opts.get("startFile")).getOrElse(""),
           Option(opts.get("startPos")).map(_.toLong).getOrElse(4L),
           lookup,
-          startGtid = Option(opts.get("startGtid")).map(GtidSet.parse)).start()
+          startGtid = Option(opts.get("startGtid")).map(Gset.parse)).start()
         new LiveBinlogMicroBatchStream(feed,
           Option(opts.get("maxEventsPerTrigger")).map(_.toLong))
       }

@@ -128,14 +128,24 @@ object AppConfig {
           val value = line.substring(eq + 1).trim
           if (inSink) {
             val sb = sinks.last
-            if (value.startsWith("[")) {
+            if (sinkCfg) {
+              // cfg is a flat string map (the reference unmarshals it per
+              // sink type): an array value is preserved as its rendered
+              // comma-joined form rather than silently dropped
+              if (value.startsWith("[")) {
+                val inner = value.stripPrefix("[").stripSuffix("]").trim
+                val items =
+                  if (inner.isEmpty) Nil
+                  else inner.split(",").map(stripValue).toSeq
+                sb.cfg += key -> items.mkString(",")
+              } else sb.cfg += key -> stripValue(value)
+            } else if (value.startsWith("[")) {
               val inner = value.stripPrefix("[").stripSuffix("]").trim
               val items =
                 if (inner.isEmpty) Nil
                 else inner.split(",").map(stripValue).toSeq
               sb.arrays += key -> items
-            } else if (sinkCfg) sb.cfg += key -> stripValue(value)
-            else sb.fields += key -> stripValue(value)
+            } else sb.fields += key -> stripValue(value)
           } else {
             top += (prefix + key) -> stripValue(value)
           }

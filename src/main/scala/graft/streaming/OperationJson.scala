@@ -139,7 +139,7 @@ object OperationJson {
       Progress(
         Position(p.get("log_name").asText, p.get("log_pos").asLong,
           p.get("server_id").asLong),
-        optText(p, "gset").filter(_.nonEmpty).map(GtidSet.parse))
+        optText(p, "gset").filter(_.nonEmpty).map(Gset.parse))
     }
     Operation(header,
       nextLogName = optText(n, "next_log_name"),

@@ -327,6 +327,15 @@ object Replay {
     }
     val producer = new FragmentingProducer(producerId = 1L, maxPayloadSize = 1 << 20,
       codec = codec, startSeq = producerStartSeq)
+    // Per-message ack tracking: the checkpointed acked_offset is the offset
+    // RETURNED by each produce (post-append hwm - 1), never a re-query of the
+    // topic hwm — under HA a deposed-but-still-writing leader (or any second
+    // writer) advances the hwm past messages THIS producer sent, and a
+    // hwm-derived checkpoint would make the next recovery scan skip them
+    // (the reference records sarama's per-message ack, kafka.go:421-488).
+    var ackedOffset: Long = topic.flatMap(_ => ckpMgr.get("wire"))
+      .map(_.getIntCtx("acked_offset", KafkaRecovery.NoOffset))
+      .getOrElse(KafkaRecovery.NoOffset)
     // trx batching over PRE-ENCODED ops: the state machine only looks at
     // opType, so executors can run codec.encodeOp in parallel and the
     // driver assembles payloads by concatenation (never re-encodes)
@@ -483,7 +492,11 @@ object Replay {
                         producer.produceEncoded(trx.map(_._2)).foreach { m =>
                           val bytes = codec.encodeMessage(m)
                           topic match {
-                            case Some(client) => client.produce(bytes)
+                            case Some(client) =>
+                              // the produce() return IS this append's ack
+                              // (post-append hwm), so hwm-1 here is the
+                              // offset of the message we just sent
+                              ackedOffset = client.produce(bytes) - 1
                             case None => wireW.foreach { w =>
                               w.write(Base64.getEncoder.encodeToString(bytes))
                               w.write('\n')
@@ -495,7 +508,7 @@ object Replay {
                     }
                     if ((flags & 4) != 0) {
                       val name = rstr(); val pos = in.readLong(); val sid = in.readLong()
-                      val gset = if (in.readBoolean()) Some(GtidSet.parse(rstr())) else None
+                      val gset = if (in.readBoolean()) Some(Gset.parse(rstr())) else None
                       val prog = Progress(Position(name, pos, sid), gset)
                       if (inJson) lastJsonProg = Some(prog)
                       if ((flags & 2) != 0) lastWireProg = Some(prog)
@@ -524,15 +537,16 @@ object Replay {
 
         // T1: progress advances only at transaction boundaries, per sink;
         // the broker-backed sink also records acked seq/offset (the
-        // recovery scan's resume keys) — produce here is synchronous, so
-        // acked == produced
+        // recovery scan's resume keys) from the per-message produce acks —
+        // NOT a topic-hwm re-query, which would cover other writers'
+        // messages under HA and skip them in the next recovery scan
         lastJsonProg.foreach(p => ckpMgr.update("stdout", Checkpoint(p)))
         lastWireProg.foreach { p =>
           val base = Checkpoint(p)
           ckpMgr.update("wire", topic match {
-            case Some(client) => base
+            case Some(_) => base
               .withIntCtx("acked_seq", producer.currentSeq)
-              .withIntCtx("acked_offset", client.highWaterMark() - 1)
+              .withIntCtx("acked_offset", ackedOffset)
             case None => base
           })
         }

@@ -98,6 +98,19 @@ class ProgressSpec extends AnyFunSuite {
     assert(a.add(0, 9, 200).domains(0L) == ((9L, 200L)))
   }
 
+  test("Gset.parse auto-detects flavor and round-trips both formats") {
+    // MySQL fragments always carry ':'; MariaDB ones never do
+    val my = Gset.parse("01020304-0506-0708-090a-0b0c0d0e0f10:1-42")
+    assert(my.isInstanceOf[GtidSet])
+    assert(Gset.parse(my.toString) == my)
+    val ma = Gset.parse("0-1-100,1-2-5")
+    assert(ma.isInstanceOf[GtidSet.Mariadb])
+    assert(Gset.parse(ma.toString) == ma)
+    assert(Gset.parse("") == GtidSet.empty)
+    // Progress round-trip through its string form stays flavor-faithful
+    assert(Progress(Position("f", 1, 7), Some(ma)).toString == "0-1-100,1-2-5")
+  }
+
   test("property: position ordering is a total order within a server_id") {
     val r = new Random(42)
     (1 to 500).foreach { _ =>

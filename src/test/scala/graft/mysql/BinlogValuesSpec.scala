@@ -52,6 +52,12 @@ class BinlogValuesSpec extends AnyFunSuite {
     assert(dec(11, 0, 0x82, 0x0d, 0x02) == "13:45:30")
   }
 
+  test("classic TIME negative: signed int24 sign-extends to '-hh:mm:ss'") {
+    // -134530: stored as the signed int24 two's complement of 134530
+    val v = (-134530) & 0xffffff
+    assert(dec(11, 0, v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff) == "-13:45:30")
+  }
+
   test("classic DATETIME: u64 YYYYMMDDHHMMSS") {
     val v = 20240131123456L
     val bytes = (0 until 8).map(i => ((v >> (8 * i)) & 0xff).toInt)

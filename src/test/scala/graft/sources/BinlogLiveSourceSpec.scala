@@ -121,6 +121,57 @@ class BinlogLiveSourceSpec extends AnyFunSuite {
     assert(!cmds.result().contains(Packets.COM_BINLOG_DUMP))
   }
 
+  test("MariaDB flavor: a Mariadb start set dispatches to the session-var " +
+      "announce + plain dump, and the feed accumulates per-domain GTIDs") {
+    val (in, out) = script(
+      (Seq(frame(0, greeting), frame(2, okPacket)) ++ // connect
+        binlogFormatResult("ROW") ++ // S2
+        Seq(
+          frame(1, okPacket), // SET heartbeat
+          frame(1, okPacket), // register slave
+          frame(1, okPacket), frame(1, okPacket), // 4 session-var SETs
+          frame(1, okPacket), frame(1, okPacket),
+          frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 1), crc = true)),
+          frame(2, eventPacket(ROTATE_EVENT, 0,
+            new Packets.Writer().u64(4L).eofStr("mariadb-bin.000007").result,
+            crc = true, timestamp = 0)),
+          frame(3, eventPacket(MARIADB_GTID_EVENT, 200,
+            new Packets.Writer().u64(101L).u32(0L).u8(0).result, crc = true)),
+          frame(4, eventPacket(QUERY_EVENT, 260, beginPayload, crc = true)),
+          frame(5, eventPacket(XID_EVENT, 300,
+            new Packets.Writer().u64(9L).result, crc = true)),
+          frame(6, eofPacket))): _*)
+    val feed = new LiveBinlogFeed(new BinlogClient(in, out, "repl", "secret"),
+      serverId = 1001, startFile = "", startPos = 4, schemaLookup = (_, _) => None,
+      startGtid = Some(Gset.parse("0-77-100"))) // auto-detected MariaDB flavor
+    feed.run()
+    assert(feed.failure.isEmpty, s"feed failed: ${feed.failure}")
+    // gtid, begin, commit (+ rotate)
+    val evs = feed.slice(0, feed.watermark)
+    assert(evs.map(_.op.opType) ==
+      Vector(OpType.Rotate, OpType.Gtid, OpType.Begin, OpType.Commit))
+    // the gtid operation carries the MariaDB-form GTID (server id from header)
+    assert(evs(1).op.gtid.contains("0-77-101"))
+    // the commit's progress carries the ACCUMULATED Mariadb set, which
+    // round-trips through Gset.parse (checkpoint resume path)
+    val prog = evs(3).op.progress.get
+    assert(prog.gset.map(_.toString).contains("0-77-101"))
+    assert(Gset.parse(prog.gset.get.toString).isInstanceOf[GtidSet.Mariadb])
+    // on the wire: session-var announce + plain dump, NOT COM_BINLOG_DUMP_GTID
+    val sentStr = new String(out.toByteArray, UTF_8)
+    assert(sentStr.contains("SET @slave_connect_state = '0-77-100'"))
+    val sent = out.toByteArray
+    var off = 0
+    val cmds = Vector.newBuilder[Int]
+    while (off < sent.length) {
+      val len = (sent(off) & 0xff) | ((sent(off + 1) & 0xff) << 8) | ((sent(off + 2) & 0xff) << 16)
+      cmds += (sent(off + 4) & 0xff)
+      off += 4 + len
+    }
+    assert(cmds.result().contains(Packets.COM_BINLOG_DUMP))
+    assert(!cmds.result().contains(Packets.COM_BINLOG_DUMP_GTID))
+  }
+
   test("an empty GtidSet falls back to the (file, pos) dump") {
     val (in, out) = conversation
     val feed = new LiveBinlogFeed(new BinlogClient(in, out, "repl", "secret"),

@@ -107,6 +107,21 @@ class AppConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cfg.sinkOfType("stdout").get.cfg("encoder") == "json")
   }
 
+  test("array values inside [sink.cfg] are preserved (comma-joined), not dropped") {
+    val cfg = AppConfig.parse("""
+      |[[sink]]
+      |  enabled=true
+      |  type="kafka"
+      |  name="k"
+      |  [sink.cfg]
+      |    broker_list=["b1:9092", "b2:9092"]
+      |    topic="t"
+      |""".stripMargin)
+    val k = cfg.sinkOfType("kafka").get
+    assert(k.cfg("broker_list") == "b1:9092,b2:9092")
+    assert(k.cfg("topic") == "t")
+  }
+
   test("file checkpoint storage config maps to the dual-file dir") {
     val cfg = AppConfig.parse(
       "[checkpoint]\n  storage = \"file\"\n  dir = \"/tmp/etc\"\n")
