@@ -192,6 +192,106 @@ object Tpch {
           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""),
     ),
 
+    // ---- q07: volume shipping between two nations (TPC-H Q7) ----
+    // Bidirectional trade flow: revenue by (supplier nation, customer
+    // nation, ship year) for one nation pair. Both nation filters push
+    // BELOW the fact joins: the supplier side collapses to a 2/25
+    // broadcast before lineitem is touched, the customer side prunes
+    // before the orderkey shuffle — the only big exchange left is the
+    // one lineitem⋈orders join, identical at 100 TB.
+    QueryDef(
+      "q07_volume_shipping",
+      (s, dir) => {
+        import s.implicits._
+        val supps = supp(s, dir)
+          .join(broadcast(nat(s, dir)), $"s_nationkey" === $"n_nationkey")
+          .filter($"n_name".isin("NATION_18", "NATION_19"))
+          .select($"s_suppkey", $"n_name".as("supp_nation"))
+        val custs = cust(s, dir)
+          .join(broadcast(nat(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .filter($"n_name".isin("NATION_18", "NATION_19"))
+          .select($"c_custkey", $"n_name".as("cust_nation"))
+        li(s, dir)
+          .filter($"l_shipdate" < ts("1999-01-01 00:00:00"))
+          .join(broadcast(supps), $"l_suppkey" === $"s_suppkey")
+          .join(ord(s, dir), $"l_orderkey" === $"o_orderkey")
+          .join(custs, $"o_custkey" === $"c_custkey")
+          .filter($"supp_nation" =!= $"cust_nation")
+          .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      },
+      Some(s"""
+        SELECT supp_nation, cust_nation, l_year, ${SUM("volume")} AS revenue FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                 l_extendedprice*(1.0-l_discount) AS volume
+          FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+              OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+            AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00') shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year"""),
+    ),
+
+    // ---- q08: national market share (TPC-H Q8) ----
+    // One nation's share of a region's part-type trade volume by order
+    // year: a conditional-sum ratio over a 6-way join. Every dimension
+    // filter (part type, region membership) reduces to a broadcast BEFORE
+    // the fact shuffles; the ratio itself is two exact decimal sums over
+    // the same rows, divided once — the q14 pattern, deterministic in
+    // both engines.
+    QueryDef(
+      "q08_market_share",
+      (s, dir) => {
+        import s.implicits._
+        val asiaCustNations = broadcast(nat(s, dir)
+          .join(broadcast(reg(s, dir).filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey".as("cn_key")))
+        val suppNations = broadcast(nat(s, dir)
+          .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation")))
+        li(s, dir)
+          .join(broadcast(part(s, dir).filter($"p_type" === "ECONOMY").select($"p_partkey")),
+            $"l_partkey" === $"p_partkey")
+          .join(ord(s, dir)
+            .filter($"o_orderdate" >= ts("1995-01-01 00:00:00") &&
+              $"o_orderdate" < ts("1997-01-01 00:00:00")),
+            $"l_orderkey" === $"o_orderkey")
+          .join(cust(s, dir), $"o_custkey" === $"c_custkey")
+          .join(asiaCustNations, $"c_nationkey" === $"cn_key")
+          .join(broadcast(supp(s, dir)), $"l_suppkey" === $"s_suppkey")
+          .join(suppNations, $"s_nationkey" === $"sn_key")
+          .withColumn("volume", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .groupBy(year($"o_orderdate").as("o_year"))
+          .agg((dsum(when($"supp_nation" === "NATION_3", $"volume").otherwise(0.0))
+            / dsum($"volume")).as("mkt_share"))
+          .orderBy($"o_year")
+      },
+      Some(s"""
+        SELECT o_year,
+               ${SUM("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+                 / ${SUM("volume")} AS mkt_share FROM (
+          SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                 l_extendedprice*(1.0-l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00') all_nations
+        GROUP BY o_year ORDER BY o_year"""),
+    ),
+
     // ---- q09: revenue by supplier-nation and order year ----
     QueryDef(
       "q09_nation_year_revenue",
@@ -242,6 +342,54 @@ object Tpch {
           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    ),
+
+    // ---- q11: important parts by regional supply value (TPC-H Q11 ----
+    // ---- shape: group-agg HAVING > scalar-subquery threshold)      ----
+    // The synthetic schema has no partsupp, so "stock value" is the
+    // shipped value per part from one region's suppliers; a part is
+    // "important" when it carries more than 2x the mean per-part value.
+    // The threshold is a SCALAR derived from the same aggregate (classic
+    // Q11's `HAVING sum > (SELECT sum(...)*frac)`): Spark computes the
+    // per-part aggregate ONCE, reduces it to a one-row total, and
+    // broadcast-cross-joins that row back — the fact table is scanned
+    // once, the second pass touches only #parts rows. The comparison is
+    // rearranged to value*cnt > 2*total so no engine divides a decimal
+    // (DuckDB and Spark round decimal division differently); both sides
+    // compare identical IEEE754 doubles. The mean-relative threshold also
+    // keeps selectivity SF-invariant (a fixed fraction of total flips
+    // from all-pass to none-pass as #parts grows).
+    QueryDef(
+      "q11_important_parts",
+      (s, dir) => {
+        import s.implicits._
+        val asiaSupp = broadcast(supp(s, dir)
+          .join(broadcast(nat(s, dir)), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg(s, dir).filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"s_suppkey"))
+        val v = li(s, dir)
+          .join(asiaSupp, $"l_suppkey" === $"s_suppkey")
+          .groupBy($"l_partkey")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("value"))
+        val tot = v.agg(dsum($"value").as("total"), count(lit(1)).as("cnt"))
+        v.crossJoin(broadcast(tot))
+          .filter($"value" * $"cnt" > lit(2.0) * $"total")
+          .select($"l_partkey", $"value")
+          .orderBy($"value".desc, $"l_partkey")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT l_partkey, ${SUM("l_extendedprice*(1.0-l_discount)")} AS value
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+          GROUP BY l_partkey),
+        t AS (SELECT ${SUM("value")} AS total, COUNT(*) AS cnt FROM v)
+        SELECT l_partkey, value FROM v, t
+        WHERE value * cnt > 2.0 * total
+        ORDER BY value DESC, l_partkey"""),
     ),
 
     // ---- q12: priority classification (conditional agg / CASE WHEN) ----
