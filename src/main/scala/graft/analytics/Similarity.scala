@@ -152,6 +152,11 @@ object Similarity {
 
   private val NLIST = 16
   private val NPROBE = 2
+  // SemDeDup prune threshold: p97 of the within-cluster cosine
+  // distribution on the synthetic corpus (max ≈ 0.51) — selective but
+  // non-empty at every test SF. Like NEARDUP_COS, the constant is policy;
+  // a real near-dup corpus would sit near 0.95.
+  private val SEMDEDUP_COS = 0.3
 
   /** IVF top-k search, shared by s05 (the operator) and s06 (its recall
     * eval), parameterized by NLIST/NPROBE. Coarse quantizer: the first
@@ -165,8 +170,8 @@ object Similarity {
     * no corpus self-shuffle (the 100 TB index-build pass). Each query
     * probes only its NPROBE nearest lists; the probe set is broadcast so
     * the corpus-sized assigned side never shuffles. */
-  private def ivfCandidates(s: SparkSession, dir: String,
-      nlist: Int = NLIST, nprobe: Int = NPROBE): DataFrame = {
+  private def ivfBuild(s: SparkSession, dir: String,
+      nlist: Int = NLIST): (DataFrame, DataFrame) = {
     import s.implicits._
     val emb = withQNorm(t(s, dir, "embeddings"))
     val cent0 = emb.filter($"vec_id" < nlist)
@@ -195,6 +200,14 @@ object Similarity {
       .withColumn("ccos", cosine(dotInt("qc", "qb"), $"n2c", $"n2b"))
       .withColumn("ar", row_number().over(wA)).filter($"ar" === 1)
       .select($"cid", $"qb", $"n2b", $"cent_id")
+    (assigned, cent1)
+  }
+
+  private def ivfCandidates(s: SparkSession, dir: String,
+      nlist: Int = NLIST, nprobe: Int = NPROBE): DataFrame = {
+    import s.implicits._
+    val emb = withQNorm(t(s, dir, "embeddings"))
+    val (assigned, cent1) = ivfBuild(s, dir, nlist)
     val q = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"q".as("qa"), $"n2".as("n2a"))
     val wP = Window.partitionBy($"qid").orderBy($"pcos".desc, $"cent_id")
@@ -246,6 +259,19 @@ object Similarity {
             FROM pdots_$np d JOIN norms na ON na.vec_id = d.qid JOIN norms nb ON nb.vec_id = d.cid) r
           WHERE rn <= 10)"""
     }.mkString(",")
+    s"""${ivfBuildCtes(nlist)},
+        probes AS (
+          SELECT vec_id AS qid, cent_id, pr FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS pr
+            FROM c1cos WHERE vec_id < 5) x
+          WHERE pr <= ${nprobes.max}),$searches"""
+  }
+
+  /** The IVF index build alone (seed → Lloyd step → list assignment) as
+    * DuckDB CTEs ending in `assign(cid, cent_id)` — shared by the ANN
+    * searches and the semantic-dedup pass (s07). */
+  private def ivfBuildCtes(nlist: Int): String = {
     s"""
         cent0 AS (SELECT vec_id AS cent_id, q FROM qv WHERE vec_id < $nlist),
         c0dots AS (
@@ -284,13 +310,7 @@ object Similarity {
             SELECT vec_id, cent_id,
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS ar
             FROM c1cos WHERE vec_id >= $nlist) x
-          WHERE ar = 1),
-        probes AS (
-          SELECT vec_id AS qid, cent_id, pr FROM (
-            SELECT vec_id, cent_id,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS pr
-            FROM c1cos WHERE vec_id < 5) x
-          WHERE pr <= ${nprobes.max}),$searches"""
+          WHERE ar = 1)"""
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -429,6 +449,60 @@ object Similarity {
           FROM exact e LEFT JOIN ivf_$NPROBE i ON i.qid = e.qid AND i.cid = e.cid
           GROUP BY e.qid) u
         ORDER BY qid, nprobe"""),
+    ),
+
+    // ---- s07: semantic dedup (SemDeDup: cluster, then prune within) ----
+    // The embedding-space dedup a modern corpus build runs (Abbas et al.
+    // 2023, "SemDeDup"): k-means-cluster the embeddings (the IVF build,
+    // reused verbatim — one index serves search AND dedup), then inside
+    // each cluster mark every vector that has a more-senior (smaller-id)
+    // neighbor above the cosine threshold. The within-cluster self-join is
+    // the whole point of clustering first: pair work is Σ(cluster²)
+    // instead of n², and at 100 TB NLIST grows ~√n so cluster sizes stay
+    // bounded — the same contract as the LSH bands in d05/s02. Per-cluster
+    // kept/dropped counts are the curation report a pipeline acts on.
+    QueryDef(
+      "s07_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        val (assigned, _) = ivfBuild(s, dir, NLIST)
+        val a = assigned.select($"cid", $"qb", $"n2b", $"cent_id")
+        val dropped = a.as("x")
+          .join(a.as("y"), $"x.cent_id" === $"y.cent_id" && $"x.cid" < $"y.cid")
+          .withColumn("cos", cosine(dotInt("x.qb", "y.qb"), $"x.n2b", $"y.n2b"))
+          .filter($"cos" >= SEMDEDUP_COS)
+          .select($"y.cid".as("cid"))
+          .distinct()
+          .withColumn("is_dup", lit(1L))
+        assigned.join(dropped, Seq("cid"), "left")
+          .groupBy($"cent_id")
+          .agg(count(lit(1)).as("total"),
+            sum(coalesce($"is_dup", lit(0L))).as("dropped"))
+          .withColumn("kept", $"total" - $"dropped")
+          .select($"cent_id", $"total", $"dropped", $"kept")
+          .orderBy($"cent_id")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        ${ivfBuildCtes(NLIST)},
+        spairs AS (
+          SELECT a.cid AS pi, b.cid AS pj
+          FROM assign a JOIN assign b ON a.cent_id = b.cent_id AND a.cid < b.cid),
+        sdots AS (
+          SELECT p.pi, p.pj, CAST(SUM(qa.q[dims.i+1]*qb.q[dims.i+1]) AS BIGINT) AS dot
+          FROM spairs p JOIN qv qa ON qa.vec_id = p.pi JOIN qv qb ON qb.vec_id = p.pj
+          CROSS JOIN dims GROUP BY p.pi, p.pj),
+        sdropped AS (
+          SELECT DISTINCT d.pj AS cid
+          FROM sdots d JOIN norms na ON na.vec_id = d.pi JOIN norms nb ON nb.vec_id = d.pj
+          WHERE CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) >= $SEMDEDUP_COS)
+        SELECT a.cent_id, COUNT(*) AS total,
+               CAST(COALESCE(SUM(CASE WHEN s.cid IS NOT NULL THEN 1 END), 0) AS BIGINT) AS dropped,
+               COUNT(*) - CAST(COALESCE(SUM(CASE WHEN s.cid IS NOT NULL THEN 1 END), 0) AS BIGINT) AS kept
+        FROM assign a LEFT JOIN sdropped s ON s.cid = a.cid
+        GROUP BY a.cent_id
+        ORDER BY a.cent_id"""),
     ),
 
     // ---- d06: embedding-cosine near-dup docs (cross-table enrichment) ---

@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.sqlx._
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for large-scale training-data pipelines, over the
   * `documents` table: tokenization, quality scoring, language-ID heuristic,
@@ -21,6 +22,11 @@ object TextOps {
 
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val STOP_SQL = stop.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** t10's sensitive-term lexicon (stand-in for a PII regex bank — the
+    * synthetic corpus has no emails/phones/IPs to match). */
+  private val BLOCKLIST = Seq("customer", "spark", "stream")
+  private val BLOCKLIST_SQL = BLOCKLIST.map(w => s"'$w'").mkString("[", ",", "]")
 
   val defs: Seq[QueryDef] = Seq(
     // ---- t01: token statistics ----
@@ -298,6 +304,87 @@ object TextOps {
                CAST(SUM(CASE WHEN n=3 THEN c-1 END) AS BIGINT) AS dup3_cnt,
                CAST(SUM(CASE WHEN n=3 THEN c END) AS BIGINT) AS n3
         FROM cnt GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+
+    // ---- t10: blocklist redaction accounting (the PII/sensitive-term ----
+    // ---- scrub pass every corpus release runs) ----
+    // The synthetic corpus carries no real PII patterns, so the lexicon IS
+    // the operator: a broadcast blocklist matched against the token
+    // stream, reporting per-document hit and redacted-character counts
+    // (what a release audit consumes). A production scrub swaps the inline
+    // lexicon for a broadcast dictionary + regex bank (emails/phones/IPs)
+    // — same narrow per-row shape, runs at scan speed inside codegen, no
+    // shuffle except the final sort. All outputs are exact integers.
+    QueryDef(
+      "t10_blocklist_redaction",
+      (s, dir) => {
+        import s.implicits._
+        val blockArr = array(BLOCKLIST.map(lit): _*)
+        val hits = filter(toks($"text"), x => array_contains(blockArr, x))
+        t(s, dir, "documents")
+          .withColumn("h", hits)
+          .select($"doc_id",
+            size($"h").cast("long").as("n_hits"),
+            coalesce(aggregate($"h", lit(0L), (acc, x) => acc + length(x)), lit(0L))
+              .as("redacted_chars"),
+            ($"n_chars" -
+              coalesce(aggregate($"h", lit(0L), (acc, x) => acc + length(x)), lit(0L)))
+              .as("clean_chars"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT doc_id, n_chars,
+                 list_filter($TOKS_SQL, x -> list_contains($BLOCKLIST_SQL, x)) AS h
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(h) AS BIGINT) AS n_hits,
+               CAST(COALESCE(list_sum(list_transform(h, x -> length(x))), 0) AS BIGINT) AS redacted_chars,
+               n_chars - CAST(COALESCE(list_sum(list_transform(h, x -> length(x))), 0) AS BIGINT) AS clean_chars
+        FROM h ORDER BY doc_id"""),
+    ),
+
+    // ---- t11: salient terms per source (tf/df keyword extraction) ----
+    // The tokenizer-adjacent "what characterizes this source" pass: rank a
+    // source's terms by term-frequency over corpus document-frequency.
+    // The score is ONE division of two exact integers (identical IEEE754
+    // in both engines) — a log-idf would differ in the last ulp between
+    // libm implementations, so the rational form is the hash-stable
+    // choice. Two aggregate shuffles over the token stream + a broadcast
+    // of the (vocab-sized) df table; the corpus never self-joins, same
+    // plan at 100 TB.
+    QueryDef(
+      "t11_salient_terms",
+      (s, dir) => {
+        import s.implicits._
+        val tok = t(s, dir, "documents")
+          .select($"doc_id", $"source", explode(toks($"text")).as("tok"))
+          .filter(!$"tok".isin(stop: _*))
+        val dfreq = tok.groupBy($"tok")
+          .agg(countDistinct($"doc_id").as("df"))
+        val tf = tok.groupBy($"source", $"tok").agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy($"source").orderBy($"score".desc, $"tok")
+        tf.join(broadcast(dfreq), "tok")
+          .withColumn("score", $"tf".cast("double") / $"df")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"source", $"rn", $"tok", $"tf", $"df", $"score")
+          .orderBy($"source", $"rn")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source, unnest($TOKS_SQL) AS tok FROM documents),
+        flt AS (SELECT * FROM tok WHERE tok NOT IN $STOP_SQL),
+        dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM flt GROUP BY tok),
+        tf AS (SELECT source, tok, COUNT(*) AS tf FROM flt GROUP BY source, tok),
+        scored AS (
+          SELECT tf.source, tf.tok, tf.tf, dfreq.df,
+                 CAST(tf.tf AS DOUBLE) / dfreq.df AS score,
+                 ROW_NUMBER() OVER (PARTITION BY tf.source
+                                    ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC, tf.tok) AS rn
+          FROM tf JOIN dfreq ON dfreq.tok = tf.tok)
+        SELECT source, rn, tok, tf, df, score FROM scored
+        WHERE rn <= 5 ORDER BY source, rn"""),
     ),
   )
 
