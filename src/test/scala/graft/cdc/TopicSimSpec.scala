@@ -107,6 +107,43 @@ class TopicSimSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("HA second writer: acks from produce() returns never cover a deposed " +
+      "leader's appends — the recovery scan still sees them") {
+    val server = new TopicServer().start()
+    try {
+      val mine = new TopicClient("127.0.0.1", server.port)
+      val producer = new FragmentingProducer(producerId = 1L)
+
+      // this producer sends trx1 and records its ack from the produce()
+      // RETURN (post-append hwm - 1 of each append), not a hwm re-query
+      val msgs1 = producer.produce(trx(200, 1))
+      var myAckedOffset = -1L
+      msgs1.foreach(m => myAckedOffset = mine.produce(Wire.encodeMessage(m)) - 1)
+
+      // a deposed-but-still-writing leader (second writer) appends trx2
+      // AFTER our last produce but BEFORE we checkpoint
+      val deposed = new TopicClient("127.0.0.1", server.port)
+      val theirProducer = new FragmentingProducer(producerId = 2L, startSeq = msgs1.last.seq)
+      val msgs2 = theirProducer.produce(trx(400, 2))
+      msgs2.foreach(m => deposed.produce(Wire.encodeMessage(m)))
+
+      // the hwm now covers THEIR messages; our per-message ack does not
+      assert(mine.highWaterMark() - 1 > myAckedOffset)
+      val ckp = Checkpoint(Progress(Position("mysql-bin.000008", 300, 66693), None))
+        .withIntCtx("acked_seq", msgs1.last.seq)
+        .withIntCtx("acked_offset", myAckedOffset) // the fixed semantics
+      // restart: the recovery scan starts after OUR ack and replays the
+      // second writer's tail instead of silently skipping it
+      val rec = KafkaRecovery.recover(mine, ckp)
+      assert(rec.scanned == msgs2.size)
+      assert(rec.ackedSeq == msgs2.last.seq)
+      assert(rec.ackedOffset == mine.highWaterMark() - 1)
+      assert(rec.ckp.progress.pos == Position("mysql-bin.000008", 500, 66693))
+      // (with the old hwm-derived ack, acked_offset would have been hwm-1
+      // already and rec.scanned == 0 — trx2 lost to the next consumer scan)
+    } finally server.close()
+  }
+
   test("seeding from existing wire messages serves the same bytes") {
     val producer = new FragmentingProducer(producerId = 9L)
     val seed = producer.produce(trx(100, 7)).map(Wire.encodeMessage)
