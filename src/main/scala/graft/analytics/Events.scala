@@ -329,5 +329,42 @@ object Events {
         FROM events e WHERE e.event_type = 'purchase'
         ORDER BY e.user_id, e.event_id"""),
     ),
+
+    // ---- e13: click→purchase attribution (interval join) ----
+    // Every purchase attributed to each click by the same user within the
+    // preceding 2 hours — the batch twin of the stream-stream interval
+    // join (`streaming/EventTimeWindows.attribution`, parity-tested in
+    // EventsStreamParitySpec). The join is an equi-join on user_id with a
+    // range residual: at 100 TB both sides shuffle once on user_id and the
+    // range filter runs inside the sort-merge — no time-bucket explosion
+    // needed until per-user event counts skew (then: bucket ts to coarse
+    // windows and join on (user, bucket±1)). Timestamps leave as epoch
+    // micros (exact integers in both engines).
+    QueryDef(
+      "e13_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id"), unix_micros($"ts").as("c_us"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+            unix_micros($"ts").as("p_us"))
+        clicks.join(purchases,
+          $"user_id" === $"p_user" && $"p_us" > $"c_us" &&
+            $"p_us" <= $"c_us" + lit(7200L * 1000000L))
+          .select($"user_id", $"click_id", $"purchase_id", ($"p_us" - $"c_us").as("gap_us"))
+          .orderBy($"user_id", $"click_id", $"purchase_id")
+      },
+      Some("""
+        SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND epoch_us(b.ts) > epoch_us(a.ts)
+         AND epoch_us(b.ts) <= epoch_us(a.ts) + 7200000000
+        ORDER BY a.user_id, click_id, purchase_id"""),
+    ),
   )
 }

@@ -47,4 +47,30 @@ object EventTimeWindows {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
+
+  /** Stream-stream INTERVAL join: click→purchase attribution within
+    * `within`, the streaming twin of the batch e13. Both sides carry a
+    * watermark and the join condition bounds event time on both ends, so
+    * Spark evicts a click's state exactly when the watermark proves no
+    * future purchase can match (p_ts ≤ c_ts + within < watermark) — state
+    * is bounded by (watermark + within) of stream history per key, the
+    * 100 TB knob. Inner join in append mode: a pair is emitted once, when
+    * both sides have arrived. */
+  def attribution(
+      events: DataFrame,
+      within: String = "2 hours",
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+      expr(s"c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + interval $within"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
 }

@@ -68,4 +68,49 @@ class EventsStreamParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(b.get == r, s"mismatch for ${r._1}/${r._2}: batch=${b.get} stream=$r")
     }
   }
+
+  test("stream-stream interval join (attribution) equals the batch join — " +
+      "no pair lost to state eviction, no duplicates") {
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type")
+
+    // two time-ordered files → the second batch advances the watermark
+    // past the first's clicks; nothing arrives late, so eviction can only
+    // drop clicks the watermark PROVED unmatchable
+    val n = all.count()
+    val ordered = all.orderBy($"ts").collect()
+    val dir = Files.createTempDirectory("evattr")
+    val (first, second) = ordered.splitAt((n / 2).toInt)
+    Seq("0" -> first, "1" -> second).foreach { case (name, rows) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 2), all.schema)
+        .write.parquet(s"$dir/f$name")
+    }
+
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+    val q = EventTimeWindows.attribution(stream)
+      .writeStream.outputMode("append").format("memory").queryName("attr").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT user_id, click_id, purchase_id, gap_us FROM attr")
+      .as[(Long, Long, Long, Long)].collect().toVector.sorted
+    assert(streamed.nonEmpty, "expected attributed pairs from the real events table")
+
+    val clicks = all.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), unix_micros($"ts").as("c_us"))
+    val purchases = all.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        unix_micros($"ts").as("p_us"))
+    val batch = clicks.join(purchases,
+      $"user_id" === $"p_user" && $"p_us" > $"c_us" &&
+        $"p_us" <= $"c_us" + lit(7200L * 1000000L))
+      .select($"user_id", $"click_id", $"purchase_id", ($"p_us" - $"c_us").as("gap_us"))
+      .as[(Long, Long, Long, Long)].collect().toVector.sorted
+    assert(streamed == batch)
+  }
 }
