@@ -51,6 +51,45 @@ object Multimodal {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** m05's verified phash near-dup pairs `(i, j)` — the image-side edge
+    * set, shared with the cross-modal consensus (m06). */
+  private def phashPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ph = phashOf(s, dir)
+    val hamming = (0 until 4).map(k =>
+      bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _).cast("long")
+    def band(k: Int) = ph.as("a")
+      .join(ph.as("b"), col(s"a.b$k") === col(s"b.b$k") && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), hamming.as("hamming"))
+      .filter($"hamming" <= 3)
+    (0 until 4).map(band).reduce(_ unionAll _).distinct()
+      .select($"i", $"j", $"hamming")
+  }
+
+  /** Oracle CTEs for the phash pair set, ending in `ipairs(i, j)`. */
+  private val PHASH_CTES = """
+        frames AS (
+          SELECT doc_id, frame_idx,
+                 CAST('0x' || substr(md5(substr(text, CAST(frame_idx*4 + 1 AS BIGINT), 4)), 1, 1) AS BIGINT) % 2 AS bit
+          FROM (SELECT doc_id, text,
+                       unnest(range(least(CAST(ceil(length(text)/4.0) AS BIGINT), 64))) AS frame_idx
+                FROM documents) x),
+        ph AS (
+          SELECT doc_id,
+            CAST(COALESCE(SUM(CASE WHEN frame_idx < 16 THEN bit << (frame_idx) END), 0) AS BIGINT) AS b0,
+            CAST(COALESCE(SUM(CASE WHEN frame_idx >= 16 AND frame_idx < 32 THEN bit << (frame_idx-16) END), 0) AS BIGINT) AS b1,
+            CAST(COALESCE(SUM(CASE WHEN frame_idx >= 32 AND frame_idx < 48 THEN bit << (frame_idx-32) END), 0) AS BIGINT) AS b2,
+            CAST(COALESCE(SUM(CASE WHEN frame_idx >= 48 THEN bit << (frame_idx-48) END), 0) AS BIGINT) AS b3
+          FROM frames GROUP BY doc_id),
+        icands AS (
+          SELECT a.doc_id AS i, b.doc_id AS j,
+                 bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                 bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+          FROM ph a JOIN ph b
+            ON a.doc_id < b.doc_id
+           AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+        ipairs AS (SELECT DISTINCT i, j FROM icands WHERE hamming <= 3)"""
+
   val defs: Seq[QueryDef] = Seq(
     // ---- m01: binary ingest + typed metadata + fake decode ----
     QueryDef(
@@ -196,41 +235,47 @@ object Multimodal {
       "m05_phash_neardup",
       (s, dir) => {
         import s.implicits._
-        val ph = phashOf(s, dir)
-        val hamming = (0 until 4).map(k =>
-          bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _).cast("long")
-        def band(k: Int) = ph.as("a")
-          .join(ph.as("b"), col(s"a.b$k") === col(s"b.b$k") && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), hamming.as("hamming"))
-          .filter($"hamming" <= 3)
-        (0 until 4).map(band).reduce(_ unionAll _).distinct()
-          .select($"i", $"j", $"hamming")
-          .orderBy($"i", $"j")
+        phashPairs(s, dir).orderBy($"i", $"j")
       },
-      Some("""
-        WITH frames AS (
-          SELECT doc_id, frame_idx,
-                 CAST('0x' || substr(md5(substr(text, CAST(frame_idx*4 + 1 AS BIGINT), 4)), 1, 1) AS BIGINT) % 2 AS bit
-          FROM (SELECT doc_id, text,
-                       unnest(range(least(CAST(ceil(length(text)/4.0) AS BIGINT), 64))) AS frame_idx
-                FROM documents) x),
-        ph AS (
-          SELECT doc_id,
-            CAST(COALESCE(SUM(CASE WHEN frame_idx < 16 THEN bit << (frame_idx) END), 0) AS BIGINT) AS b0,
-            CAST(COALESCE(SUM(CASE WHEN frame_idx >= 16 AND frame_idx < 32 THEN bit << (frame_idx-16) END), 0) AS BIGINT) AS b1,
-            CAST(COALESCE(SUM(CASE WHEN frame_idx >= 32 AND frame_idx < 48 THEN bit << (frame_idx-32) END), 0) AS BIGINT) AS b2,
-            CAST(COALESCE(SUM(CASE WHEN frame_idx >= 48 THEN bit << (frame_idx-48) END), 0) AS BIGINT) AS b3
-          FROM frames GROUP BY doc_id),
-        cands AS (
-          SELECT a.doc_id AS i, b.doc_id AS j,
-                 bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
-                 bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
-          FROM ph a JOIN ph b
-            ON a.doc_id < b.doc_id
-           AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+      Some(s"""
+        WITH $PHASH_CTES
         SELECT DISTINCT i, j, CAST(hamming AS BIGINT) AS hamming
-        FROM cands WHERE hamming <= 3
+        FROM icands WHERE hamming <= 3
         ORDER BY i, j"""),
+    ),
+
+    // ---- m06: cross-modal dedup consensus (text SimHash × image pHash) --
+    // A real curation pipeline doesn't trust one near-dup signal: pairs
+    // flagged by BOTH the text fingerprint (d05) and the perceptual image
+    // fingerprint (m05) are safe auto-drops; single-signal pairs go to
+    // review. Each side is its own banded-LSH pair set (both already
+    // bounded at 100×); the consensus is one full-outer join ON THE PAIR
+    // SETS — orders of magnitude smaller than the corpus — so the
+    // composition adds no corpus-scale work at any SF.
+    QueryDef(
+      "m06_crossmodal_consensus",
+      (s, dir) => {
+        import s.implicits._
+        val text = Dedup.simhashPairs(s, dir).select($"i", $"j", lit(1).as("t"))
+        val image = phashPairs(s, dir).select($"i", $"j", lit(1).as("m"))
+        text.join(image, Seq("i", "j"), "full_outer")
+          .withColumn("signal",
+            when($"t".isNotNull && $"m".isNotNull, "both")
+              .when($"t".isNotNull, "text_only")
+              .otherwise("image_only"))
+          .groupBy($"signal").agg(count(lit(1)).as("pairs"))
+          .orderBy($"signal")
+      },
+      Some(s"""
+        WITH sims AS (${Dedup.simhashSql}),
+        tpairs AS (${Dedup.SIMHASH_PAIRS_SQL}),
+        $PHASH_CTES
+        SELECT signal, COUNT(*) AS pairs FROM (
+          SELECT CASE WHEN t.i IS NOT NULL AND p.i IS NOT NULL THEN 'both'
+                      WHEN t.i IS NOT NULL THEN 'text_only'
+                      ELSE 'image_only' END AS signal
+          FROM tpairs t FULL JOIN ipairs p ON t.i = p.i AND t.j = p.j) u
+        GROUP BY signal ORDER BY signal"""),
     ),
   )
 }
