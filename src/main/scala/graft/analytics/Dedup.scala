@@ -162,6 +162,36 @@ object Dedup {
 
   private[analytics] def simhashSql: String = SIMHASH_SQL
 
+  /** doc_id → md5 of each non-overlapping K=40-char tile of the normalized
+    * text (multiset — internal repeats count), persisted and shared by
+    * d09/d10 (the shingle-index pattern: the tokenize/normalize pass is
+    * paid once, not once per consumer). */
+  private val tileCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def tileIndex(s: SparkSession, dir: String): DataFrame =
+    tileCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val K = 40
+      t(s, dir, "documents").repartition($"doc_id")
+        .withColumn("norm", trim(regexp_replace(lower($"text"), "\\s+", " ")))
+        .filter(length($"norm") >= K)
+        .select($"doc_id",
+          explode(sequence(lit(0), (length($"norm") / K).cast("int") - 1)).as("i"),
+          $"norm")
+        .select($"doc_id", md5($"norm".substr($"i" * K + 1, lit(K))).as("th"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Oracle twin of [[tileIndex]]: `tiles(doc_id, th)`. */
+  private val TILES_SQL = """
+        d AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+          FROM documents),
+        tiles AS (
+          SELECT doc_id, unnest(list_transform(range(length(norm)//40),
+                   i -> md5(substr(norm, CAST(i*40+1 AS INT), 40)))) AS th
+          FROM d WHERE length(norm) >= 40)"""
+
   val defs: Seq[QueryDef] = Seq(
     // ---- d01: exact dedup via normalized-content hash groupBy ----
     QueryDef(
@@ -441,6 +471,104 @@ object Dedup {
         FROM ov JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
         WHERE CAST(shared AS DOUBLE)/least(si.n, sj.n) >= 0.6
         ORDER BY i, j"""),
+    ),
+
+    // ---- d09: tile-based exact substring dedup (duplicated-span ----
+    // ---- coverage — the ExactSubstr shape at tile granularity)   ----
+    // Near-dup families (d02–d06) score whole documents; this one finds
+    // VERBATIM spans shared across documents — boilerplate, licenses,
+    // templated passages — the signal behind suffix-array substring
+    // dedup ("Deduplicating Training Data Makes Language Models Better").
+    // A distributed suffix array is not a Spark-shaped structure; the
+    // scalable equivalent is fixed tiles: normalized text is cut into
+    // non-overlapping K-char tiles, a tile seen in ≥2 distinct docs is
+    // duplicated, and each doc reports its duplicated-tile coverage.
+    // Everything is linear: tile extraction is a narrow per-row explode,
+    // the only shuffles are hash-aggregations on the tile hash (md5 —
+    // 16 bytes moved per tile, never the text). A doc is Θ(len/K) tiles,
+    // so shuffle volume is a fixed fraction of corpus bytes at any scale;
+    // hot tiles concentrate into single reducers exactly like hot
+    // shingles (d02 note) but the aggregate is a counter, not a join —
+    // no quadratic risk anywhere.
+    QueryDef(
+      "d09_tile_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val tiles = tileIndex(s, dir)
+        val cnt = tiles.groupBy($"doc_id").agg(count(lit(1)).as("n_tiles"))
+        val dup = tiles.groupBy($"th")
+          .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2).select($"th")
+        val dupc = tiles.join(dup, "th")
+          .groupBy($"doc_id").agg(count(lit(1)).as("dup_tiles"))
+        cnt.join(dupc, Seq("doc_id"), "left")
+          .withColumn("dup_tiles", coalesce($"dup_tiles", lit(0L)))
+          .withColumn("dup_frac", $"dup_tiles".cast("double") / $"n_tiles")
+          .select($"doc_id", $"n_tiles", $"dup_tiles", $"dup_frac")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $TILES_SQL,
+        cnt AS (SELECT doc_id, COUNT(*) AS n_tiles FROM tiles GROUP BY doc_id),
+        dup AS (SELECT th FROM tiles GROUP BY th HAVING COUNT(DISTINCT doc_id) >= 2),
+        dupc AS (SELECT t.doc_id, COUNT(*) AS dup_tiles
+                 FROM tiles t JOIN dup USING (th) GROUP BY t.doc_id)
+        SELECT c.doc_id, c.n_tiles, COALESCE(d.dup_tiles, 0) AS dup_tiles,
+               CAST(COALESCE(d.dup_tiles, 0) AS DOUBLE)/c.n_tiles AS dup_frac
+        FROM cnt c LEFT JOIN dupc d USING (doc_id) ORDER BY doc_id"""),
+    ),
+
+    // ---- d10: incremental dedup — new batch vs existing corpus, ----
+    // ---- Bloom-sketch prefilter + exact verify                   ----
+    // The production shape d01–d09 don't cover: the corpus is ALREADY
+    // deduplicated and a new crawl arrives — only batch-vs-corpus overlap
+    // matters, never corpus-vs-corpus. Batch = doc_id%10==0 (a
+    // deterministic split of the same table so the oracle sees identical
+    // input). The corpus tile set is first compacted into a Bloom filter
+    // (df.stat.bloomFilter — a distributed treeAggregate; the sketch is
+    // the only corpus-sized thing that ever reaches the driver) and
+    // broadcast; batch tiles that miss the filter are DISCARDED before
+    // the join (no false negatives, so discarding is exact), and the
+    // surviving ~dup-rate fraction is confirmed against the real corpus
+    // index with a semi-join. Semantics are exactly the join — the bloom
+    // is invisible to the result, which is why the operator stays
+    // oracle-checkable. At 100 TB: 1e9 corpus tiles at 1% fpp ≈ 1.2 GB
+    // broadcast — heavy but shippable, and it converts a
+    // both-sides-shuffle join into a broadcast filter + a join whose
+    // probe side is only the batch's true-positive sliver (a bucketed,
+    // sorted corpus tile index makes the confirm join shuffle-free too).
+    QueryDef(
+      "d10_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val tiles = tileIndex(s, dir)
+        val corpus = tiles.filter($"doc_id" % 10 =!= 0).select($"th").distinct()
+        val batch = tiles.filter($"doc_id" % 10 === 0)
+        val bloom = corpus.stat.bloomFilter("th", 100000L, 0.01)
+        val bbl = s.sparkContext.broadcast(bloom)
+        val mightMatch = udf((th: String) => bbl.value.mightContain(th))
+        val confirmed = batch.filter(mightMatch($"th"))
+          .join(corpus, Seq("th"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("matched_tiles"))
+        batch.groupBy($"doc_id").agg(count(lit(1)).as("n_tiles"))
+          .join(confirmed, Seq("doc_id"), "left")
+          .withColumn("matched_tiles", coalesce($"matched_tiles", lit(0L)))
+          .withColumn("matched_frac", $"matched_tiles".cast("double") / $"n_tiles")
+          .withColumn("dup", $"matched_frac" >= 0.5)
+          .select($"doc_id", $"n_tiles", $"matched_tiles", $"matched_frac", $"dup")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $TILES_SQL,
+        corpus AS (SELECT DISTINCT th FROM tiles WHERE doc_id % 10 <> 0),
+        batch AS (SELECT doc_id, th FROM tiles WHERE doc_id % 10 = 0),
+        matched AS (
+          SELECT b.doc_id, COUNT(*) AS matched_tiles
+          FROM batch b WHERE b.th IN (SELECT th FROM corpus) GROUP BY b.doc_id),
+        cnt AS (SELECT doc_id, COUNT(*) AS n_tiles FROM batch GROUP BY doc_id)
+        SELECT c.doc_id, c.n_tiles, COALESCE(m.matched_tiles, 0) AS matched_tiles,
+               CAST(COALESCE(m.matched_tiles, 0) AS DOUBLE)/c.n_tiles AS matched_frac,
+               CAST(COALESCE(m.matched_tiles, 0) AS DOUBLE)/c.n_tiles >= 0.5 AS dup
+        FROM cnt c LEFT JOIN matched m USING (doc_id) ORDER BY doc_id"""),
     ),
   )
 }

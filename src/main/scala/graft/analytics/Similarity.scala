@@ -620,5 +620,102 @@ object Similarity {
         FROM qv CROSS JOIN (SELECT unnest(range(64)) AS i) dims
         GROUP BY label, i ORDER BY label, dim"""),
     ),
+
+    // ---- s08: int8 scalar-quantized ANN + recall@10 (the memory- ----
+    // ---- bandwidth path: 4x smaller codes, exact-int rerank gate) ----
+    // At 100 TB the ANN bottleneck is scan bytes, not FLOPs: float32
+    // vectors are 256 B/row at 64 dims, int8 codes are 64 B. This
+    // operator is the scalar-quantization (SQ8) dataflow: one corpus pass
+    // computes per-dimension min/max (a 64-row aggregate — broadcast),
+    // every vector is coded dim-wise into [-128,127] with exact integer
+    // arithmetic (floor division of non-negative ints — identical in
+    // Spark's DIV and DuckDB's //), and search ranks by the int8 dot
+    // product. The recall@10 report against the exact-cosine ground
+    // truth (s01's plan) is the accept/reject gate — the same eval
+    // contract as s06, measuring a different compression dial. Dims with
+    // mx=mn carry no information and would divide by zero: dropped from
+    // the code space on both sides. The corpus stays one-row-per-vector
+    // (codes rebuilt as arrays, dot via zip_with) — no 64x row blowup of
+    // the big side; only the 64-row stats table and the query set are
+    // broadcast.
+    QueryDef(
+      "s08_sq8_recall",
+      (s, dir) => {
+        import s.implicits._
+        val emb = withQNorm(t(s, dir, "embeddings"))
+        val ex = emb.select($"vec_id", posexplode($"q").as(Seq("d", "v")))
+        val stats = ex.groupBy($"d")
+          .agg(min($"v").as("mn"), max($"v").as("mx"))
+          .filter($"mx" > $"mn")
+        val codes8 = ex.join(broadcast(stats), "d")
+          .withColumn("c", expr("(v - mn) * 255 DIV (mx - mn) - 128"))
+          .groupBy($"vec_id")
+          .agg(transform(array_sort(collect_list(struct($"d", $"c"))),
+            x => x.getField("c")).as("q8"))
+        val qs = codes8.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"q8".as("qa8"))
+        val cs = codes8.filter($"vec_id" >= 5).select($"vec_id".as("cid"), $"q8".as("qb8"))
+        val w8 = Window.partitionBy($"qid").orderBy($"dot8".desc, $"cid")
+        val approx = cs.join(broadcast(qs))
+          .withColumn("dot8", sumLong(zip_with($"qa8", $"qb8", (x, y) => x * y)))
+          .withColumn("rn", row_number().over(w8)).filter($"rn" <= 10)
+          .select($"qid", $"cid")
+        val q = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("qid"), $"q".as("qa"), $"n2".as("n2a"))
+        val c = emb.filter($"vec_id" >= 5)
+          .select($"vec_id".as("cid"), $"q".as("qb"), $"n2".as("n2b"))
+        val wT = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+        val exact = c.join(broadcast(q))
+          .withColumn("cos", cosine(dotInt("qa", "qb"), $"n2a", $"n2b"))
+          .withColumn("rn", row_number().over(wT)).filter($"rn" <= 10)
+          .select($"qid", $"cid")
+        val hits = exact.join(approx, Seq("qid", "cid"))
+          .groupBy($"qid").agg(count(lit(1)).as("hits"))
+        emb.filter($"vec_id" < 5).select($"vec_id".as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .withColumn("hits", coalesce($"hits", lit(0L)))
+          .withColumn("recall", $"hits".cast("double") / 10)
+          .select($"qid", $"hits", $"recall")
+          .orderBy($"qid")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        stats AS (
+          SELECT i AS d, MIN(q[i+1]) AS mn, MAX(q[i+1]) AS mx
+          FROM qv CROSS JOIN dims GROUP BY i HAVING MAX(q[i+1]) > MIN(q[i+1])),
+        codes AS (
+          SELECT vec_id, d, ((q[CAST(d+1 AS INT)] - mn) * 255) // (mx - mn) - 128 AS c
+          FROM qv CROSS JOIN stats),
+        dots8 AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.c*b.c) AS BIGINT) AS dot8
+          FROM codes a JOIN codes b ON a.d = b.d AND a.vec_id < 5 AND b.vec_id >= 5
+          GROUP BY a.vec_id, b.vec_id),
+        approx AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot8 DESC, cid) AS rn
+            FROM dots8) x WHERE rn <= 10),
+        edots AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 CAST(SUM(a.q[i+1]*b.q[i+1]) AS BIGINT) AS dot
+          FROM qv a JOIN qv b ON a.vec_id < 5 AND b.vec_id >= 5
+          CROSS JOIN dims GROUP BY a.vec_id, b.vec_id),
+        exact AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                     CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) DESC,
+                     cid) AS rn
+            FROM edots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid) x
+          WHERE rn <= 10),
+        hits AS (
+          SELECT e.qid, COUNT(*) AS hits
+          FROM exact e JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
+          GROUP BY e.qid)
+        SELECT q.qid, COALESCE(h.hits, 0) AS hits,
+               CAST(COALESCE(h.hits, 0) AS DOUBLE)/10 AS recall
+        FROM (SELECT vec_id AS qid FROM qv WHERE vec_id < 5) q
+        LEFT JOIN hits h USING (qid) ORDER BY qid"""),
+    ),
   )
 }

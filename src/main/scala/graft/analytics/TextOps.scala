@@ -386,6 +386,57 @@ object TextOps {
         SELECT source, rn, tok, tf, df, score FROM scored
         WHERE rn <= 5 ORDER BY source, rn"""),
     ),
+
+    // ---- t12: hashed linear quality classifier (fastText-shaped ----
+    // ---- inference: hashing trick + broadcast weight table)      ----
+    // The quality-filter stage of a pretraining pipeline is usually a
+    // linear text classifier (fastText wiki-vs-crawl, DCLM-style): hash
+    // each token into D buckets, sum the bucket weights, threshold. This
+    // operator is that INFERENCE dataflow: the model is a (bucket,
+    // weight) table — broadcast, because a model is always tiny next to
+    // the corpus — tokens map to buckets with the hashing trick
+    // (md5 % D), and scoring is one broadcast-hash-join + per-doc sum,
+    // i.e. scan speed at 100 TB with no shuffle except the per-doc
+    // aggregate (which the doc_id partitioning makes local). Weights
+    // here are a deterministic hash-derived stand-in (no training in
+    // this container — the values are policy, the dataflow is the
+    // operator); swapping in learned weights changes one small table.
+    QueryDef(
+      "t12_quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val D = 4096
+        val weights = s.range(D).select($"id".cast("int").as("bucket"),
+          (($"id" * 2654435761L) % 2001L - 1000L).as("w"))
+        t(s, dir, "documents").repartition($"doc_id")
+          .select($"doc_id", explode(toks($"text")).as("tok"))
+          .withColumn("bucket",
+            (conv(substring(md5($"tok"), 1, 6), 16, 10).cast("long") % D).cast("int"))
+          .join(broadcast(weights), "bucket")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum($"w").as("raw"))
+          .withColumn("score", $"raw".cast("double") / ($"n_tokens" * 1000L).cast("double"))
+          .withColumn("label", when($"score" > 0, lit("keep")).otherwise(lit("drop")))
+          .select($"doc_id", $"n_tokens", $"raw", $"score", $"label")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH weights AS (
+          SELECT CAST(b AS INT) AS bucket, (b*2654435761) % 2001 - 1000 AS w
+          FROM (SELECT unnest(range(4096)) AS b)),
+        toks AS (SELECT doc_id, unnest($TOKS_SQL) AS tok FROM documents),
+        bt AS (SELECT doc_id,
+                      CAST(CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 4096 AS INT) AS bucket
+               FROM toks),
+        scored AS (
+          SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS raw
+          FROM bt JOIN weights USING (bucket) GROUP BY doc_id)
+        SELECT doc_id, n_tokens, raw,
+               CAST(raw AS DOUBLE)/CAST(n_tokens*1000 AS DOUBLE) AS score,
+               CASE WHEN CAST(raw AS DOUBLE)/CAST(n_tokens*1000 AS DOUBLE) > 0
+                    THEN 'keep' ELSE 'drop' END AS label
+        FROM scored ORDER BY doc_id"""),
+    ),
   )
 
 }
