@@ -16,5 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.WordNgrams.info, functions.WordNgrams.builder))
     ext.injectFunction((functions.WinnowFingerprints.identifier,
       functions.WinnowFingerprints.info, functions.WinnowFingerprints.builder))
+    ext.injectFunction((functions.LongDot.identifier,
+      functions.LongDot.info, functions.LongDot.builder))
   }
 }

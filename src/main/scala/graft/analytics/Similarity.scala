@@ -50,14 +50,22 @@ object Similarity {
   private val Q_SQL =
     s"list_transform(embedding, x -> CAST(round(x::DOUBLE * $QUANT) AS BIGINT))"
 
-  private def sumLong(products: Column): Column =
-    aggregate(products, lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product — the native codegen expression
+    * (graft.functions.LongDot), not the interpreted
+    * `aggregate(zip_with(...))` higher-order form: one fused primitive
+    * loop, no product-array allocation, inside whole-stage codegen. The
+    * candidate-verify joins evaluate this 10⁵–10⁶ times per run. */
+  private def longDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.LongDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Exact integer squared norm. */
-  private def norm2(q: Column): Column = sumLong(transform(q, x => x * x))
+  private def norm2(q: Column): Column = longDot(q, q)
 
   private def dotInt(a: String, b: String): Column =
-    sumLong(zip_with(col(a), col(b), (x, y) => x * y))
+    longDot(col(a), col(b))
 
   /** cos = dot / sqrt(n2a·n2b) — same expression shape as the oracle. */
   private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
@@ -96,7 +104,7 @@ object Similarity {
   private def bandCol(k: Int): Column = (0 until BAND_BITS).map { b =>
     val p = k * BAND_BITS + b
     val signArr = array((0 until DIMS).map(d => lit(planeSign(p, d).toLong)): _*)
-    val proj = sumLong(zip_with(col("q"), signArr, (x, w) => x * w))
+    val proj = longDot(col("q"), signArr)
     when(proj > 0L, lit(1 << b)).otherwise(lit(0))
   }.reduce(_ + _)
 
@@ -656,7 +664,7 @@ object Similarity {
         val cs = codes8.filter($"vec_id" >= 5).select($"vec_id".as("cid"), $"q8".as("qb8"))
         val w8 = Window.partitionBy($"qid").orderBy($"dot8".desc, $"cid")
         val approx = cs.join(broadcast(qs))
-          .withColumn("dot8", sumLong(zip_with($"qa8", $"qb8", (x, y) => x * y)))
+          .withColumn("dot8", longDot($"qa8", $"qb8"))
           .withColumn("rn", row_number().over(w8)).filter($"rn" <= 10)
           .select($"qid", $"cid")
         val q = emb.filter($"vec_id" < 5)
