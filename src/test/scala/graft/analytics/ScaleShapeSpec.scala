@@ -1,0 +1,101 @@
+package graft.analytics
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape regression suite: locks the plan properties that matter at
+  * 100 TB — predicate/column pushdown to the parquet scan, co-located
+  * bucketed joins with no exchange, and salted-join equivalence under a
+  * hot key. Correctness suites prove the engine right; this one proves
+  * the plans stay the plans we'd want on a 1000-executor cluster.
+  */
+class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("scale-shape-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", wh)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("filter and projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(l_quantity,40") && plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"filter not pushed to scan:\n$plan")
+    val scanSchema = "ReadSchema: struct<l_orderkey:bigint,l_quantity:"
+    assert(plan.contains(scanSchema), s"scan reads more columns than the projection:\n$plan")
+  }
+
+  test("bucketed co-located join runs with no shuffle exchange") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").agg(sum("l_quantity"))
+    // force execution so AQE settles the final plan
+    val n = joined.count()
+    assert(n > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    val joinRegion = plan.split("HashAggregate").head
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!joinRegion.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles its inputs:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"), s"bucketed scan not used:\n$plan")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+  }
+
+  test("salted join equals the plain join under a 90% hot key") {
+    import spark.implicits._
+    val big = (1 to 2000).map { i =>
+      (if (i <= 1800) 7L else (i % 50).toLong, s"v$i")
+    }.toDF("k", "payload")
+    val small = (0 until 50).map(i => (i.toLong, s"dim$i")).toDF("k", "dim")
+    val plain = big.join(small, "k")
+    val salted = SkewJoin.saltedJoin(big, small, "k", 8)
+    assert(salted.columns.toSeq === plain.columns.toSeq)
+    val a = plain.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = salted.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a === b)
+    // the hot key's rows really scatter: after salting, no single
+    // (k, salt) group holds more than ~1/2 of the hot key's volume
+    val lanes = big.withColumn("__salt", floor(rand(42) * 8).cast("int"))
+      .filter($"k" === 7L).groupBy($"__salt").count()
+      .collect().map(_.getLong(1))
+    assert(lanes.length >= 4, s"hot key landed in too few lanes: ${lanes.toSeq}")
+    assert(lanes.max < 1800 / 2, s"one lane still holds most of the hot key: ${lanes.toSeq}")
+  }
+
+  test("no non-broadcast cartesian product in any declared query plan") {
+    // BroadcastNestedLoopJoin with a broadcast query side is the intended
+    // shape for the ANN fan-outs (corpus x 5 queries); CartesianProductExec
+    // shuffles both sides all-to-all and must only appear in the one
+    // operator that is BY CONTRACT a cross join (q35).
+    val allowed = Set("q35_cross_join_matrix")
+    val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      if (allowed(name)) None
+      else {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unexpected cartesian products in: ${offenders.mkString(", ")}")
+  }
+}
