@@ -169,18 +169,25 @@ object Dedup {
   private val tileCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def tileIndex(s: SparkSession, dir: String): DataFrame =
-    tileCache.getOrElseUpdate((s, dir), {
-      import s.implicits._
-      val K = 40
-      t(s, dir, "documents").repartition($"doc_id")
-        .withColumn("norm", trim(regexp_replace(lower($"text"), "\\s+", " ")))
-        .filter(length($"norm") >= K)
-        .select($"doc_id",
-          explode(sequence(lit(0), (length($"norm") / K).cast("int") - 1)).as("i"),
-          $"norm")
-        .select($"doc_id", md5($"norm".substr($"i" * K + 1, lit(K))).as("th"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    tileCache.getOrElseUpdate((s, dir),
+      tileHashes(t(s, dir, "documents").repartition(col("doc_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** `(doc_id, text)` → exploded `(doc_id, th)` K=40-char tile hashes —
+    * THE tile definition, shared by d09/d10 and the streaming
+    * ingestion-time dedup (`graft.streaming.IngestDedup`), so batch and
+    * stream agree bit-for-bit. A narrow per-row transform (works on a
+    * streaming DataFrame unchanged). */
+  def tileHashes(docs: DataFrame): DataFrame = {
+    val K = 40
+    docs
+      .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .filter(length(col("norm")) >= K)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), (length(col("norm")) / K).cast("int") - 1)).as("i"),
+        col("norm"))
+      .select(col("doc_id"), md5(col("norm").substr(col("i") * K + 1, lit(K))).as("th"))
+  }
 
   /** Oracle twin of [[tileIndex]]: `tiles(doc_id, th)`. */
   private val TILES_SQL = """
