@@ -260,5 +260,70 @@ object Curation {
                CAST(SUM(oov) AS DOUBLE)/COUNT(*) AS oov_rate
         FROM j GROUP BY source ORDER BY source"""),
     ),
+
+    // ---- p06: temperature-scaled mixture sampling (the multilingual ----
+    // ---- / multi-source training-mix operator)                      ----
+    // Proportional sampling lets the dominant source drown the tail;
+    // uniform over-trains tiny sources. The standard fix (XLM-style
+    // exponentiated smoothing) samples source s with p_s ∝ share_s^τ.
+    // τ = 0.5 here, so the exponent is sqrt — correctly rounded per IEEE
+    // in both engines, unlike pow(x, 0.7) whose libm results can differ
+    // by an ulp. The normalizing sum runs over quantized BIGINT weights
+    // (round(sqrt·1e9)) because a float sum's order is engine-dependent;
+    // membership is then the p02 rule — a doc samples iff its md5 bucket
+    // clears the per-source cut — so the mix is reproducible run-over-run
+    // with no RNG state. Everything before the per-doc membership test is
+    // a 10-row aggregate; the membership pass is a broadcast join + scan.
+    QueryDef(
+      "p06_temperature_mix",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val B = 200L // target sampled docs per epoch
+        val docs = t(s, dir, "documents")
+        val all = Window.partitionBy()
+        val mix = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("share", $"n_docs".cast("double") / sum($"n_docs").over(all))
+          .withColumn("w_int", round(sqrt($"share") * 1e9).cast("long"))
+          .withColumn("p", $"w_int".cast("double") / sum($"w_int").over(all))
+          .withColumn("rate", least(lit(1.0), lit(B.toDouble) * $"p" / $"n_docs"))
+          .withColumn("cut", floor($"rate" * (1L << 24)).cast("long"))
+        docs
+          .withColumn("bucket",
+            conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10).cast("long"))
+          .join(broadcast(mix), "source")
+          .groupBy($"source")
+          .agg(
+            max($"n_docs").as("n_docs"),
+            max($"p").as("p"),
+            max($"rate").as("rate"),
+            sum(when($"bucket" < $"cut", 1L).otherwise(0L)).as("sampled"))
+          .withColumn("realized_frac", $"sampled".cast("double") / $"n_docs")
+          .select($"source", $"n_docs", $"p", $"rate", $"sampled", $"realized_frac")
+          .orderBy($"source")
+      },
+      Some("""
+        WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        w AS (
+          SELECT source, n_docs,
+                 CAST(round(sqrt(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()) * 1e9) AS BIGINT) AS w_int
+          FROM per),
+        mix AS (
+          SELECT source, n_docs,
+                 CAST(w_int AS DOUBLE) / SUM(w_int) OVER () AS p,
+                 least(1.0, 200.0 * (CAST(w_int AS DOUBLE) / SUM(w_int) OVER ()) / n_docs) AS rate
+          FROM w),
+        mixc AS (
+          SELECT source, n_docs, p, rate,
+                 CAST(floor(rate * 16777216) AS BIGINT) AS cut FROM mix),
+        b AS (
+          SELECT d.source, m.n_docs, m.p, m.rate, m.cut,
+                 CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS bucket
+          FROM documents d JOIN mixc m USING (source))
+        SELECT source, MAX(n_docs) AS n_docs, MAX(p) AS p, MAX(rate) AS rate,
+               CAST(SUM(CASE WHEN bucket < cut THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+               CAST(SUM(CASE WHEN bucket < cut THEN 1 ELSE 0 END) AS DOUBLE)/MAX(n_docs) AS realized_frac
+        FROM b GROUP BY source ORDER BY source"""),
+    ),
   )
 }
