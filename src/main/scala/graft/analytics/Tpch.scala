@@ -1124,5 +1124,39 @@ object Tpch {
                                           WHERE l2.l_partkey = lineitem.l_partkey))
         ORDER BY s_name"""),
     ),
+
+    // ---- time-RANGE window: trailing 90-day spend per customer ----
+    // The frame q27 can't express: ROWS BETWEEN counts rows, this frame
+    // is bounded by event-time distance (RANGE BETWEEN 90 PRECEDING over
+    // epoch days) — trailing-period spend, the rolling-metric shape. One
+    // shuffle on the partition key, then a sorted range-frame scan per
+    // partition; ties on the order key share a frame in both engines, so
+    // the decimal-accumulated sum stays hash-stable.
+    QueryDef(
+      "q42_trailing_window",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"epoch_day")
+          .rangeBetween(-90, 0)
+        ord(s, dir).filter($"o_custkey" % 100 === 0)
+          .withColumn("epoch_day",
+            datediff(to_date($"o_orderdate"), to_date(lit("1970-01-01"))).cast("long"))
+          .withColumn("trailing_n", count(lit(1)).over(w))
+          .withColumn("trailing_spend", dec2dbl(sum($"o_totalprice".cast(dec)).over(w)))
+          .select($"o_custkey", $"o_orderkey", $"epoch_day",
+            $"trailing_n", $"trailing_spend")
+          .orderBy($"o_custkey", $"epoch_day", $"o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day,
+               COUNT(*) OVER w AS trailing_n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE) AS trailing_spend
+        FROM orders WHERE o_custkey % 100 = 0
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                     RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, epoch_day, o_orderkey"""),
+    ),
   )
 }
