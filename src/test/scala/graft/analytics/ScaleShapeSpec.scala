@@ -82,6 +82,49 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lanes.max < 1800 / 2, s"one lane still holds most of the hot key: ${lanes.toSeq}")
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    import spark.implicits._
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .write.mode("overwrite").partitionBy("l_returnflag").saveAsTable("lineitem_p")
+    // the dim must be a REAL scan with an unfolded filter — a local
+    // relation constant-folds the predicate away and the pruning rule no
+    // longer sees a selective filter on the build side
+    Seq(("A", "returned"), ("N", "kept"), ("R", "refused"))
+      .toDF("flag", "label")
+      .write.mode("overwrite").saveAsTable("flag_dim")
+    // selective dim filter + equi-join on the partition column: the scan
+    // must prune partitions from the broadcast result at RUNTIME (DPP),
+    // not read all three and filter post-join
+    val q = spark.table("lineitem_p")
+      .join(spark.table("flag_dim").filter($"label" === "returned"),
+        $"l_returnflag" === $"flag")
+      .groupBy($"l_returnflag").agg(sum($"l_quantity"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+  }
+
+  test("curated corpus writes partition-by-lang layout with bounded files") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang")
+      .option("maxRecordsPerFile", 1000)
+      .parquet(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(dirs.length >= 3, s"expected per-lang partitions, got ${dirs.toSeq}")
+    // one shuffle by the partition column ⇒ one file per partition dir
+    // (not cores × langs tiny files — the small-files failure mode)
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$out/$d").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"$d has $files files; expected 1 after repartition(lang)")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
   test("no non-broadcast cartesian product in any declared query plan") {
     // BroadcastNestedLoopJoin with a broadcast query side is the intended
     // shape for the ANN fan-outs (corpus x 5 queries); CartesianProductExec
