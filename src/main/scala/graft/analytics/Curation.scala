@@ -325,5 +325,76 @@ object Curation {
                CAST(SUM(CASE WHEN bucket < cut THEN 1 ELSE 0 END) AS DOUBLE)/MAX(n_docs) AS realized_frac
         FROM b GROUP BY source ORDER BY source"""),
     ),
+
+    // ---- p07: scalable contiguous global ID assignment ----
+    // Every training run wants dense, stable sample ids (shard:offset
+    // addressing, resumable iteration), but the naive
+    // row_number() OVER (ORDER BY doc_id) is a single-partition window —
+    // the whole corpus serializes through one task. The scalable shape is
+    // the two-pass zipWithIndex pattern: range-repartition + sort within
+    // partitions (a distributed sort, each partition a doc_id range),
+    // count per partition, prefix-sum the counts (P rows on the driver —
+    // partition COUNTS, not data), then assign offset+i per partition in
+    // one narrow pass. Deterministic: range partitions are ordered and
+    // rows are sorted within each, so id = global rank by doc_id.
+    QueryDef(
+      "p07_stable_ids",
+      (s, dir) => {
+        import s.implicits._
+        val sorted = t(s, dir, "documents").select($"doc_id")
+          .repartitionByRange(8, $"doc_id")
+          .sortWithinPartitions($"doc_id")
+        val ids = sorted.rdd
+          .zipWithIndex // two-pass: per-partition counts job, then offset+i
+          .map { case (r, i) => (r.getLong(0), i) }
+        s.createDataFrame(ids).toDF("doc_id", "stable_id")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS stable_id
+        FROM documents ORDER BY doc_id"""),
+    ),
+
+    // ---- p08: deterministic stratified train/val/test split ----
+    // The split must be (a) reproducible with no RNG state, (b) stable
+    // under corpus growth (a doc never migrates between splits when new
+    // docs arrive), and (c) auditable per stratum. Hash-bucket membership
+    // gives all three: split = f(md5("split:" <> doc_id)), so membership
+    // is a pure function of the id. 80/10/10 on the first 24 bits. The
+    // whole operator is one codegen'd scan + a tiny (source × split)
+    // aggregate — at 100 TB nothing shuffles but the counts.
+    QueryDef(
+      "p08_train_val_split",
+      (s, dir) => {
+        import s.implicits._
+        val cutTrain = (0.8 * (1L << 24)).toLong
+        val cutVal = (0.9 * (1L << 24)).toLong
+        t(s, dir, "documents")
+          .withColumn("bucket",
+            conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 6), 16, 10)
+              .cast("long"))
+          .withColumn("split",
+            when($"bucket" < cutTrain, "train")
+              .when($"bucket" < cutVal, "val")
+              .otherwise("test"))
+          .groupBy($"source", $"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+          .orderBy($"source", $"split")
+      },
+      Some("""
+        WITH b AS (
+          SELECT source, n_chars,
+                 CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS bucket
+          FROM documents),
+        sp AS (
+          SELECT source, n_chars,
+                 CASE WHEN bucket < 13421772 THEN 'train'
+                      WHEN bucket < 15099494 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b)
+        SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM sp GROUP BY source, split ORDER BY source, split"""),
+    ),
   )
 }

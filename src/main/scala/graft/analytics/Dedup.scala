@@ -577,5 +577,48 @@ object Dedup {
                CAST(COALESCE(m.matched_tiles, 0) AS DOUBLE)/c.n_tiles >= 0.5 AS dup
         FROM cnt c LEFT JOIN matched m USING (doc_id) ORDER BY doc_id"""),
     ),
+
+    // ---- d11: cross-source content-overlap matrix ----
+    // The training-mix diligence question: how much does source A's
+    // content overlap source B's? Per source pair, Jaccard over DISTINCT
+    // shingle vocabularies. The pair join happens on the (source,
+    // shingle)-distinct inverted index, so each shingle contributes at
+    // most S·(S-1)/2 pairs where S = #sources carrying it — the fan-out
+    // is bounded by the SOURCE count (tiny, fixed), never doc-quadratic,
+    // and the output is at most S² rows regardless of corpus size. Reuses
+    // the persisted d02/d03 shingle index: zero extra tokenization cost
+    // in a pipeline that already dedups.
+    QueryDef(
+      "d11_source_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val ss = shingleIndex(s, dir)
+          .join(broadcast(t(s, dir, "documents").select($"doc_id", $"source")), "doc_id")
+          .select($"source", $"s").distinct()
+        val cnt = ss.groupBy($"source").agg(count(lit(1)).as("n"))
+        val shared = ss.as("a")
+          .join(ss.as("b"), $"a.s" === $"b.s" && $"a.source" < $"b.source")
+          .groupBy($"a.source".as("sa"), $"b.source".as("sb"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(broadcast(cnt.select($"source".as("sa"), $"n".as("na"))), "sa")
+          .join(broadcast(cnt.select($"source".as("sb"), $"n".as("nb"))), "sb")
+          .withColumn("jaccard", $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+          .select($"sa", $"sb", $"shared", $"jaccard")
+          .orderBy($"sa", $"sb")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
+        ss AS (SELECT DISTINCT d.source, sh.s FROM sh JOIN documents d USING (doc_id)),
+        cnt AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+        shared AS (
+          SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared
+          FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT sa, sb, shared,
+               CAST(shared AS DOUBLE)/(ca.n + cb.n - shared) AS jaccard
+        FROM shared JOIN cnt ca ON ca.source = sa JOIN cnt cb ON cb.source = sb
+        ORDER BY sa, sb"""),
+    ),
   )
 }

@@ -366,5 +366,45 @@ object Events {
          AND epoch_us(b.ts) <= epoch_us(a.ts) + 7200000000
         ORDER BY a.user_id, click_id, purchase_id"""),
     ),
+
+    // ---- e14: event-rate anomaly detection (z-score over minutely rate) --
+    // The ops-dashboard operator: minutes whose event rate deviates >2σ
+    // from the stream's mean rate. Moments are EXACT integer sums (counts
+    // and squared counts in BIGINT — no float-accumulation order
+    // dependence); mean/variance/z are then a fixed dag of double ops,
+    // bit-identical in any engine. The stats side is ONE row broadcast
+    // against the per-minute aggregate, so at 100 TB the cost is the e09
+    // minutely rollup plus a free map — and the same shape runs
+    // incrementally: the (sum, sumsq, n) triple is a mergeable sketch.
+    QueryDef(
+      "e14_rate_anomaly",
+      (s, dir) => {
+        import s.implicits._
+        val perMin = t(s, dir, "events")
+          .groupBy(unix_micros(date_trunc("minute", $"ts")).as("minute_us"))
+          .agg(count(lit(1)).as("n"))
+        val stats = perMin.agg(
+          sum($"n").as("s"), sum($"n" * $"n").as("sq"), count(lit(1)).as("cnt"))
+        perMin.crossJoin(broadcast(stats))
+          .withColumn("mean", $"s".cast("double") / $"cnt")
+          .withColumn("z",
+            ($"n" - $"mean") /
+              sqrt($"sq".cast("double") / $"cnt" - $"mean" * $"mean"))
+          .filter(abs($"z") > 2.0)
+          .select($"minute_us", $"n", $"z")
+          .orderBy($"minute_us")
+      },
+      Some("""
+        WITH m AS (
+          SELECT epoch_us(DATE_TRUNC('minute', ts)) AS minute_us, COUNT(*) AS n
+          FROM events GROUP BY 1),
+        st AS (SELECT SUM(n) AS s, SUM(n*n) AS sq, COUNT(*) AS cnt FROM m),
+        z AS (
+          SELECT minute_us, n,
+                 (n - CAST(s AS DOUBLE)/cnt)
+                   / sqrt(CAST(sq AS DOUBLE)/cnt - (CAST(s AS DOUBLE)/cnt)*(CAST(s AS DOUBLE)/cnt)) AS z
+          FROM m, st)
+        SELECT minute_us, n, z FROM z WHERE abs(z) > 2.0 ORDER BY minute_us"""),
+    ),
   )
 }

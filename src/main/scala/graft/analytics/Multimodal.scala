@@ -277,5 +277,63 @@ object Multimodal {
           FROM tpairs t FULL JOIN ipairs p ON t.i = p.i AND t.j = p.j) u
         GROUP BY signal ORDER BY signal"""),
     ),
+
+    // ---- m07: VAD-style audio segmentation (gaps and islands) ----
+    // The speech-pipeline front door: classify fixed-size frames as
+    // voiced/silent by energy, then group CONSECUTIVE voiced frames into
+    // segments — the per-frame classifier would be the codec/VAD UDF
+    // (here the deterministic md5 stub, 8-byte frames → energy 0..255);
+    // the segmentation is the classic gaps-and-islands window
+    // (frame_idx − row_number over voiced frames is constant within a
+    // run). Both windows partition by doc_id, so the whole operator is
+    // one frame fan-out + per-doc local windows — embarrassingly
+    // parallel across documents at 100 TB, no cross-doc shuffle at all.
+    QueryDef(
+      "m07_audio_segments",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val frames = t(s, dir, "documents")
+          .withColumn("payload", $"text".cast("binary"))
+          .withColumn("n_frames",
+            least(ceil(length($"payload") / lit(8.0)).cast("int"), lit(64)))
+          .withColumn("frame_idx", explode(expr(
+            "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
+          .withColumn("frame_idx", $"frame_idx".cast("long"))
+          .withColumn("energy",
+            conv(substring(md5(expr("substring(text, frame_idx*8 + 1, 8)")), 1, 2), 16, 10)
+              .cast("long"))
+        val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+        frames
+          .filter($"energy" >= 64L) // voiced
+          .withColumn("grp", $"frame_idx" - row_number().over(w))
+          .groupBy($"doc_id", $"grp")
+          .agg(
+            min($"frame_idx").as("seg_start"),
+            max($"frame_idx").as("seg_end"),
+            count(lit(1)).as("seg_frames"),
+            sum($"energy").as("energy_sum"))
+          .filter($"seg_frames" >= 2L)
+          .select($"doc_id", $"seg_start", $"seg_end", $"seg_frames", $"energy_sum")
+          .orderBy($"doc_id", $"seg_start")
+      },
+      Some("""
+        WITH frames AS (
+          SELECT doc_id, frame_idx,
+                 CAST('0x' || substr(md5(substr(text, CAST(frame_idx*8 + 1 AS BIGINT), 8)), 1, 2) AS BIGINT) AS energy
+          FROM (SELECT doc_id, text,
+                       unnest(range(least(CAST(ceil(length(text)/8.0) AS BIGINT), 64))) AS frame_idx
+                FROM documents) x),
+        voiced AS (
+          SELECT doc_id, frame_idx, energy,
+                 frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+          FROM frames WHERE energy >= 64),
+        segs AS (
+          SELECT doc_id, grp, MIN(frame_idx) AS seg_start, MAX(frame_idx) AS seg_end,
+                 COUNT(*) AS seg_frames, CAST(SUM(energy) AS BIGINT) AS energy_sum
+          FROM voiced GROUP BY doc_id, grp)
+        SELECT doc_id, seg_start, seg_end, seg_frames, energy_sum
+        FROM segs WHERE seg_frames >= 2 ORDER BY doc_id, seg_start"""),
+    ),
   )
 }

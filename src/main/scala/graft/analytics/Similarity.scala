@@ -725,5 +725,53 @@ object Similarity {
         FROM (SELECT vec_id AS qid FROM qv WHERE vec_id < 5) q
         LEFT JOIN hits h USING (qid) ORDER BY qid"""),
     ),
+
+    // ---- s09: metadata-filtered vector search ----
+    // The production retrieval contract s01 ignores: top-k under a
+    // metadata predicate (here: corpus label must equal the query's
+    // label). Post-filtering a plain top-k under-fills k whenever the
+    // predicate is selective; the correct shape PRE-filters — the
+    // predicate becomes part of the join condition, so scoring work is
+    // proportional to the MATCHING corpus only. At 100 TB this is why
+    // vector indexes get partitioned by hot metadata keys (label-
+    // partitioned IVF lists): the filter then prunes whole partitions
+    // before any distance math. Exact integer dot + deterministic
+    // tie-break, as everywhere in this file.
+    QueryDef(
+      "s09_filtered_ann",
+      (s, dir) => {
+        import s.implicits._
+        val emb = withQNorm(t(s, dir, "embeddings"))
+        val q = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("qid"), $"label".as("qlabel"), $"q".as("qa"), $"n2".as("n2a"))
+        val c = emb.filter($"vec_id" >= 5)
+          .select($"vec_id".as("cid"), $"label".as("clabel"), $"q".as("qb"), $"n2".as("n2b"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+        c.join(broadcast(q), $"clabel" === $"qlabel") // pre-filter in the join
+          .withColumn("cos", cosine(dotInt("qa", "qb"), $"n2a", $"n2b"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"qid", $"qlabel".as("label"), $"cid", $"cos", $"rn")
+          .orderBy($"qid", $"rn")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        dots AS (
+          SELECT a.vec_id AS qid, a.label AS label, b.vec_id AS cid,
+                 CAST(SUM(a.q[i+1]*b.q[i+1]) AS BIGINT) AS dot
+          FROM qv a JOIN qv b
+            ON a.vec_id < 5 AND b.vec_id >= 5 AND a.label = b.label
+          CROSS JOIN dims GROUP BY a.vec_id, a.label, b.vec_id),
+        scored AS (
+          SELECT qid, label, cid,
+                 CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) AS cos
+          FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+        ranked AS (
+          SELECT qid, label, cid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM scored)
+        SELECT qid, label, cid, cos, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""),
+    ),
   )
 }

@@ -437,6 +437,59 @@ object TextOps {
                     THEN 'keep' ELSE 'drop' END AS label
         FROM scored ORDER BY doc_id"""),
     ),
+
+    // ---- t13: sequence-length histogram (context-window planning) ----
+    // The question every packing/truncation policy starts from: how are
+    // document token counts distributed, in power-of-two buckets, and
+    // what share of the corpus clears each context size? The log2 bucket
+    // is length(bin(n)) — an exact INTEGER via the binary-string width,
+    // deliberately not floor(log2(n)) whose libm rounding may differ
+    // between engines by an ulp at power boundaries. One narrow tokenize
+    // pass + a ≤64-row aggregate + a window prefix-sum over those rows:
+    // scan-speed at any corpus size.
+    QueryDef(
+      "t13_length_histogram",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val all = Window.partitionBy()
+        val cum = Window.partitionBy().orderBy($"blen")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(s, dir, "documents")
+          .withColumn("n",
+            size(regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0))).cast("long"))
+          .filter($"n" > 0)
+          .withColumn("blen", length(bin($"n")).cast("int"))
+          .groupBy($"blen")
+          .agg(count(lit(1)).as("n_docs"), sum($"n").as("tokens"))
+          .withColumn("bucket_lo", expr("shiftleft(1L, blen - 1)"))
+          .withColumn("bucket_hi", expr("shiftleft(1L, blen) - 1L"))
+          .withColumn("cum_docs", sum($"n_docs").over(cum))
+          .withColumn("doc_share",
+            $"cum_docs".cast("double") / sum($"n_docs").over(all))
+          .select($"blen", $"bucket_lo", $"bucket_hi", $"n_docs", $"tokens",
+            $"cum_docs", $"doc_share")
+          .orderBy($"blen")
+      },
+      Some(s"""
+        WITH n AS (
+          SELECT CAST(len($TOKS_SQL) AS BIGINT) AS n FROM documents
+          WHERE len($TOKS_SQL) > 0),
+        h AS (
+          SELECT CAST(length(bin(n)) AS INT) AS blen,
+                 COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tokens
+          FROM n GROUP BY 1)
+        SELECT blen,
+               CAST(1 << (blen - 1) AS BIGINT) AS bucket_lo,
+               CAST((1 << blen) - 1 AS BIGINT) AS bucket_hi,
+               n_docs, tokens,
+               CAST(SUM(n_docs) OVER (ORDER BY blen
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+               CAST(SUM(n_docs) OVER (ORDER BY blen
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / SUM(n_docs) OVER () AS doc_share
+        FROM h ORDER BY blen"""),
+    ),
   )
 
 }

@@ -1158,5 +1158,90 @@ object Tpch {
                      RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, epoch_day, o_orderkey"""),
     ),
+
+    // ---- q43: arbitrary GROUPING SETS (not expressible as rollup/cube) --
+    // Four hand-picked aggregation lattices in ONE pass — (flag, status),
+    // (flag, shipyear), (shipyear), and the grand total — with
+    // grouping_id() disambiguating which lattice a row belongs to (a NULL
+    // group value vs a nulled-out grouping column). q25/q26 cover the
+    // rollup/cube special cases; this is the general form. Spark expands
+    // the sets with a single Expand node feeding one hash aggregate —
+    // lineitem is scanned ONCE and shuffles once on the (expanded)
+    // grouping key, exactly what four separate GROUP BYs + UNION would
+    // not do. Revenue goes through the exact decimal accumulator.
+    QueryDef(
+      "q43_grouping_sets",
+      (s, dir) => {
+        import s.implicits._
+        li(s, dir)
+          .withColumn("shipyear", year($"l_shipdate").cast("int"))
+          .groupingSets(
+            Seq(
+              Seq($"l_returnflag", $"l_linestatus"),
+              Seq($"l_returnflag", $"shipyear"),
+              Seq($"shipyear"),
+              Seq()),
+            $"l_returnflag", $"l_linestatus", $"shipyear")
+          .agg(
+            grouping_id().cast("long").as("grp"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy($"grp", $"l_returnflag", $"l_linestatus", $"shipyear")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS shipyear,
+                 l_extendedprice, l_discount
+          FROM lineitem)
+        SELECT l_returnflag, l_linestatus, shipyear,
+               CAST(GROUPING(l_returnflag, l_linestatus, shipyear) AS BIGINT) AS grp,
+               ${SUM("l_extendedprice*(1.0-l_discount)")} AS revenue,
+               COUNT(*) AS n
+        FROM b
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag, shipyear), (shipyear), ())
+        ORDER BY grp, l_returnflag, l_linestatus, shipyear"""),
+    ),
+
+    // ---- q44: UNPIVOT — wide measures to long (measure, value) form ----
+    // The inverse of e04's pivot: a per-priority aggregate with three
+    // measure COLUMNS is melted into (o_orderpriority, measure, value)
+    // rows via `stack` — Spark's Generate-based unpivot, a narrow 3x
+    // fan-out of an already-tiny aggregate (the melt never touches the
+    // fact table; at 100 TB the wide aggregate is the only shuffle).
+    // Measures are cast to one DOUBLE column (the melt's type contract);
+    // each came through the exact decimal accumulator first.
+    QueryDef(
+      "q44_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        ord(s, dir)
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).cast("double").as("n_orders"),
+            dsum($"o_totalprice").as("total_price"),
+            davg($"o_totalprice").as("avg_price"))
+          .select($"o_orderpriority", expr(
+            """stack(3, 'n_orders', n_orders,
+                        'total_price', total_price,
+                        'avg_price', avg_price) AS (measure, value)"""))
+          .orderBy($"o_orderpriority", $"measure")
+      },
+      Some(s"""
+        WITH wide AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                 ${SUM("o_totalprice")} AS total_price,
+                 ${AVG("o_totalprice")} AS avg_price
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, measure, value FROM (
+          SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value FROM wide
+          UNION ALL
+          SELECT o_orderpriority, 'total_price', total_price FROM wide
+          UNION ALL
+          SELECT o_orderpriority, 'avg_price', avg_price FROM wide) u
+        ORDER BY o_orderpriority, measure"""),
+    ),
   )
 }
