@@ -18,5 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.WinnowFingerprints.info, functions.WinnowFingerprints.builder))
     ext.injectFunction((functions.LongDot.identifier,
       functions.LongDot.info, functions.LongDot.builder))
+    ext.injectFunction((functions.InterleaveBits.identifier,
+      functions.InterleaveBits.info, functions.InterleaveBits.builder))
   }
 }

@@ -48,6 +48,9 @@ object Dedup {
     * reuse) rather than re-tokenizing the corpus per consumer. */
   private val shCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** d11's distinct (source, shingle) set — see the persist note there. */
+  private val srcShingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     shCache.getOrElseUpdate((s, dir),
       withShingles(t(s, dir, "documents").repartition(col("doc_id")))
@@ -592,9 +595,14 @@ object Dedup {
       "d11_source_overlap",
       (s, dir) => {
         import s.implicits._
-        val ss = shingleIndex(s, dir)
-          .join(broadcast(t(s, dir, "documents").select($"doc_id", $"source")), "doc_id")
-          .select($"source", $"s").distinct()
+        // persisted: the distinct (source, shingle) set feeds FOUR plan
+        // branches (both self-join sides + both count lookups) — without
+        // reuse each branch repeats the distinct's shuffle
+        val ss = srcShingleCache.getOrElseUpdate((s, dir),
+          shingleIndex(s, dir)
+            .join(broadcast(t(s, dir, "documents").select($"doc_id", $"source")), "doc_id")
+            .select($"source", $"s").distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val cnt = ss.groupBy($"source").agg(count(lit(1)).as("n"))
         val shared = ss.as("a")
           .join(ss.as("b"), $"a.s" === $"b.s" && $"a.source" < $"b.source")
