@@ -73,4 +73,36 @@ object EventTimeWindows {
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
+
+  /** Running per-minute event counts — the streaming half of the e14
+    * anomaly detector. A plain streaming aggregation: the state store
+    * keeps one count per minute and each micro-batch merges into it,
+    * which is exactly why e14's moment triple works incrementally (counts
+    * are mergeable; the moments derive from the counts). Complete/update
+    * mode (no watermark): anomaly detection wants the stats over ALL
+    * minutes seen so far, not only un-final ones. */
+  def minutelyRate(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("minute_us"), col("n"))
+
+  /** z-score anomalies over a (minute_us, n) rate table: the EXACT dag of
+    * the batch e14 (`analytics/Events.scala`) — integer moment sums, then
+    * a fixed double expression — so streamed counts produce bit-identical
+    * anomalies to a batch over the same data (EventsStreamParitySpec). */
+  def rateAnomalies(perMinute: DataFrame): DataFrame = {
+    val stats = perMinute.agg(
+      sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("sq"),
+      count(lit(1)).as("cnt"))
+    perMinute.crossJoin(broadcast(stats))
+      .withColumn("mean", col("s").cast("double") / col("cnt"))
+      .withColumn("z",
+        (col("n") - col("mean")) /
+          sqrt(col("sq").cast("double") / col("cnt") - col("mean") * col("mean")))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("minute_us"), col("n"), col("z"))
+      .orderBy(col("minute_us"))
+  }
 }

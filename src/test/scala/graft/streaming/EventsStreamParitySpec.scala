@@ -113,4 +113,48 @@ class EventsStreamParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Long, Long)].collect().toVector.sorted
     assert(streamed == batch)
   }
+
+  test("streamed per-minute counts + moment dag reproduce the batch e14 " +
+      "anomalies bit-for-bit") {
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("ts")
+
+    // three micro-batches: counts for a minute straddling a batch
+    // boundary must MERGE in the state store, not overwrite
+    val n = all.count()
+    val ordered = all.orderBy($"ts").collect()
+    val dir = Files.createTempDirectory("evanom")
+    val third = (n / 3).toInt
+    Seq("0" -> ordered.slice(0, third), "1" -> ordered.slice(third, 2 * third),
+      "2" -> ordered.slice(2 * third, n.toInt)).foreach { case (name, rows) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 2), all.schema)
+        .write.parquet(s"$dir/f$name")
+    }
+
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+    val q = EventTimeWindows.minutelyRate(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("rate").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedAnomalies = EventTimeWindows.rateAnomalies(spark.sql(
+      "SELECT minute_us, n FROM rate"))
+      .as[(Long, Long, Double)].collect().toVector
+
+    // batch twin: the e14 dag over the same events (same expression tree,
+    // so doubles must match BIT-FOR-BIT, not approximately)
+    val perMin = all
+      .groupBy(unix_micros(date_trunc("minute", $"ts")).as("minute_us"))
+      .agg(count(lit(1)).as("n"))
+    val batchAnomalies = EventTimeWindows.rateAnomalies(perMin)
+      .as[(Long, Long, Double)].collect().toVector
+
+    assert(streamedAnomalies.nonEmpty, "expected anomalies in the events table")
+    assert(streamedAnomalies == batchAnomalies)
+  }
 }
