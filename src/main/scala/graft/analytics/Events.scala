@@ -406,5 +406,35 @@ object Events {
           FROM m, st)
         SELECT minute_us, n, z FROM z WHERE abs(z) > 2.0 ORDER BY minute_us"""),
     ),
+
+    // ---- e15: hopping (sliding) windows — 10-minute window, 5-minute ----
+    // ---- slide ----
+    // The smoothing window shape e01/e09 can't express: each event
+    // belongs to TWO overlapping windows (len/slide = 2), so rates read
+    // at 5-minute resolution with 10 minutes of context. Spark's
+    // window(ts, len, slide) expands each row into its windows before the
+    // hash aggregate — a bounded 2x fan-out, shuffled once on the window
+    // key; the oracle expands the same two epoch-aligned window starts
+    // arithmetically. At 100 TB the knob is len/slide (the fan-out
+    // factor) — the plan shape is e09's with a constant-factor explode.
+    QueryDef(
+      "e15_hopping_windows",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"))
+          .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+          .select(unix_micros($"w.start").as("win_us"), $"n", $"total_value")
+          .filter($"n" >= 5)
+          .orderBy($"win_us")
+      },
+      Some(s"""
+        WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+        w AS (
+          SELECT (us // 300000000 - k) * 300000000 AS win_us, value
+          FROM e CROSS JOIN (SELECT unnest(range(2)) AS k) ks)
+        SELECT win_us, COUNT(*) AS n, ${SUM("value")} AS total_value
+        FROM w GROUP BY win_us HAVING COUNT(*) >= 5 ORDER BY win_us"""),
+    ),
   )
 }

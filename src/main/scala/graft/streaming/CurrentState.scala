@@ -30,28 +30,11 @@ object CurrentState {
       .drop("rn")
   }
 
-  private def versionDirs(stateRoot: String): Seq[(Long, java.io.File)] = {
-    val d = new java.io.File(stateRoot)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(f => f.getName.stripPrefix("v=").toLong -> f)
-      .sortBy(_._1)
-  }
-
-  /** A version is current only once its _SUCCESS marker exists — a crash
-    * mid-write leaves a partial v=N dir (e.g. only _temporary) that must
-    * never be treated as the snapshot, or the next merge would union
-    * against empty/corrupt state and silently lose rows. */
-  private def isComplete(dir: java.io.File): Boolean =
-    new java.io.File(dir, "_SUCCESS").isFile
-
-  private def versions(stateRoot: String): Seq[Long] =
-    versionDirs(stateRoot).collect { case (v, f) if isComplete(f) => v }
-
-  /** Read the current (= highest COMPLETE) snapshot, if any. */
+  /** Read the current (= highest COMPLETE) snapshot, if any. Version
+    * bookkeeping (the _SUCCESS-gated v=N layout and retention) lives in
+    * [[SnapshotStore]], shared with `IncrementalAgg`. */
   def read(spark: SparkSession, stateRoot: String): Option[DataFrame] =
-    versions(stateRoot).lastOption.map(v => spark.read.parquet(s"$stateRoot/v=$v"))
+    SnapshotStore.read(spark, stateRoot)
 
   /** Merge one batch of change rows (user_id, event_id, event_type, us,
     * value) into the snapshot. Exposed for direct (batch) use and reused by
@@ -63,23 +46,7 @@ object CurrentState {
       case Some(cur) => latestPerKey(cur.unionByName(keyed))
       case None => latestPerKey(keyed)
     }
-    // next version must clear ALL existing dirs (complete or partial) so a
-    // crashed partial write is overwritten, never re-numbered around
-    val next = versionDirs(stateRoot).lastOption.map(_._1).getOrElse(0L) + 1
-    merged.write.mode("overwrite").parquet(s"$stateRoot/v=$next")
-    // Retention: keep the two highest COMPLETE versions (current + the
-    // crash-recovery fallback); everything else — older completes and any
-    // partial leftovers — is deleted. The last complete snapshot can never
-    // be deleted: the version just written is complete, so it and its
-    // predecessor are always in `keep`.
-    val keep = versions(stateRoot).takeRight(2).toSet
-    versionDirs(stateRoot).filterNot { case (v, _) => keep(v) }.foreach { case (_, dir) =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(dir)
-    }
+    SnapshotStore.writeNext(merged, stateRoot)
   }
 
   /** Start the streaming materializer over an event stream with columns

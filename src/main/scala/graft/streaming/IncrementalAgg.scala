@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental view maintenance for a grouped aggregate over a CDC change
+  * stream — the materialized `SELECT grp, COUNT(*), SUM(amount) GROUP BY
+  * grp` that stays correct under inserts, deletes, and updates (including
+  * updates that MOVE a row between groups) without ever recomputing from
+  * the base table.
+  *
+  * The delta algebra: insert contributes (+1, +amount_new) to its group;
+  * delete contributes (−1, −amount_old); update contributes BOTH — the
+  * retraction to the old group and the addition to the new one. Each
+  * micro-batch reduces its ops to per-group deltas (one small shuffle on
+  * grp), then the delta table full-outer-merges into the snapshot; groups
+  * whose count reaches zero are dropped. Sums accumulate in
+  * DECIMAL(28,10): exact, associative, replayable — a float total would
+  * drift under retractions.
+  *
+  * Unlike latest-wins upsert (`CurrentState`), delta application is NOT
+  * idempotent, so foreachBatch replays after a crash must not re-apply:
+  * the snapshot records the producing batch id (`SnapshotStore._BATCHID`)
+  * and `merge` skips any batch at-or-below it — the standard
+  * transactional-sink contract.
+  *
+  * At 100 TB: the base table never re-scans; per-batch work is
+  * O(batch + |touched groups|), and the snapshot rewrite becomes a MERGE
+  * INTO on a transactional table format. The delta reduction is the same
+  * partial-aggregate shape Spark uses for the batch GROUP BY.
+  */
+object IncrementalAgg {
+
+  private val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+
+  /** Reduce one batch of change rows to per-group deltas.
+    *
+    * Change row columns: `op` ('i'|'u'|'d'), `grp_old`, `amount_old`
+    * (null for inserts), `grp_new`, `amount_new` (null for deletes). */
+  def deltas(ops: DataFrame): DataFrame = {
+    val retract = ops.filter(col("op").isin("u", "d"))
+      .select(col("grp_old").as("grp"), lit(-1L).as("dn"),
+        (-col("amount_old")).cast(dec).as("dsum"))
+    val add = ops.filter(col("op").isin("i", "u"))
+      .select(col("grp_new").as("grp"), lit(1L).as("dn"),
+        col("amount_new").cast(dec).as("dsum"))
+    retract.unionByName(add)
+      .groupBy("grp")
+      .agg(sum(col("dn")).as("dn"), sum(col("dsum")).as("dsum"))
+  }
+
+  /** Apply one batch's deltas to the snapshot at `stateRoot`. Skips
+    * batches already applied (exactly-once under foreachBatch replay). */
+  def merge(ops: DataFrame, batchId: Long, stateRoot: String): Unit = {
+    if (batchId <= SnapshotStore.lastBatchId(stateRoot)) return // replay
+    val spark = ops.sparkSession
+    val d = deltas(ops)
+    val merged = SnapshotStore.read(spark, stateRoot) match {
+      case Some(cur) =>
+        cur.join(d, Seq("grp"), "full_outer")
+          .select(col("grp"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("total"), lit(0L).cast(dec)) +
+              coalesce(col("dsum"), lit(0L).cast(dec))).cast(dec).as("total"))
+      case None =>
+        d.select(col("grp"), col("dn").as("n"), col("dsum").cast(dec).as("total"))
+    }
+    SnapshotStore.writeNext(merged.filter(col("n") =!= 0L), stateRoot, Some(batchId))
+  }
+
+  /** Start the streaming maintainer over a change stream with the
+    * `deltas` column contract. */
+  def start(ops: DataFrame, stateRoot: String, checkpointDir: String): StreamingQuery =
+    ops.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) => merge(batch, id, stateRoot) }
+      .start()
+
+  /** Read the maintained view (grp, n, total). */
+  def read(spark: SparkSession, stateRoot: String): Option[DataFrame] =
+    SnapshotStore.read(spark, stateRoot)
+}
