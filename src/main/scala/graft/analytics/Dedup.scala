@@ -628,5 +628,85 @@ object Dedup {
         FROM shared JOIN cnt ca ON ca.source = sa JOIN cnt cb ON cb.source = sb
         ORDER BY sa, sb"""),
     ),
+
+    // ---- d12: MinHash-LSH recall gate ----
+    // The d03 counterpart of s06's ANN recall eval: before trusting the
+    // banding in production, measure what fraction of the TRUE near-dup
+    // pairs (exact Jaccard ≥ 0.7 over the uncapped inverted index — the
+    // quadratic baseline, affordable on an eval SAMPLE, never the corpus)
+    // the 4×4 banding actually surfaces. Precision is 1.0 by construction
+    // — d03 verifies candidates against the same exact Jaccard before
+    // emitting — so the one number that matters is recall; this is the
+    // accept/reject dial for band/row-count changes. Candidates come from
+    // d03's own definition (the eval measures the REAL operator, not a
+    // copy of it).
+    QueryDef(
+      "d12_lsh_recall",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingleIndex(s, dir)
+        val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val truth = sh.as("a")
+          .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+          .agg(count(lit(1)).as("shared"))
+          .join(cnt.select($"doc_id".as("i"), $"n".as("ni")), "i")
+          .join(cnt.select($"doc_id".as("j"), $"n".as("nj")), "j")
+          .filter($"shared".cast("double") / ($"ni" + $"nj" - $"shared") >= 0.7)
+          .select($"i", $"j")
+        val cand = defs.find(_.name == "d03_minhash_lsh_pairs").get
+          .run(s, dir).select($"i", $"j")
+        truth.withColumn("t", lit(1L))
+          .join(cand.withColumn("c", lit(1L)), Seq("i", "j"), "full_outer")
+          .agg(
+            sum($"t").as("n_truth"),
+            sum($"c").as("n_candidates"),
+            sum($"t" * $"c").as("n_hit"))
+          .withColumn("recall", $"n_hit".cast("double") / $"n_truth")
+          .withColumn("precision", $"n_hit".cast("double") / $"n_candidates")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        truth AS (
+          SELECT sd.i, sd.j FROM shared sd
+          JOIN cnt ci ON ci.doc_id = sd.i JOIN cnt cj ON cj.doc_id = sd.j
+          WHERE CAST(shared AS DOUBLE)/(ci.n + cj.n - shared) >= 0.7),
+        sigs AS (
+          SELECT doc_id, h,
+                 MIN(CAST('0x' || substr(md5(s), 1, 13) AS BIGINT)
+                   + h * CAST('0x' || substr(md5(s), 20, 13) AS BIGINT)) AS mh
+          FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) hh
+          GROUP BY doc_id, h),
+        bands AS (
+          SELECT doc_id, h // 4 AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h)) AS band_hash
+          FROM sigs GROUP BY doc_id, h // 4),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        cand AS (
+          SELECT c.i, c.j FROM cands c
+          JOIN shared sd ON sd.i = c.i AND sd.j = c.j
+          JOIN cnt ci ON ci.doc_id = c.i JOIN cnt cj ON cj.doc_id = c.j
+          WHERE CAST(shared AS DOUBLE)/(ci.n + cj.n - shared) >= 0.7),
+        m AS (
+          SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+                 CAST(SUM(c) AS BIGINT) AS n_candidates,
+                 CAST(SUM(t*c) AS BIGINT) AS n_hit
+          FROM (SELECT COALESCE(tt.i, cc.i) AS i, COALESCE(tt.j, cc.j) AS j,
+                       CASE WHEN tt.i IS NULL THEN NULL ELSE 1 END AS t,
+                       CASE WHEN cc.i IS NULL THEN NULL ELSE 1 END AS c
+                FROM truth tt FULL JOIN cand cc ON tt.i = cc.i AND tt.j = cc.j) u)
+        SELECT n_truth, n_candidates, n_hit,
+               CAST(n_hit AS DOUBLE)/n_truth AS recall,
+               CAST(n_hit AS DOUBLE)/n_candidates AS precision
+        FROM m"""),
+    ),
   )
 }
