@@ -773,5 +773,79 @@ object Similarity {
           FROM scored)
         SELECT qid, label, cid, cos, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""),
     ),
+
+    // ---- s10: two-stage retrieval — quantized coarse scan, exact rerank --
+    // The production serving stack in one operator: stage 1 scans the
+    // int8 SQ8 codes (s08's 4x-smaller representation) and keeps a
+    // 50-deep shortlist per query by int8 dot; stage 2 computes the
+    // EXACT integer cosine only over shortlist rows and returns the
+    // top 10. The expensive exact math touches 50 rows per query instead
+    // of the corpus — at 100 TB the corpus-sized work is the cheap
+    // quantized scan (bandwidth-bound, codegen'd long_dot), and rerank
+    // cost is independent of corpus size. Shortlist depth is the
+    // recall/latency dial; s08 measures what the quantization loses.
+    QueryDef(
+      "s10_two_stage_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val emb = withQNorm(t(s, dir, "embeddings"))
+        val ex = emb.select($"vec_id", posexplode($"q").as(Seq("d", "v")))
+        val stats = ex.groupBy($"d")
+          .agg(min($"v").as("mn"), max($"v").as("mx"))
+          .filter($"mx" > $"mn")
+        val codes8 = ex.join(broadcast(stats), "d")
+          .withColumn("c", expr("(v - mn) * 255 DIV (mx - mn) - 128"))
+          .groupBy($"vec_id")
+          .agg(transform(array_sort(collect_list(struct($"d", $"c"))),
+            x => x.getField("c")).as("q8"))
+        val qs8 = codes8.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"q8".as("qa8"))
+        val cs8 = codes8.filter($"vec_id" >= 5).select($"vec_id".as("cid"), $"q8".as("qb8"))
+        val w8 = Window.partitionBy($"qid").orderBy($"dot8".desc, $"cid")
+        val shortlist = cs8.join(broadcast(qs8))
+          .withColumn("dot8", longDot($"qa8", $"qb8"))
+          .withColumn("rn8", row_number().over(w8)).filter($"rn8" <= 50)
+          .select($"qid", $"cid")
+        val wT = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+        shortlist
+          .join(emb.select($"vec_id".as("cid"), $"q".as("qb"), $"n2".as("n2b")), "cid")
+          .join(broadcast(emb.filter($"vec_id" < 5)
+            .select($"vec_id".as("qid"), $"q".as("qa"), $"n2".as("n2a"))), "qid")
+          .withColumn("cos", cosine(dotInt("qa", "qb"), $"n2a", $"n2b"))
+          .withColumn("rn", row_number().over(wT)).filter($"rn" <= 10)
+          .select($"qid", $"cid", $"cos", $"rn")
+          .orderBy($"qid", $"rn")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        stats AS (
+          SELECT i AS d, MIN(q[i+1]) AS mn, MAX(q[i+1]) AS mx
+          FROM qv CROSS JOIN dims GROUP BY i HAVING MAX(q[i+1]) > MIN(q[i+1])),
+        codes AS (
+          SELECT vec_id, d, ((q[CAST(d+1 AS INT)] - mn) * 255) // (mx - mn) - 128 AS c
+          FROM qv CROSS JOIN stats),
+        dots8 AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.c*b.c) AS BIGINT) AS dot8
+          FROM codes a JOIN codes b ON a.d = b.d AND a.vec_id < 5 AND b.vec_id >= 5
+          GROUP BY a.vec_id, b.vec_id),
+        short AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot8 DESC, cid) AS rn8
+            FROM dots8) x WHERE rn8 <= 50),
+        rdots AS (
+          SELECT s.qid, s.cid, CAST(SUM(qa.q[i+1]*qb.q[i+1]) AS BIGINT) AS dot
+          FROM short s JOIN qv qa ON qa.vec_id = s.qid JOIN qv qb ON qb.vec_id = s.cid
+          CROSS JOIN dims GROUP BY s.qid, s.cid),
+        rer AS (
+          SELECT qid, cid,
+                 CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) AS cos
+          FROM rdots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+        ranked AS (
+          SELECT qid, cid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM rer)
+        SELECT qid, cid, cos, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn"""),
+    ),
   )
 }
