@@ -708,5 +708,39 @@ object Dedup {
                CAST(n_hit AS DOUBLE)/n_candidates AS precision
         FROM m"""),
     ),
+
+    // ---- d13: first-owner novelty scoring ----
+    // The dedup-aware sampling signal: how much of a document's content
+    // is NEW to the corpus (its shingles' first appearance, by doc_id
+    // order) vs already seen? Ownership is min(doc_id) per shingle — one
+    // hash aggregate over the persisted shingle index, then a per-doc
+    // ratio; near-copies of earlier docs score near 0, fresh content
+    // near 1. Curation pipelines weight sampling by exactly this (keep
+    // the novel, downsample the redundant). Two linear aggregates on the
+    // shingle key — no pair joins at all, so this runs at index-build
+    // speed at any corpus size.
+    QueryDef(
+      "d13_shingle_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingleIndex(s, dir)
+        val owner = sh.groupBy($"s").agg(min($"doc_id").as("first_doc"))
+        sh.join(owner, "s")
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty", $"n_novel".cast("double") / $"n_shingles")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
+        owner AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+        SELECT sh.doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN o.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN o.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS novelty
+        FROM sh JOIN owner o USING (s)
+        GROUP BY sh.doc_id ORDER BY sh.doc_id"""),
+    ),
   )
 }

@@ -335,5 +335,62 @@ object Multimodal {
         SELECT doc_id, seg_start, seg_end, seg_frames, energy_sum
         FROM segs WHERE seg_frames >= 2 ORDER BY doc_id, seg_start"""),
     ),
+
+    // ---- m08: keyframe detection (scene-change by feature delta) ----
+    // The video-summarization front door: a frame is a KEYFRAME when its
+    // feature distance to the previous frame exceeds a threshold (scene
+    // cut), plus frame 0 unconditionally. The per-frame feature is the
+    // m07 stub (md5 energy, 0..255 — a codec histogram/embedding in
+    // production); the temporal comparison is one lag() window per doc.
+    // Like m07: per-doc local windows only, embarrassingly parallel
+    // across documents, no cross-doc shuffle. Keyframe density (the
+    // output per doc) is what a frame-sampling policy (m02) consumes.
+    QueryDef(
+      "m08_keyframes",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+        t(s, dir, "documents")
+          .withColumn("payload", $"text".cast("binary"))
+          .withColumn("n_frames",
+            least(ceil(length($"payload") / lit(8.0)).cast("int"), lit(64)))
+          .withColumn("frame_idx", explode(expr(
+            "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
+          .withColumn("frame_idx", $"frame_idx".cast("long"))
+          .withColumn("energy",
+            conv(substring(md5(expr("substring(text, frame_idx*8 + 1, 8)")), 1, 2), 16, 10)
+              .cast("long"))
+          .withColumn("delta", abs($"energy" - lag($"energy", 1).over(w)))
+          .filter($"frame_idx" === 0L || $"delta" > 96L)
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_keyframes"),
+            max($"n_frames").cast("long").as("n_frames"),
+            sum(coalesce($"delta", lit(0L))).as("delta_sum"))
+          .withColumn("keyframe_rate",
+            $"n_keyframes".cast("double") / $"n_frames")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH frames AS (
+          SELECT doc_id, n_frames, frame_idx,
+                 CAST('0x' || substr(md5(substr(text, CAST(frame_idx*8 + 1 AS BIGINT), 8)), 1, 2) AS BIGINT) AS energy
+          FROM (SELECT doc_id, text,
+                       least(CAST(ceil(length(text)/8.0) AS BIGINT), 64) AS n_frames
+                FROM documents) d,
+               LATERAL (SELECT unnest(range(n_frames)) AS frame_idx) f),
+        deltas AS (
+          SELECT doc_id, n_frames, frame_idx, energy,
+                 abs(energy - LAG(energy, 1) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+          FROM frames),
+        keys AS (
+          SELECT * FROM deltas WHERE frame_idx = 0 OR delta > 96)
+        SELECT doc_id, COUNT(*) AS n_keyframes,
+               CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+               CAST(SUM(COALESCE(delta, 0)) AS BIGINT) AS delta_sum,
+               CAST(COUNT(*) AS DOUBLE)/MAX(n_frames) AS keyframe_rate
+        FROM keys GROUP BY doc_id ORDER BY doc_id"""),
+    ),
   )
 }
