@@ -436,5 +436,60 @@ object Events {
         SELECT win_us, COUNT(*) AS n, ${SUM("value")} AS total_value
         FROM w GROUP BY win_us HAVING COUNT(*) >= 5 ORDER BY win_us"""),
     ),
+
+    // ---- e16: strict-order multi-step funnel (view → click → purchase) --
+    // e03's two-step funnel generalized to an ORDERED chain with per-step
+    // deadlines: first view, then the first click within 24h OF THAT
+    // VIEW, then the first purchase within 24h OF THAT CLICK — each step
+    // anchors on the previous step's event, not the funnel start, which
+    // is what "strict order" means and what a pair of independent EXISTS
+    // checks gets wrong. Three per-user min-aggregates chained by
+    // broadcast-size joins (the funnel population only shrinks): at
+    // 100 TB each stage is one shuffle on user_id over an
+    // already-filtered event subset.
+    QueryDef(
+      "e16_strict_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val dayUs = 86400000000L
+        val ev = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"us").as("t0"))
+        val c = ev.filter($"event_type" === "click")
+          .join(v, "user_id")
+          .filter($"us" > $"t0" && $"us" <= $"t0" + dayUs)
+          .groupBy($"user_id").agg(min($"us").as("t1"))
+        val p = ev.filter($"event_type" === "purchase")
+          .join(c, "user_id")
+          .filter($"us" > $"t1" && $"us" <= $"t1" + dayUs)
+          .groupBy($"user_id").agg(min($"us").as("t2"))
+        v.agg(count(lit(1)).as("step1_view"))
+          .crossJoin(c.agg(count(lit(1)).as("step2_click")))
+          .crossJoin(p.agg(count(lit(1)).as("step3_purchase")))
+          .withColumn("click_rate", $"step2_click".cast("double") / $"step1_view")
+          .withColumn("purchase_rate", $"step3_purchase".cast("double") / $"step2_click")
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click'
+            AND epoch_us(e.ts) > v.t0 AND epoch_us(e.ts) <= v.t0 + 86400000000
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) > c.t1 AND epoch_us(e.ts) <= c.t1 + 86400000000
+          GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM v) AS step1_view,
+               (SELECT COUNT(*) FROM c) AS step2_click,
+               (SELECT COUNT(*) FROM p) AS step3_purchase,
+               CAST((SELECT COUNT(*) FROM c) AS DOUBLE)/(SELECT COUNT(*) FROM v) AS click_rate,
+               CAST((SELECT COUNT(*) FROM p) AS DOUBLE)/(SELECT COUNT(*) FROM c) AS purchase_rate"""),
+    ),
   )
 }

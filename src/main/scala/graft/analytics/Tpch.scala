@@ -1243,5 +1243,45 @@ object Tpch {
           SELECT o_orderpriority, 'avg_price', avg_price FROM wide) u
         ORDER BY o_orderpriority, measure"""),
     ),
+
+    // ---- q45: bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) --
+    // q24 covers the DISTINCT set ops; these are the multiset forms —
+    // duplicates carry MULTIPLICITY (except-all subtracts per-key counts,
+    // intersect-all keeps the minimum), which Spark executes as a
+    // count-and-replicate (Generate over per-key counts), not a dedup.
+    // The multisets: high-quantity lineitem partkeys vs returned-flag
+    // partkeys. Output is the per-key multiplicity surviving each op —
+    // collapsing the replicated rows back to counts keeps the result
+    // small and deterministic while still exercising the bag pipeline.
+    QueryDef(
+      "q45_bag_set_ops",
+      (s, dir) => {
+        import s.implicits._
+        val a = li(s, dir).filter($"l_quantity" >= 45).select($"l_partkey")
+        val b = li(s, dir).filter($"l_returnflag" === "R").select($"l_partkey")
+        val ex = a.exceptAll(b).groupBy($"l_partkey")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        val in = a.intersectAll(b).groupBy($"l_partkey")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        ex.unionByName(in)
+          .select($"op", $"l_partkey", $"n")
+          .orderBy($"op", $"l_partkey")
+      },
+      Some("""
+        WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45),
+        b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        ex AS (
+          SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n
+          FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b) x
+          GROUP BY l_partkey),
+        ins AS (
+          SELECT 'intersect_all' AS op, l_partkey, COUNT(*) AS n
+          FROM (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b) y
+          GROUP BY l_partkey)
+        SELECT op, l_partkey, n FROM ex
+        UNION ALL
+        SELECT op, l_partkey, n FROM ins
+        ORDER BY op, l_partkey"""),
+    ),
   )
 }
