@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.LongDot.info, functions.LongDot.builder))
     ext.injectFunction((functions.InterleaveBits.identifier,
       functions.InterleaveBits.info, functions.InterleaveBits.builder))
+    ext.injectPlannerStrategy(_ => plans.TopKStrategy)
   }
 }

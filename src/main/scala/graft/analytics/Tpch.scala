@@ -1283,5 +1283,34 @@ object Tpch {
         SELECT op, l_partkey, n FROM ins
         ORDER BY op, l_partkey"""),
     ),
+
+    // ---- q46: top-k per key via the CUSTOM physical operator ----
+    // Runs `graft.plans.TopK.perKey` — the two-phase bounded-heap
+    // LogicalPlan/SparkStrategy/SparkPlan stack — under the DuckDB hash
+    // gate: the oracle is the window rank-filter the operator replaces,
+    // so a hash match proves the custom execution path end-to-end (exact
+    // per-key results, all ties broken). See TopKPerKeySpec for the plan
+    // shape (partial → exchange → final, no WindowExec, no sort).
+    QueryDef(
+      "q46_topk_per_group",
+      (s, dir) => {
+        import s.implicits._
+        graft.plans.TopK.perKey(
+          li(s, dir).filter($"l_partkey" % 20 === 0),
+          Seq("l_partkey"),
+          Seq("l_extendedprice" -> false, "l_orderkey" -> true,
+            "l_linenumber" -> true), 3)
+          .select($"l_partkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+          .orderBy($"l_partkey", $"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      },
+      Some("""
+        SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+          SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+                 ROW_NUMBER() OVER (PARTITION BY l_partkey
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+          FROM lineitem WHERE l_partkey % 20 = 0) x
+        WHERE rn <= 3
+        ORDER BY l_partkey, l_extendedprice DESC, l_orderkey, l_linenumber"""),
+    ),
   )
 }

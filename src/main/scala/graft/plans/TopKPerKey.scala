@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.{ColumnBridge, PlanBridge}
+
+/** Logical "top k rows per key by sort order" — the rank-filter pattern
+  * (`row_number().over(partitionBy(key).orderBy(ord)) <= k`) as a
+  * first-class operator.
+  *
+  * Why a custom plan instead of the window: WindowExec must shuffle ALL
+  * rows of a key to one partition and fully SORT each partition before it
+  * can rank — at 100 TB the sort of the complete fact table is the cost.
+  * Top-k is a semigroup, so the physical plan here runs a bounded-heap
+  * pass per input partition FIRST (map-side: at most `partitions × keys ×
+  * k` rows survive), shuffles only those survivors on the key, and
+  * re-runs the same bounded pass for the exact result — the partial-
+  * aggregate shape applied to ranking. No global or per-partition full
+  * sort anywhere.
+  *
+  * The caller's `order` must be a TOTAL order (add a unique tie-break
+  * column) for deterministic results — the same requirement the window
+  * form has.
+  */
+final case class TopKPerKey(
+    key: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** One bounded-heap pass: keeps the first `k` rows per key under `order`.
+  * `partial = true` runs on whatever partitioning the child has (the
+  * map-side reduction); `partial = false` requires key-clustered input
+  * (EnsureRequirements inserts the hash exchange) and produces the exact
+  * per-key top-k. Identical algorithm both times — top-k merges with
+  * itself. */
+final case class TopKPerKeyExec(
+    key: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(key))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = key
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord = RowOrdering.create(sortOrder, childOutput)
+      // max-heap on the sort order: head = worst kept row, evicted when a
+      // better (ord-smaller) row arrives. All stored rows are copies — the
+      // child reuses its row buffers.
+      val heaps = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val kr = keyProj(row)
+        val heap = heaps.get(kr) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(kr.copy(), h)
+            h
+        }
+        if (heap.size < limit) heap += row.copy()
+        else if (ord.lt(row, heap.head)) {
+          heap.dequeue()
+          heap += row.copy()
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Plans the logical node as partial → (exchange) → final. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(key, order, k, child) =>
+      TopKPerKeyExec(key, order, k, partial = false,
+        TopKPerKeyExec(key, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API. Registered two ways: `GraftExtensions` injects the strategy
+  * into sessions built with `spark.sql.extensions`; `perKey` also
+  * self-registers via `spark.experimental.extraStrategies` so the operator
+  * works on any session.
+  *
+  * Key and order are COLUMN NAMES resolved directly against the child's
+  * analyzed output (Spark 4's lazy ColumnNode wrappers don't resolve
+  * inside a custom logical node), with `ascending = false` for DESC. */
+object TopK {
+
+  def perKey(df: DataFrame, keys: Seq[String],
+      order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies ++= Seq(TopKStrategy)
+    val child = PlanBridge.logicalPlan(df)
+    def attr(n: String): Attribute = child.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$n' not in ${child.output.map(_.name).mkString(", ")}"))
+    val sortOrder = order.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    PlanBridge.ofRows(spark, TopKPerKey(keys.map(attr), sortOrder, k, child))
+  }
+}
