@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Measures the custom bounded-heap top-k against the window rank-filter
+  * it replaces, on lineitem at `SPARK_GRAFT_SF_DIR` (median of 3 warm
+  * runs each). Run: `sbt "runMain graft.plans.TopKBench"`. */
+object TopKBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.builder(cpus.toInt)
+      .master(s"local[$cpus]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    li.count() // materialize
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def median3(f: => Unit): Double = {
+      f // warm
+      Seq(time(f), time(f), time(f)).sorted.apply(1)
+    }
+
+    val K = 3
+    val windowForm = median3 {
+      val w = Window.partitionBy($"l_partkey")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      li.withColumn("rn", row_number().over(w)).filter($"rn" <= K)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val custom = median3 {
+      TopK.perKey(li, Seq("l_partkey"),
+        Seq("l_extendedprice" -> false, "l_orderkey" -> true,
+          "l_linenumber" -> true), K)
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"""{"window_sec":$windowForm%.3f,"topk_sec":$custom%.3f,"speedup":${windowForm / custom}%.2f,"k":$K,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
