@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((functions.InterleaveBits.identifier,
       functions.InterleaveBits.info, functions.InterleaveBits.builder))
     ext.injectPlannerStrategy(_ => plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => plans.RankFilterToTopK)
   }
 }

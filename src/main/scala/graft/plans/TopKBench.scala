@@ -29,12 +29,18 @@ object TopKBench {
     }
 
     val K = 3
+    // measure the REAL window plan: without the exclusion the
+    // RankFilterToTopK rewrite would turn this baseline into the very
+    // operator being compared (rn is kept here, but keep the guard
+    // explicit for future edits)
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.RankFilterToTopK")
     val windowForm = median3 {
       val w = Window.partitionBy($"l_partkey")
         .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
       li.withColumn("rn", row_number().over(w)).filter($"rn" <= K)
         .write.format("noop").mode("overwrite").save()
     }
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
     val custom = median3 {
       TopK.perKey(li, Seq("l_partkey"),
         Seq("l_extendedprice" -> false, "l_orderkey" -> true,

@@ -18,6 +18,10 @@ class TopKPerKeySpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("topk-per-key-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // keep the window baselines REAL windows: without this exclusion the
+    // RankFilterToTopK rewrite turns every expected-side query into the
+    // operator under test and the parity checks compare it to itself
+    .config("spark.sql.optimizer.excludedRules", "graft.plans.RankFilterToTopK")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
