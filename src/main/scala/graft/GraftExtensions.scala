@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((functions.InterleaveBits.identifier,
       functions.InterleaveBits.info, functions.InterleaveBits.builder))
     ext.injectPlannerStrategy(_ => plans.TopKStrategy)
+    ext.injectPlannerStrategy(_ => plans.AsOfStrategy)
     ext.injectOptimizerRule(_ => plans.RankFilterToTopK)
   }
 }

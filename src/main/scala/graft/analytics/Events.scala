@@ -491,5 +491,39 @@ object Events {
                CAST((SELECT COUNT(*) FROM c) AS DOUBLE)/(SELECT COUNT(*) FROM v) AS click_rate,
                CAST((SELECT COUNT(*) FROM p) AS DOUBLE)/(SELECT COUNT(*) FROM c) AS purchase_rate"""),
     ),
+
+    // ---- e17: as-of join through the NATIVE operator ----
+    // e10's semantics (last view at-or-before each purchase) through
+    // `graft.plans.AsOf.join` — the custom sorted-merge BinaryExecNode —
+    // under the DuckDB hash gate: a hash match proves the custom join
+    // path end-to-end against the correlated-subquery oracle. e10 keeps
+    // the window-composition form; this is the operator a user would
+    // actually call. Plan: one hash exchange + sort per side, one
+    // streaming merge pass (AsOfJoinSpec locks the shape).
+    QueryDef(
+      "e17_asof_native",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"us")
+        val views = ev.filter($"event_type" === "view")
+          .select($"user_id".as("v_user"), $"us".as("view_us"))
+        graft.plans.AsOf.join(purchases, views, "user_id", "v_user", "us", "view_us")
+          .select($"user_id", $"event_id", $"us".as("purchase_us"), $"view_us",
+            ($"us" - $"view_us").as("gap_us"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""
+        SELECT e.user_id, e.event_id, epoch_us(e.ts) AS purchase_us,
+               (SELECT MAX(epoch_us(v.ts)) FROM events v
+                WHERE v.user_id = e.user_id AND v.event_type = 'view'
+                  AND epoch_us(v.ts) <= epoch_us(e.ts)) AS view_us,
+               epoch_us(e.ts) - (SELECT MAX(epoch_us(v.ts)) FROM events v
+                WHERE v.user_id = e.user_id AND v.event_type = 'view'
+                  AND epoch_us(v.ts) <= epoch_us(e.ts)) AS gap_us
+        FROM events e WHERE e.event_type = 'purchase'
+        ORDER BY e.user_id, e.event_id"""),
+    ),
   )
 }

@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.PlanBridge
+
+/** AS-OF join as a first-class operator: for every left row, the LAST
+  * right row with the same key whose time is at-or-before the left row's
+  * time (left-outer: no prior right row → nulls). The point-in-time join
+  * of CDC timelines and training-data feature lookup ("the feature value
+  * as of this example's timestamp") — Spark has no native form; the
+  * window-composition workaround (e10) unions both sides and runs a
+  * last-value window over the merged stream.
+  *
+  * Physical shape: both sides hash-exchange ONCE on the key and sort
+  * within partitions by (key, time) — EnsureRequirements inserts both
+  * from the declared requirements — then a single streaming two-pointer
+  * merge pass per partition emits every match. No union, no window
+  * machinery, no state beyond one buffered right row per key: at 100 TB
+  * this is the sort-merge-join cost envelope with an O(1)-memory merge.
+  *
+  * Time columns must be BIGINT (the engine's epoch-micros convention).
+  * Null keys or times never match (SQL join semantics).
+  */
+final case class AsOfJoinPlan(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+final case class AsOfJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = leftKey; val rKey = rightKey
+    val lTime = leftTime; val rTime = rightTime
+    val lOut = left.output; val rOut = right.output
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lKey), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rKey), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lKey.dataType))
+      val lTimeB = BindReferences.bindReference(lTime, lOut)
+      val rTimeB = BindReferences.bindReference(rTime, rOut)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+
+      val rBuf = rIter.buffered
+      // last right row seen for the CURRENT key at-or-before the current
+      // left time — one row of state, copied because iterators reuse rows
+      var candidate: InternalRow = null
+      var candidateKey: InternalRow = null
+
+      lIter.flatMap { lRow =>
+        val lk = lKeyProj(lRow)
+        if (lk.isNullAt(0)) {
+          Some(resultProj(joined(lRow, nullRight)))
+        } else {
+          val lt = lTimeB.eval(lRow)
+          if (lt == null) Some(resultProj(joined(lRow, nullRight)))
+          else {
+            // advance the right side through every row with
+            // key < lk, or key == lk and time <= lt
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val head = rBuf.head
+              val rk = rKeyProj(head)
+              val cmp = if (rk.isNullAt(0)) -1 else keyOrd.compare(rk, lk)
+              val take =
+                if (rk.isNullAt(0)) true // null keys never match; skip past
+                else if (cmp < 0) true
+                else if (cmp == 0) {
+                  val rt = rTimeB.eval(head)
+                  // null time: consume-and-skip (sorted nulls-first, and a
+                  // blocked null-time row would stall the merge forever)
+                  rt == null || rt.asInstanceOf[Long] <= lt.asInstanceOf[Long]
+                } else false
+              if (take) {
+                val row = rBuf.next()
+                if (!rk.isNullAt(0) && cmp == 0 && rTimeB.eval(row) != null) {
+                  candidate = row.copy()
+                  candidateKey = rk.copy()
+                } else if (cmp != 0) {
+                  candidate = null; candidateKey = null
+                }
+              } else advancing = false
+            }
+            val matched = candidate != null && candidateKey != null &&
+              keyOrd.compare(candidateKey, lk) == 0
+            Some(resultProj(joined(lRow, if (matched) candidate else nullRight)))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(lk, rk, lt, rt, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API — key/time are column NAMES resolved against each side. */
+object AsOf {
+
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
+      spark.experimental.extraStrategies ++= Seq(AsOfStrategy)
+    val lp = PlanBridge.logicalPlan(left)
+    val rp = PlanBridge.logicalPlan(right)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column '$n' not in ${p.output.map(_.name).mkString(", ")}"))
+    PlanBridge.ofRows(spark, AsOfJoinPlan(
+      attr(lp, leftKey), attr(rp, rightKey),
+      attr(lp, leftTime), attr(rp, rightTime), lp, rp))
+  }
+}
