@@ -396,5 +396,67 @@ object Curation {
         SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         FROM sp GROUP BY source, split ORDER BY source, split"""),
     ),
+
+    // ---- p09: novelty-weighted sampling (dedup-aware training mix) ----
+    // The composition the d13 signal exists for: rank documents by
+    // first-owner novelty into deciles (ties broken by doc_id — fully
+    // deterministic), then sample each decile at a rate proportional to
+    // its novelty (decile d keeps d/10 of its docs) via the p02/p06
+    // md5-bucket rule. Near-copies (low novelty) are downsampled hard,
+    // fresh content survives — reproducible run-over-run with no RNG
+    // state. The novelty pass is two linear aggregates on the persisted
+    // shingle index; the decile split is one window over per-doc scores;
+    // membership is a codegen'd scan.
+    QueryDef(
+      "p09_novelty_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val toks = Dedup.shingleIndex(s, dir) // shared persisted inverted index
+        val owner = toks.groupBy($"s").agg(min($"doc_id").as("first_doc"))
+        val novelty = toks.join(owner, "s")
+          .groupBy($"doc_id")
+          .agg((sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("novelty"))
+        val deciled = novelty
+          .withColumn("decile",
+            ntile(10).over(Window.orderBy($"novelty", $"doc_id")).cast("long"))
+          .withColumn("cut", ($"decile" * (1L << 24)) / 10L)
+          .withColumn("bucket",
+            conv(substring(md5(concat(lit("nw:"), $"doc_id".cast("string"))), 1, 6), 16, 10)
+              .cast("long"))
+          .withColumn("sampled", ($"bucket" < $"cut").cast("long"))
+        deciled.groupBy($"decile")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"sampled").as("n_sampled"),
+            min($"novelty").as("novelty_lo"),
+            max($"novelty").as("novelty_hi"))
+          .withColumn("realized_rate", $"n_sampled".cast("double") / $"n_docs")
+          .orderBy($"decile")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, unnest(${Dedup.SHINGLES_SQL}) AS s FROM documents),
+        owner AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+        nov AS (
+          SELECT sh.doc_id,
+                 CAST(SUM(CASE WHEN o.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS novelty
+          FROM sh JOIN owner o USING (s) GROUP BY sh.doc_id),
+        dec AS (
+          SELECT doc_id, novelty,
+                 CAST(ntile(10) OVER (ORDER BY novelty, doc_id) AS BIGINT) AS decile
+          FROM nov),
+        mem AS (
+          SELECT decile, novelty,
+                 CASE WHEN CAST('0x' || substr(md5('nw:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                      < (decile * 16777216) // 10 THEN 1 ELSE 0 END AS sampled
+          FROM dec)
+        SELECT decile, COUNT(*) AS n_docs,
+               CAST(SUM(sampled) AS BIGINT) AS n_sampled,
+               MIN(novelty) AS novelty_lo, MAX(novelty) AS novelty_hi,
+               CAST(SUM(sampled) AS DOUBLE)/COUNT(*) AS realized_rate
+        FROM mem GROUP BY decile ORDER BY decile"""),
+    ),
   )
 }

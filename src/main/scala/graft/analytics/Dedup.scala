@@ -30,7 +30,7 @@ object Dedup {
     df.withColumn("toks", regexp_extract_all(lower(col("text")), lit("[a-z0-9']+"), lit(0)))
       .withColumn("sh", graft.functions.Shingles.distinctNgrams(3)(col("toks")))
 
-  private val SHINGLES_SQL =
+  private[analytics] val SHINGLES_SQL =
     """list_distinct(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9'']+'))-1),
        i -> regexp_extract_all(lower(text), '[a-z0-9'']+')[i] || ' ' ||
             regexp_extract_all(lower(text), '[a-z0-9'']+')[i+1] || ' ' ||
@@ -51,7 +51,7 @@ object Dedup {
   /** d11's distinct (source, shingle) set — see the persist note there. */
   private val srcShingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+  private[analytics] def shingleIndex(s: SparkSession, dir: String): DataFrame =
     shCache.getOrElseUpdate((s, dir),
       withShingles(t(s, dir, "documents").repartition(col("doc_id")))
         .select(col("doc_id"), explode(col("sh")).as("s"))
