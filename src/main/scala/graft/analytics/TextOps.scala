@@ -490,6 +490,59 @@ object TextOps {
                  / SUM(n_docs) OVER () AS doc_share
         FROM h ORDER BY blen"""),
     ),
+
+    // ---- t14: lang-ID confusion matrix (the classifier's eval gate) ----
+    // t03 predicts; this measures — predicted vs labeled language as a
+    // confusion matrix with per-cell share of the true-label row. The
+    // same accept/reject-gate pattern as s06/s08/d12: every heuristic
+    // that routes corpus content needs its error structure measured, not
+    // assumed (here: which languages leak into 'en', what 'und' hides).
+    // One scan + a (labels × preds)-sized aggregate — nothing at corpus
+    // scale but the classify pass itself.
+    QueryDef(
+      "t14_langid_confusion",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val lc = concat(lit(" "), lower($"text"), lit(" "))
+        def hits(words: Seq[String]): Column =
+          words.map(w => when(lc.contains(s" $w "), 1).otherwise(0)).reduce(_ + _)
+        val preds = t(s, dir, "documents")
+          .withColumn("en_score", hits(Seq("the", "a", "of", "and")))
+          .withColumn("fr_score", hits(Seq("le", "la", "et", "de")))
+          .withColumn("es_score", hits(Seq("el", "los", "y", "que")))
+          .withColumn("pred_lang",
+            when($"en_score" >= $"fr_score" && $"en_score" >= $"es_score" && $"en_score" > 0, "en")
+              .when($"fr_score" >= $"es_score" && $"fr_score" > 0, "fr")
+              .when($"es_score" > 0, "es")
+              .otherwise("und"))
+        preds.groupBy($"lang", $"pred_lang")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_share",
+            $"n".cast("double") / sum($"n").over(Window.partitionBy($"lang")))
+          .orderBy($"lang", $"pred_lang")
+      },
+      {
+        def hitsSql(words: Seq[String]) = words
+          .map(w => s"(CASE WHEN contains(' '||lower(text)||' ', ' $w ') THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", ")")
+        val en = hitsSql(Seq("the", "a", "of", "and"))
+        val fr = hitsSql(Seq("le", "la", "et", "de"))
+        val es = hitsSql(Seq("el", "los", "y", "que"))
+        Some(s"""
+        WITH preds AS (
+          SELECT lang,
+                 CASE WHEN en_score >= fr_score AND en_score >= es_score AND en_score > 0 THEN 'en'
+                      WHEN fr_score >= es_score AND fr_score > 0 THEN 'fr'
+                      WHEN es_score > 0 THEN 'es'
+                      ELSE 'und' END AS pred_lang
+          FROM (SELECT lang, $en AS en_score, $fr AS fr_score, $es AS es_score
+                FROM documents) x)
+        SELECT lang, pred_lang, COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY lang) AS row_share
+        FROM preds GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")
+      },
+    ),
   )
 
 }
