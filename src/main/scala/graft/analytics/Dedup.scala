@@ -742,5 +742,41 @@ object Dedup {
         FROM sh JOIN owner o USING (s)
         GROUP BY sh.doc_id ORDER BY sh.doc_id"""),
     ),
+
+    // ---- d14: per-doc MinHash signatures via the typed AGGREGATOR ----
+    // The d03 lane computation as ONE reusable UDAF
+    // (`functions/MinHashAgg.minhash16`) under the hash gate: the buffer
+    // is a single 16-long array updated in place, partial-aggregated
+    // map-side and merged element-wise — 16 longs per group on the
+    // shuffle regardless of group size, same contract as d03's sixteen
+    // min() expressions but SQL-callable and lane-parameterized. Output
+    // renders the signature as a pipe-joined string (stable cross-engine
+    // array rendering).
+    QueryDef(
+      "d14_minhash_signature",
+      (s, dir) => {
+        import s.implicits._
+        val sh2 = shingleIndex(s, dir)
+          .withColumn("m", md5($"s"))
+          .withColumn("ha", conv(substring($"m", 1, 13), 16, 10).cast("long"))
+          .withColumn("hb", conv(substring($"m", 20, 13), 16, 10).cast("long"))
+        sh2.groupBy($"doc_id")
+          .agg(graft.functions.MinHashAgg.minhash16($"ha", $"hb").as("sig"))
+          .select($"doc_id",
+            concat_ws("|", (0 until 16).map(i =>
+              element_at($"sig", i + 1).cast("string")): _*).as("sig"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
+        sigs AS (
+          SELECT doc_id, h,
+                 MIN(CAST('0x' || substr(md5(s), 1, 13) AS BIGINT)
+                   + h * CAST('0x' || substr(md5(s), 20, 13) AS BIGINT)) AS mh
+          FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) hh
+          GROUP BY doc_id, h)
+        SELECT doc_id, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h) AS sig
+        FROM sigs GROUP BY doc_id ORDER BY doc_id"""),
+    ),
   )
 }
