@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.LongDot.info, functions.LongDot.builder))
     ext.injectFunction((functions.InterleaveBits.identifier,
       functions.InterleaveBits.info, functions.InterleaveBits.builder))
+    ext.injectFunction((functions.CharEntropy.identifier,
+      functions.CharEntropy.info, functions.CharEntropy.builder))
     ext.injectPlannerStrategy(_ => plans.TopKStrategy)
     ext.injectPlannerStrategy(_ => plans.AsOfStrategy)
     ext.injectOptimizerRule(_ => plans.RankFilterToTopK)

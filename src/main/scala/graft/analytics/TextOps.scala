@@ -543,6 +543,45 @@ object TextOps {
         FROM preds GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")
       },
     ),
+
+    // ---- t15: character-entropy quality filter ----
+    // Shannon entropy of each document's code-point distribution via the
+    // native codegen'd `char_entropy` expression (functions/CharEntropy) —
+    // the cheap anomaly gate that catches repeated-char / key-mash /
+    // encoded-blob documents before any tokenization. Per-row narrow
+    // transform: the whole query is one scan + the final sort; no per-char
+    // explode ever leaves the expression kernel. Entropy is quantized
+    // (round(H·10⁴) — both engines sum doubles, whose order-dependent
+    // round-off is ~1e-13 relative, far below the 1e-4 grid; log2 is the
+    // same IEEE op up to 1 ulp in both engines).
+    QueryDef(
+      "t15_char_entropy",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.CharEntropy.register(s)
+        t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            length($"text").cast("long").as("n_cp"),
+            round(graft.functions.CharEntropy.charEntropy($"text") * 10000)
+              .cast("long").as("entropy_q"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH ch AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        hist AS (
+          SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt
+          FROM ch GROUP BY doc_id, c),
+        ent AS (
+          SELECT doc_id,
+                 CAST(SUM(cnt) AS BIGINT) AS n_cp,
+                 log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt) AS h
+          FROM hist GROUP BY doc_id)
+        SELECT doc_id, n_cp,
+               CAST(round(h * 10000) AS BIGINT) AS entropy_q
+        FROM ent ORDER BY doc_id"""),
+    ),
   )
 
 }

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression `char_entropy(str)` — Shannon entropy (bits)
+  * of the code-point distribution of a string. The standard cheap quality
+  * signal for corpus filtering: machine-generated or pathological documents
+  * (repeated characters, base64 blobs, key-mash) sit far from the ~4.1-bit
+  * band natural English occupies, so a single scan-speed expression separates
+  * them without tokenization.
+  *
+  * Implemented as a codegen'd kernel rather than an explode→groupBy→agg
+  * dataflow: per-row entropy needs no shuffle at all, and the expression
+  * participates in whole-stage codegen so filter pipelines (e.g.
+  * `char_entropy(text) BETWEEN 3.5 AND 5.0`) fuse with the parquet scan.
+  * An exploded form would shuffle one row per character — at 100 TB that is
+  * the difference between a scan and a corpus-sized exchange.
+  *
+  * H = log2(n) − (Σ cᵢ·log2(cᵢ))/n over code-point counts cᵢ, summed in
+  * ascending code-point order (deterministic; consumers quantize before any
+  * cross-engine hash compare — see t15's oracle note).
+  */
+final case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropy.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharEntropy$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  private val INV_LN2 = 1.0 / math.log(2.0)
+
+  /** Kernel shared by interpreted eval and generated code. Counts Unicode
+    * code points (surrogate pairs = one symbol, matching DuckDB's
+    * per-character `string_split(s, '')`). ASCII takes an array fast path;
+    * anything else falls into a hash histogram. Empty string → 0.0. */
+  def compute(s: UTF8String): Double = {
+    val str = s.toString
+    val ascii = new Array[Long](128)
+    var wide: java.util.TreeMap[Integer, Long] = null
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (wide == null) wide = new java.util.TreeMap[Integer, Long]()
+        wide.merge(cp, 1L, (a, b) => a + b)
+      }
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) return 0.0
+    // Ascending code-point order: ascii array first, then the sorted map.
+    var acc = 0.0
+    var c = 0
+    while (c < 128) {
+      val cnt = ascii(c)
+      if (cnt > 0L) acc += cnt.toDouble * (math.log(cnt.toDouble) * INV_LN2)
+      c += 1
+    }
+    if (wide != null) {
+      val it = wide.values().iterator()
+      while (it.hasNext) {
+        val cnt = it.next()
+        acc += cnt.toDouble * (math.log(cnt.toDouble) * INV_LN2)
+      }
+    }
+    math.log(n.toDouble) * INV_LN2 - acc / n.toDouble
+  }
+
+  /** Column form for the DataFrame API. */
+  def charEntropy(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(c)))
+  }
+
+  // ---- SQL registration (char_entropy(str)) ----
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("char_entropy")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CharEntropy].getCanonicalName, null, "char_entropy",
+    "_FUNC_(str) - Shannon entropy (bits) of the string's code points.", "")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(str) => CharEntropy(str)
+    case args => throw new IllegalArgumentException(
+      s"char_entropy expects exactly one argument, got ${args.length}")
+  }
+
+  /** Idempotent per-session SQL registration (also injected by
+    * [[graft.GraftExtensions]]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(identifier, info, builder)
+}
