@@ -582,6 +582,96 @@ object TextOps {
                CAST(round(h * 10000) AS BIGINT) AS entropy_q
         FROM ent ORDER BY doc_id"""),
     ),
+
+    // ---- t16: unigram-LM document scoring (the CCNet quality proxy) ----
+    // Train a unigram language model on the corpus itself (token counts /
+    // total), then score every document by its mean -log2 p(token) — "bits
+    // per token". High-perplexity outliers (gibberish, OCR noise) and
+    // ultra-low ones (boilerplate, repeated headers) both sit far from the
+    // corpus band; CCNet buckets on exactly this signal. Dataflow: one
+    // narrow explode, one hash agg for the vocab (linear, map-side
+    // combined), one shuffle join tokens→counts, one per-doc agg. At 100 TB
+    // the token→vocab join is the cost center: AQE skew-join splits the
+    // stopword keys, or swap in a broadcast top-K vocab with an OOV bucket
+    // — same dataflow, smaller exchange. Quantized ×10⁴ (see t15's note).
+    QueryDef(
+      "t16_unigram_logprob",
+      (s, dir) => {
+        import s.implicits._
+        val tok = t(s, dir, "documents")
+          .select($"doc_id", explode(toks($"text")).as("w"))
+        val vocab = tok.groupBy($"w").agg(count(lit(1)).cast("double").as("cnt"))
+        val total = vocab.agg(sum($"cnt").as("total"))
+        tok.join(vocab, "w")
+          .crossJoin(broadcast(total))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_tok"),
+            round(avg(log2($"total") - log2($"cnt")) * 10000)
+              .cast("long").as("bpt_q"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest($TOKS_SQL) AS w FROM documents),
+        vocab AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok GROUP BY w),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
+        SELECT doc_id, COUNT(*) AS n_tok,
+               CAST(round(AVG(log2(total) - log2(cnt)) * 10000) AS BIGINT) AS bpt_q
+        FROM tok JOIN vocab USING (w) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+
+    // ---- t17: Zipf slope — corpus-health diagnostic ----
+    // OLS fit of log2(count) against log2(rank) over the top-1000 tokens.
+    // Natural language sits near slope −1 (Zipf's law); template-generated
+    // or heavily-duplicated corpora flatten or step. One number that
+    // monitors corpus composition drift release-over-release. Scale shape:
+    // the vocab agg is linear; the top-1000 comes from TakeOrderedAndProject
+    // (distributed top-k, NO global vocab sort); ranking then happens on a
+    // 1000-row frame. The four regression sums route through DECIMAL
+    // accumulators (sqlx) so the reduction is order-independent, and the
+    // closed-form slope/intercept are single double ops on both engines.
+    QueryDef(
+      "t17_zipf_slope",
+      (s, dir) => {
+        import s.implicits._
+        val topv = t(s, dir, "documents")
+          .select(explode(toks($"text")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"w").limit(1000)
+        val xy = topv
+          .withColumn("r", row_number().over(
+            Window.orderBy($"cnt".desc, $"w")))
+          .select(log2($"r".cast("double")).as("x"),
+            log2($"cnt".cast("double")).as("y"))
+        val sums = xy.agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum($"x").as("sx"), dsum($"y").as("sy"),
+          dsum($"x" * $"y").as("sxy"), dsum($"x" * $"x").as("sxx"))
+        sums.select(
+          $"n".cast("long").as("n_ranks"),
+          round(($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx") * 10000)
+            .cast("long").as("slope_q"),
+          round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n" * 10000)
+            .cast("long").as("intercept_q"))
+      },
+      Some(s"""
+        WITH tok AS (SELECT unnest($TOKS_SQL) AS w FROM documents),
+        vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+        top AS (SELECT w, cnt FROM vocab ORDER BY cnt DESC, w LIMIT 1000),
+        ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS r FROM top),
+        xy AS (SELECT log2(CAST(r AS DOUBLE)) AS x, log2(CAST(cnt AS DOUBLE)) AS y FROM ranked),
+        sums AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                        ${SUM("x")} AS sx, ${SUM("y")} AS sy,
+                        ${SUM("x*y")} AS sxy, ${SUM("x*x")} AS sxx
+                 FROM xy)
+        SELECT CAST(n AS BIGINT) AS n_ranks,
+               CAST(round((n*sxy - sx*sy)/(n*sxx - sx*sx) * 10000) AS BIGINT) AS slope_q,
+               CAST(round((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx)/n * 10000) AS BIGINT) AS intercept_q
+        FROM sums"""),
+    ),
   )
 
 }
