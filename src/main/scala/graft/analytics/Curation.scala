@@ -458,5 +458,76 @@ object Curation {
                CAST(SUM(sampled) AS DOUBLE)/COUNT(*) AS realized_rate
         FROM mem GROUP BY decile ORDER BY decile"""),
     ),
+
+    // ---- p10: split decontamination audit ----
+    // Composes p08's deterministic hash split with d07's shingle-overlap
+    // machinery: a train doc is "leaky" if it shares >= 3 distinct 3-gram
+    // shingles with ANY document of the val split — the cross-split
+    // contamination every eval pipeline must audit before trusting its
+    // numbers (a val set that leaks into train inflates every metric).
+    // Dataflow: the shared persisted shingle index is scanned twice (train
+    // side / val side of the split predicate), joined once on the shingle
+    // key, one per-doc agg, one per-source report agg. Unlike d07 the val
+    // side is a constant FRACTION of the corpus, not a tiny benchmark —
+    // so this is a shuffle equi-join on the shingle (AQE skew-split), NOT
+    // a broadcast; the report stays linear in corpus size at any scale.
+    QueryDef(
+      "p10_split_decontam",
+      (s, dir) => {
+        import s.implicits._
+        val cutTrain = (0.8 * (1L << 24)).toLong
+        val cutVal = (0.9 * (1L << 24)).toLong
+        val split = t(s, dir, "documents")
+          .withColumn("bucket",
+            conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 6), 16, 10)
+              .cast("long"))
+          .withColumn("split",
+            when($"bucket" < cutTrain, "train")
+              .when($"bucket" < cutVal, "val")
+              .otherwise("test"))
+          .select($"doc_id", $"source", $"split")
+        val sh = Dedup.shingleIndex(s, dir).join(split, "doc_id")
+        val valSh = sh.filter($"split" === "val").select($"s").distinct()
+        val leaky = sh.filter($"split" === "train")
+          .join(valSh, "s")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("overlap")) // shingles distinct per doc
+          .filter($"overlap" >= 3)
+          .select($"doc_id", lit(1L).as("is_leaky"))
+        split.filter($"split" === "train")
+          .join(leaky, Seq("doc_id"), "left")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_train"),
+            sum(coalesce($"is_leaky", lit(0L))).as("n_leaky"))
+          .withColumn("leak_ratio", $"n_leaky".cast("double") / $"n_train")
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, source,
+                 CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS bucket
+          FROM documents),
+        sp AS (
+          SELECT doc_id, source,
+                 CASE WHEN bucket < 13421772 THEN 'train'
+                      WHEN bucket < 15099494 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b),
+        sh AS (SELECT doc_id, unnest(${Dedup.SHINGLES_SQL}) AS s FROM documents),
+        vs AS (SELECT DISTINCT s FROM sh JOIN sp USING (doc_id) WHERE sp.split = 'val'),
+        leaky AS (
+          SELECT sh.doc_id FROM sh
+          JOIN sp USING (doc_id) JOIN vs USING (s)
+          WHERE sp.split = 'train'
+          GROUP BY sh.doc_id HAVING COUNT(*) >= 3)
+        SELECT sp.source, COUNT(*) AS n_train,
+               CAST(SUM(CASE WHEN leaky.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+               CAST(SUM(CASE WHEN leaky.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS leak_ratio
+        FROM sp LEFT JOIN leaky ON leaky.doc_id = sp.doc_id
+        WHERE sp.split = 'train'
+        GROUP BY sp.source ORDER BY sp.source"""),
+    ),
   )
 }
