@@ -847,5 +847,71 @@ object Similarity {
           FROM rer)
         SELECT qid, cid, cos, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn"""),
     ),
+
+    // ---- s11: cluster prototypicality profile (k-means data pruning) ----
+    // The Sorscher-et-al. "Beyond neural scaling laws" pruning signal:
+    // after k-means (the shared IVF build — seed, one Lloyd step,
+    // assignment), each vector's cosine to its assigned centroid measures
+    // how prototypical it is; pruning policies keep the easy (high-cos)
+    // or hard (low-cos) tail per cluster. This operator emits the
+    // per-cluster profile a pruning run is tuned on: member count, exact
+    // mean/min/max prototypicality, and the extreme members (argmin =
+    // hardest, argmax = easiest — the first prune/keep candidates).
+    // Dataflow on top of the persisted build: one broadcast join to the
+    // centroid set (narrow map over the assigned corpus), one per-cluster
+    // agg + two NLIST-sized windows — nothing corpus-scale shuffles, and
+    // the report is NLIST rows at any corpus size.
+    QueryDef(
+      "s11_cluster_profile",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sqlx.dsum
+        val (assigned, cent1) = ivfBuild(s, dir)
+        val mcos = assigned.join(broadcast(cent1), "cent_id")
+          .withColumn("ccos", cosine(dotInt("qc", "qb"), $"n2c", $"n2b"))
+          .select($"cent_id", $"cid", $"ccos")
+        val prof = mcos.groupBy($"cent_id").agg(
+          count(lit(1)).as("n_members"),
+          (dsum($"ccos") / count(lit(1))).as("mean_cos"),
+          min($"ccos").as("min_cos"),
+          max($"ccos").as("max_cos"))
+        val wLo = Window.partitionBy($"cent_id").orderBy($"ccos".asc, $"cid")
+        val wHi = Window.partitionBy($"cent_id").orderBy($"ccos".desc, $"cid")
+        val lo = mcos.withColumn("rn", row_number().over(wLo))
+          .filter($"rn" === 1).select($"cent_id", $"cid".as("hardest_vec"))
+        val hi = mcos.withColumn("rn", row_number().over(wHi))
+          .filter($"rn" === 1).select($"cent_id", $"cid".as("easiest_vec"))
+        prof.join(lo, "cent_id").join(hi, "cent_id")
+          .select($"cent_id", $"n_members", $"mean_cos", $"min_cos",
+            $"max_cos", $"hardest_vec", $"easiest_vec")
+          .orderBy($"cent_id")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        ${ivfBuildCtes(NLIST)},
+        mcos AS (
+          SELECT a.cent_id, a.cid, c.ccos
+          FROM assign a JOIN c1cos c ON c.vec_id = a.cid AND c.cent_id = a.cent_id),
+        prof AS (
+          SELECT cent_id, COUNT(*) AS n_members,
+                 ${graft.sqlx.SUM("ccos")}/COUNT(*) AS mean_cos,
+                 MIN(ccos) AS min_cos, MAX(ccos) AS max_cos
+          FROM mcos GROUP BY cent_id),
+        lo AS (
+          SELECT cent_id, cid AS hardest_vec FROM (
+            SELECT cent_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY ccos ASC, cid) AS rn
+            FROM mcos) x WHERE rn = 1),
+        hi AS (
+          SELECT cent_id, cid AS easiest_vec FROM (
+            SELECT cent_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY ccos DESC, cid) AS rn
+            FROM mcos) x WHERE rn = 1)
+        SELECT p.cent_id, p.n_members, p.mean_cos, p.min_cos, p.max_cos,
+               lo.hardest_vec, hi.easiest_vec
+        FROM prof p JOIN lo USING (cent_id) JOIN hi USING (cent_id)
+        ORDER BY p.cent_id"""),
+    ),
   )
 }
