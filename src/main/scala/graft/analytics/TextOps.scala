@@ -601,7 +601,11 @@ object TextOps {
         val tok = t(s, dir, "documents")
           .select($"doc_id", explode(toks($"text")).as("w"))
         val vocab = tok.groupBy($"w").agg(count(lit(1)).cast("double").as("cnt"))
-        val total = vocab.agg(sum($"cnt").as("total"))
+        // Σ vocab counts ≡ total token instances — computed as a narrow
+        // sum(size(tokens)) over the doc scan instead of re-exploding the
+        // corpus a third time (Spark does not reuse the explode subtree).
+        val total = t(s, dir, "documents")
+          .agg(sum(size(toks($"text"))).cast("double").as("total"))
         tok.join(vocab, "w")
           .crossJoin(broadcast(total))
           .groupBy($"doc_id")
