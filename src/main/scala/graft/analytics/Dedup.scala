@@ -57,6 +57,50 @@ object Dedup {
         .select(col("doc_id"), explode(col("sh")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** 16-lane MinHash signatures (doc_id, mh0..mh15), persisted and shared
+    * by d03/d12/d15. 16 minhash values per doc as 16 aggregate expressions
+    * in ONE groupBy (shuffle-free after the index's doc_id partitioning) —
+    * NOT an explode of 16 h-values per shingle row, which would 16x the
+    * pre-aggregation data. Lane hashes use Kirsch–Mitzenmacher double
+    * hashing (lane_h = a + h·b from ONE md5 per shingle, a/b = two 52-bit
+    * digest halves; a+15b < 2^56 stays exact) instead of 16 separate md5
+    * calls per row — the md5 was the dominant cost (measured 16.1s → 2.7s
+    * at sf0.1, identical LSH guarantees). */
+  private val mhSigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[analytics] def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    mhSigCache.getOrElseUpdate((s, dir), {
+      val sh2 = shingleIndex(s, dir)
+        .withColumn("m", md5(col("s")))
+        .withColumn("ha", conv(substring(col("m"), 1, 13), 16, 10).cast("long"))
+        .withColumn("hb", conv(substring(col("m"), 20, 13), 16, 10).cast("long"))
+      val mhs = (0 until 16).map(h =>
+        min(col("ha") + lit(h.toLong) * col("hb")).as(s"mh$h"))
+      sh2.groupBy(col("doc_id")).agg(mhs.head, mhs.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** LSH candidate pairs (i, j) from 4×4 banding of the MinHash signatures:
+    * band hash = md5 of the band's 4 signature values in h order; only
+    * band-hash equality drives the self-join, so the shuffle carries
+    * fixed-width band hashes — the shape that survives 100×. */
+  private[analytics] def minhashCands(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(s, dir)
+    val bandArr = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until 4).map(r => col(s"mh${4 * b + r}").cast("string")): _*))
+          .as("band_hash"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandArr).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
   /** (doc_id, b0..b3, simhash) — 64-bit SimHash per document as FOUR 16-bit
     * band values plus the 16-hex-char fingerprint, persisted and shared by
     * d04/d05 (d05 self-joins it 4x; without reuse the token fan-out would
@@ -276,34 +320,7 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val sh = shingleIndex(s, dir)
-        // 16 minhash values per doc as 16 aggregate expressions in ONE
-        // groupBy (shuffle-free after the index's doc_id partitioning) —
-        // NOT an explode of 16 h-values per shingle row, which would 16x
-        // the pre-aggregation data. Lane hashes use Kirsch–Mitzenmacher
-        // double hashing (lane_h = a + h·b from ONE md5 per shingle, a/b =
-        // two 52-bit digest halves; a+15b < 2^56 stays exact) instead of 16
-        // separate md5 calls per row — the md5 was the dominant cost
-        // (measured 16.1s → 2.7s at sf0.1, identical LSH guarantees).
-        val sh2 = sh
-          .withColumn("m", md5($"s"))
-          .withColumn("ha", conv(substring($"m", 1, 13), 16, 10).cast("long"))
-          .withColumn("hb", conv(substring($"m", 20, 13), 16, 10).cast("long"))
-        val mhs = (0 until 16).map(h =>
-          min($"ha" + lit(h.toLong) * $"hb").as(s"mh$h"))
-        val sigs = sh2.groupBy($"doc_id").agg(mhs.head, mhs.tail: _*)
-        // band hash = md5 of the band's 4 signature values in h order
-        val bandArr = array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws("|", (0 until 4).map(r => col(s"mh${4 * b + r}").cast("string")): _*))
-              .as("band_hash"))
-        }: _*)
-        val bands = sigs.select($"doc_id", explode(bandArr).as("bh"))
-          .select($"doc_id", $"bh.band".as("band"), $"bh.band_hash".as("band_hash"))
-        val cands = bands.as("a")
-          .join(bands.as("b"),
-            $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-          .distinct()
+        val cands = minhashCands(s, dir)
         // Verify ONLY the LSH candidates with true Jaccard — the shingle
         // intersection join is driven from the candidate-pair set, so the
         // work scales with |candidates|, not with the corpus-wide
@@ -777,6 +794,87 @@ object Dedup {
           GROUP BY doc_id, h)
         SELECT doc_id, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h) AS sig
         FROM sigs GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+
+    // ---- d15: MinHash estimator calibration ----
+    // How trustworthy is the 16-lane estimate? For every LSH candidate
+    // pair, compare the MinHash-estimated Jaccard (matching lanes / 16)
+    // against the exact shingle Jaccard, grouped by match count — the
+    // calibration curve that tells a pipeline owner whether the cheap
+    // estimate can replace the exact verify at their threshold (and what
+    // false-accept rate each lane-count cutoff buys). Per-pair lane
+    // comparison is a candidate-set-sized join against the persisted
+    // signatures; the exact verify reuses d03's candidate-driven shingle
+    // join — nothing here is corpus-quadratic.
+    QueryDef(
+      "d15_minhash_calibration",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = minhashSigs(s, dir)
+        val cands = minhashCands(s, dir)
+        val matchCnt = (0 until 16).map(h =>
+          when(col(s"a.mh$h") === col(s"b.mh$h"), 1L).otherwise(0L)).reduce(_ + _)
+        val lanes = cands
+          .join(sigs.as("a"), $"a.doc_id" === $"i")
+          .join(sigs.as("b"), $"b.doc_id" === $"j")
+          .select($"i", $"j", matchCnt.as("matches"))
+        val sh = shingleIndex(s, dir)
+        val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val jac = cands
+          .join(sh.as("sa"), $"sa.doc_id" === $"i")
+          .join(sh.as("sb"), $"sb.doc_id" === $"j" && $"sb.s" === $"sa.s")
+          .groupBy($"i", $"j")
+          .agg(count(lit(1)).as("shared"))
+          .join(cnt.select($"doc_id".as("i"), $"n".as("ni")), "i")
+          .join(cnt.select($"doc_id".as("j"), $"n".as("nj")), "j")
+          .withColumn("jaccard", $"shared".cast("double") / ($"ni" + $"nj" - $"shared"))
+          .select($"i", $"j", $"jaccard")
+        lanes.join(jac, Seq("i", "j"))
+          .groupBy($"matches")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            (graft.sqlx.dsum($"jaccard") / count(lit(1))).as("mean_jaccard"),
+            min($"jaccard").as("min_jaccard"),
+            max($"jaccard").as("max_jaccard"))
+          .orderBy($"matches")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
+        sigs AS (
+          SELECT doc_id, h,
+                 MIN(CAST('0x' || substr(md5(s), 1, 13) AS BIGINT)
+                   + h * CAST('0x' || substr(md5(s), 20, 13) AS BIGINT)) AS mh
+          FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) hh
+          GROUP BY doc_id, h),
+        bands AS (
+          SELECT doc_id, h // 4 AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h)) AS band_hash
+          FROM sigs GROUP BY doc_id, h // 4),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        lanes AS (
+          SELECT c.i, c.j,
+                 CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS matches
+          FROM cands c JOIN sigs sa ON sa.doc_id = c.i
+               JOIN sigs sb ON sb.doc_id = c.j AND sb.h = sa.h
+          GROUP BY c.i, c.j),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT c.i, c.j, COUNT(*) AS shared
+          FROM cands c JOIN sh a ON a.doc_id = c.i
+               JOIN sh b ON b.doc_id = c.j AND b.s = a.s
+          GROUP BY c.i, c.j),
+        jac AS (
+          SELECT sd.i, sd.j, CAST(shared AS DOUBLE)/(ci.n + cj.n - shared) AS jaccard
+          FROM shared sd JOIN cnt ci ON ci.doc_id = sd.i
+               JOIN cnt cj ON cj.doc_id = sd.j)
+        SELECT l.matches, COUNT(*) AS n_pairs,
+               ${graft.sqlx.SUM("jaccard")}/COUNT(*) AS mean_jaccard,
+               MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+        FROM lanes l JOIN jac ON jac.i = l.i AND jac.j = l.j
+        GROUP BY l.matches ORDER BY l.matches"""),
     ),
   )
 }
