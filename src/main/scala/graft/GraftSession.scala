@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   *
   * What it sets and why:
   *  - `spark.sql.extensions=graft.GraftExtensions` — the native functions
-  *    (`word_ngrams`, `winnow_fingerprints`, `long_dot`, `interleave_bits`)
+  *    (`word_ngrams`, `winnow_fingerprints`, `long_dot`, `interleave_bits`,
+  *    `char_entropy`)
   *    registered in every session, SQL and DataFrame alike.
   *  - `spark.sql.session.timeZone=UTC` — all engine time arithmetic is
   *    epoch-exact; a session-local zone silently shifts window boundaries.
