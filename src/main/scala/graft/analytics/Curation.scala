@@ -418,10 +418,30 @@ object Curation {
           .groupBy($"doc_id")
           .agg((sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).cast("double") /
             count(lit(1))).as("novelty"))
-        val deciled = novelty
+        // decile via the p07 two-pass rank (range repartition + in-partition
+        // sort + zipWithIndex), NOT a global ntile window — the un-partitioned
+        // window would funnel one row per corpus document through a single
+        // task. The closed-form bucket from (rank, total) reproduces SQL
+        // ntile exactly: the first n%10 buckets get ceil(n/10) rows.
+        val sortedNov = novelty
+          .repartitionByRange(8, $"novelty", $"doc_id")
+          .sortWithinPartitions($"novelty", $"doc_id")
+        val n = sortedNov.count() // distributed agg; table stats at scale
+        val (q10, rem) = (n / 10L, n % 10L)
+        val ranked = s.createDataFrame(
+          sortedNov.select($"doc_id", $"novelty").as[(Long, Double)].rdd
+            .zipWithIndex.map { case ((d, nv), r) => (d, nv, r) })
+          .toDF("doc_id", "novelty", "r")
+        val big = q10 + 1L
+        val deciled = ranked
           .withColumn("decile",
-            ntile(10).over(Window.orderBy($"novelty", $"doc_id")).cast("long"))
-          .withColumn("cut", ($"decile" * (1L << 24)) / 10L)
+            when($"r" < lit(rem * big), expr(s"r DIV $big"))
+              .otherwise(lit(rem) +
+                expr(s"(r - ${rem * big}) DIV ${math.max(q10, 1L)}")) + 1L)
+          // integer floor division, matching the oracle's `// 10` exactly
+          // (a double `/` would put fractional cuts one ulp above the
+          // integer bucket boundary)
+          .withColumn("cut", expr(s"(decile * ${1L << 24}) DIV 10"))
           .withColumn("bucket",
             conv(substring(md5(concat(lit("nw:"), $"doc_id".cast("string"))), 1, 6), 16, 10)
               .cast("long"))

@@ -225,16 +225,24 @@ object Dedup {
     * ingestion-time dedup (`graft.streaming.IngestDedup`), so batch and
     * stream agree bit-for-bit. A narrow per-row transform (works on a
     * streaming DataFrame unchanged). */
-  def tileHashes(docs: DataFrame): DataFrame = {
+  /** Per-doc tile-hash ARRAY (empty when the normalized text is shorter
+    * than one tile) — the single tile definition, shared by the batch
+    * operators (d09/d10 explode it, dropping tile-less docs) and the
+    * streaming ingest gate (which explode_outer's it, so short arrivals
+    * still get a verdict row instead of silently bypassing the gate). */
+  def tileArray(docs: DataFrame): DataFrame = {
     val K = 40
     docs
       .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-      .filter(length(col("norm")) >= K)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), (length(col("norm")) / K).cast("int") - 1)).as("i"),
-        col("norm"))
-      .select(col("doc_id"), md5(col("norm").substr(col("i") * K + 1, lit(K))).as("th"))
+      .withColumn("tiles", when(length(col("norm")) >= K,
+        transform(sequence(lit(0), (length(col("norm")) / K).cast("int") - 1),
+          i => md5(col("norm").substr(i * K + 1, lit(K)))))
+        .otherwise(array().cast("array<string>")))
+      .drop("norm")
   }
+
+  def tileHashes(docs: DataFrame): DataFrame =
+    tileArray(docs).select(col("doc_id"), explode(col("tiles")).as("th"))
 
   /** Oracle twin of [[tileIndex]]: `tiles(doc_id, th)`. */
   private val TILES_SQL = """
@@ -570,7 +578,15 @@ object Dedup {
         val tiles = tileIndex(s, dir)
         val corpus = tiles.filter($"doc_id" % 10 =!= 0).select($"th").distinct()
         val batch = tiles.filter($"doc_id" % 10 === 0)
-        val bloom = corpus.stat.bloomFilter("th", 100000L, 0.01)
+        // size the sketch from the actual corpus tile count — a fixed
+        // expectedNumItems saturates once the corpus outgrows it (fpp → 1
+        // and the prefilter stops filtering while still paying its cost).
+        // The count is one extra pass over the persisted tile index; at
+        // production scale it comes from table stats instead. Correctness
+        // never depends on the sketch — the semi-join confirms — so the
+        // count influences only prefilter selectivity.
+        val nTiles = math.max(corpus.count(), 1000L)
+        val bloom = corpus.stat.bloomFilter("th", nTiles, 0.01)
         val bbl = s.sparkContext.broadcast(bloom)
         val mightMatch = udf((th: String) => bbl.value.mightContain(th))
         val confirmed = batch.filter(mightMatch($"th"))

@@ -158,6 +158,48 @@ object Similarity {
           FROM ndots d JOIN norms na ON na.vec_id = d.i JOIN norms nb ON nb.vec_id = d.j
           WHERE CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) >= $NEARDUP_COS)"""
 
+  /** SQ8 codes (vec_id, q8): per-dim min/max over the corpus, int8 code
+    * c = (v−mn)·255 DIV (mx−mn) − 128 (integer DIV — identical in Spark's
+    * DIV and DuckDB's //), codes rebuilt one-row-per-vector. Dims with
+    * mx=mn carry no information and would divide by zero: dropped from
+    * the code space on both sides. Persisted and shared by s08 (the
+    * recall gate) and s10 (the two-stage search it gates) — ONE build,
+    * so the gate provably measures the codes the search serves. */
+  private val sq8Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sq8Codes(s: SparkSession, dir: String): DataFrame =
+    sq8Cache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val ex = withQNorm(t(s, dir, "embeddings"))
+        .select($"vec_id", posexplode($"q").as(Seq("d", "v")))
+      val stats = ex.groupBy($"d")
+        .agg(min($"v").as("mn"), max($"v").as("mx"))
+        .filter($"mx" > $"mn")
+      ex.join(broadcast(stats), "d")
+        .withColumn("c", expr("(v - mn) * 255 DIV (mx - mn) - 128"))
+        .groupBy($"vec_id")
+        .agg(transform(array_sort(collect_list(struct($"d", $"c"))),
+          x => x.getField("c")).as("q8"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** The SQ8 build + query-vs-corpus int8 dots as DuckDB CTEs ending in
+    * `dots8(qid, cid, dot8)` — appended after dims/QNORM_SQL; the single
+    * SQL twin of [[sq8Codes]], shared verbatim by the s08 and s10
+    * oracles (codes stay in long (vec_id, d, c) form there: SQL dots
+    * join per-dim instead of rebuilding arrays). */
+  private val SQ8_CTES = """
+        stats AS (
+          SELECT i AS d, MIN(q[i+1]) AS mn, MAX(q[i+1]) AS mx
+          FROM qv CROSS JOIN dims GROUP BY i HAVING MAX(q[i+1]) > MIN(q[i+1])),
+        codes AS (
+          SELECT vec_id, d, ((q[CAST(d+1 AS INT)] - mn) * 255) // (mx - mn) - 128 AS c
+          FROM qv CROSS JOIN stats),
+        dots8 AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.c*b.c) AS BIGINT) AS dot8
+          FROM codes a JOIN codes b ON a.d = b.d AND a.vec_id < 5 AND b.vec_id >= 5
+          GROUP BY a.vec_id, b.vec_id)"""
+
   private val NLIST = 16
   private val NPROBE = 2
   // SemDeDup prune threshold: p97 of the within-cluster cosine
@@ -651,15 +693,7 @@ object Similarity {
       (s, dir) => {
         import s.implicits._
         val emb = withQNorm(t(s, dir, "embeddings"))
-        val ex = emb.select($"vec_id", posexplode($"q").as(Seq("d", "v")))
-        val stats = ex.groupBy($"d")
-          .agg(min($"v").as("mn"), max($"v").as("mx"))
-          .filter($"mx" > $"mn")
-        val codes8 = ex.join(broadcast(stats), "d")
-          .withColumn("c", expr("(v - mn) * 255 DIV (mx - mn) - 128"))
-          .groupBy($"vec_id")
-          .agg(transform(array_sort(collect_list(struct($"d", $"c"))),
-            x => x.getField("c")).as("q8"))
+        val codes8 = sq8Codes(s, dir)
         val qs = codes8.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"q8".as("qa8"))
         val cs = codes8.filter($"vec_id" >= 5).select($"vec_id".as("cid"), $"q8".as("qb8"))
         val w8 = Window.partitionBy($"qid").orderBy($"dot8".desc, $"cid")
@@ -688,16 +722,7 @@ object Similarity {
       Some(s"""
         WITH dims AS (SELECT unnest(range(64)) AS i),
         $QNORM_SQL,
-        stats AS (
-          SELECT i AS d, MIN(q[i+1]) AS mn, MAX(q[i+1]) AS mx
-          FROM qv CROSS JOIN dims GROUP BY i HAVING MAX(q[i+1]) > MIN(q[i+1])),
-        codes AS (
-          SELECT vec_id, d, ((q[CAST(d+1 AS INT)] - mn) * 255) // (mx - mn) - 128 AS c
-          FROM qv CROSS JOIN stats),
-        dots8 AS (
-          SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.c*b.c) AS BIGINT) AS dot8
-          FROM codes a JOIN codes b ON a.d = b.d AND a.vec_id < 5 AND b.vec_id >= 5
-          GROUP BY a.vec_id, b.vec_id),
+        $SQ8_CTES,
         approx AS (
           SELECT qid, cid FROM (
             SELECT qid, cid,
@@ -789,15 +814,7 @@ object Similarity {
       (s, dir) => {
         import s.implicits._
         val emb = withQNorm(t(s, dir, "embeddings"))
-        val ex = emb.select($"vec_id", posexplode($"q").as(Seq("d", "v")))
-        val stats = ex.groupBy($"d")
-          .agg(min($"v").as("mn"), max($"v").as("mx"))
-          .filter($"mx" > $"mn")
-        val codes8 = ex.join(broadcast(stats), "d")
-          .withColumn("c", expr("(v - mn) * 255 DIV (mx - mn) - 128"))
-          .groupBy($"vec_id")
-          .agg(transform(array_sort(collect_list(struct($"d", $"c"))),
-            x => x.getField("c")).as("q8"))
+        val codes8 = sq8Codes(s, dir)
         val qs8 = codes8.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"q8".as("qa8"))
         val cs8 = codes8.filter($"vec_id" >= 5).select($"vec_id".as("cid"), $"q8".as("qb8"))
         val w8 = Window.partitionBy($"qid").orderBy($"dot8".desc, $"cid")
@@ -818,16 +835,7 @@ object Similarity {
       Some(s"""
         WITH dims AS (SELECT unnest(range(64)) AS i),
         $QNORM_SQL,
-        stats AS (
-          SELECT i AS d, MIN(q[i+1]) AS mn, MAX(q[i+1]) AS mx
-          FROM qv CROSS JOIN dims GROUP BY i HAVING MAX(q[i+1]) > MIN(q[i+1])),
-        codes AS (
-          SELECT vec_id, d, ((q[CAST(d+1 AS INT)] - mn) * 255) // (mx - mn) - 128 AS c
-          FROM qv CROSS JOIN stats),
-        dots8 AS (
-          SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.c*b.c) AS BIGINT) AS dot8
-          FROM codes a JOIN codes b ON a.d = b.d AND a.vec_id < 5 AND b.vec_id >= 5
-          GROUP BY a.vec_id, b.vec_id),
+        $SQ8_CTES,
         short AS (
           SELECT qid, cid FROM (
             SELECT qid, cid,

@@ -150,9 +150,17 @@ object AsOf {
       spark.experimental.extraStrategies ++= Seq(AsOfStrategy)
     val lp = PlanBridge.logicalPlan(left)
     val rp = PlanBridge.logicalPlan(right)
+    // resolve like every other DataFrame API: the session's resolver
+    // (case-insensitive unless spark.sql.caseSensitive), ambiguity is an error
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"column '$n' not in ${p.output.map(_.name).mkString(", ")}"))
+      p.output.filter(a => resolver(a.name, n)) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column '$n' not in ${p.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column '$n' is ambiguous: ${many.map(_.name).mkString(", ")}")
+      }
     PlanBridge.ofRows(spark, AsOfJoinPlan(
       attr(lp, leftKey), attr(rp, rightKey),
       attr(lp, leftTime), attr(rp, rightTime), lp, rp))

@@ -123,9 +123,16 @@ object TopK {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies ++= Seq(TopKStrategy)
     val child = PlanBridge.logicalPlan(df)
-    def attr(n: String): Attribute = child.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"column '$n' not in ${child.output.map(_.name).mkString(", ")}"))
+    // resolve like every other DataFrame API: the session's resolver
+    // (case-insensitive unless spark.sql.caseSensitive), ambiguity is an error
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(n: String): Attribute = child.output.filter(a => resolver(a.name, n)) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"column '$n' not in ${child.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"column '$n' is ambiguous: ${many.map(_.name).mkString(", ")}")
+    }
     val sortOrder = order.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

@@ -31,7 +31,7 @@ object CurrentState {
   }
 
   /** Read the current (= highest COMPLETE) snapshot, if any. Version
-    * bookkeeping (the _SUCCESS-gated v=N layout and retention) lives in
+    * bookkeeping (the _COMMIT-gated v=N layout and retention) lives in
     * [[SnapshotStore]], shared with `IncrementalAgg`. */
   def read(spark: SparkSession, stateRoot: String): Option[DataFrame] =
     SnapshotStore.read(spark, stateRoot)

@@ -21,7 +21,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Unlike latest-wins upsert (`CurrentState`), delta application is NOT
   * idempotent, so foreachBatch replays after a crash must not re-apply:
-  * the snapshot records the producing batch id (`SnapshotStore._BATCHID`)
+  * the snapshot records the producing batch id inside its `_COMMIT` marker
   * and `merge` skips any batch at-or-below it — the standard
   * transactional-sink contract.
   *

@@ -30,15 +30,22 @@ object IngestDedup {
 
   /** Flag each arriving document: (doc_id, n_tiles, matched_tiles,
     * matched_frac, dup). `stream` needs (doc_id, text); emit in update
-    * mode (one final row per doc — each doc completes in its batch). */
+    * mode (one final row per doc — each doc completes in its batch).
+    * EVERY arrival gets a verdict row — a document below one tile of
+    * normalized text (explode_outer keeps its null-tile row) reports
+    * n_tiles=0 / dup=false rather than silently bypassing the gate; such
+    * docs are below the operator's dedup granularity and a pipeline
+    * routes them to an exact-hash check instead. */
   def flagArrivals(stream: DataFrame, corpusTiles: DataFrame,
       minFrac: Double = 0.5): DataFrame =
-    graft.analytics.Dedup.tileHashes(stream)
+    graft.analytics.Dedup.tileArray(stream)
+      .select(col("doc_id"), explode_outer(col("tiles")).as("th"))
       .join(corpusTiles.withColumn("hit", lit(1L)), Seq("th"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tiles"),
+      .agg(count(col("th")).as("n_tiles"), // counts non-null tiles only
         sum(coalesce(col("hit"), lit(0L))).as("matched_tiles"))
       .withColumn("matched_frac",
-        col("matched_tiles").cast("double") / col("n_tiles"))
-      .withColumn("dup", col("matched_frac") >= minFrac)
+        when(col("n_tiles") === 0L, lit(0.0))
+          .otherwise(col("matched_tiles").cast("double") / col("n_tiles")))
+      .withColumn("dup", col("n_tiles") > 0L && col("matched_frac") >= minFrac)
 }

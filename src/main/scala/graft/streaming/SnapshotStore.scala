@@ -6,12 +6,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pattern shared by the current-state materializer (`CurrentState`) and
   * the incremental aggregate view (`IncrementalAgg`).
   *
-  * Layout: `<root>/v=<N>/` parquet dirs; a version counts only once its
-  * `_SUCCESS` marker exists (a crash mid-write leaves a partial dir that
-  * must never be read as state). Optionally a `_BATCHID` file records the
-  * streaming batch that produced the version, which is what makes a
-  * non-idempotent (delta-applying) merge exactly-once under foreachBatch
-  * replays: a replayed batch id ≤ the recorded one is skipped.
+  * Layout: `<root>/v=<N>/` parquet dirs. A version counts only once its
+  * `_COMMIT` marker exists — written AFTER the parquet job commits, via
+  * temp-file + atomic rename, and carrying the producing streaming batch
+  * id (−1 for non-streaming producers). The marker is the SINGLE commit
+  * point: parquet's own `_SUCCESS` is not enough for the exactly-once
+  * contract, because a crash between the parquet commit and recording the
+  * batch id would otherwise leave a "complete" snapshot whose producing
+  * batch is unknown — a replayed non-idempotent (delta-applying) merge
+  * would then re-apply deltas the snapshot already contains. With the id
+  * inside the commit marker there is no such window: either the version
+  * is invisible (no `_COMMIT` — readers fall back to the previous
+  * version and the replayed batch re-merges onto that consistent base)
+  * or it is visible WITH its batch id and the replay is skipped.
   */
 private[streaming] object SnapshotStore {
 
@@ -25,7 +32,7 @@ private[streaming] object SnapshotStore {
   }
 
   def isComplete(dir: java.io.File): Boolean =
-    new java.io.File(dir, "_SUCCESS").isFile
+    new java.io.File(dir, "_COMMIT").isFile
 
   def versions(root: String): Seq[Long] =
     versionDirs(root).collect { case (v, f) if isComplete(f) => v }
@@ -37,24 +44,24 @@ private[streaming] object SnapshotStore {
   /** Batch id recorded with the current snapshot (−1 when none). */
   def lastBatchId(root: String): Long =
     versions(root).lastOption.map { v =>
-      val f = new java.io.File(s"$root/v=$v", "_BATCHID")
-      if (f.isFile) new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
-      else -1L
+      val f = new java.io.File(s"$root/v=$v", "_COMMIT")
+      new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
     }.getOrElse(-1L)
 
-  /** Write `df` as the next version (optionally stamping the producing
-    * batch id), then retain only the two highest complete versions —
-    * current + the crash-recovery fallback; partial leftovers and older
-    * completes are deleted. The version just written is complete, so the
-    * newest snapshot can never be deleted. */
+  /** Write `df` as the next version (stamping the producing batch id into
+    * the commit marker), then retain only the two highest complete
+    * versions — current + the crash-recovery fallback; partial leftovers
+    * and older completes are deleted. The version just written is
+    * complete, so the newest snapshot can never be deleted. */
   def writeNext(df: DataFrame, root: String, batchId: Option[Long] = None): Unit = {
     val next = versionDirs(root).lastOption.map(_._1).getOrElse(0L) + 1
     df.write.mode("overwrite").parquet(s"$root/v=$next")
-    batchId.foreach { id =>
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$root/v=$next", "_BATCHID"),
-        id.toString.getBytes)
-    }
+    // single commit point: tmp write + atomic rename, id inside the marker
+    val dir = java.nio.file.Paths.get(s"$root/v=$next")
+    val tmp = dir.resolve("_COMMIT.tmp")
+    java.nio.file.Files.write(tmp, batchId.getOrElse(-1L).toString.getBytes)
+    java.nio.file.Files.move(tmp, dir.resolve("_COMMIT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val keep = versions(root).takeRight(2).toSet
     versionDirs(root).filterNot { case (v, _) => keep(v) }.foreach { case (_, dir) =>
       def rm(f: java.io.File): Unit = {

@@ -86,4 +86,24 @@ class TopKPerKeySpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy($"l_orderkey").count().filter($"count" =!= 1).count()
     assert(k1 === 0L)
   }
+
+  test("column names resolve with the session resolver (case-insensitive by default)") {
+    import spark.implicits._
+    // mixed-case names accepted, exactly like df.select would accept them
+    val upper = TopK.perKey(li, Seq("L_ORDERKEY"),
+      Seq("L_QUANTITY" -> true, "L_LINENUMBER" -> true), 1)
+    val lower = TopK.perKey(li, Seq("l_orderkey"),
+      Seq("l_quantity" -> true, "l_linenumber" -> true), 1)
+    assert(upper.collect().toSet === lower.collect().toSet)
+    val asofU = graft.plans.AsOf.join(
+      li.select($"l_orderkey".as("k"), $"l_shipdate".as("t"), $"l_quantity"),
+      li.select($"l_orderkey".as("k"), $"l_shipdate".as("t2"), $"l_tax"),
+      "K", "k", "T", "T2")
+    assert(asofU.count() > 0L)
+    // unknown column still fails cleanly
+    val e = intercept[IllegalArgumentException] {
+      TopK.perKey(li, Seq("no_such"), Seq("l_quantity" -> true), 1)
+    }
+    assert(e.getMessage.contains("no_such"))
+  }
 }

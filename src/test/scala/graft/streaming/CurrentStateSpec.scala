@@ -60,7 +60,7 @@ class CurrentStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vs <= 2)
   }
 
-  test("crash mid-merge: a partial v=N dir (no _SUCCESS) is never the current snapshot") {
+  test("crash mid-merge: a partial v=N dir (no _COMMIT) is never the current snapshot") {
     import spark.implicits._
     val stateRoot = Files.createTempDirectory("state-crash").toString
     CurrentState.merge(

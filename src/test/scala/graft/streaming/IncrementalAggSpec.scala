@@ -114,4 +114,32 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(viewOf(root2) === before)
   }
+
+  test("crash between parquet commit and _COMMIT: replay re-merges, no double-apply") {
+    val root = Files.createTempDirectory("ivm4").toString
+    val b0: Seq[Op] = (0L until 9L).map(id =>
+      ("i", id, null, null: java.lang.Double, s"g${id % 3}",
+        java.lang.Double.valueOf(1.0)))
+    val b1: Seq[Op] = Seq(
+      ("i", 100L, null, null: java.lang.Double, "g0", java.lang.Double.valueOf(7.0)))
+
+    IncrementalAgg.merge(opsDf(b0), 0L, root)
+    IncrementalAgg.merge(opsDf(b1), 1L, root)
+    val after = viewOf(root)
+
+    // simulate the crash window: batch 1's parquet job committed (v dir +
+    // _SUCCESS + data) but the process died before the _COMMIT marker —
+    // drop v=2's marker, making it a parquet-complete, uncommitted version
+    val v2 = new java.io.File(s"$root/v=2/_COMMIT")
+    assert(v2.isFile, "expected v=2 to be the batch-1 snapshot")
+    assert(v2.delete())
+
+    // the uncommitted version must be invisible to BOTH the reader and the
+    // replay guard: lastBatchId falls back to batch 0, and the replayed
+    // batch 1 re-merges onto the v=1 base — NOT onto the orphaned v=2
+    assert(SnapshotStore.lastBatchId(root) === 0L)
+    IncrementalAgg.merge(opsDf(b1), 1L, root) // foreachBatch crash-replay
+    assert(viewOf(root) === after, "replay onto the fallback base must reproduce the state")
+    assert(viewOf(root)("g0")._1 === 4L, "g0 must count id=100 exactly once")
+  }
 }

@@ -58,4 +58,27 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
     q.stop()
   }
+
+  test("an arrival below one tile still gets a verdict row (n_tiles=0, not dup)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = IngestDedup.corpusIndex(docs)
+    val stream = MemoryStream[(Long, String)]
+    val flagged = IngestDedup.flagArrivals(
+      stream.toDS().toDF("doc_id", "text"), corpus)
+    val q = flagged.writeStream.outputMode("update")
+      .format("memory").queryName("ingest_short").start()
+    stream.addData((777L, "too short to tile"), (778L, ""))
+    q.processAllAvailable()
+
+    val got = spark.sql(
+      "SELECT doc_id, n_tiles, matched_tiles, matched_frac, dup FROM ingest_short")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toVector.sorted
+    assert(got === Vector(
+      (777L, 0L, 0L, 0.0, false),
+      (778L, 0L, 0L, 0.0, false)))
+    q.stop()
+  }
 }
