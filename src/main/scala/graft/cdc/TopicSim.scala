@@ -70,8 +70,12 @@ final class TopicServer(seed: Seq[Array[Byte]] = Nil) {
         case 0x03 =>
           val data = new Array[Byte](in.readInt())
           in.readFully(data)
-          append(data)
-          out.writeLong(highWaterMark)
+          // ack THIS append's own offset (+1, matching the hwm-style
+          // response shape) — answering with a re-queried highWaterMark
+          // would cover messages a concurrent second writer appended in
+          // between, and a checkpoint derived from it would skip them in
+          // the next recovery scan (the deposed-leader race)
+          out.writeLong(append(data) + 1L)
         case other =>
           throw new IllegalStateException(s"unknown topic-sim command $other")
       }
@@ -100,6 +104,10 @@ final class TopicClient(host: String, port: Int) {
     in.readLong()
   }
 
+  /** Appends `msg`; returns THIS message's offset + 1 (its own per-message
+    * ack — sarama's `ProducerMessage.Offset` analog), NOT the topic hwm,
+    * which under a second writer would cover messages this producer never
+    * sent. */
   def produce(msg: Array[Byte]): Long = withConn { (in, out) =>
     out.writeByte(0x03); out.writeInt(msg.length); out.write(msg); out.flush()
     in.readLong()

@@ -43,52 +43,65 @@ final class ZkCkpStorage(hosts: String, path: String, sessionTimeoutMs: Int = 40
   }
 
   /** Retry loop shared by save/load: ConnectionLoss → backoff + retry on
-    * the same handle; SessionExpired → rebuild the handle and retry. Gives
-    * up after `attempts` so a hard ZK outage still surfaces as an error. */
-  private def withRetry[A](attempts: Int = 5)(op: ZooKeeper => A): A = {
+    * the same handle; SessionExpired → rebuild the handle and retry. The
+    * retry window is time-based and COVERS the session timeout (1.5×):
+    * the client library reconnects on its own anywhere inside that
+    * timeout, so an attempt budget that gives up after a couple of
+    * seconds would abandon blips the session itself survives. A hard
+    * outage still surfaces once the deadline passes. A failed rebuild
+    * attempt (ensemble still unreachable) is swallowed and retried — it
+    * must not abort the loop with a foreign exception type. */
+  private def withRetry[A](op: ZooKeeper => A): A = {
+    val deadlineNs = System.nanoTime() + sessionTimeoutMs.toLong * 1500000L
     var backoffMs = 100L
-    var i = 0
     while (true) {
-      i += 1
       try return op(zk)
       catch {
         case e: KeeperException.SessionExpiredException =>
-          if (i >= attempts) throw e
-          rebuild()
+          if (System.nanoTime() > deadlineNs) throw e
+          try rebuild()
+          catch {
+            case _: IllegalArgumentException | _: KeeperException => ()
+            case ie: InterruptedException => throw ie
+          }
+          Thread.sleep(backoffMs); backoffMs = math.min(backoffMs * 2, 5000L)
         case e: KeeperException.ConnectionLossException =>
-          if (i >= attempts) throw e
-          Thread.sleep(backoffMs); backoffMs = math.min(backoffMs * 2, 2000L)
+          if (System.nanoTime() > deadlineNs) throw e
+          Thread.sleep(backoffMs); backoffMs = math.min(backoffMs * 2, 5000L)
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  locally {
+  /** Create the full path chain (parents included); NodeExists is fine. */
+  private def ensurePath(z: ZooKeeper): Unit = {
     val parts = path.split('/').filter(_.nonEmpty)
     var cur = ""
     parts.foreach { seg =>
       cur = s"$cur/$seg"
-      withRetry() { z =>
-        try z.create(cur, Array.emptyByteArray, ZooDefs.Ids.OPEN_ACL_UNSAFE,
-          CreateMode.PERSISTENT)
-        catch { case _: KeeperException.NodeExistsException => () }
-      }
+      try z.create(cur, Array.emptyByteArray, ZooDefs.Ids.OPEN_ACL_UNSAFE,
+        CreateMode.PERSISTENT)
+      catch { case _: KeeperException.NodeExistsException => () }
     }
   }
 
+  locally { withRetry(ensurePath) }
+
   override def save(data: Array[Byte]): Unit =
-    withRetry() { z =>
+    withRetry { z =>
       try z.setData(path, data, -1)
       catch {
         case _: KeeperException.NoNodeException =>
-          // node vanished (e.g. rebuilt against a wiped ensemble): recreate
-          try z.create(path, data, ZooDefs.Ids.OPEN_ACL_UNSAFE, CreateMode.PERSISTENT)
-          catch { case _: KeeperException.NodeExistsException => z.setData(path, data, -1) }
+          // node vanished (e.g. rebuilt against a wiped ensemble):
+          // recreate the WHOLE chain — the parents are gone too in that
+          // scenario, and a leaf-only create would just NoNode again
+          ensurePath(z)
+          z.setData(path, data, -1)
       }
     }
 
   override def load(): Option[Array[Byte]] = {
-    val data = withRetry() { z =>
+    val data = withRetry { z =>
       try z.getData(path, false, null)
       catch { case _: KeeperException.NoNodeException => null }
     }

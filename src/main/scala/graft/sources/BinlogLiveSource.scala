@@ -124,14 +124,28 @@ final class LiveBinlogFeed(
           if (op0.opType == OpType.Rotate) logName = op0.nextLogName.getOrElse(logName)
           if (op0.opType == OpType.Gtid) op0.gtid.foreach { g =>
             // the event's own format picks the flavor: MySQL `uuid:gno`
-            // vs MariaDB `domain-server-seq` (a server emits exactly one)
+            // vs MariaDB `domain-server-seq` (a server emits exactly one).
+            // A NON-EMPTY start set of the other flavor is a configuration
+            // error (wrong mysql_addr / a checkpoint from before a
+            // migration) — fail fast rather than silently dropping the
+            // already-replayed transactions from every later checkpoint
+            def flavorMismatch(ev: String): Nothing = throw new IllegalStateException(
+              s"GTID flavor mismatch: server emits $ev but the start/accumulated set is " +
+                s"${gset.getClass.getSimpleName} ($gset) — check mysql_addr / the checkpoint")
             if (g.contains(':')) {
               val i = g.lastIndexOf(':')
-              val base = gset match { case s: GtidSet => s; case _ => GtidSet.empty }
+              val base = gset match {
+                case s: GtidSet => s
+                case other => if (other.isEmpty) GtidSet.empty else flavorMismatch("MySQL uuid:gno")
+              }
               gset = base.add(g.substring(0, i), g.substring(i + 1).toLong)
             } else {
               val parts = g.split("-")
-              val base = gset match { case m: GtidSet.Mariadb => m; case _ => GtidSet.Mariadb.empty }
+              val base = gset match {
+                case m: GtidSet.Mariadb => m
+                case other => if (other.isEmpty) GtidSet.Mariadb.empty
+                  else flavorMismatch("MariaDB domain-server-seq")
+              }
               gset = base.add(parts(0).toLong, parts(1).toLong, parts(2).toLong)
             }
           }

@@ -126,25 +126,25 @@ object AppConfig {
           require(eq > 0, s"malformed config line: $rawLine")
           val key = line.substring(0, eq).trim
           val value = line.substring(eq + 1).trim
+          // one array-literal parser for both branches — they must never
+          // drift (a fix applied to one would leave [sink.cfg] arrays
+          // behaving differently from sink-level arrays)
+          def parseArray(v: String): Seq[String] = {
+            val inner = v.stripPrefix("[").stripSuffix("]").trim
+            if (inner.isEmpty) Nil else inner.split(",").map(stripValue).toSeq
+          }
           if (inSink) {
             val sb = sinks.last
             if (sinkCfg) {
               // cfg is a flat string map (the reference unmarshals it per
               // sink type): an array value is preserved as its rendered
-              // comma-joined form rather than silently dropped
-              if (value.startsWith("[")) {
-                val inner = value.stripPrefix("[").stripSuffix("]").trim
-                val items =
-                  if (inner.isEmpty) Nil
-                  else inner.split(",").map(stripValue).toSeq
-                sb.cfg += key -> items.mkString(",")
-              } else sb.cfg += key -> stripValue(value)
+              // comma-joined form rather than silently dropped (consumers
+              // that take one address read the first entry)
+              if (value.startsWith("["))
+                sb.cfg += key -> parseArray(value).mkString(",")
+              else sb.cfg += key -> stripValue(value)
             } else if (value.startsWith("[")) {
-              val inner = value.stripPrefix("[").stripSuffix("]").trim
-              val items =
-                if (inner.isEmpty) Nil
-                else inner.split(",").map(stripValue).toSeq
-              sb.arrays += key -> items
+              sb.arrays += key -> parseArray(value)
             } else sb.fields += key -> stripValue(value)
           } else {
             top += (prefix + key) -> stripValue(value)

@@ -89,9 +89,13 @@ object Replay {
       k -> CanalTableFilter(sk.includeTable, sk.excludeTable)
     }.toMap
     // broker_list on the kafka sink → produce into the served topic with
-    // the recovery lifecycle (TopicSim protocol)
+    // the recovery lifecycle (TopicSim protocol). The config value may be
+    // a LIST (sarama takes every broker as a bootstrap address); the sim
+    // speaks to one server, so connect to the first entry — a list must
+    // not reach the host:port split as a comma-joined blob
     val topicAddr = cfg.sinkOfType("kafka").orElse(cfg.sinkOfType("wire"))
       .flatMap(_.cfg.get("broker_list"))
+      .map(_.split(',').head.trim).filter(_.nonEmpty)
     val snapshots = cfg.schemaTrackerDir.map(d => new SchemaSnapshotStore(Paths.get(d)))
     try {
       cfg.replayFixture match {
@@ -316,14 +320,15 @@ object Replay {
       val colon = addr.lastIndexOf(':')
       new TopicClient(addr.substring(0, colon), addr.substring(colon + 1).toInt)
     }
-    val (wireCkp, producerStartSeq) = topic match {
+    val (wireCkp, producerStartSeq, recoveredAckedOffset) = topic match {
       case Some(client) =>
         val rec = KafkaRecovery.recover(client,
           ckpMgr.get("wire").getOrElse(Checkpoint(Progress.zero)), codec)
         ckpMgr.update("wire", rec.ckp)
-        (rec.ckp.progress, rec.ackedSeq)
+        (rec.ckp.progress, rec.ackedSeq, rec.ackedOffset)
       case None =>
-        (ckpMgr.get("wire").map(_.progress).getOrElse(Progress.zero), 0L)
+        (ckpMgr.get("wire").map(_.progress).getOrElse(Progress.zero), 0L,
+          KafkaRecovery.NoOffset)
     }
     val producer = new FragmentingProducer(producerId = 1L, maxPayloadSize = 1 << 20,
       codec = codec, startSeq = producerStartSeq)
@@ -333,9 +338,10 @@ object Replay {
     // writer) advances the hwm past messages THIS producer sent, and a
     // hwm-derived checkpoint would make the next recovery scan skip them
     // (the reference records sarama's per-message ack, kafka.go:421-488).
-    var ackedOffset: Long = topic.flatMap(_ => ckpMgr.get("wire"))
-      .map(_.getIntCtx("acked_offset", KafkaRecovery.NoOffset))
-      .getOrElse(KafkaRecovery.NoOffset)
+    // init straight from the recovery result — NOT a re-read of ckpMgr,
+    // which is only equivalent because update("wire") happened above and
+    // would silently desync under a reorder or a second caller
+    var ackedOffset: Long = recoveredAckedOffset
     // trx batching over PRE-ENCODED ops: the state machine only looks at
     // opType, so executors can run codec.encodeOp in parallel and the
     // driver assembles payloads by concatenation (never re-encodes)

@@ -144,6 +144,35 @@ class TopicSimSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("produce() ack is the append's OWN offset even under a concurrent writer") {
+    val server = new TopicServer().start()
+    try {
+      // two writers race: each produce() must ack the offset ITS append
+      // landed at (+1), never a hwm re-query that covers the other
+      // writer's interleaved appends
+      val n = 100
+      def run(tag: String): (Thread, Array[Long]) = {
+        val acks = new Array[Long](n)
+        val t = new Thread(() => {
+          val c = new TopicClient("127.0.0.1", server.port)
+          for (i <- 0 until n)
+            acks(i) = c.produce(s"$tag-$i".getBytes("UTF-8")) - 1
+        })
+        (t, acks)
+      }
+      val (ta, acksA) = run("a"); val (tb, acksB) = run("b")
+      ta.start(); tb.start(); ta.join(); tb.join()
+
+      val reader = new TopicClient("127.0.0.1", server.port)
+      val byPayload = reader.fetchFrom(0L)
+        .map { case (off, data) => new String(data, "UTF-8") -> off }.toMap
+      for (i <- 0 until n) {
+        assert(acksA(i) == byPayload(s"a-$i"), s"writer A message $i")
+        assert(acksB(i) == byPayload(s"b-$i"), s"writer B message $i")
+      }
+    } finally server.close()
+  }
+
   test("seeding from existing wire messages serves the same bytes") {
     val producer = new FragmentingProducer(producerId = 9L)
     val seed = producer.produce(trx(100, 7)).map(Wire.encodeMessage)
