@@ -174,19 +174,26 @@ final case class RenameTo(db: String, name: String) extends AlterSpec
 object DdlParser {
 
   /** Tokenize respecting backtick identifiers, quoted strings, parens and
-    * commas; comments already stripped by Statement.trim-like pre-pass
-    * (we strip them here ourselves, preserving case for identifiers). */
+    * commas. Comments are stripped INSIDE the loop, where quote state is
+    * known — a regex pre-pass would also delete from a dash-dash or
+    * slash-star INSIDE a string literal (e.g. COMMENT 'x -- y'),
+    * truncating the statement and silently dropping every later column
+    * from the mirror. */
   private[cdc] def tokenize(sql: String): Vector[String] = {
     val s = sql
-      .replaceAll("(?s)/\\*.*?\\*/", " ")
-      .replaceAll("--[^\r\n]*", " ")
-      .replaceAll("(?m)^#[^\r\n]*", " ")
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
       if (ch.isWhitespace) i += 1
-      else if (ch == '`') {
+      else if (ch == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val j = s.indexOf("*/", i + 2)
+        i = if (j < 0) s.length else j + 2
+      } else if (ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+      } else if (ch == '#') {
+        while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+      } else if (ch == '`') {
         val j = s.indexOf('`', i + 1)
         require(j > 0, "unterminated backtick identifier")
         out += s.substring(i + 1, j)
@@ -419,7 +426,11 @@ object DdlParser {
       var done = false
       while (!done) {
         peekUp match {
-          case "PRIMARY" | "UNIQUE" | "KEY" | "INDEX" | "CONSTRAINT" | "FULLTEXT" | "FOREIGN" =>
+          case "PRIMARY" | "UNIQUE" | "KEY" | "INDEX" | "CONSTRAINT" | "FULLTEXT"
+              | "FOREIGN" | "SPATIAL" | "CHECK" =>
+            // SPATIAL KEY / CHECK (...) are standard SHOW CREATE TABLE
+            // output — falling into columnDef would consume the keyword
+            // as a column name and abort the whole parse
             val isPrimary = peekUp == "PRIMARY"
             // capture PRIMARY KEY column to mark ColumnDef.key
             while (i < toks.length && peek != "(") next()

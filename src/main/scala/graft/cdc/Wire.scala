@@ -357,12 +357,19 @@ final class OperationDecoder(codec: WireCodec = Wire, lastCommitSeq: Long = 0L) 
       commitOffset: Long)
 
   /** Feed one raw message; emits a batch when a fragment group completes.
-    * Duplicated/disordered seq → dropped (exactly-once consumption). */
+    * Duplicated seq (≤ current) → dropped (exactly-once consumption); a
+    * seq GAP raises — a gap means a message is missing from the topic and
+    * every later message would be silently dropped forever by a
+    * dup-style ignore (the consumer would read the whole topic producing
+    * zero batches and no error). */
   def feed(data: Array[Byte], offset: Long): Option[DecodedBatch] = {
     val msg = codec.decodeMessage(data)
 
     if (curSeq == 0L) curSeq = msg.seq - 1 // init from first message
-    if (msg.seq != curSeq + 1) return None // dup or gap → ignore
+    if (msg.seq <= curSeq) return None // duplicate/stale → ignore
+    if (msg.seq != curSeq + 1) throw new IllegalStateException(
+      s"sequence gap: expected ${curSeq + 1}, got ${msg.seq} at offset $offset " +
+        "— a message is missing from the topic")
 
     if (msg.producerId != curProducerId && fragments.nonEmpty) {
       fragments = Vector.empty // failover: drop incomplete group

@@ -82,8 +82,16 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
         var done = false
         while (!done) {
           val p = recv()
-          if (((p(0) & 0xff) == 0xfe && p.length < 9) || (p(0) & 0xff) == 0xff) done = true
-          else {
+          if ((p(0) & 0xff) == 0xfe && p.length < 9) done = true
+          else if ((p(0) & 0xff) == 0xff) {
+            // mid-resultset ERR (KILL QUERY, max_execution_time, lock
+            // timeout): the rows so far are a TRUNCATED result — raising
+            // is mandatory, returning them as complete would silently
+            // lose data in a bootstrap SELECT
+            val e = Handshake.parseOkErr(p).swap.getOrElse(Handshake.Err(0, "", "unknown"))
+            throw new IllegalStateException(
+              s"query aborted mid-resultset: ${e.code} ${e.message}")
+          } else {
             val r = new Reader(p)
             rows += Vector.fill(nCols)(r.lenencStringOpt())
           }
@@ -129,15 +137,39 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
     }
   }
 
+  /** Announce checksum awareness and learn the server's setting — REQUIRED
+    * before any dump command: a MySQL >= 5.6 master with the default
+    * `binlog_checksum=CRC32` refuses COM_BINLOG_DUMP from a client that
+    * has not set `@master_binlog_checksum` ("Slave can not handle
+    * replication events with the checksum..."). Returns whether events
+    * will arrive checksummed, which must ALSO initialize the stream state:
+    * the artificial ROTATE the server sends BEFORE the first FDE already
+    * carries the CRC, so deriving the state only from the FDE would leak
+    * 4 CRC bytes into that rotate's file name. Pre-5.6 servers know
+    * neither variable — both failures degrade to "no checksum". */
+  private def announceChecksum(): Boolean = {
+    val set =
+      try query("SET @master_binlog_checksum = @@global.binlog_checksum").isRight
+      catch { case _: IllegalStateException => false }
+    if (!set) false
+    else try query("SELECT @@global.binlog_checksum") match {
+      case Left(rs) => rs.rows.headOption.flatMap(_.headOption.flatten)
+        .exists(_.equalsIgnoreCase("CRC32"))
+      case Right(_) => false
+    } catch { case _: IllegalStateException => false }
+  }
+
   /** COM_BINLOG_DUMP from (file, pos): the replication stream. Each packet
-    * is 0x00 ++ event; CRC32 checksums (announced by the FDE) are stripped
-    * before parsing; TABLE_MAP registrations accumulate for rows decode. */
+    * is 0x00 ++ event; CRC32 checksums (announced up front and confirmed
+    * by each FDE) are stripped before parsing; TABLE_MAP registrations
+    * accumulate for rows decode. */
   def dump(fileName: String, position: Long, serverId: Long):
       Iterator[(BinlogEvents.EventHeader, BinlogEvents.Event)] = {
+    val checksummed = announceChecksum()
     resetSeq()
     send(new Writer().u8(COM_BINLOG_DUMP).u32(position).u16(0).u32(serverId)
       .eofStr(fileName).result)
-    eventStream()
+    eventStream(checksummed)
   }
 
   /** COM_BINLOG_DUMP_GTID from a GTID set: the failover-surviving start
@@ -149,6 +181,7 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
   def dumpGtid(gset: GtidSet, serverId: Long,
       fileName: String = "", position: Long = 4):
       Iterator[(BinlogEvents.EventHeader, BinlogEvents.Event)] = {
+    val checksummed = announceChecksum()
     resetSeq()
     val w = new Writer().u8(COM_BINLOG_DUMP_GTID)
       .u16(BINLOG_THROUGH_GTID)
@@ -167,7 +200,7 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
     w.u32(sidData.length.toLong)
     w.raw(sidData)
     send(w.result)
-    eventStream()
+    eventStream(checksummed)
   }
 
   /** MariaDB-flavor GTID start: MariaDB has no dump-GTID command — the
@@ -195,10 +228,14 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
     Array.tabulate(16)(i => Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
   }
 
-  /** Shared dump-response loop for both dump commands. */
-  private def eventStream(): Iterator[(BinlogEvents.EventHeader, BinlogEvents.Event)] = {
+  /** Shared dump-response loop for both dump commands. `initChecksummed`
+    * comes from the announce query, so the pre-FDE artificial ROTATE is
+    * stripped correctly too; each FDE then re-confirms (a rotation to a
+    * file written under a different setting announces itself). */
+  private def eventStream(initChecksummed: Boolean)
+      : Iterator[(BinlogEvents.EventHeader, BinlogEvents.Event)] = {
     val tables = mutable.Map.empty[Long, BinlogEvents.TableMap]
-    var checksummed = false
+    var checksummed = initChecksummed
     new Iterator[(BinlogEvents.EventHeader, BinlogEvents.Event)] {
       private var nextEv: (BinlogEvents.EventHeader, BinlogEvents.Event) = _
       private var eof = false
@@ -208,8 +245,15 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
           val p = try recv() catch { case _: java.io.EOFException => eof = true; null }
           if (p != null) (p(0) & 0xff) match {
             case 0x00 =>
+              // never strip the CRC from a FORMAT_DESCRIPTION event
+              // (type byte at p[5]: status + 4-byte timestamp): its
+              // checksum-alg byte sits at length-5 COUNTING the trailing
+              // CRC, and mid-stream FDEs (every binlog rotation) would
+              // otherwise lose it and flip the state off
+              val isFde = p.length > 5 &&
+                (p(5) & 0xff) == BinlogEvents.FORMAT_DESCRIPTION_EVENT
               val body =
-                if (checksummed) java.util.Arrays.copyOfRange(p, 1, p.length - 4)
+                if (checksummed && !isFde) java.util.Arrays.copyOfRange(p, 1, p.length - 4)
                 else java.util.Arrays.copyOfRange(p, 1, p.length)
               val r = new Reader(body)
               val header = BinlogEvents.parseHeader(r)

@@ -345,12 +345,17 @@ object BinlogEvents {
     val rr = new Packets.Reader(raw)
     val sb = new StringBuilder
     if (negative) sb.append('-')
-    if (intLeft > 0) sb.append(rr.beInt(leftoverBytes(intLeft)).toString)
-    for (_ <- 0 until intWords) {
-      val w = rr.beInt(wordBytes)
-      sb.append(if (sb.isEmpty || (negative && sb.length == 1)) w.toString else f"$w%09d")
-    }
-    if (sb.isEmpty || sb.toString == "-") sb.append('0')
+    // render ALL integer groups zero-padded, then strip the leading
+    // zeros of the concatenation — padding only groups after a non-empty
+    // builder would keep a ZERO leading group (e.g. DECIMAL(12,2) holding
+    // 1.50 has intLeft group 0, word 1) and emit "0000000001.50"
+    val intRendered = new StringBuilder
+    if (intLeft > 0)
+      intRendered.append(s"%0${intLeft}d".format(rr.beInt(leftoverBytes(intLeft))))
+    for (_ <- 0 until intWords)
+      intRendered.append(f"${rr.beInt(wordBytes)}%09d")
+    val intStr = intRendered.dropWhile(_ == '0')
+    sb.append(if (intStr.isEmpty) "0" else intStr)
     if (scale > 0) {
       sb.append('.')
       for (_ <- 0 until fracWords) sb.append(f"${rr.beInt(wordBytes)}%09d")

@@ -12,12 +12,32 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object Packets {
 
-  /** One framed packet: 3-byte LE length + 1-byte sequence + payload. */
+  /** One framed packet: 3-byte LE length + 1-byte sequence + payload.
+    * A payload of exactly 0xffffff bytes continues in the next packet
+    * (the protocol's multi-packet rule — without reassembly a >=16MB
+    * binlog event would be parsed as two independent events, the first
+    * truncated and the second garbage); the returned seq is the LAST
+    * fragment's, so the caller's sequence tracking stays aligned. */
   def readPacket(in: InputStream): (Int, Array[Byte]) = {
-    val hdr = readN(in, 4)
-    val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
-    val seq = hdr(3) & 0xff
-    (seq, readN(in, len))
+    def one(): (Int, Array[Byte]) = {
+      val hdr = readN(in, 4)
+      val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
+      val seq = hdr(3) & 0xff
+      (seq, readN(in, len))
+    }
+    var (seq, payload) = one()
+    if (payload.length == 0xffffff) {
+      val acc = new ByteArrayOutputStream()
+      acc.write(payload)
+      var last = payload
+      while (last.length == 0xffffff) {
+        val (s, p) = one()
+        seq = s; last = p
+        acc.write(p)
+      }
+      payload = acc.toByteArray
+    }
+    (seq, payload)
   }
 
   def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {

@@ -111,6 +111,34 @@ class SchemaTrackerSpec extends AnyFunSuite {
     assert(t.getTableDef("test", "canal_test").get.columns.map(_.name).contains("x"))
   }
 
+  test("comment markers INSIDE string literals do not truncate the statement") {
+    val t = freshTracker
+    // the -- lives inside the COMMENT literal: a regex strip would delete
+    // ", ADD c2 INT" plus the closing quote and silently lose c2
+    t.execDdl("ALTER TABLE canal_test ADD c1 INT COMMENT 'x -- y', ADD c2 INT", "test")
+    val cols = t.getTableDef("test", "canal_test").get.columns.map(_.name)
+    assert(cols.contains("c1") && cols.contains("c2"))
+    t.execDdl("ALTER TABLE canal_test ADD c3 INT COMMENT 'a /* b', ADD c4 INT", "test")
+    val cols2 = t.getTableDef("test", "canal_test").get.columns.map(_.name)
+    assert(cols2.contains("c3") && cols2.contains("c4"))
+  }
+
+  test("inline SPATIAL KEY and CHECK constraints parse (SHOW CREATE TABLE form)") {
+    val t = freshTracker
+    t.execDdl(
+      """CREATE TABLE geo (
+        |  id INT NOT NULL,
+        |  g GEOMETRY NOT NULL,
+        |  price INT,
+        |  SPATIAL KEY `g` (`g`),
+        |  CHECK (price > 0),
+        |  PRIMARY KEY (id)
+        |)""".stripMargin, "test")
+    val d = t.getTableDef("test", "geo").get
+    assert(d.columns.map(_.name) == Vector("id", "g", "price"))
+    assert(d.columns.find(_.name == "id").get.key == "PRI")
+  }
+
   test("full type-coverage table (FIXTURES.md §1.4)") {
     val t = new SchemaTracker
     t.execDdl("CREATE DATABASE test", "")

@@ -102,15 +102,23 @@ class WireSpec extends AnyFunSuite {
     assert(decoded == ops.toVector)
   }
 
-  test("decoder: duplicated and disordered seq are dropped (exactly-once)") {
+  test("decoder: duplicates drop silently; a seq GAP raises (exactly-once)") {
     val p = new FragmentingProducer(producerId = 1, maxPayloadSize = 1 << 20)
     val m1 = p.produce(Seq(op(1))).head
     val m2 = p.produce(Seq(op(2))).head
     val m3 = p.produce(Seq(op(3))).head
     val dec = new OperationDecoder
     assert(dec.feed(Wire.encodeMessage(m1), 0).isDefined)
-    assert(dec.feed(Wire.encodeMessage(m1), 1).isEmpty) // duplicate
-    assert(dec.feed(Wire.encodeMessage(m3), 2).isEmpty) // gap (retry reorder)
+    assert(dec.feed(Wire.encodeMessage(m1), 1).isEmpty) // duplicate → drop
+    // the topic is a strictly-ordered log: seeing m3 while expecting m2
+    // means m2 is ABSENT (it can never arrive later), so a dup-style
+    // ignore would silently drop every subsequent message forever — the
+    // decoder must surface it
+    val e = intercept[IllegalStateException] {
+      dec.feed(Wire.encodeMessage(m3), 2)
+    }
+    assert(e.getMessage.contains("sequence gap"))
+    // in-order consumption after the duplicate still proceeds
     assert(dec.feed(Wire.encodeMessage(m2), 3).isDefined)
     assert(dec.feed(Wire.encodeMessage(m3), 4).isDefined)
   }

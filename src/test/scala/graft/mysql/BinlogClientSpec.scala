@@ -136,9 +136,10 @@ class BinlogClientSpec extends AnyFunSuite {
       w.result
     }
 
-    val (in, out) = script(
+    val (in, out) = script(Seq(
       frame(0, greeting), frame(2, okPacket), // connect
-      frame(1, okPacket), // register slave
+      frame(1, okPacket)) ++ // register slave
+      checksumAnnounce("CRC32") ++ Seq(
       // dump response
       frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 1), crc = true)),
       frame(2, eventPacket(ROTATE_EVENT, 0,
@@ -151,7 +152,7 @@ class BinlogClientSpec extends AnyFunSuite {
         "mysql-bin.000042".getBytes(UTF_8), crc = true)),
       frame(8, eventPacket(XID_EVENT, 440,
         new Packets.Writer().u64(777L).result, crc = true)),
-      frame(9, eofPacket))
+      frame(9, eofPacket)): _*)
 
     val c = new BinlogClient(in, out, "repl", "secret")
     c.connect()
@@ -206,12 +207,13 @@ class BinlogClientSpec extends AnyFunSuite {
 
   test("dump without FDE checksum does not strip event tails") {
     import BinlogEvents._
-    val (in, out) = script(
-      frame(0, greeting), frame(2, okPacket),
+    val (in, out) = script(Seq(
+      frame(0, greeting), frame(2, okPacket)) ++
+      checksumAnnounce("NONE") ++ Seq(
       frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 0), crc = false)),
       frame(2, eventPacket(XID_EVENT, 200,
         new Packets.Writer().u64(42L).result, crc = false)),
-      frame(3, eofPacket))
+      frame(3, eofPacket)): _*)
     val c = new BinlogClient(in, out, "repl", "secret")
     c.connect()
     val evs = c.dump("mysql-bin.000001", 4, 1001).toVector
@@ -221,12 +223,13 @@ class BinlogClientSpec extends AnyFunSuite {
   test("GTID dump: COM_BINLOG_DUMP_GTID carries the documented SID block " +
       "with exclusive interval upper bounds") {
     import BinlogEvents._
-    val (in, out) = script(
-      frame(0, greeting), frame(2, okPacket),
+    val (in, out) = script(Seq(
+      frame(0, greeting), frame(2, okPacket)) ++
+      checksumAnnounce("CRC32") ++ Seq(
       frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 1), crc = true)),
       frame(2, eventPacket(XID_EVENT, 200,
         new Packets.Writer().u64(7L).result, crc = true)),
-      frame(3, eofPacket))
+      frame(3, eofPacket)): _*)
     val c = new BinlogClient(in, out, "repl", "secret")
     c.connect()
     val gset = GtidSet.parse(
@@ -270,13 +273,14 @@ class BinlogClientSpec extends AnyFunSuite {
 
   test("MariaDB GTID start: slave_connect_state announced, then a plain dump") {
     import BinlogEvents._
-    val (in, out) = script(
+    val (in, out) = script(Seq(
       frame(0, greeting), frame(2, okPacket),
-      frame(1, okPacket), frame(1, okPacket), frame(1, okPacket), frame(1, okPacket), // 4 SETs
+      frame(1, okPacket), frame(1, okPacket), frame(1, okPacket), frame(1, okPacket)) ++ // 4 SETs
+      checksumAnnounce("CRC32") ++ Seq(
       frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 1), crc = true)),
       frame(2, eventPacket(XID_EVENT, 200,
         new Packets.Writer().u64(5L).result, crc = true)),
-      frame(3, eofPacket))
+      frame(3, eofPacket)): _*)
     val c = new BinlogClient(in, out, "repl", "secret")
     c.connect()
     val evs = c.dumpMariadbGtid(GtidSet.Mariadb.parse("0-1-100,1-2-5"), serverId = 1001).toVector
@@ -314,5 +318,29 @@ class BinlogClientSpec extends AnyFunSuite {
     val r = new Packets.Reader(w.result)
     val dec = BinlogEvents.readValue(246, (14 << 8) | 4, r)
     assert(dec == "1234567890.1234")
+  }
+
+  test("NEWDECIMAL with a zero leading group renders without zero-padding") {
+    // decimal(12,2) value 1.50: intDigits=10 -> leftover 1 digit group 0
+    // (1 byte) + word 1; frac 50 -> leftover 2 digits (1 byte)
+    val w = new Packets.Writer
+    w.u8(0x80) // leftover int group = 0, sign bit set (positive)
+    w.u8(0); w.u8(0); w.u8(0); w.u8(1) // int word 1, big-endian
+    w.u8(50) // frac leftover
+    val r = new Packets.Reader(w.result)
+    assert(BinlogEvents.readValue(246, (12 << 8) | 2, r) == "1.50")
+
+    // and the all-zero integer part keeps a single 0 (value 0.25)
+    val w2 = new Packets.Writer
+    w2.u8(0x80); w2.u8(0); w2.u8(0); w2.u8(0); w2.u8(0); w2.u8(25)
+    val r2 = new Packets.Reader(w2.result)
+    assert(BinlogEvents.readValue(246, (12 << 8) | 2, r2) == "0.25")
+
+    // negative 1.50 (decimal(12,2)): stored as bitwise NOT of the positive
+    val w3 = new Packets.Writer
+    w3.u8(0x80); w3.u8(0); w3.u8(0); w3.u8(0); w3.u8(1); w3.u8(50)
+    val bytes = w3.result.map(b => (~b).toByte)
+    val r3 = new Packets.Reader(bytes)
+    assert(BinlogEvents.readValue(246, (12 << 8) | 2, r3) == "-1.50")
   }
 }

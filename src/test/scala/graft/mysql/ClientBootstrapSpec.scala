@@ -30,10 +30,13 @@ class ClientBootstrapSpec extends AnyFunSuite {
   test("bootstrap: snapshot, master position, schema mirror, chunked inserts") {
     val conv: Seq[Array[Byte]] =
       Seq(frame(0, greeting), frame(2, okPacket)) ++ // connect
+        okReply ++ // FLUSH TABLES WITH READ LOCK
         okReply ++ // SET ISOLATION
         okReply ++ // START TRANSACTION
         resultSet(Seq("File", "Position", "Binlog_Do_DB"),
           Seq(Seq(Some("mysql-bin.000042"), Some("1234"), Some("")))) ++
+        okReply ++ // UNLOCK TABLES
+        resultSet(Seq("@@server_id"), Seq(Seq(Some("66693")))) ++
         resultSet(Seq("Database"),
           Seq(Seq(Some("mysql")), Seq(Some("shop")))) ++ // system db filtered
         resultSet(Seq("Tables_in_shop"), Seq(Seq(Some("orders")))) ++
@@ -51,8 +54,10 @@ class ClientBootstrapSpec extends AnyFunSuite {
     val tracker = new SchemaTracker
     val boot = new ClientBootstrap(client, tracker, rowsPerOp = 2).run()
 
-    // resume position read INSIDE the snapshot
-    assert(boot.resume.pos == Position("mysql-bin.000042", 1234L, 0L))
+    // resume position read under the read lock == the snapshot point,
+    // carrying the master's real server_id
+    assert(boot.resume.pos == Position("mysql-bin.000042", 1234L, 66693L))
+    assert(boot.ops.forall(_.header.serverId == 66693L))
 
     // schema mirrored
     assert(tracker.getDatabases == Vector("shop"))
@@ -70,7 +75,9 @@ class ClientBootstrapSpec extends AnyFunSuite {
 
     // the conversation ran the documented statement order
     val sent = new String(out.toByteArray, UTF_8)
-    val order = Seq("REPEATABLE READ", "CONSISTENT SNAPSHOT", "SHOW MASTER STATUS",
+    val order = Seq("FLUSH TABLES WITH READ LOCK", "REPEATABLE READ",
+      "CONSISTENT SNAPSHOT", "SHOW MASTER STATUS", "UNLOCK TABLES",
+      "SELECT @@server_id",
       "SHOW DATABASES", "SHOW TABLES FROM `shop`", "SHOW CREATE TABLE `shop`.`orders`",
       "SELECT * FROM `shop`.`orders`", "COMMIT")
     val idxs = order.map(sent.indexOf)

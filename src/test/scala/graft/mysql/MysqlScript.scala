@@ -92,6 +92,17 @@ object MysqlScript {
     frame(5, textRow(Some("binlog_format"), Some(value))),
     frame(6, eofPacket))
 
+  /** Responses to the client's checksum announce (issued before every
+    * dump): OK for the SET, then the 1-row resultset for
+    * SELECT @@global.binlog_checksum. */
+  def checksumAnnounce(value: String): Seq[Array[Byte]] = Seq(
+    frame(1, okPacket),
+    frame(1, new Packets.Writer().lenenc(1L).result),
+    frame(2, colDef("@@global.binlog_checksum")),
+    frame(3, eofPacket),
+    frame(4, textRow(Some(value))),
+    frame(5, eofPacket))
+
   def script(packets: Array[Byte]*): (ByteArrayInputStream, ByteArrayOutputStream) =
     (new ByteArrayInputStream(packets.flatten.toArray), new ByteArrayOutputStream())
 }

@@ -52,7 +52,9 @@ class BinlogLiveSourceSpec extends AnyFunSuite {
       binlogFormatResult("ROW") ++ // S2
       Seq(
         frame(1, okPacket), // SET heartbeat
-        frame(1, okPacket), // register slave
+        frame(1, okPacket)) ++ // register slave
+      checksumAnnounce("CRC32") ++
+      Seq(
         frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 1), crc = true)),
         frame(2, eventPacket(ROTATE_EVENT, 0,
           new Packets.Writer().u64(4L).eofStr("mysql-bin.000099").result,
@@ -130,7 +132,9 @@ class BinlogLiveSourceSpec extends AnyFunSuite {
           frame(1, okPacket), // SET heartbeat
           frame(1, okPacket), // register slave
           frame(1, okPacket), frame(1, okPacket), // 4 session-var SETs
-          frame(1, okPacket), frame(1, okPacket),
+          frame(1, okPacket), frame(1, okPacket)) ++
+        checksumAnnounce("CRC32") ++
+        Seq(
           frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 1), crc = true)),
           frame(2, eventPacket(ROTATE_EVENT, 0,
             new Packets.Writer().u64(4L).eofStr("mariadb-bin.000007").result,

@@ -72,7 +72,8 @@ class ReplayLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def preamble: Seq[Array[Byte]] =
     Seq(frame(0, greeting), frame(2, okPacket)) ++
       binlogFormatResult("ROW") ++
-      Seq(frame(1, okPacket), frame(1, okPacket)) // heartbeat, register
+      Seq(frame(1, okPacket), frame(1, okPacket)) ++ // heartbeat, register
+      checksumAnnounce("CRC32")
 
   /** trx events (gtid, begin, tablemap, insert, xid) at ascending log_pos. */
   private def trx(gno: Long, basePos: Long, id: Long, name: String,
