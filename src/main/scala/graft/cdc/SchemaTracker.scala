@@ -17,24 +17,29 @@ import scala.collection.mutable
   * /root/reference/canal/sync.go:237-257).
   */
 final class SchemaTracker {
-  // db -> (table -> def), insertion-ordered for stable listings
+  // db -> (table -> def), insertion-ordered for stable listings.
+  // All public accessors synchronize on this: the admin HTTP thread
+  // reads the mirror (GET /schema*) while the pipeline thread replays
+  // DDL into it — unsynchronized LinkedHashMap iteration during a
+  // rehash throws ConcurrentModificationException or returns garbage.
+  // DDL rate is human-scale; the coarse lock costs nothing.
   private val dbs = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[String, TableDef]]
 
-  def getDatabases: Vector[String] = dbs.keys.toVector
-  def getTables(db: String): Vector[String] =
-    dbs.get(db).map(_.keys.toVector).getOrElse(Vector.empty)
-  def getTableDef(db: String, table: String): Option[TableDef] =
-    dbs.get(db).flatMap(_.get(table))
+  def getDatabases: Vector[String] = synchronized(dbs.keys.toVector)
+  def getTables(db: String): Vector[String] = synchronized(
+    dbs.get(db).map(_.keys.toVector).getOrElse(Vector.empty))
+  def getTableDef(db: String, table: String): Option[TableDef] = synchronized(
+    dbs.get(db).flatMap(_.get(table)))
 
-  def createDatabase(db: String): Unit =
-    dbs.getOrElseUpdate(db, mutable.LinkedHashMap.empty)
+  def createDatabase(db: String): Unit = synchronized(
+    dbs.getOrElseUpdate(db, mutable.LinkedHashMap.empty))
 
-  def snapshotCatalog: Vector[TableDef] =
-    dbs.values.flatMap(_.values).toVector
+  def snapshotCatalog: Vector[TableDef] = synchronized(
+    dbs.values.flatMap(_.values).toVector)
 
-  def restoreCatalog(defs: Seq[TableDef], databases: Seq[String]): Unit = {
+  def restoreCatalog(defs: Seq[TableDef], databases: Seq[String]): Unit = synchronized {
     dbs.clear()
-    databases.foreach(createDatabase)
+    databases.foreach(d => dbs.getOrElseUpdate(d, mutable.LinkedHashMap.empty))
     defs.foreach { t =>
       dbs.getOrElseUpdate(t.database, mutable.LinkedHashMap.empty).update(t.name, t)
     }
@@ -49,7 +54,7 @@ final class SchemaTracker {
   def execDdl(statement: String, currentDb: String): Unit = {
     val ddl = DdlParser.parse(statement, currentDb)
       .getOrElse(throw new DdlParseException(statement))
-    apply(ddl)
+    synchronized(apply(ddl))
   }
 
   private def apply(ddl: Ddl): Unit = ddl match {

@@ -42,7 +42,12 @@ final class ZkElection(
     override def process(e: WatchedEvent): Unit = {
       if (e.getState == KeeperState.Expired || e.getState == KeeperState.Closed) {
         if (!closed) {
+          val wasLeader = leader
           leader = false
+          // demotion must surface on the ROLE channel too — a caller
+          // following the class doc polls notifications, and a silent
+          // errors-only demotion would leave it acting as leader
+          if (wasLeader) notifications.offer(false)
           errors.offer(s"zookeeper session lost: ${e.getState}")
         }
       } else if (e.getType == EventType.NodeDeleted) {
@@ -86,7 +91,9 @@ final class ZkElection(
       val mine = myNode.substring(path.length + 1)
       val idx = children.indexOf(mine)
       if (idx < 0) { // our node vanished (session reset): fatal
+        val wasLeader = leader
         leader = false
+        if (wasLeader) notifications.offer(false)
         errors.offer("election node lost")
         return
       }
@@ -102,7 +109,20 @@ final class ZkElection(
         if (zk.exists(pred, watcher) == null) evaluate() // raced: gone already
       }
     } catch {
-      case e: KeeperException => if (!closed) errors.offer(s"zookeeper error: ${e.getMessage}")
+      case _: KeeperException =>
+        // transient (e.g. ConnectionLoss with a surviving session): the
+        // predecessor watch was NOT registered, so giving up here would
+        // wedge this candidate out of the failover set forever. Retry
+        // off-thread until closed; a real session expiry surfaces via
+        // the watcher's Expired path, not here.
+        if (!closed) {
+          val t = new Thread(() => {
+            try { Thread.sleep(500); evaluate() }
+            catch { case _: InterruptedException => () }
+          }, "zk-election-retry")
+          t.setDaemon(true)
+          t.start()
+        }
       case _: InterruptedException => ()
     }
   }

@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `char_entropy(text) BETWEEN 3.5 AND 5.0`) fuse with the parquet scan.
   * An exploded form would shuffle one row per character — at 100 TB that is
   * the difference between a scan and a corpus-sized exchange (measured
-  * 2.7x at sf0.1 against the explode→histogram→agg dataflow, EntropyBench;
+  * 2.4x at sf0.1 against the result-equivalent explode→histogram→agg
+  * dataflow, EntropyBench;
   * the explode side's exchange scales with corpus bytes, the kernel stays
   * inside the scan).
   *

@@ -33,10 +33,14 @@ object EntropyBench {
       Seq(time(f), time(f), time(f)).sorted.apply(1)
     }
 
-    // built-ins-only form: explode characters, histogram, entropy agg
+    // built-ins-only form: explode characters, histogram, entropy agg.
+    // Spark's split(text, '') keeps a trailing '' element — filter it so
+    // the baseline computes the SAME entropy the kernel does (a spurious
+    // '' symbol per doc would make the comparison non-result-equivalent)
     val explodeForm = median3 {
       docs
         .select($"doc_id", explode(split($"text", "")).as("c"))
+        .filter($"c" =!= "")
         .groupBy($"doc_id", $"c").agg(count(lit(1)).cast("double").as("cnt"))
         .groupBy($"doc_id")
         .agg((log2(sum($"cnt")) - sum($"cnt" * log2($"cnt")) / sum($"cnt"))

@@ -30,6 +30,9 @@ object RollingHash {
 
   /** The pure function the UDF wraps (unit-tested directly). */
   def compute(norm: String, k: Int, w: Int, mod: Long): Array[Long] = {
+      require(mod >= 2 && mod <= WinnowFingerprints.MaxMod,
+        s"mod must be in [2, 2^40] — the rolling recurrence reaches ~31*2^16*mod and " +
+          s"silently wraps Long beyond that (got $mod)")
       if (norm == null || norm.length < k) Array.empty[Long]
       else {
         val n = norm.length

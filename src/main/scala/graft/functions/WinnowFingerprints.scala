@@ -17,10 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class WinnowFingerprints(child: Expression, k: Int, w: Int, mod: Long)
     extends UnaryExpression {
 
+  // mod cap: the rolling recurrence computes (h − c·powk)·31 + c with
+  // h, powk < mod and c ≤ 0xffff, so the magnitude reaches ~31·2^16·mod;
+  // mod ≤ 2^40 keeps that under 2^62 — beyond it the Long silently wraps
+  // and fingerprints stop matching the documented congruence
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if k >= 1 && w >= 1 && mod >= 2 => TypeCheckResult.TypeCheckSuccess
+    case StringType if k >= 1 && w >= 1 && mod >= 2 && mod <= WinnowFingerprints.MaxMod =>
+      TypeCheckResult.TypeCheckSuccess
     case StringType => TypeCheckResult.TypeCheckFailure(
-      s"winnow_fingerprints: need k>=1, w>=1, mod>=2 (got k=$k w=$w mod=$mod)")
+      s"winnow_fingerprints: need k>=1, w>=1, 2<=mod<=2^40 (got k=$k w=$w mod=$mod)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"winnow_fingerprints expects string, got ${other.catalogString}")
   }
@@ -40,6 +45,9 @@ final case class WinnowFingerprints(child: Expression, k: Int, w: Int, mod: Long
 }
 
 object WinnowFingerprints {
+
+  /** Largest safe modulus for the rolling recurrence (see the type check). */
+  val MaxMod: Long = 1L << 40
 
   /** Kernel shared by interpreted eval and generated code. */
   def compute(s: UTF8String, k: Int, w: Int, mod: Long): ArrayData =

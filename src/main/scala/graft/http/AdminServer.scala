@@ -85,6 +85,13 @@ final class AdminServer(
   private def ok(ex: HttpExchange, json: String): Unit = respond(ex, 200, json, json = true)
   private def err(ex: HttpExchange, msg: String): Unit = respond(ex, 400, msg, json = false)
 
+  /** Mutating routes are POST-only (the reference's routing table): a GET
+    * from a crawler/prefetcher must never skip a parked DDL. Responds 405
+    * and returns false when the method is wrong. */
+  private def requirePost(ex: HttpExchange): Boolean =
+    if (ex.getRequestMethod.equalsIgnoreCase("POST")) true
+    else { respond(ex, 405, "method not allowed (POST required)", json = false); false }
+
   /** Query-string + urlencoded-body params (the reference's req.FormValue).
     * Parsed once — the request body is consumable only once. */
   private def formValues(ex: HttpExchange): Map[String, String] = {
@@ -137,11 +144,13 @@ final class AdminServer(
         }
 
       case "ddl" :: "retry" :: Nil =>
-        if (!gate.isParked) err(ex, "no failed ddl")
+        if (!requirePost(ex)) ()
+        else if (!gate.isParked) err(ex, "no failed ddl")
         else if (gate.retry()) respond(ex, 200, "", json = false)
         else err(ex, "retry failed: " + gate.failed.map(_.error).getOrElse(""))
 
       case "ddl" :: "exec" :: Nil =>
+        if (!requirePost(ex)) return
         val form = formValues(ex)
         form.get("statement") match {
           case None => err(ex, "param \"statement\" is empty")
@@ -153,7 +162,8 @@ final class AdminServer(
         }
 
       case "ddl" :: "skip" :: Nil =>
-        if (!gate.isParked) err(ex, "no failed ddl")
+        if (!requirePost(ex)) ()
+        else if (!gate.isParked) err(ex, "no failed ddl")
         else { gate.skip(); respond(ex, 200, "", json = false) }
 
       case _ => respond(ex, 404, "not found", json = false)

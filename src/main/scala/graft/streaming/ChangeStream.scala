@@ -69,9 +69,15 @@ object ChangeStream {
   def dedupBelowCheckpoint(ds: Dataset[OpEnvelope], ckp: Progress): Dataset[OpEnvelope] = {
     if (ckp.isZero) ds
     else ds.filter { e =>
-      val pos = Position(e.logName, e.op.header.logPos, e.op.header.serverId)
-      if (pos.serverId != ckp.pos.serverId) true // failover: treat as new
-      else pos.compare(ckp.pos) > 0
+      if (e.logName.isEmpty) true // pre-rotate event: position UNKNOWN —
+      // "" sorts below every real binlog name, so comparing would
+      // silently drop genuine post-checkpoint events; pass through and
+      // let the seq/trx dedup layers handle any true duplicate
+      else {
+        val pos = Position(e.logName, e.op.header.logPos, e.op.header.serverId)
+        if (pos.serverId != ckp.pos.serverId) true // failover: treat as new
+        else pos.compare(ckp.pos) > 0
+      }
     }
   }
 

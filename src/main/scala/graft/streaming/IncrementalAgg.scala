@@ -58,11 +58,15 @@ object IncrementalAgg {
     val d = deltas(ops)
     val merged = SnapshotStore.read(spark, stateRoot) match {
       case Some(cur) =>
-        cur.join(d, Seq("grp"), "full_outer")
-          .select(col("grp"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-            (coalesce(col("total"), lit(0L).cast(dec)) +
-              coalesce(col("dsum"), lit(0L).cast(dec))).cast(dec).as("total"))
+        // null-SAFE join key: groupBy puts all NULL grp rows in ONE
+        // group, so the merge must too — a plain equi-join never matches
+        // the snapshot's NULL row and the NULL group would accumulate a
+        // duplicate row per batch, diverging from the batch GROUP BY
+        cur.as("c").join(d.as("d"), col("c.grp") <=> col("d.grp"), "full_outer")
+          .select(coalesce(col("c.grp"), col("d.grp")).as("grp"),
+            (coalesce(col("c.n"), lit(0L)) + coalesce(col("d.dn"), lit(0L))).as("n"),
+            (coalesce(col("c.total"), lit(0L).cast(dec)) +
+              coalesce(col("d.dsum"), lit(0L).cast(dec))).cast(dec).as("total"))
       case None =>
         d.select(col("grp"), col("dn").as("n"), col("dsum").cast(dec).as("total"))
     }

@@ -76,9 +76,14 @@ object Replay {
           cfg.electionZkHosts, cfg.electionZkPath, s"graft-${cfg.serverId}").start())
       else None
     election.foreach { e =>
+      // a healthy follower legitimately waits FOREVER (the reference
+      // blocks on Notify() with no deadline) — only a fatal election
+      // error aborts the standby, never a quiet 30 seconds
       while (!e.isLeader) {
-        val note = e.notifications.poll(30, java.util.concurrent.TimeUnit.SECONDS)
-        require(note != null, "timed out waiting for leadership")
+        e.notifications.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+        val err = e.errors.poll()
+        if (err != null)
+          throw new IllegalStateException(s"election failed while standby: $err")
       }
     }
     val sinkFilters = Seq(
@@ -127,6 +132,26 @@ object Replay {
             topicAddr = topicAddr,
             snapshots = snapshots)
           progressView = () => Some(live.minProgress.toString)
+          // split-brain guard: leadership must be re-checked for the
+          // LIFETIME of the pipeline — a leader whose ZK session expires
+          // is deposed server-side and the standby promotes; continuing
+          // to produce would double-write the sink. The monitor stops the
+          // query on any election error or observed demotion.
+          election.foreach { e =>
+            val mon = new Thread(() => {
+              var stop = false
+              while (!stop) {
+                val err = e.errors.poll(1, java.util.concurrent.TimeUnit.SECONDS)
+                if (err != null || !e.isLeader) {
+                  System.err.println(s"[replay] leadership lost (${Option(err).getOrElse("demoted")}): stopping sinks")
+                  try live.stop() catch { case _: Exception => () }
+                  stop = true
+                }
+              }
+            }, "election-monitor")
+            mon.setDaemon(true)
+            mon.start()
+          }
           live.query.awaitTermination()
       }
     } finally {

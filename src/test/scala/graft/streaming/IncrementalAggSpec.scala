@@ -115,6 +115,24 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viewOf(root2) === before)
   }
 
+  test("NULL group merges into ONE row across batches, like batch GROUP BY") {
+    val root = Files.createTempDirectory("ivmnull").toString
+    def ins(id: Long, grp: String, amt: Double): Op =
+      ("i", id, null, null, grp, java.lang.Double.valueOf(amt))
+    IncrementalAgg.merge(opsDf(Seq(ins(1, null, 10.0), ins(2, "g1", 1.0))), 0L, root)
+    IncrementalAgg.merge(opsDf(Seq(ins(3, null, 5.0))), 1L, root) // NULL group again
+    val rows = IncrementalAgg.read(spark, root).get.collect()
+    val nullRows = rows.filter(_.isNullAt(0))
+    assert(nullRows.length === 1, s"NULL group split into ${nullRows.length} rows")
+    assert(nullRows.head.getLong(1) === 2L)
+    assert(BigDecimal(nullRows.head.getDecimal(2)) === BigDecimal(15.0).setScale(10))
+    // and a delete cancels it back out through the same single row
+    IncrementalAgg.merge(opsDf(Seq(
+      ("d", 1L, null, java.lang.Double.valueOf(10.0), null, null),
+      ("d", 3L, null, java.lang.Double.valueOf(5.0), null, null))), 2L, root)
+    assert(IncrementalAgg.read(spark, root).get.collect().count(_.isNullAt(0)) === 0)
+  }
+
   test("crash between parquet commit and _COMMIT: replay re-merges, no double-apply") {
     val root = Files.createTempDirectory("ivm4").toString
     val b0: Seq[Op] = (0L until 9L).map(id =>
