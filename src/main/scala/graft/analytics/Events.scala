@@ -141,9 +141,13 @@ object Events {
         import s.implicits._
         val agg = t(s, dir, "events").groupBy($"user_id")
           .agg(dsumExact($"value").as("v_exact"), count(lit(1)).as("n_events"))
+        // top-20 via orderBy+limit (TakeOrderedAndProject: per-partition
+        // heaps, NO global sort of the per-user aggregate — an
+        // unpartitioned rank window here would funnel every user through
+        // one task); row_number then runs over the 20 survivors only
+        val top = agg.orderBy($"v_exact".desc, $"user_id").limit(20)
         val w = Window.orderBy($"v_exact".desc, $"user_id")
-        agg.withColumn("rk", row_number().over(w))
-          .filter($"rk" <= 20)
+        top.withColumn("rk", row_number().over(w))
           .select($"rk", $"user_id", dec2dbl($"v_exact").as("total_value"), $"n_events")
           .orderBy($"rk")
       },
@@ -380,9 +384,14 @@ object Events {
       "e14_rate_anomaly",
       (s, dir) => {
         import s.implicits._
+        // persist the per-minute rollup: it feeds BOTH the stats branch
+        // and the scoring branch, and Spark does not share unpersisted
+        // subtrees — without this the dominant events aggregation runs
+        // twice at any scale
         val perMin = t(s, dir, "events")
           .groupBy(unix_micros(date_trunc("minute", $"ts")).as("minute_us"))
           .agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val stats = perMin.agg(
           sum($"n").as("s"), sum($"n" * $"n").as("sq"), count(lit(1)).as("cnt"))
         perMin.crossJoin(broadcast(stats))

@@ -156,10 +156,14 @@ object Multimodal {
         t(s, dir, "documents")
           .withColumn("n", length($"text"))
           // "thumbnail" = every 4th byte of the payload; the decimation
-          // indexing is the real resize plumbing, the codec is the stub
-          .withColumn("thumb", concat_ws("",
-            transform(sequence(lit(0), (($"n" + 3) / 4).cast("int") - 1),
-              i => $"text".substr(i * 4 + 1, lit(1)))))
+          // indexing is the real resize plumbing, the codec is the stub.
+          // Empty payloads yield NULL like the oracle's string_agg over an
+          // empty list — without the guard Spark's sequence(0, -1) steps
+          // DOWN to [0,-1] and emits '' (md5 of empty) vs DuckDB's NULL
+          .withColumn("thumb", when($"n" === 0, lit(null).cast("string"))
+            .otherwise(concat_ws("",
+              transform(sequence(lit(0), (($"n" + 3) / 4).cast("int") - 1),
+                i => $"text".substr(i * 4 + 1, lit(1))))))
           .select($"doc_id", $"n".as("orig_len"),
             length($"thumb").as("thumb_len"), md5($"thumb").as("thumb_hash"))
           .orderBy($"doc_id")
@@ -188,7 +192,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         val src = t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
-        def extractBatch(batch: Seq[(Long, String)]): Seq[(Long, Int, Int, Int, Int, Double)] =
+        def extractBatch(batch: Seq[(Long, String)]): Seq[(Long, Int, Int, Int, Int, java.lang.Double)] =
           batch.map { case (id, text) =>
             var alpha, digit, space, other = 0
             var sum = 0L
@@ -202,7 +206,11 @@ object Multimodal {
               sum += c.toLong
               i += 1
             }
-            (id, alpha, digit, space, other, sum.toDouble / text.length)
+            // empty payload: NULL mean like the oracle's list_sum([])/0,
+            // not 0.0/0 = NaN (NaN would hash-diverge from DuckDB)
+            val mean: java.lang.Double =
+              if (text.isEmpty) null else sum.toDouble / text.length
+            (id, alpha, digit, space, other, mean)
           }
         src.mapPartitions(_.grouped(64).flatMap(extractBatch))
           .toDF("doc_id", "n_alpha", "n_digit", "n_space", "n_other", "mean_byte")

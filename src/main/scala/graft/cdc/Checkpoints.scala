@@ -266,11 +266,18 @@ final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7) {
     candidates.sortWith((a, b) => a.compare(b) > 0).headOption.map(read)
   }
 
-  def list(): Vector[Position] =
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("snap-"))
+  /** Files.list streams hold an open DirectoryStream — close them or a
+    * long-running process leaks one fd per snapshot save/load. */
+  private def withDirListing[A](f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
+  def list(): Vector[Position] = withDirListing {
+    _.filter(_.getFileName.toString.startsWith("snap-"))
       .flatMap(p => readHeader(p))
       .toVector
+  }
 
   private def readHeader(p: Path): Option[Position] =
     try Some(SchemaSnapshotCodec.decodeHeader(Files.readAllBytes(p)))
@@ -281,9 +288,10 @@ final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7) {
 
   private def purge(): Unit = {
     val cutoff = java.time.Instant.now().minus(java.time.Duration.ofDays(purgeAfterDays.toLong))
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("snap-"))
-      .filter(p => Files.getLastModifiedTime(p).toInstant.isBefore(cutoff))
-      .foreach(Files.deleteIfExists(_))
+    withDirListing {
+      _.filter(_.getFileName.toString.startsWith("snap-"))
+        .filter(p => Files.getLastModifiedTime(p).toInstant.isBefore(cutoff))
+        .toVector
+    }.foreach(Files.deleteIfExists(_))
   }
 }

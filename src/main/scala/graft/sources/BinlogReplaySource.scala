@@ -221,8 +221,17 @@ class BinlogReplayScan(path: String, maxPerTrigger: Option[Long], maxPerSlice: I
   * (the Progress axis a live source would persist). */
 final case class ReplayOffset(eventIdx: Long, logName: String, logPos: Long,
     serverId: Long) extends Offset {
-  override def json(): String =
-    s"""{"event_idx":$eventIdx,"log_name":"$logName","log_pos":$logPos,"server_id":$serverId}"""
+  override def json(): String = {
+    // escape via Jackson — a quote/backslash in a log name interpolated
+    // raw would write malformed JSON into the streaming offset log, and
+    // the checkpoint could never be deserialized again
+    val n = ReplayOffset.mapper.createObjectNode()
+    n.put("event_idx", eventIdx)
+    n.put("log_name", logName)
+    n.put("log_pos", logPos)
+    n.put("server_id", serverId)
+    n.toString
+  }
 }
 
 object ReplayOffset {
