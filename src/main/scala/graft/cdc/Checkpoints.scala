@@ -6,6 +6,24 @@ import java.nio.file.{Files, Path, StandardOpenOption}
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
+/** Length-prefixed UTF-8 string framing shared by the checkpoint and
+  * schema-snapshot codecs. readStr bounds the declared length: a corrupt
+  * or truncated file must fail with a clean error, not a
+  * NegativeArraySizeException or a multi-GB allocation. */
+private[cdc] object StrCodec {
+  import java.io.{DataInputStream, DataOutputStream}
+  import java.nio.charset.StandardCharsets.UTF_8
+  private val MaxLen = 64 << 20 // 64 MiB: far above any schema/ckp string
+  def writeStr(out: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(UTF_8); out.writeInt(b.length); out.write(b)
+  }
+  def readStr(in: DataInputStream): String = {
+    val n = in.readInt()
+    require(n >= 0 && n <= MaxLen, s"corrupt string frame: length $n")
+    val b = new Array[Byte](n); in.readFully(b); new String(b, UTF_8)
+  }
+}
+
 /** Per-sink checkpoint: progress + free-form string context
   * (acked_seq/acked_offset for the Kafka sink —
   * /root/reference/ckp/checkpoint.go:67-71). */
@@ -143,12 +161,7 @@ final class CkpManager(storage: CkpStorage) {
 
   // ---------- persistence ----------
 
-  private def writeStr(out: DataOutputStream, s: String): Unit = {
-    val b = s.getBytes(UTF_8); out.writeInt(b.length); out.write(b)
-  }
-  private def readStr(in: DataInputStream): String = {
-    val b = new Array[Byte](in.readInt()); in.readFully(b); new String(b, UTF_8)
-  }
+  import StrCodec.{writeStr, readStr}
   private def writeProgress(out: DataOutputStream, p: Progress): Unit = {
     writeStr(out, p.pos.name); out.writeLong(p.pos.pos); out.writeLong(p.pos.serverId)
     writeStr(out, p.gset.map(_.toString).getOrElse(""))
@@ -193,12 +206,7 @@ final class CkpManager(storage: CkpStorage) {
 /** The snapshot binary codec, shared by the file store and the
   * MySQL-backed store ([[graft.mysql.MysqlSnapshotStorage]]). */
 object SchemaSnapshotCodec {
-  private def writeStr(out: DataOutputStream, s: String): Unit = {
-    val b = s.getBytes(UTF_8); out.writeInt(b.length); out.write(b)
-  }
-  private def readStr(in: DataInputStream): String = {
-    val b = new Array[Byte](in.readInt()); in.readFully(b); new String(b, UTF_8)
-  }
+  import StrCodec.{writeStr, readStr}
 
   def encode(pos: Position, databases: Seq[String], defs: Seq[TableDef]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
