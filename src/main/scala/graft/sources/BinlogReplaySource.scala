@@ -316,7 +316,27 @@ class BinlogReplayMicroBatchStream(path: String, maxPerTrigger: Option[Long],
     }
   }
 
-  override def deserializeOffset(json: String): Offset = ReplayOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset = {
+    val off = ReplayOffset.fromJson(json)
+    // restart safety: the offset persists (event_idx, log_name, log_pos,
+    // server_id) so resumption can be VALIDATED, not just trusted — a
+    // fixture regenerated with events inserted (the load cache already
+    // anticipates file changes) would otherwise silently resume at the
+    // wrong event and replay wrong or duplicate data
+    require(off.eventIdx <= events.size.toLong,
+      s"checkpointed offset ${off.eventIdx} is beyond the fixture " +
+        s"(${events.size} events) — was the fixture truncated?")
+    if (off.eventIdx > 0) {
+      val e = events((off.eventIdx - 1).toInt)
+      require(e.op.header.logPos == off.logPos &&
+          e.op.header.serverId == off.serverId && e.logName == off.logName,
+        s"checkpointed position (${off.logName}, ${off.logPos}, ${off.serverId}) " +
+          s"does not match the fixture at index ${off.eventIdx}: found " +
+          s"(${e.logName}, ${e.op.header.logPos}, ${e.op.header.serverId}) " +
+          "— was the fixture regenerated?")
+    }
+    off
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ReplayOffset].eventIdx.toInt

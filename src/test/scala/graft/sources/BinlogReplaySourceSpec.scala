@@ -82,4 +82,29 @@ class BinlogReplaySourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runOnce() === 12)
     assert(runOnce() === 12) // second run resumes at event_idx=12: no dupes
   }
+
+  test("restart against a regenerated fixture fails fast, not silently misreplays") {
+    val out = Files.createTempDirectory("replay-rg-out").toFile.getAbsolutePath
+    val ckp = Files.createTempDirectory("replay-rg-ckp").toFile.getAbsolutePath
+    def runOnce(path: String): Unit = {
+      val q = spark.readStream.format("binlog-replay")
+        .option("path", path).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce(fixture)
+    // "regenerate" the fixture with an event INSERTED up front: every
+    // checkpointed event index now points at a different binlog position
+    val lines = Files.readAllLines(java.nio.file.Paths.get(fixture))
+    val regen = Files.createTempFile("regen", ".jsonl")
+    Files.write(regen, (Seq(lines.get(0)) ++ lines.toArray.toSeq.map(_.toString)).mkString("\n").getBytes)
+    val e = intercept[Exception] { runOnce(regen.toString) }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(e).exists(_.contains("was the fixture regenerated")),
+      causes(e).mkString(" | "))
+  }
 }
