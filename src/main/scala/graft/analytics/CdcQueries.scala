@@ -55,9 +55,15 @@ object CdcQueries {
         // checkpointed position: (ts, event_id) of the 5000th event overall —
         // a fixed, data-derived progress point, like a persisted checkpoint
         val ev = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
-        val w = Window.orderBy($"us", $"event_id")
-        val ckp = ev.withColumn("rn", row_number().over(w)).filter($"rn" === 5000)
-          .select($"us".as("ckp_us"), $"event_id".as("ckp_id"))
+        // the 5000th event by (us, event_id) WITHOUT a global row_number
+        // window (that serializes the whole table through one task):
+        // orderBy+limit plans as TakeOrderedAndProject (per-partition top-5000
+        // heaps merged on the driver), then the checkpoint row is the max of
+        // the 5000 survivors — a one-row aggregate.
+        val ckp = ev.select($"us", $"event_id")
+          .orderBy($"us", $"event_id").limit(5000)
+          .agg(max(struct($"us", $"event_id")).as("m"))
+          .select($"m.us".as("ckp_us"), $"m.event_id".as("ckp_id"))
         ev.join(broadcast(ckp))
           .filter($"us" > $"ckp_us" || ($"us" === $"ckp_us" && $"event_id" > $"ckp_id"))
           .groupBy($"event_type")

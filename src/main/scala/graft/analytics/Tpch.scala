@@ -470,8 +470,12 @@ object Tpch {
           .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") && $"l_shipdate" < ts("1997-04-01 00:00:00"))
           .groupBy($"l_suppkey")
           .agg(dsumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_exact"))
-        val w = Window.orderBy($"rev_exact".desc)
-        rev.withColumn("rk", rank().over(w)).filter($"rk" === 1)
+        // rank()===1 over an unpartitioned window funnels the whole
+        // per-supplier aggregate through one task; when k=1 with ties kept,
+        // RANK is just equality with the global max — a one-row broadcast
+        // join. Exact DECIMAL revenue makes the equality well-defined.
+        val maxRev = rev.agg(max($"rev_exact").as("max_rev"))
+        rev.join(broadcast(maxRev), $"rev_exact" === $"max_rev")
           .join(broadcast(supp(s, dir)), $"l_suppkey" === $"s_suppkey")
           .select($"s_suppkey", $"s_name", dec2dbl($"rev_exact").as("total_revenue"))
           .orderBy($"s_suppkey")
@@ -734,9 +738,27 @@ object Tpch {
       "q28_acctbal_deciles",
       (s, dir) => {
         import s.implicits._
-        val w = Window.orderBy($"c_acctbal", $"c_custkey")
-        cust(s, dir)
-          .withColumn("decile", ntile(10).over(w))
+        // NOT ntile(10) over an unpartitioned window (whole table through one
+        // task). Same two-pass rank as p07/p09: range-repartition + sort
+        // within partitions (a distributed sort), zipWithIndex (per-partition
+        // counts + offset), then the closed-form ntile bucket from (rank, n):
+        // the first n%10 buckets get ceil(n/10) rows — SQL NTILE exactly.
+        val sorted = cust(s, dir).select($"c_acctbal", $"c_custkey")
+          .repartitionByRange(8, $"c_acctbal", $"c_custkey")
+          .sortWithinPartitions($"c_acctbal", $"c_custkey")
+        val n = sorted.count() // distributed count; table stats at scale
+        val (q10, rem) = (n / 10L, n % 10L)
+        val big = q10 + 1L
+        val ranked = s.createDataFrame(
+          sorted.as[(Double, Long)].rdd.zipWithIndex
+            .map { case ((bal, _), r) => (bal, r) })
+          .toDF("c_acctbal", "r")
+        ranked
+          .withColumn("decile",
+            (when($"r" < lit(rem * big), expr(s"r DIV $big"))
+              .otherwise(lit(rem) +
+                expr(s"(r - ${rem * big}) DIV ${math.max(q10, 1L)}")) + 1L)
+              .cast("int"))
           .groupBy($"decile")
           .agg(count(lit(1)).as("n"), min($"c_acctbal").as("min_bal"),
             max($"c_acctbal").as("max_bal"), davg($"c_acctbal").as("avg_bal"))

@@ -125,6 +125,32 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() == spark.read.parquet(s"$sf/documents.parquet").count())
   }
 
+  test("unpartitioned windows only over bounded inputs") {
+    // Window.orderBy with no partitionBy funnels its whole input through ONE
+    // task ("WindowExec: No Partition Defined" at runtime) — fine over a
+    // bounded frame (a limit(k) result, a ≤64-bucket histogram, per-sink
+    // checkpoints), fatal over a base table at 100 TB. This locks the
+    // offender set to the queries whose window input is provably bounded;
+    // q15/q28/c02 were rewritten to max-join / two-pass-rank / limit+max
+    // forms and must never reappear here.
+    val allowed = Set(
+      "e05_top_users",      // window over limit(20) survivors
+      "t13_length_histogram", // ≤64 histogram buckets
+      "t17_zipf_slope",     // rank over the top-1000 frame
+      "p06_temperature_mix",  // 10-row source-mix table
+      "c04_min_progress_across_sinks", // one row per sink
+    )
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val unpart = fn(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (unpart.nonEmpty && !allowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over a possibly-unbounded input in: ${offenders.mkString(", ")}")
+  }
+
   test("no non-broadcast cartesian product in any declared query plan") {
     // BroadcastNestedLoopJoin with a broadcast query side is the intended
     // shape for the ANN fan-outs (corpus x 5 queries); CartesianProductExec
