@@ -302,9 +302,11 @@ object Multimodal {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val frames = t(s, dir, "documents")
-          .withColumn("payload", $"text".cast("binary"))
+          // frame count from CHARACTER length: the substring slicing below
+          // and the DuckDB oracle's length(text) are both char-based, so a
+          // byte-length frame count diverges on any non-ASCII document
           .withColumn("n_frames",
-            least(ceil(length($"payload") / lit(8.0)).cast("int"), lit(64)))
+            least(ceil(length($"text") / lit(8.0)).cast("int"), lit(64)))
           .withColumn("frame_idx", explode(expr(
             "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
           .withColumn("frame_idx", $"frame_idx".cast("long"))
@@ -360,9 +362,11 @@ object Multimodal {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
         t(s, dir, "documents")
-          .withColumn("payload", $"text".cast("binary"))
+          // frame count from CHARACTER length: the substring slicing below
+          // and the DuckDB oracle's length(text) are both char-based, so a
+          // byte-length frame count diverges on any non-ASCII document
           .withColumn("n_frames",
-            least(ceil(length($"payload") / lit(8.0)).cast("int"), lit(64)))
+            least(ceil(length($"text") / lit(8.0)).cast("int"), lit(64)))
           .withColumn("frame_idx", explode(expr(
             "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
           .withColumn("frame_idx", $"frame_idx".cast("long"))

@@ -66,7 +66,7 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
     (first(0) & 0xff) match {
       case 0x00 | 0xff =>
         Handshake.parseOkErr(first) match {
-          case Left(e) => throw new IllegalStateException(s"query failed: ${e.code} ${e.message}")
+          case Left(e) => throw BinlogClient.MysqlQueryError(e.code, e.message)
           case Right(ok) => Right(ok)
         }
       case _ =>
@@ -148,15 +148,22 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
     * 4 CRC bytes into that rotate's file name. Pre-5.6 servers know
     * neither variable — both failures degrade to "no checksum". */
   private def announceChecksum(): Boolean = {
+    // ONLY an ERR reply about the variable itself (pre-5.6 server) may
+    // degrade to "no checksum". I/O failures and mid-resultset aborts must
+    // propagate: swallowing them on a server that DOES checksum would leave
+    // 4 CRC trailer bytes on every event and parse garbage downstream.
+    val unknownVariable: PartialFunction[Throwable, Boolean] = {
+      case BinlogClient.MysqlQueryError(BinlogClient.ER_UNKNOWN_SYSTEM_VARIABLE, _) => false
+    }
     val set =
       try query("SET @master_binlog_checksum = @@global.binlog_checksum").isRight
-      catch { case _: IllegalStateException => false }
+      catch unknownVariable
     if (!set) false
     else try query("SELECT @@global.binlog_checksum") match {
       case Left(rs) => rs.rows.headOption.flatMap(_.headOption.flatten)
         .exists(_.equalsIgnoreCase("CRC32"))
       case Right(_) => false
-    } catch { case _: IllegalStateException => false }
+    } catch unknownVariable
   }
 
   /** COM_BINLOG_DUMP from (file, pos): the replication stream. Each packet
@@ -283,6 +290,14 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
 }
 
 object BinlogClient {
+  /** An ERR packet reply to COM_QUERY, carrying the server error code so
+    * callers can distinguish "this server doesn't know the variable"
+    * (degrade gracefully) from real failures (propagate). */
+  final case class MysqlQueryError(code: Int, errMessage: String)
+    extends IllegalStateException(s"query failed: $code $errMessage")
+
+  val ER_UNKNOWN_SYSTEM_VARIABLE = 1193
+
   /** Production entry: TCP socket transport. Fixture-driven tests construct
     * the class directly with scripted streams. */
   def connect(host: String, port: Int, user: String, password: String): BinlogClient = {

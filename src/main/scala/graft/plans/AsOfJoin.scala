@@ -4,9 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
   JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.PlanBridge
@@ -149,7 +149,17 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies ++= Seq(AsOfStrategy)
     val lp = PlanBridge.logicalPlan(left)
-    val rp = PlanBridge.logicalPlan(right)
+    val rp0 = PlanBridge.logicalPlan(right)
+    // Join gets attribute de-duplication from the analyzer
+    // (DeduplicateRelations); a custom binary node built from two
+    // already-analyzed plans does not. Shared lineage (self-join) would
+    // put the SAME ExprIds in both children and in the output, mis-binding
+    // downstream resolution — so re-alias the right side to fresh ExprIds
+    // whenever its output overlaps the left's.
+    val rp =
+      if (rp0.output.exists(lp.outputSet.contains))
+        Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+      else rp0
     // resolve like every other DataFrame API: the session's resolver
     // (case-insensitive unless spark.sql.caseSensitive), ambiguity is an error
     val resolver = spark.sessionState.analyzer.resolver

@@ -42,12 +42,25 @@ final case class TopKPerKey(
     copy(child = newChild)
 }
 
-/** One bounded-heap pass: keeps the first `k` rows per key under `order`.
-  * `partial = true` runs on whatever partitioning the child has (the
-  * map-side reduction); `partial = false` requires key-clustered input
-  * (EnsureRequirements inserts the hash exchange) and produces the exact
-  * per-key top-k. Identical algorithm both times — top-k merges with
-  * itself. */
+/** Two asymmetric passes, chosen for bounded executor memory at ANY key
+  * cardinality:
+  *
+  *  - `partial = true` (map side, any partitioning): a bounded-heap pass —
+  *    at most `maxPartialKeys` keys are tracked per partition, each holding
+  *    ≤ k copied rows. When a partition sees MORE distinct keys than the
+  *    cap (near-unique keys — the heap map would otherwise retain ~one
+  *    copied row per input row), rows of further new keys degrade to
+  *    PASS-THROUGH: emitted unreduced, never buffered. Correct either way —
+  *    the partial pass only needs to emit a superset of each key's true
+  *    top-k — so the cap trades map-side reduction for memory, never
+  *    correctness. Cap: `spark.graft.topk.maxPartialKeys` (default 1M).
+  *  - `partial = false` (reduce side): requires key-clustered AND
+  *    (key, order)-sorted input — EnsureRequirements inserts the hash
+  *    exchange and a SortExec (Spark's external, SPILLABLE sort) — then a
+  *    single streaming pass takes the first k rows of each key group with
+  *    O(k) state. No per-key hash map on the exact side at all, so
+  *    high-cardinality keys spill in the sort instead of OOMing the node.
+  */
 final case class TopKPerKeyExec(
     key: Seq[Expression],
     order: Seq[SortOrder],
@@ -61,35 +74,67 @@ final case class TopKPerKeyExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(key))
 
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(key.map(SortOrder(_, Ascending)) ++ order)
+
+  // the streaming final pass preserves its sorted input order
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else key.map(SortOrder(_, Ascending)) ++ order
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = key
     val sortOrder = order
     val limit = k
     val childOutput = child.output
-    child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ord = RowOrdering.create(sortOrder, childOutput)
-      // max-heap on the sort order: head = worst kept row, evicted when a
-      // better (ord-smaller) row arrives. All stored rows are copies — the
-      // child reuses its row buffers.
-      val heaps = scala.collection.mutable.HashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val kr = keyProj(row)
-        val heap = heaps.get(kr) match {
-          case Some(h) => h
-          case None =>
-            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
-            heaps.put(kr.copy(), h)
-            h
+    if (partial) {
+      val maxKeys = conf.getConfString(
+        "spark.graft.topk.maxPartialKeys", "1048576").toInt
+      child.execute().mapPartitions { iter =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val ord = RowOrdering.create(sortOrder, childOutput)
+        // max-heap on the sort order: head = worst kept row, evicted when a
+        // better (ord-smaller) row arrives. All stored rows are copies — the
+        // child reuses its row buffers.
+        val heaps = scala.collection.mutable.HashMap
+          .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+        val out = iter.flatMap { row =>
+          val kr = keyProj(row)
+          heaps.get(kr) match {
+            case Some(heap) =>
+              if (heap.size < limit) heap += row.copy()
+              else if (ord.lt(row, heap.head)) {
+                heap.dequeue()
+                heap += row.copy()
+              }
+              Iterator.empty
+            case None if heaps.size < maxKeys =>
+              val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+              h += row.copy()
+              heaps.put(kr.copy(), h)
+              Iterator.empty
+            case None =>
+              // over the key cap: forward unreduced rather than buffer
+              Iterator.single(row)
+          }
         }
-        if (heap.size < limit) heap += row.copy()
-        else if (ord.lt(row, heap.head)) {
-          heap.dequeue()
-          heap += row.copy()
+        out ++ heaps.valuesIterator.flatMap(_.iterator)
+      }
+    } else {
+      child.execute().mapPartitions { iter =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        var curKey: UnsafeRow = null
+        var taken = 0
+        iter.flatMap { row =>
+          val kr = keyProj(row)
+          if (curKey == null || kr != curKey) {
+            curKey = kr.copy()
+            taken = 0
+          }
+          if (taken < limit) { taken += 1; Iterator.single(row) }
+          else Iterator.empty
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
     }
   }
 

@@ -34,18 +34,34 @@ private[streaming] object SnapshotStore {
   def isComplete(dir: java.io.File): Boolean =
     new java.io.File(dir, "_COMMIT").isFile
 
-  def versions(root: String): Seq[Long] =
-    versionDirs(root).collect { case (v, f) if isComplete(f) => v }
+  def versions(root: String): Seq[Long] = {
+    val dirs = versionDirs(root)
+    if (dirs.exists { case (_, f) => isComplete(f) })
+      dirs.collect { case (v, f) if isComplete(f) => v }
+    else
+      // migration: a store written entirely before the _COMMIT marker
+      // existed has only parquet's _SUCCESS markers. Accept those once
+      // (batch id −1, below) rather than silently resetting materialized
+      // state on upgrade. As soon as one _COMMIT version exists the store
+      // is new-format and a _SUCCESS-only dir is an uncommitted partial —
+      // accepting it then would re-open the crash window the marker closes.
+      dirs.collect {
+        case (v, f) if new java.io.File(f, "_SUCCESS").isFile => v
+      }
+  }
 
   /** The current (= highest COMPLETE) snapshot, if any. */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     versions(root).lastOption.map(v => spark.read.parquet(s"$root/v=$v"))
 
-  /** Batch id recorded with the current snapshot (−1 when none). */
+  /** Batch id recorded with the current snapshot (−1 when none, and −1 for
+    * a migrated pre-_COMMIT snapshot — its producing batch is unknown, so
+    * replayed batches re-merge, the safe direction for idempotent merges). */
   def lastBatchId(root: String): Long =
     versions(root).lastOption.map { v =>
       val f = new java.io.File(s"$root/v=$v", "_COMMIT")
-      new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
+      if (!f.isFile) -1L
+      else new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
     }.getOrElse(-1L)
 
   /** Write `df` as the next version (stamping the producing batch id into

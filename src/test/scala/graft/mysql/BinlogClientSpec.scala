@@ -220,6 +220,37 @@ class BinlogClientSpec extends AnyFunSuite {
     assert(evs.map(_._2).collect { case Xid(x) => x } == Vector(42L))
   }
 
+  test("pre-5.6 server: unknown checksum variable degrades to no-checksum") {
+    import BinlogEvents._
+    val (in, out) = script(Seq(
+      frame(0, greeting), frame(2, okPacket),
+      // SET @master_binlog_checksum → ER_UNKNOWN_SYSTEM_VARIABLE: the one
+      // failure that means "old server, no checksums" — dump proceeds bare
+      frame(1, errPacket(1193, "Unknown system variable 'binlog_checksum'")),
+      frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 0), crc = false)),
+      frame(2, eventPacket(XID_EVENT, 200,
+        new Packets.Writer().u64(7L).result, crc = false)),
+      frame(3, eofPacket)): _*)
+    val c = new BinlogClient(in, out, "repl", "secret")
+    c.connect()
+    val evs = c.dump("mysql-bin.000001", 4, 1001).toVector
+    assert(evs.map(_._2).collect { case Xid(x) => x } == Vector(7L))
+  }
+
+  test("non-variable ERR during checksum announce propagates, not degrades") {
+    val (in, out) = script(
+      frame(0, greeting), frame(2, okPacket),
+      // a lock timeout is NOT "old server": treating it as no-checksum
+      // would leave CRC trailers on every event and parse garbage
+      frame(1, errPacket(1205, "Lock wait timeout exceeded")))
+    val c = new BinlogClient(in, out, "repl", "secret")
+    c.connect()
+    val e = intercept[BinlogClient.MysqlQueryError] {
+      c.dump("mysql-bin.000001", 4, 1001)
+    }
+    assert(e.code == 1205)
+  }
+
   test("GTID dump: COM_BINLOG_DUMP_GTID carries the documented SID block " +
       "with exclusive interval upper bounds") {
     import BinlogEvents._

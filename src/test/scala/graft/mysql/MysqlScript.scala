@@ -44,6 +44,14 @@ object MysqlScript {
   def eofPacket: Array[Byte] =
     new Packets.Writer().u8(0xfe).u16(0).u16(2).result
 
+  /** ERR_Packet: header 0xff, error code, '#' + 5-byte SQL state, message. */
+  def errPacket(code: Int, message: String): Array[Byte] = {
+    val w = new Packets.Writer
+    w.u8(0xff); w.u16(code); w.u8('#'.toInt)
+    w.eofStr("HY000"); w.eofStr(message)
+    w.result
+  }
+
   def colDef(name: String): Array[Byte] = {
     val w = new Packets.Writer
     def ls(s: String): Unit = { w.lenenc(s.getBytes(UTF_8).length.toLong); w.eofStr(s) }

@@ -88,6 +88,29 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Set(("a", "ok"), ("n", null), ("m", null)))
   }
 
+  test("self-join (shared lineage) resolves without column aliasing") {
+    import spark.implicits._
+    // both frames derive from the SAME plan — without re-aliasing, the
+    // right child would share every ExprId with the left, making the
+    // node's output ambiguous downstream. No manual .as(...) here.
+    val base = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "t", "tag")
+    val out = AsOf.join(base, base.filter($"t" < 150L), "k", "k", "t", "t")
+    // output must carry 6 DISTINCT attributes (left 3 + re-aliased right 3)
+    val ids = org.apache.spark.sql.graft.PlanBridge.logicalPlan(out)
+      .output.map(_.exprId)
+    assert(ids.distinct.size === 6, s"duplicate ExprIds in output: $ids")
+    // each left row matched against the <150 subset of itself
+    val rows = out.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(5)) null else r.getString(5))
+    }.toSet
+    assert(rows === Set(
+      (1L, 100L, "a", "a"), // t=100 matches itself (at-or-before, <150 kept)
+      (1L, 200L, "b", "a"), // latest prior under 150 is t=100
+      (2L, 50L, "c", "c")))
+  }
+
   test("plan: merge exec over two sorted co-partitioned children") {
     import spark.implicits._
     val purchases = events.filter($"event_type" === "purchase")

@@ -8,9 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The custom top-k-per-key operator: exact parity with the window
   * rank-filter form on real data, correct under key-split across input
-  * partitions (the partial/final merge), and the promised plan shape —
-  * two TopKPerKeyExec nodes around one hash exchange, NO WindowExec, NO
-  * sort. */
+  * partitions (the partial/final merge) and under the partial-pass key cap,
+  * and the promised plan shape — two TopKPerKeyExec nodes around one hash
+  * exchange, NO WindowExec, no sort below the exchange (the only sort is
+  * the spillable one over the partial pass's survivors). */
 class TopKPerKeySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
@@ -65,7 +66,7 @@ class TopKPerKeySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(topk === expected)
   }
 
-  test("plan: partial and final around one exchange; no window, no sort") {
+  test("plan: partial and final around one exchange; no window, no full-input sort") {
     import spark.implicits._
     val df = TopK.perKey(li, Seq("l_orderkey"),
       Seq("l_extendedprice" -> false, "l_linenumber" -> true), 3)
@@ -73,8 +74,35 @@ class TopKPerKeySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TopKPerKey"), s"custom exec missing:\n$plan")
     assert("TopKPerKey ".r.findAllIn(plan).size === 2, s"expected partial+final:\n$plan")
     assert(!plan.contains("WindowExec"), s"window should be gone:\n$plan")
-    assert(!plan.contains("Sort "), s"no sort expected:\n$plan")
     assert(plan.contains("Exchange hashpartitioning"), s"expected one hash exchange:\n$plan")
+    // the SPILLABLE external sort sits between exchange and the final pass —
+    // it sorts only the partial pass's survivors (≤ partitions × keys × k),
+    // never the full input; the partial side must stay sort-free
+    val partialRegion = plan.substring(plan.indexOf("Exchange hashpartitioning"))
+    assert(!partialRegion.contains("Sort "),
+      s"sort below the exchange would be a full-input sort:\n$plan")
+    val finalRegion = plan.substring(0, plan.indexOf("Exchange hashpartitioning"))
+    assert(finalRegion.contains("Sort "),
+      s"expected the spillable sort feeding the streaming final pass:\n$plan")
+  }
+
+  test("exact under the partial-pass key cap (pass-through degradation)") {
+    import spark.implicits._
+    // with the cap far below the key count, most rows bypass the map-side
+    // heap and flow through unreduced — the reduce side must still be exact
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_extendedprice".desc, $"l_linenumber")
+    val expected = li.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "4")
+    try {
+      val capped = TopK.perKey(li, Seq("l_orderkey"),
+        Seq("l_extendedprice" -> false, "l_linenumber" -> true), 2)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(capped === expected)
+    } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
   }
 
   test("k larger than any group returns everything; k=1 returns per-key minimum") {

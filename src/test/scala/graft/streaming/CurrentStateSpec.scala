@@ -84,6 +84,31 @@ class CurrentStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dirs.contains("v=3"))
   }
 
+  test("pre-_COMMIT store migrates: _SUCCESS-only versions stay visible") {
+    import spark.implicits._
+    val stateRoot = Files.createTempDirectory("state-migrate").toString
+    // an old-format store: parquet + _SUCCESS, no _COMMIT markers anywhere
+    Seq((1L, 1L, "view", 100L, 1.0))
+      .toDF("user_id", "event_id", "event_type", "us", "value")
+      .write.parquet(s"$stateRoot/v=1")
+    assert(new java.io.File(s"$stateRoot/v=1/_SUCCESS").isFile)
+    // visible (no silent state reset on upgrade), producing batch unknown
+    val state = CurrentState.read(spark, stateRoot).get.as[Ev].collect().toVector
+    assert(state == Vector((1L, 1L, "view", 100L, 1.0)))
+    assert(SnapshotStore.lastBatchId(stateRoot) == -1L)
+    // first new-format merge writes v=2 with _COMMIT; from then on a
+    // _SUCCESS-only dir is an uncommitted partial again
+    CurrentState.merge(
+      Seq((2L, 2L, "view", 200L, 2.0)).toDF("user_id", "event_id", "event_type", "us", "value"),
+      stateRoot)
+    val merged = CurrentState.read(spark, stateRoot).get.as[Ev].collect().toVector.sortBy(_._1)
+    assert(merged == Vector((1L, 1L, "view", 100L, 1.0), (2L, 2L, "view", 200L, 2.0)))
+    Seq((9L, 9L, "view", 900L, 9.0))
+      .toDF("user_id", "event_id", "event_type", "us", "value")
+      .write.parquet(s"$stateRoot/v=9") // _SUCCESS but no _COMMIT, new-format store
+    assert(SnapshotStore.versions(stateRoot).max < 9L)
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered event_ids") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
