@@ -86,9 +86,22 @@ final class TopicServer(seed: Seq[Array[Byte]] = Nil) {
   def close(): Unit = { closed = true; server.close() }
 }
 
+/** The producer/consumer surface the K1 sink lifecycle needs — GetOffset +
+  * ConsumePartition + per-message-acked produce in the reference. Two
+  * implementations: [[TopicClient]] (the length-prefixed simulator wire)
+  * and [[graft.kafka.KafkaTopicClient]] (the real Kafka protocol). */
+trait TopicLike {
+  def highWaterMark(): Long
+  /** Appends `msg`; returns THIS message's offset + 1 (its own per-message
+    * ack), NOT a topic-hwm re-query — see TopicClient.produce. */
+  def produce(msg: Array[Byte]): Long
+  /** All (offset, message) pairs in [fromOffset, hwm-at-fetch-time). */
+  def fetchFrom(fromOffset: Long): Vector[(Long, Array[Byte])]
+}
+
 /** Client side of the simulator — the consumer surface the recovery scan
   * needs (GetOffset + ConsumePartition in the reference). */
-final class TopicClient(host: String, port: Int) {
+final class TopicClient(host: String, port: Int) extends TopicLike {
 
   private def withConn[A](f: (DataInputStream, DataOutputStream) => A): A = {
     val sock = new Socket(host, port)
@@ -149,7 +162,7 @@ object KafkaRecovery {
     def ackedOffset: Long = ckp.getIntCtx("acked_offset", NoOffset)
   }
 
-  def recover(client: TopicClient, ckp: Checkpoint, codec: WireCodec = Wire): Recovered = {
+  def recover(client: TopicLike, ckp: Checkpoint, codec: WireCodec = Wire): Recovered = {
     var ackedOffset = ckp.getIntCtx("acked_offset", NoOffset)
     var ackedSeq = ckp.getIntCtx("acked_seq", 0L)
     var ackedProgress = ckp.progress

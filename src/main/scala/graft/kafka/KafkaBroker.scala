@@ -1,0 +1,147 @@
+package graft.kafka
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import scala.collection.mutable
+
+import KafkaWire._
+
+/** A single-node in-memory broker speaking the REAL Kafka wire protocol
+  * (the [[KafkaWire]] dialect: ApiVersions v0, ListOffsets v1, Produce v2,
+  * Fetch v3, message format v1) — the upgrade of `cdc.TopicServer` from a
+  * private length-prefixed wire to actual Kafka frames, so the K1 sink
+  * lifecycle (produce acks, recovery scan, HA second-writer races) runs
+  * against the same bytes a real 0.10.x broker would exchange
+  * (/root/reference/sink/kafka/kafka.go:134-255 is the consumer of this
+  * contract). Connections are persistent with pipelined request/response
+  * pairs, like the real thing; one log per (topic, partition), offsets
+  * assigned on append.
+  */
+final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) {
+
+  /** value bytes + append timestamp, by (topic, partition), in offset order. */
+  private val logs = mutable.Map.empty[(String, Int), mutable.ArrayBuffer[(Long, Array[Byte])]]
+  seed.foreach { case (tp, msgs) =>
+    logs(tp) = mutable.ArrayBuffer(msgs.map(m => (0L, m)): _*)
+  }
+
+  private val server = new ServerSocket(0, 16, InetAddress.getByName("127.0.0.1"))
+  @volatile private var closed = false
+
+  def port: Int = server.getLocalPort
+
+  def highWaterMark(topic: String, partition: Int): Long =
+    synchronized(logs.get((topic, partition)).map(_.size.toLong).getOrElse(0L))
+
+  private def append(topic: String, partition: Int, values: Seq[(Long, Array[Byte])]): Long =
+    synchronized {
+      val log = logs.getOrElseUpdate((topic, partition), mutable.ArrayBuffer.empty)
+      val base = log.size.toLong
+      log ++= values
+      base
+    }
+
+  private def slice(topic: String, partition: Int, from: Long): (Long, Vector[(Long, Long, Array[Byte])]) =
+    synchronized {
+      val log = logs.getOrElse((topic, partition), mutable.ArrayBuffer.empty)
+      val hwm = log.size.toLong
+      val msgs =
+        if (from >= hwm) Vector.empty
+        else log.iterator.zipWithIndex.drop(from.toInt)
+          .map { case ((ts, v), i) => (i.toLong, ts, v) }.toVector
+      (hwm, msgs)
+    }
+
+  def start(): KafkaBroker = {
+    val t = new Thread(() => {
+      while (!closed) {
+        try {
+          val sock = server.accept()
+          val h = new Thread(() => handle(sock), "kafka-broker-conn")
+          h.setDaemon(true)
+          h.start()
+        } catch { case _: Exception => () } // closed
+      }
+    }, "kafka-broker-accept")
+    t.setDaemon(true)
+    t.start()
+    this
+  }
+
+  private def handle(sock: Socket): Unit =
+    try {
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      while (!closed) {
+        val frame = readFrame(in)
+        val r = new Reader(frame)
+        val h = readRequestHeader(r)
+        val body: Array[Byte] = h.apiKey match {
+          case ApiApiVersions =>
+            encodeApiVersionsResponse(ErrNone, Seq(
+              ApiVersionRange(ApiProduce, 0, 2),
+              ApiVersionRange(ApiFetch, 0, 3),
+              ApiVersionRange(ApiListOffsets, 0, 1),
+              ApiVersionRange(ApiApiVersions, 0, 0)))
+
+          case ApiListOffsets =>
+            val q = decodeListOffsetsRequest(r)
+            val hwm = highWaterMark(q.topic, q.partition)
+            val off = if (q.timestamp == TimestampEarliest) 0L else hwm
+            encodeListOffsetsResponse(
+              ListOffsetsResponse(q.topic, q.partition, ErrNone, q.timestamp, off))
+
+          case ApiProduce =>
+            val q = decodeProduceRequest(r)
+            // decode (and thereby CRC-verify) the producer's message set;
+            // the broker assigns offsets and stamps LogAppendTime
+            val now = System.currentTimeMillis()
+            val resp =
+              try {
+                val msgs = decodeMessageSet(q.messageSet)
+                val base = append(q.topic, q.partition, msgs.map(m => (now, m.value)))
+                ProduceResponse(q.topic, q.partition, ErrNone, base, now, 0)
+              } catch {
+                case _: IllegalArgumentException =>
+                  ProduceResponse(q.topic, q.partition, ErrCorruptMessage, -1L, -1L, 0)
+              }
+            encodeProduceResponse(resp)
+
+          case ApiFetch =>
+            val q = decodeFetchRequest(r)
+            val (hwm, msgs) = slice(q.topic, q.partition, q.fetchOffset)
+            if (q.fetchOffset > hwm)
+              encodeFetchResponse(FetchResponse(0, q.topic, q.partition,
+                ErrOffsetOutOfRange, hwm, Array.emptyByteArray))
+            else {
+              // honor the byte limit but always make progress: at least one
+              // message per non-empty fetch (the real broker's guarantee
+              // for consumers with small max_bytes)
+              val limit = math.max(1, q.partitionMaxBytes)
+              val w = new Writer()
+              var taken = 0
+              var full = false
+              msgs.foreach { case (off, ts, v) =>
+                if (!full) {
+                  val enc = encodeMessage(ts, null, v)
+                  if (taken == 0 || w.size + 12 + enc.length <= limit) {
+                    w.i64(off); w.i32(enc.length); w.raw(enc)
+                    taken += 1
+                  } else full = true // stop at first overflow: no offset gaps
+                }
+              }
+              encodeFetchResponse(FetchResponse(0, q.topic, q.partition,
+                ErrNone, hwm, w.result))
+            }
+
+          case other =>
+            throw new IllegalStateException(s"unsupported api key $other")
+        }
+        writeFrame(out, new Writer().i32(h.correlationId).raw(body).result)
+      }
+    } catch { case _: EOFException | _: java.net.SocketException => () }
+    finally sock.close()
+
+  def close(): Unit = { closed = true; server.close() }
+}

@@ -1,0 +1,99 @@
+package graft.kafka
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+
+import graft.cdc.TopicLike
+import KafkaWire._
+
+/** The Kafka-protocol implementation of the sink's topic surface
+  * ([[graft.cdc.TopicLike]]): one persistent connection, sequential
+  * request/response with correlation-id checking, and exactly the three
+  * operations the K1 lifecycle uses —
+  *
+  *  - `highWaterMark` = ListOffsets v1 at timestamp −1 (sarama's
+  *    `GetOffset(..., OffsetNewest)`, kafka.go:166)
+  *  - `produce` = Produce v2 with acks=−1 (WaitForAll, kafka.go:90) on a
+  *    manual partition (kafka.go:92), returning base_offset + n — the
+  *    per-message ack the reference checkpoints (kafka.go:421-488)
+  *  - `fetchFrom` = Fetch v3 loop to the first response's high watermark
+  *    (`ConsumePartition(topic, partition, ackedOffset+1)` …
+  *    `HighWaterMarkOffset()-1`, kafka.go:213-227), CRC-verified per
+  *    message by the decoder
+  *
+  * An ApiVersions v0 handshake on connect asserts the broker speaks the
+  * dialect before any data flows. */
+final class KafkaTopicClient(host: String, port: Int, topic: String,
+    partition: Int = 0, clientId: String = "graft",
+    fetchMaxBytes: Int = 1 << 20) extends TopicLike {
+
+  private val sock = new Socket(host, port)
+  sock.setTcpNoDelay(true)
+  private val in = new DataInputStream(sock.getInputStream)
+  private val out = new DataOutputStream(sock.getOutputStream)
+  private var correlation = 0
+
+  locally {
+    val (err, apis) = decodeApiVersionsResponse(call(ApiApiVersions, 0, Array.emptyByteArray))
+    require(err == ErrNone, s"ApiVersions error $err")
+    def supports(key: Int, version: Int): Boolean =
+      apis.exists(a => a.apiKey == key && a.minVersion <= version && version <= a.maxVersion)
+    require(supports(ApiProduce, 2) && supports(ApiFetch, 3) && supports(ApiListOffsets, 1),
+      s"broker does not speak the required dialect: $apis")
+  }
+
+  private def call(apiKey: Int, apiVersion: Int, body: Array[Byte]): Reader =
+    synchronized {
+      correlation += 1
+      val w = new Writer()
+      writeRequestHeader(w, RequestHeader(apiKey, apiVersion, correlation, clientId))
+      w.raw(body)
+      writeFrame(out, w.result)
+      val r = new Reader(readFrame(in))
+      val got = r.i32()
+      require(got == correlation, s"correlation mismatch: sent $correlation, got $got")
+      r
+    }
+
+  def highWaterMark(): Long = {
+    val resp = decodeListOffsetsResponse(call(ApiListOffsets, 1,
+      encodeListOffsetsRequest(ListOffsetsRequest(topic, partition, TimestampLatest))))
+    require(resp.errorCode == ErrNone, s"ListOffsets error ${resp.errorCode}")
+    resp.offset
+  }
+
+  def produce(msg: Array[Byte]): Long = {
+    val set = encodeMessageSet(Seq(Msg(0L, System.currentTimeMillis(), null, msg)))
+    val resp = decodeProduceResponse(call(ApiProduce, 2,
+      encodeProduceRequest(ProduceRequest(acks = -1, timeoutMs = 10000, topic,
+        partition, set))))
+    require(resp.errorCode == ErrNone, s"Produce error ${resp.errorCode}")
+    // this append's own ack: its offset + 1 (the TopicLike contract) —
+    // never a topic-hwm re-query, which under a second writer would cover
+    // messages this producer did not send
+    resp.baseOffset + 1L
+  }
+
+  def fetchFrom(fromOffset: Long): Vector[(Long, Array[Byte])] = {
+    val res = Vector.newBuilder[(Long, Array[Byte])]
+    var next = fromOffset
+    var hwm = -1L // bound the scan at the FIRST response's high watermark
+    var done = false
+    while (!done) {
+      val resp = decodeFetchResponse(call(ApiFetch, 3,
+        encodeFetchRequest(FetchRequest(maxWaitMs = 500, minBytes = 1,
+          maxBytes = fetchMaxBytes, topic, partition, next,
+          partitionMaxBytes = fetchMaxBytes))))
+      require(resp.errorCode == ErrNone || resp.errorCode == ErrOffsetOutOfRange,
+        s"Fetch error ${resp.errorCode}")
+      if (hwm < 0) hwm = resp.highWatermark
+      val msgs = decodeMessageSet(resp.messageSet).filter(_.offset >= next)
+      msgs.foreach(m => res += ((m.offset, m.value)))
+      next = if (msgs.nonEmpty) msgs.last.offset + 1 else next
+      done = msgs.isEmpty || next >= hwm
+    }
+    res.result()
+  }
+
+  def close(): Unit = sock.close()
+}

@@ -341,9 +341,19 @@ object Replay {
     // recovered ackedSeq (kafka.go:134-255). A lost ack is repaired from
     // the topic itself BEFORE anything streams; without a broker the wire
     // sink appends base64 lines and restart dedup is F3-only.
-    val topic = topicAddr.map { addr =>
-      val colon = addr.lastIndexOf(':')
-      new TopicClient(addr.substring(0, colon), addr.substring(colon + 1).toInt)
+    val topic: Option[TopicLike] = topicAddr.map { addr =>
+      if (addr.startsWith("kafka://")) {
+        // real Kafka wire protocol (graft.kafka): kafka://host:port/topic
+        val rest = addr.stripPrefix("kafka://")
+        val slash = rest.indexOf('/')
+        val (hp, t) =
+          if (slash < 0) (rest, "graft") else (rest.substring(0, slash), rest.substring(slash + 1))
+        val colon = hp.lastIndexOf(':')
+        new graft.kafka.KafkaTopicClient(hp.substring(0, colon), hp.substring(colon + 1).toInt, t)
+      } else {
+        val colon = addr.lastIndexOf(':')
+        new TopicClient(addr.substring(0, colon), addr.substring(colon + 1).toInt)
+      }
     }
     val (wireCkp, producerStartSeq, recoveredAckedOffset) = topic match {
       case Some(client) =>

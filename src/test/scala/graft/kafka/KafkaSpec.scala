@@ -1,0 +1,220 @@
+package graft.kafka
+
+import graft.cdc._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The hand-rolled Kafka wire layer. Three layers of proof:
+  *
+  *  1. GOLDEN BYTES — request/message encodings pinned byte-for-byte
+  *     against the published protocol layouts (hand-assembled hex, not
+  *     round-tripped through the codec), so the codec is checked against
+  *     the spec rather than itself.
+  *  2. Broker round-trip — ApiVersions handshake, produce acks, CRC
+  *     verification, fetch paging under a byte limit.
+  *  3. The K1 lifecycle over REAL frames — the TopicSimSpec restart
+  *     scenarios (lost ack → recovery scan → seq resume, duplicate-free)
+  *     re-run against the Kafka protocol, and the ProtoWire golden corpus
+  *     produced/fetched intact (what an external sarama consumer of the
+  *     reference's topic would need).
+  */
+class KafkaSpec extends AnyFunSuite {
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // ---- 1. golden bytes ----
+
+  test("message v1 layout and CRC match the published format (golden bytes)") {
+    // value "hi", no key, timestamp 0x0102030405060708, magic 1, attrs 0:
+    //   crc INT32 | 01 | 00 | ts INT64 | key -1 | value len 2 "hi"
+    val body = "01" + "00" + "0102030405060708" + "ffffffff" + "00000002" + "6869"
+    val crc = new java.util.zip.CRC32()
+    crc.update(unhex(body))
+    val expected = f"${crc.getValue.toInt}%08x" + body
+    assert(hex(KafkaWire.encodeMessage(0x0102030405060708L, null,
+      "hi".getBytes("UTF-8"))) == expected)
+  }
+
+  test("Produce v2 request matches the published layout (golden bytes)") {
+    val set = KafkaWire.encodeMessageSet(Seq(
+      KafkaWire.Msg(0L, 1546300800000L, null, Array[Byte](0x42))))
+    val req = KafkaWire.encodeProduceRequest(
+      KafkaWire.ProduceRequest(acks = -1, timeoutMs = 1500, "t", 0, set))
+    // acks=-1 INT16 | timeout INT32 | 1 topic | "t" | 1 partition | p=0
+    // | set size INT32 | set
+    val expected = "ffff" + "000005dc" +
+      "00000001" + "0001" + "74" +
+      "00000001" + "00000000" +
+      f"${set.length}%08x" + hex(set)
+    assert(hex(req) == expected)
+  }
+
+  test("Fetch v3 and ListOffsets v1 requests match the published layouts") {
+    val f = KafkaWire.encodeFetchRequest(KafkaWire.FetchRequest(
+      maxWaitMs = 500, minBytes = 1, maxBytes = 1048576, "t", 0,
+      fetchOffset = 7, partitionMaxBytes = 1048576))
+    // replica -1 | max_wait | min_bytes | max_bytes | 1 topic "t"
+    // | 1 partition | p=0 | offset 7 | partition max
+    assert(hex(f) == "ffffffff" + "000001f4" + "00000001" + "00100000" +
+      "00000001" + "0001" + "74" +
+      "00000001" + "00000000" + "0000000000000007" + "00100000")
+    val lo = KafkaWire.encodeListOffsetsRequest(
+      KafkaWire.ListOffsetsRequest("t", 0, KafkaWire.TimestampLatest))
+    assert(hex(lo) == "ffffffff" + "00000001" + "0001" + "74" +
+      "00000001" + "00000000" + "ffffffffffffffff")
+  }
+
+  test("request header layout: api_key, version, correlation, client_id") {
+    val w = new KafkaWire.Writer()
+    KafkaWire.writeRequestHeader(w,
+      KafkaWire.RequestHeader(KafkaWire.ApiProduce, 2, 0x0a0b0c0d, "cid"))
+    assert(hex(w.result) == "0000" + "0002" + "0a0b0c0d" + "0003" + "636964")
+  }
+
+  test("decodeMessageSet verifies CRC and rejects corruption") {
+    val good = KafkaWire.encodeMessageSet(Seq(
+      KafkaWire.Msg(5L, 1L, null, Array[Byte](1, 2, 3))))
+    val decoded = KafkaWire.decodeMessageSet(good)
+    assert(decoded.map(m => (m.offset, m.value.toSeq)) == Vector((5L, Seq[Byte](1, 2, 3))))
+    val corrupt = good.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x01).toByte
+    intercept[IllegalArgumentException] { KafkaWire.decodeMessageSet(corrupt) }
+  }
+
+  // ---- 2. broker round-trip ----
+
+  test("handshake + produce + hwm + fetch against the broker") {
+    val broker = new KafkaBroker().start()
+    try {
+      val c = new KafkaTopicClient("127.0.0.1", broker.port, "ops")
+      try {
+        assert(c.highWaterMark() == 0L)
+        assert(c.produce("a".getBytes) == 1L) // ack = own offset + 1
+        assert(c.produce("b".getBytes) == 2L)
+        assert(c.highWaterMark() == 2L)
+        val got = c.fetchFrom(0L).map { case (off, v) => (off, new String(v)) }
+        assert(got == Vector((0L, "a"), (1L, "b")))
+        assert(c.fetchFrom(2L).isEmpty)
+      } finally c.close()
+    } finally broker.close()
+  }
+
+  test("fetch pages under a byte limit without gaps or duplicates") {
+    val broker = new KafkaBroker().start()
+    try {
+      val writer = new KafkaTopicClient("127.0.0.1", broker.port, "ops")
+      val payloads = (0 until 50).map(i => s"payload-$i-${"x" * 100}")
+      try payloads.foreach(p => writer.produce(p.getBytes))
+      finally writer.close()
+      // a limit far below the total forces many fetch round-trips
+      val reader = new KafkaTopicClient("127.0.0.1", broker.port, "ops",
+        fetchMaxBytes = 256)
+      try {
+        val got = reader.fetchFrom(0L)
+        assert(got.map(_._1) == (0L until 50L).toVector) // no gaps, no dups
+        assert(got.map(p => new String(p._2)) == payloads.toVector)
+      } finally reader.close()
+    } finally broker.close()
+  }
+
+  // ---- 3. the K1 lifecycle over real frames ----
+
+  private def insert(logPos: Long, id: Long): Operation = {
+    val table = TableDef("test", "t", Vector(
+      ColumnDef("id", "int(11)", InnerType.LONG, key = "PRI", nullable = false)))
+    Operation(
+      OperationHeader(66693, OpType.Insert, 1546300800L, logPos),
+      table = Some(table),
+      rows = Vector(OpRow(None, Some(Vector(Some(id.toString))))))
+  }
+
+  private def begin(logPos: Long): Operation =
+    Operation(OperationHeader(66693, OpType.Begin, 1546300800L, logPos))
+
+  private def commit(logPos: Long): Operation =
+    Operation(OperationHeader(66693, OpType.Commit, 1546300800L, logPos),
+      progress = Some(Progress(Position("mysql-bin.000008", logPos, 66693), None)))
+
+  private def trx(basePos: Long, id: Long): Seq[Operation] =
+    Seq(begin(basePos), insert(basePos + 50, id), commit(basePos + 100))
+
+  test("lost ack → recovery scan over Kafka frames → seq resume, no duplicates") {
+    val broker = new KafkaBroker().start()
+    try {
+      val client = new KafkaTopicClient("127.0.0.1", broker.port, "dolphin")
+      try {
+        val producer = new FragmentingProducer(producerId = 1L)
+        // trx1 produced AND acked; trx2 produced but the ack was lost
+        val msgs1 = producer.produce(trx(200, 1))
+        msgs1.foreach(m => client.produce(Wire.encodeMessage(m)))
+        val ackedAfter1 = Checkpoint(Progress(Position("mysql-bin.000008", 300, 66693), None))
+          .withIntCtx("acked_seq", msgs1.last.seq)
+          .withIntCtx("acked_offset", client.highWaterMark() - 1)
+        val msgs2 = producer.produce(trx(400, 2))
+        msgs2.foreach(m => client.produce(Wire.encodeMessage(m)))
+
+        // restart: KafkaRecovery drives ListOffsets + Fetch over the wire
+        val rec = KafkaRecovery.recover(client, ackedAfter1)
+        assert(rec.scanned == msgs2.size)
+        assert(rec.ackedSeq == msgs2.last.seq)
+        assert(rec.ackedOffset == client.highWaterMark() - 1)
+        assert(rec.ckp.progress.pos == Position("mysql-bin.000008", 500, 66693))
+
+        // resume from the recovered seq; a new trx continues with no gap
+        val resumed = new FragmentingProducer(producerId = 1L, startSeq = rec.ackedSeq)
+        val msgs3 = resumed.produce(trx(600, 3))
+        msgs3.foreach(m => client.produce(Wire.encodeMessage(m)))
+        assert(msgs3.head.seq == rec.ackedSeq + 1)
+
+        // consumer proof: the whole topic decodes each insert exactly once
+        val dec = new OperationDecoder
+        val ops = client.fetchFrom(0L).flatMap { case (off, data) =>
+          dec.feed(data, off).toSeq.flatMap(_.ops)
+        }
+        val ids = ops.filter(_.opType == OpType.Insert)
+          .flatMap(_.rows).flatMap(_.after.toSeq).flatMap(_.headOption.flatten)
+        assert(ids == Vector("1", "2", "3"))
+      } finally client.close()
+    } finally broker.close()
+  }
+
+  test("first run over Kafka: nothing acked, ackedOffset snaps to hwm-1") {
+    val broker = new KafkaBroker().start()
+    try {
+      val client = new KafkaTopicClient("127.0.0.1", broker.port, "dolphin")
+      try {
+        client.produce("preexisting".getBytes)
+        val rec = KafkaRecovery.recover(client, Checkpoint(Progress.zero))
+        assert(rec.scanned == 0)
+        assert(rec.ackedOffset == client.highWaterMark() - 1)
+      } finally client.close()
+    } finally broker.close()
+  }
+
+  test("ProtoWire golden corpus survives the broker byte-for-byte") {
+    // the reference's protobuf envelope (the ProtoWireSpec golden message)
+    // produced as a Kafka value and fetched back — an external consumer
+    // of the reference's topic would decode exactly these bytes
+    val goldenPayload =
+      "0a380a0d0801100118d2edf3f50520ec0e422733653131666134372d373163612d313165312d39" +
+      "6533332d6338306161393432393536323a32330a560a0d0801100418d2edf3f50520d00f6a3a0a" +
+      "0264621201741a140a0269641207696e742831312918032a035052491a1b0a0176120b76617263" +
+      "68617228313029180f3207757466386d623472091203120137120208010a5a0a0d0801100318d2" +
+      "edf3f50520b4107a490a056d7973716c10011a106d7973716c2d62696e2e30303030303320b410" +
+      "2a2933653131666134372d373163612d313165312d396533332d6338306161393432393536323a" +
+      "312d3233"
+    val golden = unhex("08011007280338037aee01" + goldenPayload)
+    val broker = new KafkaBroker().start()
+    try {
+      val c = new KafkaTopicClient("127.0.0.1", broker.port, "dolphin")
+      try {
+        c.produce(golden)
+        val got = c.fetchFrom(0L)
+        assert(got.size == 1 && got.head._2.sameElements(golden))
+        val m = ProtoWire.decodeMessage(got.head._2)
+        assert(m.producerId == 7L && m.seq == 3L && m.groupId == 3L)
+      } finally c.close()
+    } finally broker.close()
+  }
+}

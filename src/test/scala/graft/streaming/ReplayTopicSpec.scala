@@ -73,4 +73,47 @@ class ReplayTopicSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ops3.map(_.header.logPos) == ops1.map(_.header.logPos))
     } finally server.close()
   }
+
+  test("same lifecycle over the REAL Kafka wire protocol (kafka:// sink)") {
+    val broker = new graft.kafka.KafkaBroker().start()
+    try {
+      val addr = s"kafka://127.0.0.1:${broker.port}/ops"
+      val out = Files.createTempDirectory("kafkarun")
+      def topicOps: Vector[Operation] = {
+        val c = new graft.kafka.KafkaTopicClient("127.0.0.1", broker.port, "ops")
+        try {
+          val dec = new OperationDecoder
+          c.fetchFrom(0L).flatMap { case (off, d) =>
+            dec.feed(d, off).toSeq.flatMap(_.ops)
+          }
+        } finally c.close()
+      }
+
+      val stats1 = Replay.run(spark, fixture, out, topicAddr = Some(addr))
+      assert(stats1.wireMessages > 0)
+      val hwm1 = broker.highWaterMark("ops", 0)
+      assert(hwm1 == stats1.wireMessages)
+      val ops1 = topicOps
+      val inserts1 = ops1.count(_.opType == OpType.Insert)
+      assert(inserts1 > 0)
+
+      // clean restart: F3 + recovery over Produce/Fetch/ListOffsets frames
+      val stats2 = Replay.run(spark, fixture, out, topicAddr = Some(addr))
+      assert(stats2.wireMessages == 0)
+      assert(broker.highWaterMark("ops", 0) == hwm1)
+
+      // lost ack: rewind the checkpoint; the recovery scan repairs it from
+      // the broker itself — nothing re-produces, no duplicates
+      val mgr = new CkpManager(new FileCkpStorage(out.resolve("ckp")))
+      mgr.update("wire", Checkpoint(Progress.zero)
+        .withIntCtx("acked_seq", 0L).withIntCtx("acked_offset", -1L))
+      mgr.persist()
+      val stats3 = Replay.run(spark, fixture, out, topicAddr = Some(addr))
+      assert(stats3.wireMessages == 0, "recovery scan must repair the lost ack")
+      assert(broker.highWaterMark("ops", 0) == hwm1)
+      val ops3 = topicOps
+      assert(ops3.count(_.opType == OpType.Insert) == inserts1)
+      assert(ops3.map(_.header.logPos) == ops1.map(_.header.logPos))
+    } finally broker.close()
+  }
 }
