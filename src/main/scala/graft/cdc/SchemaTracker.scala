@@ -133,6 +133,12 @@ final class SchemaTracker {
         case Default => t.copy(columns = t.columns.updated(i, c))
         case p => t.copy(columns = placed(without, c, p))
       }
+    case RenameColumn(oldName, newName) =>
+      val i = t.columnIndex(oldName)
+      if (i < 0) throw new DdlApplyException(s"no such column: $oldName")
+      if (t.columnIndex(newName) >= 0)
+        throw new DdlApplyException(s"duplicate column: $newName")
+      t.copy(columns = t.columns.updated(i, t.columns(i).copy(name = newName)))
     case RenameTo(db, name) =>
       t.copy(database = if (db.isEmpty) t.database else db, name = name)
   }
@@ -172,6 +178,9 @@ final case class AddColumn(col: ColumnDef, pos: Placement) extends AlterSpec
 final case class DropColumn(name: String) extends AlterSpec
 final case class ModifyColumn(col: ColumnDef, pos: Placement) extends AlterSpec
 final case class ChangeColumn(oldName: String, col: ColumnDef, pos: Placement) extends AlterSpec
+/** MySQL 8.0 `RENAME COLUMN old TO new` — a shape change (the name), with
+  * type/position preserved, unlike CHANGE which restates the full def. */
+final case class RenameColumn(oldName: String, newName: String) extends AlterSpec
 final case class RenameTo(db: String, name: String) extends AlterSpec
 
 // ---------- tokenizer + recursive-descent parser ----------
@@ -337,11 +346,19 @@ object DdlParser {
         val specs = Vector.newBuilder[AlterSpec]
         def oneSpec(): Unit = peekUp match {
           case "ADD" =>
-            next(); accept("COLUMN")
-            if (peekUp == "PRIMARY" || peekUp == "UNIQUE" || peekUp == "INDEX" ||
-              peekUp == "KEY" || peekUp == "CONSTRAINT" || peekUp == "FULLTEXT" ||
-              peekUp == "SPATIAL" || peekUp == "FOREIGN") {
-              skipSpecTail() // index/constraint DDL: no schema-shape effect
+            next()
+            val hadColumnKw = accept("COLUMN")
+            if (!hadColumnKw && (peekUp == "PRIMARY" || peekUp == "UNIQUE" ||
+              peekUp == "INDEX" || peekUp == "KEY" || peekUp == "CONSTRAINT" ||
+              peekUp == "FULLTEXT" || peekUp == "SPATIAL" || peekUp == "FOREIGN" ||
+              peekUp == "CHECK" || peekUp == "PARTITION")) {
+              skipSpecTail() // index/constraint/partition DDL: no shape effect
+            } else if (peek == "(") {
+              // ADD [COLUMN] (a INT, b INT, ...): the multi-column form
+              next()
+              specs += AddColumn(columnDef(), Default)
+              while (accept(",")) specs += AddColumn(columnDef(), Default)
+              expect(")")
             } else {
               val c = columnDef()
               specs += AddColumn(c, placement())
@@ -356,6 +373,8 @@ object DdlParser {
             // bogus DropColumn("FOREIGN")).
             else if (accept("FOREIGN")) { expect("KEY"); ident(); () }
             else if (accept("CONSTRAINT") || accept("CHECK")) { ident(); () }
+            // DROP PARTITION p0[, p1]: data reorganization, columns unchanged
+            else if (accept("PARTITION")) { skipSpecTail() }
             else { accept("COLUMN"); specs += DropColumn(ident()) }
           case "MODIFY" =>
             next(); accept("COLUMN")
@@ -369,7 +388,12 @@ object DdlParser {
           case "RENAME" =>
             next()
             if (peekUp == "INDEX" || peekUp == "KEY") { skipSpecTail() } // index rename: no-op
-            else {
+            else if (accept("COLUMN")) {
+              // MySQL 8.0 RENAME COLUMN old TO new: shape change, def kept
+              val oldName = ident()
+              require(accept("TO") || accept("AS"), "expected TO")
+              specs += RenameColumn(oldName, ident())
+            } else {
               if (!accept("TO")) accept("AS")
               val a = ident()
               // unqualified rename stays in the table's own database
@@ -377,7 +401,8 @@ object DdlParser {
               specs += RenameTo(tdb, tname)
             }
           case "ALTER" =>
-            // ALTER [COLUMN] x SET DEFAULT v | DROP DEFAULT: no shape change
+            // ALTER [COLUMN] x SET DEFAULT v | DROP DEFAULT,
+            // ALTER INDEX i VISIBLE, ALTER CHECK c ENFORCED: no shape change
             next(); skipSpecTail()
           case kw if kw == "ENGINE" || kw.startsWith("ENGINE=") ||
             kw == "AUTO_INCREMENT" || kw.startsWith("AUTO_INCREMENT=") ||
@@ -388,7 +413,16 @@ object DdlParser {
             kw == "DEFAULT" || kw == "CHARACTER" || kw == "CHARSET" ||
             kw.startsWith("CHARSET=") || kw == "COLLATE" || kw.startsWith("COLLATE=") ||
             kw == "CONVERT" || kw == "ORDER" || kw == "FORCE" ||
-            kw == "ENABLE" || kw == "DISABLE" =>
+            kw == "ENABLE" || kw == "DISABLE" ||
+            // partition maintenance: data moves, the column shape never does
+            // (PARTITION BY / REMOVE PARTITIONING / TRUNCATE|COALESCE|
+            //  REORGANIZE|EXCHANGE|ANALYZE|CHECK|OPTIMIZE|REBUILD|REPAIR|
+            //  DISCARD|IMPORT PARTITION [TABLESPACE] / WITH[OUT] VALIDATION)
+            kw == "PARTITION" || kw == "REMOVE" || kw == "TRUNCATE" ||
+            kw == "COALESCE" || kw == "REORGANIZE" || kw == "EXCHANGE" ||
+            kw == "ANALYZE" || kw == "CHECK" || kw == "OPTIMIZE" ||
+            kw == "REBUILD" || kw == "REPAIR" || kw == "DISCARD" ||
+            kw == "IMPORT" || kw == "WITH" || kw == "WITHOUT" =>
             // table options / maintenance specs: recognized, no schema effect
             skipSpecTail()
           case other =>
@@ -414,6 +448,20 @@ object DdlParser {
       if (accept("FIRST")) First
       else if (accept("AFTER")) After(ident())
       else Default
+
+    /** Consume the rest of a table-level constraint entry: everything up to
+      * the entry-separating comma or the list-closing paren at depth 0. */
+    private def skipConstraintTail(): Unit = {
+      var depth = 0
+      var done = false
+      while (!done && i < toks.length) {
+        val t = peek
+        if (t == "(") { depth += 1; next() }
+        else if (t == ")") { if (depth == 0) done = true else { depth -= 1; next() } }
+        else if (t == "," && depth == 0) done = true
+        else next()
+      }
+    }
 
     private def skipParens(): Unit = {
       if (peek == "(") {
@@ -449,6 +497,11 @@ object DdlParser {
               cols ++= built.map(c =>
                 if (pkCols.contains(c.name)) c.copy(key = "PRI", nullable = false) else c)
             } else skipParens()
+            // constraint tails past the first paren group — a FOREIGN KEY's
+            // `REFERENCES t (c) ON DELETE CASCADE`, a CHECK's `NOT ENFORCED`,
+            // an index's `USING BTREE` — would otherwise fall into columnDef
+            // on the next loop turn and abort the parse
+            skipConstraintTail()
           case _ =>
             cols += columnDef()
         }
@@ -494,13 +547,43 @@ object DdlParser {
           case "DEFAULT" =>
             next()
             if (peek == "(") skipParens()
-            else { next(); if (peek == "(") skipParens() } // e.g. CURRENT_TIMESTAMP(3)
+            else {
+              next(); if (peek == "(") skipParens() // e.g. CURRENT_TIMESTAMP(3)
+              // decimal literals: '.' is a tokenizer punct, so DEFAULT 0.00
+              // arrives as "0" "." "00" — stitch the fraction back on
+              while (peek == ".") { next(); next() }
+            }
           case "ON" => next(); expect("UPDATE"); next(); if (peek == "(") skipParens()
           case "AUTO_INCREMENT" => next()
           case "UNIQUE" => next(); accept("KEY"); if (key.isEmpty) key = "UNI"
           case "PRIMARY" => next(); expect("KEY"); key = "PRI"; nullable = false
           case "KEY" => next(); if (key.isEmpty) key = "MUL"
           case "COMMENT" => next(); next()
+          // generated columns: [GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED].
+          // The expression is opaque to the mirror — only the column's
+          // name/type/order matter for rows decode (virtual columns are
+          // absent from ROW images; stored ones present like any other).
+          case "GENERATED" => next(); expect("ALWAYS"); expect("AS"); skipParens()
+          case "AS" => next(); skipParens()
+          case "VIRTUAL" | "STORED" => next()
+          // column CHECK (expr) [[NOT] ENFORCED] — lookahead before eating
+          // NOT: `CHECK (c > 0) NOT NULL` continues with column attributes
+          case "CHECK" =>
+            next(); skipParens()
+            if (peekUp == "NOT" && toks.lift(i + 1).exists(_.equalsIgnoreCase("ENFORCED"))) {
+              next(); next()
+            } else { accept("ENFORCED"); () }
+          case "INVISIBLE" | "VISIBLE" => next() // 8.0 invisible columns
+          case "SRID" => next(); next()
+          case "COLUMN_FORMAT" | "STORAGE" => next(); next()
+          // inline FK: REFERENCES tbl (cols) [MATCH ...] [ON DELETE|UPDATE action]
+          case "REFERENCES" =>
+            next(); qualified()
+            if (peek == "(") skipParens()
+            val fkTail = Set("MATCH", "FULL", "PARTIAL", "SIMPLE", "ON",
+              "DELETE", "UPDATE", "RESTRICT", "CASCADE", "SET", "NULL",
+              "NO", "ACTION")
+            while (fkTail(peekUp)) next()
           case _ => done = true
         }
       }
