@@ -892,5 +892,95 @@ object Dedup {
         FROM lanes l JOIN jac ON jac.i = l.i AND jac.j = l.j
         GROUP BY l.matches ORDER BY l.matches"""),
     ),
+
+    // ---- d16: DF-cap recall gate (the d12 of d02's stop-shingle cap) ----
+    // d02 bounds its inverted-index self-join by dropping shingles with
+    // document frequency > 128. The cap SILENTLY drops any pair whose
+    // overlap lives mostly on hot shingles — this query measures that loss
+    // the way d12 measures banding recall: truth = the uncapped exact
+    // Jaccard ≥ 0.8 pairs (quadratic, eval-sample affordable), then pair
+    // recall at a SWEEP of caps (2, 4, 128). The tight caps show how
+    // recall degrades as the cap starts to bite (at this SF max DF is 7,
+    // so they bite hard); the 128 row is the production gate — recall 1.0
+    // here is the measured evidence the d02 cap loses nothing at this
+    // corpus shape, and the number to re-check when the shingle DF
+    // distribution shifts. One DF aggregate + one capped join for ALL
+    // caps at once (rows replicate per qualifying cap, ≤ |caps|×) — the
+    // eval itself stays scale-shaped.
+    QueryDef(
+      "d16_dfcap_recall",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingleIndex(s, dir)
+        val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val dfreq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+        val caps = Seq(2, 4, 128).toDF("df_cap")
+        val capped = sh.join(dfreq, "s").join(broadcast(caps), $"df" <= $"df_cap")
+        val shared = capped.as("a")
+          .join(capped.as("b"),
+            $"a.df_cap" === $"b.df_cap" && $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.df_cap".as("df_cap"), $"a.doc_id".as("i"), $"b.doc_id".as("j"))
+          .agg(count(lit(1)).as("shared"))
+        val pairs = shared
+          .join(cnt.select($"doc_id".as("i"), $"n".as("ni")), "i")
+          .join(cnt.select($"doc_id".as("j"), $"n".as("nj")), "j")
+          .filter($"shared".cast("double") / ($"ni" + $"nj" - $"shared") >= 0.8)
+          .select($"df_cap", $"i", $"j")
+        val truth = sh.as("a")
+          .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+          .agg(count(lit(1)).as("shared"))
+          .join(cnt.select($"doc_id".as("i"), $"n".as("ni")), "i")
+          .join(cnt.select($"doc_id".as("j"), $"n".as("nj")), "j")
+          .filter($"shared".cast("double") / ($"ni" + $"nj" - $"shared") >= 0.8)
+          .select($"i", $"j")
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        caps
+          .join(pairs.join(truth.withColumn("t", lit(1L)), Seq("i", "j"), "left"),
+            Seq("df_cap"), "left")
+          .groupBy($"df_cap")
+          .agg(count($"i").as("n_pairs"), coalesce(sum($"t"), lit(0L)).as("n_hit"))
+          .crossJoin(broadcast(nTruth))
+          .withColumn("recall", $"n_hit".cast("double") / $"n_truth")
+          .select($"df_cap", $"n_truth", $"n_pairs", $"n_hit", $"recall")
+          .orderBy($"df_cap")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        caps AS (SELECT unnest([2, 4, 128]) AS df_cap),
+        capped AS (
+          SELECT c.df_cap, i.doc_id, i.s
+          FROM sh i JOIN dfreq d USING (s) JOIN caps c ON d.df <= c.df_cap),
+        shared AS (
+          SELECT a.df_cap, a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+          FROM capped a JOIN capped b
+            ON a.df_cap = b.df_cap AND a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.df_cap, a.doc_id, b.doc_id),
+        pairs AS (
+          SELECT df_cap, i, j FROM shared
+          JOIN cnt ci ON ci.doc_id = i JOIN cnt cj ON cj.doc_id = j
+          WHERE CAST(shared AS DOUBLE)/(ci.n + cj.n - shared) >= 0.8),
+        tsh AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        truth AS (
+          SELECT i, j FROM tsh
+          JOIN cnt ci ON ci.doc_id = i JOIN cnt cj ON cj.doc_id = j
+          WHERE CAST(shared AS DOUBLE)/(ci.n + cj.n - shared) >= 0.8),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+        SELECT c.df_cap, nt.n_truth,
+               CAST(COUNT(p.i) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(CASE WHEN t.i IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(SUM(CASE WHEN t.i IS NOT NULL THEN 1 END), 0) AS DOUBLE)/nt.n_truth AS recall
+        FROM caps c
+        LEFT JOIN pairs p ON p.df_cap = c.df_cap
+        LEFT JOIN truth t ON t.i = p.i AND t.j = p.j
+        CROSS JOIN nt
+        GROUP BY c.df_cap, nt.n_truth
+        ORDER BY c.df_cap"""),
+    ),
   )
 }
