@@ -166,6 +166,47 @@ final class AdminServer(
         else if (!gate.isParked) err(ex, "no failed ddl")
         else { gate.skip(); respond(ex, 200, "", json = false) }
 
+      // ---- /debug/* — the JVM twins of the reference's pprof endpoints
+      // (cmd/dolphinbeat/http.go:33-39): live thread + heap inspection
+      // without shelling into the box ----
+      case "debug" :: "threads" :: Nil =>
+        val mx = java.lang.management.ManagementFactory.getThreadMXBean
+        val sb = new StringBuilder
+        mx.dumpAllThreads(false, false).foreach { t =>
+          sb.append(s""""${t.getThreadName}" #${t.getThreadId} ${t.getThreadState}""")
+          sb.append('\n')
+          t.getStackTrace.foreach(f => sb.append("\tat ").append(f).append('\n'))
+          sb.append('\n')
+        }
+        respond(ex, 200, sb.toString, json = false)
+
+      case "debug" :: "heap" :: Nil =>
+        // prefer the HotSpot class histogram (jmap -histo parity) via the
+        // DiagnosticCommand MBean; fall back to pool usage on JVMs
+        // without it
+        val body =
+          try {
+            val server = java.lang.management.ManagementFactory.getPlatformMBeanServer
+            server.invoke(
+              new javax.management.ObjectName("com.sun.management:type=DiagnosticCommand"),
+              "gcClassHistogram",
+              Array[AnyRef](null), Array("[Ljava.lang.String;")).toString
+          } catch {
+            case _: Exception =>
+              val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+              val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+              val sb = new StringBuilder
+              val h = mem.getHeapMemoryUsage
+              sb.append(s"heap: used=${h.getUsed} committed=${h.getCommitted} max=${h.getMax}\n")
+              pools.forEach { p =>
+                val u = p.getUsage
+                if (u != null)
+                  sb.append(s"pool ${p.getName}: used=${u.getUsed} committed=${u.getCommitted}\n")
+              }
+              sb.toString
+          }
+        respond(ex, 200, body, json = false)
+
       case _ => respond(ex, 404, "not found", json = false)
     }
   }

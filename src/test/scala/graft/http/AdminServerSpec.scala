@@ -103,6 +103,28 @@ class AdminServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("/debug/threads dumps every live thread with its stack") {
+    withServer { (port, _, _, _) =>
+      val res = get(port, "/debug/threads")
+      assert(res.statusCode() == 200)
+      // the serving thread itself must appear, with frames
+      assert(res.body().contains("RUNNABLE"))
+      assert(res.body().contains("\tat "))
+      assert(res.body().linesIterator.count(_.startsWith("\"")) >= 3)
+    }
+  }
+
+  test("/debug/heap serves a class histogram (or pool usage fallback)") {
+    withServer { (port, _, _, _) =>
+      val res = get(port, "/debug/heap")
+      assert(res.statusCode() == 200)
+      // HotSpot: jmap -histo style lines; fallback: pool usage summary —
+      // either way java.lang classes / heap numbers must show up
+      assert(res.body().contains("java.lang") || res.body().contains("heap: used="))
+      assert(res.body().nonEmpty)
+    }
+  }
+
   test("metrics expose A1 counters after a replay run, in Prometheus text format") {
     withServer { (port, _, _, counters) =>
       val spark = SparkSession.builder()
