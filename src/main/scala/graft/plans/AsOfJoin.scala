@@ -28,6 +28,14 @@ import org.apache.spark.sql.graft.PlanBridge
   *
   * Time columns must be BIGINT (the engine's epoch-micros convention).
   * Null keys or times never match (SQL join semantics).
+  *
+  * WHOLE-STAGE CODEGEN: deliberately not implemented (same reasoning and
+  * measurement discipline as TopKPerKeyExec): the two-pointer merge
+  * consumes BOTH children with data-dependent advancement — the shape
+  * SortMergeJoinExec needs its bespoke codegen for — while the loop body
+  * here is already allocation-free per row. AsOfBench (sf0.1, 32 threads,
+  * median-of-3 warm) has it 1.31× faster than the union+window
+  * composition it replaces; the stage boundary is not the bottleneck.
   */
 final case class AsOfJoinPlan(
     leftKey: Expression,
