@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The sf1 scale checkpoint: validates that the sf0.1 plan audit holds an
+  * order of magnitude up, on the 10 most expensive queries from the round
+  * bench.
+  *
+  * Data: `/root/testdata` stops at sf0.1 (read-only), so this main derives
+  * a deterministic ~sf1 set under `.bench-sf1/` (gitignored) by replicating
+  * sf0.1 tenfold with key offsets — surrogate keys shift by `rep × 10M` so
+  * referential integrity holds within each replica — and CONTENT
+  * perturbation where identity would distort the workload: document words
+  * get a per-replica prefix (replica shingle sets are disjoint, so dedup
+  * pair structure grows linearly like an organic corpus, instead of every
+  * doc acquiring 9 clones), and embeddings rotate by `rep` positions
+  * (norm-preserving, genuinely different vectors). Dims (region, nation)
+  * stay single-copy. No RNG anywhere — same bytes every run.
+  *
+  * Timing: round 0 in listed order is the COLD pass (fresh session —
+  * includes parquet scans, table-cache materialization, and the shared
+  * shingle-index build on whichever query hits it first); three more
+  * rounds give the WARM median, same method as Bench. Output:
+  * `BENCH_sf1.json` with per-query cold/warm and, when `bench_queries.json`
+  * (the sf0.1 medians) is present, the ratio of warm-sf1 to 10× the sf0.1
+  * median — the linear-extrapolation check (≤ ~2 means the plan scales).
+  */
+object BenchSf1 {
+
+  private val Reps = 10
+  private val Off = 10000000L
+
+  /** Top-10 by sf0.1 median cost (bench_queries.json, round 4). */
+  private val Top10 = Seq(
+    "p03_dup_clusters", "m06_crossmodal_consensus", "p09_novelty_weighted_sample",
+    "q45_bag_set_ops", "d10_incremental_dedup", "d05_simhash_pairs",
+    "d02_ngram_jaccard_pairs", "e16_strict_funnel", "q11_important_parts",
+    "d11_source_overlap")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", ".bench-sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/_GENERATED"))) {
+      generate(spark, srcDir, outDir)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/_GENERATED"),
+        s"from=$srcDir reps=$Reps off=$Off\n".getBytes("UTF-8"))
+    }
+
+    // warmup outside timing, as in Bench
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val queries = Top10.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val cold = collection.mutable.LinkedHashMap.empty[String, Double]
+    val warm = collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    def time(fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, outDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    queries.foreach { case (name, fn) => cold(name) = time(fn) }
+    for (_ <- 1 to 3; (name, fn) <- queries)
+      warm.updateWith(name)(prev => Some(time(fn) :: prev.getOrElse(Nil)))
+
+    val sf01 = readSf01Medians()
+    def r3(v: Double): String = f"$v%.3f"
+    val rows = spark.read.parquet(s"$outDir/lineitem.parquet").count()
+    val docs = spark.read.parquet(s"$outDir/documents.parquet").count()
+    val qjson = queries.map { case (name, _) =>
+      val w = warm(name).sorted.apply(1)
+      val ratio = sf01.get(name).map(m => s""","x_vs_10x_sf01":${r3(w / (10 * m))}""").getOrElse("")
+      s""""$name":{"cold":${r3(cold(name))},"warm":${r3(w)}$ratio}"""
+    }.mkString("{", ",", "}")
+    val out =
+      s"""{"metric":"sf1_checkpoint","lineitem_rows":$rows,"document_rows":$docs,"reps":$Reps,"queries":$qjson,"src":"$srcDir","method":"cold = first pass in a fresh session (scan + cache + shared index builds attributed to first toucher); warm = median of 3 subsequent passes; x_vs_10x_sf01 = warm / (10 x sf0.1 median from bench_queries.json)"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1.json"),
+      (out + "\n").getBytes("UTF-8"))
+    println(out)
+    spark.stop()
+  }
+
+  private def readSf01Medians(): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_queries.json")), "UTF-8")
+      // minimal extraction: "name":1.234 pairs inside the "queries" object
+      val m = """"([a-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+      m.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
+
+  private def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val reps = spark.range(Reps).toDF("rep")
+    def src(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    def shifted(df: DataFrame, keys: String*): DataFrame = {
+      val rep = df.crossJoin(reps)
+      keys.foldLeft(rep)((d, k) => d.withColumn(k, col(k) + col("rep") * Off))
+        .drop("rep")
+    }
+
+    write(src("region"), "region")
+    write(src("nation"), "nation")
+    write(shifted(src("customer"), "c_custkey"), "customer")
+    write(shifted(src("supplier"), "s_suppkey"), "supplier")
+    write(shifted(src("part"), "p_partkey"), "part")
+    write(shifted(src("orders"), "o_orderkey", "o_custkey"), "orders")
+    write(shifted(src("lineitem"), "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
+    write(shifted(src("events"), "event_id", "user_id"), "events")
+
+    val docs = src("documents").crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("rep") * Off)
+      // per-replica word prefix: replica shingle sets are disjoint, so the
+      // near-dup pair structure scales linearly instead of cloning
+      .withColumn("text",
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("r"), col("rep"), lit("$1"))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("rep")
+    write(docs, "documents")
+
+    val emb = src("embeddings").crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("rep") * Off)
+      .withColumn("embedding", expr(
+        "concat(slice(embedding, cast(rep AS int) + 1, size(embedding) - cast(rep AS int)), " +
+          "slice(embedding, 1, cast(rep AS int)))"))
+      .drop("rep")
+    write(emb, "embeddings")
+  }
+}
