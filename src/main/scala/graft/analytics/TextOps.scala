@@ -676,6 +676,81 @@ object TextOps {
                CAST(round((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx)/n * 10000) AS BIGINT) AS intercept_q
         FROM sums"""),
     ),
+
+    // ---- t18: PII detection + redaction (regex class bank) ----
+    // The scrubbing pass every training-data pipeline runs before release:
+    // match PII classes (email, phone, SSN-shaped ids), count per class,
+    // and replace with typed placeholders. The synthetic corpus carries no
+    // ORGANIC PII, so the eval deterministically interleaves synthetic PII
+    // derived from doc_id into each document first, then measures the
+    // scrubber on the augmented text — counts per class, a residual-match
+    // count on the REDACTED text (the invariant: zero — the scrubber
+    // removed everything it can detect), and the redacted text's md5 so
+    // the oracle hash proves byte-identical redaction. Patterns are
+    // RE2/Java-compatible (no lookaround). Per-row narrow codegen'd regex
+    // transforms — scan speed at 100 TB, no shuffle but the final sort.
+    QueryDef(
+      "t18_pii_redaction",
+      (s, dir) => {
+        import s.implicits._
+        val EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val PHONE = "\\+1-555-[0-9]{4}"
+        val SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+        def nMatches(c: Column, re: String): Column =
+          size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+        val aug = t(s, dir, "documents")
+          .withColumn("augmented", concat(
+            $"text", lit(" Contact user"), $"doc_id".cast("string"),
+            lit("@example.com or call +1-555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            lit(" id "), lpad(((($"doc_id" * 7) % 1000)).cast("string"), 3, "0"),
+            lit("-"), lpad(((($"doc_id" * 3) % 100)).cast("string"), 2, "0"),
+            lit("-"), lpad(((($"doc_id" * 11) % 10000)).cast("string"), 4, "0")))
+        aug
+          .withColumn("redacted",
+            regexp_replace(
+              regexp_replace(
+                regexp_replace($"augmented", EMAIL, "<EMAIL>"),
+                PHONE, "<PHONE>"),
+              SSN, "<ID>"))
+          .select(
+            $"doc_id",
+            nMatches($"augmented", EMAIL).as("n_emails"),
+            nMatches($"augmented", PHONE).as("n_phones"),
+            nMatches($"augmented", SSN).as("n_ids"),
+            (nMatches($"redacted", EMAIL) + nMatches($"redacted", PHONE) +
+              nMatches($"redacted", SSN)).as("n_residual"),
+            md5($"redacted").as("redacted_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or call +1-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' id ' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST((doc_id * 3) % 100 AS VARCHAR), 2, '0')
+                   || '-' || lpad(CAST((doc_id * 11) % 10000 AS VARCHAR), 4, '0')
+                   AS augmented
+          FROM documents),
+        red AS (
+          SELECT doc_id, augmented,
+                 regexp_replace(regexp_replace(regexp_replace(augmented,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+                   '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g') AS redacted
+          FROM aug)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(augmented, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(augmented, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(augmented, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ids,
+               CAST(len(regexp_extract_all(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(redacted, '\+1-555-[0-9]{4}'))
+                 + len(regexp_extract_all(redacted, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_residual,
+               md5(redacted) AS redacted_md5
+        FROM red ORDER BY doc_id"""),
+    ),
   )
 
 }
