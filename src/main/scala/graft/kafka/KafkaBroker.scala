@@ -83,7 +83,22 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
               ApiVersionRange(ApiProduce, 0, 2),
               ApiVersionRange(ApiFetch, 0, 3),
               ApiVersionRange(ApiListOffsets, 0, 1),
+              ApiVersionRange(ApiMetadata, 0, 0),
               ApiVersionRange(ApiApiVersions, 0, 0)))
+
+          case ApiMetadata =>
+            // single node, sole leader; requested topics materialize with
+            // one partition (auto-create semantics — produce to any topic
+            // works, so metadata agrees); empty request = all known topics
+            val asked = decodeMetadataRequest(r)
+            val names =
+              if (asked.nonEmpty) asked
+              else synchronized(logs.keys.map(_._1).toVector.distinct.sorted)
+            val self = BrokerMeta(0, "127.0.0.1", port)
+            encodeMetadataResponse(MetadataResponse(Vector(self),
+              names.map(n => TopicMeta(ErrNone, n, Vector(
+                PartitionMeta(ErrNone, 0, leader = 0, Vector(0), Vector(0)))))
+                .toVector))
 
           case ApiListOffsets =>
             val q = decodeListOffsetsRequest(r)

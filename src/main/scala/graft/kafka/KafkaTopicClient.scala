@@ -40,6 +40,15 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
       apis.exists(a => a.apiKey == key && a.minVersion <= version && version <= a.maxVersion)
     require(supports(ApiProduce, 2) && supports(ApiFetch, 3) && supports(ApiListOffsets, 1),
       s"broker does not speak the required dialect: $apis")
+    // discovery, like every real client: the broker must LEAD this
+    // (topic, partition) before any data flows — producing to a partition
+    // the node doesn't own would be silently wrong against a real cluster
+    val meta = decodeMetadataResponse(call(ApiMetadata, 0,
+      encodeMetadataRequest(Seq(topic))))
+    val owned = meta.topics.find(_.name == topic).toSeq
+      .flatMap(_.partitions).filter(p => p.errorCode == ErrNone)
+    require(owned.exists(_.partition == partition),
+      s"broker does not lead $topic/$partition (has ${owned.map(_.partition).mkString(",")})")
   }
 
   private def call(apiKey: Int, apiVersion: Int, body: Array[Byte]): Reader =

@@ -33,6 +33,7 @@ object KafkaWire {
   val ApiProduce = 0
   val ApiFetch = 1
   val ApiListOffsets = 2
+  val ApiMetadata = 3
   val ApiApiVersions = 18
 
   val ErrNone = 0
@@ -276,6 +277,57 @@ object KafkaWire {
     val topic = r.str()
     require(r.i32() == 1, "one partition expected")
     ListOffsetsResponse(topic, r.i32(), r.i16(), r.i64(), r.i64())
+  }
+
+  // ---- Metadata v0 ----
+
+  final case class PartitionMeta(errorCode: Int, partition: Int, leader: Int,
+      replicas: Vector[Int], isr: Vector[Int])
+  final case class TopicMeta(errorCode: Int, name: String, partitions: Vector[PartitionMeta])
+  final case class BrokerMeta(nodeId: Int, host: String, port: Int)
+  final case class MetadataResponse(brokers: Vector[BrokerMeta], topics: Vector[TopicMeta])
+
+  /** v0 request: just the topic-name array (empty = all known topics). */
+  def encodeMetadataRequest(topics: Seq[String]): Array[Byte] = {
+    val w = new Writer()
+    w.i32(topics.size)
+    topics.foreach(w.str)
+    w.result
+  }
+
+  def decodeMetadataRequest(r: Reader): Vector[String] =
+    Vector.fill(r.i32())(r.str())
+
+  def encodeMetadataResponse(m: MetadataResponse): Array[Byte] = {
+    val w = new Writer()
+    w.i32(m.brokers.size)
+    m.brokers.foreach { b => w.i32(b.nodeId); w.str(b.host); w.i32(b.port) }
+    w.i32(m.topics.size)
+    m.topics.foreach { t =>
+      w.i16(t.errorCode); w.str(t.name)
+      w.i32(t.partitions.size)
+      t.partitions.foreach { p =>
+        w.i16(p.errorCode); w.i32(p.partition); w.i32(p.leader)
+        w.i32(p.replicas.size); p.replicas.foreach(w.i32)
+        w.i32(p.isr.size); p.isr.foreach(w.i32)
+      }
+    }
+    w.result
+  }
+
+  def decodeMetadataResponse(r: Reader): MetadataResponse = {
+    val brokers = Vector.fill(r.i32())(BrokerMeta(r.i32(), r.str(), r.i32()))
+    val topics = Vector.fill(r.i32()) {
+      val err = r.i16(); val name = r.str()
+      val parts = Vector.fill(r.i32()) {
+        val pe = r.i16(); val p = r.i32(); val l = r.i32()
+        val reps = Vector.fill(r.i32())(r.i32())
+        val isr = Vector.fill(r.i32())(r.i32())
+        PartitionMeta(pe, p, l, reps, isr)
+      }
+      TopicMeta(err, name, parts)
+    }
+    MetadataResponse(brokers, topics)
   }
 
   // ---- ApiVersions v0 ----

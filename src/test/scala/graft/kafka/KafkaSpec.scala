@@ -118,6 +118,32 @@ class KafkaSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("metadata discovery: sole broker leads partition 0; others refuse") {
+    val broker = new KafkaBroker().start()
+    try {
+      // partition 0: connect succeeds and metadata round-trips
+      val c = new KafkaTopicClient("127.0.0.1", broker.port, "ops")
+      try c.produce("x".getBytes) finally c.close()
+      // a partition this node does not lead fails fast at connect
+      val e = intercept[IllegalArgumentException] {
+        new KafkaTopicClient("127.0.0.1", broker.port, "ops", partition = 3)
+      }
+      assert(e.getMessage.contains("does not lead"))
+    } finally broker.close()
+  }
+
+  test("metadata response layout round-trips (v0)") {
+    val m = KafkaWire.MetadataResponse(
+      Vector(KafkaWire.BrokerMeta(0, "127.0.0.1", 9092)),
+      Vector(KafkaWire.TopicMeta(0, "ops", Vector(
+        KafkaWire.PartitionMeta(0, 0, 0, Vector(0), Vector(0))))))
+    val d = KafkaWire.decodeMetadataResponse(
+      new KafkaWire.Reader(KafkaWire.encodeMetadataResponse(m)))
+    assert(d == m)
+    assert(KafkaWire.decodeMetadataRequest(new KafkaWire.Reader(
+      KafkaWire.encodeMetadataRequest(Seq("a", "b")))) == Vector("a", "b"))
+  }
+
   // ---- 3. the K1 lifecycle over real frames ----
 
   private def insert(logPos: Long, id: Long): Operation = {
