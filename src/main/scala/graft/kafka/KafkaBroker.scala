@@ -41,15 +41,26 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
       base
     }
 
-  private def slice(topic: String, partition: Int, from: Long): (Long, Vector[(Long, Long, Array[Byte])]) =
+  /** At most ~`maxBytes` worth of messages from `from` (always ≥ 1 when
+    * any exist), copied under the lock via O(1) indexed access — never the
+    * whole remaining log: a paging consumer would otherwise make each
+    * fetch O(n) and a full consume O(n²), with produces stalled behind the
+    * copy. */
+  private def slice(topic: String, partition: Int, from: Long,
+      maxBytes: Int): (Long, Vector[(Long, Long, Array[Byte])]) =
     synchronized {
       val log = logs.getOrElse((topic, partition), mutable.ArrayBuffer.empty)
       val hwm = log.size.toLong
-      val msgs =
-        if (from >= hwm) Vector.empty
-        else log.iterator.zipWithIndex.drop(from.toInt)
-          .map { case ((ts, v), i) => (i.toLong, ts, v) }.toVector
-      (hwm, msgs)
+      val out = Vector.newBuilder[(Long, Long, Array[Byte])]
+      var bytes = 0L
+      var i = math.max(from, 0L)
+      while (i < hwm && (bytes == 0L || bytes < maxBytes)) {
+        val (ts, v) = log(i.toInt)
+        out += ((i, ts, v))
+        bytes += v.length + 34L // message overhead: offset+size+crc+hdr
+        i += 1
+      }
+      (hwm, out.result())
     }
 
   def start(): KafkaBroker = {
@@ -125,7 +136,8 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
 
           case ApiFetch =>
             val q = decodeFetchRequest(r)
-            val (hwm, msgs) = slice(q.topic, q.partition, q.fetchOffset)
+            val (hwm, msgs) = slice(q.topic, q.partition, q.fetchOffset,
+              math.max(1, q.partitionMaxBytes))
             if (q.fetchOffset > hwm)
               encodeFetchResponse(FetchResponse(0, q.topic, q.partition,
                 ErrOffsetOutOfRange, hwm, Array.emptyByteArray))

@@ -33,7 +33,9 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
   private val out = new DataOutputStream(sock.getOutputStream)
   private var correlation = 0
 
-  locally {
+  // handshake failures must not leak the connected socket: nobody holds a
+  // reference to call close() on when the constructor throws
+  try {
     val (err, apis) = decodeApiVersionsResponse(call(ApiApiVersions, 0, Array.emptyByteArray))
     require(err == ErrNone, s"ApiVersions error $err")
     def supports(key: Int, version: Int): Boolean =
@@ -49,6 +51,10 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
       .flatMap(_.partitions).filter(p => p.errorCode == ErrNone)
     require(owned.exists(_.partition == partition),
       s"broker does not lead $topic/$partition (has ${owned.map(_.partition).mkString(",")})")
+  } catch {
+    case e: Throwable =>
+      try sock.close() catch { case _: Exception => () }
+      throw e
   }
 
   private def call(apiKey: Int, apiVersion: Int, body: Array[Byte]): Reader =
@@ -93,8 +99,15 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
         encodeFetchRequest(FetchRequest(maxWaitMs = 500, minBytes = 1,
           maxBytes = fetchMaxBytes, topic, partition, next,
           partitionMaxBytes = fetchMaxBytes))))
-      require(resp.errorCode == ErrNone || resp.errorCode == ErrOffsetOutOfRange,
-        s"Fetch error ${resp.errorCode}")
+      // OffsetOutOfRange means retention deleted messages past the resume
+      // offset (or the checkpoint is bogus) — the recovery scan MUST fail
+      // loudly here; treating it as "nothing newer" would silently skip
+      // un-acked messages and restart the producer from a stale seq
+      if (resp.errorCode == ErrOffsetOutOfRange)
+        throw new IllegalStateException(
+          s"fetch offset $next out of range for $topic/$partition (hwm ${resp.highWatermark}): " +
+            "topic truncated past the checkpointed offset")
+      require(resp.errorCode == ErrNone, s"Fetch error ${resp.errorCode}")
       if (hwm < 0) hwm = resp.highWatermark
       val msgs = decodeMessageSet(resp.messageSet).filter(_.offset >= next)
       msgs.foreach(m => res += ((m.offset, m.value)))

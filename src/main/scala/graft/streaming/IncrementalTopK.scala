@@ -33,7 +33,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * writes replays the batch and rewrites both, which is safe because the
   * base merge is idempotent latest-wins by id).
   *
-  * Change-row contract: `op` ('i'|'u'|'d'), `id`, `key_old`, `score_old`
+  * Change-row contract: `op` ('i'|'u'|'d'), `seq` (the stream's total
+  * order — the wire protocol's seq number; within a batch the LAST op per
+  * id wins, so an insert-then-delete batch nets to absence and an
+  * insert-then-update nets to one row), `id`, `key_old`, `score_old`
   * (null for inserts), `key_new`, `score_new` (null for deletes).
   */
 object IncrementalTopK {
@@ -51,9 +54,15 @@ object IncrementalTopK {
     val spark = ops.sparkSession
 
     // ---- base: latest-wins by id ----
-    val upserts = ops.filter(col("op").isin("i", "u"))
-      .select(col("id"), col("key_new").as("key"), col("score_new").as("score"))
-    val deletes = ops.filter(col("op") === "d").select(col("id"))
+    // a batch may carry SEVERAL ops for one id (insert-then-delete,
+    // insert-then-update); only the last-by-seq op decides the id's final
+    // state — applying raw upserts would resurrect deleted rows and leave
+    // duplicate ids
+    val lastOp = ops.groupBy(col("id"))
+      .agg(max_by(struct(col("op"), col("key_new"), col("score_new")), col("seq")).as("f"))
+      .select(col("id"), col("f.op").as("op"),
+        col("f.key_new").as("key"), col("f.score_new").as("score"))
+    val upserts = lastOp.filter(col("op").isin("i", "u")).drop("op")
     val touchedIds = ops.select(col("id")).distinct()
     val newBase = (SnapshotStore.read(spark, roots.base) match {
       case Some(cur) => cur.join(touchedIds, Seq("id"), "left_anti").unionByName(upserts)
@@ -61,6 +70,8 @@ object IncrementalTopK {
     }).cache()
 
     // ---- view: re-rank ONLY the touched keys ----
+    // from ALL ops of the batch, not just each id's last: any key that
+    // gained or lost a row at any point must re-rank
     val touchedKeys = ops.select(col("key_old").as("key"))
       .unionByName(ops.select(col("key_new").as("key")))
       .filter(col("key").isNotNull).distinct()

@@ -342,17 +342,28 @@ object Replay {
     // the topic itself BEFORE anything streams; without a broker the wire
     // sink appends base64 lines and restart dedup is F3-only.
     val topic: Option[TopicLike] = topicAddr.map { addr =>
+      def hostPort(hp: String): (String, Int) = {
+        val colon = hp.lastIndexOf(':')
+        require(colon > 0 && colon < hp.length - 1,
+          s"broker address needs host:port, got '$hp' (from '$addr')")
+        val port = try hp.substring(colon + 1).toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"broker port is not a number in '$addr'") }
+        (hp.substring(0, colon), port)
+      }
       if (addr.startsWith("kafka://")) {
-        // real Kafka wire protocol (graft.kafka): kafka://host:port/topic
+        // real Kafka wire protocol (graft.kafka): kafka://host:port/topic —
+        // the topic is REQUIRED (a silent default could produce into the
+        // wrong topic and split the stream)
         val rest = addr.stripPrefix("kafka://")
         val slash = rest.indexOf('/')
-        val (hp, t) =
-          if (slash < 0) (rest, "graft") else (rest.substring(0, slash), rest.substring(slash + 1))
-        val colon = hp.lastIndexOf(':')
-        new graft.kafka.KafkaTopicClient(hp.substring(0, colon), hp.substring(colon + 1).toInt, t)
+        require(slash > 0 && slash < rest.length - 1,
+          s"kafka:// address needs an explicit /topic, got '$addr'")
+        val (host, port) = hostPort(rest.substring(0, slash))
+        new graft.kafka.KafkaTopicClient(host, port, rest.substring(slash + 1))
       } else {
-        val colon = addr.lastIndexOf(':')
-        new TopicClient(addr.substring(0, colon), addr.substring(colon + 1).toInt)
+        val (host, port) = hostPort(addr)
+        new TopicClient(host, port)
       }
     }
     val (wireCkp, producerStartSeq, recoveredAckedOffset) = topic match {

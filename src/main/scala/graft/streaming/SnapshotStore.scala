@@ -34,17 +34,24 @@ private[streaming] object SnapshotStore {
   def isComplete(dir: java.io.File): Boolean =
     new java.io.File(dir, "_COMMIT").isFile
 
+  /** Root-level marker: this store has been written by the _COMMIT-aware
+    * code at least once. Written BEFORE the first new-format parquet job,
+    * so a crash inside the very first commit window cannot be mistaken
+    * for a legacy store (which would wrongly surface the half-committed
+    * version via the migration fallback below). */
+  private def formatMarker(root: String) = new java.io.File(root, "_FORMAT")
+
   def versions(root: String): Seq[Long] = {
     val dirs = versionDirs(root)
-    if (dirs.exists { case (_, f) => isComplete(f) })
+    if (dirs.exists { case (_, f) => isComplete(f) } || formatMarker(root).isFile)
       dirs.collect { case (v, f) if isComplete(f) => v }
     else
-      // migration: a store written entirely before the _COMMIT marker
-      // existed has only parquet's _SUCCESS markers. Accept those once
-      // (batch id −1, below) rather than silently resetting materialized
-      // state on upgrade. As soon as one _COMMIT version exists the store
-      // is new-format and a _SUCCESS-only dir is an uncommitted partial —
-      // accepting it then would re-open the crash window the marker closes.
+      // migration (read path): a store with no _COMMIT anywhere AND no
+      // _FORMAT marker predates the marker format entirely — accept its
+      // parquet _SUCCESS dirs (batch id −1, below) rather than silently
+      // resetting materialized state on upgrade. Any _COMMIT or _FORMAT
+      // means new-format: a _SUCCESS-only dir is an uncommitted partial,
+      // and accepting it would re-open the crash window the marker closes.
       dirs.collect {
         case (v, f) if new java.io.File(f, "_SUCCESS").isFile => v
       }
@@ -70,6 +77,19 @@ private[streaming] object SnapshotStore {
     * and older completes are deleted. The version just written is
     * complete, so the newest snapshot can never be deleted. */
   def writeNext(df: DataFrame, root: String, batchId: Option[Long] = None): Unit = {
+    // first write into a legacy store: ADOPT its _SUCCESS-only versions by
+    // stamping _COMMIT(−1) into them (idempotent), THEN drop the _FORMAT
+    // marker — ordered so a crash at any point leaves every legacy version
+    // visible and only genuinely half-written new versions invisible
+    if (!formatMarker(root).isFile) {
+      versionDirs(root).foreach { case (_, dir) =>
+        if (new java.io.File(dir, "_SUCCESS").isFile &&
+          !new java.io.File(dir, "_COMMIT").isFile)
+          java.nio.file.Files.write(dir.toPath.resolve("_COMMIT"), "-1".getBytes)
+      }
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      java.nio.file.Files.write(formatMarker(root).toPath, Array.emptyByteArray)
+    }
     val next = versionDirs(root).lastOption.map(_._1).getOrElse(0L) + 1
     df.write.mode("overwrite").parquet(s"$root/v=$next")
     // single commit point: tmp write + atomic rename, id inside the marker

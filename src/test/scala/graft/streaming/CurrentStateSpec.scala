@@ -109,6 +109,22 @@ class CurrentStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SnapshotStore.versions(stateRoot).max < 9L)
   }
 
+  test("a crashed FIRST commit is not mistaken for a legacy store") {
+    import spark.implicits._
+    val stateRoot = Files.createTempDirectory("state-firstcrash").toString
+    // simulate: new-format writeNext crashed between the parquet job
+    // (_SUCCESS exists) and the _COMMIT rename — the _FORMAT marker was
+    // written first, so the fallback must NOT surface the half-commit
+    CurrentState.merge(
+      Seq((1L, 1L, "view", 100L, 1.0)).toDF("user_id", "event_id", "event_type", "us", "value"),
+      stateRoot)
+    val v1commit = new java.io.File(s"$stateRoot/v=1/_COMMIT")
+    assert(v1commit.delete()) // v=1 now looks exactly like the crash left it
+    assert(SnapshotStore.read(spark, stateRoot).isEmpty,
+      "_SUCCESS-only version in a _FORMAT-marked store must be invisible")
+    assert(SnapshotStore.lastBatchId(stateRoot) == -1L)
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered event_ids") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
