@@ -37,7 +37,6 @@ object KafkaWire {
   val ApiApiVersions = 18
 
   val ErrNone = 0
-  val ErrUnknownTopicOrPartition = 3
   val ErrOffsetOutOfRange = 1
   val ErrCorruptMessage = 2
 
