@@ -743,6 +743,9 @@ object Tpch {
         // within partitions (a distributed sort), zipWithIndex (per-partition
         // counts + offset), then the closed-form ntile bucket from (rank, n):
         // the first n%10 buckets get ceil(n/10) rows — SQL NTILE exactly.
+        // At sf0.1 this costs ~0.4s more than the window form (two jobs +
+        // an RDD hop vs one task) — the deliberate trade: the window form's
+        // single task is what melts at 100x, this shape's cost is flat.
         val sorted = cust(s, dir).select($"c_acctbal", $"c_custkey")
           .repartitionByRange(8, $"c_acctbal", $"c_custkey")
           .sortWithinPartitions($"c_acctbal", $"c_custkey")
