@@ -61,6 +61,8 @@ object BenchSf1 {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val queries = Top10.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    require(queries.size == Top10.size,
+      s"benchmark names no longer resolve: ${Top10.toSet -- queries.map(_._1)}")
     val cold = collection.mutable.LinkedHashMap.empty[String, Double]
     val warm = collection.mutable.LinkedHashMap.empty[String, List[Double]]
     def time(fn: (SparkSession, String) => DataFrame): Double = {

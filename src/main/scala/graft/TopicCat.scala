@@ -28,35 +28,32 @@ object TopicCat {
     val count = args.lift(2).map(_.toLong).getOrElse(Long.MaxValue)
     val lastSeq = args.lift(3).map(_.toLong).getOrElse(0L)
 
-    val client: TopicLike =
-      if (addr.startsWith("kafka://")) {
-        val rest = addr.stripPrefix("kafka://")
-        val slash = rest.indexOf('/')
-        require(slash > 0 && slash < rest.length - 1,
-          s"kafka:// address needs an explicit /topic, got '$addr'")
-        val hp = rest.substring(0, slash)
-        val colon = hp.lastIndexOf(':')
-        new graft.kafka.KafkaTopicClient(hp.substring(0, colon),
-          hp.substring(colon + 1).toInt, rest.substring(slash + 1))
-      } else {
-        val colon = addr.lastIndexOf(':')
-        new TopicClient(addr.substring(0, colon), addr.substring(colon + 1).toInt)
-      }
+    val client = TopicLike.connect(addr)
 
+    // STREAM the topic in bounded pages (a real topic can be huge — the
+    // reference tool consumes message-by-message; materializing everything
+    // to print ten lines would be wrong)
     val dec = new OperationDecoder(Wire, lastCommitSeq = lastSeq)
     var printed = 0L
-    val it = client.fetchFrom(from).iterator
-    while (it.hasNext && printed < count) {
-      val (off, data) = it.next()
-      dec.feed(data, off).foreach { batch =>
-        batch.ops.foreach { op =>
-          if (printed < count) {
-            println(s"${batch.beginSeq}-${batch.commitSeq}\t" +
-              s"${batch.beginOffset}-${batch.commitOffset}\t\t" +
-              graft.streaming.OperationJson.render(op))
-            printed += 1
+    var off = from
+    var done = false
+    while (!done && printed < count) {
+      val page = client.fetchPage(off, 256)
+      if (page.isEmpty) done = true
+      else {
+        page.foreach { case (msgOff, data) =>
+          dec.feed(data, msgOff).foreach { batch =>
+            batch.ops.foreach { op =>
+              if (printed < count) {
+                println(s"${batch.beginSeq}-${batch.commitSeq}\t" +
+                  s"${batch.beginOffset}-${batch.commitOffset}\t\t" +
+                  graft.streaming.OperationJson.render(op))
+                printed += 1
+              }
+            }
           }
         }
+        off = page.last._1 + 1
       }
     }
     client match {

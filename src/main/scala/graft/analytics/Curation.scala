@@ -426,6 +426,9 @@ object Curation {
         val sortedNov = novelty
           .repartitionByRange(8, $"novelty", $"doc_id")
           .sortWithinPartitions($"novelty", $"doc_id")
+          // cache: count() and zipWithIndex would each re-run the novelty
+          // aggregates + shuffle + sort from lineage
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = sortedNov.count() // distributed agg; table stats at scale
         val (q10, rem) = (n / 10L, n % 10L)
         val ranked = s.createDataFrame(

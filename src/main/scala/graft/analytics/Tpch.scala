@@ -749,6 +749,9 @@ object Tpch {
         val sorted = cust(s, dir).select($"c_acctbal", $"c_custkey")
           .repartitionByRange(8, $"c_acctbal", $"c_custkey")
           .sortWithinPartitions($"c_acctbal", $"c_custkey")
+          // cache the sorted partitions: count() and zipWithIndex would
+          // otherwise each re-run the full shuffle+sort from lineage
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = sorted.count() // distributed count; table stats at scale
         val (q10, rem) = (n / 10L, n % 10L)
         val big = q10 + 1L

@@ -348,11 +348,13 @@ object DdlParser {
           case "ADD" =>
             next()
             val hadColumnKw = accept("COLUMN")
-            if (!hadColumnKw && (peekUp == "PRIMARY" || peekUp == "UNIQUE" ||
+            if (!hadColumnKw && peekUp == "PARTITION") {
+              skipToEnd() // ADD PARTITION (...): cannot combine with other specs
+            } else if (!hadColumnKw && (peekUp == "PRIMARY" || peekUp == "UNIQUE" ||
               peekUp == "INDEX" || peekUp == "KEY" || peekUp == "CONSTRAINT" ||
               peekUp == "FULLTEXT" || peekUp == "SPATIAL" || peekUp == "FOREIGN" ||
-              peekUp == "CHECK" || peekUp == "PARTITION")) {
-              skipSpecTail() // index/constraint/partition DDL: no shape effect
+              peekUp == "CHECK")) {
+              skipSpecTail() // index/constraint DDL: no shape effect
             } else if (peek == "(") {
               // ADD [COLUMN] (a INT, b INT, ...): the multi-column form
               next()
@@ -373,8 +375,9 @@ object DdlParser {
             // bogus DropColumn("FOREIGN")).
             else if (accept("FOREIGN")) { expect("KEY"); ident(); () }
             else if (accept("CONSTRAINT") || accept("CHECK")) { ident(); () }
-            // DROP PARTITION p0[, p1]: data reorganization, columns unchanged
-            else if (accept("PARTITION")) { skipSpecTail() }
+            // DROP PARTITION p0[, p1]: comma-separated name list, and
+            // partition ops cannot combine with other specs — consume to end
+            else if (accept("PARTITION")) { skipToEnd() }
             else { accept("COLUMN"); specs += DropColumn(ident()) }
           case "MODIFY" =>
             next(); accept("COLUMN")
@@ -413,18 +416,23 @@ object DdlParser {
             kw == "DEFAULT" || kw == "CHARACTER" || kw == "CHARSET" ||
             kw.startsWith("CHARSET=") || kw == "COLLATE" || kw.startsWith("COLLATE=") ||
             kw == "CONVERT" || kw == "ORDER" || kw == "FORCE" ||
-            kw == "ENABLE" || kw == "DISABLE" ||
-            // partition maintenance: data moves, the column shape never does
-            // (PARTITION BY / REMOVE PARTITIONING / TRUNCATE|COALESCE|
-            //  REORGANIZE|EXCHANGE|ANALYZE|CHECK|OPTIMIZE|REBUILD|REPAIR|
-            //  DISCARD|IMPORT PARTITION [TABLESPACE] / WITH[OUT] VALIDATION)
-            kw == "PARTITION" || kw == "REMOVE" || kw == "TRUNCATE" ||
+            kw == "ENABLE" || kw == "DISABLE" =>
+            // table options / maintenance specs: recognized, no schema effect
+            skipSpecTail()
+          case kw if kw == "PARTITION" || kw == "REMOVE" || kw == "TRUNCATE" ||
             kw == "COALESCE" || kw == "REORGANIZE" || kw == "EXCHANGE" ||
             kw == "ANALYZE" || kw == "CHECK" || kw == "OPTIMIZE" ||
             kw == "REBUILD" || kw == "REPAIR" || kw == "DISCARD" ||
             kw == "IMPORT" || kw == "WITH" || kw == "WITHOUT" =>
-            // table options / maintenance specs: recognized, no schema effect
-            skipSpecTail()
+            // partition maintenance: data moves, the column shape never does
+            // (PARTITION BY / REMOVE PARTITIONING / TRUNCATE|COALESCE|
+            //  REORGANIZE|EXCHANGE|ANALYZE|CHECK|OPTIMIZE|REBUILD|REPAIR|
+            //  DISCARD|IMPORT PARTITION [TABLESPACE] / WITH[OUT] VALIDATION).
+            // Name lists are comma-separated at top level (`DROP PARTITION
+            // p0, p1`) and MySQL forbids combining partition ops with other
+            // alter specs in one statement — so consume to the END, not to
+            // the next comma (which would mis-parse `p1` as a spec)
+            skipToEnd()
           case other =>
             throw new IllegalArgumentException(s"unsupported alter spec: $other")
         }
@@ -548,7 +556,9 @@ object DdlParser {
             next()
             if (peek == "(") skipParens()
             else {
-              next(); if (peek == "(") skipParens() // e.g. CURRENT_TIMESTAMP(3)
+              val v = next()
+              if (v == ".") next() // leading-dot decimal: DEFAULT .5
+              else if (peek == "(") skipParens() // e.g. CURRENT_TIMESTAMP(3)
               // decimal literals: '.' is a tokenizer punct, so DEFAULT 0.00
               // arrives as "0" "." "00" — stitch the fraction back on
               while (peek == ".") { next(); next() }

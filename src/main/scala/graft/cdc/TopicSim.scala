@@ -97,6 +97,43 @@ trait TopicLike {
   def produce(msg: Array[Byte]): Long
   /** All (offset, message) pairs in [fromOffset, hwm-at-fetch-time). */
   def fetchFrom(fromOffset: Long): Vector[(Long, Array[Byte])]
+  /** One bounded page starting at `fromOffset` (empty = reached the high
+    * water mark) — for streaming consumers that must not materialize the
+    * whole topic. Default trims `fetchFrom`; the simulator's wire protocol
+    * sends everything anyway (test-scale only), the Kafka client overrides
+    * with a single bounded Fetch round. */
+  def fetchPage(fromOffset: Long, maxMessages: Int): Vector[(Long, Array[Byte])] =
+    fetchFrom(fromOffset).take(maxMessages)
+}
+
+object TopicLike {
+  /** Shared broker-address parser for the two wire dialects —
+    * `kafka://host:port/topic` (the real protocol, explicit topic REQUIRED:
+    * a silent default could produce into the wrong topic and split the
+    * stream) or `host:port` (the TopicSim dialect). Clear errors instead of
+    * substring crashes on malformed input. */
+  def connect(addr: String): TopicLike = {
+    def hostPort(hp: String): (String, Int) = {
+      val colon = hp.lastIndexOf(':')
+      require(colon > 0 && colon < hp.length - 1,
+        s"broker address needs host:port, got '$hp' (from '$addr')")
+      val port = try hp.substring(colon + 1).toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"broker port is not a number in '$addr'") }
+      (hp.substring(0, colon), port)
+    }
+    if (addr.startsWith("kafka://")) {
+      val rest = addr.stripPrefix("kafka://")
+      val slash = rest.indexOf('/')
+      require(slash > 0 && slash < rest.length - 1,
+        s"kafka:// address needs an explicit /topic, got '$addr'")
+      val (host, port) = hostPort(rest.substring(0, slash))
+      new graft.kafka.KafkaTopicClient(host, port, rest.substring(slash + 1))
+    } else {
+      val (host, port) = hostPort(addr)
+      new TopicClient(host, port)
+    }
+  }
 }
 
 /** Client side of the simulator — the consumer surface the recovery scan

@@ -19,10 +19,11 @@ import KafkaWire._
   */
 final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) {
 
-  /** value bytes + append timestamp, by (topic, partition), in offset order. */
-  private val logs = mutable.Map.empty[(String, Int), mutable.ArrayBuffer[(Long, Array[Byte])]]
+  /** (timestamp, key, value) by (topic, partition), in offset order — the
+    * key is stored and re-served, not discarded (keyed producers exist). */
+  private val logs = mutable.Map.empty[(String, Int), mutable.ArrayBuffer[(Long, Array[Byte], Array[Byte])]]
   seed.foreach { case (tp, msgs) =>
-    logs(tp) = mutable.ArrayBuffer(msgs.map(m => (0L, m)): _*)
+    logs(tp) = mutable.ArrayBuffer(msgs.map(m => (0L, null: Array[Byte], m)): _*)
   }
 
   private val server = new ServerSocket(0, 16, InetAddress.getByName("127.0.0.1"))
@@ -33,7 +34,8 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
   def highWaterMark(topic: String, partition: Int): Long =
     synchronized(logs.get((topic, partition)).map(_.size.toLong).getOrElse(0L))
 
-  private def append(topic: String, partition: Int, values: Seq[(Long, Array[Byte])]): Long =
+  private def append(topic: String, partition: Int,
+      values: Seq[(Long, Array[Byte], Array[Byte])]): Long =
     synchronized {
       val log = logs.getOrElseUpdate((topic, partition), mutable.ArrayBuffer.empty)
       val base = log.size.toLong
@@ -47,17 +49,17 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
     * fetch O(n) and a full consume O(n²), with produces stalled behind the
     * copy. */
   private def slice(topic: String, partition: Int, from: Long,
-      maxBytes: Int): (Long, Vector[(Long, Long, Array[Byte])]) =
+      maxBytes: Int): (Long, Vector[(Long, Long, Array[Byte], Array[Byte])]) =
     synchronized {
       val log = logs.getOrElse((topic, partition), mutable.ArrayBuffer.empty)
       val hwm = log.size.toLong
-      val out = Vector.newBuilder[(Long, Long, Array[Byte])]
+      val out = Vector.newBuilder[(Long, Long, Array[Byte], Array[Byte])]
       var bytes = 0L
       var i = math.max(from, 0L)
       while (i < hwm && (bytes == 0L || bytes < maxBytes)) {
-        val (ts, v) = log(i.toInt)
-        out += ((i, ts, v))
-        bytes += v.length + 34L // message overhead: offset+size+crc+hdr
+        val (ts, k, v) = log(i.toInt)
+        out += ((i, ts, k, v))
+        bytes += v.length + (if (k == null) 0 else k.length) + 34L
         i += 1
       }
       (hwm, out.result())
@@ -126,7 +128,7 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
             val resp =
               try {
                 val msgs = decodeMessageSet(q.messageSet)
-                val base = append(q.topic, q.partition, msgs.map(m => (now, m.value)))
+                val base = append(q.topic, q.partition, msgs.map(m => (now, m.key, m.value)))
                 ProduceResponse(q.topic, q.partition, ErrNone, base, now, 0)
               } catch {
                 case _: IllegalArgumentException =>
@@ -149,9 +151,9 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
               val w = new Writer()
               var taken = 0
               var full = false
-              msgs.foreach { case (off, ts, v) =>
+              msgs.foreach { case (off, ts, k, v) =>
                 if (!full) {
-                  val enc = encodeMessage(ts, null, v)
+                  val enc = encodeMessage(ts, k, v)
                   if (taken == 0 || w.size + 12 + enc.length <= limit) {
                     w.i64(off); w.i32(enc.length); w.raw(enc)
                     taken += 1
@@ -167,7 +169,13 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
         }
         writeFrame(out, new Writer().i32(h.correlationId).raw(body).result)
       }
-    } catch { case _: EOFException | _: java.net.SocketException => () }
+    } catch {
+      case _: EOFException | _: java.net.SocketException => () // peer closed
+      case e: Exception =>
+        // malformed frame / unsupported api: die like a real broker drops
+        // the connection, but LOUDLY — a silent close is undiagnosable
+        System.err.println(s"[kafka-broker] closing connection: ${e.getMessage}")
+    }
     finally sock.close()
 
   def close(): Unit = { closed = true; server.close() }

@@ -29,6 +29,9 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
 
   private val sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
+  // a dead/misbehaving broker must surface as a timeout, not an infinite
+  // block inside readFully
+  sock.setSoTimeout(30000)
   private val in = new DataInputStream(sock.getInputStream)
   private val out = new DataOutputStream(sock.getOutputStream)
   private var correlation = 0
@@ -87,6 +90,22 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
     // never a topic-hwm re-query, which under a second writer would cover
     // messages this producer did not send
     resp.baseOffset + 1L
+  }
+
+  /** One bounded Fetch round — the streaming-consumer page. */
+  override def fetchPage(fromOffset: Long, maxMessages: Int): Vector[(Long, Array[Byte])] = {
+    val resp = decodeFetchResponse(call(ApiFetch, 3,
+      encodeFetchRequest(FetchRequest(maxWaitMs = 500, minBytes = 1,
+        maxBytes = fetchMaxBytes, topic, partition, fromOffset,
+        partitionMaxBytes = fetchMaxBytes))))
+    if (resp.errorCode == ErrOffsetOutOfRange)
+      throw new IllegalStateException(
+        s"fetch offset $fromOffset out of range for $topic/$partition " +
+          s"(hwm ${resp.highWatermark}): topic truncated past the checkpointed offset")
+    require(resp.errorCode == ErrNone, s"Fetch error ${resp.errorCode}")
+    decodeMessageSet(resp.messageSet)
+      .filter(m => m.offset >= fromOffset && m.offset < resp.highWatermark)
+      .take(maxMessages).map(m => (m.offset, m.value))
   }
 
   def fetchFrom(fromOffset: Long): Vector[(Long, Array[Byte])] = {

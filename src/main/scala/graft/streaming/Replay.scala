@@ -341,31 +341,7 @@ object Replay {
     // recovered ackedSeq (kafka.go:134-255). A lost ack is repaired from
     // the topic itself BEFORE anything streams; without a broker the wire
     // sink appends base64 lines and restart dedup is F3-only.
-    val topic: Option[TopicLike] = topicAddr.map { addr =>
-      def hostPort(hp: String): (String, Int) = {
-        val colon = hp.lastIndexOf(':')
-        require(colon > 0 && colon < hp.length - 1,
-          s"broker address needs host:port, got '$hp' (from '$addr')")
-        val port = try hp.substring(colon + 1).toInt
-        catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"broker port is not a number in '$addr'") }
-        (hp.substring(0, colon), port)
-      }
-      if (addr.startsWith("kafka://")) {
-        // real Kafka wire protocol (graft.kafka): kafka://host:port/topic —
-        // the topic is REQUIRED (a silent default could produce into the
-        // wrong topic and split the stream)
-        val rest = addr.stripPrefix("kafka://")
-        val slash = rest.indexOf('/')
-        require(slash > 0 && slash < rest.length - 1,
-          s"kafka:// address needs an explicit /topic, got '$addr'")
-        val (host, port) = hostPort(rest.substring(0, slash))
-        new graft.kafka.KafkaTopicClient(host, port, rest.substring(slash + 1))
-      } else {
-        val (host, port) = hostPort(addr)
-        new TopicClient(host, port)
-      }
-    }
+    val topic: Option[TopicLike] = topicAddr.map(TopicLike.connect)
     val (wireCkp, producerStartSeq, recoveredAckedOffset) = topic match {
       case Some(client) =>
         val rec = KafkaRecovery.recover(client,

@@ -79,10 +79,13 @@ private[streaming] object SnapshotStore {
   def writeNext(df: DataFrame, root: String, batchId: Option[Long] = None): Unit = {
     // first write into a legacy store: ADOPT its _SUCCESS-only versions by
     // stamping _COMMIT(−1) into them (idempotent), THEN drop the _FORMAT
-    // marker — ordered so a crash at any point leaves every legacy version
-    // visible and only genuinely half-written new versions invisible
+    // marker. Stamp NEWEST FIRST: the first stamped _COMMIT flips
+    // versions() to the new-format branch, so if the CURRENT version were
+    // stamped last a crash mid-adoption would leave readers on a stale
+    // older snapshot; newest-first means any partial adoption still
+    // surfaces the current version.
     if (!formatMarker(root).isFile) {
-      versionDirs(root).foreach { case (_, dir) =>
+      versionDirs(root).reverse.foreach { case (_, dir) =>
         if (new java.io.File(dir, "_SUCCESS").isFile &&
           !new java.io.File(dir, "_COMMIT").isFile)
           java.nio.file.Files.write(dir.toPath.resolve("_COMMIT"), "-1".getBytes)

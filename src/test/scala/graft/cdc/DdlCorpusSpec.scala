@@ -178,6 +178,19 @@ class DdlCorpusSpec extends AnyFunSuite {
     ("remove partitioning", Seq(
       "ALTER TABLE t PARTITION BY HASH (id) PARTITIONS 2",
       "ALTER TABLE t REMOVE PARTITIONING"), Vector("id", "a", "b")),
+    ("drop partition multi-name",
+      Seq("ALTER TABLE t PARTITION BY RANGE (id) (PARTITION p0 VALUES LESS THAN (10), PARTITION p1 VALUES LESS THAN (20), PARTITION p2 VALUES LESS THAN MAXVALUE)",
+        "ALTER TABLE t DROP PARTITION p0, p1"),
+      Vector("id", "a", "b")),
+    ("truncate/analyze partition multi-name", Seq(
+      "ALTER TABLE t PARTITION BY HASH (id) PARTITIONS 4",
+      "ALTER TABLE t TRUNCATE PARTITION p0, p1",
+      "ALTER TABLE t ANALYZE PARTITION p0, p1, p2",
+      "ALTER TABLE t REPAIR PARTITION p2, p3"), Vector("id", "a", "b")),
+    ("leading-dot decimal default",
+      Seq("ALTER TABLE t ADD COLUMN r DOUBLE DEFAULT .5",
+        "ALTER TABLE t ADD COLUMN r2 FLOAT DEFAULT .25 AFTER a"),
+      Vector("id", "a", "r2", "b", "r")),
     ("partition maintenance", Seq(
       "ALTER TABLE t PARTITION BY HASH (id) PARTITIONS 2",
       "ALTER TABLE t ANALYZE PARTITION p0",

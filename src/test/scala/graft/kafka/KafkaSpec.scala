@@ -118,6 +118,36 @@ class KafkaSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("message keys survive the broker round-trip") {
+    val broker = new KafkaBroker().start()
+    try {
+      val set = KafkaWire.encodeMessageSet(Seq(
+        KafkaWire.Msg(0L, 1L, "k1".getBytes, "v1".getBytes),
+        KafkaWire.Msg(0L, 2L, null, "v2".getBytes)))
+      val sock = new java.net.Socket("127.0.0.1", broker.port)
+      try {
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        def call(api: Int, ver: Int, body: Array[Byte]): KafkaWire.Reader = {
+          val w = new KafkaWire.Writer()
+          KafkaWire.writeRequestHeader(w, KafkaWire.RequestHeader(api, ver, 1, "t"))
+          w.raw(body)
+          KafkaWire.writeFrame(out, w.result)
+          val r = new KafkaWire.Reader(KafkaWire.readFrame(in))
+          r.i32(); r
+        }
+        val pr = KafkaWire.decodeProduceResponse(call(KafkaWire.ApiProduce, 2,
+          KafkaWire.encodeProduceRequest(KafkaWire.ProduceRequest(-1, 1000, "ops", 0, set))))
+        assert(pr.errorCode == KafkaWire.ErrNone)
+        val fr = KafkaWire.decodeFetchResponse(call(KafkaWire.ApiFetch, 3,
+          KafkaWire.encodeFetchRequest(KafkaWire.FetchRequest(500, 1, 1 << 20, "ops", 0, 0L, 1 << 20))))
+        val msgs = KafkaWire.decodeMessageSet(fr.messageSet)
+        assert(msgs.map(m => Option(m.key).map(new String(_))) == Vector(Some("k1"), None))
+        assert(msgs.map(m => new String(m.value)) == Vector("v1", "v2"))
+      } finally sock.close()
+    } finally broker.close()
+  }
+
   test("broker rejects a CRC-corrupted produce with ErrCorruptMessage") {
     val broker = new KafkaBroker().start()
     try {
