@@ -29,36 +29,33 @@ object TopicCat {
     val lastSeq = args.lift(3).map(_.toLong).getOrElse(0L)
 
     val client = TopicLike.connect(addr)
-
-    // STREAM the topic in bounded pages (a real topic can be huge — the
-    // reference tool consumes message-by-message; materializing everything
-    // to print ten lines would be wrong)
-    val dec = new OperationDecoder(Wire, lastCommitSeq = lastSeq)
-    var printed = 0L
-    var off = from
-    var done = false
-    while (!done && printed < count) {
-      val page = client.fetchPage(off, 256)
-      if (page.isEmpty) done = true
-      else {
-        page.foreach { case (msgOff, data) =>
-          dec.feed(data, msgOff).foreach { batch =>
-            batch.ops.foreach { op =>
-              if (printed < count) {
-                println(s"${batch.beginSeq}-${batch.commitSeq}\t" +
-                  s"${batch.beginOffset}-${batch.commitOffset}\t\t" +
-                  graft.streaming.OperationJson.render(op))
-                printed += 1
+    try {
+      // STREAM the topic in bounded pages (a real topic can be huge — the
+      // reference tool consumes message-by-message; materializing everything
+      // to print ten lines would be wrong)
+      val dec = new OperationDecoder(Wire, lastCommitSeq = lastSeq)
+      var printed = 0L
+      var off = from
+      var done = false
+      while (!done && printed < count) {
+        val page = client.fetchPage(off, 256)
+        if (page.isEmpty) done = true
+        else {
+          page.foreach { case (msgOff, data) =>
+            dec.feed(data, msgOff).foreach { batch =>
+              batch.ops.foreach { op =>
+                if (printed < count) {
+                  println(s"${batch.beginSeq}-${batch.commitSeq}\t" +
+                    s"${batch.beginOffset}-${batch.commitOffset}\t\t" +
+                    graft.streaming.OperationJson.render(op))
+                  printed += 1
+                }
               }
             }
           }
+          off = page.last._1 + 1
         }
-        off = page.last._1 + 1
       }
-    }
-    client match {
-      case c: graft.kafka.KafkaTopicClient => c.close()
-      case _ => ()
-    }
+    } finally client.close()
   }
 }

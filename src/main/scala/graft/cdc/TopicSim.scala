@@ -104,6 +104,11 @@ trait TopicLike {
     * with a single bounded Fetch round. */
   def fetchPage(fromOffset: Long, maxMessages: Int): Vector[(Long, Array[Byte])] =
     fetchFrom(fromOffset).take(maxMessages)
+  /** Release any held connection. Default no-op: [[TopicClient]] is
+    * connection-per-call, but [[graft.kafka.KafkaTopicClient]] holds one
+    * persistent socket that would otherwise leak for the process lifetime —
+    * callers (Replay shutdown, TopicCat) must close unconditionally. */
+  def close(): Unit = ()
 }
 
 object TopicLike {

@@ -90,14 +90,21 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
         val frame = readFrame(in)
         val r = new Reader(frame)
         val h = readRequestHeader(r)
+        // Each API is decoded at exactly ONE pinned version, so advertise
+        // min == max and refuse anything else up front — silently decoding
+        // a lower-version request at the pinned layout would mis-parse it
+        // (e.g. Fetch v2 lacks v3's top-level max_bytes field).
+        KafkaBroker.served.get(h.apiKey) match {
+          case Some(v) if v != h.apiVersion =>
+            throw new IllegalStateException(
+              s"api key ${h.apiKey} served only at version $v, got ${h.apiVersion}")
+          case _ => ()
+        }
         val body: Array[Byte] = h.apiKey match {
           case ApiApiVersions =>
-            encodeApiVersionsResponse(ErrNone, Seq(
-              ApiVersionRange(ApiProduce, 0, 2),
-              ApiVersionRange(ApiFetch, 0, 3),
-              ApiVersionRange(ApiListOffsets, 0, 1),
-              ApiVersionRange(ApiMetadata, 0, 0),
-              ApiVersionRange(ApiApiVersions, 0, 0)))
+            encodeApiVersionsResponse(ErrNone,
+              KafkaBroker.served.toSeq.sortBy(_._1)
+                .map { case (k, v) => ApiVersionRange(k, v, v) })
 
           case ApiMetadata =>
             // single node, sole leader; requested topics materialize with
@@ -179,4 +186,15 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
     finally sock.close()
 
   def close(): Unit = { closed = true; server.close() }
+}
+
+object KafkaBroker {
+  /** The one version each API is decoded/encoded at (the 0.10.x dialect the
+    * reference pins — see [[KafkaWire]]). */
+  val served: Map[Int, Int] = Map(
+    ApiProduce -> 2,
+    ApiFetch -> 3,
+    ApiListOffsets -> 1,
+    ApiMetadata -> 0,
+    ApiApiVersions -> 0)
 }

@@ -128,7 +128,11 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
             "topic truncated past the checkpointed offset")
       require(resp.errorCode == ErrNone, s"Fetch error ${resp.errorCode}")
       if (hwm < 0) hwm = resp.highWatermark
-      val msgs = decodeMessageSet(resp.messageSet).filter(_.offset >= next)
+      // bound every page (not just the loop condition) by the FIRST hwm:
+      // a concurrent second writer can append past it mid-scan, and those
+      // offsets must not leak into this bounded recovery read
+      val msgs = decodeMessageSet(resp.messageSet)
+        .filter(m => m.offset >= next && m.offset < hwm)
       msgs.foreach(m => res += ((m.offset, m.value)))
       next = if (msgs.nonEmpty) msgs.last.offset + 1 else next
       done = msgs.isEmpty || next >= hwm
@@ -136,5 +140,5 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
     res.result()
   }
 
-  def close(): Unit = sock.close()
+  override def close(): Unit = sock.close()
 }

@@ -222,8 +222,10 @@ object Replay {
       .select("seq_no", "log_name", "op_json").as[(Long, String, String)]
     val (query, st) = startSinks(ds, outDir, includes, excludes, counters, gate,
       ckpMgr, sinkFilters, topicAddr, snapshots)
-    query.processAllAvailable()
-    query.stop()
+    try {
+      query.processAllAvailable()
+      query.stop()
+    } finally st.topic.foreach(t => try t.close() catch { case _: Exception => () })
     val finalCkp = ckpMgr.get("stdout").map(_.progress).getOrElse(Progress.zero)
     counters.opsEmittedTotal.add(st.emitted)
     counters.opsDroppedTotal.add(totalInput - st.emitted)
@@ -238,7 +240,9 @@ object Replay {
     def emitted: Long = st.emitted
     def wireMessages: Long = st.wireMessages
     def minProgress: Progress = ckpMgr.getMinProgress
-    def stop(): Unit = query.stop()
+    def stop(): Unit =
+      try query.stop()
+      finally st.topic.foreach(t => try t.close() catch { case _: Exception => () })
   }
 
   /** S1-live → the SAME sink stack as the fixture replay: the binlog-live
@@ -296,6 +300,11 @@ object Replay {
   final class SinkState {
     @volatile var emitted = 0L
     @volatile var wireMessages = 0L
+    /** The wire sink's broker connection, if any — held here so the run's
+      * shutdown path can close it (the Kafka client keeps one persistent
+      * socket; before TopicLike.close existed it leaked for the process
+      * lifetime). */
+    @volatile var topic: Option[TopicLike] = None
   }
 
   /** The shared two-sink stack over any (seq_no, log_name, op_json)
@@ -342,6 +351,7 @@ object Replay {
     // the topic itself BEFORE anything streams; without a broker the wire
     // sink appends base64 lines and restart dedup is F3-only.
     val topic: Option[TopicLike] = topicAddr.map(TopicLike.connect)
+    st.topic = topic
     val (wireCkp, producerStartSeq, recoveredAckedOffset) = topic match {
       case Some(client) =>
         val rec = KafkaRecovery.recover(client,

@@ -79,17 +79,24 @@ private[streaming] object SnapshotStore {
   def writeNext(df: DataFrame, root: String, batchId: Option[Long] = None): Unit = {
     // first write into a legacy store: ADOPT its _SUCCESS-only versions by
     // stamping _COMMIT(−1) into them (idempotent), THEN drop the _FORMAT
-    // marker. Stamp NEWEST FIRST: the first stamped _COMMIT flips
-    // versions() to the new-format branch, so if the CURRENT version were
-    // stamped last a crash mid-adoption would leave readers on a stale
-    // older snapshot; newest-first means any partial adoption still
-    // surfaces the current version.
+    // marker. Legacy means NO _COMMIT anywhere (mirroring versions()'s
+    // read-path test): a store that already has any _COMMIT was written by
+    // marker-aware code, so its _SUCCESS-only dirs are crash leftovers of
+    // interrupted commits — adopting those as committed would surface a
+    // snapshot with batch id −1 and let a replayed delta-applying merge
+    // re-apply deltas it already contains. Stamp NEWEST FIRST: the first
+    // stamped _COMMIT flips versions() to the new-format branch, so if the
+    // CURRENT version were stamped last a crash mid-adoption would leave
+    // readers on a stale older snapshot; newest-first means any partial
+    // adoption still surfaces the current version.
     if (!formatMarker(root).isFile) {
-      versionDirs(root).reverse.foreach { case (_, dir) =>
-        if (new java.io.File(dir, "_SUCCESS").isFile &&
-          !new java.io.File(dir, "_COMMIT").isFile)
-          java.nio.file.Files.write(dir.toPath.resolve("_COMMIT"), "-1".getBytes)
-      }
+      val dirs = versionDirs(root)
+      if (!dirs.exists { case (_, f) => isComplete(f) })
+        dirs.reverse.foreach { case (_, dir) =>
+          if (new java.io.File(dir, "_SUCCESS").isFile &&
+            !new java.io.File(dir, "_COMMIT").isFile)
+            java.nio.file.Files.write(dir.toPath.resolve("_COMMIT"), "-1".getBytes)
+        }
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
       java.nio.file.Files.write(formatMarker(root).toPath, Array.emptyByteArray)
     }

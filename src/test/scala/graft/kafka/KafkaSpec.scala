@@ -199,6 +199,102 @@ class KafkaSpec extends AnyFunSuite {
       KafkaWire.encodeMetadataRequest(Seq("a", "b")))) == Vector("a", "b"))
   }
 
+  test("broker advertises only the exact versions it serves (min == max)") {
+    val broker = new KafkaBroker().start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", broker.port)
+      try {
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val w = new KafkaWire.Writer()
+        KafkaWire.writeRequestHeader(w,
+          KafkaWire.RequestHeader(KafkaWire.ApiApiVersions, 0, 1, "t"))
+        KafkaWire.writeFrame(out, w.result)
+        val r = new KafkaWire.Reader(KafkaWire.readFrame(in))
+        assert(r.i32() == 1)
+        val (err, apis) = KafkaWire.decodeApiVersionsResponse(r)
+        assert(err == KafkaWire.ErrNone)
+        assert(apis.nonEmpty && apis.forall(a => a.minVersion == a.maxVersion))
+        assert(apis.map(a => a.apiKey -> a.maxVersion).toMap == KafkaBroker.served)
+      } finally sock.close()
+    } finally broker.close()
+  }
+
+  test("broker refuses a request at an unserved api version (drops the connection)") {
+    val broker = new KafkaBroker().start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", broker.port)
+      try {
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        // Fetch v2 (advertised-min-zero used to imply this works; v2 lacks
+        // v3's top-level max_bytes, so decoding it at the pinned v3 layout
+        // would mis-parse) — the broker must close rather than guess
+        val w = new KafkaWire.Writer()
+        KafkaWire.writeRequestHeader(w,
+          KafkaWire.RequestHeader(KafkaWire.ApiFetch, 2, 1, "t"))
+        w.raw(KafkaWire.encodeFetchRequest(KafkaWire.FetchRequest(
+          500, 1, 1 << 20, "ops", 0, 0L, 1 << 20)))
+        KafkaWire.writeFrame(out, w.result)
+        intercept[java.io.IOException] { KafkaWire.readFrame(in) }
+      } finally sock.close()
+    } finally broker.close()
+  }
+
+  test("fetchFrom bounds every page at the FIRST response's high watermark") {
+    // scripted broker: the first Fetch says hwm=2 and serves offset 0; the
+    // second says hwm=4 (a concurrent second writer appended mid-scan) and
+    // serves offsets 1..3. The bounded recovery read must return [0, 1] —
+    // offsets past the first hwm belong to the next scan, not this one.
+    val pages = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
+    pages.put(KafkaWire.encodeFetchResponse(KafkaWire.FetchResponse(0, "ops", 0,
+      KafkaWire.ErrNone, 2L,
+      KafkaWire.encodeMessageSet(Seq(KafkaWire.Msg(0L, 1L, null, "m0".getBytes))))))
+    pages.put(KafkaWire.encodeFetchResponse(KafkaWire.FetchResponse(0, "ops", 0,
+      KafkaWire.ErrNone, 4L,
+      KafkaWire.encodeMessageSet(Seq(
+        KafkaWire.Msg(1L, 1L, null, "m1".getBytes),
+        KafkaWire.Msg(2L, 1L, null, "m2".getBytes),
+        KafkaWire.Msg(3L, 1L, null, "m3".getBytes))))))
+    val server = new java.net.ServerSocket(0, 4,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        while (true) {
+          val r = new KafkaWire.Reader(KafkaWire.readFrame(in))
+          val h = KafkaWire.readRequestHeader(r)
+          val body: Array[Byte] = h.apiKey match {
+            case KafkaWire.ApiApiVersions =>
+              KafkaWire.encodeApiVersionsResponse(KafkaWire.ErrNone,
+                KafkaBroker.served.toSeq.map { case (k, v) =>
+                  KafkaWire.ApiVersionRange(k, v, v) })
+            case KafkaWire.ApiMetadata =>
+              KafkaWire.encodeMetadataResponse(KafkaWire.MetadataResponse(
+                Vector(KafkaWire.BrokerMeta(0, "127.0.0.1", server.getLocalPort)),
+                Vector(KafkaWire.TopicMeta(KafkaWire.ErrNone, "ops", Vector(
+                  KafkaWire.PartitionMeta(KafkaWire.ErrNone, 0, 0, Vector(0), Vector(0)))))))
+            case KafkaWire.ApiFetch => pages.take()
+            case other => throw new IllegalStateException(s"unexpected api $other")
+          }
+          KafkaWire.writeFrame(out,
+            new KafkaWire.Writer().i32(h.correlationId).raw(body).result)
+        }
+      } catch { case _: Exception => () }
+    }, "scripted-broker")
+    t.setDaemon(true)
+    t.start()
+    try {
+      val c = new KafkaTopicClient("127.0.0.1", server.getLocalPort, "ops")
+      try {
+        val got = c.fetchFrom(0L).map { case (off, v) => (off, new String(v)) }
+        assert(got == Vector((0L, "m0"), (1L, "m1")))
+      } finally c.close()
+    } finally server.close()
+  }
+
   // ---- 3. the K1 lifecycle over real frames ----
 
   private def insert(logPos: Long, id: Long): Operation = {

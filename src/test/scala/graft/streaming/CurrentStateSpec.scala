@@ -125,6 +125,43 @@ class CurrentStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SnapshotStore.lastBatchId(stateRoot) == -1L)
   }
 
+  test("writeNext does not adopt a crash leftover when any _COMMIT already exists") {
+    import spark.implicits._
+    val stateRoot = Files.createTempDirectory("state-preformat").toString
+    // a store written by marker-aware but pre-_FORMAT code: v=1 committed,
+    // v=2 is a crash leftover (_SUCCESS present, _COMMIT rename missed),
+    // no root _FORMAT marker anywhere
+    Seq((1L, 1L, "view", 100L, 1.0))
+      .toDF("user_id", "event_id", "event_type", "us", "value")
+      .write.parquet(s"$stateRoot/v=1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$stateRoot/v=1/_COMMIT"), "5".getBytes)
+    Seq((2L, 2L, "stale", 200L, 2.0))
+      .toDF("user_id", "event_id", "event_type", "us", "value")
+      .write.parquet(s"$stateRoot/v=2")
+    // the next write must treat v=2 as uncommitted (any _COMMIT in the
+    // store means marker-aware history) — adopting it as batch −1 would
+    // let a replayed delta-applying merge double-apply
+    SnapshotStore.writeNext(
+      Seq((3L, 3L, "view", 300L, 3.0))
+        .toDF("user_id", "event_id", "event_type", "us", "value"),
+      stateRoot, Some(7L))
+    assert(SnapshotStore.versions(stateRoot) == Seq(1L, 3L))
+    assert(SnapshotStore.lastBatchId(stateRoot) == 7L)
+    val state = SnapshotStore.read(spark, stateRoot).get.as[Ev].collect().toVector
+    assert(state == Vector((3L, 3L, "view", 300L, 3.0)))
+    // a store with NO _COMMIT anywhere is still adopted (the legacy path)
+    val legacyRoot = Files.createTempDirectory("state-legacy").toString
+    Seq((1L, 1L, "view", 100L, 1.0))
+      .toDF("user_id", "event_id", "event_type", "us", "value")
+      .write.parquet(s"$legacyRoot/v=1")
+    SnapshotStore.writeNext(
+      Seq((2L, 2L, "view", 200L, 2.0))
+        .toDF("user_id", "event_id", "event_type", "us", "value"),
+      legacyRoot, Some(0L))
+    assert(SnapshotStore.versions(legacyRoot) == Seq(1L, 2L))
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered event_ids") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
