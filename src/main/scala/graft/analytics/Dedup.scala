@@ -36,6 +36,26 @@ object Dedup {
             regexp_extract_all(lower(text), '[a-z0-9'']+')[i+1] || ' ' ||
             regexp_extract_all(lower(text), '[a-z0-9'']+')[i+2]))"""
 
+  /** Deterministic eval-sample membership for the d12/d16 recall gates —
+    * the p02/p08 md5-bucket rule applied to doc_id. The gates' ground
+    * truth is an UNCAPPED quadratic self-join of the shingle index; that
+    * is only affordable on a bounded eval sample, never the corpus (a
+    * single stopword-ish shingle makes the full join explode at scale),
+    * so every truth computation filters the index to this sample FIRST.
+    * Sampling whole docs commutes with the operators under eval: band
+    * candidacy and exact Jaccard are pairwise properties of the two docs'
+    * own shingles, so (operator on corpus) ∩ sample-pairs = operator on
+    * the sampled index. 50% keeps the gate populated at the tiny test SFs
+    * (3 / 2 / 54 truth pairs at sf0.001/0.01/0.1); at production scale
+    * the fraction is the dial that bounds the eval set (pick cut so
+    * pct·N ≈ the 10⁵-ish docs an eval budget affords). */
+  private[analytics] val EVAL_SAMPLE_PCT = 50
+  private def evalSampled(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100L <
+      lit(EVAL_SAMPLE_PCT.toLong)
+  private def evalSampledSql(col: String): String =
+    s"CAST('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 4) AS INT) % 100 < $EVAL_SAMPLE_PCT"
+
   /** doc_id → exploded distinct shingles (the inverted-index input).
     *
     * `repartition(doc_id)` spreads the expensive tokenize+shingle compute
@@ -666,18 +686,23 @@ object Dedup {
     // The d03 counterpart of s06's ANN recall eval: before trusting the
     // banding in production, measure what fraction of the TRUE near-dup
     // pairs (exact Jaccard ≥ 0.7 over the uncapped inverted index — the
-    // quadratic baseline, affordable on an eval SAMPLE, never the corpus)
-    // the 4×4 banding actually surfaces. Precision is 1.0 by construction
-    // — d03 verifies candidates against the same exact Jaccard before
-    // emitting — so the one number that matters is recall; this is the
-    // accept/reject dial for band/row-count changes. Candidates come from
-    // d03's own definition (the eval measures the REAL operator, not a
-    // copy of it).
+    // quadratic baseline) the 4×4 banding actually surfaces. The uncapped
+    // self-join is only affordable on an eval SAMPLE, never the corpus —
+    // so the index is cut to the deterministic md5-bucket doc sample
+    // (`evalSampled`, the p02/p08 rule) BEFORE the join; truth and recall
+    // are measured within the sample only. Precision is 1.0 by
+    // construction — d03 verifies candidates against the same exact
+    // Jaccard before emitting — so the one number that matters is recall;
+    // this is the accept/reject dial for band/row-count changes.
+    // Candidates come from d03's own definition restricted to sample
+    // pairs (the eval measures the REAL operator, not a copy of it —
+    // band candidacy is a pairwise property, so the restriction is
+    // exact, see `evalSampled`).
     QueryDef(
       "d12_lsh_recall",
       (s, dir) => {
         import s.implicits._
-        val sh = shingleIndex(s, dir)
+        val sh = shingleIndex(s, dir).filter(evalSampled($"doc_id"))
         val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val truth = sh.as("a")
           .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
@@ -689,6 +714,7 @@ object Dedup {
           .select($"i", $"j")
         val cand = defs.find(_.name == "d03_minhash_lsh_pairs").get
           .run(s, dir).select($"i", $"j")
+          .filter(evalSampled($"i") && evalSampled($"j"))
         truth.withColumn("t", lit(1L))
           .join(cand.withColumn("c", lit(1L)), Seq("i", "j"), "full_outer")
           .agg(
@@ -699,7 +725,8 @@ object Dedup {
           .withColumn("precision", $"n_hit".cast("double") / $"n_candidates")
       },
       Some(s"""
-        WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
+        WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents
+                    WHERE ${evalSampledSql("doc_id")}),
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         shared AS (
           SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared
@@ -898,22 +925,31 @@ object Dedup {
     // document frequency > 128. The cap SILENTLY drops any pair whose
     // overlap lives mostly on hot shingles — this query measures that loss
     // the way d12 measures banding recall: truth = the uncapped exact
-    // Jaccard ≥ 0.8 pairs (quadratic, eval-sample affordable), then pair
-    // recall at a SWEEP of caps (2, 4, 128). The tight caps show how
-    // recall degrades as the cap starts to bite (at this SF max DF is 7,
-    // so they bite hard); the 128 row is the production gate — recall 1.0
-    // here is the measured evidence the d02 cap loses nothing at this
-    // corpus shape, and the number to re-check when the shingle DF
-    // distribution shifts. One DF aggregate + one capped join for ALL
-    // caps at once (rows replicate per qualifying cap, ≤ |caps|×) — the
-    // eval itself stays scale-shaped.
+    // Jaccard ≥ 0.8 pairs, which is quadratic and therefore computed ONLY
+    // within the deterministic md5-bucket eval sample (`evalSampled` —
+    // the index is cut to the sample before the uncapped self-join), then
+    // pair recall at a SWEEP of caps (2, 4, 128). Both sides of the
+    // recall live in the sample: the capped operator's pairs restrict to
+    // sampled docs (exact, since shared-shingle overlap is pairwise),
+    // while the DF the cap compares against stays CORPUS-level — that is
+    // d02's production cap, the thing under eval, and one linear
+    // aggregate. The tight caps show how recall degrades as the cap
+    // starts to bite (at this SF max DF is 7, so they bite hard); the 128
+    // row is the production gate — recall 1.0 here is the measured
+    // evidence the d02 cap loses nothing at this corpus shape, and the
+    // number to re-check when the shingle DF distribution shifts. One DF
+    // aggregate + one capped join for ALL caps at once (rows replicate
+    // per qualifying cap, ≤ |caps|×) — the eval itself stays
+    // scale-shaped.
     QueryDef(
       "d16_dfcap_recall",
       (s, dir) => {
         import s.implicits._
-        val sh = shingleIndex(s, dir)
+        val full = shingleIndex(s, dir)
+        val sh = full.filter(evalSampled($"doc_id"))
         val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val dfreq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+        // corpus-level document frequency — the exact DF d02's cap uses
+        val dfreq = full.groupBy($"s").agg(count(lit(1)).as("df"))
         val caps = Seq(2, 4, 128).toDF("df_cap")
         val capped = sh.join(dfreq, "s").join(broadcast(caps), $"df" <= $"df_cap")
         val shared = capped.as("a")
@@ -946,9 +982,10 @@ object Dedup {
           .orderBy($"df_cap")
       },
       Some(s"""
-        WITH sh AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
+        WITH shfull AS (SELECT doc_id, unnest($SHINGLES_SQL) AS s FROM documents),
+        sh AS (SELECT * FROM shfull WHERE ${evalSampledSql("doc_id")}),
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        dfreq AS (SELECT s, COUNT(*) AS df FROM shfull GROUP BY s),
         caps AS (SELECT unnest([2, 4, 128]) AS df_cap),
         capped AS (
           SELECT c.df_cap, i.doc_id, i.s

@@ -151,6 +151,49 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unpartitioned window over a possibly-unbounded input in: ${offenders.mkString(", ")}")
   }
 
+  test("no uncapped shingle-index self-join in any declared query plan") {
+    // The corpus-quadratic failure mode the d12/d16 gates used to have: a
+    // join whose BOTH sides are the raw shingle inverted index (doc_id, s)
+    // with nothing bounding the per-shingle fan-out in between. On a hot
+    // (stopword-ish) shingle that join explodes at scale. A side stops
+    // being "raw" when, between the join and the index scan, there is:
+    //  - an md5-bucket eval-sample Filter (the d12/d16 sampled-truth form),
+    //  - a document-frequency cap Filter (d02's stop-shingle cap, named df),
+    //  - an Aggregate (unique-per-group-key ⇒ linear join fan-out, d13), or
+    //  - another Join (candidate/pair-set restriction, d03/d15/d16).
+    // A side under an explicit broadcast() hint is also bounded: broadcast
+    // is the query's declaration that the side fits in memory (d07's eval
+    // suite) — it fails loudly at scale rather than exploding quadratically.
+    // Allow-list NOTHING: a future gate that reintroduces the full-corpus
+    // truth join must fail here, not resurface as a bench regression.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Filter => LFilter, Join => LJoin, LogicalPlan, HintInfo, BROADCAST}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    def isShingleLeaf(p: LogicalPlan): Boolean = p match {
+      case m: InMemoryRelation => m.output.map(_.name).toSet == Set("doc_id", "s")
+      case _ => false
+    }
+    def rawIndexSide(p: LogicalPlan): Boolean = p match {
+      case _ if isShingleLeaf(p) => true
+      case f: LFilter =>
+        val cond = f.condition.toString.toLowerCase
+        val bounding = cond.contains("md5") ||
+          f.condition.references.exists(_.name == "df")
+        !bounding && rawIndexSide(f.child)
+      case _: LAgg | _: LJoin => false
+      case _ => p.children.exists(rawIndexSide)
+    }
+    def bcast(h: Option[HintInfo]): Boolean = h.exists(_.strategy.contains(BROADCAST))
+    val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val joins = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case j: LJoin if rawIndexSide(j.left) && rawIndexSide(j.right) &&
+          !bcast(j.hint.leftHint) && !bcast(j.hint.rightHint) => j
+      }
+      if (joins.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"uncapped shingle-index self-join (corpus-quadratic at scale) in: ${offenders.mkString(", ")}")
+  }
+
   test("no non-broadcast cartesian product in any declared query plan") {
     // BroadcastNestedLoopJoin with a broadcast query side is the intended
     // shape for the ANN fan-outs (corpus x 5 queries); CartesianProductExec
