@@ -114,6 +114,27 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
       case _ => Left("could not read binlog_format variable")
     }
 
+  /** S2 — the row-image precondition (canal.go:350-366 CheckBinlogRowImage):
+    * `binlog_format=ROW` alone is not enough — a master running
+    * `binlog_row_image=MINIMAL` (or NOBLOB) logs PARTIAL before-images, and
+    * every downstream UPDATE/DELETE current-state merge would be silently
+    * wrong. Pre-5.6 servers don't know the variable and return an empty
+    * resultset — accepted, like the reference's empty-string degrade. The
+    * reference gates this check on the MySQL flavor; here it runs
+    * unconditionally, which is strictly safer — MariaDB speaks the same
+    * variable, and a server without it hits the empty-result path. */
+  def checkBinlogRowImage(expected: String = "FULL"): Either[String, Unit] =
+    query("""SHOW GLOBAL VARIABLES LIKE "binlog_row_image";""") match {
+      case Left(rs) =>
+        rs.rows.headOption.flatMap(_.lift(1).flatten).filter(_.nonEmpty) match {
+          case None => Right(()) // pre-5.6: variable absent
+          case Some(img) if img.equalsIgnoreCase(expected) => Right(())
+          case Some(img) =>
+            Left(s"MySQL uses $img binlog row image, but we want $expected")
+        }
+      case Right(_) => Left("could not read binlog_row_image variable")
+    }
+
   /** T8 — replication heartbeat: the master emits HEARTBEAT events when
     * idle longer than this period, keeping the connection verifiably
     * alive. Set BEFORE requesting the dump (value is nanoseconds). */

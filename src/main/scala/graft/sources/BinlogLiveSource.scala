@@ -97,6 +97,10 @@ final class LiveBinlogFeed(
         case Left(reason) => throw new IllegalStateException(reason)
         case Right(()) => ()
       }
+      client.checkBinlogRowImage() match { // S2: FULL row images required
+        case Left(reason) => throw new IllegalStateException(reason)
+        case Right(()) => ()
+      }
       client.setHeartbeatPeriod(heartbeatPeriodSec) // T8
       client.registerSlave(serverId)
       // GTID start survives master failover (the server resolves file+pos

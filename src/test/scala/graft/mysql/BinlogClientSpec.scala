@@ -77,6 +77,37 @@ class BinlogClientSpec extends AnyFunSuite {
     assert(c.checkBinlogRowFormat() == Left("binlog must be ROW format, but STATEMENT now"))
   }
 
+  private def rowImageConversation(packets: Seq[Array[Byte]]) = script(
+    (Seq(frame(0, greeting), frame(2, okPacket)) ++ packets): _*)
+
+  test("S2: row-image precondition accepts FULL (case-insensitively)") {
+    for (v <- Seq("FULL", "full")) {
+      val (in, out) = rowImageConversation(binlogRowImageResult(v))
+      val c = new BinlogClient(in, out, "repl", "secret")
+      c.connect()
+      assert(c.checkBinlogRowImage() == Right(()))
+    }
+  }
+
+  test("S2: row-image precondition refuses MINIMAL and NOBLOB, like the reference") {
+    for (v <- Seq("MINIMAL", "noblob")) {
+      val (in, out) = rowImageConversation(binlogRowImageResult(v))
+      val c = new BinlogClient(in, out, "repl", "secret")
+      c.connect()
+      // a MINIMAL/NOBLOB master streams partial before-images — every
+      // downstream UPDATE/DELETE merge would be silently wrong
+      assert(c.checkBinlogRowImage() ==
+        Left(s"MySQL uses $v binlog row image, but we want FULL"))
+    }
+  }
+
+  test("S2: a pre-5.6 server without binlog_row_image passes the check") {
+    val (in, out) = rowImageConversation(binlogRowImageAbsent)
+    val c = new BinlogClient(in, out, "repl", "secret")
+    c.connect()
+    assert(c.checkBinlogRowImage() == Right(()))
+  }
+
   test("T8: heartbeat period is set via SET @master_heartbeat_period") {
     val (in, out) = script(frame(0, greeting), frame(2, okPacket), frame(1, okPacket))
     val c = new BinlogClient(in, out, "repl", "secret")

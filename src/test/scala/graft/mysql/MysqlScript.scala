@@ -100,6 +100,21 @@ object MysqlScript {
     frame(5, textRow(Some("binlog_format"), Some(value))),
     frame(6, eofPacket))
 
+  def binlogRowImageResult(value: String): Seq[Array[Byte]] = Seq(
+    frame(1, new Packets.Writer().lenenc(2L).result),
+    frame(2, colDef("Variable_name")), frame(3, colDef("Value")),
+    frame(4, eofPacket),
+    frame(5, textRow(Some("binlog_row_image"), Some(value))),
+    frame(6, eofPacket))
+
+  /** A pre-5.6 server: the variable does not exist, SHOW returns an empty
+    * resultset (column defs, then straight to the terminating EOF). */
+  def binlogRowImageAbsent: Seq[Array[Byte]] = Seq(
+    frame(1, new Packets.Writer().lenenc(2L).result),
+    frame(2, colDef("Variable_name")), frame(3, colDef("Value")),
+    frame(4, eofPacket),
+    frame(5, eofPacket))
+
   /** Responses to the client's checksum announce (issued before every
     * dump): OK for the SET, then the 1-row resultset for
     * SELECT @@global.binlog_checksum. */

@@ -50,6 +50,7 @@ class BinlogLiveSourceSpec extends AnyFunSuite {
   private def conversation = script(
     (Seq(frame(0, greeting), frame(2, okPacket)) ++ // connect
       binlogFormatResult("ROW") ++ // S2
+      binlogRowImageResult("FULL") ++ // S2 row image
       Seq(
         frame(1, okPacket), // SET heartbeat
         frame(1, okPacket)) ++ // register slave
@@ -101,6 +102,18 @@ class BinlogLiveSourceSpec extends AnyFunSuite {
     assert(feed.failure.exists(_.getMessage.contains("binlog must be ROW format")))
   }
 
+  test("S2 gate: a MINIMAL row-image server fails the feed") {
+    val (in, out) = script(
+      (Seq(frame(0, greeting), frame(2, okPacket)) ++
+        binlogFormatResult("ROW") ++
+        binlogRowImageResult("MINIMAL")): _*)
+    val feed = new LiveBinlogFeed(new BinlogClient(in, out, "repl", "secret"),
+      1001, "mysql-bin.000099", 4, (_, _) => None)
+    feed.run()
+    assert(feed.failure.exists(_.getMessage ==
+      "MySQL uses MINIMAL binlog row image, but we want FULL"))
+  }
+
   test("restart from a persisted GtidSet issues COM_BINLOG_DUMP_GTID and " +
       "resumes the stream (file+pos is the fallback)") {
     val (in, out) = conversation
@@ -128,6 +141,7 @@ class BinlogLiveSourceSpec extends AnyFunSuite {
     val (in, out) = script(
       (Seq(frame(0, greeting), frame(2, okPacket)) ++ // connect
         binlogFormatResult("ROW") ++ // S2
+        binlogRowImageResult("FULL") ++ // S2 row image
         Seq(
           frame(1, okPacket), // SET heartbeat
           frame(1, okPacket), // register slave

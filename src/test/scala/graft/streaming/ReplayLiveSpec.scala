@@ -72,6 +72,7 @@ class ReplayLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def preamble: Seq[Array[Byte]] =
     Seq(frame(0, greeting), frame(2, okPacket)) ++
       binlogFormatResult("ROW") ++
+      binlogRowImageResult("FULL") ++
       Seq(frame(1, okPacket), frame(1, okPacket)) ++ // heartbeat, register
       checksumAnnounce("CRC32")
 
