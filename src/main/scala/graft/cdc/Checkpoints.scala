@@ -253,9 +253,26 @@ object SchemaSnapshotCodec {
 /** Schema snapshots keyed by replication position — restart restores the
   * catalog AS OF the resume position (/root/reference/schema/tracker.go:54-72,
   * boltdb semantics of storage_boltdb.go:75-114 incl. the 7-day purge at
-  * :200-238). One binary file per snapshot in a directory. */
-final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7) {
+  * :200-238). One binary file per snapshot in a directory.
+  *
+  * Persistence is STATEMENT-LEVEL incremental — the reference's own TODO
+  * (schema/tracker.go:229-240 persists a full catalog per DDL and notes the
+  * write amplification): every applied DDL appends one (position, db,
+  * statement) record to an append-only log, and a FULL snapshot is written
+  * only on the first DDL and every `snapshotEvery`-th after it. Restore =
+  * newest snapshot at-or-below the resume position + replay of the logged
+  * DDL tail between the snapshot and the resume point — exact at every
+  * position, with O(#DDLs / snapshotEvery) full writes instead of O(#DDLs).
+  * The first-DDL snapshot keeps every restart position restorable (a
+  * log-only prefix would otherwise have nothing to replay onto). The
+  * in-memory cadence counter resets on process restart, which can only make
+  * snapshots MORE frequent than the cadence — never less restorable. */
+final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7,
+    snapshotEvery: Int = 8) {
   Files.createDirectories(dir)
+
+  private val ddlLog = dir.resolve("ddl.log")
+  private var sinceSnapshot = 0 // DDLs appended since the last full snapshot
 
   private def fileFor(pos: Position): Path =
     // big-endian-style zero-padded offset keeps lexicographic == numeric order
@@ -265,6 +282,46 @@ final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7) {
   def save(pos: Position, databases: Seq[String], defs: Seq[TableDef]): Unit = {
     Files.write(fileFor(pos), SchemaSnapshotCodec.encode(pos, databases, defs))
     purge()
+  }
+
+  /** Record one applied DDL: always append it to the statement log; write a
+    * full snapshot only at the cadence (first DDL, then every
+    * `snapshotEvery`-th). The catalog arguments are by-name so the cheap
+    * log-only path never materializes a snapshot it will not write. */
+  def record(pos: Position, currentDb: String, statement: String,
+      databases: => Seq[String], defs: => Seq[TableDef]): Unit = synchronized {
+    val b64 = java.util.Base64.getEncoder
+    val line = s"${pos.serverId}\t${pos.name}\t${pos.pos}\t" +
+      s"${b64.encodeToString(currentDb.getBytes(UTF_8))}\t" +
+      s"${b64.encodeToString(statement.getBytes(UTF_8))}\n"
+    Files.write(ddlLog, line.getBytes(UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    val snapshotNow = sinceSnapshot == 0 || sinceSnapshot >= snapshotEvery
+    sinceSnapshot = if (snapshotNow) 1 else sinceSnapshot + 1
+    if (snapshotNow) save(pos, databases, defs)
+  }
+
+  /** Logged DDLs with `after < position ≤ upTo` (same server_id), in log
+    * order — the tail to replay on top of the snapshot at `after`. A torn
+    * final line (crash mid-append) is ignored; its DDL never reported
+    * applied, so nothing downstream depends on it. */
+  def ddlTail(after: Position, upTo: Position): Vector[(Position, String, String)] = {
+    if (!Files.isRegularFile(ddlLog)) return Vector.empty
+    val b64 = java.util.Base64.getDecoder
+    Files.readAllLines(ddlLog, UTF_8).asScala.iterator.flatMap { line =>
+      line.split('\t') match {
+        case Array(sid, name, p, db, stmt) =>
+          try {
+            val pos = Position(name, p.toLong, sid.toLong)
+            if (pos.serverId == upTo.serverId &&
+              pos.compare(after) > 0 && pos.compare(upTo) <= 0)
+              Some((pos, new String(b64.decode(db), UTF_8),
+                new String(b64.decode(stmt), UTF_8)))
+            else None
+          } catch { case _: Exception => None }
+        case _ => None // torn tail
+      }
+    }.toVector
   }
 
   /** Load the newest snapshot at-or-below `pos` (same server_id only). */

@@ -328,12 +328,17 @@ object Replay {
       : (org.apache.spark.sql.streaming.StreamingQuery, SinkState) = {
     // restart restores the schema mirror AS OF the resume position (the
     // reference's tracker restore, schema/tracker.go:54-72) — the mirror
-    // must describe the schema the FIRST replayed event was written under
+    // must describe the schema the FIRST replayed event was written under.
+    // Restore = newest full snapshot at-or-below resume + replay of the
+    // logged DDL tail up to resume (statement-level incremental store)
     for (store <- snapshots; g <- gate) {
       val resume = ckpMgr.getMinProgress
       if (!resume.isZero)
-        store.load(resume.pos).foreach { case (_, dbs, defs) =>
+        store.load(resume.pos).foreach { case (snapPos, dbs, defs) =>
           g.tracker.restoreCatalog(defs, dbs)
+          store.ddlTail(snapPos, resume.pos).foreach { case (_, db, stmt) =>
+            g.tracker.execDdl(stmt, db)
+          }
         }
     }
     // per-sink checkpoints (K4 mux: each sink dedups against its OWN
@@ -513,7 +518,7 @@ object Replay {
                       case OpType.Ddl => counters.ddlTotal.inc()
                       case _ => ()
                     }
-                    var ddlApplied = false
+                    var ddlApplied: Option[(String, String)] = None
                     if (opType == OpType.Ddl) {
                       val db = rstr(); val stmt = rstr()
                       gate.foreach { g =>
@@ -521,7 +526,7 @@ object Replay {
                           throw new IllegalStateException(
                             s"DDL parked, stopping the pipeline (repair via /ddl): [$db] $stmt — " +
                               g.failed.map(_.error).getOrElse(""))
-                        ddlApplied = stmt.nonEmpty
+                        if (stmt.nonEmpty) ddlApplied = Some((db, stmt))
                       }
                     }
                     if ((flags & 2) != 0) {
@@ -550,12 +555,14 @@ object Replay {
                       val prog = Progress(Position(name, pos, sid), gset)
                       if (inJson) lastJsonProg = Some(prog)
                       if ((flags & 2) != 0) lastWireProg = Some(prog)
-                      // the reference's ExecAndPersist: a snapshot keyed by
-                      // the DDL's own position, so any later restart can
-                      // restore the catalog as of its resume point
-                      if (ddlApplied)
-                        for (store <- snapshots; g <- gate)
-                          store.save(prog.pos, g.tracker.getDatabases, g.tracker.snapshotCatalog)
+                      // the reference's ExecAndPersist, keyed by the DDL's
+                      // own position — but statement-level incremental
+                      // (the reference's tracker.go:229-240 TODO): the DDL
+                      // appends to the store's log, and only the cadence
+                      // writes a full catalog snapshot
+                      for ((db, stmt) <- ddlApplied; store <- snapshots; g <- gate)
+                        store.record(prog.pos, db, stmt,
+                          g.tracker.getDatabases, g.tracker.snapshotCatalog)
                     }
                   }
                 }

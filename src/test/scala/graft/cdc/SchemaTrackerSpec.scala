@@ -251,4 +251,54 @@ class SchemaTrackerSpec extends AnyFunSuite {
     // different server_id → none
     assert(store.load(Position("mysql-bin.000001", 1500, 8)).isEmpty)
   }
+
+  test("incremental persistence: O(N/cadence) full snapshots, restore exact at every position") {
+    val dir = Files.createTempDirectory("snapstore-incr")
+    val store = new SchemaSnapshotStore(dir, snapshotEvery = 4)
+    val t = freshTracker
+    val ddls = (1 to 10).map(i => (s"ALTER TABLE test.canal_test ADD col_$i INT",
+      Position("mysql-bin.000001", 1000L * i, 7)))
+    ddls.foreach { case (stmt, pos) =>
+      t.execDdl(stmt, "test")
+      store.record(pos, "test", stmt, t.getDatabases, t.snapshotCatalog)
+    }
+    // full snapshots only on the first DDL and every 4th after: 1, 5, 9
+    val snaps = dir.toFile.listFiles().count(_.getName.startsWith("snap-"))
+    assert(snaps == 3, s"expected 3 full snapshots for 10 DDLs at cadence 4, got $snaps")
+
+    // restore at EVERY intermediate position must equal a tracker that
+    // applied exactly the DDL prefix — snapshot + logged tail replay
+    for (k <- 1 to 10) {
+      val resume = Position("mysql-bin.000001", 1000L * k + 500, 7)
+      val (snapPos, dbs, defs) = store.load(resume).get
+      val restored = new SchemaTracker
+      restored.restoreCatalog(defs, dbs)
+      val tail = store.ddlTail(snapPos, resume)
+      tail.foreach { case (_, db, stmt) => restored.execDdl(stmt, db) }
+      val cols = restored.getTableDef("test", "canal_test").get.columns.map(_.name)
+      assert(cols == Vector("id", "content", "name") ++ (1 to k).map(i => s"col_$i"),
+        s"restore at DDL $k mismatch: $cols")
+    }
+
+    // the tail is bounded by the resume position and the snapshot position
+    assert(store.ddlTail(Position("mysql-bin.000001", 5000, 7),
+      Position("mysql-bin.000001", 7000, 7)).map(_._1.pos) == Vector(6000L, 7000L))
+    // other server_id's entries never replay
+    assert(store.ddlTail(Position("", 0, 8), Position("mysql-bin.000009", 99999, 8)).isEmpty)
+  }
+
+  test("a torn final log line (crash mid-append) is ignored") {
+    val dir = Files.createTempDirectory("snapstore-torn")
+    val store = new SchemaSnapshotStore(dir, snapshotEvery = 4)
+    val t = freshTracker
+    t.execDdl("ALTER TABLE test.canal_test ADD age INT", "test")
+    store.record(Position("mysql-bin.000001", 1000, 7), "test",
+      "ALTER TABLE test.canal_test ADD age INT", t.getDatabases, t.snapshotCatalog)
+    // simulate a crash mid-append: a partial record with no trailing fields
+    java.nio.file.Files.write(dir.resolve("ddl.log"), "7\tmysql-bin.00".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    val tail = store.ddlTail(Position("", 0, 7), Position("mysql-bin.000009", 1 << 20, 7))
+    assert(tail.map(_._1.pos) == Vector(1000L))
+    assert(tail.head._3 == "ALTER TABLE test.canal_test ADD age INT")
+  }
 }

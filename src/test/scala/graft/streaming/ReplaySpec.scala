@@ -185,6 +185,19 @@ class ReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats2.emitted == 0) // F3: nothing re-emits
     assert(fresh.getTableDef("test", "canal_test").get.columns.map(_.name) ==
       Vector("id", "content", "name", "age"))
+
+    // statement-level incremental restore: a LOG-ONLY DDL (cadence not
+    // reached — deliberately recorded with an empty catalog, so only the
+    // log can restore it) between the snapshot and the resume position
+    // replays onto the restored snapshot at startup
+    val snapPos = positions.max((a: Position, b: Position) => a.compare(b))
+    store.record(Position(snapPos.name, snapPos.pos + 1, snapPos.serverId),
+      "test", "ALTER TABLE test.canal_test ADD extra INT", Nil, Nil)
+    val fresh2 = new SchemaTracker
+    Replay.run(spark, fixture, out, gate = Some(new DdlGate(fresh2)),
+      snapshots = Some(store))
+    assert(fresh2.getTableDef("test", "canal_test").get.columns.map(_.name) ==
+      Vector("id", "content", "name", "age", "extra"))
   }
 
   test("an unseeded schema mirror parks the gate and stops the pipeline") {
