@@ -112,11 +112,13 @@ trait TopicLike {
 }
 
 object TopicLike {
-  /** Shared broker-address parser for the two wire dialects —
-    * `kafka://host:port/topic` (the real protocol, explicit topic REQUIRED:
-    * a silent default could produce into the wrong topic and split the
-    * stream) or `host:port` (the TopicSim dialect). Clear errors instead of
-    * substring crashes on malformed input. */
+  /** Shared broker-address parser for the wire dialects —
+    * `kafka://host:port/topic` (the real 0.10 protocol, message format v1),
+    * `kafka2://host:port/topic` (the modern magic-2 RecordBatch dialect,
+    * Produce v3 / Fetch v4), or `host:port` (the TopicSim dialect). The
+    * kafka schemes REQUIRE an explicit topic: a silent default could
+    * produce into the wrong topic and split the stream. Clear errors
+    * instead of substring crashes on malformed input. */
   def connect(addr: String): TopicLike = {
     def hostPort(hp: String): (String, Int) = {
       val colon = hp.lastIndexOf(':')
@@ -127,14 +129,18 @@ object TopicLike {
         throw new IllegalArgumentException(s"broker port is not a number in '$addr'") }
       (hp.substring(0, colon), port)
     }
-    if (addr.startsWith("kafka://")) {
-      val rest = addr.stripPrefix("kafka://")
+    def kafka(scheme: String, format: Int): TopicLike = {
+      val rest = addr.stripPrefix(scheme)
       val slash = rest.indexOf('/')
       require(slash > 0 && slash < rest.length - 1,
-        s"kafka:// address needs an explicit /topic, got '$addr'")
+        s"$scheme address needs an explicit /topic, got '$addr'")
       val (host, port) = hostPort(rest.substring(0, slash))
-      new graft.kafka.KafkaTopicClient(host, port, rest.substring(slash + 1))
-    } else {
+      new graft.kafka.KafkaTopicClient(host, port, rest.substring(slash + 1),
+        messageFormat = format)
+    }
+    if (addr.startsWith("kafka2://")) kafka("kafka2://", 2)
+    else if (addr.startsWith("kafka://")) kafka("kafka://", 1)
+    else {
       val (host, port) = hostPort(addr)
       new TopicClient(host, port)
     }

@@ -90,21 +90,21 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
         val frame = readFrame(in)
         val r = new Reader(frame)
         val h = readRequestHeader(r)
-        // Each API is decoded at exactly ONE pinned version, so advertise
-        // min == max and refuse anything else up front — silently decoding
-        // a lower-version request at the pinned layout would mis-parse it
-        // (e.g. Fetch v2 lacks v3's top-level max_bytes field).
+        // Each API is decoded only at the versions in the served ranges, so
+        // advertise exactly those and refuse anything else up front —
+        // silently decoding an unserved version at a pinned layout would
+        // mis-parse it (e.g. Fetch v2 lacks v3's top-level max_bytes field).
         KafkaBroker.served.get(h.apiKey) match {
-          case Some(v) if v != h.apiVersion =>
+          case Some((lo, hi)) if h.apiVersion < lo || h.apiVersion > hi =>
             throw new IllegalStateException(
-              s"api key ${h.apiKey} served only at version $v, got ${h.apiVersion}")
+              s"api key ${h.apiKey} served at versions $lo-$hi, got ${h.apiVersion}")
           case _ => ()
         }
         val body: Array[Byte] = h.apiKey match {
           case ApiApiVersions =>
             encodeApiVersionsResponse(ErrNone,
               KafkaBroker.served.toSeq.sortBy(_._1)
-                .map { case (k, v) => ApiVersionRange(k, v, v) })
+                .map { case (k, (lo, hi)) => ApiVersionRange(k, lo, hi) })
 
           case ApiMetadata =>
             // single node, sole leader; requested topics materialize with
@@ -128,29 +128,45 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
               ListOffsetsResponse(q.topic, q.partition, ErrNone, q.timestamp, off))
 
           case ApiProduce =>
-            val q = decodeProduceRequest(r)
-            // decode (and thereby CRC-verify) the producer's message set;
-            // the broker assigns offsets and stamps LogAppendTime
+            // v2 carries a message-format-v1 set, v3 a magic-2 RecordBatch;
+            // either way decode (and thereby CRC-verify), assign offsets,
+            // stamp LogAppendTime — one log serves both dialects, like a
+            // real broker's up/down-conversion
+            val q = if (h.apiVersion >= 3) KafkaWireV2.decodeProduceRequestV3(r)
+              else decodeProduceRequest(r)
             val now = System.currentTimeMillis()
             val resp =
               try {
-                val msgs = decodeMessageSet(q.messageSet)
+                val msgs = if (h.apiVersion >= 3) KafkaWireV2.decodeRecordBatches(q.messageSet)
+                  else decodeMessageSet(q.messageSet)
                 val base = append(q.topic, q.partition, msgs.map(m => (now, m.key, m.value)))
                 ProduceResponse(q.topic, q.partition, ErrNone, base, now, 0)
               } catch {
                 case _: IllegalArgumentException =>
                   ProduceResponse(q.topic, q.partition, ErrCorruptMessage, -1L, -1L, 0)
               }
-            encodeProduceResponse(resp)
+            encodeProduceResponse(resp) // response layout identical in v2/v3
 
           case ApiFetch =>
-            val q = decodeFetchRequest(r)
+            val q = if (h.apiVersion >= 4) KafkaWireV2.decodeFetchRequestV4(r)
+              else decodeFetchRequest(r)
             val (hwm, msgs) = slice(q.topic, q.partition, q.fetchOffset,
               math.max(1, q.partitionMaxBytes))
+            def respond(set: Array[Byte], err: Int): Array[Byte] = {
+              val p = FetchResponse(0, q.topic, q.partition, err, hwm, set)
+              if (h.apiVersion >= 4) KafkaWireV2.encodeFetchResponseV4(p)
+              else encodeFetchResponse(p)
+            }
             if (q.fetchOffset > hwm)
-              encodeFetchResponse(FetchResponse(0, q.topic, q.partition,
-                ErrOffsetOutOfRange, hwm, Array.emptyByteArray))
-            else {
+              respond(Array.emptyByteArray, ErrOffsetOutOfRange)
+            else if (h.apiVersion >= 4) {
+              // v4: serve ONE RecordBatch based at the requested offset;
+              // the slice is already byte-bounded (with ≥1-message progress)
+              val set = if (msgs.isEmpty) Array.emptyByteArray
+                else KafkaWireV2.encodeRecordBatch(msgs.map { case (off, ts, k, v) =>
+                  Msg(off, ts, k, v) })
+              respond(set, ErrNone)
+            } else {
               // honor the byte limit but always make progress: at least one
               // message per non-empty fetch (the real broker's guarantee
               // for consumers with small max_bytes)
@@ -167,8 +183,7 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
                   } else full = true // stop at first overflow: no offset gaps
                 }
               }
-              encodeFetchResponse(FetchResponse(0, q.topic, q.partition,
-                ErrNone, hwm, w.result))
+              respond(w.result, ErrNone)
             }
 
           case other =>
@@ -189,12 +204,15 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
 }
 
 object KafkaBroker {
-  /** The one version each API is decoded/encoded at (the 0.10.x dialect the
-    * reference pins — see [[KafkaWire]]). */
-  val served: Map[Int, Int] = Map(
-    ApiProduce -> 2,
-    ApiFetch -> 3,
-    ApiListOffsets -> 1,
-    ApiMetadata -> 0,
-    ApiApiVersions -> 0)
+  /** The (min, max) version range each API is decoded/encoded at: the
+    * 0.10.x dialect the reference pins (Produce v2 / Fetch v3, message
+    * format v1 — see [[KafkaWire]]) plus the modern RecordBatch dialect
+    * (Produce v3 / Fetch v4, magic 2 — see [[KafkaWireV2]]). Every version
+    * inside a range is actually served. */
+  val served: Map[Int, (Int, Int)] = Map(
+    ApiProduce -> (2, 3),
+    ApiFetch -> (3, 4),
+    ApiListOffsets -> (1, 1),
+    ApiMetadata -> (0, 0),
+    ApiApiVersions -> (0, 0))
 }

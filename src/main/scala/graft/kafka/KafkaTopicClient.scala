@@ -25,7 +25,12 @@ import KafkaWire._
   * dialect before any data flows. */
 final class KafkaTopicClient(host: String, port: Int, topic: String,
     partition: Int = 0, clientId: String = "graft",
-    fetchMaxBytes: Int = 1 << 20) extends TopicLike {
+    fetchMaxBytes: Int = 1 << 20, messageFormat: Int = 1) extends TopicLike {
+  require(messageFormat == 1 || messageFormat == 2,
+    s"messageFormat must be 1 (0.10 MessageSet) or 2 (RecordBatch), got $messageFormat")
+  // format 2 (magic-2 RecordBatch) rides Produce v3 / Fetch v4
+  private val produceVersion = if (messageFormat == 2) 3 else 2
+  private val fetchVersion = if (messageFormat == 2) 4 else 3
 
   private val sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
@@ -43,8 +48,9 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
     require(err == ErrNone, s"ApiVersions error $err")
     def supports(key: Int, version: Int): Boolean =
       apis.exists(a => a.apiKey == key && a.minVersion <= version && version <= a.maxVersion)
-    require(supports(ApiProduce, 2) && supports(ApiFetch, 3) && supports(ApiListOffsets, 1),
-      s"broker does not speak the required dialect: $apis")
+    require(supports(ApiProduce, produceVersion) && supports(ApiFetch, fetchVersion) &&
+      supports(ApiListOffsets, 1),
+      s"broker does not speak the required dialect (format v$messageFormat): $apis")
     // discovery, like every real client: the broker must LEAD this
     // (topic, partition) before any data flows — producing to a partition
     // the node doesn't own would be silently wrong against a real cluster
@@ -81,10 +87,13 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
   }
 
   def produce(msg: Array[Byte]): Long = {
-    val set = encodeMessageSet(Seq(Msg(0L, System.currentTimeMillis(), null, msg)))
-    val resp = decodeProduceResponse(call(ApiProduce, 2,
-      encodeProduceRequest(ProduceRequest(acks = -1, timeoutMs = 10000, topic,
-        partition, set))))
+    val m = Msg(0L, System.currentTimeMillis(), null, msg)
+    val req = ProduceRequest(acks = -1, timeoutMs = 10000, topic, partition,
+      if (messageFormat == 2) KafkaWireV2.encodeRecordBatch(Seq(m))
+      else encodeMessageSet(Seq(m)))
+    val resp = decodeProduceResponse(call(ApiProduce, produceVersion,
+      if (messageFormat == 2) KafkaWireV2.encodeProduceRequestV3(req)
+      else encodeProduceRequest(req)))
     require(resp.errorCode == ErrNone, s"Produce error ${resp.errorCode}")
     // this append's own ack: its offset + 1 (the TopicLike contract) —
     // never a topic-hwm re-query, which under a second writer would cover
@@ -92,19 +101,31 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
     resp.baseOffset + 1L
   }
 
-  /** One bounded Fetch round — the streaming-consumer page. */
-  override def fetchPage(fromOffset: Long, maxMessages: Int): Vector[(Long, Array[Byte])] = {
-    val resp = decodeFetchResponse(call(ApiFetch, 3,
-      encodeFetchRequest(FetchRequest(maxWaitMs = 500, minBytes = 1,
-        maxBytes = fetchMaxBytes, topic, partition, fromOffset,
-        partitionMaxBytes = fetchMaxBytes))))
+  /** One Fetch round at the dialect's version, decoded with the matching
+    * record-format codec. */
+  private def fetchOnce(fromOffset: Long): (KafkaWire.FetchResponse, Vector[Msg]) = {
+    val req = FetchRequest(maxWaitMs = 500, minBytes = 1,
+      maxBytes = fetchMaxBytes, topic, partition, fromOffset,
+      partitionMaxBytes = fetchMaxBytes)
+    val raw = call(ApiFetch, fetchVersion,
+      if (messageFormat == 2) KafkaWireV2.encodeFetchRequestV4(req)
+      else encodeFetchRequest(req))
+    val resp = if (messageFormat == 2) KafkaWireV2.decodeFetchResponseV4(raw)
+      else decodeFetchResponse(raw)
     if (resp.errorCode == ErrOffsetOutOfRange)
       throw new IllegalStateException(
         s"fetch offset $fromOffset out of range for $topic/$partition " +
           s"(hwm ${resp.highWatermark}): topic truncated past the checkpointed offset")
     require(resp.errorCode == ErrNone, s"Fetch error ${resp.errorCode}")
-    decodeMessageSet(resp.messageSet)
-      .filter(m => m.offset >= fromOffset && m.offset < resp.highWatermark)
+    val msgs = if (messageFormat == 2) KafkaWireV2.decodeRecordBatches(resp.messageSet)
+      else decodeMessageSet(resp.messageSet)
+    (resp, msgs)
+  }
+
+  /** One bounded Fetch round — the streaming-consumer page. */
+  override def fetchPage(fromOffset: Long, maxMessages: Int): Vector[(Long, Array[Byte])] = {
+    val (resp, msgs) = fetchOnce(fromOffset)
+    msgs.filter(m => m.offset >= fromOffset && m.offset < resp.highWatermark)
       .take(maxMessages).map(m => (m.offset, m.value))
   }
 
@@ -114,25 +135,17 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
     var hwm = -1L // bound the scan at the FIRST response's high watermark
     var done = false
     while (!done) {
-      val resp = decodeFetchResponse(call(ApiFetch, 3,
-        encodeFetchRequest(FetchRequest(maxWaitMs = 500, minBytes = 1,
-          maxBytes = fetchMaxBytes, topic, partition, next,
-          partitionMaxBytes = fetchMaxBytes))))
-      // OffsetOutOfRange means retention deleted messages past the resume
-      // offset (or the checkpoint is bogus) — the recovery scan MUST fail
-      // loudly here; treating it as "nothing newer" would silently skip
-      // un-acked messages and restart the producer from a stale seq
-      if (resp.errorCode == ErrOffsetOutOfRange)
-        throw new IllegalStateException(
-          s"fetch offset $next out of range for $topic/$partition (hwm ${resp.highWatermark}): " +
-            "topic truncated past the checkpointed offset")
-      require(resp.errorCode == ErrNone, s"Fetch error ${resp.errorCode}")
+      // OffsetOutOfRange (thrown by fetchOnce) means retention deleted
+      // messages past the resume offset (or the checkpoint is bogus) — the
+      // recovery scan MUST fail loudly there; treating it as "nothing
+      // newer" would silently skip un-acked messages and restart the
+      // producer from a stale seq
+      val (resp, decoded) = fetchOnce(next)
       if (hwm < 0) hwm = resp.highWatermark
       // bound every page (not just the loop condition) by the FIRST hwm:
       // a concurrent second writer can append past it mid-scan, and those
       // offsets must not leak into this bounded recovery read
-      val msgs = decodeMessageSet(resp.messageSet)
-        .filter(m => m.offset >= next && m.offset < hwm)
+      val msgs = decoded.filter(m => m.offset >= next && m.offset < hwm)
       msgs.foreach(m => res += ((m.offset, m.value)))
       next = if (msgs.nonEmpty) msgs.last.offset + 1 else next
       done = msgs.isEmpty || next >= hwm

@@ -199,7 +199,7 @@ class KafkaSpec extends AnyFunSuite {
       KafkaWire.encodeMetadataRequest(Seq("a", "b")))) == Vector("a", "b"))
   }
 
-  test("broker advertises only the exact versions it serves (min == max)") {
+  test("broker advertises exactly the version ranges it serves") {
     val broker = new KafkaBroker().start()
     try {
       val sock = new java.net.Socket("127.0.0.1", broker.port)
@@ -214,8 +214,8 @@ class KafkaSpec extends AnyFunSuite {
         assert(r.i32() == 1)
         val (err, apis) = KafkaWire.decodeApiVersionsResponse(r)
         assert(err == KafkaWire.ErrNone)
-        assert(apis.nonEmpty && apis.forall(a => a.minVersion == a.maxVersion))
-        assert(apis.map(a => a.apiKey -> a.maxVersion).toMap == KafkaBroker.served)
+        assert(apis.map(a => a.apiKey -> (a.minVersion, a.maxVersion)).toMap ==
+          KafkaBroker.served)
       } finally sock.close()
     } finally broker.close()
   }
@@ -269,8 +269,8 @@ class KafkaSpec extends AnyFunSuite {
           val body: Array[Byte] = h.apiKey match {
             case KafkaWire.ApiApiVersions =>
               KafkaWire.encodeApiVersionsResponse(KafkaWire.ErrNone,
-                KafkaBroker.served.toSeq.map { case (k, v) =>
-                  KafkaWire.ApiVersionRange(k, v, v) })
+                KafkaBroker.served.toSeq.map { case (k, (lo, hi)) =>
+                  KafkaWire.ApiVersionRange(k, lo, hi) })
             case KafkaWire.ApiMetadata =>
               KafkaWire.encodeMetadataResponse(KafkaWire.MetadataResponse(
                 Vector(KafkaWire.BrokerMeta(0, "127.0.0.1", server.getLocalPort)),

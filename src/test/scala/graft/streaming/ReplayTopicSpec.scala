@@ -74,6 +74,42 @@ class ReplayTopicSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("same lifecycle over the modern RecordBatch dialect (kafka2:// sink)") {
+    val broker = new graft.kafka.KafkaBroker().start()
+    try {
+      val addr = s"kafka2://127.0.0.1:${broker.port}/ops"
+      val out = Files.createTempDirectory("kafka2run")
+      def topicOps: Vector[Operation] = {
+        val c = new graft.kafka.KafkaTopicClient("127.0.0.1", broker.port, "ops",
+          messageFormat = 2)
+        try {
+          val dec = new OperationDecoder
+          c.fetchFrom(0L).flatMap { case (off, d) =>
+            dec.feed(d, off).toSeq.flatMap(_.ops)
+          }
+        } finally c.close()
+      }
+
+      val stats1 = Replay.run(spark, fixture, out, topicAddr = Some(addr))
+      assert(stats1.wireMessages > 0)
+      val hwm1 = broker.highWaterMark("ops", 0)
+      assert(hwm1 == stats1.wireMessages)
+      val ops1 = topicOps
+      assert(ops1.count(_.opType == OpType.Insert) > 0)
+
+      // lost ack over v2 frames: rewind the checkpoint; the recovery scan
+      // (ListOffsets v1 + Fetch v4 + batch decode) repairs it
+      val mgr = new CkpManager(new FileCkpStorage(out.resolve("ckp")))
+      mgr.update("wire", Checkpoint(Progress.zero)
+        .withIntCtx("acked_seq", 0L).withIntCtx("acked_offset", -1L))
+      mgr.persist()
+      val stats2 = Replay.run(spark, fixture, out, topicAddr = Some(addr))
+      assert(stats2.wireMessages == 0, "recovery scan must repair the lost ack")
+      assert(broker.highWaterMark("ops", 0) == hwm1)
+      assert(topicOps.map(_.header.logPos) == ops1.map(_.header.logPos))
+    } finally broker.close()
+  }
+
   test("same lifecycle over the REAL Kafka wire protocol (kafka:// sink)") {
     val broker = new graft.kafka.KafkaBroker().start()
     try {
