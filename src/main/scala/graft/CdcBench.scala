@@ -77,20 +77,59 @@ object CdcBench {
     val encSec = (System.nanoTime() - t0) / 1e9
 
     // full pipeline throughput (ordered sinks, checkpoints, restart dedup)
+    // over each sink dialect: file (no broker), the TopicSim wire, and the
+    // real Kafka protocol in both record formats — every produce in the
+    // ordered drain is a synchronous acks=-1 round-trip, the reference's
+    // WaitForAll produce loop
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t1 = System.nanoTime()
-    val stats = Replay.run(spark, fixture, tmp.resolve("out"))
-    val pipeSec = (System.nanoTime() - t1) / 1e9
+    def pipelineRun(label: String, topicAddr: Option[String]): (Long, Long) = {
+      val t = System.nanoTime()
+      val stats = Replay.run(spark, fixture, tmp.resolve(s"out-$label"),
+        topicAddr = topicAddr)
+      val sec = (System.nanoTime() - t) / 1e9
+      ((stats.emitted / sec).toLong, stats.wireMessages)
+    }
+    val (filePipe, _) = pipelineRun("file", None)
+
+    val sim = new TopicServer().start()
+    val (simPipe, simMsgs) = pipelineRun("sim", Some(s"127.0.0.1:${sim.port}"))
+
+    val broker = new graft.kafka.KafkaBroker().start()
+    val (kafkaPipe, kafkaMsgs) =
+      pipelineRun("kafka", Some(s"kafka://127.0.0.1:${broker.port}/bench"))
+    val (kafka2Pipe, _) =
+      pipelineRun("kafka2", Some(s"kafka2://127.0.0.1:${broker.port}/bench2"))
+
+    // recovery-scan throughput: a zeroed checkpoint forces a full topic
+    // scan (ListOffsets + paged Fetch + CRC verify + seq-dedup decode) —
+    // the restart-repair path, measured over both wire dialects
+    def scanRate(client: TopicLike): Long = {
+      val t = System.nanoTime()
+      val rec = KafkaRecovery.recover(client, Checkpoint(Progress.zero)
+        .withIntCtx("acked_seq", 0L).withIntCtx("acked_offset", -1L))
+      val sec = (System.nanoTime() - t) / 1e9
+      (rec.scanned / sec).toLong
+    }
+    val simScan = scanRate(new TopicClient("127.0.0.1", sim.port))
+    val kafkaClient = new graft.kafka.KafkaTopicClient("127.0.0.1", broker.port, "bench")
+    val kafkaScan = try scanRate(kafkaClient) finally kafkaClient.close()
+    sim.close(); broker.close()
     spark.stop()
 
     println(s"""{"metric":"cdc_throughput","n_ops":$n,""" +
       s""""encode_ops_per_sec":${(n / encSec).toLong},""" +
-      s""""pipeline_ops_per_sec":${(stats.emitted / pipeSec).toLong},""" +
-      s""""wire_messages":$messages,"emitted":${stats.emitted}}""")
+      s""""pipeline_ops_per_sec":$filePipe,""" +
+      s""""pipeline_topicsim_ops_per_sec":$simPipe,""" +
+      s""""pipeline_kafka_ops_per_sec":$kafkaPipe,""" +
+      s""""pipeline_kafka2_ops_per_sec":$kafka2Pipe,""" +
+      s""""recovery_scan_topicsim_msgs_per_sec":$simScan,""" +
+      s""""recovery_scan_kafka_msgs_per_sec":$kafkaScan,""" +
+      s""""wire_messages":$messages,"topic_messages":$kafkaMsgs,""" +
+      s""""sim_messages":$simMsgs}""")
   }
 }
