@@ -31,12 +31,15 @@ object BenchSf1 {
   private val Reps = 10
   private val Off = 10000000L
 
-  /** Top-10 by sf0.1 median cost (bench_queries.json, round 4). */
+  /** Top-10 by sf0.1 median cost (bench_queries.json, round 4), plus the
+    * two recall gates — their cost model changed in round 6 (truth joins
+    * now run on the md5-bucket eval sample, never the corpus), and this
+    * checkpoint is the proof the sampled form stays flat at 10×. */
   private val Top10 = Seq(
     "p03_dup_clusters", "m06_crossmodal_consensus", "p09_novelty_weighted_sample",
     "q45_bag_set_ops", "d10_incremental_dedup", "d05_simhash_pairs",
     "d02_ngram_jaccard_pairs", "e16_strict_funnel", "q11_important_parts",
-    "d11_source_overlap")
+    "d11_source_overlap", "d12_lsh_recall", "d16_dfcap_recall")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
