@@ -35,6 +35,12 @@ object Bench {
     // variance (JIT/GC), and per-query numbers are order-sensitive (the
     // first dedup query pays the shared shingle-index build) — the median
     // absorbs both, so the per-query signal is stable across driver runs.
+    // Measured instance of that variance (round-6 verdict on the round-5
+    // t09/t10 ">40% regression" flags): with zero source change to either
+    // query, t09 2.40→1.44 s and t10 1.00→0.50 s across sessions — the
+    // round-5 numbers were session noise, not an order effect; treat
+    // cross-round per-query deltas under ~2x as noise unless they
+    // reproduce in-session.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val samples = collection.mutable.LinkedHashMap.empty[String, List[Double]]
     for (_ <- 1 to rounds; (name, fn) <- SparkEntry.queries) {
