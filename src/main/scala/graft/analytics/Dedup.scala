@@ -938,26 +938,36 @@ object Dedup {
     // row is the production gate — recall 1.0 here is the measured
     // evidence the d02 cap loses nothing at this corpus shape, and the
     // number to re-check when the shingle DF distribution shifts. One DF
-    // aggregate + one capped join for ALL caps at once (rows replicate
-    // per qualifying cap, ≤ |caps|×) — the eval itself stays
+    // aggregate + ONE self-join at the largest cap for ALL caps at once:
+    // a pair's shared count at cap c is the number of shared shingles
+    // with df ≤ c, so the single cap-128 join tallies every cap as a
+    // conditional sum in the same aggregate — no per-cap replication of
+    // the join input, and the per-pair Jaccard filter then runs on the
+    // already-tiny aggregated pair set. The eval itself stays
     // scale-shaped.
     QueryDef(
       "d16_dfcap_recall",
       (s, dir) => {
         import s.implicits._
+        val capsList = Seq(2, 4, 128)
         val full = shingleIndex(s, dir)
         val sh = full.filter(evalSampled($"doc_id"))
         val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         // corpus-level document frequency — the exact DF d02's cap uses
         val dfreq = full.groupBy($"s").agg(count(lit(1)).as("df"))
-        val caps = Seq(2, 4, 128).toDF("df_cap")
-        val capped = sh.join(dfreq, "s").join(broadcast(caps), $"df" <= $"df_cap")
-        val shared = capped.as("a")
-          .join(capped.as("b"),
-            $"a.df_cap" === $"b.df_cap" && $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.df_cap".as("df_cap"), $"a.doc_id".as("i"), $"b.doc_id".as("j"))
-          .agg(count(lit(1)).as("shared"))
-        val pairs = shared
+        val caps = capsList.toDF("df_cap")
+        val capped = sh.join(dfreq, "s").filter($"df" <= capsList.max)
+        val tallies = capsList.map(c =>
+          sum(when($"a.df" <= c, 1L).otherwise(0L)).as(s"s_$c"))
+        val sharedByCap = capped.as("a")
+          .join(capped.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+          .agg(tallies.head, tallies.tail: _*)
+        val pairs = sharedByCap
+          .select($"i", $"j", explode(array(capsList.map(c =>
+            struct(lit(c).as("df_cap"), col(s"s_$c").as("shared"))): _*)).as("cs"))
+          .select($"i", $"j", $"cs.df_cap".as("df_cap"), $"cs.shared".as("shared"))
+          .filter($"shared" > 0L) // the cap-c join would not have seen this pair
           .join(cnt.select($"doc_id".as("i"), $"n".as("ni")), "i")
           .join(cnt.select($"doc_id".as("j"), $"n".as("nj")), "j")
           .filter($"shared".cast("double") / ($"ni" + $"nj" - $"shared") >= 0.8)

@@ -921,5 +921,97 @@ object Similarity {
         FROM prof p JOIN lo USING (cent_id) JOIN hi USING (cent_id)
         ORDER BY p.cent_id"""),
     ),
+
+    // ---- s12: prefix-dimension recall sweep (Matryoshka truncation) ----
+    // MRL-style embeddings promise that ranking by a PREFIX of the vector
+    // approximates full-dim ranking — the storage/speed dial every ANN
+    // deployment wants to turn. This gate measures what truncation costs
+    // HERE, the way s06/s08 measure IVF/SQ8: exact full-dim top-10 per
+    // query is the truth; candidates re-ranked by cosine over the first
+    // D ∈ {8,16,32,64} dims give recall@10 per D (the 64 row must be 1.0
+    // — the self-check that the sweep machinery is sound; synthetic
+    // random embeddings concentrate no signal in the prefix, so the low-D
+    // rows show the floor a REAL MRL model must beat). One pass computes
+    // every D: the query side and the 4-row dims table broadcast, each
+    // candidate row slices its own vector — corpus stays one-row-per-
+    // vector, work is |corpus|·|queries|·|dims| narrow codegen dots, no
+    // shuffle of the big side, and recall aggregates integer hit counts
+    // (no float summation crosses the engines). Scale: linear in the
+    // corpus, same shape as s01's labeled brute-force baseline — a
+    // production sweep would sit this eval behind the s05 IVF route.
+    QueryDef(
+      "s12_prefix_dim_recall",
+      (s, dir) => {
+        import s.implicits._
+        val dimsList = Seq(8, 16, 32, 64)
+        val emb = withQNorm(t(s, dir, "embeddings"))
+        val q = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("qid"), $"q".as("qa"), $"n2".as("n2a"))
+        val c = emb.filter($"vec_id" >= 5)
+          .select($"vec_id".as("cid"), $"q".as("qb"), $"n2".as("n2b"))
+        val wT = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+        val exact = c.join(broadcast(q))
+          .withColumn("cos", cosine(dotInt("qa", "qb"), $"n2a", $"n2b"))
+          .withColumn("rn", row_number().over(wT)).filter($"rn" <= 10)
+          .select($"qid", $"cid")
+        val dimsDf = dimsList.toDF("dims")
+        def pre(col0: Column) = slice(col0, lit(1), $"dims")
+        val wD = Window.partitionBy($"dims", $"qid").orderBy($"cosd".desc, $"cid")
+        val approx = c.join(broadcast(q)).crossJoin(broadcast(dimsDf))
+          .withColumn("cosd", cosine(longDot(pre($"qa"), pre($"qb")),
+            longDot(pre($"qa"), pre($"qa")), longDot(pre($"qb"), pre($"qb"))))
+          .withColumn("rn", row_number().over(wD)).filter($"rn" <= 10)
+          .select($"dims", $"qid", $"cid")
+        val nTruth = lit(50L) // 5 queries × top-10
+        dimsDf
+          .join(approx.join(exact, Seq("qid", "cid")), Seq("dims"), "left")
+          .groupBy($"dims").agg(count($"qid").as("total_hits"))
+          .withColumn("n_truth", nTruth)
+          .withColumn("recall", $"total_hits".cast("double") / nTruth.cast("double"))
+          .select($"dims", $"n_truth", $"total_hits", $"recall")
+          .orderBy($"dims")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        dsweep AS (SELECT unnest([8, 16, 32, 64]) AS dims),
+        edots AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 CAST(SUM(a.q[i+1]*b.q[i+1]) AS BIGINT) AS dot
+          FROM qv a JOIN qv b ON a.vec_id < 5 AND b.vec_id >= 5
+          CROSS JOIN dims GROUP BY a.vec_id, b.vec_id),
+        exact AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                     CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) DESC,
+                     cid) AS rn
+            FROM edots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid) x
+          WHERE rn <= 10),
+        pdots AS (
+          SELECT d.dims, a.vec_id AS qid, b.vec_id AS cid,
+                 CAST(SUM(CASE WHEN i < d.dims THEN a.q[i+1]*b.q[i+1] ELSE 0 END) AS BIGINT) AS dotd,
+                 CAST(SUM(CASE WHEN i < d.dims THEN a.q[i+1]*a.q[i+1] ELSE 0 END) AS BIGINT) AS n2ad,
+                 CAST(SUM(CASE WHEN i < d.dims THEN b.q[i+1]*b.q[i+1] ELSE 0 END) AS BIGINT) AS n2bd
+          FROM qv a JOIN qv b ON a.vec_id < 5 AND b.vec_id >= 5
+          CROSS JOIN dims CROSS JOIN dsweep d
+          GROUP BY d.dims, a.vec_id, b.vec_id),
+        approx AS (
+          SELECT dims, qid, cid FROM (
+            SELECT dims, qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY dims, qid ORDER BY
+                     CAST(dotd AS DOUBLE)/sqrt(CAST(n2ad AS DOUBLE)*CAST(n2bd AS DOUBLE)) DESC,
+                     cid) AS rn
+            FROM pdots) x WHERE rn <= 10)
+        SELECT d.dims, CAST(50 AS BIGINT) AS n_truth,
+               CAST(COUNT(a.qid) AS BIGINT) AS total_hits,
+               CAST(COUNT(a.qid) AS DOUBLE)/50 AS recall
+        FROM dsweep d
+        LEFT JOIN (SELECT ap.dims, ap.qid, ap.cid FROM approx ap
+                   JOIN exact e ON e.qid = ap.qid AND e.cid = ap.cid) a
+          ON a.dims = d.dims
+        GROUP BY d.dims
+        ORDER BY d.dims"""),
+    ),
   )
 }

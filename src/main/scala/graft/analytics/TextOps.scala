@@ -751,6 +751,81 @@ object TextOps {
                md5(redacted) AS redacted_md5
         FROM red ORDER BY doc_id"""),
     ),
+
+    // ---- t19: interpolated bigram surprisal (perplexity proxy) ----
+    // The next step up from t16's unigram bits-per-token: score each doc
+    // by its mean bigram surprisal under a Jelinek-Mercer-interpolated
+    // corpus LM, p(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·c(w2)/T with λ=0.75
+    // — the classic smoothed-bigram quality signal (low = fluent/templated
+    // text the corpus has seen the transitions of; high = disfluent or
+    // novel). Dataflow: the bigram MODEL is built once as a vocab-sized
+    // table (bigram counts + prefix-marginal agg + one unigram join — all
+    // linear, map-side combined), then the corpus joins bigrams→model in
+    // a single shuffle, the same token→vocab cost center as t16 (AQE
+    // skew-join or a broadcast top-K model at 100 TB). Probabilities are
+    // exact-count ratios in an identical expression shape on both
+    // engines; the per-doc mean routes through the ×10⁴ quantization
+    // (t15's note) so log/summation ulps never reach the hash.
+    QueryDef(
+      "t19_bigram_surprisal",
+      (s, dir) => {
+        import s.implicits._
+        val big = t(s, dir, "documents")
+          .withColumn("toks", toks($"text"))
+          .withColumn("grams", graft.functions.Shingles.ngrams(2)($"toks"))
+          .select($"doc_id", explode($"grams").as("gram"))
+        val bcnt = big.groupBy($"gram").agg(count(lit(1)).as("c2"))
+        val prefix = bcnt
+          .withColumn("w1", substring_index($"gram", " ", 1))
+          .groupBy($"w1").agg(sum($"c2").as("c1dot"))
+        val uni = t(s, dir, "documents")
+          .select(explode(toks($"text")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cu"))
+        val total = t(s, dir, "documents")
+          .agg(sum(size(toks($"text"))).cast("double").as("total"))
+        val model = bcnt
+          .withColumn("w1", substring_index($"gram", " ", 1))
+          .withColumn("w2", substring_index($"gram", " ", -1))
+          .join(prefix, "w1")
+          .join(uni.select($"w".as("w2"), $"cu"), "w2")
+          .crossJoin(broadcast(total))
+          .withColumn("p",
+            lit(0.75) * $"c2".cast("double") / $"c1dot".cast("double") +
+              lit(0.25) * $"cu".cast("double") / $"total")
+          .select($"gram", $"p")
+        big.join(model, "gram")
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            round(avg(-log2($"p")) * 10000).cast("long").as("surprisal_q"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH big AS (
+          SELECT doc_id, unnest(list_transform(range(1, len($TOKS_SQL)),
+                        i -> $TOKS_SQL[i] || ' ' || $TOKS_SQL[i+1])) AS gram
+          FROM documents),
+        bcnt AS (SELECT gram, COUNT(*) AS c2 FROM big GROUP BY gram),
+        prefix AS (
+          SELECT split_part(gram, ' ', 1) AS w1, SUM(c2) AS c1dot
+          FROM bcnt GROUP BY 1),
+        uni AS (
+          SELECT w, COUNT(*) AS cu
+          FROM (SELECT unnest($TOKS_SQL) AS w FROM documents) x GROUP BY w),
+        tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS total FROM uni),
+        model AS (
+          SELECT gram,
+                 0.75 * CAST(c2 AS DOUBLE) / CAST(c1dot AS DOUBLE) +
+                 0.25 * CAST(cu AS DOUBLE) / total AS p
+          FROM bcnt
+          JOIN prefix ON split_part(gram, ' ', 1) = w1
+          JOIN uni ON split_part(gram, ' ', 2) = w
+          CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(round(AVG(-log2(p)) * 10000) AS BIGINT) AS surprisal_q
+        FROM big JOIN model USING (gram)
+        GROUP BY doc_id ORDER BY doc_id"""),
+    ),
   )
 
 }
