@@ -89,30 +89,48 @@ object Dedup {
   private val mhSigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[analytics] def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    mhSigCache.getOrElseUpdate((s, dir), {
-      val sh2 = shingleIndex(s, dir)
-        .withColumn("m", md5(col("s")))
-        .withColumn("ha", conv(substring(col("m"), 1, 13), 16, 10).cast("long"))
-        .withColumn("hb", conv(substring(col("m"), 20, 13), 16, 10).cast("long"))
-      val mhs = (0 until 16).map(h =>
-        min(col("ha") + lit(h.toLong) * col("hb")).as(s"mh$h"))
-      sh2.groupBy(col("doc_id")).agg(mhs.head, mhs.tail: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    mhSigCache.getOrElseUpdate((s, dir),
+      minhashSigsOf(shingleIndex(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** (doc_id, text) → exploded distinct shingles — the cache-free form the
+    * streaming ingest twin applies to each arriving micro-batch (the SAME
+    * tokenize/shingle definition as the corpus index, so stream and batch
+    * agree bit-for-bit). */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    withShingles(docs).select(col("doc_id"), explode(col("sh")).as("s"))
+
+  /** Shingle rows → 16-lane signatures (doc_id, mh0..mh15): the exact
+    * lane computation the cached corpus path uses (see minhashSigs note). */
+  private[graft] def minhashSigsOf(sh: DataFrame): DataFrame = {
+    val sh2 = sh
+      .withColumn("m", md5(col("s")))
+      .withColumn("ha", conv(substring(col("m"), 1, 13), 16, 10).cast("long"))
+      .withColumn("hb", conv(substring(col("m"), 20, 13), 16, 10).cast("long"))
+    val mhs = (0 until 16).map(h =>
+      min(col("ha") + lit(h.toLong) * col("hb")).as(s"mh$h"))
+    sh2.groupBy(col("doc_id")).agg(mhs.head, mhs.tail: _*)
+  }
+
+  /** Signatures → 4×4 banding rows (doc_id, band, band_hash) — the
+    * fixed-width join keys d03's candidate join and the ingest twin's
+    * stream-static join both shuffle on. */
+  private[graft] def bandsOf(sigs: DataFrame): DataFrame = {
+    val bandArr = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until 4).map(r => col(s"mh${4 * b + r}").cast("string")): _*))
+          .as("band_hash"))
+    }: _*)
+    sigs.select(col("doc_id"), explode(bandArr).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+  }
 
   /** LSH candidate pairs (i, j) from 4×4 banding of the MinHash signatures:
     * band hash = md5 of the band's 4 signature values in h order; only
     * band-hash equality drives the self-join, so the shuffle carries
     * fixed-width band hashes — the shape that survives 100×. */
   private[analytics] def minhashCands(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(s, dir)
-    val bandArr = array((0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until 4).map(r => col(s"mh${4 * b + r}").cast("string")): _*))
-          .as("band_hash"))
-    }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandArr).as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+    val bands = bandsOf(minhashSigs(s, dir))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
