@@ -11,7 +11,8 @@ import graft.cdc._
   * seam of a producer restart.
   *
   * Usage: TopicCat <addr> [fromOffset=0] [count=all] [lastSeq=0]
-  * where <addr> is `kafka://host:port/topic` (the real wire protocol) or
+  * where <addr> is `kafka://host:port/topic` (the real wire protocol),
+  * `kafka2://host:port/topic` (the magic-2 RecordBatch dialect), or
   * `host:port` (the TopicSim dialect). `lastSeq` seeds the dedup exactly
   * like the recovery scan (-s in the reference tool).
   */
@@ -19,7 +20,7 @@ object TopicCat {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: TopicCat <kafka://host:port/topic | host:port> " +
+      System.err.println("usage: TopicCat <kafka://host:port/topic | kafka2://host:port/topic | host:port> " +
         "[fromOffset] [count] [lastSeq]")
       sys.exit(2)
     }
