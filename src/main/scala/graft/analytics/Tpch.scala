@@ -1340,5 +1340,85 @@ object Tpch {
         WHERE rn <= 3
         ORDER BY l_partkey, l_extendedprice DESC, l_orderkey, l_linenumber"""),
     ),
+
+    // ---- q47: Z-order layout clustering report ----
+    // The data-layout decision a 100 TB table owner actually makes: sort
+    // files by ONE column (perfect pruning on it, none on the other) or by
+    // the Z-order (Morton) key (tight per-file min/max on BOTH). This
+    // query measures that trade on lineitem's (l_partkey, l_suppkey)
+    // plane: rows bucket into 64 "files" under each layout — linear =
+    // top bits of x, zorder = top bits of the native `interleave_bits`
+    // key (graft.functions.InterleaveBits — bucketing is a pure bit-shift
+    // expression, NO global sort or unpartitioned window) — and per
+    // layout we report the summed per-bucket min/max span of each
+    // dimension (as a fraction of the 1024-wide domain) plus how many
+    // buckets a `y < 64` range predicate must touch. Linear touches
+    // every bucket for the non-leading dimension; Z-order bounds both
+    // spans and prunes the y-query to the y-high-bit octants — the
+    // measured justification for OPTIMIZE-ZORDER-style layouts, with all
+    // arithmetic exact integers until two final divisions.
+    QueryDef(
+      "q47_zorder_layout",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.graft.ColumnBridge
+        val li = t(s, dir, "lineitem").select(
+          (col("l_partkey") % 1024L).cast("long").as("x"),
+          (col("l_suppkey") % 1024L).cast("long").as("y"))
+        val zkey = ColumnBridge.column(graft.functions.InterleaveBits(
+          ColumnBridge.expression(col("x")), ColumnBridge.expression(col("y"))))
+        def report(bucketed: DataFrame, layout: String): DataFrame =
+          bucketed.groupBy($"bucket").agg(
+            min($"x").as("min_x"), max($"x").as("max_x"),
+            min($"y").as("min_y"), max($"y").as("max_y"))
+            .agg(
+              count(lit(1)).as("n_buckets"),
+              sum($"max_x" - $"min_x" + 1L).as("sum_span_x"),
+              sum($"max_y" - $"min_y" + 1L).as("sum_span_y"),
+              sum(when($"min_y" < 64L, 1L).otherwise(0L)).as("buckets_touched_yq"))
+            .select(lit(layout).as("layout"), $"n_buckets",
+              ($"sum_span_x".cast("double") / ($"n_buckets" * 1024L)).as("avg_span_x_frac"),
+              ($"sum_span_y".cast("double") / ($"n_buckets" * 1024L)).as("avg_span_y_frac"),
+              $"buckets_touched_yq")
+        val linear = li.withColumn("bucket", shiftright($"x", 4))
+        val zorder = li.withColumn("bucket", shiftright(zkey, 14))
+        report(linear, "linear").union(report(zorder, "zorder"))
+          .orderBy($"layout")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT CAST(l_partkey % 1024 AS BIGINT) AS x,
+                 CAST(l_suppkey % 1024 AS BIGINT) AS y
+          FROM lineitem),
+        keyed AS (
+          SELECT x, y,
+                 CAST(list_sum(list_transform(range(10), i ->
+                   (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))))
+                   AS BIGINT) AS z
+          FROM pts),
+        lin AS (
+          SELECT x >> 4 AS bucket, MIN(x) AS min_x, MAX(x) AS max_x,
+                 MIN(y) AS min_y, MAX(y) AS max_y
+          FROM keyed GROUP BY 1),
+        zo AS (
+          SELECT z >> 14 AS bucket, MIN(x) AS min_x, MAX(x) AS max_x,
+                 MIN(y) AS min_y, MAX(y) AS max_y
+          FROM keyed GROUP BY 1),
+        rep AS (
+          SELECT 'linear' AS layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                 CAST(SUM(max_x - min_x + 1) AS DOUBLE)/(COUNT(*)*1024) AS avg_span_x_frac,
+                 CAST(SUM(max_y - min_y + 1) AS DOUBLE)/(COUNT(*)*1024) AS avg_span_y_frac,
+                 CAST(SUM(CASE WHEN min_y < 64 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched_yq
+          FROM lin
+          UNION ALL
+          SELECT 'zorder', CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(max_x - min_x + 1) AS DOUBLE)/(COUNT(*)*1024),
+                 CAST(SUM(max_y - min_y + 1) AS DOUBLE)/(COUNT(*)*1024),
+                 CAST(SUM(CASE WHEN min_y < 64 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM zo)
+        SELECT layout, n_buckets, avg_span_x_frac, avg_span_y_frac,
+               buckets_touched_yq
+        FROM rep ORDER BY layout"""),
+    ),
   )
 }
