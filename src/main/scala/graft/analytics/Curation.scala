@@ -70,8 +70,7 @@ object Curation {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "documents")
-          .withColumn("bucket",
-            conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long") % 100L)
+          .withColumn("bucket", Sampling.pctBucket($"doc_id"))
           .withColumn("rate", when($"lang" === "en", 10L).otherwise(50L))
           .groupBy($"lang")
           .agg(

@@ -51,10 +51,9 @@ object Dedup {
     * pct·N ≈ the 10⁵-ish docs an eval budget affords). */
   private[analytics] val EVAL_SAMPLE_PCT = 50
   private def evalSampled(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100L <
-      lit(EVAL_SAMPLE_PCT.toLong)
+    Sampling.pctBucket(c) < lit(EVAL_SAMPLE_PCT.toLong)
   private def evalSampledSql(col: String): String =
-    s"CAST('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 4) AS INT) % 100 < $EVAL_SAMPLE_PCT"
+    s"${Sampling.pctBucketSql(col)} < $EVAL_SAMPLE_PCT"
 
   /** doc_id → exploded distinct shingles (the inverted-index input).
     *

@@ -286,42 +286,60 @@ final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7,
 
   /** Record one applied DDL: always append it to the statement log; write a
     * full snapshot only at the cadence (first DDL, then every
-    * `snapshotEvery`-th). The catalog arguments are by-name so the cheap
-    * log-only path never materializes a snapshot it will not write. */
+    * `snapshotEvery`-th) — or when `forceSnapshot` says the catalog has
+    * out-of-band mutations (a /ddl/exec repair) that only a full snapshot
+    * can persist. The catalog arguments are by-name so the cheap log-only
+    * path never materializes a snapshot it will not write. */
   def record(pos: Position, currentDb: String, statement: String,
-      databases: => Seq[String], defs: => Seq[TableDef]): Unit = synchronized {
+      databases: => Seq[String], defs: => Seq[TableDef],
+      forceSnapshot: Boolean = false): Unit = synchronized {
     val b64 = java.util.Base64.getEncoder
     val line = s"${pos.serverId}\t${pos.name}\t${pos.pos}\t" +
       s"${b64.encodeToString(currentDb.getBytes(UTF_8))}\t" +
       s"${b64.encodeToString(statement.getBytes(UTF_8))}\n"
     Files.write(ddlLog, line.getBytes(UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    val snapshotNow = sinceSnapshot == 0 || sinceSnapshot >= snapshotEvery
+    val snapshotNow = forceSnapshot ||
+      sinceSnapshot == 0 || sinceSnapshot >= snapshotEvery
     sinceSnapshot = if (snapshotNow) 1 else sinceSnapshot + 1
-    if (snapshotNow) save(pos, databases, defs)
+    if (snapshotNow) { save(pos, databases, defs); compactLog() }
   }
 
   /** Logged DDLs with `after < position ≤ upTo` (same server_id), in log
-    * order — the tail to replay on top of the snapshot at `after`. A torn
-    * final line (crash mid-append) is ignored; its DDL never reported
-    * applied, so nothing downstream depends on it. */
+    * order, DEDUPLICATED by position: a crash between applying a DDL and
+    * persisting the sink checkpoint makes the restarted stream re-apply
+    * and re-record it, and replaying the duplicate line would double-apply
+    * the DDL on the NEXT restore (duplicate-column crash). Positions are
+    * unique per DDL, so first-occurrence-wins is exact. A torn FINAL line
+    * (crash mid-append) is ignored — its DDL never reported applied; a
+    * malformed line anywhere EARLIER is on-disk corruption and fails
+    * loudly rather than silently dropping a schema change. */
   def ddlTail(after: Position, upTo: Position): Vector[(Position, String, String)] = {
     if (!Files.isRegularFile(ddlLog)) return Vector.empty
     val b64 = java.util.Base64.getDecoder
-    Files.readAllLines(ddlLog, UTF_8).asScala.iterator.flatMap { line =>
+    val lines = Files.readAllLines(ddlLog, UTF_8).asScala.toVector
+    val seen = scala.collection.mutable.Set.empty[Position]
+    lines.zipWithIndex.flatMap { case (line, i) =>
+      def malformed(cause: Throwable): Nothing =
+        throw new IllegalStateException(
+          s"corrupt ddl.log line ${i + 1}/${lines.size}: '$line'", cause)
       line.split('\t') match {
         case Array(sid, name, p, db, stmt) =>
           try {
             val pos = Position(name, p.toLong, sid.toLong)
-            if (pos.serverId == upTo.serverId &&
+            if (pos.serverId == upTo.serverId && seen.add(pos) &&
               pos.compare(after) > 0 && pos.compare(upTo) <= 0)
               Some((pos, new String(b64.decode(db), UTF_8),
                 new String(b64.decode(stmt), UTF_8)))
             else None
-          } catch { case _: Exception => None }
-        case _ => None // torn tail
+          } catch {
+            case e: Exception if i == lines.size - 1 => None // torn tail
+            case e: Exception => malformed(e)
+          }
+        case _ if i == lines.size - 1 => None // torn tail
+        case _ => malformed(null)
       }
-    }.toVector
+    }
   }
 
   /** Load the newest snapshot at-or-below `pos` (same server_id only). */
@@ -353,10 +371,51 @@ final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7,
 
   private def purge(): Unit = {
     val cutoff = java.time.Instant.now().minus(java.time.Duration.ofDays(purgeAfterDays.toLong))
-    withDirListing {
+    // never delete the NEWEST snapshot, however old (the MysqlSnapshotStorage
+    // twin's MAX(id) guard): a pipeline idle past the purge window would
+    // otherwise lose its only restorable snapshot on the next save
+    val newest = withDirListing {
       _.filter(_.getFileName.toString.startsWith("snap-"))
+        .map(_.getFileName.toString).toVector
+    }.sorted.lastOption
+    withDirListing {
+      _.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("snap-") && !newest.contains(n)
+      }
         .filter(p => Files.getLastModifiedTime(p).toInstant.isBefore(cutoff))
         .toVector
     }.foreach(Files.deleteIfExists(_))
+  }
+
+  /** Drop log lines no restore can ever replay: a tail replays only on top
+    * of a loaded snapshot, and load() returns the newest snapshot at-or-
+    * below the resume point — so lines at-or-below each server's OLDEST
+    * retained snapshot are dead (any load that succeeds returns a snapshot
+    * at-or-above them). Runs after every full snapshot write, bounding the
+    * log at O(snapshots-in-retention × cadence) lines instead of growing
+    * for the pipeline's lifetime. Torn/duplicate lines below the bound go
+    * with it; the rewrite is atomic (tmp + move). */
+  private def compactLog(): Unit = {
+    if (!Files.isRegularFile(ddlLog)) return
+    val oldest: Map[Long, Position] =
+      list().groupBy(_.serverId).map { case (sid, ps) =>
+        sid -> ps.reduceLeft((a, b) => if (a.compare(b) <= 0) a else b)
+      }
+    val kept = Files.readAllLines(ddlLog, UTF_8).asScala.filter { line =>
+      line.split('\t') match {
+        case Array(sid, name, p, _, _) =>
+          try {
+            val pos = Position(name, p.toLong, sid.toLong)
+            oldest.get(pos.serverId).forall(o => pos.compare(o) > 0)
+          } catch { case _: Exception => false }
+        case _ => false
+      }
+    }
+    val tmp = dir.resolve("ddl.log.tmp")
+    Files.write(tmp, (kept.mkString("\n") + (if (kept.nonEmpty) "\n" else ""))
+      .getBytes(UTF_8))
+    Files.move(tmp, ddlLog, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }

@@ -51,10 +51,29 @@ final class DdlGate(val tracker: SchemaTracker, onPark: () => Unit = () => ()) {
       }
   }
 
+  /** Set when an operator repair mutated the tracker OUT OF BAND of the
+    * replicated stream: such mutations have no stream position and cannot
+    * live in the statement-level DDL log, so the next recorded stream DDL
+    * must write a FULL snapshot regardless of cadence — otherwise a
+    * restart restoring snapshot + logged tail silently loses the repair. */
+  @volatile private var repairedSinceSnapshot = false
+
+  /** True once per repair: the persist path consumes the flag when it
+    * forces the full snapshot that captures the repair. */
+  def consumeRepairFlag(): Boolean = synchronized {
+    val r = repairedSinceSnapshot
+    repairedSinceSnapshot = false
+    r
+  }
+
   /** Operator repair: run a corrected statement against the tracker
     * (the /ddl/exec endpoint). Does not unpark by itself. */
   def exec(statement: String, db: String): Either[String, Unit] =
-    try { tracker.execDdl(statement, db); Right(()) }
+    try {
+      tracker.execDdl(statement, db)
+      repairedSinceSnapshot = true
+      Right(())
+    }
     catch { case e: Exception => Left(e.getMessage) }
 
   /** Retry the parked statement (the /ddl/retry endpoint). */

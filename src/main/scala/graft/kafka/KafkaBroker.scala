@@ -137,8 +137,11 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
             val now = System.currentTimeMillis()
             val resp =
               try {
-                val msgs = if (h.apiVersion >= 3) KafkaWireV2.decodeRecordBatches(q.messageSet)
-                  else decodeMessageSet(q.messageSet)
+                // STRICT decode on produce: a truncated set must answer
+                // ErrCorruptMessage, never an ack for dropped records
+                val msgs = if (h.apiVersion >= 3)
+                  KafkaWireV2.decodeRecordBatches(q.messageSet, tolerateTruncation = false)
+                else decodeMessageSet(q.messageSet, tolerateTruncation = false)
                 val base = append(q.topic, q.partition, msgs.map(m => (now, m.key, m.value)))
                 ProduceResponse(q.topic, q.partition, ErrNone, base, now, 0)
               } catch {

@@ -120,30 +120,41 @@ object KafkaWire {
     w.result
   }
 
-  /** Decodes a message set, VERIFYING each crc; a partial trailing message
-    * (brokers may truncate at byte limits) is dropped, like consumers do. */
-  def decodeMessageSet(bytes: Array[Byte]): Vector[Msg] = {
+  /** Decodes a message set, VERIFYING each crc. `tolerateTruncation`
+    * (the default) drops a partial trailing message like consumers must —
+    * brokers legitimately truncate FETCH responses at byte limits. The
+    * broker's PRODUCE path decodes strictly instead: a producer's set
+    * claiming more bytes than it carries is corruption, and tolerantly
+    * dropping its tail would ack messages that were never stored. */
+  def decodeMessageSet(bytes: Array[Byte],
+      tolerateTruncation: Boolean = true): Vector[Msg] = {
     val r = new Reader(bytes)
     val out = Vector.newBuilder[Msg]
-    while (r.remaining >= 12) {
-      val offset = r.i64()
-      val size = r.i32()
-      if (r.remaining < size) {
-        r.pos = bytes.length // partial trailing message: stop
-      } else {
-        val msg = new Reader(r.raw(size))
-        val crc = msg.i32()
-        val check = new java.util.zip.CRC32()
-        check.update(msg.buf, 4, msg.buf.length - 4)
-        require(check.getValue.toInt == crc,
-          s"message crc mismatch at offset $offset")
-        val magic = msg.i8()
-        require(magic == 1, s"unsupported message magic $magic")
-        msg.i8() // attributes (no compression support needed)
-        val ts = msg.i64()
-        val key = msg.bytes()
-        val value = msg.bytes()
-        out += Msg(offset, ts, key, value)
+    def truncated(what: String): Unit =
+      if (tolerateTruncation) r.pos = bytes.length // partial tail: stop
+      else throw new IllegalArgumentException(s"truncated message set: $what")
+    while (r.remaining > 0) {
+      if (r.remaining < 12) truncated(s"${r.remaining} trailing bytes")
+      else {
+        val offset = r.i64()
+        val size = r.i32()
+        if (r.remaining < size)
+          truncated(s"message at offset $offset claims $size bytes, ${r.remaining} left")
+        else {
+          val msg = new Reader(r.raw(size))
+          val crc = msg.i32()
+          val check = new java.util.zip.CRC32()
+          check.update(msg.buf, 4, msg.buf.length - 4)
+          require(check.getValue.toInt == crc,
+            s"message crc mismatch at offset $offset")
+          val magic = msg.i8()
+          require(magic == 1, s"unsupported message magic $magic")
+          msg.i8() // attributes (no compression support needed)
+          val ts = msg.i64()
+          val key = msg.bytes()
+          val value = msg.bytes()
+          out += Msg(offset, ts, key, value)
+        }
       }
     }
     out.result()

@@ -118,45 +118,56 @@ object KafkaWireV2 {
     w.result
   }
 
-  /** Decodes concatenated record batches, VERIFYING each CRC-32C; a partial
-    * trailing batch (brokers may truncate at byte limits) is dropped, like
-    * real consumers do. */
-  def decodeRecordBatches(bytes: Array[Byte]): Vector[Msg] = {
+  /** Decodes concatenated record batches, VERIFYING each CRC-32C.
+    * `tolerateTruncation` (the default) drops a partial trailing batch
+    * like real consumers must — brokers legitimately truncate FETCH
+    * responses at byte limits. The broker's PRODUCE path decodes strictly:
+    * a producer's batch claiming more bytes than it carries is corruption,
+    * and tolerantly dropping it would ack records that were never stored. */
+  def decodeRecordBatches(bytes: Array[Byte],
+      tolerateTruncation: Boolean = true): Vector[Msg] = {
     val out = Vector.newBuilder[Msg]
     val r = new Reader(bytes)
-    while (r.remaining >= 12) {
-      val baseOffset = r.i64()
-      val batchLength = r.i32()
-      if (r.remaining < batchLength) r.pos = bytes.length // partial tail
+    def truncated(what: String): Unit =
+      if (tolerateTruncation) r.pos = bytes.length // partial tail: stop
+      else throw new IllegalArgumentException(s"truncated record batch: $what")
+    while (r.remaining > 0) {
+      if (r.remaining < 12) { truncated(s"${r.remaining} trailing bytes") }
       else {
-        val batch = new Reader(r.raw(batchLength))
-        batch.i32() // partitionLeaderEpoch
-        val magic = batch.i8()
-        require(magic == 2, s"unsupported batch magic $magic")
-        val crc = batch.i32()
-        require(crc32c(batch.buf, batch.pos) == crc,
-          s"record batch crc mismatch at offset $baseOffset")
-        batch.i16() // attributes (no compression support needed)
-        batch.i32() // lastOffsetDelta
-        val firstTs = batch.i64()
-        batch.i64() // maxTimestamp
-        batch.i64(); batch.i16(); batch.i32() // producer id/epoch/baseSequence
-        val n = batch.i32()
-        var i = 0
-        while (i < n) {
-          val len = readVarInt(batch)
-          val rec = new Reader(batch.raw(len))
-          rec.i8() // attributes
-          val tsDelta = readVarLong(rec)
-          val offDelta = readVarLong(rec)
-          val keyLen = readVarInt(rec)
-          val key = if (keyLen < 0) null else rec.raw(keyLen)
-          val valLen = readVarInt(rec)
-          val value = if (valLen < 0) null else rec.raw(valLen)
-          val nHeaders = readVarInt(rec)
-          require(nHeaders == 0, "record headers not supported")
-          out += Msg(baseOffset + offDelta, firstTs + tsDelta, key, value)
-          i += 1
+        val baseOffset = r.i64()
+        val batchLength = r.i32()
+        if (r.remaining < batchLength)
+          truncated(s"batch at offset $baseOffset claims $batchLength bytes, ${r.remaining} left")
+        else {
+          val batch = new Reader(r.raw(batchLength))
+          batch.i32() // partitionLeaderEpoch
+          val magic = batch.i8()
+          require(magic == 2, s"unsupported batch magic $magic")
+          val crc = batch.i32()
+          require(crc32c(batch.buf, batch.pos) == crc,
+            s"record batch crc mismatch at offset $baseOffset")
+          batch.i16() // attributes (no compression support needed)
+          batch.i32() // lastOffsetDelta
+          val firstTs = batch.i64()
+          batch.i64() // maxTimestamp
+          batch.i64(); batch.i16(); batch.i32() // producer id/epoch/baseSequence
+          val n = batch.i32()
+          var i = 0
+          while (i < n) {
+            val len = readVarInt(batch)
+            val rec = new Reader(batch.raw(len))
+            rec.i8() // attributes
+            val tsDelta = readVarLong(rec)
+            val offDelta = readVarLong(rec)
+            val keyLen = readVarInt(rec)
+            val key = if (keyLen < 0) null else rec.raw(keyLen)
+            val valLen = readVarInt(rec)
+            val value = if (valLen < 0) null else rec.raw(valLen)
+            val nHeaders = readVarInt(rec)
+            require(nHeaders == 0, "record headers not supported")
+            out += Msg(baseOffset + offDelta, firstTs + tsDelta, key, value)
+            i += 1
+          }
         }
       }
     }

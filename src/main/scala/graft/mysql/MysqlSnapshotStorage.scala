@@ -43,34 +43,41 @@ final class MysqlSnapshotStorage(client: BinlogClient, table: String = "tb_schem
     * `ddlTail` replay. The payload is `db NUL statement` (a database name
     * cannot contain NUL), hex on the wire like the snapshot blobs. */
   def record(pos: Position, currentDb: String, statement: String,
-      databases: => Seq[String], defs: => Seq[TableDef]): Unit = {
+      databases: => Seq[String], defs: => Seq[TableDef],
+      forceSnapshot: Boolean = false): Unit = {
     val payload = (currentDb + "\u0000" + statement).getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val hex = payload.map(b => f"${b & 0xff}%02x").mkString
     exec(s"INSERT INTO $table SET name='${pos.name}', pos=${pos.pos}, " +
       s"server_id=${pos.serverId}, snapshot=x'$hex', type='statement'")
-    val snapshotNow = sinceSnapshot == 0 || sinceSnapshot >= snapshotEvery
+    val snapshotNow = forceSnapshot ||
+      sinceSnapshot == 0 || sinceSnapshot >= snapshotEvery
     sinceSnapshot = if (snapshotNow) 1 else sinceSnapshot + 1
     if (snapshotNow) save(pos, databases, defs)
   }
 
   /** Statement records with `after < position ≤ upTo` (same server), in
-    * insertion order — the tail to replay on top of `load(after)`. */
+    * insertion order, DEDUPLICATED by position — a restart that re-applies
+    * a DDL re-inserts its row, and replaying both would double-apply the
+    * DDL on restore (see the file store's ddlTail note). */
   def ddlTail(after: Position, upTo: Position): Vector[(Position, String, String)] =
     query(s"SELECT name, pos, HEX(snapshot) FROM $table WHERE type='statement' " +
       s"AND server_id=${upTo.serverId} " +
       s"AND (name > '${after.name}' OR (name = '${after.name}' AND pos > ${after.pos})) " +
       s"AND (name < '${upTo.name}' OR (name = '${upTo.name}' AND pos <= ${upTo.pos})) " +
-      "ORDER BY id").map(_.rows.flatMap { row =>
-      (row.lift(0).flatten, row.lift(1).flatten, row.lift(2).flatten) match {
-        case (Some(name), Some(p), Some(hex)) =>
-          val payload = new String(unhex(hex), java.nio.charset.StandardCharsets.UTF_8)
-          val nul = payload.indexOf('\u0000')
-          if (nul < 0) None
-          else Some((Position(name, p.toLong, upTo.serverId),
-            payload.substring(0, nul), payload.substring(nul + 1)))
-        case _ => None
-      }
-    }.toVector).getOrElse(Vector.empty)
+      "ORDER BY id").map { rs =>
+      val seen = scala.collection.mutable.Set.empty[Position]
+      rs.rows.flatMap { row =>
+        (row.lift(0).flatten, row.lift(1).flatten, row.lift(2).flatten) match {
+          case (Some(name), Some(p), Some(hex)) =>
+            val pos = Position(name, p.toLong, upTo.serverId)
+            val payload = new String(unhex(hex), java.nio.charset.StandardCharsets.UTF_8)
+            val nul = payload.indexOf('\u0000')
+            if (nul < 0 || !seen.add(pos)) None
+            else Some((pos, payload.substring(0, nul), payload.substring(nul + 1)))
+          case _ => None
+        }
+      }.toVector
+    }.getOrElse(Vector.empty)
 
   /** Newest snapshot (the reference's LoadLastSnapshot). */
   def loadLast(): Option[(Position, Vector[String], Vector[TableDef])] =

@@ -357,15 +357,27 @@ object Replay {
     // sink appends base64 lines and restart dedup is F3-only.
     val topic: Option[TopicLike] = topicAddr.map(TopicLike.connect)
     st.topic = topic
-    val (wireCkp, producerStartSeq, recoveredAckedOffset) = topic match {
-      case Some(client) =>
-        val rec = KafkaRecovery.recover(client,
-          ckpMgr.get("wire").getOrElse(Checkpoint(Progress.zero)), codec)
-        ckpMgr.update("wire", rec.ckp)
-        (rec.ckp.progress, rec.ackedSeq, rec.ackedOffset)
-      case None =>
-        (ckpMgr.get("wire").map(_.progress).getOrElse(Progress.zero), 0L,
-          KafkaRecovery.NoOffset)
+    // any startup failure past this point must release the connected
+    // client (a truncated-topic recovery abort, a bad config…) — a driver
+    // retrying startup would otherwise leak one socket per attempt
+    def closingOnFailure[A](body: => A): A =
+      try body
+      catch {
+        case e: Throwable =>
+          topic.foreach(t => try t.close() catch { case _: Exception => () })
+          throw e
+      }
+    val (wireCkp, producerStartSeq, recoveredAckedOffset) = closingOnFailure {
+      topic match {
+        case Some(client) =>
+          val rec = KafkaRecovery.recover(client,
+            ckpMgr.get("wire").getOrElse(Checkpoint(Progress.zero)), codec)
+          ckpMgr.update("wire", rec.ckp)
+          (rec.ckp.progress, rec.ackedSeq, rec.ackedOffset)
+        case None =>
+          (ckpMgr.get("wire").map(_.progress).getOrElse(Progress.zero), 0L,
+            KafkaRecovery.NoOffset)
+      }
     }
     val producer = new FragmentingProducer(producerId = 1L, maxPayloadSize = 1 << 20,
       codec = codec, startSeq = producerStartSeq)
@@ -559,10 +571,14 @@ object Replay {
                       // own position — but statement-level incremental
                       // (the reference's tracker.go:229-240 TODO): the DDL
                       // appends to the store's log, and only the cadence
-                      // writes a full catalog snapshot
+                      // writes a full catalog snapshot. A /ddl/exec repair
+                      // since the last snapshot forces a full one — the
+                      // repair has no stream position, so only a snapshot
+                      // can carry it across a restart.
                       for ((db, stmt) <- ddlApplied; store <- snapshots; g <- gate)
                         store.record(prog.pos, db, stmt,
-                          g.tracker.getDatabases, g.tracker.snapshotCatalog)
+                          g.tracker.getDatabases, g.tracker.snapshotCatalog,
+                          forceSnapshot = g.consumeRepairFlag())
                     }
                   }
                 }

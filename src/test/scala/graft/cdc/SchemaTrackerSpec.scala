@@ -287,6 +287,135 @@ class SchemaTrackerSpec extends AnyFunSuite {
     assert(store.ddlTail(Position("", 0, 8), Position("mysql-bin.000009", 99999, 8)).isEmpty)
   }
 
+  test("a re-recorded DDL (restart replay) does not double-apply on restore") {
+    val dir = Files.createTempDirectory("snapstore-dup")
+    val store = new SchemaSnapshotStore(dir, snapshotEvery = 8)
+    val t = freshTracker
+    val pos1 = Position("mysql-bin.000001", 1000, 7)
+    val pos2 = Position("mysql-bin.000001", 2000, 7)
+    t.execDdl("ALTER TABLE test.canal_test ADD age INT", "test")
+    store.record(pos1, "test", "ALTER TABLE test.canal_test ADD age INT",
+      t.getDatabases, t.snapshotCatalog)
+    t.execDdl("ALTER TABLE test.canal_test ADD more INT", "test")
+    store.record(pos2, "test", "ALTER TABLE test.canal_test ADD more INT",
+      t.getDatabases, t.snapshotCatalog)
+    // crash before the sink checkpoint persisted past pos2: the restarted
+    // stream re-applies and re-records the SAME DDL at the SAME position
+    store.record(pos2, "test", "ALTER TABLE test.canal_test ADD more INT",
+      t.getDatabases, t.snapshotCatalog)
+    val resume = Position("mysql-bin.000001", 3000, 7)
+    val (snapPos, dbs, defs) = store.load(resume).get
+    val restored = new SchemaTracker
+    restored.restoreCatalog(defs, dbs)
+    // replaying the tail must apply 'ADD more' ONCE — a duplicate replay
+    // would throw duplicate-column on exactly this restart path
+    store.ddlTail(snapPos, resume).foreach { case (_, db, stmt) =>
+      restored.execDdl(stmt, db)
+    }
+    assert(restored.getTableDef("test", "canal_test").get.columns.map(_.name) ==
+      Vector("id", "content", "name", "age", "more"))
+  }
+
+  test("a corrupted MID-log line fails restore loudly (only the torn tail is tolerated)") {
+    val dir = Files.createTempDirectory("snapstore-midcorrupt")
+    val store = new SchemaSnapshotStore(dir, snapshotEvery = 8)
+    val t = freshTracker
+    t.execDdl("ALTER TABLE test.canal_test ADD age INT", "test")
+    store.record(Position("mysql-bin.000001", 1000, 7), "test",
+      "ALTER TABLE test.canal_test ADD age INT", t.getDatabases, t.snapshotCatalog)
+    t.execDdl("ALTER TABLE test.canal_test ADD more INT", "test")
+    store.record(Position("mysql-bin.000001", 2000, 7), "test",
+      "ALTER TABLE test.canal_test ADD more INT", t.getDatabases, t.snapshotCatalog)
+    t.execDdl("ALTER TABLE test.canal_test ADD third INT", "test")
+    store.record(Position("mysql-bin.000001", 3000, 7), "test",
+      "ALTER TABLE test.canal_test ADD third INT", t.getDatabases, t.snapshotCatalog)
+    // the 1000 line was compacted away with its snapshot; the log now holds
+    // 2000 and 3000 — corrupt the FIRST (bad base64), keep the last intact
+    val log = dir.resolve("ddl.log")
+    val lines = java.nio.file.Files.readAllLines(log)
+    lines.set(0, lines.get(0).dropRight(4) + "!!!!")
+    java.nio.file.Files.write(log, String.join("\n", lines).concat("\n").getBytes)
+    val e = intercept[IllegalStateException] {
+      store.ddlTail(Position("", 0, 7), Position("mysql-bin.000009", 1 << 20, 7))
+    }
+    assert(e.getMessage.contains("corrupt ddl.log line 1"))
+  }
+
+  test("purge never deletes the newest snapshot; compaction bounds the log") {
+    val dir = Files.createTempDirectory("snapstore-purge")
+    // cadence 2: snapshots at DDL 1, 3, 5 — compaction after each snapshot
+    // drops lines at-or-below the OLDEST retained snapshot
+    val store = new SchemaSnapshotStore(dir, snapshotEvery = 2)
+    val t = freshTracker
+    (1 to 5).foreach { i =>
+      t.execDdl(s"ALTER TABLE test.canal_test ADD c_$i INT", "test")
+      store.record(Position("mysql-bin.000001", 1000L * i, 7), "test",
+        s"ALTER TABLE test.canal_test ADD c_$i INT", t.getDatabases, t.snapshotCatalog)
+    }
+    // snapshots exist at 1000, 3000, 5000; oldest retained = 1000 → the
+    // log holds only lines with pos > 1000
+    val logLines = java.nio.file.Files.readAllLines(dir.resolve("ddl.log"))
+    assert(!logLines.isEmpty && logLines.size() < 5,
+      s"compaction should have dropped the covered prefix, log has ${logLines.size()}")
+    // restore at every position still exact after compaction
+    for (k <- 1 to 5) {
+      val resume = Position("mysql-bin.000001", 1000L * k + 500, 7)
+      val (snapPos, dbs, defs) = store.load(resume).get
+      val restored = new SchemaTracker
+      restored.restoreCatalog(defs, dbs)
+      store.ddlTail(snapPos, resume).foreach { case (_, db, stmt) =>
+        restored.execDdl(stmt, db)
+      }
+      assert(restored.getTableDef("test", "canal_test").get.columns.map(_.name) ==
+        Vector("id", "content", "name") ++ (1 to k).map(i => s"c_$i"))
+    }
+    // age out every snapshot file: purge must keep the newest anyway
+    import java.nio.file.attribute.FileTime
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 30L * 24 * 3600 * 1000)
+    java.nio.file.Files.list(dir).forEach { p =>
+      if (p.getFileName.toString.startsWith("snap-"))
+        java.nio.file.Files.setLastModifiedTime(p, old)
+    }
+    (6 to 7).foreach { i =>
+      t.execDdl(s"ALTER TABLE test.canal_test ADD c_$i INT", "test")
+      store.record(Position("mysql-bin.000001", 1000L * i, 7), "test",
+        s"ALTER TABLE test.canal_test ADD c_$i INT", t.getDatabases, t.snapshotCatalog)
+    }
+    // DDL 7 hit the cadence → snapshot(7000) + purge: the fresh snapshot
+    // is the newest and survives; the aged older ones go
+    val snaps = dir.toFile.listFiles().map(_.getName).filter(_.startsWith("snap-"))
+    assert(snaps.exists(_.contains("7000.bin")), s"fresh snapshot kept: ${snaps.toSeq}")
+    assert(!snaps.exists(_.contains("1000.bin")) && !snaps.exists(_.contains("3000.bin")),
+      s"aged non-newest snapshots should purge: ${snaps.toSeq}")
+  }
+
+  test("a /ddl/exec repair forces the next record to write a full snapshot") {
+    val dir = Files.createTempDirectory("snapstore-repair")
+    val store = new SchemaSnapshotStore(dir, snapshotEvery = 100)
+    val t = freshTracker
+    val gate = new DdlGate(t)
+    t.execDdl("ALTER TABLE test.canal_test ADD age INT", "test")
+    store.record(Position("mysql-bin.000001", 1000, 7), "test",
+      "ALTER TABLE test.canal_test ADD age INT", t.getDatabases, t.snapshotCatalog,
+      forceSnapshot = gate.consumeRepairFlag())
+    // operator repairs the mirror OUT OF BAND — no stream position exists
+    assert(gate.exec("ALTER TABLE test.canal_test ADD repaired INT", "test").isRight)
+    // next stream DDL: cadence (100) says log-only, the repair flag forces
+    // the full snapshot that is the ONLY way the repair survives a restart
+    t.execDdl("ALTER TABLE test.canal_test ADD more INT", "test")
+    store.record(Position("mysql-bin.000001", 2000, 7), "test",
+      "ALTER TABLE test.canal_test ADD more INT", t.getDatabases, t.snapshotCatalog,
+      forceSnapshot = gate.consumeRepairFlag())
+    val (snapPos, dbs, defs) = store.load(Position("mysql-bin.000001", 3000, 7)).get
+    assert(snapPos.pos == 2000, "repair must force the snapshot at the next DDL")
+    val restored = new SchemaTracker
+    restored.restoreCatalog(defs, dbs)
+    assert(restored.getTableDef("test", "canal_test").get.columns.map(_.name)
+      .contains("repaired"))
+    // flag is one-shot
+    assert(!gate.consumeRepairFlag())
+  }
+
   test("a torn final log line (crash mid-append) is ignored") {
     val dir = Files.createTempDirectory("snapstore-torn")
     val store = new SchemaSnapshotStore(dir, snapshotEvery = 4)
@@ -294,11 +423,16 @@ class SchemaTrackerSpec extends AnyFunSuite {
     t.execDdl("ALTER TABLE test.canal_test ADD age INT", "test")
     store.record(Position("mysql-bin.000001", 1000, 7), "test",
       "ALTER TABLE test.canal_test ADD age INT", t.getDatabases, t.snapshotCatalog)
+    t.execDdl("ALTER TABLE test.canal_test ADD more INT", "test")
+    store.record(Position("mysql-bin.000001", 2000, 7), "test",
+      "ALTER TABLE test.canal_test ADD more INT", t.getDatabases, t.snapshotCatalog)
     // simulate a crash mid-append: a partial record with no trailing fields
     java.nio.file.Files.write(dir.resolve("ddl.log"), "7\tmysql-bin.00".getBytes,
       java.nio.file.StandardOpenOption.APPEND)
+    // the 1000 line was compacted with its snapshot; the intact 2000 line
+    // replays, the torn tail is dropped without failing the restore
     val tail = store.ddlTail(Position("", 0, 7), Position("mysql-bin.000009", 1 << 20, 7))
-    assert(tail.map(_._1.pos) == Vector(1000L))
-    assert(tail.head._3 == "ALTER TABLE test.canal_test ADD age INT")
+    assert(tail.map(_._1.pos) == Vector(2000L))
+    assert(tail.head._3 == "ALTER TABLE test.canal_test ADD more INT")
   }
 }

@@ -173,6 +173,33 @@ class KafkaSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("broker rejects a TRUNCATED produce set instead of acking dropped messages") {
+    val broker = new KafkaBroker().start()
+    try {
+      val set = KafkaWire.encodeMessageSet(Seq(
+        KafkaWire.Msg(0L, 1L, null, "payload".getBytes))).dropRight(3)
+      val sock = new java.net.Socket("127.0.0.1", broker.port)
+      try {
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val w = new KafkaWire.Writer()
+        KafkaWire.writeRequestHeader(w,
+          KafkaWire.RequestHeader(KafkaWire.ApiProduce, 2, 1, "t"))
+        w.raw(KafkaWire.encodeProduceRequest(
+          KafkaWire.ProduceRequest(-1, 1000, "ops", 0, set)))
+        KafkaWire.writeFrame(out, w.result)
+        val r = new KafkaWire.Reader(KafkaWire.readFrame(in))
+        r.i32()
+        // a consumer-style tolerant decode would drop the partial message
+        // and ack ErrNone for data that was never stored — the produce
+        // path must answer ErrCorruptMessage instead
+        val resp = KafkaWire.decodeProduceResponse(r)
+        assert(resp.errorCode == KafkaWire.ErrCorruptMessage)
+        assert(broker.highWaterMark("ops", 0) == 0L)
+      } finally sock.close()
+    } finally broker.close()
+  }
+
   test("metadata discovery: sole broker leads partition 0; others refuse") {
     val broker = new KafkaBroker().start()
     try {

@@ -125,6 +125,30 @@ class KafkaWireV2Spec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("broker rejects a TRUNCATED v3 produce batch instead of acking dropped records") {
+    val broker = new KafkaBroker().start()
+    try {
+      val set = KafkaWireV2.encodeRecordBatch(Seq(
+        KafkaWire.Msg(0L, 1L, null, "payload".getBytes))).dropRight(3)
+      val sock = new java.net.Socket("127.0.0.1", broker.port)
+      try {
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val w = new KafkaWire.Writer()
+        KafkaWire.writeRequestHeader(w,
+          KafkaWire.RequestHeader(KafkaWire.ApiProduce, 3, 1, "t"))
+        w.raw(KafkaWireV2.encodeProduceRequestV3(
+          KafkaWire.ProduceRequest(-1, 1000, "ops", 0, set)))
+        KafkaWire.writeFrame(out, w.result)
+        val r = new KafkaWire.Reader(KafkaWire.readFrame(in))
+        r.i32()
+        val resp = KafkaWire.decodeProduceResponse(r)
+        assert(resp.errorCode == KafkaWire.ErrCorruptMessage)
+        assert(broker.highWaterMark("ops", 0) == 0L)
+      } finally sock.close()
+    } finally broker.close()
+  }
+
   test("broker rejects a CRC-corrupted v3 produce with ErrCorruptMessage") {
     val broker = new KafkaBroker().start()
     try {
