@@ -41,6 +41,14 @@ object Bench {
     // round-5 numbers were session noise, not an order effect; treat
     // cross-round per-query deltas under ~2x as noise unless they
     // reproduce in-session.
+    // Round-7 verdict on the official BENCH_r06 q05–q10 cluster (2.3–2.9×
+    // vs round 5, contradicting the same-round committed run): does NOT
+    // reproduce. graft.ClusterBench ran the five queries interleaved,
+    // median-of-3, twice back-to-back in one session: every query at
+    // round-5 levels in BOTH passes (q05 0.747/0.590 s vs the official
+    // 1.798; q07 1.060/0.955 vs 2.182; q09 0.844/0.978 vs 2.569) with the
+    // flat controls q01/q03 unchanged — the official r6 numbers were
+    // one-segment box noise, now exceeding even the 2× envelope once.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val samples = collection.mutable.LinkedHashMap.empty[String, List[Double]]
     for (_ <- 1 to rounds; (name, fn) <- SparkEntry.queries) {
@@ -65,7 +73,7 @@ object Bench {
       .mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_queries.json")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"rounds":$rounds,"queries":$qs,"sf":"$sfDir","method":"warm-cache, median-of-$rounds per query (tables persisted + codegen warmup before timing; cold-read parquet numbers would be higher — see README)"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"rounds":$rounds,"queries":$qs,"sf":"$sfDir","method":"warm-cache, median-of-$rounds per query (tables persisted + codegen warmup before timing; cold-read parquet numbers would be higher — see README). Round-7 note: the official BENCH_r06 q05-q10 cluster (2.3-2.9x vs r5) did NOT reproduce — graft.ClusterBench ran the five interleaved median-of-3 twice back-to-back in one session, all at round-5 levels in both passes (q05 0.747/0.590s vs official 1.798) with flat controls; one-segment box noise in the official r6 run"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     // Headline subset keeps the stdout line short (<400 chars) while still

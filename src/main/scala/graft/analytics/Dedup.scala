@@ -45,15 +45,34 @@ object Dedup {
     * Sampling whole docs commutes with the operators under eval: band
     * candidacy and exact Jaccard are pairwise properties of the two docs'
     * own shingles, so (operator on corpus) ∩ sample-pairs = operator on
-    * the sampled index. 50% keeps the gate populated at the tiny test SFs
-    * (3 / 2 / 54 truth pairs at sf0.001/0.01/0.1); at production scale
-    * the fraction is the dial that bounds the eval set (pick cut so
-    * pct·N ≈ the 10⁵-ish docs an eval budget affords). */
-  private[analytics] val EVAL_SAMPLE_PCT = 50
-  private def evalSampled(c: Column): Column =
-    Sampling.pctBucket(c) < lit(EVAL_SAMPLE_PCT.toLong)
+    * the sampled index.
+    *
+    * The percent is SIZE-TARGETED, not fixed: pct = clamp(target*100/N,
+    * 1, 50) with target = 2,500 sampled docs, so the gate's quadratic
+    * truth join is O(target^2) — constant in corpus growth — instead of
+    * O((pct*N)^2), which at a fixed pct would quietly re-inherit the
+    * quadratic the sampling exists to kill (the round-6 sf1 signature:
+    * d12/d16 owned the two worst warm-vs-linear ratios). At the test SFs
+    * (<=5k docs) the clamp keeps pct at 50 — the gate stays populated
+    * (3 / 2 / 54 truth pairs at sf0.001/0.01/0.1) and the oracle hashes
+    * are unchanged; at sf1 (50k docs) pct drops to 5 (the same ~2.5k-doc
+    * eval set), and at 100x it keeps shrinking while the eval cost stays
+    * flat. The DuckDB oracle spells the identical arithmetic (floor
+    * division, same clamp) so both engines sample the same docs at every
+    * SF. */
+  private[analytics] val EVAL_TARGET_DOCS = 2500L
+  private def evalPct(s: SparkSession, dir: String): Long = {
+    // documents is persisted by Tables.t, so this count is a cheap scan of
+    // the cached partitions — one scalar, computed once per gate query
+    val n = math.max(1L, t(s, dir, "documents").count())
+    math.max(1L, math.min(50L, EVAL_TARGET_DOCS * 100L / n))
+  }
+  private def evalSampled(c: Column, pct: Long): Column =
+    Sampling.pctBucket(c) < lit(pct)
   private def evalSampledSql(col: String): String =
-    s"${Sampling.pctBucketSql(col)} < $EVAL_SAMPLE_PCT"
+    s"${Sampling.pctBucketSql(col)} < GREATEST(1, LEAST(50, " +
+      s"CAST(FLOOR($EVAL_TARGET_DOCS.0 * 100 / " +
+      "(SELECT COUNT(*) FROM documents)) AS BIGINT)))"
 
   /** doc_id → exploded distinct shingles (the inverted-index input).
     *
@@ -719,7 +738,8 @@ object Dedup {
       "d12_lsh_recall",
       (s, dir) => {
         import s.implicits._
-        val sh = shingleIndex(s, dir).filter(evalSampled($"doc_id"))
+        val pct = evalPct(s, dir)
+        val sh = shingleIndex(s, dir).filter(evalSampled($"doc_id", pct))
         val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val truth = sh.as("a")
           .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
@@ -731,7 +751,7 @@ object Dedup {
           .select($"i", $"j")
         val cand = defs.find(_.name == "d03_minhash_lsh_pairs").get
           .run(s, dir).select($"i", $"j")
-          .filter(evalSampled($"i") && evalSampled($"j"))
+          .filter(evalSampled($"i", pct) && evalSampled($"j", pct))
         truth.withColumn("t", lit(1L))
           .join(cand.withColumn("c", lit(1L)), Seq("i", "j"), "full_outer")
           .agg(
@@ -968,7 +988,7 @@ object Dedup {
         import s.implicits._
         val capsList = Seq(2, 4, 128)
         val full = shingleIndex(s, dir)
-        val sh = full.filter(evalSampled($"doc_id"))
+        val sh = full.filter(evalSampled($"doc_id", evalPct(s, dir)))
         val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         // corpus-level document frequency — the exact DF d02's cap uses
         val dfreq = full.groupBy($"s").agg(count(lit(1)).as("df"))

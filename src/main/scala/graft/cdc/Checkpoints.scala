@@ -297,12 +297,30 @@ final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7,
     val line = s"${pos.serverId}\t${pos.name}\t${pos.pos}\t" +
       s"${b64.encodeToString(currentDb.getBytes(UTF_8))}\t" +
       s"${b64.encodeToString(statement.getBytes(UTF_8))}\n"
+    repairTornTail()
     Files.write(ddlLog, line.getBytes(UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     val snapshotNow = forceSnapshot ||
       sinceSnapshot == 0 || sinceSnapshot >= snapshotEvery
     sinceSnapshot = if (snapshotNow) 1 else sinceSnapshot + 1
     if (snapshotNow) { save(pos, databases, defs); compactLog() }
+  }
+
+  /** A crash mid-append leaves a torn final line with no trailing newline;
+    * a subsequent APPEND would then merge the torn fragment and the new
+    * record into one malformed NON-final line — ddlTail fails loudly on
+    * non-final corruption, and compactLog would drop the merged line,
+    * silently losing the valid new DDL. So before every append, truncate a
+    * torn tail back to the last newline. Dropping the fragment is exact:
+    * a DDL whose append tore never reported applied, which is precisely
+    * the case ddlTail's torn-tail tolerance already covers. */
+  private def repairTornTail(): Unit = {
+    if (!Files.isRegularFile(ddlLog)) return
+    val bytes = Files.readAllBytes(ddlLog)
+    if (bytes.isEmpty || bytes.last == '\n') return
+    val lastNl = bytes.lastIndexOf('\n'.toByte)
+    val ch = java.nio.channels.FileChannel.open(ddlLog, StandardOpenOption.WRITE)
+    try ch.truncate((lastNl + 1).toLong) finally ch.close()
   }
 
   /** Logged DDLs with `after < position ≤ upTo` (same server_id), in log
@@ -371,17 +389,23 @@ final class SchemaSnapshotStore(dir: Path, purgeAfterDays: Int = 7,
 
   private def purge(): Unit = {
     val cutoff = java.time.Instant.now().minus(java.time.Duration.ofDays(purgeAfterDays.toLong))
-    // never delete the NEWEST snapshot, however old (the MysqlSnapshotStorage
-    // twin's MAX(id) guard): a pipeline idle past the purge window would
-    // otherwise lose its only restorable snapshot on the next save
-    val newest = withDirListing {
+    // never delete each server_id's NEWEST snapshot, however old (the
+    // MysqlSnapshotStorage twin's MAX(id) guard): a pipeline idle past the
+    // purge window would otherwise lose its only restorable snapshot on the
+    // next save. Per server_id, not global — load()/ddlTail filter by
+    // server_id, so after a failover the OLD server's last snapshot must
+    // survive or positions on that server stop being restorable. The
+    // filename leads with the zero-padded server_id (fixed 20 digits at
+    // offset 5), so grouping by that prefix and taking the lexicographic
+    // max within each group finds each server's newest.
+    val newestPerServer = withDirListing {
       _.filter(_.getFileName.toString.startsWith("snap-"))
         .map(_.getFileName.toString).toVector
-    }.sorted.lastOption
+    }.groupBy(n => n.slice(5, 25)).values.map(_.max).toSet
     withDirListing {
       _.filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("snap-") && !newest.contains(n)
+        n.startsWith("snap-") && !newestPerServer.contains(n)
       }
         .filter(p => Files.getLastModifiedTime(p).toInstant.isBefore(cutoff))
         .toVector

@@ -94,13 +94,25 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
         // advertise exactly those and refuse anything else up front —
         // silently decoding an unserved version at a pinned layout would
         // mis-parse it (e.g. Fetch v2 lacks v3's top-level max_bytes field).
-        KafkaBroker.served.get(h.apiKey) match {
-          case Some((lo, hi)) if h.apiVersion < lo || h.apiVersion > hi =>
-            throw new IllegalStateException(
-              s"api key ${h.apiKey} served at versions $lo-$hi, got ${h.apiVersion}")
-          case _ => ()
+        // ApiVersions is special-cased per the real broker's contract:
+        // clients send it at their MAX version and downgrade on an
+        // UNSUPPORTED_VERSION (35) response in a v0-shaped body — a
+        // disconnect here would make the handshake impossible for any
+        // client newer than v0.
+        val versionOk = KafkaBroker.served.get(h.apiKey) match {
+          case Some((lo, hi)) => h.apiVersion >= lo && h.apiVersion <= hi
+          case None => true // unknown key: handled by the `case other` throw
         }
+        if (!versionOk && h.apiKey != ApiApiVersions)
+          throw new IllegalStateException(
+            s"api key ${h.apiKey} served at versions " +
+              s"${KafkaBroker.served(h.apiKey)}, got ${h.apiVersion}")
         val body: Array[Byte] = h.apiKey match {
+          case ApiApiVersions if !versionOk =>
+            encodeApiVersionsResponse(ErrUnsupportedVersion,
+              KafkaBroker.served.toSeq.sortBy(_._1)
+                .map { case (k, (lo, hi)) => ApiVersionRange(k, lo, hi) })
+
           case ApiApiVersions =>
             encodeApiVersionsResponse(ErrNone,
               KafkaBroker.served.toSeq.sortBy(_._1)
@@ -145,7 +157,12 @@ final class KafkaBroker(seed: Map[(String, Int), Seq[Array[Byte]]] = Map.empty) 
                 val base = append(q.topic, q.partition, msgs.map(m => (now, m.key, m.value)))
                 ProduceResponse(q.topic, q.partition, ErrNone, base, now, 0)
               } catch {
-                case _: IllegalArgumentException =>
+                // NonFatal, not just IllegalArgumentException: any decode
+                // failure on a length-plausible but internally-truncated
+                // batch must answer ErrCorruptMessage, never drop the
+                // connection (Reader is bounds-checked, but the net stays
+                // wide for defense in depth)
+                case scala.util.control.NonFatal(_) =>
                   ProduceResponse(q.topic, q.partition, ErrCorruptMessage, -1L, -1L, 0)
               }
             encodeProduceResponse(resp) // response layout identical in v2/v3

@@ -39,6 +39,7 @@ object KafkaWire {
   val ErrNone = 0
   val ErrOffsetOutOfRange = 1
   val ErrCorruptMessage = 2
+  val ErrUnsupportedVersion = 35
 
   final class Writer {
     private val buf = new ByteArrayOutputStream()
@@ -59,7 +60,14 @@ object KafkaWire {
   }
 
   final class Reader(val buf: Array[Byte], var pos: Int = 0) {
-    def i8(): Int = { val v = buf(pos) & 0xff; pos += 1; v }
+    // bounds-checked like raw(): a truncated buffer must surface as
+    // IllegalArgumentException (→ ErrCorruptMessage in the broker's strict
+    // produce path), never ArrayIndexOutOfBoundsException, which would
+    // escape the corrupt-message catch and drop the connection instead
+    def i8(): Int = {
+      require(pos < buf.length, s"truncated read of 1 at $pos/${buf.length}")
+      val v = buf(pos) & 0xff; pos += 1; v
+    }
     def i16(): Int = ((i8() << 8) | i8()).toShort.toInt
     def i32(): Int = (i16() << 16) | (i16() & 0xffff)
     def i64(): Long = ((i32().toLong & 0xffffffffL) << 32) | (i32().toLong & 0xffffffffL)

@@ -435,4 +435,126 @@ class SchemaTrackerSpec extends AnyFunSuite {
     assert(tail.map(_._1.pos) == Vector(2000L))
     assert(tail.head._3 == "ALTER TABLE test.canal_test ADD more INT")
   }
+
+  test("an append AFTER a torn tail repairs the fragment instead of merging into it") {
+    val dir = Files.createTempDirectory("snapstore-torn-append")
+    val store = new SchemaSnapshotStore(dir, snapshotEvery = 100)
+    val t = freshTracker
+    t.execDdl("ALTER TABLE test.canal_test ADD age INT", "test")
+    store.record(Position("mysql-bin.000001", 1000, 7), "test",
+      "ALTER TABLE test.canal_test ADD age INT", t.getDatabases, t.snapshotCatalog)
+    t.execDdl("ALTER TABLE test.canal_test ADD more INT", "test")
+    store.record(Position("mysql-bin.000001", 2000, 7), "test",
+      "ALTER TABLE test.canal_test ADD more INT", t.getDatabases, t.snapshotCatalog)
+    // crash mid-append leaves a torn fragment with NO trailing newline; the
+    // next record() must not concatenate onto it (which would turn the
+    // fragment + the new DDL into one malformed NON-final line — a loud
+    // ddlTail failure, and a compaction would then silently drop the
+    // merged line, losing the valid new DDL)
+    java.nio.file.Files.write(dir.resolve("ddl.log"), "7\tmysql-bin.00".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    t.execDdl("ALTER TABLE test.canal_test ADD third INT", "test")
+    store.record(Position("mysql-bin.000001", 3000, 7), "test",
+      "ALTER TABLE test.canal_test ADD third INT", t.getDatabases, t.snapshotCatalog)
+    // restore must see BOTH intact post-snapshot DDLs — no throw, no loss
+    val resume = Position("mysql-bin.000001", 4000, 7)
+    val (snapPos, dbs, defs) = store.load(resume).get
+    val restored = new SchemaTracker
+    restored.restoreCatalog(defs, dbs)
+    store.ddlTail(snapPos, resume).foreach { case (_, db, stmt) =>
+      restored.execDdl(stmt, db)
+    }
+    assert(restored.getTableDef("test", "canal_test").get.columns.map(_.name) ==
+      Vector("id", "content", "name", "age", "more", "third"))
+    // and the repaired log has no trace of the fragment
+    val lines = java.nio.file.Files.readAllLines(dir.resolve("ddl.log"))
+    assert(!lines.toString.contains("mysql-bin.00\t"),
+      s"torn fragment must be truncated, log: $lines")
+  }
+
+  test("purge protects each server_id's newest snapshot, not just the global newest") {
+    val dir = Files.createTempDirectory("snapstore-purge-sid")
+    val store = new SchemaSnapshotStore(dir, snapshotEvery = 1)
+    val t = freshTracker
+    // server 7 writes its only snapshot, then fails over to server 9
+    t.execDdl("ALTER TABLE test.canal_test ADD age INT", "test")
+    store.record(Position("mysql-bin.000001", 1000, 7), "test",
+      "ALTER TABLE test.canal_test ADD age INT", t.getDatabases, t.snapshotCatalog)
+    // age out everything on disk, then let the NEW server snapshot: the
+    // age-based purge runs, and server 7's only snapshot must survive —
+    // load()/ddlTail filter per server_id, so deleting it would make every
+    // server-7 position unrestorable even though a (newer) server-9
+    // snapshot exists
+    import java.nio.file.attribute.FileTime
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 30L * 24 * 3600 * 1000)
+    java.nio.file.Files.list(dir).forEach { p =>
+      if (p.getFileName.toString.startsWith("snap-"))
+        java.nio.file.Files.setLastModifiedTime(p, old)
+    }
+    t.execDdl("ALTER TABLE test.canal_test ADD more INT", "test")
+    store.record(Position("mysql-bin.000002", 500, 9), "test",
+      "ALTER TABLE test.canal_test ADD more INT", t.getDatabases, t.snapshotCatalog)
+    assert(store.load(Position("mysql-bin.000001", 2000, 7)).isDefined,
+      "server 7's newest snapshot must survive an age purge triggered by server 9")
+    assert(store.load(Position("mysql-bin.000002", 600, 9)).isDefined)
+  }
+
+  test("a crash between snapshot write and log compaction stays exact on restore") {
+    val dir = Files.createTempDirectory("snapstore-torn-compact")
+    val store = new SchemaSnapshotStore(dir, snapshotEvery = 2)
+    val t = freshTracker
+    (1 to 4).foreach { i =>
+      t.execDdl(s"ALTER TABLE test.canal_test ADD c_$i INT", "test")
+      store.record(Position("mysql-bin.000001", 1000L * i, 7), "test",
+        s"ALTER TABLE test.canal_test ADD c_$i INT", t.getDatabases, t.snapshotCatalog)
+    }
+    // construct the exact disk state a crash inside record() leaves when it
+    // dies BETWEEN save() and compactLog(): the DDL-5 line appended, the
+    // DDL-5 snapshot written, but the log still holding every pre-compaction
+    // line — then the restarted stream re-applies and re-records DDL 5
+    // (its sink checkpoint never persisted), duplicating the tail line
+    t.execDdl("ALTER TABLE test.canal_test ADD c_5 INT", "test")
+    val p5 = Position("mysql-bin.000001", 5000, 7)
+    val preCompaction = java.nio.file.Files.readAllLines(dir.resolve("ddl.log"))
+    store.record(p5, "test", "ALTER TABLE test.canal_test ADD c_5 INT",
+      t.getDatabases, t.snapshotCatalog) // writes the 5000 snapshot + compacts
+    val compacted = java.nio.file.Files.readAllLines(dir.resolve("ddl.log"))
+    // crash state: pre-compaction lines + the 5000 line twice (restart re-record)
+    val line5 = compacted.toArray.map(_.toString).filter(_.contains("\t5000\t"))
+    assert(line5.nonEmpty)
+    val crashLog = (preCompaction.toArray.map(_.toString) ++ line5 ++ line5)
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(dir.resolve("ddl.log"), crashLog.getBytes)
+    // plus a stale tmp from a second crash flavor (tmp written, move lost)
+    java.nio.file.Files.write(dir.resolve("ddl.log.tmp"), "garbage\n".getBytes)
+    // a fresh store over the crashed dir must restore EXACTLY at every position
+    val reopened = new SchemaSnapshotStore(dir, snapshotEvery = 2)
+    for (k <- 1 to 5) {
+      val resume = Position("mysql-bin.000001", 1000L * k + 500, 7)
+      val (snapPos, dbs, defs) = reopened.load(resume).get
+      val restored = new SchemaTracker
+      restored.restoreCatalog(defs, dbs)
+      reopened.ddlTail(snapPos, resume).foreach { case (_, db, stmt) =>
+        restored.execDdl(stmt, db)
+      }
+      assert(restored.getTableDef("test", "canal_test").get.columns.map(_.name) ==
+        Vector("id", "content", "name") ++ (1 to k).map(i => s"c_$i"),
+        s"restore at DDL $k after torn compaction")
+    }
+    // and the next cadence snapshot re-runs compaction cleanly over the mess
+    (6 to 7).foreach { i =>
+      t.execDdl(s"ALTER TABLE test.canal_test ADD c_$i INT", "test")
+      reopened.record(Position("mysql-bin.000001", 1000L * i, 7), "test",
+        s"ALTER TABLE test.canal_test ADD c_$i INT", t.getDatabases, t.snapshotCatalog)
+    }
+    val resume = Position("mysql-bin.000001", 8000, 7)
+    val (snapPos, dbs, defs) = reopened.load(resume).get
+    val restored = new SchemaTracker
+    restored.restoreCatalog(defs, dbs)
+    reopened.ddlTail(snapPos, resume).foreach { case (_, db, stmt) =>
+      restored.execDdl(stmt, db)
+    }
+    assert(restored.getTableDef("test", "canal_test").get.columns.map(_.name) ==
+      Vector("id", "content", "name") ++ (1 to 7).map(i => s"c_$i"))
+  }
 }

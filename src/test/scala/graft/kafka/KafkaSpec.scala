@@ -247,6 +247,83 @@ class KafkaSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("ApiVersions at an unserved version answers UNSUPPORTED_VERSION, not a disconnect") {
+    val broker = new KafkaBroker().start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", broker.port)
+      try {
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        // real clients open with ApiVersions at their MAX version and
+        // downgrade on an error-35 v0-shaped response — a disconnect here
+        // would make the handshake impossible for any client newer than v0
+        val w = new KafkaWire.Writer()
+        KafkaWire.writeRequestHeader(w,
+          KafkaWire.RequestHeader(KafkaWire.ApiApiVersions, 3, 7, "t"))
+        KafkaWire.writeFrame(out, w.result)
+        val r = new KafkaWire.Reader(KafkaWire.readFrame(in))
+        assert(r.i32() == 7)
+        val (err, apis) = KafkaWire.decodeApiVersionsResponse(r)
+        assert(err == KafkaWire.ErrUnsupportedVersion)
+        assert(apis.map(a => a.apiKey -> (a.minVersion, a.maxVersion)).toMap ==
+          KafkaBroker.served) // ranges still advertised for the downgrade
+        // the connection survives: the v0 retry completes the handshake
+        val w2 = new KafkaWire.Writer()
+        KafkaWire.writeRequestHeader(w2,
+          KafkaWire.RequestHeader(KafkaWire.ApiApiVersions, 0, 8, "t"))
+        KafkaWire.writeFrame(out, w2.result)
+        val r2 = new KafkaWire.Reader(KafkaWire.readFrame(in))
+        assert(r2.i32() == 8)
+        assert(KafkaWire.decodeApiVersionsResponse(r2)._1 == KafkaWire.ErrNone)
+      } finally sock.close()
+    } finally broker.close()
+  }
+
+  test("internally-truncated v2 batch (valid CRC, short records) answers ErrCorruptMessage") {
+    val broker = new KafkaBroker().start()
+    try {
+      // a batch whose length and CRC are self-consistent but whose record
+      // COUNT claims more records than the body carries: decode sails past
+      // the CRC check and runs off the end inside record parsing — that
+      // must surface as ErrCorruptMessage, never an escaped
+      // ArrayIndexOutOfBounds that drops the connection
+      val one = KafkaWire.Msg(0L, 5L, null, "payload".getBytes)
+      val tail = new KafkaWire.Writer()
+      tail.i16(0); tail.i32(1); tail.i64(5L); tail.i64(5L)
+      tail.i64(-1L); tail.i16(-1); tail.i32(-1)
+      tail.i32(2) // claims TWO records...
+      val rec = new KafkaWire.Writer()
+      rec.i8(0)
+      KafkaWireV2.writeVarLong(rec, 0L); KafkaWireV2.writeVarLong(rec, 0L)
+      KafkaWireV2.writeVarInt(rec, -1)
+      KafkaWireV2.writeVarInt(rec, one.value.length); rec.raw(one.value)
+      KafkaWireV2.writeVarInt(rec, 0)
+      val recBytes = rec.result
+      KafkaWireV2.writeVarInt(tail, recBytes.length); tail.raw(recBytes) // ...carries one
+      val tailBytes = tail.result
+      val crc = { val c = new java.util.zip.CRC32C(); c.update(tailBytes); c.getValue.toInt }
+      val batch = new KafkaWire.Writer()
+      batch.i64(0L); batch.i32(4 + 1 + 4 + tailBytes.length)
+      batch.i32(-1); batch.i8(2); batch.i32(crc); batch.raw(tailBytes)
+      val sock = new java.net.Socket("127.0.0.1", broker.port)
+      try {
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val w = new KafkaWire.Writer()
+        KafkaWire.writeRequestHeader(w,
+          KafkaWire.RequestHeader(KafkaWire.ApiProduce, 3, 1, "t"))
+        w.raw(KafkaWireV2.encodeProduceRequestV3(
+          KafkaWire.ProduceRequest(-1, 1000, "ops", 0, batch.result)))
+        KafkaWire.writeFrame(out, w.result)
+        val r = new KafkaWire.Reader(KafkaWire.readFrame(in))
+        assert(r.i32() == 1)
+        val resp = KafkaWire.decodeProduceResponse(r)
+        assert(resp.errorCode == KafkaWire.ErrCorruptMessage)
+        assert(broker.highWaterMark("ops", 0) == 0L) // nothing appended
+      } finally sock.close()
+    } finally broker.close()
+  }
+
   test("broker refuses a request at an unserved api version (drops the connection)") {
     val broker = new KafkaBroker().start()
     try {
