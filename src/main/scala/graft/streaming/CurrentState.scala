@@ -41,12 +41,19 @@ object CurrentState {
     * the streaming writer. */
   def merge(batch: DataFrame, stateRoot: String): Unit = {
     val spark = batch.sparkSession
+    SnapshotStore.writeNext(mergedFrame(read(spark, stateRoot), batch), stateRoot)
+  }
+
+  /** The per-batch merge FRAME — latest-wins over snapshot ∪ batch,
+    * exposed as a seam so StreamShapeSpec can assert the plan's shape
+    * (leaves = snapshot + batch only; the window is PARTITIONED by
+    * user_id, never unpartitioned): the exact frame `merge` writes. */
+  private[streaming] def mergedFrame(cur: Option[DataFrame], batch: DataFrame): DataFrame = {
     val keyed = batch.select("user_id", "event_id", "event_type", "us", "value")
-    val merged = read(spark, stateRoot) match {
-      case Some(cur) => latestPerKey(cur.unionByName(keyed))
+    cur match {
+      case Some(c) => latestPerKey(c.unionByName(keyed))
       case None => latestPerKey(keyed)
     }
-    SnapshotStore.writeNext(merged, stateRoot)
   }
 
   /** Start the streaming materializer over an event stream with columns

@@ -50,13 +50,12 @@ object IncrementalAgg {
       .agg(sum(col("dn")).as("dn"), sum(col("dsum")).as("dsum"))
   }
 
-  /** Apply one batch's deltas to the snapshot at `stateRoot`. Skips
-    * batches already applied (exactly-once under foreachBatch replay). */
-  def merge(ops: DataFrame, batchId: Long, stateRoot: String): Unit = {
-    if (batchId <= SnapshotStore.lastBatchId(stateRoot)) return // replay
-    val spark = ops.sparkSession
-    val d = deltas(ops)
-    val merged = SnapshotStore.read(spark, stateRoot) match {
+  /** The per-batch merge FRAME — the full-outer delta application, exposed
+    * as a seam so StreamShapeSpec can assert the plan's shape (leaves =
+    * snapshot + batch only, one join, no window): the exact frame `merge`
+    * writes. */
+  private[streaming] def mergedFrame(cur: Option[DataFrame], d: DataFrame): DataFrame =
+    cur match {
       case Some(cur) =>
         // null-SAFE join key: groupBy puts all NULL grp rows in ONE
         // group, so the merge must too — a plain equi-join never matches
@@ -70,6 +69,13 @@ object IncrementalAgg {
       case None =>
         d.select(col("grp"), col("dn").as("n"), col("dsum").cast(dec).as("total"))
     }
+
+  /** Apply one batch's deltas to the snapshot at `stateRoot`. Skips
+    * batches already applied (exactly-once under foreachBatch replay). */
+  def merge(ops: DataFrame, batchId: Long, stateRoot: String): Unit = {
+    if (batchId <= SnapshotStore.lastBatchId(stateRoot)) return // replay
+    val spark = ops.sparkSession
+    val merged = mergedFrame(SnapshotStore.read(spark, stateRoot), deltas(ops))
     SnapshotStore.writeNext(merged.filter(col("n") =!= 0L), stateRoot, Some(batchId))
   }
 

@@ -75,9 +75,7 @@ object IncrementalTopK {
     val touchedKeys = ops.select(col("key_old").as("key"))
       .unionByName(ops.select(col("key_new").as("key")))
       .filter(col("key").isNotNull).distinct()
-    val reranked = TopK.perKey(
-      newBase.join(touchedKeys, Seq("key"), "left_semi"),
-      Seq("key"), Seq("score" -> false, "id" -> true), k)
+    val reranked = rerank(newBase, touchedKeys, k)
     val newView = SnapshotStore.read(spark, roots.view) match {
       case Some(cur) => cur.join(touchedKeys, Seq("key"), "left_anti")
         .unionByName(reranked.select(cur.columns.map(col).toSeq: _*))
@@ -89,6 +87,16 @@ object IncrementalTopK {
     SnapshotStore.writeNext(newView, roots.view, Some(batchId))
     newBase.unpersist()
   }
+
+  /** The per-batch re-rank FRAME — TopK over the touched keys' base rows
+    * only (semi-join before the heap passes), exposed as a seam so
+    * StreamShapeSpec can assert the shape: the ranking input is bounded by
+    * `touchedKeys`, never the whole base. */
+  private[streaming] def rerank(newBase: DataFrame, touchedKeys: DataFrame,
+      k: Int): DataFrame =
+    TopK.perKey(
+      newBase.join(touchedKeys, Seq("key"), "left_semi"),
+      Seq("key"), Seq("score" -> false, "id" -> true), k)
 
   def start(ops: DataFrame, root: String, checkpointDir: String, k: Int): StreamingQuery =
     ops.writeStream

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed ingestion gate — [[IngestQuality]], [[IngestDedup]] (exact
+  * tiles) and [[IngestNearDup]] (MinHash+LSH) run as ONE foreachBatch pass,
+  * the way a real crawl pipeline runs them: every arriving document gets a
+  * single verdict row, and each corpus-side index is read once per batch.
+  *
+  * Stage order is cheapest-first so work shrinks monotonically:
+  *  1. quality — per-row narrow expressions (entropy, token stats), zero
+  *     corpus contact, zero shuffles; rejects never reach a join;
+  *  2. exact tile dedup — quality survivors explode to tile hashes and
+  *     left-join the static corpus tile index;
+  *  3. near-dup — exact survivors band-join the static corpus band index,
+  *     exact-Jaccard verify on collisions only.
+  *
+  * The single pass is EQUAL to chaining the three gates independently
+  * (IngestPipelineSpec proves output parity): each stage's predicate
+  * depends only on its own signals, so filtering early is pure work
+  * elimination, not a semantic change. Per-batch corpus contact stays the
+  * scale shape the singles have — fixed-width hash-key joins against
+  * persisted indexes, work ∝ batch + candidates, never corpus × batch
+  * (StreamShapeSpec locks this on the composed plan too).
+  */
+object IngestPipeline {
+
+  /** The static corpus sides all three gates share. Built once from the
+    * corpus, persisted (or written as tables) by the caller — at 100 TB
+    * these are the shared index tables every ingest job mounts. */
+  final case class CorpusSides(tiles: DataFrame, bands: DataFrame,
+      shingles: DataFrame, counts: DataFrame) {
+    def persist(): CorpusSides = {
+      Seq(tiles, bands, shingles, counts).foreach(
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      this
+    }
+    def unpersist(): Unit =
+      Seq(tiles, bands, shingles, counts).foreach(_.unpersist())
+  }
+
+  def corpusIndex(corpusDocs: DataFrame): CorpusSides = {
+    val tiles = IngestDedup.corpusIndex(corpusDocs)
+    val (bands, shingles, counts) = IngestNearDup.corpusIndex(corpusDocs)
+    CorpusSides(tiles, bands, shingles, counts)
+  }
+
+  /** Gate one batch of arrivals (doc_id, text). One verdict row per
+    * arriving doc: the quality signals, the dedup flags of whichever
+    * stages the doc reached (null-safe defaults for stages it never
+    * reached), and `verdict` ∈ rejected_quality | exact_dup | near_dup |
+    * accepted. */
+  def gateBatch(batch: DataFrame, sides: CorpusSides,
+      minEntropy: Double = 3.0, maxEntropy: Double = 6.0,
+      minTokens: Long = 10L, minDistinctRatio: Double = 0.2,
+      minFrac: Double = 0.5, minJaccard: Double = 0.7): DataFrame = {
+    val scored = IngestQuality.score(batch)
+      .withColumn("quality_pass",
+        col("entropy") >= minEntropy && col("entropy") <= maxEntropy &&
+          col("n_tokens") >= minTokens &&
+          col("distinct_ratio") >= minDistinctRatio)
+    val qPass = scored.filter(col("quality_pass")).select("doc_id", "text")
+    val exact = IngestDedup.flagArrivals(qPass, sides.tiles, minFrac)
+      .select(col("doc_id"), col("matched_frac"), col("dup").as("exact_dup"))
+    val exactPass = qPass.join(
+      exact.filter(!col("exact_dup")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val near = IngestNearDup.flagBatch(exactPass,
+        sides.bands, sides.shingles, sides.counts, minJaccard)
+      .select(col("doc_id"), col("n_candidates"), col("n_neardups"),
+        col("neardup"), col("first_neardup"))
+    scored
+      .select("doc_id", "entropy", "n_tokens", "distinct_ratio", "quality_pass")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(!col("quality_pass"), "rejected_quality")
+          .when(col("exact_dup"), "exact_dup")
+          .when(col("neardup"), "near_dup")
+          .otherwise("accepted"))
+      .withColumn("accepted", col("verdict") === "accepted")
+  }
+
+  /** Run the composed gate over a stream of (doc_id, text): each
+    * micro-batch makes one pass through all three stages and hands the
+    * verdict frame to `sink`. */
+  def start(stream: DataFrame, sides: CorpusSides, checkpoint: String,
+      minJaccard: Double = 0.7)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(gateBatch(batch, sides, minJaccard = minJaccard), id)
+      }
+      .start()
+}

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The streaming counterpart of analytics.ScaleShapeSpec: locks the
+  * per-batch PLAN shapes that keep the streaming operators viable at
+  * 100 TB, the way ScaleShapeSpec locks the batch queries' plans.
+  *
+  *  - the ingest gates (exact tile dedup, near-dup, and the composed
+  *    pipeline) contact the corpus ONLY through the persisted index —
+  *    never by re-scanning the corpus files per micro-batch;
+  *  - the incremental maintainers' per-batch work touches only the batch
+  *    and the CURRENT snapshot (one version dir, not the store's history),
+  *    with no unpartitioned window anywhere in a merge plan;
+  *  - IncrementalTopK's re-rank input is bounded by the batch's touched
+  *    keys (a semi-join), never the whole base relation.
+  */
+class StreamShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("stream-shape-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Root paths of every FILE scan in the optimized plan. Cached subtrees
+    * are replaced by InMemoryRelation during optimization, so a persisted
+    * index's corpus scan does NOT appear here — which is exactly the
+    * property under test. */
+  private def fileScanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+  private def inMemoryRelations(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case m: InMemoryRelation => m }.size
+
+  test("ingest gates contact the corpus only via the persisted index, never a corpus re-scan") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("shape-corpus").toString
+    (1 to 50).map(i => (i.toLong, (1 to 40).map(j => s"w$i-$j").mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val sides = IngestPipeline.corpusIndex(corpus).persist()
+    try {
+      // the doc must PASS the quality stage: a failing doc lets the
+      // optimizer fold the LocalRelation batch to empty and prune the
+      // corpus joins away, making the scan assertions vacuous
+      val batch = Seq((900L, ("quick brown fox jumps over lazy dog bright " +
+        "river stone maple winter garden copper violet thunder meadow")))
+        .toDF("doc_id", "text")
+      val plans = Seq(
+        "IngestDedup.flagArrivals" ->
+          IngestDedup.flagArrivals(batch, sides.tiles),
+        "IngestNearDup.flagBatch" ->
+          IngestNearDup.flagBatch(batch, sides.bands, sides.shingles, sides.counts),
+        "IngestPipeline.gateBatch" ->
+          IngestPipeline.gateBatch(batch, sides))
+      plans.foreach { case (name, df) =>
+        val corpusScans = fileScanPaths(df).filter(_.contains(corpusDir))
+        assert(corpusScans.isEmpty,
+          s"$name re-scans the corpus files per micro-batch: $corpusScans")
+        assert(inMemoryRelations(df) > 0,
+          s"$name never touches the persisted corpus index — the test is vacuous")
+      }
+    } finally sides.unpersist()
+    // the lock has teeth: with the cache gone, the same per-batch plan DOES
+    // scan the corpus files — so a future edit that drops the persisted
+    // seam fails the assertions above rather than silently re-scanning.
+    // (This must run after unpersist(): the CacheManager matches by plan
+    // EQUALITY, so while the cache lives even a freshly-built index
+    // resolves to the InMemoryRelation.)
+    val probe = Seq((901L, "quick brown fox jumps over lazy dog bright river stone"))
+      .toDF("doc_id", "text")
+    val raw = IngestPipeline.corpusIndex(spark.read.parquet(corpusDir))
+    val unpersisted = IngestDedup.flagArrivals(probe, raw.tiles)
+    assert(fileScanPaths(unpersisted).exists(_.contains(corpusDir)))
+  }
+
+  test("IncrementalAgg per-batch plan: batch + current snapshot only, one join, no window") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("shape-agg").toString
+    def batch(i: Int) = Seq(("i", null: String, null: java.lang.Double, s"g$i",
+      java.lang.Double.valueOf(i.toDouble)))
+      .toDF("op", "grp_old", "amount_old", "grp_new", "amount_new")
+    IncrementalAgg.merge(batch(1), 0L, root)
+    IncrementalAgg.merge(batch(2), 1L, root)
+    IncrementalAgg.merge(batch(3), 2L, root)
+    // the store retains current + fallback; the merge frame must read ONLY
+    // the current version — a history or corpus scan here would grow
+    // per-batch work with the store's age
+    val cur = SnapshotStore.read(spark, root)
+    val curVersion = SnapshotStore.versions(root).last
+    val merged = IncrementalAgg.mergedFrame(cur, IncrementalAgg.deltas(batch(4)))
+    val scans = fileScanPaths(merged)
+    assert(scans.nonEmpty && scans.forall(_.endsWith(s"v=$curVersion")),
+      s"merge must scan exactly the current snapshot v=$curVersion, got $scans")
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
+    val joins = merged.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(joins.size == 1, s"expected exactly one snapshot↔delta join, got ${joins.size}")
+    assert(merged.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "no window belongs in the delta merge")
+    // and the delta reduction itself is one aggregate over the batch alone
+    val d = IncrementalAgg.deltas(batch(4))
+    assert(fileScanPaths(d).isEmpty, "deltas must not touch any stored state")
+  }
+
+  test("CurrentState per-batch plan: partitioned window over batch + current snapshot only") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("shape-state").toString
+    def batch(i: Int) = Seq((i.toLong % 3, i.toLong, "click", i.toLong * 10, s"v$i"))
+      .toDF("user_id", "event_id", "event_type", "us", "value")
+    CurrentState.merge(batch(1), root)
+    CurrentState.merge(batch(2), root)
+    CurrentState.merge(batch(3), root)
+    val cur = CurrentState.read(spark, root)
+    val curVersion = SnapshotStore.versions(root).last
+    val merged = CurrentState.mergedFrame(cur, batch(4))
+    val scans = fileScanPaths(merged)
+    assert(scans.nonEmpty && scans.forall(_.endsWith(s"v=$curVersion")),
+      s"merge must scan exactly the current snapshot v=$curVersion, got $scans")
+    val windows = merged.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "latest-wins window must be PARTITIONED by the key — an unpartitioned " +
+        "window funnels the whole state through one task")
+  }
+
+  test("IncrementalTopK re-rank input is bounded by the touched keys") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => (s"k${i % 10}", i.toLong, i.toDouble))
+      .toDF("key", "id", "score")
+    val touched = Seq("k1").toDF("key")
+    val reranked = IncrementalTopK.rerank(base, touched, 3)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val semis = reranked.queryExecution.optimizedPlan.collect {
+      case j: LJoin if j.joinType == LeftSemi => j
+    }
+    assert(semis.nonEmpty,
+      "re-rank must semi-join the base down to the touched keys BEFORE ranking")
+    // and behaviorally: untouched keys never reach the ranking output
+    val keys = reranked.select($"key").distinct().as[String].collect().toSet
+    assert(keys == Set("k1"), s"re-rank leaked untouched keys: $keys")
+  }
+}
