@@ -94,41 +94,77 @@ object CdcBench {
       val sec = (System.nanoTime() - t) / 1e9
       ((stats.emitted / sec).toLong, stats.wireMessages)
     }
-    val (filePipe, _) = pipelineRun("file", None)
+    // untimed warmup: the first streaming run pays JIT + codegen +
+    // micro-batch-machinery init for the whole JVM; without this the
+    // first measured leg absorbs it all and the dialect ordering lies
+    pipelineRun("warmup", None)
 
-    val sim = new TopicServer().start()
-    val (simPipe, simMsgs) = pipelineRun("sim", Some(s"127.0.0.1:${sim.port}"))
-
+    // interleaved median-of-3 per dialect (the ClusterBench method): the
+    // box's run-to-run variance exceeds the dialect deltas, so a single
+    // pass per dialect can invert the ordering — pass p runs every
+    // dialect back-to-back, and each dialect reports its median across
+    // passes. Brokered passes get a FRESH topic (new sim server /
+    // bench-p topic name): producing the same seqs into a reused topic
+    // would make the next pass's recovery adopt them and seq-dedup-drop
+    // the whole stream.
     val broker = new graft.kafka.KafkaBroker().start()
-    val (kafkaPipe, kafkaMsgs) =
-      pipelineRun("kafka", Some(s"kafka://127.0.0.1:${broker.port}/bench"))
-    val (kafka2Pipe, _) =
-      pipelineRun("kafka2", Some(s"kafka2://127.0.0.1:${broker.port}/bench2"))
+    val passes = 3
+    val file, simA, kafkaA, kafka2A = Array.ofDim[Long](passes)
+    var sim: TopicServer = null
+    var kafkaMsgs = 0L; var simMsgs = 0L
+    for (p <- 0 until passes) {
+      file(p) = pipelineRun(s"file-$p", None)._1
+      if (sim != null) sim.close()
+      sim = new TopicServer().start()
+      val (sRate, sMsgs) = pipelineRun(s"sim-$p", Some(s"127.0.0.1:${sim.port}"))
+      simA(p) = sRate; simMsgs = sMsgs
+      val (kRate, kMsgs) =
+        pipelineRun(s"kafka-$p", Some(s"kafka://127.0.0.1:${broker.port}/bench-$p"))
+      kafkaA(p) = kRate; kafkaMsgs = kMsgs
+      kafka2A(p) = pipelineRun(s"kafka2-$p",
+        Some(s"kafka2://127.0.0.1:${broker.port}/bench2-$p"))._1
+    }
+    def median(a: Array[Long]): Long = a.sorted.apply(a.length / 2)
+    val filePipe = median(file)
+    val simPipe = median(simA)
+    val kafkaPipe = median(kafkaA)
+    val kafka2Pipe = median(kafka2A)
 
     // recovery-scan throughput: a zeroed checkpoint forces a full topic
     // scan (ListOffsets + paged Fetch + CRC verify + seq-dedup decode) —
     // the restart-repair path, measured over both wire dialects
+    // scans are read-only over the LAST pass's topics, so median-of-3 on
+    // one client is sound
     def scanRate(client: TopicLike): Long = {
-      val t = System.nanoTime()
-      val rec = KafkaRecovery.recover(client, Checkpoint(Progress.zero)
-        .withIntCtx("acked_seq", 0L).withIntCtx("acked_offset", -1L))
-      val sec = (System.nanoTime() - t) / 1e9
-      (rec.scanned / sec).toLong
+      def once(): Long = {
+        val t = System.nanoTime()
+        val rec = KafkaRecovery.recover(client, Checkpoint(Progress.zero)
+          .withIntCtx("acked_seq", 0L).withIntCtx("acked_offset", -1L))
+        val sec = (System.nanoTime() - t) / 1e9
+        (rec.scanned / sec).toLong
+      }
+      try median(Array.fill(3)(once())) finally client.close()
     }
     val simScan = scanRate(new TopicClient("127.0.0.1", sim.port))
-    val kafkaClient = new graft.kafka.KafkaTopicClient("127.0.0.1", broker.port, "bench")
-    val kafkaScan = try scanRate(kafkaClient) finally kafkaClient.close()
+    val kafkaScan = scanRate(
+      new graft.kafka.KafkaTopicClient("127.0.0.1", broker.port, s"bench-${passes - 1}"))
+    val kafka2Scan = scanRate(new graft.kafka.KafkaTopicClient("127.0.0.1", broker.port,
+      s"bench2-${passes - 1}", messageFormat = 2))
     sim.close(); broker.close()
     spark.stop()
 
+    def arr(a: Array[Long]): String = a.mkString("[", ",", "]")
     println(s"""{"metric":"cdc_throughput","n_ops":$n,""" +
       s""""encode_ops_per_sec":${(n / encSec).toLong},""" +
       s""""pipeline_ops_per_sec":$filePipe,""" +
       s""""pipeline_topicsim_ops_per_sec":$simPipe,""" +
       s""""pipeline_kafka_ops_per_sec":$kafkaPipe,""" +
       s""""pipeline_kafka2_ops_per_sec":$kafka2Pipe,""" +
+      s""""pipeline_passes":{"file":${arr(file)},"topicsim":${arr(simA)},""" +
+      s""""kafka":${arr(kafkaA)},"kafka2":${arr(kafka2A)}},""" +
       s""""recovery_scan_topicsim_msgs_per_sec":$simScan,""" +
       s""""recovery_scan_kafka_msgs_per_sec":$kafkaScan,""" +
+      s""""recovery_scan_kafka2_msgs_per_sec":$kafka2Scan,""" +
       s""""wire_messages":$messages,"topic_messages":$kafkaMsgs,""" +
       s""""sim_messages":$simMsgs}""")
   }

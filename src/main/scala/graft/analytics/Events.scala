@@ -534,5 +534,71 @@ object Events {
         FROM events e WHERE e.event_type = 'purchase'
         ORDER BY e.user_id, e.event_id"""),
     ),
+
+    // ---- e18: bot detection by inter-event timing regularity ----
+    // Scripted traffic fires on a clock; humans are bursty. The flag is
+    // the squared coefficient of variation of a user's inter-event gaps —
+    // organic users on this corpus sit at CV²·10⁴ ≈ 5000–10000
+    // (Poisson-ish, CV ≈ 1), a metronome scores ~0. The corpus has no
+    // bots, so — the t18/t20 injection recipe — three synthetic bot
+    // streams (100 events each at a fixed per-bot period, ±1 s
+    // alternating jitter so the variance is small but nonzero) are
+    // unioned in deterministically, and the operator must flag exactly
+    // those. All integer arithmetic: gaps floor to whole seconds, and
+    // CV²·10⁴ = (n·Σg² − (Σg)²)·10⁴ DIV (Σg)² stays in BIGINT (gaps ≤
+    // ~10⁵ s, n ≤ 10³ per user ⇒ the numerator is ≤ ~10¹⁸), so both
+    // engines compute the identical value — no float variance formula
+    // whose rounding could flip a threshold comparison. One shuffle
+    // (window + groupBy share the user_id partitioning); state is one
+    // row per user — the 100 TB shape of every per-user audit here.
+    QueryDef(
+      "e18_bot_regularity",
+      (s, dir) => {
+        import s.implicits._
+        val T0 = 1589400000000000L
+        val real = t(s, dir, "events")
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+        val bots = s.range(300).selectExpr(
+          "CAST(1000000 + id DIV 100 AS BIGINT) AS user_id",
+          "CAST(2000000 + id AS BIGINT) AS event_id",
+          s"CAST($T0 + (id % 100) * (60 + id DIV 100) * 1000000" +
+            " + (id % 100 % 2) * 1000000 AS BIGINT) AS us")
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        real.unionByName(bots)
+          .withColumn("dus", $"us" - lag($"us", 1).over(w))
+          .filter($"dus".isNotNull)
+          .withColumn("gap", expr("dus DIV 1000000"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum($"gap").as("s1"), sum($"gap" * $"gap").as("s2"))
+          .filter($"n_gaps" >= 20 && $"s1" > 0)
+          .withColumn("cv2q", expr("(n_gaps * s2 - s1 * s1) * 10000 DIV (s1 * s1)"))
+          .filter($"cv2q" < 2500)
+          .select($"user_id", $"n_gaps", $"cv2q")
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH uni AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+          UNION ALL
+          SELECT 1000000 + k // 100, 2000000 + k,
+                 1589400000000000 + (k % 100) * (60 + k // 100) * 1000000
+                   + (k % 100 % 2) * 1000000
+          FROM (SELECT unnest(range(300)) AS k) r),
+        g AS (
+          SELECT user_id,
+                 us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dus
+          FROM uni),
+        st AS (
+          SELECT user_id, COUNT(*) AS n_gaps,
+                 CAST(SUM(dus // 1000000) AS BIGINT) AS s1,
+                 CAST(SUM((dus // 1000000) * (dus // 1000000)) AS BIGINT) AS s2
+          FROM g WHERE dus IS NOT NULL GROUP BY user_id
+          HAVING COUNT(*) >= 20 AND SUM(dus // 1000000) > 0)
+        SELECT user_id, n_gaps,
+               (n_gaps * s2 - s1 * s1) * 10000 // (s1 * s1) AS cv2q
+        FROM st WHERE (n_gaps * s2 - s1 * s1) * 10000 // (s1 * s1) < 2500
+        ORDER BY user_id"""),
+    ),
   )
 }

@@ -1013,5 +1013,163 @@ object Similarity {
         GROUP BY d.dims
         ORDER BY d.dims"""),
     ),
+
+    // ---- s13: product-quantization ADC search + recall@10 (the ----
+    // ---- memory-floor path: 4-byte codes, table-lookup distances) ----
+    // PQ is the step past SQ8 on the compression dial: split the 64 dims
+    // into M=4 subspaces of 16, learn K=16 centroids per subspace (seeded
+    // by the first K vectors' subvectors + ONE deterministic floor-mean
+    // Lloyd step — the s05 IVF training recipe, run per subspace), and
+    // store each corpus vector as its 4 nearest-centroid ids: 4 B/row vs
+    // 64 B SQ8 / 256 B float32. Search is asymmetric distance computation
+    // (ADC): the query precomputes an M×K table of exact integer squared
+    // distances to the codebook, and a corpus row's approximate distance
+    // is the sum of 4 TABLE LOOKUPS — no per-row arithmetic on the
+    // vector at all. The recall@10 gate vs the exact-L2 ground truth is
+    // the same eval contract as s06/s08, measuring the third compression
+    // dial. At 100 TB: the codebook (M·K·16 longs) and the per-query
+    // tables (M·K rows per query) are broadcast; the corpus appears only
+    // in narrow per-row passes (encode once at index build, then
+    // lookup+sum per query) — the corpus-sized scan reads 4-byte codes,
+    // which is the memory-bandwidth floor of the ANN family. All
+    // arithmetic is exact BIGINT (squared L2 on 2^20-quantized ints,
+    // ≤ 64·(2·2^20)² < 2^53), ties break on centroid/vector id — the
+    // DuckDB oracle replays training, encoding, and search bit-for-bit.
+    QueryDef(
+      "s13_pq_adc_recall",
+      (s, dir) => {
+        import s.implicits._
+        val M = 4; val SUBDIM = DIMS / M; val K = 16
+        def sub(qc: Column, m: Int) = slice(qc, m * SUBDIM + 1, SUBDIM)
+        def ssd(a: Column, b: Column): Column = {
+          val d = zip_with(a, b, (x, y) => x - y)
+          longDot(d, d)
+        }
+        val emb = withQNorm(t(s, dir, "embeddings"))
+        def subRows(df: DataFrame, idCol: String, id: Column): DataFrame =
+          (0 until M).map(m =>
+            df.select(id.as(idCol), lit(m).as("m"), sub($"q", m).as("qs")))
+            .reduce(_ unionAll _)
+        // per-subspace seed codebook: subvectors of the first K vectors
+        val seed = subRows(emb.filter($"vec_id" < K), "cent", $"vec_id")
+          .withColumnRenamed("qs", "qc")
+        // one Lloyd step over the non-seed corpus: nearest seed centroid
+        // per (vector, subspace), then element-wise floor-mean
+        val wTrain = Window.partitionBy($"vec_id", $"m").orderBy($"ssd", $"cent")
+        val a0 = subRows(emb.filter($"vec_id" >= K), "vec_id", $"vec_id")
+          .join(broadcast(seed), "m")
+          .withColumn("ssd", ssd($"qs", $"qc"))
+          .withColumn("rn", row_number().over(wTrain)).filter($"rn" === 1)
+          .select($"m", $"cent", $"qs")
+        val cent1 = a0.select($"m", $"cent", posexplode($"qs").as(Seq("sd", "v")))
+          .groupBy($"m", $"cent", $"sd")
+          .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cv"))
+          .groupBy($"m", $"cent")
+          .agg(transform(array_sort(collect_list(struct($"sd", $"cv"))),
+            x => x.getField("cv")).as("qc"))
+        // encode the corpus: 4 nearest-centroid ids per vector
+        val wCode = Window.partitionBy($"cid", $"m").orderBy($"ssd", $"cent")
+        val codes = subRows(emb.filter($"vec_id" >= 5), "cid", $"vec_id")
+          .join(broadcast(cent1), "m")
+          .withColumn("ssd", ssd($"qs", $"qc"))
+          .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
+          .select($"cid", $"m", $"cent")
+        // per-query ADC tables: exact ssd to every codebook entry
+        val tab = subRows(emb.filter($"vec_id" < 5), "qid", $"vec_id")
+          .join(broadcast(cent1), "m")
+          .withColumn("ssd", ssd($"qs", $"qc"))
+          .select($"qid", $"m", $"cent", $"ssd")
+        val wAdc = Window.partitionBy($"qid").orderBy($"adist", $"cid")
+        val approx = codes.join(broadcast(tab), Seq("m", "cent"))
+          .groupBy($"qid", $"cid").agg(sum($"ssd").as("adist"))
+          .withColumn("rn", row_number().over(wAdc)).filter($"rn" <= 10)
+          .select($"qid", $"cid")
+        // exact ground truth: integer squared L2 = n2a + n2b − 2·dot
+        val q = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("qid"), $"q".as("qa"), $"n2".as("n2a"))
+        val c = emb.filter($"vec_id" >= 5)
+          .select($"vec_id".as("cid"), $"q".as("qb"), $"n2".as("n2b"))
+        val wE = Window.partitionBy($"qid").orderBy($"ed", $"cid")
+        val exact = c.join(broadcast(q))
+          .withColumn("ed", $"n2a" + $"n2b" - lit(2L) * dotInt("qa", "qb"))
+          .withColumn("rn", row_number().over(wE)).filter($"rn" <= 10)
+          .select($"qid", $"cid")
+        val hits = exact.join(approx, Seq("qid", "cid"))
+          .groupBy($"qid").agg(count(lit(1)).as("hits"))
+        emb.filter($"vec_id" < 5).select($"vec_id".as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .withColumn("hits", coalesce($"hits", lit(0L)))
+          .withColumn("recall", $"hits".cast("double") / 10)
+          .select($"qid", $"hits", $"recall")
+          .orderBy($"qid")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        subs AS (SELECT unnest(range(4)) AS m),
+        sdims AS (SELECT unnest(range(16)) AS sd),
+        pssd0 AS (
+          SELECT v.vec_id, sub.m, c.vec_id AS cent,
+                 CAST(SUM((v.q[CAST(sub.m*16+sd.sd+1 AS INT)] - c.q[CAST(sub.m*16+sd.sd+1 AS INT)])
+                        * (v.q[CAST(sub.m*16+sd.sd+1 AS INT)] - c.q[CAST(sub.m*16+sd.sd+1 AS INT)])) AS BIGINT) AS ssd
+          FROM qv v CROSS JOIN subs sub CROSS JOIN sdims sd
+          JOIN qv c ON c.vec_id < 16
+          WHERE v.vec_id >= 16
+          GROUP BY v.vec_id, sub.m, c.vec_id),
+        passign0 AS (
+          SELECT vec_id, m, cent FROM (
+            SELECT vec_id, m, cent,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY ssd, cent) AS rn
+            FROM pssd0) x WHERE rn = 1),
+        pcent AS (
+          SELECT a.m, a.cent, sd.sd,
+                 CAST(FLOOR(CAST(SUM(v.q[CAST(a.m*16+sd.sd+1 AS INT)]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+          FROM passign0 a JOIN qv v ON v.vec_id = a.vec_id CROSS JOIN sdims sd
+          GROUP BY a.m, a.cent, sd.sd),
+        pssd1 AS (
+          SELECT v.vec_id, c.m, c.cent,
+                 CAST(SUM((v.q[CAST(c.m*16+c.sd+1 AS INT)] - c.cv)
+                        * (v.q[CAST(c.m*16+c.sd+1 AS INT)] - c.cv)) AS BIGINT) AS ssd
+          FROM qv v JOIN pcent c ON v.vec_id >= 5
+          GROUP BY v.vec_id, c.m, c.cent),
+        pcodes AS (
+          SELECT vec_id AS cid, m, cent FROM (
+            SELECT vec_id, m, cent,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY ssd, cent) AS rn
+            FROM pssd1) x WHERE rn = 1),
+        ptab AS (
+          SELECT v.vec_id AS qid, c.m, c.cent,
+                 CAST(SUM((v.q[CAST(c.m*16+c.sd+1 AS INT)] - c.cv)
+                        * (v.q[CAST(c.m*16+c.sd+1 AS INT)] - c.cv)) AS BIGINT) AS ssd
+          FROM qv v JOIN pcent c ON v.vec_id < 5
+          GROUP BY v.vec_id, c.m, c.cent),
+        padc AS (
+          SELECT t.qid, k.cid, CAST(SUM(t.ssd) AS BIGINT) AS adist
+          FROM pcodes k JOIN ptab t ON t.m = k.m AND t.cent = k.cent
+          GROUP BY t.qid, k.cid),
+        papprox AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+            FROM padc) x WHERE rn <= 10),
+        pedist AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 na.n2 + nb.n2 - 2*CAST(SUM(a.q[i+1]*b.q[i+1]) AS BIGINT) AS ed
+          FROM qv a JOIN qv b ON a.vec_id < 5 AND b.vec_id >= 5
+          CROSS JOIN dims
+          JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
+          GROUP BY a.vec_id, b.vec_id, na.n2, nb.n2),
+        pexact AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ed, cid) AS rn
+            FROM pedist) x WHERE rn <= 10),
+        phits AS (
+          SELECT e.qid, COUNT(*) AS hits
+          FROM pexact e JOIN papprox a ON a.qid = e.qid AND a.cid = e.cid
+          GROUP BY e.qid)
+        SELECT q.qid, COALESCE(h.hits, 0) AS hits,
+               CAST(COALESCE(h.hits, 0) AS DOUBLE)/10 AS recall
+        FROM (SELECT vec_id AS qid FROM qv WHERE vec_id < 5) q
+        LEFT JOIN phits h USING (qid) ORDER BY qid"""),
+    ),
   )
 }

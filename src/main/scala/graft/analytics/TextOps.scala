@@ -826,6 +826,73 @@ object TextOps {
         FROM big JOIN model USING (gram)
         GROUP BY doc_id ORDER BY doc_id"""),
     ),
+
+    // ---- t20: encoding-damage triage (mojibake / replacement / C1) ----
+    // Crawl text arrives encoding-damaged in three canonical ways: UTF-8
+    // double-decoding mojibake ('é' → 'Ã©': U+00C3 followed by a
+    // U+00A0–U+00BF continuation-shaped char — repairable by re-encoding),
+    // U+FFFD replacement chars (the decoder already destroyed the byte —
+    // unrepairable), and C1 control chars U+0080–U+009F (a cp1252/latin-1
+    // confusion signature). The corpus is clean ASCII, so — the t18
+    // recipe — damage is INJECTED deterministically (doc_id mod 7 →
+    // mojibake, mod 13 → U+FFFD, mod 11 → C1 NEL), then each doc is
+    // counted per damage class, scored per kchar (integer arithmetic),
+    // and triaged: drop (unrepairable bytes), fix (mojibake only — a
+    // re-encode pass recovers it), keep. Per-row narrow regexp counts
+    // inside whole-stage codegen, zero shuffles before the final sort —
+    // the m01/t01 shape that scales to any corpus size.
+    QueryDef(
+      "t20_encoding_triage",
+      (s, dir) => {
+        import s.implicits._
+        def nMatches(c: Column, re: String): Column =
+          size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+        val aug = t(s, dir, "documents")
+          .withColumn("t", concat(
+            $"text",
+            when($"doc_id" % 7 === 0,
+              lit(" caf\u00c3\u00a9 na\u00c3\u00afve")).otherwise(lit("")),
+            when($"doc_id" % 13 === 0,
+              lit(" bad\ufffdbyte")).otherwise(lit("")),
+            when($"doc_id" % 11 === 0,
+              lit(" ctl\u0085x")).otherwise(lit(""))))
+        aug
+          .withColumn("n_moji", nMatches($"t", "\\x{00C3}[\\x{00A0}-\\x{00BF}]"))
+          .withColumn("n_repl", nMatches($"t", "\\x{FFFD}"))
+          .withColumn("n_c1", nMatches($"t", "[\\x{0080}-\\x{009F}]"))
+          .select(
+            $"doc_id", $"n_moji", $"n_repl", $"n_c1",
+            expr("(n_moji*2 + n_repl*3 + n_c1) * 1000 DIV length(t)")
+              .as("damage_per_kchar"),
+            when($"n_repl" > 0 || $"n_c1" > 0, lit("drop"))
+              .when($"n_moji" > 0, lit("fix"))
+              .otherwise(lit("keep")).as("verdict"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 text ||
+                 CASE WHEN doc_id % 7 = 0
+                      THEN ' caf' || chr(195) || chr(169) || ' na' || chr(195) || chr(175) || 've'
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 13 = 0 THEN ' bad' || chr(65533) || 'byte' ELSE '' END ||
+                 CASE WHEN doc_id % 11 = 0 THEN ' ctl' || chr(133) || 'x' ELSE '' END AS t
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t, '\x{00C3}[\x{00A0}-\x{00BF}]')) AS BIGINT) AS n_moji,
+                 CAST(len(regexp_extract_all(t, '\x{FFFD}')) AS BIGINT) AS n_repl,
+                 CAST(len(regexp_extract_all(t, '[\x{0080}-\x{009F}]')) AS BIGINT) AS n_c1,
+                 CAST(length(t) AS BIGINT) AS n
+          FROM aug)
+        SELECT doc_id, n_moji, n_repl, n_c1,
+               (n_moji*2 + n_repl*3 + n_c1) * 1000 // n AS damage_per_kchar,
+               CASE WHEN n_repl > 0 OR n_c1 > 0 THEN 'drop'
+                    WHEN n_moji > 0 THEN 'fix'
+                    ELSE 'keep' END AS verdict
+        FROM m ORDER BY doc_id"""),
+    ),
   )
 
 }

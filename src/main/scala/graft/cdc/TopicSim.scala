@@ -18,8 +18,12 @@ import scala.collection.mutable
   *            | 0x03 ++ int32 len ++ data — append one message (producer)
   *   response = int64 hwm                          (for 0x01 and 0x03)
   *            | { int64 offset, int32 len, data }* ++ int64 -1   (for 0x02)
-  * One request per connection; the topic itself is in-memory + optionally
-  * seeded from the wire-twin's b64 lines.
+  * Every request and response is self-delimiting, so requests ride one
+  * persistent connection back-to-back (the server loops until EOF) — the
+  * original one-request-per-connection shape cost ~10x in the ordered
+  * produce loop (BENCH_cdc: 6.3k vs 61.6k ops/s) because every produce
+  * paid a TCP dial. A client may still dial per request; the topic itself
+  * is in-memory + optionally seeded from the wire-twin's b64 lines.
   */
 final class TopicServer(seed: Seq[Array[Byte]] = Nil) {
 
@@ -50,9 +54,23 @@ final class TopicServer(seed: Seq[Array[Byte]] = Nil) {
 
   private def handle(sock: Socket): Unit =
     try {
-      val in = new DataInputStream(sock.getInputStream)
-      val out = new DataOutputStream(sock.getOutputStream)
-      in.readByte() match {
+      // NODELAY + buffered streams: DataOutputStream.writeLong on a raw
+      // socket is eight 1-byte writes — under Nagle each response would
+      // wait on the peer's delayed ACK (~40ms per request, a 1000x stall
+      // on the persistent-connection produce loop). Buffering coalesces a
+      // response into one segment; the explicit flush after serveOne is
+      // the frame boundary.
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val out = new DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      while (true) serveOne(in, out)
+    } catch { case _: EOFException => () }
+    finally sock.close()
+
+  private def serveOne(in: DataInputStream, out: DataOutputStream): Unit = {
+    in.readByte() match {
         case 0x01 =>
           out.writeLong(highWaterMark)
         case 0x02 =>
@@ -78,10 +96,9 @@ final class TopicServer(seed: Seq[Array[Byte]] = Nil) {
           out.writeLong(append(data) + 1L)
         case other =>
           throw new IllegalStateException(s"unknown topic-sim command $other")
-      }
-      out.flush()
-    } catch { case _: EOFException => () }
-    finally sock.close()
+    }
+    out.flush()
+  }
 
   def close(): Unit = { closed = true; server.close() }
 }
@@ -104,10 +121,10 @@ trait TopicLike {
     * with a single bounded Fetch round. */
   def fetchPage(fromOffset: Long, maxMessages: Int): Vector[(Long, Array[Byte])] =
     fetchFrom(fromOffset).take(maxMessages)
-  /** Release any held connection. Default no-op: [[TopicClient]] is
-    * connection-per-call, but [[graft.kafka.KafkaTopicClient]] holds one
-    * persistent socket that would otherwise leak for the process lifetime —
-    * callers (Replay shutdown, TopicCat) must close unconditionally. */
+  /** Release any held connection. Both [[TopicClient]] and
+    * [[graft.kafka.KafkaTopicClient]] hold one persistent socket that
+    * would otherwise leak for the process lifetime — callers (Replay
+    * shutdown, TopicCat) must close unconditionally. */
   def close(): Unit = ()
 }
 
@@ -151,13 +168,36 @@ object TopicLike {
   * needs (GetOffset + ConsumePartition in the reference). */
 final class TopicClient(host: String, port: Int) extends TopicLike {
 
-  private def withConn[A](f: (DataInputStream, DataOutputStream) => A): A = {
-    val sock = new Socket(host, port)
-    try {
-      val in = new DataInputStream(sock.getInputStream)
-      val out = new DataOutputStream(sock.getOutputStream)
-      f(in, out)
-    } finally sock.close()
+  // One persistent connection, lazily dialed — requests are
+  // self-delimiting, so they ride the socket back-to-back like the Kafka
+  // client's (the old dial-per-request shape made every synchronous
+  // produce pay a TCP handshake: ~10x slower in BENCH_cdc's ordered
+  // drain). On any IO error the socket is dropped, not reused: a half-read
+  // response would desync every later call, and the next request simply
+  // re-dials (which also transparently survives a server restart).
+  private var sock: Socket = _
+  private var in: DataInputStream = _
+  private var out: DataOutputStream = _
+
+  private def withConn[A](f: (DataInputStream, DataOutputStream) => A): A =
+    synchronized {
+      if (sock == null || sock.isClosed) {
+        sock = new Socket(host, port)
+        // same NODELAY + buffering as the server side: a request is
+        // assembled in the buffer and hits the wire as ONE segment at
+        // flush, never as writeByte/writeInt's 1-byte TCP writes
+        sock.setTcpNoDelay(true)
+        in = new DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        out = new DataOutputStream(
+          new java.io.BufferedOutputStream(sock.getOutputStream))
+      }
+      try f(in, out)
+      catch { case e: java.io.IOException => close(); throw e }
+    }
+
+  override def close(): Unit = synchronized {
+    if (sock != null) { try sock.close() catch { case _: Exception => () }; sock = null }
   }
 
   def highWaterMark(): Long = withConn { (in, out) =>
