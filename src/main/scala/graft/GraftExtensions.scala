@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.InterleaveBits.info, functions.InterleaveBits.builder))
     ext.injectFunction((functions.CharEntropy.identifier,
       functions.CharEntropy.info, functions.CharEntropy.builder))
+    ext.injectFunction((functions.CdcChunks.identifier,
+      functions.CdcChunks.info, functions.CdcChunks.builder))
     ext.injectPlannerStrategy(_ => plans.TopKStrategy)
     ext.injectPlannerStrategy(_ => plans.AsOfStrategy)
     ext.injectOptimizerRule(_ => plans.RankFilterToTopK)

@@ -1066,5 +1066,82 @@ object Dedup {
         GROUP BY c.df_cap, nt.n_truth
         ORDER BY c.df_cap"""),
     ),
+
+    // ---- d17: content-defined chunking dedup (the insertion-robust ----
+    // ---- storage-dedup shape d09's fixed tiles cannot give) ----
+    // Chunks end where the rolling 8-gram hash satisfies h % 64 == 63
+    // (native `cdc_chunks` expression — LBFS/gear-style basic CDC, ~64-char
+    // expected chunks), so a one-character edit realigns boundaries within
+    // k characters and every other chunk keeps its md5 identity — fixed
+    // tiles shift ALL downstream tiles on the same edit (CdcChunksSpec
+    // measures both). Per doc: chunk count, chunks whose hash appears in
+    // more than one doc, and the integer-quantized duplicated fraction.
+    // 100 TB shape: the boundary decision is a pure per-row function (one
+    // codegen'd O(n) pass, no cross-row state), fan-out is n_chars/64, and
+    // everything after is two linear hash aggregates on 32-hex keys plus
+    // one equi-join — d09's scale contract with content-defined identity.
+    QueryDef(
+      "d17_cdc_chunk_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ch = t(s, dir, "documents")
+          .select($"doc_id",
+            trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"))
+          .filter(length($"norm") >= 1)
+          .select($"doc_id",
+            explode(graft.functions.CdcChunks.chunks(8, 64L)($"norm")).as("chunk"))
+          .select($"doc_id", md5($"chunk").as("ch"))
+        val byChunk = ch.groupBy($"ch").agg(countDistinct($"doc_id").as("n_docs"))
+        ch.join(byChunk, "ch")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            coalesce(sum(when($"n_docs" > 1, 1L)), lit(0L)).as("n_dup_chunks"))
+          .withColumn("dup_ratio_q", expr("n_dup_chunks * 10000 DIV n_chunks"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+          FROM documents),
+        g AS (
+          SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n,
+            list_transform(range(length(norm)-7), i ->
+              (CAST(ascii(substr(norm, CAST(i+1 AS INT), 1)) AS BIGINT)*27512614111
+             + CAST(ascii(substr(norm, CAST(i+2 AS INT), 1)) AS BIGINT)*887503681
+             + CAST(ascii(substr(norm, CAST(i+3 AS INT), 1)) AS BIGINT)*28629151
+             + CAST(ascii(substr(norm, CAST(i+4 AS INT), 1)) AS BIGINT)*923521
+             + CAST(ascii(substr(norm, CAST(i+5 AS INT), 1)) AS BIGINT)*29791
+             + CAST(ascii(substr(norm, CAST(i+6 AS INT), 1)) AS BIGINT)*961
+             + CAST(ascii(substr(norm, CAST(i+7 AS INT), 1)) AS BIGINT)*31
+             + CAST(ascii(substr(norm, CAST(i+8 AS INT), 1)) AS BIGINT)) % 33554432) AS h
+          FROM d WHERE length(norm) >= 8),
+        e AS (
+          SELECT doc_id, norm,
+            list_append(
+              list_filter(list_transform(range(len(h)), j ->
+                CASE WHEN h[CAST(j+1 AS INT)] % 64 = 63 AND j+8 < n THEN j+8 END),
+                x -> x IS NOT NULL),
+              n) AS ends
+          FROM g
+          UNION ALL
+          SELECT doc_id, norm, [CAST(length(norm) AS BIGINT)]
+          FROM d WHERE length(norm) BETWEEN 1 AND 7),
+        b AS (SELECT doc_id, norm, unnest(ends) AS e FROM e),
+        c AS (
+          SELECT doc_id, norm, e,
+                 COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s
+          FROM b),
+        ch AS (
+          SELECT doc_id, md5(substr(norm, CAST(s+1 AS INT), CAST(e-s AS INT))) AS ch
+          FROM c),
+        byc AS (SELECT ch, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY ch)
+        SELECT ch.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(SUM(CASE WHEN n_docs > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_chunks,
+               CAST(COALESCE(SUM(CASE WHEN n_docs > 1 THEN 1 END), 0) AS BIGINT) * 10000
+                 // CAST(COUNT(*) AS BIGINT) AS dup_ratio_q
+        FROM ch JOIN byc USING (ch)
+        GROUP BY ch.doc_id ORDER BY ch.doc_id"""),
+    ),
   )
 }

@@ -121,6 +121,24 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Banded signatures + integer norms of an arbitrary (…, embedding)
+    * frame — the s02 index-build pass exposed for the ingest-time gate
+    * ([[graft.streaming.IngestSemDedup]]): adds q (quantized vector),
+    * n2 (integer squared norm), and b0..b{BANDS-1} (16-bit band keys). */
+  private[graft] def bandedOf(vectors: DataFrame): DataFrame = {
+    val withQ = vectors
+      .withColumn("q", quantized(col("embedding")))
+      .withColumn("n2", norm2(col("q")))
+    (0 until BANDS).foldLeft(withQ) { (df, k) => df.withColumn(s"b$k", bandCol(k)) }
+  }
+
+  /** Exact cosine from quantized vectors + integer norms (the verify
+    * expression every ANN candidate join shares). */
+  private[graft] def exactCosine(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =
+    cosine(longDot(qa, qb), n2a, n2b)
+
+  private[graft] def numBands: Int = BANDS
+
   /** Banded-LSH near-dup pairs (i, j, cos): per-band equi-joins, exact
     * integer cosine verified per-row before the union+distinct. */
   private def bandedNearDupPairs(s: SparkSession, dir: String): DataFrame = {

@@ -89,6 +89,25 @@ class StreamShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fileScanPaths(unpersisted).exists(_.contains(corpusDir)))
   }
 
+  test("IngestSemDedup contacts the corpus only via the persisted band index") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("shape-emb").toString
+    val rnd = new scala.util.Random(3)
+    (1 to 50).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(corpusDir)
+    val idx = IngestSemDedup.corpusIndex(spark.read.parquet(corpusDir)).persist()
+    try {
+      val batch = Seq((900L, Array.fill(64)(0.5f)))
+        .toDF("vec_id", "embedding")
+      val df = IngestSemDedup.flagBatch(batch, idx)
+      val corpusScans = fileScanPaths(df).filter(_.contains(corpusDir))
+      assert(corpusScans.isEmpty,
+        s"IngestSemDedup re-scans the corpus embeddings per micro-batch: $corpusScans")
+      assert(inMemoryRelations(df) > 0,
+        "IngestSemDedup never touches the persisted index — the test is vacuous")
+    } finally idx.unpersist()
+  }
+
   test("IncrementalAgg per-batch plan: batch + current snapshot only, one join, no window") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("shape-agg").toString
