@@ -18,6 +18,81 @@ object Curation {
 
   private val TOKS_SQL = """regexp_extract_all(lower(text), '[a-z0-9'']+')"""
 
+  /** Connected-component labels `(node, lab)` of the d05 SimHash near-dup
+    * graph, lab = component minimum; only edge-touched docs appear
+    * (consumers label singletons as themselves via a left join). ONE
+    * contraction (the p03 iterated per-partition union-find, see the p03
+    * comment for the scale argument) cached per (session, dir) and shared
+    * by p03 (cluster report), p11 (leakage-safe split) and d18 (canonical
+    * selection) — the cluster structure is computed once per run, the way
+    * a production pipeline materializes components once and fans out. */
+  private val labelsCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private[analytics] def dupClusterLabels(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    labelsCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val pairs = Dedup.simhashPairs(s, dir).select($"i", $"j")
+      var active: DataFrame = pairs
+        .select(least($"i", $"j").as("src"), greatest($"i", $"j").as("dst"))
+        .localCheckpoint(true)
+      var labels: DataFrame = active.select($"src".as("node"))
+        .union(active.select($"dst"))
+        .distinct()
+        .withColumn("lab", $"node")
+        .localCheckpoint(true)
+      while (!active.isEmpty) {
+        // union-find inside each partition: node -> min reachable root
+        // THERE; a node split across partitions reconciles via min()
+        val local = active.as[(Long, Long)].mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.contains(a)) parent(a) = a
+            if (!parent.contains(b)) parent(b) = b
+            val ra = find(a); val rb = find(b)
+            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          }
+          val ks = parent.keys.toArray // materialize before compressing mutates
+          ks.iterator.map(n => (n, find(n)))
+        }.toDF("node", "root")
+          .groupBy($"node").agg(min($"root").as("root"))
+        // relabel the accumulated labels through this pass's roots
+        labels = labels.as("l")
+          .join(local.as("m"), $"l.lab" === $"m.node", "left")
+          .select($"l.node".as("node"), coalesce($"m.root", $"l.lab").as("lab"))
+          .localCheckpoint(true)
+        // contract the edge list; same-root edges vanish as self-loops
+        active = active.as("e")
+          .join(local.as("a"), $"e.src" === $"a.node", "left")
+          .join(local.as("b"), $"e.dst" === $"b.node", "left")
+          .select(coalesce($"a.root", $"e.src").as("u"), coalesce($"b.root", $"e.dst").as("v"))
+          .filter($"u" =!= $"v")
+          .select(least($"u", $"v").as("src"), greatest($"u", $"v").as("dst"))
+          .distinct()
+          .localCheckpoint(true)
+      }
+      labels
+    })
+
+  /** Oracle twin of [[dupClusterLabels]]: CTE tail (edges/reach/labels)
+    * to splice into a `WITH RECURSIVE` whose scope binds `pairs` —
+    * `labels` is (node, rep). Shared by the p03/p11/d18 oracles. */
+  private[analytics] val CLUSTER_LABELS_SQL = """
+        edges AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
+        reach(node, lab) AS (
+          SELECT i, i FROM edges
+          UNION
+          SELECT e.j, r.lab FROM reach r JOIN edges e ON e.i = r.node
+          WHERE r.lab < e.j),
+        labels AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node)"""
+
   val defs: Seq[QueryDef] = Seq(
     // ---- p01: the end-to-end curation pass ----
     // quality gate (length + lexical-diversity) → exact dedup by content
@@ -119,67 +194,15 @@ object Curation {
       "p03_dup_clusters",
       (s, dir) => {
         import s.implicits._
-        val pairs = Dedup.simhashPairs(s, dir).select($"i", $"j")
-        // canonical undirected edges, one row per pair
-        var active: DataFrame = pairs
-          .select(least($"i", $"j").as("src"), greatest($"i", $"j").as("dst"))
-          .localCheckpoint(true)
-        var labels: DataFrame = active.select($"src".as("node"))
-          .union(active.select($"dst"))
-          .distinct()
-          .withColumn("lab", $"node")
-          .localCheckpoint(true)
-        while (!active.isEmpty) {
-          // union-find inside each partition: node -> min reachable root
-          // THERE; a node split across partitions reconciles via min()
-          val local = active.as[(Long, Long)].mapPartitions { it =>
-            val parent = scala.collection.mutable.LongMap.empty[Long]
-            def find(x: Long): Long = {
-              var r = x
-              while (parent.getOrElse(r, r) != r) r = parent(r)
-              var c = x // path compression
-              while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-              r
-            }
-            it.foreach { case (a, b) =>
-              if (!parent.contains(a)) parent(a) = a
-              if (!parent.contains(b)) parent(b) = b
-              val ra = find(a); val rb = find(b)
-              if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-            }
-            val ks = parent.keys.toArray // materialize before compressing mutates
-            ks.iterator.map(n => (n, find(n)))
-          }.toDF("node", "root")
-            .groupBy($"node").agg(min($"root").as("root"))
-          // relabel the accumulated labels through this pass's roots
-          labels = labels.as("l")
-            .join(local.as("m"), $"l.lab" === $"m.node", "left")
-            .select($"l.node".as("node"), coalesce($"m.root", $"l.lab").as("lab"))
-            .localCheckpoint(true)
-          // contract the edge list; same-root edges vanish as self-loops
-          active = active.as("e")
-            .join(local.as("a"), $"e.src" === $"a.node", "left")
-            .join(local.as("b"), $"e.dst" === $"b.node", "left")
-            .select(coalesce($"a.root", $"e.src").as("u"), coalesce($"b.root", $"e.dst").as("v"))
-            .filter($"u" =!= $"v")
-            .select(least($"u", $"v").as("src"), greatest($"u", $"v").as("dst"))
-            .distinct()
-            .localCheckpoint(true)
-        }
-        labels.groupBy($"lab".as("cluster_rep"))
+        dupClusterLabels(s, dir)
+          .groupBy($"lab".as("cluster_rep"))
           .agg(count(lit(1)).as("size"), max($"node").as("max_doc"))
           .orderBy($"cluster_rep")
       },
       Some(s"""
         WITH RECURSIVE sims AS (${Dedup.simhashSql}),
         pairs AS (${Dedup.SIMHASH_PAIRS_SQL}),
-        edges AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
-        reach(node, lab) AS (
-          SELECT i, i FROM edges
-          UNION
-          SELECT e.j, r.lab FROM reach r JOIN edges e ON e.i = r.node
-          WHERE r.lab < e.j),
-        labels AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node)
+        ${CLUSTER_LABELS_SQL}
         SELECT rep AS cluster_rep, COUNT(*) AS size, MAX(node) AS max_doc
         FROM labels GROUP BY rep ORDER BY rep"""),
     ),
@@ -550,6 +573,61 @@ object Curation {
         FROM sp LEFT JOIN leaky ON leaky.doc_id = sp.doc_id
         WHERE sp.split = 'train'
         GROUP BY sp.source ORDER BY sp.source"""),
+    ),
+
+    // ---- p11: leakage-safe train/val/test split ----
+    // The FIX for what p10 audits: a per-doc hash split puts the two halves
+    // of a near-dup pair on opposite sides of the train/eval boundary, and
+    // the eval numbers inflate. Splitting by the doc's near-dup CLUSTER
+    // representative (p03's components over the d05 SimHash graph;
+    // singletons represent themselves) makes straddling impossible by
+    // construction — every member of a component hashes the same rep into
+    // the same md5 bucket. Output additionally carries the naive per-doc
+    // assignment and a `moved` flag, so SUM(moved) is the measured leakage
+    // the cluster rule prevented. 100 TB: the cluster labels are the
+    // shared p03 contraction (computed once per run), the split itself is
+    // one left join + scan-speed hash bucketing — no new shuffle beyond
+    // the label join.
+    QueryDef(
+      "p11_leakage_safe_split",
+      (s, dir) => {
+        import s.implicits._
+        val labels = dupClusterLabels(s, dir)
+        t(s, dir, "documents").select($"doc_id")
+          .join(labels, $"doc_id" === $"node", "left")
+          .select($"doc_id", coalesce($"lab", $"doc_id").as("cluster_rep"))
+          .withColumn("bucket", Sampling.pctBucket($"cluster_rep"))
+          .withColumn("naive_bucket", Sampling.pctBucket($"doc_id"))
+          .select(
+            $"doc_id", $"cluster_rep",
+            when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+              .otherwise("test").as("split"),
+            (when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+              .otherwise("test") =!=
+             when($"naive_bucket" < 80, "train").when($"naive_bucket" < 90, "val")
+              .otherwise("test")).as("moved"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE sims AS (${Dedup.simhashSql}),
+        pairs AS (${Dedup.SIMHASH_PAIRS_SQL}),
+        ${CLUSTER_LABELS_SQL},
+        lab AS (
+          SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS cluster_rep
+          FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+        b AS (
+          SELECT doc_id, cluster_rep,
+                 ${Sampling.pctBucketSql("cluster_rep")} AS bucket,
+                 ${Sampling.pctBucketSql("doc_id")} AS naive_bucket
+          FROM lab)
+        SELECT doc_id, cluster_rep,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+               (CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val' ELSE 'test' END) <>
+               (CASE WHEN naive_bucket < 80 THEN 'train'
+                     WHEN naive_bucket < 90 THEN 'val' ELSE 'test' END) AS moved
+        FROM b ORDER BY doc_id"""),
     ),
   )
 }

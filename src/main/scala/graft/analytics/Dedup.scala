@@ -1143,5 +1143,56 @@ object Dedup {
         FROM ch JOIN byc USING (ch)
         GROUP BY ch.doc_id ORDER BY ch.doc_id"""),
     ),
+
+    // ---- d18: canonical-document selection per near-dup cluster ----
+    // The ACTION a production dedup stage takes once clusters exist: keep
+    // exactly one representative per near-dup component and map every
+    // other member to it. Canonical = the member with the most characters
+    // (the "keep the fullest copy" rule), ties broken by smallest doc_id —
+    // both engines express it as max-chars-then-min-id, no
+    // order-dependent argmax anywhere. Reuses the ONE shared p03
+    // contraction (Curation.dupClusterLabels); singleton docs are their
+    // own canonical. 100 TB: after the cached label frame, everything is
+    // shrink-only equi-joins on cluster_rep (clusters ≤ docs) and two
+    // cluster-sized aggregates — no new corpus-sized shuffle.
+    QueryDef(
+      "d18_canonical_docs",
+      (s, dir) => {
+        import s.implicits._
+        val labels = Curation.dupClusterLabels(s, dir)
+        val lab = t(s, dir, "documents").select($"doc_id", $"n_chars")
+          .join(labels, $"doc_id" === $"node", "left")
+          .select($"doc_id", coalesce($"lab", $"doc_id").as("cluster_rep"), $"n_chars")
+        val per = lab.groupBy($"cluster_rep")
+          .agg(count(lit(1)).as("cluster_size"), max($"n_chars").as("mx"))
+        val canon = lab.join(per, "cluster_rep")
+          .filter($"n_chars" === $"mx")
+          .groupBy($"cluster_rep").agg(min($"doc_id").as("canonical_id"))
+        lab.join(per, "cluster_rep").join(canon, "cluster_rep")
+          .select($"doc_id", $"cluster_rep", $"cluster_size", $"canonical_id",
+            ($"doc_id" === $"canonical_id").as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE sims AS ($SIMHASH_SQL),
+        pairs AS ($SIMHASH_PAIRS_SQL),
+        ${Curation.CLUSTER_LABELS_SQL},
+        lab AS (
+          SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS cluster_rep, d.n_chars
+          FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+        per AS (
+          SELECT cluster_rep, COUNT(*) AS cluster_size, MAX(n_chars) AS mx
+          FROM lab GROUP BY cluster_rep),
+        canon AS (
+          SELECT lab.cluster_rep, MIN(lab.doc_id) AS canonical_id
+          FROM lab JOIN per ON lab.cluster_rep = per.cluster_rep
+                           AND lab.n_chars = per.mx
+          GROUP BY lab.cluster_rep)
+        SELECT lab.doc_id, lab.cluster_rep, per.cluster_size,
+               canon.canonical_id, lab.doc_id = canon.canonical_id AS keep
+        FROM lab
+        JOIN per USING (cluster_rep) JOIN canon USING (cluster_rep)
+        ORDER BY lab.doc_id"""),
+    ),
   )
 }

@@ -600,5 +600,64 @@ object Events {
         FROM st WHERE (n_gaps * s2 - s1 * s1) * 10000 // (s1 * s1) < 2500
         ORDER BY user_id"""),
     ),
+
+    // ---- e19: ordered funnel conversion ----
+    // The product-analytics staple: of the users who signed up, how many
+    // then clicked AFTER signing up, and then purchased AFTER that click —
+    // order matters, so this is NOT three independent counts (a purchase
+    // before signup must not convert). Earliest-chain semantics: t1 =
+    // first signup, t2 = first click strictly after t1, t3 = first
+    // purchase strictly after t2 — each stage a per-user min-aggregate
+    // joined to the previous stage's frame, the e16 shrink-only-join
+    // chain; strict `>` on exact epoch-micros is deterministic in both
+    // engines. The three stage counts collapse in ONE scalar aggregate
+    // over the left-joined per-user frame (count ignores nulls), then
+    // `stack` melts the single row into the 3-row funnel with an integer
+    // ×10⁴ share of stage 1. 100 TB: three user_id shuffles on per-user
+    // aggregates plus one partial-agg scalar reduce — no window, no
+    // cartesian, no driver loop.
+    QueryDef(
+      "e19_funnel_conversion",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        val s1 = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"us").as("t1"))
+        val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+          .filter($"us" > $"t1").groupBy($"user_id").agg(min($"us").as("t2"))
+        val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+          .filter($"us" > $"t2").groupBy($"user_id").agg(min($"us").as("t3"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .agg(count($"t1").as("u1"), count($"t2").as("u2"), count($"t3").as("u3"))
+          .selectExpr(
+            """stack(3,
+                 1L, 'signup',               u1,
+                 2L, 'click_after_signup',   u2,
+                 3L, 'purchase_after_click', u3) AS (stage, step, users)""",
+            "u1")
+          .selectExpr("stage", "step", "users",
+            "users * 10000 DIV u1 AS pct_of_first_q")
+          .orderBy($"stage")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT ev.user_id, MIN(us) AS t2 FROM ev JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND us > t1 GROUP BY ev.user_id),
+        s3 AS (SELECT ev.user_id, MIN(us) AS t3 FROM ev JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id),
+        one AS (
+          SELECT COUNT(t1) AS u1, COUNT(t2) AS u2, COUNT(t3) AS u3
+          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+        SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step, u1 AS users,
+               u1 * 10000 // u1 AS pct_of_first_q FROM one
+        UNION ALL
+        SELECT 2, 'click_after_signup', u2, u2 * 10000 // u1 FROM one
+        UNION ALL
+        SELECT 3, 'purchase_after_click', u3, u3 * 10000 // u1 FROM one
+        ORDER BY stage"""),
+    ),
   )
 }

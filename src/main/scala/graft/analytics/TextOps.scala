@@ -893,6 +893,105 @@ object TextOps {
                     ELSE 'keep' END AS verdict
         FROM m ORDER BY doc_id"""),
     ),
+
+    // ---- t21: BPE merge training (the distributed tokenizer-training loop) ----
+    // Classic byte-pair-encoding training over the WORD-FREQUENCY table —
+    // the actual dataflow every BPE/WordPiece tokenizer build runs: start
+    // from characters, repeatedly (a) count adjacent symbol pairs weighted
+    // by word frequency, (b) pick the most frequent pair (ties broken by
+    // lexicographically smallest — both engines spell the same rule, no
+    // order-dependent argmax), (c) fuse that pair everywhere. Output = the
+    // learned merge list, the artifact a tokenizer ships.
+    //
+    // Scale shape: the state is the VOCAB table (unique words + freq),
+    // never the corpus — one corpus-linear tokenize feeds a word hash-agg,
+    // after which each of the K iterations is (vocab-linear pair explode →
+    // map-side-combined hash agg) + (ONE-ROW best-pair aggregate via
+    // min(struct(-cnt, pair)), joined back on a constant key = broadcast,
+    // no cartesian) + a per-row literal replace. Each iteration is
+    // localCheckpoint'd eagerly (the p03 contraction pattern) so the K-deep
+    // loop never re-derives lineage — at 100 TB the corpus is touched
+    // exactly once and the loop runs on the ~10⁶-row vocab regardless of
+    // corpus size. The padded-seq literal replace (' a b ' → ' ab ') is
+    // left-to-right non-overlapping in both engines, so 'a a a' fuses to
+    // '(aa) a' identically.
+    QueryDef(
+      "t21_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        var vocab: org.apache.spark.sql.DataFrame = t(s, dir, "documents")
+          .select(explode(
+            regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0))).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("freq"))
+          .withColumn("seq",
+            concat(lit(" "), trim(regexp_replace($"word", "(.)", "$1 ")), lit(" ")))
+          .localCheckpoint(true)
+        val merges = (1 to BPE_MERGES).map { it =>
+          val pairs = vocab
+            .withColumn("toks", split(trim($"seq"), " "))
+            .withColumn("pair", explode(expr(
+              """CASE WHEN size(toks) >= 2
+                 THEN transform(sequence(0, size(toks)-2),
+                        i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2)))
+                 ELSE array() END""")))
+            .groupBy($"pair").agg(sum($"freq").as("cnt"))
+          val best = pairs
+            .agg(min(struct((-$"cnt").as("nc"), $"pair".as("p"))).as("m"))
+            .select($"m.p".as("pair"), (-$"m.nc").as("cnt"))
+            .localCheckpoint(true)
+          vocab = vocab.withColumn("k", lit(1))
+            .join(best.select($"pair", lit(1).as("k")), "k")
+            .withColumn("seq", expr(
+              "replace(seq, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')"))
+            .select($"word", $"freq", $"seq")
+            .localCheckpoint(true)
+          best.select(lit(it.toLong).as("it"), $"pair",
+            regexp_replace($"pair", " ", "").as("new_token"), $"cnt".as("pair_count"))
+        }
+        merges.reduce(_ unionAll _).orderBy($"it")
+      },
+      Some(bpeOracle(BPE_MERGES)),
+    ),
   )
 
+  /** Number of t21 merge iterations — enough to exercise merged symbols
+    * re-merging (learned tokens growing past 2 chars). `final` + literal
+    * makes it a compile-time constant: `defs` above references it during
+    * object init, BEFORE a plain val here would be assigned. */
+  private final val BPE_MERGES = 6
+
+  /** The t21 oracle, generated: the same K iterations as chained CTE
+    * layers (DuckDB has no loop, so the loop is unrolled — each layer is
+    * the literal SQL of one Spark iteration). */
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+        WITH tok AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS word
+          FROM documents),
+        w AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+        v0 AS (SELECT word, freq,
+                      ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS seq
+               FROM w)"""
+    for (i <- 1 to k) {
+      sb ++= s""",
+        p$i AS (
+          SELECT pr AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT freq,
+                   unnest(list_transform(range(len(t)-1),
+                     x -> t[CAST(x+1 AS INT)] || ' ' || t[CAST(x+2 AS INT)])) AS pr
+            FROM (SELECT freq, string_split(trim(seq), ' ') AS t FROM v${i - 1}) z) y
+          GROUP BY pr),
+        b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+        v$i AS (
+          SELECT word, freq,
+                 replace(seq, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq
+          FROM v${i - 1} CROSS JOIN b$i)"""
+    }
+    sb ++= (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS it, pair, replace(pair, ' ', '') AS new_token, " +
+        s"cnt AS pair_count FROM b$i")
+      .mkString("\n        ", "\n        UNION ALL\n        ", "\n        ORDER BY it")
+    sb.toString
+  }
 }
