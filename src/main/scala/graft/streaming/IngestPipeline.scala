@@ -4,8 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The composed ingestion gate — [[IngestQuality]], [[IngestDedup]] (exact
-  * tiles) and [[IngestNearDup]] (MinHash+LSH) run as ONE foreachBatch pass,
-  * the way a real crawl pipeline runs them: every arriving document gets a
+  * tiles), [[IngestNearDup]] (MinHash+LSH) and optionally
+  * [[IngestSemDedup]] (embedding space) run as ONE foreachBatch pass, the
+  * way a real crawl pipeline runs them: every arriving document gets a
   * single verdict row, and each corpus-side index is read once per batch.
   *
   * Stage order is cheapest-first so work shrinks monotonically:
@@ -14,9 +15,14 @@ import org.apache.spark.sql.functions._
   *  2. exact tile dedup — quality survivors explode to tile hashes and
   *     left-join the static corpus tile index;
   *  3. near-dup — exact survivors band-join the static corpus band index,
-  *     exact-Jaccard verify on collisions only.
+  *     exact-Jaccard verify on collisions only;
+  *  4. semantic (only when the corpus sides carry an embedding band index
+  *     AND the batch has an `embedding` column) — near-dup survivors
+  *     band-join the corpus EMBEDDING index, exact integer cosine verify
+  *     on collisions only: the SemDeDup signal as the last, most
+  *     expensive line of defense.
   *
-  * The single pass is EQUAL to chaining the three gates independently
+  * The single pass is EQUAL to chaining the gates independently
   * (IngestPipelineSpec proves output parity): each stage's predicate
   * depends only on its own signals, so filtering early is pure work
   * elimination, not a semantic change. Per-batch corpus contact stays the
@@ -26,18 +32,21 @@ import org.apache.spark.sql.functions._
   */
 object IngestPipeline {
 
-  /** The static corpus sides all three gates share. Built once from the
+  /** The static corpus sides the gates share. Built once from the
     * corpus, persisted (or written as tables) by the caller — at 100 TB
-    * these are the shared index tables every ingest job mounts. */
+    * these are the shared index tables every ingest job mounts. `sem` is
+    * the optional [[IngestSemDedup.corpusIndex]] over the corpus
+    * embeddings; absent, stage 4 is skipped. */
   final case class CorpusSides(tiles: DataFrame, bands: DataFrame,
-      shingles: DataFrame, counts: DataFrame) {
+      shingles: DataFrame, counts: DataFrame,
+      sem: Option[DataFrame] = None) {
     def persist(): CorpusSides = {
-      Seq(tiles, bands, shingles, counts).foreach(
+      (Seq(tiles, bands, shingles, counts) ++ sem).foreach(
         _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       this
     }
     def unpersist(): Unit =
-      Seq(tiles, bands, shingles, counts).foreach(_.unpersist())
+      (Seq(tiles, bands, shingles, counts) ++ sem).foreach(_.unpersist())
   }
 
   def corpusIndex(corpusDocs: DataFrame): CorpusSides = {
@@ -45,6 +54,12 @@ object IngestPipeline {
     val (bands, shingles, counts) = IngestNearDup.corpusIndex(corpusDocs)
     CorpusSides(tiles, bands, shingles, counts)
   }
+
+  /** Corpus sides including the semantic stage: `corpusVectors` is
+    * (vec_id, embedding) with vec_id = doc_id. */
+  def corpusIndex(corpusDocs: DataFrame, corpusVectors: DataFrame): CorpusSides =
+    corpusIndex(corpusDocs).copy(
+      sem = Some(IngestSemDedup.corpusIndex(corpusVectors)))
 
   /** Gate one batch of arrivals (doc_id, text). One verdict row per
     * arriving doc: the quality signals, the dedup flags of whichever
@@ -54,7 +69,8 @@ object IngestPipeline {
   def gateBatch(batch: DataFrame, sides: CorpusSides,
       minEntropy: Double = 3.0, maxEntropy: Double = 6.0,
       minTokens: Long = 10L, minDistinctRatio: Double = 0.2,
-      minFrac: Double = 0.5, minJaccard: Double = 0.7): DataFrame = {
+      minFrac: Double = 0.5, minJaccard: Double = 0.7,
+      minCos: Double = 0.9): DataFrame = {
     val scored = IngestQuality.score(batch)
       .withColumn("quality_pass",
         col("entropy") >= minEntropy && col("entropy") <= maxEntropy &&
@@ -69,15 +85,38 @@ object IngestPipeline {
         sides.bands, sides.shingles, sides.counts, minJaccard)
       .select(col("doc_id"), col("n_candidates"), col("n_neardups"),
         col("neardup"), col("first_neardup"))
-    scored
+    val flagged = scored
       .select("doc_id", "entropy", "n_tokens", "distinct_ratio", "quality_pass")
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
-      .withColumn("verdict",
-        when(!col("quality_pass"), "rejected_quality")
-          .when(col("exact_dup"), "exact_dup")
-          .when(col("neardup"), "near_dup")
-          .otherwise("accepted"))
+    // stage 4 runs only with both an embedding index and embedding data;
+    // survivors of stage 3 that carry a vector are checked, everything
+    // else passes through with null semantic signals
+    val semStage = sides.sem.filter(_ => batch.columns.contains("embedding"))
+    val withSem = semStage match {
+      case None => flagged
+      case Some(idx) =>
+        val nearPass = exactPass.join(
+          near.filter(!col("neardup")).select("doc_id"), Seq("doc_id"), "left_semi")
+        val vecs = batch
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+          .where(col("embedding").isNotNull)
+          .join(nearPass.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val sem = IngestSemDedup.flagBatch(vecs, idx, minCos)
+          .select(col("vec_id").as("doc_id"),
+            col("n_candidates").as("n_semcands"),
+            col("n_semdups"), col("semdup"), col("first_semdup"))
+        flagged.join(sem, Seq("doc_id"), "left")
+    }
+    val verdict = {
+      val base = when(!col("quality_pass"), "rejected_quality")
+        .when(col("exact_dup"), "exact_dup")
+        .when(col("neardup"), "near_dup")
+      (if (semStage.isDefined) base.when(col("semdup"), "sem_dup") else base)
+        .otherwise("accepted")
+    }
+    withSem
+      .withColumn("verdict", verdict)
       .withColumn("accepted", col("verdict") === "accepted")
   }
 
@@ -85,13 +124,13 @@ object IngestPipeline {
     * micro-batch makes one pass through all three stages and hands the
     * verdict frame to `sink`. */
   def start(stream: DataFrame, sides: CorpusSides, checkpoint: String,
-      minJaccard: Double = 0.7)(
+      minJaccard: Double = 0.7, minCos: Double = 0.9)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(gateBatch(batch, sides, minJaccard = minJaccard), id)
+        sink(gateBatch(batch, sides, minJaccard = minJaccard, minCos = minCos), id)
       }
       .start()
 }

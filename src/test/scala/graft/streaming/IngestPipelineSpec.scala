@@ -96,6 +96,42 @@ class IngestPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sides.unpersist()
   }
 
+  test("semantic stage flags embedding near-dups of otherwise-fresh text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val v1 = vec(); val v2 = vec(); val vOrtho = vec()
+    val vectors = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    val sides = IngestPipeline.corpusIndex(corpus, vectors).persist()
+    try {
+      // 205: fresh words (passes every text stage) but corpus-1's embedding
+      //      → sem_dup, naming corpus vector 1
+      // 206: fresh words, unrelated embedding → accepted
+      // 204: too short, carries an embedding — must still die at quality
+      val batch = Seq(
+        (205L, mk((1 to 40).map(i => s"novel${i}q")), v1),
+        (206L, mk((1 to 40).map(i => s"plain${i}w")), vOrtho),
+        (204L, "hi", v1)).toDF("doc_id", "text", "embedding")
+      val out = IngestPipeline.gateBatch(batch, sides)
+      val v = verdictMap(out)
+      assert(v == Map(205L -> "sem_dup", 206L -> "accepted",
+        204L -> "rejected_quality"), s"verdicts: $v")
+      val first = out.filter($"doc_id" === 205L).select($"first_semdup").as[Long].head()
+      assert(first == 1L)
+      // parity: the composed stage equals IngestSemDedup run by hand on
+      // the stage-3 survivors
+      val handVecs = Seq((205L, v1), (206L, vOrtho)).toDF("vec_id", "embedding")
+      val hand = IngestSemDedup.flagBatch(handVecs, sides.sem.get)
+        .select($"vec_id", $"semdup").as[(Long, Boolean)].collect().toMap
+      assert(hand == Map(205L -> true, 206L -> false))
+      // a batch with no embedding column skips the stage (schema unchanged)
+      val noVec = IngestPipeline.gateBatch(
+        Seq((207L, mk((1 to 40).map(i => s"clean${i}z")))).toDF("doc_id", "text"), sides)
+      assert(!noVec.columns.contains("semdup"))
+      assert(verdictMap(noVec) == Map(207L -> "accepted"))
+    } finally sides.unpersist()
+  }
+
   test("micro-batched stream == one-shot batch; every arrival gets a verdict") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
