@@ -31,15 +31,19 @@ object BenchSf1 {
   private val Reps = 10
   private val Off = 10000000L
 
-  /** Top-10 by sf0.1 median cost (bench_queries.json, round 4), plus the
-    * two recall gates — their cost model changed in round 6 (truth joins
-    * now run on the md5-bucket eval sample, never the corpus), and this
-    * checkpoint is the proof the sampled form stays flat at 10×. */
+  /** Top of the sf0.1 cost table (bench_queries.json, round 7), plus the
+    * recall gates (the round-6 size-targeted eval sample must stay flat at
+    * 10× — at 50k docs the pct drops from 50 to 5) and the round-7
+    * iterated/fan-out operators whose scale story deserves measurement:
+    * t21 (K-round vocab loop), d17 (cdc-chunk explode), d18 (drives the
+    * shared p03 cluster contraction at 10×). */
   private val Top10 = Seq(
-    "p03_dup_clusters", "m06_crossmodal_consensus", "p09_novelty_weighted_sample",
+    "p03_dup_clusters", "m06_crossmodal_consensus", "s13_pq_adc_recall",
     "q45_bag_set_ops", "d10_incremental_dedup", "d05_simhash_pairs",
-    "d02_ngram_jaccard_pairs", "e16_strict_funnel", "q11_important_parts",
-    "d11_source_overlap", "d12_lsh_recall", "d16_dfcap_recall")
+    "d02_ngram_jaccard_pairs", "d15_minhash_calibration", "q11_important_parts",
+    "p10_split_decontam", "t19_bigram_surprisal", "t21_bpe_merges",
+    "d17_cdc_chunk_dedup", "d18_canonical_docs",
+    "d12_lsh_recall", "d16_dfcap_recall")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

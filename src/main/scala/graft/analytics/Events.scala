@@ -659,5 +659,72 @@ object Events {
         SELECT 3, 'purchase_after_click', u3, u3 * 10000 // u1 FROM one
         ORDER BY stage"""),
     ),
+
+    // ---- e20: retention cohort matrix ----
+    // The other product-analytics staple next to e19's funnel: users
+    // bucketed by the epoch-week of their FIRST event (the cohort), then
+    // for each cohort × weeks-since, how many of its users were active
+    // that week — the retention triangle every growth dashboard draws.
+    // All integer arithmetic on exact epoch-micros (week = us DIV
+    // 604800000000, weeks_since = active_week − cohort_week, share as
+    // ×10⁴ integer division). The organic corpus is DENSE (every user
+    // active every week ⇒ a flat 100% triangle), so — the t18/t20/e18
+    // injection recipe — 60 deterministic churning users are unioned in:
+    // cohorts staggered by id%3, each staying 1+id%5 weeks then gone,
+    // giving the triangle real decay the oracle must reproduce.
+    // Dataflow: one per-user min-aggregate (cohort), one distinct over
+    // (user, week) (activity), a user_id equi-join binding the two, a
+    // (cohort, delta)-keyed aggregate, and a cohort-sized join for the
+    // denominator — every shuffle keyed on user_id or the tiny cohort
+    // key, no window at all. 100 TB: user cardinality bounds everything;
+    // the output is weeks² rows.
+    QueryDef(
+      "e20_retention_cohorts",
+      (s, dir) => {
+        import s.implicits._
+        val real = t(s, dir, "events")
+          .select($"user_id", expr("unix_micros(ts) DIV 604800000000").as("week"))
+        val churners = s.range(60)
+          .selectExpr("CAST(2000000 + id AS BIGINT) AS user_id",
+            "CAST(2817 + id % 3 AS BIGINT) AS start_week",
+            "CAST(1 + id % 5 AS BIGINT) AS stay")
+          .withColumn("d", explode(expr("sequence(0L, stay - 1)")))
+          .select($"user_id", ($"start_week" + $"d").as("week"))
+        val wk = real.unionByName(churners)
+        val cohort = wk.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+        val sizes = cohort.groupBy($"cohort_week").agg(count(lit(1)).as("cohort_size"))
+        wk.distinct()
+          .join(cohort, "user_id")
+          .groupBy($"cohort_week", ($"week" - $"cohort_week").as("weeks_since"))
+          .agg(count(lit(1)).as("active_users"))
+          .join(sizes, "cohort_week")
+          .withColumn("retained_pct_q",
+            expr("active_users * 10000 DIV cohort_size"))
+          .select($"cohort_week", $"weeks_since", $"active_users",
+            $"cohort_size", $"retained_pct_q")
+          .orderBy($"cohort_week", $"weeks_since")
+      },
+      Some("""
+        WITH wk AS (
+          SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+          UNION ALL
+          SELECT 2000000 + k AS user_id,
+                 2817 + k % 3 + unnest(range(1 + k % 5)) AS week
+          FROM (SELECT unnest(range(60)) AS k) r),
+        cohort AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id),
+        sizes AS (
+          SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY 1),
+        act AS (SELECT DISTINCT user_id, week FROM wk),
+        m AS (
+          SELECT cohort_week, week - cohort_week AS weeks_since,
+                 COUNT(*) AS active_users
+          FROM act JOIN cohort USING (user_id)
+          GROUP BY 1, 2)
+        SELECT cohort_week, weeks_since, active_users, cohort_size,
+               active_users * 10000 // cohort_size AS retained_pct_q
+        FROM m JOIN sizes USING (cohort_week)
+        ORDER BY cohort_week, weeks_since"""),
+    ),
   )
 }

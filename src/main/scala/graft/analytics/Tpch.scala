@@ -1420,5 +1420,76 @@ object Tpch {
                buckets_touched_yq
         FROM rep ORDER BY layout"""),
     ),
+
+    // ---- q48: grouped quantile sketch (scalable percentiles, no sort) ----
+    // The scale-honest answer to "what's the p50/p90/p99 price per return
+    // flag": an exact global percentile needs a total sort (or an
+    // unpartitioned rank window — banned at scale); the mergeable sketch
+    // shape is ONE map-side-combined histogram aggregate over fixed log2
+    // buckets (t13's binary-width trick on integer cents), then all
+    // quantile math happens on the ≤64-rows-per-group histogram: a
+    // per-group cumulative window (PARTITIONED by the group key — never
+    // global), a 3-way threshold fan-out, and a min(struct) pick of the
+    // first bucket whose cumulative count reaches ceil(p·n/100). Returns
+    // the bucket's [lo, hi] bracket — the sketch's honest ±bucket-width
+    // answer. Floor(x·100) on the SAME IEEE double product keeps Spark
+    // and DuckDB on identical cents. 100 TB: the corpus-sized work is
+    // the one histogram agg; everything after is per-group constant.
+    QueryDef(
+      "q48_quantile_sketch",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val cum = Window.partitionBy($"l_returnflag").orderBy($"blen")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val all = Window.partitionBy($"l_returnflag")
+        val hist = t(s, dir, "lineitem")
+          .select($"l_returnflag",
+            floor($"l_extendedprice" * 100).cast("long").as("cents"))
+          .withColumn("blen", length(bin($"cents")).cast("int"))
+          .groupBy($"l_returnflag", $"blen")
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("cum", sum($"n_rows").over(cum))
+          .withColumn("n", sum($"n_rows").over(all))
+        hist
+          .withColumn("p", explode(array(lit(50L), lit(90L), lit(99L))))
+          .filter($"cum" * 100L >= $"p" * $"n")
+          .groupBy($"l_returnflag", $"p")
+          .agg(min(struct($"blen", $"n")).as("m"))
+          .select($"l_returnflag", $"p",
+            $"m.blen".as("bucket"),
+            expr("shiftleft(1L, m.blen - 1)").as("bucket_lo"),
+            expr("shiftleft(1L, m.blen) - 1L").as("bucket_hi"),
+            $"m.n".as("n_total"))
+          .orderBy($"l_returnflag", $"p")
+      },
+      Some("""
+        WITH c AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem),
+        h AS (
+          SELECT l_returnflag, CAST(length(bin(cents)) AS INT) AS blen,
+                 COUNT(*) AS n_rows
+          FROM c GROUP BY 1, 2),
+        w AS (
+          SELECT l_returnflag, blen, n_rows,
+                 CAST(SUM(n_rows) OVER (PARTITION BY l_returnflag ORDER BY blen
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(SUM(n_rows) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+          FROM h),
+        q AS (
+          SELECT l_returnflag, p, MIN(blen) AS bucket, MIN(n) AS n_total
+          FROM w CROSS JOIN (SELECT unnest([CAST(50 AS BIGINT),
+                                            CAST(90 AS BIGINT),
+                                            CAST(99 AS BIGINT)]) AS p) ps
+          WHERE cum * 100 >= p * n
+          GROUP BY 1, 2)
+        SELECT l_returnflag, p, bucket,
+               CAST(1 << (bucket - 1) AS BIGINT) AS bucket_lo,
+               CAST((1 << bucket) - 1 AS BIGINT) AS bucket_hi,
+               n_total
+        FROM q ORDER BY l_returnflag, p"""),
+    ),
   )
 }
