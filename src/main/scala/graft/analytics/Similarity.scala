@@ -1189,5 +1189,202 @@ object Similarity {
         FROM (SELECT vec_id AS qid FROM qv WHERE vec_id < 5) q
         LEFT JOIN phits h USING (qid) ORDER BY qid"""),
     ),
+
+    // ---- s14: IVF-PQ residual search + recall@10 (the production ----
+    // ---- ANN layout: cell pruning × code compression, composed) ----
+    // The FAISS-style IVFPQ composition of s05 and s13: vectors live in
+    // IVF cells (the shared s05 build), and what gets PQ-encoded is each
+    // vector's RESIDUAL from its cell centroid — residuals are centered
+    // near zero, so the same 4-byte budget quantizes them far better
+    // than raw vectors. Search: a query probes its NPROBE nearest cells;
+    // for each probed cell it forms its residual against THAT centroid,
+    // precomputes the M×K ADC table, and ranks only that cell's members
+    // by 4 table lookups each. The recall gate measures BOTH loss
+    // sources at once (pruned cells + quantized codes) against the
+    // exact-L2 truth — the number an IVFPQ rollout actually negotiates.
+    // At 100 TB: the cell assignment and 4-byte codes are the persisted
+    // index; per query the corpus-sized work is the probed cells' code
+    // scan (lookup+sum), centroids/codebook/tables all broadcast. All
+    // arithmetic exact BIGINT on 2^20-quantized ints; ties break on
+    // (distance, id) — the oracle replays training, residual encoding,
+    // and search bit-for-bit.
+    QueryDef(
+      "s14_ivfpq_recall",
+      (s, dir) => {
+        import s.implicits._
+        val M = 4; val SUBDIM = DIMS / M; val K = 16
+        val PQSEED = NLIST + K // residual-codebook seeds: cids in [NLIST, PQSEED)
+        def sub(qc: Column, m: Int) = slice(qc, m * SUBDIM + 1, SUBDIM)
+        def ssd(a: Column, b: Column): Column = {
+          val d = zip_with(a, b, (x, y) => x - y)
+          longDot(d, d)
+        }
+        val emb = withQNorm(t(s, dir, "embeddings"))
+        val (assigned, cent1) = ivfBuild(s, dir)
+        // per-vector residual from its OWN cell centroid
+        val res = assigned.join(broadcast(cent1), "cent_id")
+          .withColumn("rb", zip_with($"qb", $"qc", (x, y) => x - y))
+          .select($"cid", $"cent_id", $"rb")
+        def subRows(df: DataFrame, col0: String): DataFrame =
+          (0 until M).map(m =>
+            df.select(df.columns.filterNot(_ == col0).map(col) :+
+              lit(m).as("m") :+ sub(col(col0), m).as("rs"): _*))
+            .reduce(_ unionAll _)
+        // seed codebook: residual subvectors of the first K corpus cids
+        val seed = subRows(res.filter($"cid" < PQSEED).select($"cid", $"rb"), "rb")
+          .select($"cid".as("cent"), $"m", $"rs".as("rc"))
+        // one Lloyd floor-mean step over the remaining residuals
+        val wTrain = Window.partitionBy($"cid", $"m").orderBy($"ssd", $"cent")
+        val a0 = subRows(res.filter($"cid" >= PQSEED).select($"cid", $"rb"), "rb")
+          .join(broadcast(seed), "m")
+          .withColumn("ssd", ssd($"rs", $"rc"))
+          .withColumn("rn", row_number().over(wTrain)).filter($"rn" === 1)
+          .select($"m", $"cent", $"rs")
+        val pqCent = a0.select($"m", $"cent", posexplode($"rs").as(Seq("sd", "v")))
+          .groupBy($"m", $"cent", $"sd")
+          .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cv"))
+          .groupBy($"m", $"cent")
+          .agg(transform(array_sort(collect_list(struct($"sd", $"cv"))),
+            x => x.getField("cv")).as("rc"))
+        // encode EVERY corpus residual as its 4 nearest-centroid ids
+        val wCode = Window.partitionBy($"cid", $"m").orderBy($"ssd", $"cent")
+        val codes = subRows(res.select($"cid", $"rb"), "rb")
+          .join(broadcast(pqCent), "m")
+          .withColumn("ssd", ssd($"rs", $"rc"))
+          .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
+          .select($"cid", $"m", $"cent")
+        // query probes (the s05 coarse search) + per-(query, cell) residual
+        val q = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("qid"), $"q".as("qa"), $"n2".as("n2a"))
+        val wP = Window.partitionBy($"qid").orderBy($"pcos".desc, $"cent_id")
+        val probes = q.join(broadcast(cent1))
+          .withColumn("pcos", cosine(dotInt("qc", "qa"), $"n2c", $"n2a"))
+          .withColumn("pr", row_number().over(wP)).filter($"pr" <= NPROBE)
+          .withColumn("rq", zip_with($"qa", $"qc", (x, y) => x - y))
+          .select($"qid", $"cent_id", $"rq")
+        // per-(query, cell) ADC tables vs the residual codebook
+        val tab = subRows(probes.select($"qid", $"cent_id", $"rq"), "rq")
+          .join(broadcast(pqCent), "m")
+          .withColumn("ssd", ssd($"rs", $"rc"))
+          .select($"qid", $"cent_id", $"m", $"cent", $"ssd")
+        // candidates = members of probed cells; adist = 4 table lookups
+        val cands = broadcast(probes.select($"qid", $"cent_id"))
+          .join(assigned.select($"cid", $"cent_id"), "cent_id")
+        val wAdc = Window.partitionBy($"qid").orderBy($"adist", $"cid")
+        val approx = cands
+          .join(codes, "cid")
+          .join(broadcast(tab), Seq("qid", "cent_id", "m", "cent"))
+          .groupBy($"qid", $"cid").agg(sum($"ssd").as("adist"))
+          .withColumn("rn", row_number().over(wAdc)).filter($"rn" <= 10)
+          .select($"qid", $"cid")
+        val nCands = cands.groupBy($"qid").agg(count(lit(1)).as("n_cands"))
+        // exact-L2 truth over the SAME corpus (everything outside the seeds)
+        val c = emb.filter($"vec_id" >= NLIST)
+          .select($"vec_id".as("cid"), $"q".as("qb"), $"n2".as("n2b"))
+        val wE = Window.partitionBy($"qid").orderBy($"ed", $"cid")
+        val exact = c.join(broadcast(q))
+          .withColumn("ed", $"n2a" + $"n2b" - lit(2L) * dotInt("qa", "qb"))
+          .withColumn("rn", row_number().over(wE)).filter($"rn" <= 10)
+          .select($"qid", $"cid")
+        val hits = exact.join(approx, Seq("qid", "cid"))
+          .groupBy($"qid").agg(count(lit(1)).as("hits"))
+        q.select($"qid")
+          .join(nCands, Seq("qid"), "left")
+          .join(hits, Seq("qid"), "left")
+          .withColumn("n_cands", coalesce($"n_cands", lit(0L)))
+          .withColumn("hits", coalesce($"hits", lit(0L)))
+          .withColumn("recall", $"hits".cast("double") / 10)
+          .select($"qid", $"n_cands", $"hits", $"recall")
+          .orderBy($"qid")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        ${ivfBuildCtes(NLIST)},
+        probes AS (
+          SELECT vec_id AS qid, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS pr
+            FROM c1cos WHERE vec_id < 5) x
+          WHERE pr <= $NPROBE),
+        rres AS (
+          SELECT a.cid, a.cent_id, c.d, v.q[CAST(c.d+1 AS INT)] - c.cv AS rv
+          FROM assign a JOIN qv v ON v.vec_id = a.cid
+          JOIN cent1 c ON c.cent_id = a.cent_id),
+        sres AS (SELECT cid, d // 16 AS m, d % 16 AS sd, rv FROM rres),
+        qssd0 AS (
+          SELECT v.cid, v.m, r.cid AS cent,
+                 CAST(SUM((v.rv - r.rv) * (v.rv - r.rv)) AS BIGINT) AS ssd
+          FROM sres v JOIN sres r ON r.m = v.m AND r.sd = v.sd
+          WHERE v.cid >= ${NLIST + 16} AND r.cid >= $NLIST AND r.cid < ${NLIST + 16}
+          GROUP BY v.cid, v.m, r.cid),
+        qassign0 AS (
+          SELECT cid, m, cent FROM (
+            SELECT cid, m, cent,
+                   ROW_NUMBER() OVER (PARTITION BY cid, m ORDER BY ssd, cent) AS rn
+            FROM qssd0) x WHERE rn = 1),
+        qcent AS (
+          SELECT a.m, a.cent, v.sd,
+                 CAST(FLOOR(CAST(SUM(v.rv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+          FROM qassign0 a JOIN sres v ON v.cid = a.cid AND v.m = a.m
+          GROUP BY a.m, a.cent, v.sd),
+        qssd1 AS (
+          SELECT v.cid, c.m, c.cent,
+                 CAST(SUM((v.rv - c.cv) * (v.rv - c.cv)) AS BIGINT) AS ssd
+          FROM sres v JOIN qcent c ON c.m = v.m AND c.sd = v.sd
+          GROUP BY v.cid, c.m, c.cent),
+        qcodes AS (
+          SELECT cid, m, cent FROM (
+            SELECT cid, m, cent,
+                   ROW_NUMBER() OVER (PARTITION BY cid, m ORDER BY ssd, cent) AS rn
+            FROM qssd1) x WHERE rn = 1),
+        qres AS (
+          SELECT p.qid, p.cent_id, c.d // 16 AS m, c.d % 16 AS sd,
+                 v.q[CAST(c.d+1 AS INT)] - c.cv AS rv
+          FROM probes p JOIN qv v ON v.vec_id = p.qid
+          JOIN cent1 c ON c.cent_id = p.cent_id),
+        qtab AS (
+          SELECT r.qid, r.cent_id, c.m, c.cent,
+                 CAST(SUM((r.rv - c.cv) * (r.rv - c.cv)) AS BIGINT) AS ssd
+          FROM qres r JOIN qcent c ON c.m = r.m AND c.sd = r.sd
+          GROUP BY r.qid, r.cent_id, c.m, c.cent),
+        qcands AS (
+          SELECT p.qid, a.cid, a.cent_id
+          FROM probes p JOIN assign a ON a.cent_id = p.cent_id),
+        qadc AS (
+          SELECT cn.qid, cn.cid, CAST(SUM(t.ssd) AS BIGINT) AS adist
+          FROM qcands cn
+          JOIN qcodes k ON k.cid = cn.cid
+          JOIN qtab t ON t.qid = cn.qid AND t.cent_id = cn.cent_id
+                     AND t.m = k.m AND t.cent = k.cent
+          GROUP BY cn.qid, cn.cid),
+        qapprox AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+            FROM qadc) x WHERE rn <= 10),
+        qncands AS (SELECT qid, COUNT(*) AS n_cands FROM qcands GROUP BY qid),
+        qedist AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 na.n2 + nb.n2 - 2*CAST(SUM(a.q[i+1]*b.q[i+1]) AS BIGINT) AS ed
+          FROM qv a JOIN qv b ON a.vec_id < 5 AND b.vec_id >= $NLIST
+          CROSS JOIN dims
+          JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
+          GROUP BY a.vec_id, b.vec_id, na.n2, nb.n2),
+        qexact AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ed, cid) AS rn
+            FROM qedist) x WHERE rn <= 10),
+        qhits AS (
+          SELECT e.qid, COUNT(*) AS hits
+          FROM qexact e JOIN qapprox a ON a.qid = e.qid AND a.cid = e.cid
+          GROUP BY e.qid)
+        SELECT q.qid,
+               CAST(COALESCE(nc.n_cands, 0) AS BIGINT) AS n_cands,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+               CAST(COALESCE(h.hits, 0) AS DOUBLE)/10 AS recall
+        FROM (SELECT vec_id AS qid FROM qv WHERE vec_id < 5) q
+        LEFT JOIN qncands nc USING (qid)
+        LEFT JOIN qhits h USING (qid) ORDER BY qid"""),
+    ),
   )
 }
