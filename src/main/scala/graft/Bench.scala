@@ -51,14 +51,23 @@ object Bench {
     // one-segment box noise, now exceeding even the 2× envelope once.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val samples = collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    // A query that throws must NEVER masquerade as a fast one: round 7
+    // shipped sixteen 2–12 ms "medians" that were exception paths (stderr
+    // gets truncated out of the driver tail, so the JSON is the only record).
+    // Failed queries are excluded from count/total/queries and listed in an
+    // explicit "failed" array in both the detail file and the stdout line.
+    val failed = collection.mutable.LinkedHashSet.empty[String]
     for (_ <- 1 to rounds; (name, fn) <- SparkEntry.queries) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
-      samples.updateWith(name)(prev => Some(dt :: prev.getOrElse(Nil)))
+      if (ok) samples.updateWith(name)(prev => Some(dt :: prev.getOrElse(Nil)))
     }
     val results = samples.map { case (name, ts) =>
       val sorted = ts.sorted
@@ -71,9 +80,10 @@ object Bench {
     // perf signal (round 1's parsed:null). Stdout gets one short totals line.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_queries.json")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"rounds":$rounds,"queries":$qs,"sf":"$sfDir","method":"warm-cache, median-of-$rounds per query (tables persisted + codegen warmup before timing; cold-read parquet numbers would be higher — see README). Round-7 note: the official BENCH_r06 q05-q10 cluster (2.3-2.9x vs r5) did NOT reproduce — graft.ClusterBench ran the five interleaved median-of-3 twice back-to-back in one session, all at round-5 levels in both passes (q05 0.747/0.590s vs official 1.798) with flat controls; one-segment box noise in the official r6 run"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"rounds":$rounds,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","method":"warm-cache, median-of-$rounds per query (tables persisted + codegen warmup before timing; cold-read parquet numbers would be higher — see README); queries that throw are EXCLUDED from count/total and listed in failed[]. Round-7 note: the official BENCH_r06 q05-q10 cluster (2.3-2.9x vs r5) did NOT reproduce — graft.ClusterBench ran the five interleaved median-of-3 twice back-to-back in one session, all at round-5 levels in both passes (q05 0.747/0.590s vs official 1.798) with flat controls; one-segment box noise in the official r6 run"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     // Headline subset keeps the stdout line short (<400 chars) while still
@@ -83,7 +93,7 @@ object Bench {
       "s05_ivf_ann", "e10_asof_join", "t06_top_bigrams")
       .flatMap(k => results.get(k).map(v => "\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"sf":"$sfDir","detail":"$detailPath","method":"warm-cache median-of-$rounds"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"failed":$failedJson,"queries":$headline,"sf":"$sfDir","detail":"$detailPath","method":"warm-cache median-of-$rounds"}""")
     spark.stop()
   }
 }

@@ -32,17 +32,35 @@ object Tables {
       load(spark, dir, name).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects — read nanos as long and truncate to microseconds
-    // (identical to DuckDB's ns→us truncation).
+    // The loader owns physical-type normalization: the driver regenerates the
+    // parquet between rounds and the timestamp encoding has already shifted
+    // twice (TIMESTAMP(NANOS) → nanos-as-long; then plain timestamp[us] with
+    // no tz annotation, which Spark 4 infers as TIMESTAMP_NTZ). Engine code
+    // and oracles are written against TimestampType, so both encodings
+    // normalize here — in ONE place — rather than at every call site.
+    //
+    //  - nanos: read as long (the vectorized reader rejects NANOS), truncate
+    //    to micros — identical to DuckDB's ns→us truncation.
+    //  - NTZ: cast to TimestampType. Every entrypoint pins
+    //    spark.sql.session.timeZone=UTC, so the cast reinterprets the same
+    //    wall-clock as the same instant and DuckDB's epoch_us agrees.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    val df =
+    val denanosed =
       if (name == "events" &&
         raw.schema.fields.exists(f => f.name == "ts" &&
           f.dataType == org.apache.spark.sql.types.LongType))
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
+    val df =
+      if (denanosed.schema.exists(_.dataType ==
+          org.apache.spark.sql.types.TimestampNTZType))
+        denanosed.select(denanosed.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+            col(f.name).cast(org.apache.spark.sql.types.TimestampType).as(f.name)
+          else col(f.name)
+        }.toIndexedSeq: _*)
+      else denanosed
     // The test tables are single-file/single-row-group parquet, which Spark
     // reads as ONE input split — every operator above the scan would run on
     // one core. When the scan is under-split, spread it by the leading key

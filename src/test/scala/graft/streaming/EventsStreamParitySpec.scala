@@ -25,10 +25,7 @@ class EventsStreamParitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("streaming tumbling windows equal the batch aggregation for closed windows") {
     import spark.implicits._
-    // events.parquet carries TIMESTAMP(NANOS): read nanos as long, truncate
-    // to micros (same as graft.Tables.t)
-    val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val all = graft.TestTables.events(spark)
       .select("ts", "event_type", "value")
 
     // two time-ordered files → two micro-batches → the second batch's
@@ -65,15 +62,23 @@ class EventsStreamParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     streamed.foreach { r =>
       val b = batch.get((r._1, r._2))
       assert(b.isDefined, s"streamed window ${r._1}/${r._2} missing from batch result")
-      assert(b.get == r, s"mismatch for ${r._1}/${r._2}: batch=${b.get} stream=$r")
+      assert(b.get._3 == r._3, s"count mismatch for ${r._1}/${r._2}: batch=${b.get} stream=$r")
+      // total_value is a DOUBLE sum, and double addition is order-dependent:
+      // the batch side folds partials in partition order (which the shared
+      // loader's repartition shuffles), the stream side in micro-batch order.
+      // The engine's oracle-parity path routes aggregated doubles through
+      // DECIMAL for exactly this reason (sqlx.dsum); the streaming aggregate
+      // keeps the codegen'd double sum, so parity here is up-to-reassociation.
+      val (bv, sv) = (b.get._4, r._4)
+      assert(math.abs(bv - sv) <= 1e-9 * math.max(1.0, math.abs(bv)),
+        s"value mismatch for ${r._1}/${r._2}: batch=$bv stream=$sv")
     }
   }
 
   test("stream-stream interval join (attribution) equals the batch join — " +
       "no pair lost to state eviction, no duplicates") {
     import spark.implicits._
-    val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val all = graft.TestTables.events(spark)
       .select("event_id", "ts", "user_id", "event_type")
 
     // two time-ordered files → the second batch advances the watermark
@@ -117,8 +122,7 @@ class EventsStreamParitySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("streamed per-minute counts + moment dag reproduce the batch e14 " +
       "anomalies bit-for-bit") {
     import spark.implicits._
-    val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val all = graft.TestTables.events(spark)
       .select("ts")
 
     // three micro-batches: counts for a minute straddling a batch
