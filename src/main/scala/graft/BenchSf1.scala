@@ -39,6 +39,7 @@ object BenchSf1 {
     * shared p03 cluster contraction at 10×). */
   private val Top10 = Seq(
     "p03_dup_clusters", "m06_crossmodal_consensus", "s13_pq_adc_recall",
+    "s14_ivfpq_recall", // r7's most expensive query — unmeasured at 10× until r8
     "q45_bag_set_ops", "d10_incremental_dedup", "d05_simhash_pairs",
     "d02_ngram_jaccard_pairs", "d15_minhash_calibration", "q11_important_parts",
     "p10_split_decontam", "t19_bigram_surprisal", "t21_bpe_merges",
