@@ -629,5 +629,36 @@ object Curation {
                      WHEN naive_bucket < 90 THEN 'val' ELSE 'test' END) AS moved
         FROM b ORDER BY doc_id"""),
     ),
+
+    // ---- p12: per-source quota cap (domain capping) ----
+    // The anti-dominance gate a web-scale corpus runs before mixing: no
+    // source (domain) may contribute more than QUOTA documents, and the
+    // kept ones are chosen deterministically — fullest first (n_chars
+    // DESC), doc_id tie-break. Runs on the custom TopKPerKey plan, not a
+    // window: WindowExec would shuffle and fully SORT every document of a
+    // source into one partition — at 100 TB a hot domain IS the skew.
+    // TopKPerKey keeps a QUOTA-bounded heap per source per input
+    // partition, shuffles only the ≤ partitions×sources×QUOTA survivors,
+    // and never sorts a full partition (TopKBench: 2.03× the window form).
+    QueryDef(
+      "p12_source_quota_cap",
+      (s, dir) => {
+        import s.implicits._
+        graft.plans.TopK.perKey(
+          t(s, dir, "documents").select($"source", $"doc_id", $"n_chars"),
+          Seq("source"),
+          Seq("n_chars" -> false, "doc_id" -> true), 8)
+          .select($"source", $"doc_id", $"n_chars")
+          .orderBy($"source", $"n_chars".desc, $"doc_id")
+      },
+      Some("""
+        SELECT source, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) x
+        WHERE rn <= 8
+        ORDER BY source, n_chars DESC, doc_id"""),
+    ),
   )
 }

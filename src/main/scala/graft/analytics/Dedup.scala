@@ -1194,5 +1194,48 @@ object Dedup {
         JOIN per USING (cluster_rep) JOIN canon USING (cluster_rep)
         ORDER BY lab.doc_id"""),
     ),
+
+    // ---- d19: soft dedup — per-doc training weights, not removal ----
+    // The alternative ACTION on the same clusters: keep every member but
+    // down-weight it to 1/cluster_size, so each near-dup cluster
+    // contributes one document's worth of gradient (the SoftDeDup idea —
+    // repetition-aware reweighting instead of hard dropping, which keeps
+    // the union of the cluster's content while removing its multiplicity
+    // bias). Weight = one double division of exact longs — IEEE-identical
+    // in both engines, no sum-order anywhere. Reuses the ONE shared p03
+    // contraction; singletons weigh 1.0. 100 TB: identical shape to d18 —
+    // cached labels, then shrink-only joins and one cluster-sized
+    // aggregate; the weight column pipelines inside codegen at scan
+    // speed.
+    QueryDef(
+      "d19_softdedup_weights",
+      (s, dir) => {
+        import s.implicits._
+        val labels = Curation.dupClusterLabels(s, dir)
+        val lab = t(s, dir, "documents").select($"doc_id")
+          .join(labels, $"doc_id" === $"node", "left")
+          .select($"doc_id", coalesce($"lab", $"doc_id").as("cluster_rep"))
+        val per = lab.groupBy($"cluster_rep")
+          .agg(count(lit(1)).as("cluster_size"))
+        lab.join(per, "cluster_rep")
+          .select($"doc_id", $"cluster_rep", $"cluster_size",
+            (lit(1.0) / $"cluster_size").as("weight"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE sims AS ($SIMHASH_SQL),
+        pairs AS ($SIMHASH_PAIRS_SQL),
+        ${Curation.CLUSTER_LABELS_SQL},
+        lab AS (
+          SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS cluster_rep
+          FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+        per AS (
+          SELECT cluster_rep, COUNT(*) AS cluster_size
+          FROM lab GROUP BY cluster_rep)
+        SELECT lab.doc_id, lab.cluster_rep, per.cluster_size,
+               CAST(1 AS DOUBLE) / per.cluster_size AS weight
+        FROM lab JOIN per USING (cluster_rep)
+        ORDER BY lab.doc_id"""),
+    ),
   )
 }
