@@ -404,5 +404,79 @@ object Multimodal {
                CAST(COUNT(*) AS DOUBLE)/MAX(n_frames) AS keyframe_rate
         FROM keys GROUP BY doc_id ORDER BY doc_id"""),
     ),
+
+    // ---- m09: video-sequence near-dup — frame-hash shingles ----
+    // Clip-level dedup, the sequence analogue of m05's per-image phash:
+    // a "video" (the 64-byte-frame payload of m02) is fingerprinted as
+    // the SEQUENCE of its frame hashes, shingled in consecutive triples —
+    // two clips match when they share a run of 3 identical frames, which
+    // survives re-muxing/concatenation (aligned frames keep their hash)
+    // where a whole-file checksum dies. Pipeline: per-doc frame hash →
+    // triple shingle (per-doc window, bounded by the 100 TB frame count
+    // of ONE clip) → DF-capped shingle equi-join (df ≤ 32: a hot intro/
+    // outro shingle — the boilerplate frame run every clip shares —
+    // cannot quadratically explode the join, the d02 cap argument) →
+    // per-pair shared-run count and quantized containment. No cartesian,
+    // no uncapped self-join; everything else is linear hash-aggs.
+    QueryDef(
+      "m09_sequence_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"doc_id").orderBy($"f")
+        val sh = t(s, dir, "documents")
+          .withColumn("n_frames", ceil(length($"text") / lit(64.0)).cast("int"))
+          .withColumn("f", explode(expr(
+            "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
+          .withColumn("fh",
+            substring(md5(expr("substring(text, f*64 + 1, 64)")), 1, 8))
+          .withColumn("f1", lead($"fh", 1).over(w))
+          .withColumn("f2", lead($"fh", 2).over(w))
+          .filter($"f2".isNotNull)
+          .select($"doc_id", md5(concat($"fh", $"f1", $"f2")).as("sh"))
+          .distinct()
+          .persist()
+        val dfc = sh.groupBy($"sh").agg(countDistinct($"doc_id").as("df"))
+        val idx = sh.join(dfc.filter($"df" <= 32), "sh")
+        val per = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+        idx.as("a").join(idx.as("b"),
+            $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(per.select($"doc_id".as("i"), $"n_sh".as("ni")), "i")
+          .join(per.select($"doc_id".as("j"), $"n_sh".as("nj")), "j")
+          .select($"i", $"j", $"n_shared",
+            expr("n_shared * 10000 div least(ni, nj)").as("containment_q"))
+          .orderBy($"i", $"j")
+      },
+      Some("""
+        WITH fr AS (
+          SELECT doc_id, f,
+                 substr(md5(substr(text, CAST(f*64 + 1 AS BIGINT), 64)), 1, 8) AS fh
+          FROM (SELECT doc_id, text,
+                       unnest(range(CAST(ceil(length(text)/64.0) AS BIGINT))) AS f
+                FROM documents) x),
+        sh0 AS (
+          SELECT doc_id, fh,
+                 LEAD(fh, 1) OVER (PARTITION BY doc_id ORDER BY f) AS f1,
+                 LEAD(fh, 2) OVER (PARTITION BY doc_id ORDER BY f) AS f2
+          FROM fr),
+        sh AS (
+          SELECT DISTINCT doc_id, md5(fh || f1 || f2) AS sh
+          FROM sh0 WHERE f2 IS NOT NULL),
+        dfc AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY sh),
+        idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh) WHERE df <= 32),
+        per AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pr AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_shared
+          FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT pr.i, pr.j, pr.n_shared,
+               pr.n_shared * 10000 // least(pa.n_sh, pb.n_sh) AS containment_q
+        FROM pr
+        JOIN per pa ON pa.doc_id = pr.i
+        JOIN per pb ON pb.doc_id = pr.j
+        ORDER BY pr.i, pr.j"""),
+    ),
   )
 }
