@@ -660,5 +660,80 @@ object Curation {
         WHERE rn <= 8
         ORDER BY source, n_chars DESC, doc_id"""),
     ),
+
+    // ---- p13: UniMax-style language token-budget allocation ----
+    // Waterfilling a total token budget (60% of corpus supply here) across
+    // languages: low-resource languages contribute their FULL supply, the
+    // surplus redistributes uniformly among the rest, and the cap is the
+    // point where remaining-budget / remaining-languages crosses the
+    // supply curve — the UniMax alternative to temperature sampling (p06)
+    // that never over-epochs a small language. Closed form, no iteration:
+    // sort languages by supply ascending; the first language whose supply
+    // exceeds the budget-share of the languages at-or-after it is the
+    // first CAPPED one; everything before keeps its supply, everything
+    // after gets the integer cap. All arithmetic exact BIGINT (one
+    // integer div), so both engines agree bit-for-bit. Scale: the only
+    // corpus-sized work is the per-language token sum (one scan-speed
+    // map-side agg); the waterfilling itself runs on #languages rows —
+    // its unpartitioned windows are over a provably bounded frame.
+    QueryDef(
+      "p13_unimax_budget",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sup = t(s, dir, "documents")
+          .withColumn("n",
+            size(regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0))).cast("long"))
+          .groupBy($"lang").agg(sum($"n").as("supply"))
+        // 80% of supply: on this corpus that caps ONLY the high-resource
+        // language and leaves the rest at full supply — both branches of
+        // the waterfilling live in the gate (60% would cap everything)
+        val budget = sup.agg((sum($"supply") * 8L).divide(lit(10L)).cast("long").as("b"))
+        val wOrd = Window.orderBy($"supply", $"lang")
+        val ord = sup.crossJoin(broadcast(budget))
+          .withColumn("r", row_number().over(wOrd))
+          .withColumn("ps", sum($"supply").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("k", count(lit(1)).over(
+            Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          // cap candidate at this row: remaining budget shared by r..k
+          .withColumn("cap_row", expr("(b - ps + supply) div (k - r + 1)"))
+        // the shared cap is cap_row AT the first capped row specifically —
+        // NOT min(cap_row) over capped rows, which can undershoot when a
+        // later row's remaining-budget share dips below the true cap
+        val fc = ord.agg(min(when($"supply" > $"cap_row", $"r")).as("fc"))
+        val cap = ord.crossJoin(broadcast(fc))
+          .agg(min($"fc").as("fc"), min(when($"r" === $"fc", $"cap_row")).as("cap"))
+        ord.crossJoin(broadcast(cap))
+          .select($"lang", $"supply",
+            when($"fc".isNull || $"r" < $"fc", $"supply").otherwise($"cap").as("alloc"),
+            ($"fc".isNotNull && $"r" >= $"fc").as("capped"))
+          .orderBy($"lang")
+      },
+      Some(s"""
+        WITH sup AS (
+          SELECT lang, CAST(SUM(len($TOKS_SQL)) AS BIGINT) AS supply
+          FROM documents GROUP BY lang),
+        b AS (SELECT CAST(SUM(supply) AS BIGINT) * 8 // 10 AS b FROM sup),
+        ord AS (
+          SELECT lang, supply, b,
+                 ROW_NUMBER() OVER (ORDER BY supply, lang) AS r,
+                 CAST(SUM(supply) OVER (ORDER BY supply, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ps,
+                 COUNT(*) OVER () AS k
+          FROM sup CROSS JOIN b),
+        c AS (SELECT *, (b - ps + supply) // (k - r + 1) AS cap_row FROM ord),
+        fc AS (SELECT MIN(CASE WHEN supply > cap_row THEN r END) AS fc FROM c),
+        cap AS (
+          SELECT MIN(fc.fc) AS fc,
+                 MIN(CASE WHEN c.r = fc.fc THEN c.cap_row END) AS cap
+          FROM c CROSS JOIN fc)
+        SELECT c.lang, c.supply,
+               CASE WHEN cap.fc IS NULL OR c.r < cap.fc
+                    THEN c.supply ELSE cap.cap END AS alloc,
+               (cap.fc IS NOT NULL AND c.r >= cap.fc) AS capped
+        FROM c CROSS JOIN cap
+        ORDER BY c.lang"""),
+    ),
   )
 }
