@@ -1,0 +1,65 @@
+package graft.analytics
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Targeted gates for the round-8 curation operators.
+  *
+  * p13's waterfilling has a closed-form subtlety the oracle corpus can't
+  * reach (its budget caps only the LAST language): whenever the first
+  * capped language is not the last one, every later language's
+  * remaining-budget share is arithmetically GUARANTEED to dip below the
+  * true cap — so a "min cap_row over capped rows" implementation
+  * undershoots. This spec pins the correct behavior on the smallest such
+  * instance. p12's claim is a plan shape (TopKPerKey, not a window sort),
+  * which the oracle can't see at all.
+  */
+class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("curation-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("p13 waterfilling: cap comes from the FIRST capped row, not the " +
+      "minimum share among capped rows") {
+    import spark.implicits._
+    // supplies 10/50/60 tokens, budget = 80% of 120 = 96:
+    //   r1 (aa, 10): share 96/3 = 32 >= 10       -> keeps its supply
+    //   r2 (bb, 50): share (96-10)/2 = 43 < 50   -> first capped, cap = 43
+    //   r3 (cc, 60): share 96-10-50 = 36 < 43    -> the dip; must get 43
+    // A min-over-capped-rows implementation returns 36 and under-allocates.
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val dir = Files.createTempDirectory("p13edge").toString
+    Seq(
+      (1L, words(10), "aa", "s0", 0L),
+      (2L, words(50), "bb", "s0", 0L),
+      (3L, words(60), "cc", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val out = graft.SparkEntry.queries("p13_unimax_budget")(spark, dir)
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("aa", 10L, 10L, false),
+      ("bb", 50L, 43L, true),
+      ("cc", 60L, 43L, true)), s"got: ${out.toSeq}")
+    // the allocation exhausts the budget exactly on this instance
+    assert(out.map(_._3).sum == 96L)
+  }
+
+  test("p12 runs on TopKPerKey — no window sort of a source's documents") {
+    val df = graft.SparkEntry.queries("p12_source_quota_cap")(
+      spark, graft.TestTables.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("WindowExec"), s"window sort crept back in:\n$plan")
+  }
+}
