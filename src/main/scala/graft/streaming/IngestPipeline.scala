@@ -70,21 +70,47 @@ object IngestPipeline {
       minEntropy: Double = 3.0, maxEntropy: Double = 6.0,
       minTokens: Long = 10L, minDistinctRatio: Double = 0.2,
       minFrac: Double = 0.5, minJaccard: Double = 0.7,
-      minCos: Double = 0.9): DataFrame = {
-    val scored = IngestQuality.score(batch)
+      minCos: Double = 0.9): DataFrame =
+    gateBatchTracked(batch, sides, minEntropy, maxEntropy, minTokens,
+      minDistinctRatio, minFrac, minJaccard, minCos)._1
+
+  /** [[gateBatch]] plus the per-batch CACHED stage frames the caller must
+    * unpersist once the verdict has been consumed ([[start]] does).
+    *
+    * Why the caching: the verdict plan references each stage's survivor
+    * frame several times (exact feeds the flag join AND the near-dup
+    * input; near feeds the flag join AND the semantic input; everything
+    * re-derives the quality scan), and the stage internals fan out
+    * further (the near-dup gate alone references the arrival shingle
+    * explode three times) — uncached, the composed DAG re-derives the
+    * whole upstream at every reference and one batch pays the pipeline
+    * ~10×, not once (measured 9.3 s vs 1.0 s on a 750-doc batch).
+    * Lazy persist keeps the lineage intact — the per-batch plan still
+    * shows the corpus contact running through the persisted index
+    * (StreamShapeSpec's lock) — while each stage computes once per
+    * batch. The frames are batch-sized, never corpus-sized. */
+  def gateBatchTracked(batch: DataFrame, sides: CorpusSides,
+      minEntropy: Double = 3.0, maxEntropy: Double = 6.0,
+      minTokens: Long = 10L, minDistinctRatio: Double = 0.2,
+      minFrac: Double = 0.5, minJaccard: Double = 0.7,
+      minCos: Double = 0.9): (DataFrame, Seq[DataFrame]) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val temps = collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = { temps += df.persist(lvl); df }
+    val scored = cached(IngestQuality.score(batch)
       .withColumn("quality_pass",
         col("entropy") >= minEntropy && col("entropy") <= maxEntropy &&
           col("n_tokens") >= minTokens &&
-          col("distinct_ratio") >= minDistinctRatio)
-    val qPass = scored.filter(col("quality_pass")).select("doc_id", "text")
-    val exact = IngestDedup.flagArrivals(qPass, sides.tiles, minFrac)
-      .select(col("doc_id"), col("matched_frac"), col("dup").as("exact_dup"))
-    val exactPass = qPass.join(
-      exact.filter(!col("exact_dup")).select("doc_id"), Seq("doc_id"), "left_semi")
-    val near = IngestNearDup.flagBatch(exactPass,
+          col("distinct_ratio") >= minDistinctRatio))
+    val qPass = cached(scored.filter(col("quality_pass")).select("doc_id", "text"))
+    val exact = cached(IngestDedup.flagArrivals(qPass, sides.tiles, minFrac)
+      .select(col("doc_id"), col("matched_frac"), col("dup").as("exact_dup")))
+    val exactPass = cached(qPass.join(
+      exact.filter(!col("exact_dup")).select("doc_id"), Seq("doc_id"), "left_semi"))
+    val near = cached(IngestNearDup.flagBatch(exactPass,
         sides.bands, sides.shingles, sides.counts, minJaccard)
       .select(col("doc_id"), col("n_candidates"), col("n_neardups"),
-        col("neardup"), col("first_neardup"))
+        col("neardup"), col("first_neardup")))
     val flagged = scored
       .select("doc_id", "entropy", "n_tokens", "distinct_ratio", "quality_pass")
       .join(exact, Seq("doc_id"), "left")
@@ -98,10 +124,10 @@ object IngestPipeline {
       case Some(idx) =>
         val nearPass = exactPass.join(
           near.filter(!col("neardup")).select("doc_id"), Seq("doc_id"), "left_semi")
-        val vecs = batch
+        val vecs = cached(batch
           .select(col("doc_id").as("vec_id"), col("embedding"))
           .where(col("embedding").isNotNull)
-          .join(nearPass.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+          .join(nearPass.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"))
         val sem = IngestSemDedup.flagBatch(vecs, idx, minCos)
           .select(col("vec_id").as("doc_id"),
             col("n_candidates").as("n_semcands"),
@@ -115,14 +141,17 @@ object IngestPipeline {
       (if (semStage.isDefined) base.when(col("semdup"), "sem_dup") else base)
         .otherwise("accepted")
     }
-    withSem
+    (withSem
       .withColumn("verdict", verdict)
-      .withColumn("accepted", col("verdict") === "accepted")
+      .withColumn("accepted", col("verdict") === "accepted"),
+      temps.toSeq)
   }
 
   /** Run the composed gate over a stream of (doc_id, text): each
     * micro-batch makes one pass through all three stages and hands the
-    * verdict frame to `sink`. */
+    * verdict frame to `sink`; the per-batch stage caches are dropped once
+    * the sink returns (a long-running stream must not accumulate one
+    * cache entry per stage per batch). */
   def start(stream: DataFrame, sides: CorpusSides, checkpoint: String,
       minJaccard: Double = 0.7, minCos: Double = 0.9)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
@@ -130,7 +159,10 @@ object IngestPipeline {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(gateBatch(batch, sides, minJaccard = minJaccard, minCos = minCos), id)
+        val (verdicts, temps) = gateBatchTracked(batch, sides,
+          minJaccard = minJaccard, minCos = minCos)
+        try sink(verdicts, id)
+        finally temps.foreach(_.unpersist())
       }
       .start()
 }
