@@ -919,40 +919,99 @@ object TextOps {
       "t21_bpe_merges",
       (s, dir) => {
         import s.implicits._
-        var vocab: org.apache.spark.sql.DataFrame = t(s, dir, "documents")
-          .select(explode(
-            regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0))).as("word"))
-          .groupBy($"word").agg(count(lit(1)).as("freq"))
-          .withColumn("seq",
-            concat(lit(" "), trim(regexp_replace($"word", "(.)", "$1 ")), lit(" ")))
-          .localCheckpoint(true)
-        val merges = (1 to BPE_MERGES).map { it =>
-          val pairs = vocab
-            .withColumn("toks", split(trim($"seq"), " "))
-            .withColumn("pair", explode(expr(
-              """CASE WHEN size(toks) >= 2
-                 THEN transform(sequence(0, size(toks)-2),
-                        i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2)))
-                 ELSE array() END""")))
-            .groupBy($"pair").agg(sum($"freq").as("cnt"))
-          val best = pairs
-            .agg(min(struct((-$"cnt").as("nc"), $"pair".as("p"))).as("m"))
-            .select($"m.p".as("pair"), (-$"m.nc").as("cnt"))
-            .localCheckpoint(true)
-          vocab = vocab.withColumn("k", lit(1))
-            .join(best.select($"pair", lit(1).as("k")), "k")
-            .withColumn("seq", expr(
-              "replace(seq, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')"))
-            .select($"word", $"freq", $"seq")
-            .localCheckpoint(true)
-          best.select(lit(it.toLong).as("it"), $"pair",
-            regexp_replace($"pair", " ", "").as("new_token"), $"cnt".as("pair_count"))
-        }
-        merges.reduce(_ unionAll _).orderBy($"it")
+        bpeTrain(s, dir)._1.orderBy($"it")
       },
       Some(bpeOracle(BPE_MERGES)),
     ),
+
+    // ---- t22: BPE encoding — APPLY the t21-trained merges to the corpus ----
+    // The other half of the tokenizer loop: training produces the merge
+    // list, but what the pipeline runs nightly is ENCODING — every
+    // document segmented by the trained vocab, yielding the real
+    // pieces-per-word compression the token budget is planned around
+    // (t07's regex count is the pre-training estimate; this is the
+    // trained tokenizer's actual number). Reuses the ONE cached t21
+    // training result (the dupClusterLabels sharing pattern): the final
+    // vocab maps each word to its merged piece sequence, and encoding is
+    // the corpus token stream joined to that BROADCAST vocab — the
+    // corpus-sized side never shuffles, exactly how a tokenizer ships
+    // (model table to every worker, one narrow pass over the text).
+    // Integer-exact: piece counts and a x10^4-quantized pieces-per-word.
+    QueryDef(
+      "t22_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = bpeTrain(s, dir)._2
+          .withColumn("np", size(split(trim($"seq"), " ")).cast("long"))
+          .select($"word", $"np")
+        t(s, dir, "documents")
+          .select($"doc_id", explode(
+            regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0))).as("word"))
+          .join(broadcast(vocab), "word")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_words"), sum($"np").as("n_pieces"))
+          .select($"doc_id", $"n_words", $"n_pieces",
+            expr("n_pieces * 10000 div n_words").as("ppw_q"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""${bpeCtes(BPE_MERGES)},
+        docw AS (
+          SELECT doc_id, unnest($TOKS_SQL) AS word
+          FROM documents),
+        enc AS (
+          SELECT d.doc_id,
+                 CAST(len(string_split(trim(v.seq), ' ')) AS BIGINT) AS np
+          FROM docw d JOIN v$BPE_MERGES v USING (word))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(np) AS BIGINT) AS n_pieces,
+               CAST(SUM(np) AS BIGINT) * 10000 // COUNT(*) AS ppw_q
+        FROM enc GROUP BY doc_id ORDER BY doc_id"""),
+    ),
   )
+
+  /** The t21 training loop, cached per (session, dir) and shared with the
+    * t22 encoder: returns (merge list, final vocab word→seq). One corpus
+    * tokenize, then K vocab-sized iterations, localCheckpoint'd so the
+    * K-deep lineage never re-derives (see the t21 scaladoc for the 100 TB
+    * argument). */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    bpeCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      var vocab: org.apache.spark.sql.DataFrame = t(s, dir, "documents")
+        .select(explode(
+          regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0))).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+        .withColumn("seq",
+          concat(lit(" "), trim(regexp_replace($"word", "(.)", "$1 ")), lit(" ")))
+        .localCheckpoint(true)
+      val merges = (1 to BPE_MERGES).map { it =>
+        val pairs = vocab
+          .withColumn("toks", split(trim($"seq"), " "))
+          .withColumn("pair", explode(expr(
+            """CASE WHEN size(toks) >= 2
+               THEN transform(sequence(0, size(toks)-2),
+                      i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2)))
+               ELSE array() END""")))
+          .groupBy($"pair").agg(sum($"freq").as("cnt"))
+        val best = pairs
+          .agg(min(struct((-$"cnt").as("nc"), $"pair".as("p"))).as("m"))
+          .select($"m.p".as("pair"), (-$"m.nc").as("cnt"))
+          .localCheckpoint(true)
+        vocab = vocab.withColumn("k", lit(1))
+          .join(best.select($"pair", lit(1).as("k")), "k")
+          .withColumn("seq", expr(
+            "replace(seq, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')"))
+          .select($"word", $"freq", $"seq")
+          .localCheckpoint(true)
+        best.select(lit(it.toLong).as("it"), $"pair",
+          regexp_replace($"pair", " ", "").as("new_token"), $"cnt".as("pair_count"))
+      }
+      (merges.reduce(_ unionAll _).localCheckpoint(true), vocab)
+    })
 
   /** Number of t21 merge iterations — enough to exercise merged symbols
     * re-merging (learned tokens growing past 2 chars). `final` + literal
@@ -960,10 +1019,10 @@ object TextOps {
     * object init, BEFORE a plain val here would be assigned. */
   private final val BPE_MERGES = 6
 
-  /** The t21 oracle, generated: the same K iterations as chained CTE
-    * layers (DuckDB has no loop, so the loop is unrolled — each layer is
-    * the literal SQL of one Spark iteration). */
-  private def bpeOracle(k: Int): String = {
+  /** The unrolled training CTE chain `WITH tok … v$k` (DuckDB has no
+    * loop — each layer is the literal SQL of one Spark iteration).
+    * Shared by the t21 (merge list) and t22 (encode) oracles. */
+  private def bpeCtes(k: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""
         WITH tok AS (
@@ -988,10 +1047,13 @@ object TextOps {
                  replace(seq, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq
           FROM v${i - 1} CROSS JOIN b$i)"""
     }
-    sb ++= (1 to k).map(i =>
+    sb.toString
+  }
+
+  /** The t21 oracle: the training chain plus the merge-list projection. */
+  private def bpeOracle(k: Int): String =
+    bpeCtes(k) + (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS it, pair, replace(pair, ' ', '') AS new_token, " +
         s"cnt AS pair_count FROM b$i")
       .mkString("\n        ", "\n        UNION ALL\n        ", "\n        ORDER BY it")
-    sb.toString
-  }
 }
