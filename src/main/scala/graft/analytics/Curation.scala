@@ -3,6 +3,7 @@ package graft.analytics
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Corpus-curation operators — the composition layer a training-data
   * pipeline actually runs over `documents`: quality gate → exact dedup →
@@ -734,6 +735,109 @@ object Curation {
                (cap.fc IS NOT NULL AND c.r >= cap.fc) AS capped
         FROM c CROSS JOIN cap
         ORDER BY c.lang"""),
+    ),
+
+    // ---- p14: DSIR-style importance-resampled data selection ----
+    // Data Selection via Importance Resampling (Xie et al., 2023): score
+    // raw-pool documents by how target-like their hashed n-gram
+    // distribution is, then keep the top slice. The model is a log-ratio
+    // table over D hashed-bigram buckets — log p̂_target(b) − log p̂_raw(b)
+    // with add-one smoothing — and a document's importance weight is the
+    // sum of its bigrams' log-ratios. Dataflow at 100 TB: two
+    // vocab-linear aggregates build the D-row model (map-side combined),
+    // the model BROADCASTS (it is 4096 rows regardless of corpus size),
+    // and scoring is one scan + broadcast join + per-doc agg — the t12
+    // classifier shape with a learned-from-data table instead of fixed
+    // weights. The top-100 pick is TakeOrderedAndProject (distributed
+    // top-k), never a global sort; the rank window runs on the 100-row
+    // result. Numeric parity: the four log2 terms are quantized once, in
+    // the MODEL (round ×10⁶ → BIGINT), so per-doc scoring is exact
+    // integer arithmetic — ulp noise cannot reorder documents. Target
+    // membership is the p08 md5-bucket rule under a "dsir:" salt (~10%),
+    // and the target sample itself is excluded from the scored pool.
+    QueryDef(
+      "p14_dsir_selection",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.graft.ColumnBridge
+        val D = 4096
+        val cutTgt = (0.1 * (1L << 24)).toLong
+        def ngrams2(c: org.apache.spark.sql.Column) =
+          ColumnBridge.column(graft.functions.WordNgrams(
+            ColumnBridge.expression(c), 2, distinct = false))
+        val docs = t(s, dir, "documents")
+          .withColumn("is_tgt",
+            conv(substring(md5(concat(lit("dsir:"), $"doc_id".cast("string"))), 1, 6), 16, 10)
+              .cast("long") < cutTgt)
+        val bt = docs
+          .select($"doc_id", $"is_tgt",
+            explode(ngrams2(regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0)))).as("g"))
+          .withColumn("bucket",
+            (conv(substring(md5($"g"), 1, 6), 16, 10).cast("long") % D).cast("int"))
+          .select($"doc_id", $"is_tgt", $"bucket")
+        val pcnt = bt.filter($"is_tgt").groupBy($"bucket").agg(count(lit(1)).as("pn"))
+        val qcnt = bt.groupBy($"bucket").agg(count(lit(1)).as("qn"))
+        val tot = pcnt.agg(sum($"pn").as("pt")).crossJoin(qcnt.agg(sum($"qn").as("qt")))
+        val model = s.range(D).select($"id".cast("int").as("bucket"))
+          .join(pcnt, Seq("bucket"), "left")
+          .join(qcnt, Seq("bucket"), "left")
+          .crossJoin(tot)
+          .select($"bucket",
+            round((log2(coalesce($"pn", lit(0L)) + 1L) - log2($"pt" + D)
+              - log2(coalesce($"qn", lit(0L)) + 1L) + log2($"qt" + D)) * 1e6)
+              .cast("long").as("lr"))
+        val tf = bt.filter(!$"is_tgt")
+          .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("tf"))
+        val top = tf.join(broadcast(model), "bucket")
+          .groupBy($"doc_id")
+          .agg(sum($"tf").as("n_grams"), sum($"tf" * $"lr").as("score_q"))
+          .orderBy($"score_q".desc, $"doc_id")
+          .limit(100)
+        top.withColumn("rn",
+            row_number().over(Window.orderBy($"score_q".desc, $"doc_id")))
+          .select($"rn", $"doc_id", $"n_grams", $"score_q")
+          .orderBy($"rn")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $TOKS_SQL AS w FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+          FROM toks),
+        tgt AS (
+          SELECT doc_id FROM documents
+          WHERE CAST('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                < 1677721),
+        bt AS (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(g), 1, 6) AS BIGINT) % 4096 AS INT) AS bucket
+          FROM grams),
+        p AS (SELECT bucket, COUNT(*) AS pn FROM bt JOIN tgt USING (doc_id) GROUP BY bucket),
+        q AS (SELECT bucket, COUNT(*) AS qn FROM bt GROUP BY bucket),
+        tot AS (SELECT (SELECT COUNT(*) FROM bt JOIN tgt USING (doc_id)) AS pt,
+                       (SELECT COUNT(*) FROM bt) AS qt),
+        model AS (
+          SELECT b.bucket,
+                 CAST(round((log2(COALESCE(pn, 0) + 1) - log2(pt + 4096)
+                             - log2(COALESCE(qn, 0) + 1) + log2(qt + 4096)) * 1000000)
+                      AS BIGINT) AS lr
+          FROM (SELECT CAST(unnest(range(4096)) AS INT) AS bucket) b
+          LEFT JOIN p USING (bucket) LEFT JOIN q USING (bucket) CROSS JOIN tot),
+        tf AS (
+          SELECT doc_id, bucket, COUNT(*) AS tf FROM bt
+          WHERE doc_id NOT IN (SELECT doc_id FROM tgt)
+          GROUP BY doc_id, bucket),
+        scored AS (
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_grams,
+                 CAST(SUM(tf * lr) AS BIGINT) AS score_q
+          FROM tf JOIN model USING (bucket) GROUP BY doc_id),
+        top AS (
+          SELECT doc_id, n_grams, score_q FROM scored
+          ORDER BY score_q DESC, doc_id LIMIT 100)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rn,
+               doc_id, n_grams, score_q
+        FROM top ORDER BY rn"""),
     ),
   )
 }

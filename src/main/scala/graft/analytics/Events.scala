@@ -726,5 +726,52 @@ object Events {
         FROM m JOIN sizes USING (cohort_week)
         ORDER BY cohort_week, weeks_since"""),
     ),
+
+    // ---- e21: sessionization via the NATIVE session_window operator ----
+    // e02 composes sessions from lag + running-sum window functions — two
+    // sorts per user partition. This is the same semantics expressed with
+    // Spark's built-in `session_window`, the operator a production
+    // pipeline should reach for first: one hash shuffle on user_id, the
+    // session merge runs inside UpdatingSessionsExec with NO ranking
+    // window, and the IDENTICAL expression works under Structured
+    // Streaming with a watermark (SessionWindowStateSpec locks batch ==
+    // streaming on a boundary-exact fixture). Session-merge boundary is
+    // CLOSED: an event exactly `gap` after the previous one still MERGES
+    // (the windows [t, t+gap] touch, and touching sessions merge —
+    // verified empirically in SessionWindowStateSpec, since the docs
+    // don't pin it), so the oracle's island rule is `diff > gap`, the
+    // same rule e02's hand-rolled sessionizer uses.
+    // window.end is lastEvent + gap by definition — emitted as-is so the
+    // output is the operator's true contract, not a re-derivation.
+    QueryDef(
+      "e21_session_window_native",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id", session_window($"ts", "15 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"), dsum($"value").as("session_value"))
+          .select($"user_id",
+            unix_micros($"sw.start").as("start_us"),
+            unix_micros($"sw.end").as("end_us"),
+            $"n_events", $"session_value")
+          .orderBy($"user_id", $"start_us")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                 CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL
+                        OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 900000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        sess AS (
+          SELECT user_id, value, us,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM g)
+        SELECT user_id, MIN(us) AS start_us, MAX(us) + 900000000 AS end_us,
+               COUNT(*) AS n_events, ${SUM("value")} AS session_value
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us"""),
+    ),
   )
 }

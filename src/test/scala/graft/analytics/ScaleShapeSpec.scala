@@ -139,6 +139,7 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "t17_zipf_slope",     // rank over the top-1000 frame
       "p06_temperature_mix",  // 10-row source-mix table
       "p13_unimax_budget",  // waterfilling over one row per language
+      "p14_dsir_selection", // rank over the top-100 frame (TakeOrdered first)
       "c04_min_progress_across_sinks", // one row per sink
     )
     import org.apache.spark.sql.execution.window.WindowExec
