@@ -1406,5 +1406,213 @@ object Similarity {
         LEFT JOIN qncands nc USING (qid)
         LEFT JOIN qhits h USING (qid) ORDER BY qid"""),
     ),
+
+    // ---- s15: hybrid retrieval — BM25 lexical + vector, fused by RRF ----
+    // The retrieval stack a modern corpus-search / RAG layer actually
+    // runs: a lexical BM25 ranking (k1=1.2, b=0.75) and a dense cosine
+    // ranking for the SAME query document (doc 0's tokens + vec 0's
+    // embedding — "more like this"), fused by reciprocal-rank fusion
+    // (Cormack et al.: score = Σ 1/(60+rank), rank-only, so the two
+    // score scales never need calibrating). Dataflow at 100 TB: the
+    // query's term list and the per-term df table BROADCAST (query-sized,
+    // not corpus-sized), BM25 scoring is one scan + broadcast semi-join +
+    // per-doc agg; the dense side is the s01 broadcast-query scan; both
+    // top-50 picks are TakeOrderedAndProject (distributed top-k, no
+    // global sort) and every rank window runs on a ≤50-row frame. The
+    // two lists meet in a 50∪50-row full-outer join — driver-scale.
+    // Parity: per-term BM25 contributions are quantized (round ×10⁶ →
+    // BIGINT) so the per-doc sum is exact integer arithmetic and ulp
+    // noise in log2/division cannot reorder docs; RRF contributions are
+    // exact by construction (one double division each, quantized ×10⁹).
+    QueryDef(
+      "s15_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        def toksCol = regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0))
+        val cand = docs.filter($"doc_id" >= 1)
+          .select($"doc_id", toksCol.as("w"))
+          .withColumn("dl", size($"w").cast("long"))
+        val stats = cand.agg(count(lit(1)).as("nd"),
+          (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+        val qterms = docs.filter($"doc_id" === 0)
+          .select(explode(array_distinct(toksCol)).as("term"))
+        val tf = cand.select($"doc_id", $"dl", explode($"w").as("term"))
+          .join(broadcast(qterms), "term")
+          .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val lex = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+          .withColumn("cq",
+            round(log2(lit(1.0) + ($"nd" - $"df" + 0.5) / ($"df" + 0.5)) *
+              (($"tf" * 2.2) / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl")))) * 1e6)
+              .cast("long"))
+          .groupBy($"doc_id").agg(sum($"cq").as("lex_q"))
+          .orderBy($"lex_q".desc, $"doc_id").limit(50)
+          .withColumn("rl",
+            row_number().over(Window.orderBy($"lex_q".desc, $"doc_id")).cast("long"))
+          .select($"doc_id", $"rl")
+        val emb = withQNorm(t(s, dir, "embeddings"))
+        val qv0 = emb.filter($"vec_id" === 0).select($"q".as("qa"), $"n2".as("n2a"))
+        val vec = emb.filter($"vec_id" >= 1).crossJoin(broadcast(qv0))
+          .withColumn("cos", cosine(dotInt("qa", "q"), $"n2a", $"n2"))
+          .orderBy($"cos".desc, $"vec_id").limit(50)
+          .withColumn("rv",
+            row_number().over(Window.orderBy($"cos".desc, $"vec_id")).cast("long"))
+          .select($"vec_id".as("doc_id"), $"rv")
+        val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_q",
+            coalesce(round(lit(1.0e9) / (lit(60.0) + $"rl")).cast("long"), lit(0L)) +
+              coalesce(round(lit(1.0e9) / (lit(60.0) + $"rv")).cast("long"), lit(0L)))
+          .orderBy($"rrf_q".desc, $"doc_id").limit(10)
+        fused
+          .withColumn("rn", row_number().over(Window.orderBy($"rrf_q".desc, $"doc_id")))
+          .select($"rn", $"doc_id", $"rl", $"rv", $"rrf_q")
+          .orderBy($"rn")
+      },
+      Some(s"""
+        WITH cand AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS w
+          FROM documents WHERE doc_id >= 1),
+        cdl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM cand),
+        stats AS (
+          SELECT COUNT(*) AS nd, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM cdl),
+        qterms AS (
+          SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS term
+          FROM documents WHERE doc_id = 0),
+        tok AS (SELECT doc_id, dl, unnest(w) AS term FROM cdl),
+        tf AS (
+          SELECT doc_id, dl, term, COUNT(*) AS tf
+          FROM tok JOIN qterms USING (term) GROUP BY doc_id, dl, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        lex0 AS (
+          SELECT doc_id, CAST(SUM(CAST(round(
+                   log2(1.0 + (nd - df + 0.5)/(df + 0.5)) *
+                   ((tf * 2.2)/(tf + 1.2*(0.25 + 0.75*(dl/avgdl)))) * 1000000) AS BIGINT))
+                 AS BIGINT) AS lex_q
+          FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+          GROUP BY doc_id ORDER BY lex_q DESC, doc_id LIMIT 50),
+        lex AS (
+          SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY lex_q DESC, doc_id) AS BIGINT) AS rl
+          FROM lex0),
+        dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        dots AS (
+          SELECT b.vec_id AS cid, CAST(SUM(a.q[i+1]*b.q[i+1]) AS BIGINT) AS dot
+          FROM qv a JOIN qv b ON a.vec_id = 0 AND b.vec_id >= 1
+          CROSS JOIN dims GROUP BY b.vec_id),
+        vscored AS (
+          SELECT cid, CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) AS cos
+          FROM dots JOIN norms na ON na.vec_id = 0 JOIN norms nb ON nb.vec_id = cid),
+        vec0 AS (SELECT cid AS doc_id, cos FROM vscored ORDER BY cos DESC, cid LIMIT 50),
+        vec AS (
+          SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rv
+          FROM vec0),
+        fused AS (
+          SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, rl, rv,
+                 COALESCE(CAST(round(1000000000/(60.0 + rl)) AS BIGINT), 0)
+                 + COALESCE(CAST(round(1000000000/(60.0 + rv)) AS BIGINT), 0) AS rrf_q
+          FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+          ORDER BY rrf_q DESC, doc_id LIMIT 10)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_q DESC, doc_id) AS INT) AS rn,
+               doc_id, rl, rv, rrf_q
+        FROM fused ORDER BY rn"""),
+    ),
+
+    // ---- s16: MMR diversity-aware top-k (maximal marginal relevance) ----
+    // Plain top-k returns near-duplicates of each other; MMR (Carbonell &
+    // Goldstein) re-ranks greedily: each pick maximizes
+    // λ·rel(q,d) − (1−λ)·max_{s∈picked} sim(d,s), trading relevance
+    // against redundancy — the selection rule diverse-context RAG and
+    // eval-set builders use. λ=0.7, k=5, all in the exact integer domain:
+    // rel and pairwise sims are quantized cosines (round ×10⁹ → BIGINT),
+    // the objective is 7·rel_q − 3·ms_q (×10 the λ-form, monotone
+    // equivalent), so argmax ties are impossible to flip by ulp noise.
+    // Dataflow: the relevance scan is s01's broadcast-query shape, cached
+    // once; each of the k−1 refinement steps adds ONE narrow column
+    // (greatest of the running max-sim and the sim to the latest pick —
+    // the pick's 64-long vector travels as a LITERAL, no join) and ONE
+    // TakeOrdered(1). Driver state is k rows (documented O(1) fold);
+    // corpus work is k linear scans — never a candidate×candidate join.
+    // The oracle unrolls the same 5 iterations as chained CTEs (the t21
+    // pattern), generated from one per-iteration template.
+    QueryDef(
+      "s16_mmr_diverse",
+      (s, dir) => {
+        import s.implicits._
+        val emb = withQNorm(t(s, dir, "embeddings"))
+        val qv0 = emb.filter($"vec_id" === 0).select($"q".as("qa"), $"n2".as("n2a"))
+        var cand = emb.filter($"vec_id" >= 1).crossJoin(broadcast(qv0))
+          .withColumn("rel_q",
+            round(cosine(dotInt("qa", "q"), $"n2a", $"n2") * 1e9).cast("long"))
+          .select($"vec_id", $"q", $"n2", $"rel_q")
+          .withColumn("ms_q", lit(0L))
+          .persist()
+        val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+        for (k <- 1 to 5) {
+          val top = cand
+            .withColumn("score_q", lit(7L) * $"rel_q" - lit(3L) * $"ms_q")
+            .orderBy($"score_q".desc, $"vec_id").limit(1).collect()(0)
+          val pid = top.getAs[Long]("vec_id")
+          val pq = top.getAs[scala.collection.Seq[Long]]("q")
+          val pn2 = top.getAs[Long]("n2")
+          picks += ((k, pid, top.getAs[Long]("rel_q"), top.getAs[Long]("ms_q"),
+            top.getAs[Long]("score_q")))
+          val parr = array(pq.toSeq.map(lit): _*)
+          cand = cand.filter($"vec_id" =!= pid)
+            .withColumn("ms_q", greatest($"ms_q",
+              round(cosine(longDot($"q", parr), lit(pn2), $"n2") * 1e9).cast("long")))
+        }
+        cand.unpersist()
+        picks.toSeq.toDF("rn", "vec_id", "rel_q", "maxsim_q", "score_q").orderBy($"rn")
+      },
+      Some {
+        val iters = (1 to 5).map { k =>
+          val prev = k - 1
+          val simPart =
+            if (k == 1) ""
+            else s"""
+        sim$prev AS (
+          SELECT b.vec_id AS cid,
+                 CAST(round(CAST(SUM(a.q[i+1]*b.q[i+1]) AS BIGINT)
+                      / sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS sq
+          FROM qv a JOIN qv b
+            ON a.vec_id = (SELECT cid FROM pick$prev) AND b.vec_id >= 1
+          CROSS JOIN dims
+          JOIN norms na ON na.vec_id = a.vec_id
+          JOIN norms nb ON nb.vec_id = b.vec_id
+          GROUP BY b.vec_id, na.n2, nb.n2),
+        cand$k AS (
+          SELECT c.cid, c.rel_q, GREATEST(c.ms_q, s.sq) AS ms_q
+          FROM cand$prev c JOIN sim$prev s USING (cid)
+          WHERE c.cid <> (SELECT cid FROM pick$prev)),"""
+          s"""$simPart
+        pick$k AS (
+          SELECT $k AS rn, cid, rel_q, ms_q, 7*rel_q - 3*ms_q AS score_q
+          FROM cand$k ORDER BY score_q DESC, cid LIMIT 1),"""
+        }.mkString
+        s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        rdots AS (
+          SELECT b.vec_id AS cid, CAST(SUM(a.q[i+1]*b.q[i+1]) AS BIGINT) AS dot
+          FROM qv a JOIN qv b ON a.vec_id = 0 AND b.vec_id >= 1
+          CROSS JOIN dims GROUP BY b.vec_id),
+        cand1 AS (
+          SELECT cid,
+                 CAST(round(CAST(dot AS DOUBLE)
+                      / sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS rel_q,
+                 CAST(0 AS BIGINT) AS ms_q
+          FROM rdots JOIN norms na ON na.vec_id = 0 JOIN norms nb ON nb.vec_id = cid),
+        $iters
+        picks AS (
+          SELECT * FROM pick1 UNION ALL SELECT * FROM pick2
+          UNION ALL SELECT * FROM pick3 UNION ALL SELECT * FROM pick4
+          UNION ALL SELECT * FROM pick5)
+        SELECT CAST(rn AS INT) AS rn, cid AS vec_id, rel_q, ms_q AS maxsim_q, score_q
+        FROM picks ORDER BY rn"""
+      },
+    ),
   )
 }

@@ -140,6 +140,7 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "p06_temperature_mix",  // 10-row source-mix table
       "p13_unimax_budget",  // waterfilling over one row per language
       "p14_dsir_selection", // rank over the top-100 frame (TakeOrdered first)
+      "s15_hybrid_rrf",     // rank windows over ≤50-row TakeOrdered frames
       "c04_min_progress_across_sinks", // one row per sink
     )
     import org.apache.spark.sql.execution.window.WindowExec
