@@ -112,6 +112,24 @@ object Similarity {
     * s02 and d06 — the 32 sign projections are per-row linear work worth
     * computing once, not once per join side per band (the d05 shared-index
     * pattern). */
+  /** Tokenized documents (doc_id, w: array<string>, dl), persisted per
+    * (session, dir) — s15's BM25 side needs the token stream three times
+    * (corpus length stats, tf over query terms, and the query doc's own
+    * terms); the regex tokenize is the expensive part (~0.5 s/pass at
+    * sf0.1), so it runs ONCE and the passes read cached arrays. Same
+    * materialize-the-index-once shape as shingleIndex/bandedSignatures. */
+  private val tokDocsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def tokDocs(s: SparkSession, dir: String): DataFrame =
+    tokDocsCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0)).as("w"))
+        .withColumn("dl", size($"w").cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   private val bandedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def bandedSignatures(s: SparkSession, dir: String): DataFrame =
@@ -1428,15 +1446,12 @@ object Similarity {
       "s15_hybrid_rrf",
       (s, dir) => {
         import s.implicits._
-        val docs = t(s, dir, "documents")
-        def toksCol = regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0))
-        val cand = docs.filter($"doc_id" >= 1)
-          .select($"doc_id", toksCol.as("w"))
-          .withColumn("dl", size($"w").cast("long"))
+        val toks = tokDocs(s, dir)
+        val cand = toks.filter($"doc_id" >= 1)
         val stats = cand.agg(count(lit(1)).as("nd"),
           (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
-        val qterms = docs.filter($"doc_id" === 0)
-          .select(explode(array_distinct(toksCol)).as("term"))
+        val qterms = toks.filter($"doc_id" === 0)
+          .select(explode(array_distinct($"w")).as("term"))
         val tf = cand.select($"doc_id", $"dl", explode($"w").as("term"))
           .join(broadcast(qterms), "term")
           .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
