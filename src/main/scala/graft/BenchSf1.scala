@@ -44,7 +44,11 @@ object BenchSf1 {
     "d02_ngram_jaccard_pairs", "d15_minhash_calibration", "q11_important_parts",
     "p10_split_decontam", "t19_bigram_surprisal", "t21_bpe_merges",
     "d17_cdc_chunk_dedup", "d18_canonical_docs",
-    "d12_lsh_recall", "d16_dfcap_recall")
+    "d12_lsh_recall", "d16_dfcap_recall",
+    // round-8 additions: the corpus-materializing retrieval ops — s15
+    // persists the shared tokenize, s16 runs k linear scans, p14 builds
+    // the hashed-bigram model with three passes over the cached arrays
+    "s15_hybrid_rrf", "s16_mmr_diverse", "p14_dsir_selection")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

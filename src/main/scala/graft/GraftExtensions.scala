@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.WinnowFingerprints.info, functions.WinnowFingerprints.builder))
     ext.injectFunction((functions.LongDot.identifier,
       functions.LongDot.info, functions.LongDot.builder))
+    ext.injectFunction((functions.LongSsd.identifier,
+      functions.LongSsd.info, functions.LongSsd.builder))
     ext.injectFunction((functions.InterleaveBits.identifier,
       functions.InterleaveBits.info, functions.InterleaveBits.builder))
     ext.injectFunction((functions.CharEntropy.identifier,

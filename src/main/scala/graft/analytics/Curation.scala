@@ -765,13 +765,16 @@ object Curation {
         def ngrams2(c: org.apache.spark.sql.Column) =
           ColumnBridge.column(graft.functions.WordNgrams(
             ColumnBridge.expression(c), 2, distinct = false))
-        val docs = t(s, dir, "documents")
+        // token arrays come from the shared persisted tokenize (s15's
+        // tokDocs cache) — the bigram index is consumed three times below
+        // (target counts, raw counts, per-doc tf) and the regex tokenize
+        // is the expensive part of each pass
+        val docs = Similarity.tokDocs(s, dir)
           .withColumn("is_tgt",
             conv(substring(md5(concat(lit("dsir:"), $"doc_id".cast("string"))), 1, 6), 16, 10)
               .cast("long") < cutTgt)
         val bt = docs
-          .select($"doc_id", $"is_tgt",
-            explode(ngrams2(regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0)))).as("g"))
+          .select($"doc_id", $"is_tgt", explode(ngrams2($"w")).as("g"))
           .withColumn("bucket",
             (conv(substring(md5($"g"), 1, 6), 16, 10).cast("long") % D).cast("int"))
           .select($"doc_id", $"is_tgt", $"bucket")

@@ -64,6 +64,17 @@ object Similarity {
   /** Exact integer squared norm. */
   private def norm2(q: Column): Column = longDot(q, q)
 
+  /** Exact integer squared euclidean distance — the native fused kernel
+    * (graft.functions.LongSsd), replacing longDot(zip_with(a,b,_-_), same)
+    * which paid an interpreted HOF dispatch AND a difference-array
+    * allocation per evaluation. The PQ encode/train stages (s13/s14)
+    * evaluate this up to 64× corpus rows per run. */
+  private def longSsd(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.LongSsd(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   private def dotInt(a: String, b: String): Column =
     longDot(col(a), col(b))
 
@@ -120,7 +131,7 @@ object Similarity {
     * materialize-the-index-once shape as shingleIndex/bandedSignatures. */
   private val tokDocsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def tokDocs(s: SparkSession, dir: String): DataFrame =
+  private[analytics] def tokDocs(s: SparkSession, dir: String): DataFrame =
     tokDocsCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       t(s, dir, "documents")
@@ -1085,10 +1096,7 @@ object Similarity {
         import s.implicits._
         val M = 4; val SUBDIM = DIMS / M; val K = 16
         def sub(qc: Column, m: Int) = slice(qc, m * SUBDIM + 1, SUBDIM)
-        def ssd(a: Column, b: Column): Column = {
-          val d = zip_with(a, b, (x, y) => x - y)
-          longDot(d, d)
-        }
+        def ssd(a: Column, b: Column): Column = longSsd(a, b)
         val emb = withQNorm(t(s, dir, "embeddings"))
         def subRows(df: DataFrame, idCol: String, id: Column): DataFrame =
           (0 until M).map(m =>
@@ -1248,10 +1256,7 @@ object Similarity {
         val M = 4; val SUBDIM = DIMS / M; val K = 16
         val PQSEED = NLIST + K // residual-codebook seeds: cids in [NLIST, PQSEED)
         def sub(qc: Column, m: Int) = slice(qc, m * SUBDIM + 1, SUBDIM)
-        def ssd(a: Column, b: Column): Column = {
-          val d = zip_with(a, b, (x, y) => x - y)
-          longDot(d, d)
-        }
+        def ssd(a: Column, b: Column): Column = longSsd(a, b)
         val emb = withQNorm(t(s, dir, "embeddings"))
         val (assigned, cent1) = ivfBuild(s, dir)
         // per-vector residual from its OWN cell centroid

@@ -87,3 +87,73 @@ object LongDot {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(identifier, info, builder)
 }
+
+/** `long_ssd(a, b)` = Σ (a(i) − b(i))² — the exact-integer squared
+  * euclidean distance the PQ family (s13/s14) evaluates per (residual
+  * subvector × candidate centroid), i.e. up to 64× corpus rows per run.
+  * The composed form `long_dot(zip_with(a,b,(x,y)=>x-y), same)` pays the
+  * interpreted HOF dispatch AND materializes the difference array per
+  * evaluation; this is the LongDot shape — one fused primitive loop, no
+  * allocation, whole-stage codegen. Null/length semantics as LongDot
+  * (never hit upstream: fixed-dim quantized slices on both sides). */
+final case class LongSsd(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"long_ssd expects (array<bigint>, array<bigint>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_ssd"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LongSsd.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.LongSsd$$.MODULE$$.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongSsd =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongSsd {
+
+  /** Kernel shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = a.getLong(i) - b.getLong(i)
+        acc += d * d
+      }
+      i += 1
+    }
+    acc
+  }
+
+  // ---- SQL registration (long_ssd(a, b)) ----
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("long_ssd")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[LongSsd].getCanonicalName, null, "long_ssd",
+    "_FUNC_(a, b) - exact integer squared euclidean distance of two bigint arrays.", "")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => LongSsd(a, b)
+    case args => throw new IllegalArgumentException(
+      s"long_ssd expects exactly 2 arguments, got ${args.length}")
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(identifier, info, builder)
+}
