@@ -842,5 +842,76 @@ object Curation {
                doc_id, n_grams, score_q
         FROM top ORDER BY rn"""),
     ),
+
+    // ---- p15: PageRank-style authority over the near-dup graph ----
+    // Web-pipeline quality stacks use link-graph centrality as a
+    // document-quality prior; the corpus-internal analogue ranks docs by
+    // centrality in the SIMILARITY graph — a doc that many distinct docs
+    // near-duplicate is template/boilerplate-like (high authority in the
+    // dup graph), which downstream weighting wants to know about. Three
+    // power-iteration steps (damping 0.85) over the d05 SimHash edge set,
+    // entirely in exact integer arithmetic: ranks are ×10⁶-scaled BIGINTs
+    // and every division is integral (DIV here, // in DuckDB — both
+    // truncate on the positive values used), so both engines produce
+    // bit-identical ranks with no float summation anywhere. Scale shape:
+    // the edge list is the (sparse) near-dup pair set, persisted once via
+    // localCheckpoint (the band-join build must not replay per
+    // iteration); each step is contribution-map (narrow) → one shuffle on
+    // the destination key → left join back to the node set — the
+    // Pregel/GraphX dataflow written as three unrolled joins, never a
+    // corpus×corpus product; the top-20 pick is TakeOrderedAndProject.
+    // Every node in the edge graph has deg ≥ 1 by construction, so there
+    // is no dangling-mass term.
+    QueryDef(
+      "p15_pagerank_authority",
+      (s, dir) => {
+        import s.implicits._
+        val SCALE = 1000000L
+        val pairs = Dedup.simhashPairs(s, dir).select($"i", $"j")
+        val edges = pairs.select($"i".as("src"), $"j".as("dst"))
+          .unionByName(pairs.select($"j".as("src"), $"i".as("dst")))
+          .localCheckpoint(true)
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+        var ranks = deg.select($"src".as("node"), $"deg", lit(SCALE).as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = ranks.select($"node".as("src"), expr("r DIV deg").as("c"))
+          val inbound = edges.join(contrib, "src")
+            .groupBy($"dst").agg(sum($"c").as("inb"))
+          ranks = deg.select($"src".as("node"), $"deg")
+            .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .withColumn("r",
+              lit(15L * SCALE / 100) + expr("(85 * coalesce(inb, 0)) DIV 100"))
+            .select($"node", $"deg", $"r")
+        }
+        ranks
+          .select($"node".as("doc_id"), $"deg", $"r".as("rank_q"))
+          .orderBy($"rank_q".desc, $"doc_id").limit(20)
+      },
+      Some(s"""
+        WITH sims AS (${Dedup.simhashSql}),
+        pairs AS (${Dedup.SIMHASH_PAIRS_SQL}),
+        edges AS (SELECT i AS src, j AS dst FROM pairs
+                  UNION ALL SELECT j AS src, i AS dst FROM pairs),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT src AS node, deg, CAST(1000000 AS BIGINT) AS r FROM deg),
+        c1 AS (SELECT node AS src, r // deg AS c FROM r0),
+        i1 AS (SELECT dst, SUM(c) AS inb FROM edges JOIN c1 USING (src) GROUP BY dst),
+        r1 AS (SELECT d.src AS node, d.deg,
+                      CAST(150000 + (85 * COALESCE(i1.inb, 0)) // 100 AS BIGINT) AS r
+               FROM deg d LEFT JOIN i1 ON i1.dst = d.src),
+        c2 AS (SELECT node AS src, r // deg AS c FROM r1),
+        i2 AS (SELECT dst, SUM(c) AS inb FROM edges JOIN c2 USING (src) GROUP BY dst),
+        r2 AS (SELECT d.src AS node, d.deg,
+                      CAST(150000 + (85 * COALESCE(i2.inb, 0)) // 100 AS BIGINT) AS r
+               FROM deg d LEFT JOIN i2 ON i2.dst = d.src),
+        c3 AS (SELECT node AS src, r // deg AS c FROM r2),
+        i3 AS (SELECT dst, SUM(c) AS inb FROM edges JOIN c3 USING (src) GROUP BY dst),
+        r3 AS (SELECT d.src AS node, d.deg,
+                      CAST(150000 + (85 * COALESCE(i3.inb, 0)) // 100 AS BIGINT) AS r
+               FROM deg d LEFT JOIN i3 ON i3.dst = d.src)
+        SELECT node AS doc_id, deg, r AS rank_q
+        FROM r3 ORDER BY rank_q DESC, doc_id LIMIT 20"""),
+    ),
   )
 }

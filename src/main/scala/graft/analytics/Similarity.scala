@@ -128,7 +128,16 @@ object Similarity {
     * (corpus length stats, tf over query terms, and the query doc's own
     * terms); the regex tokenize is the expensive part (~0.5 s/pass at
     * sf0.1), so it runs ONCE and the passes read cached arrays. Same
-    * materialize-the-index-once shape as shingleIndex/bandedSignatures. */
+    * materialize-the-index-once shape as shingleIndex/bandedSignatures.
+    *
+    * BOUNDARY (measured, round 8): this cache only wins for MULTI-pass
+    * consumers (s15 warm 6.6→1.5 s, p14 1.86→1.14 s at sf0.1). Routing
+    * the single-pass TextOps/Curation queries through it was tried and
+    * REVERTED — deserializing array<string> columns from the columnar
+    * cache costs more than re-running the codegen'd regex over cached
+    * text (t19 1.39→3.40 s, p01 0.84→2.79 s). Tokenize-inline is the
+    * right default; reach for this frame only when a query re-tokenizes
+    * the same corpus two or more times. */
   private val tokDocsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[analytics] def tokDocs(s: SparkSession, dir: String): DataFrame =
