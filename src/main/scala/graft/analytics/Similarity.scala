@@ -1268,10 +1268,15 @@ object Similarity {
         def ssd(a: Column, b: Column): Column = longSsd(a, b)
         val emb = withQNorm(t(s, dir, "embeddings"))
         val (assigned, cent1) = ivfBuild(s, dir)
-        // per-vector residual from its OWN cell centroid
+        // per-vector residual from its OWN cell centroid — persisted: the
+        // seed pick, the Lloyd step, and the encode pass each read the
+        // residual frame, and without the cache each re-runs the
+        // assigned⋈cent join plus the interpreted zip_with difference
+        // over the whole corpus (three corpus passes → one)
         val res = assigned.join(broadcast(cent1), "cent_id")
           .withColumn("rb", zip_with($"qb", $"qc", (x, y) => x - y))
           .select($"cid", $"cent_id", $"rb")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def subRows(df: DataFrame, col0: String): DataFrame =
           (0 until M).map(m =>
             df.select(df.columns.filterNot(_ == col0).map(col) :+
