@@ -270,8 +270,12 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
       private def advance(): Unit = {
         nextEv = null
         while (nextEv == null && !eof) {
-          val p = try recv() catch { case _: java.io.EOFException => eof = true; null }
-          if (p != null) (p(0) & 0xff) match {
+          // a transport EOF mid-dump PROPAGATES: a healthy master never
+          // half-closes a dump — the clean end is the 0xFE EOF packet
+          // below. Callers with a reconnect policy (LiveBinlogFeed) catch
+          // the IOException and resume from their cursor.
+          val p = recv()
+          (p(0) & 0xff) match {
             case 0x00 =>
               // never strip the CRC from a FORMAT_DESCRIPTION event
               // (type byte at p[5]: status + 4-byte timestamp): its
@@ -301,10 +305,18 @@ final class BinlogClient(in: InputStream, out: OutputStream, user: String, passw
           }
         }
       }
-      advance()
-      override def hasNext: Boolean = nextEv != null
+      // advancement is LAZY (in hasNext, not next): with an eager
+      // prefetch, a transport error while reading event N+1 would throw
+      // from the next() that should have RETURNED event N — dropping the
+      // last fully received event exactly when a reconnecting caller
+      // needs its position as the resume cursor
+      override def hasNext: Boolean = {
+        if (nextEv == null && !eof) advance()
+        nextEv != null
+      }
       override def next(): (BinlogEvents.EventHeader, BinlogEvents.Event) = {
-        val v = nextEv; advance(); v
+        if (!hasNext) throw new NoSuchElementException("binlog stream ended")
+        val v = nextEv; nextEv = null; v
       }
     }
   }

@@ -45,7 +45,8 @@ final class LiveBinlogFeed(
     schemaLookup: (String, String) => Option[TableDef],
     heartbeatPeriodSec: Double = 30.0,
     maxBuffer: Int = 1 << 20,
-    startGtid: Option[Gset] = None) {
+    startGtid: Option[Gset] = None,
+    reconnect: Option[LiveBinlogFeed.Reconnect] = None) {
 
   import BinlogReplaySource.Ev
 
@@ -57,6 +58,16 @@ final class LiveBinlogFeed(
   private var logName = startFile
   private var seq = 0L
   private var gset: Gset = startGtid.getOrElse(GtidSet.empty)
+  // in-session resume cursor: the END position of the last fully ingested
+  // event — a reconnect dumps from exactly here, so nothing is re-emitted
+  // and nothing is lost (the event interrupted mid-frame was never
+  // ingested; the server resends from its start)
+  private var lastPos: Long = startPos
+  private var eventsSeen = false
+  @volatile private var reconnects = 0
+
+  /** Completed transport reconnects (observability + specs). */
+  def reconnectCount: Int = reconnects
 
   def failure: Option[Throwable] = failureOpt
 
@@ -89,9 +100,39 @@ final class LiveBinlogFeed(
   }
 
   /** The sequential protocol loop (runs on the feed thread; also callable
-    * synchronously in tests with a finite scripted stream). */
-  def run(): Unit =
-    try {
+    * synchronously in tests with a finite scripted stream).
+    *
+    * Transport errors (IOException — a dropped socket, a truncated frame)
+    * RECONNECT when a [[LiveBinlogFeed.Reconnect]] policy is configured,
+    * mirroring go-mysql's `BinlogSyncer` retry loop the reference's canal
+    * rides on: a fresh connection re-runs the startup sequence and dumps
+    * from the in-session cursor — the end position of the last fully
+    * ingested event — so the buffer sees no duplicates and no gaps, and
+    * all session state (schema maps already seen, the accumulated GTID
+    * set, the seq counter) carries across the transport swap. Resume is
+    * always by (file, pos): a GTID start is only needed for the FIRST
+    * connection's failover semantics — mid-session positions are valid on
+    * the same master, and a true failover is a restart-from-checkpoint
+    * concern. Non-transport failures (the S2 gates, decode errors) fail
+    * fast — retrying a config error just loops. */
+  def run(): Unit = {
+    var active = client
+    var done = false
+    while (!done)
+      try { runOnce(active); done = true }
+      catch {
+        case e: java.io.IOException if reconnect.exists(r => reconnects < r.maxRetries) =>
+          val r = reconnect.get
+          reconnects += 1
+          Thread.sleep(r.backoffMs * reconnects)
+          try active = r.factory()
+          catch { case t: Throwable => failureOpt = Some(t); done = true }
+        case e: Throwable => failureOpt = Some(e); done = true
+      }
+  }
+
+  private def runOnce(client: BinlogClient): Unit = {
+    {
       client.connect()
       client.checkBinlogRowFormat() match { // S2 precondition
         case Left(reason) => throw new IllegalStateException(reason)
@@ -107,12 +148,16 @@ final class LiveBinlogFeed(
       // for us); empty/absent set falls back to the (file, pos) dump —
       // the reference's GtidEnabled switch (canal/sync.go:46-67). The
       // flavor is the start set's own: MariaDB announces its state in
-      // session vars + a plain dump, MySQL issues COM_BINLOG_DUMP_GTID
-      val stream = startGtid.filter(!_.isEmpty) match {
-        case Some(m: GtidSet.Mariadb) => client.dumpMariadbGtid(m, serverId)
-        case Some(s: GtidSet) => client.dumpGtid(s, serverId)
-        case None => client.dump(startFile, startPos, serverId)
-      }
+      // session vars + a plain dump, MySQL issues COM_BINLOG_DUMP_GTID.
+      // After the first ingested event the cursor takes over: reconnects
+      // resume at (logName, lastPos) regardless of how the feed started.
+      val stream =
+        if (eventsSeen) client.dump(logName, lastPos, serverId)
+        else startGtid.filter(!_.isEmpty) match {
+          case Some(m: GtidSet.Mariadb) => client.dumpMariadbGtid(m, serverId)
+          case Some(s: GtidSet) => client.dumpGtid(s, serverId)
+          case None => client.dump(startFile, startPos, serverId)
+        }
       stream.foreach { case (h, ev) =>
         val ops: Seq[Operation] = ev match {
           case r: BinlogEvents.Rows =>
@@ -125,7 +170,12 @@ final class LiveBinlogFeed(
           case other => mapper.toOperation(h, other).toSeq
         }
         ops.foreach { op0 =>
-          if (op0.opType == OpType.Rotate) logName = op0.nextLogName.getOrElse(logName)
+          if (op0.opType == OpType.Rotate) {
+            logName = op0.nextLogName.getOrElse(logName)
+            // the cursor jumps with the rotate: the next event lives at
+            // the head of the NEW file
+            op0.nextLogPos.foreach(lastPos = _)
+          }
           if (op0.opType == OpType.Gtid) op0.gtid.foreach { g =>
             // the event's own format picks the flavor: MySQL `uuid:gno`
             // vs MariaDB `domain-server-seq` (a server emits exactly one).
@@ -172,8 +222,24 @@ final class LiveBinlogFeed(
             buf += e
           }
         }
+        // the event is fully ingested — advance the in-session resume
+        // cursor to its END position (rotate already moved it when the
+        // event was a file switch)
+        if (h.logPos > 0) lastPos = h.logPos
+        eventsSeen = true
       }
-    } catch { case e: Throwable => failureOpt = Some(e) }
+    }
+  }
+}
+
+object LiveBinlogFeed {
+  /** Transport-retry policy: `factory` opens a NEW connection (socket or
+    * scripted conversation); `maxRetries` bounds reconnects per feed
+    * lifetime; backoff is linear (`backoffMs × attempt`). */
+  final case class Reconnect(
+      factory: () => BinlogClient,
+      maxRetries: Int = 3,
+      backoffMs: Long = 500)
 }
 
 class BinlogLiveSource extends TableProvider
@@ -214,12 +280,24 @@ class LiveBinlogTable(opts: CaseInsensitiveStringMap) extends Table with Support
               tracker.getTableDef(_, _)
             case None => (_, _) => None
           }
+        // transport-blip tolerance: maxReconnects > 0 (default 3) retries
+        // dropped sockets with a fresh connection resuming at the
+        // in-session (file, pos) cursor — the go-mysql BinlogSyncer
+        // behavior the reference's canal rides on
+        val reconnect = Option(opts.get("maxReconnects")).map(_.toInt)
+          .orElse(Some(3)).filter(_ > 0).map(n =>
+            LiveBinlogFeed.Reconnect(() => BinlogClient.connect(opts.get("host"),
+              Option(opts.get("port")).map(_.toInt).getOrElse(3306),
+              opts.get("user"), Option(opts.get("password")).getOrElse("")),
+              maxRetries = n,
+              backoffMs = Option(opts.get("reconnectBackoffMs")).map(_.toLong).getOrElse(500L)))
         val feed = new LiveBinlogFeed(client,
           Option(opts.get("serverId")).map(_.toLong).getOrElse(1001L),
           Option(opts.get("startFile")).getOrElse(""),
           Option(opts.get("startPos")).map(_.toLong).getOrElse(4L),
           lookup,
-          startGtid = Option(opts.get("startGtid")).map(Gset.parse)).start()
+          startGtid = Option(opts.get("startGtid")).map(Gset.parse),
+          reconnect = reconnect).start()
         new LiveBinlogMicroBatchStream(feed,
           Option(opts.get("maxEventsPerTrigger")).map(_.toLong))
       }

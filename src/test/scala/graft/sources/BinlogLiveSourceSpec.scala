@@ -257,6 +257,104 @@ class BinlogLiveSourceSpec extends AnyFunSuite {
     assert(feed.slice(2, 4).map(_.op.opType) == Vector(OpType.Insert, OpType.Commit))
   }
 
+  private def startupFrames: Seq[Array[Byte]] =
+    Seq(frame(0, greeting), frame(2, okPacket)) ++
+      binlogFormatResult("ROW") ++
+      binlogRowImageResult("FULL") ++
+      Seq(frame(1, okPacket), frame(1, okPacket)) ++
+      checksumAnnounce("CRC32")
+
+  test("a dropped transport reconnects and resumes at the in-session cursor — " +
+      "no duplicates, no gaps, dump issued at (file, last event end pos)") {
+    // connection 1: startup + rotate/begin/tablemap/rows ingested, then the
+    // XID frame arrives TRUNCATED (socket died mid-frame)
+    val conn1Bytes = (startupFrames ++ Seq(
+      frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 1), crc = true)),
+      frame(2, eventPacket(ROTATE_EVENT, 0,
+        new Packets.Writer().u64(4L).eofStr("mysql-bin.000099").result,
+        crc = true, timestamp = 0)),
+      frame(3, eventPacket(QUERY_EVENT, 260, beginPayload, crc = true)),
+      frame(4, eventPacket(TABLE_MAP_EVENT, 320, tableMapPayload, crc = true)),
+      frame(5, eventPacket(WRITE_ROWS_V2, 400, writeRowsPayload, crc = true)),
+      frame(6, eventPacket(XID_EVENT, 440,
+        new Packets.Writer().u64(777L).result, crc = true)))).flatten.toArray
+    val cut = new java.io.ByteArrayInputStream(conn1Bytes, 0, conn1Bytes.length - 10)
+    val out1 = new java.io.ByteArrayOutputStream()
+
+    // connection 2: fresh startup, then the remainder of the stream
+    val (in2, out2) = script(
+      (startupFrames ++ Seq(
+        frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 1), crc = true)),
+        frame(2, eventPacket(XID_EVENT, 440,
+          new Packets.Writer().u64(777L).result, crc = true)),
+        frame(3, eofPacket))): _*)
+
+    val tracker = new SchemaTracker
+    tracker.execDdl("CREATE DATABASE shop", "")
+    tracker.execDdl("CREATE TABLE orders (id INT, name VARCHAR(100))", "shop")
+    val feed = new LiveBinlogFeed(new BinlogClient(cut, out1, "repl", "secret"),
+      1001, "mysql-bin.000099", 4, tracker.getTableDef(_, _),
+      reconnect = Some(LiveBinlogFeed.Reconnect(
+        () => new BinlogClient(in2, out2, "repl", "secret"),
+        maxRetries = 3, backoffMs = 1)))
+    feed.run()
+
+    assert(feed.failure.isEmpty, s"feed failed: ${feed.failure}")
+    assert(feed.reconnectCount == 1)
+    // the full logical stream, exactly once, seq numbering continuous
+    val evs = feed.slice(0, feed.watermark)
+    assert(evs.map(_.op.opType) ==
+      Vector(OpType.Rotate, OpType.Begin, OpType.Insert, OpType.Commit))
+    assert(evs.map(_.seqNo) == Vector(1L, 2L, 3L, 4L))
+    // connection 2's dump command resumed at the cursor: COM_BINLOG_DUMP
+    // with pos = 400 (end of the last fully ingested event) on the
+    // rotated-to file
+    val sent = out2.toByteArray
+    var off = 0
+    var dump: Option[Array[Byte]] = None
+    while (off < sent.length) {
+      val len = (sent(off) & 0xff) | ((sent(off + 1) & 0xff) << 8) | ((sent(off + 2) & 0xff) << 16)
+      if ((sent(off + 4) & 0xff) == Packets.COM_BINLOG_DUMP)
+        dump = Some(sent.slice(off + 4, off + 4 + len))
+      off += 4 + len
+    }
+    assert(dump.isDefined, "no COM_BINLOG_DUMP on connection 2")
+    val d = dump.get
+    val pos = (d(1) & 0xffL) | ((d(2) & 0xffL) << 8) | ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 24)
+    assert(pos == 400L, s"resume pos was $pos, expected 400")
+    assert(new String(d.drop(11), UTF_8) == "mysql-bin.000099")
+  }
+
+  test("reconnects stop at maxRetries; the transport error then surfaces") {
+    def truncated: BinlogClient = {
+      val bytes = (startupFrames ++ Seq(
+        frame(1, eventPacket(FORMAT_DESCRIPTION_EVENT, 124, fdePayload(alg = 1), crc = true)),
+        frame(2, eventPacket(QUERY_EVENT, 260, beginPayload, crc = true)))).flatten.toArray
+      new BinlogClient(new java.io.ByteArrayInputStream(bytes, 0, bytes.length - 5),
+        new java.io.ByteArrayOutputStream(), "repl", "secret")
+    }
+    val feed = new LiveBinlogFeed(truncated,
+      1001, "mysql-bin.000099", 4, (_, _) => None,
+      reconnect = Some(LiveBinlogFeed.Reconnect(() => truncated, maxRetries = 2, backoffMs = 1)))
+    feed.run()
+    assert(feed.reconnectCount == 2)
+    assert(feed.failure.exists(_.isInstanceOf[java.io.IOException]))
+  }
+
+  test("non-transport failures do not retry: the S2 gate fails fast even with a policy") {
+    val (in, out) = script(
+      (Seq(frame(0, greeting), frame(2, okPacket)) ++
+        binlogFormatResult("STATEMENT")): _*)
+    val feed = new LiveBinlogFeed(new BinlogClient(in, out, "repl", "secret"),
+      1001, "mysql-bin.000099", 4, (_, _) => None,
+      reconnect = Some(LiveBinlogFeed.Reconnect(
+        () => throw new AssertionError("factory must not be called for a config error"),
+        maxRetries = 3, backoffMs = 1)))
+    feed.run()
+    assert(feed.reconnectCount == 0)
+    assert(feed.failure.exists(_.getMessage.contains("binlog must be ROW format")))
+  }
+
   test("spark.readStream format binlog-live over a real localhost socket") {
     // a minimal scripted "server": accept one connection, stream the
     // recorded bytes, half-close — the client reads the exact bytes a
