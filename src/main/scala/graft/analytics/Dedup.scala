@@ -238,18 +238,26 @@ object Dedup {
     * the verify is a per-row map BEFORE the union+distinct shuffle, so
     * the dedup exchange only carries surviving pairs. (The previous
     * 16-bit/2×8-bit shape re-quadratized at 100× — n²/256 buckets.) */
-  private[analytics] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val h = simhashOf(s, dir)
-    val hamming = (0 until 4).map(k =>
-      bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _).cast("long")
-    def band(k: Int) = h.as("a")
-      .join(h.as("b"), col(s"a.b$k") === col(s"b.b$k") && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), hamming.as("hamming"))
-      .filter($"hamming" <= 3)
-    (0 until 4).map(band).reduce(_ unionAll _).distinct()
-      .select($"i", $"j", $"hamming")
-  }
+  private val simhashPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[analytics] def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    // persisted per (session, dir): the pair set is the shared edge input
+    // of d05, the p03/p11/d18/d19 cluster contraction, m06's text side
+    // and p15's authority iteration — without the cache each consumer
+    // re-ran the four band joins (~1.5 s at sf0.1 apiece)
+    simhashPairsCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val h = simhashOf(s, dir)
+      val hamming = (0 until 4).map(k =>
+        bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _).cast("long")
+      def band(k: Int) = h.as("a")
+        .join(h.as("b"), col(s"a.b$k") === col(s"b.b$k") && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), hamming.as("hamming"))
+        .filter($"hamming" <= 3)
+      (0 until 4).map(band).reduce(_ unionAll _).distinct()
+        .select($"i", $"j", $"hamming")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Oracle twin of [[simhashPairs]] (unordered): needs `sims` bound to
     * [[SIMHASH_SQL]] in the enclosing WITH. */
