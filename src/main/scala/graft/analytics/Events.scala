@@ -371,6 +371,67 @@ object Events {
         ORDER BY a.user_id, click_id, purchase_id"""),
     ),
 
+    // ---- e22: first-touch attribution with the UNCONVERTED tail ----
+    // e13 emits every (click, purchase) pair inside the window — the
+    // all-pairs interval join. The report a marketing pipeline actually
+    // ships is per-CLICK: the earliest in-window purchase (first-touch)
+    // or an explicit unconverted row, so conversion RATE is computable
+    // from the output alone. The earliest-purchase pick is a sort-free
+    // min(struct(p_us, purchase_id)) aggregate over the interval-join
+    // pairs (the q48/s13 argmin pattern — no per-key window sort), then
+    // ONE left join puts the unconverted tail back. Both shuffles key on
+    // (user_id, click_id) — high-cardinality, skew-free. The streaming
+    // twin is `EventTimeWindows.attributionOuter`: the same interval
+    // condition as a stream-stream LEFT OUTER join, where Spark emits the
+    // null rows exactly when the watermark proves no purchase can still
+    // arrive (EventsStreamParitySpec locks stream == batch including the
+    // unmatched tail).
+    QueryDef(
+      "e22_first_touch_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id"), unix_micros($"ts").as("c_us"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+            unix_micros($"ts").as("p_us"))
+        val first = clicks.join(purchases,
+            $"user_id" === $"p_user" && $"p_us" > $"c_us" &&
+              $"p_us" <= $"c_us" + lit(7200L * 1000000L))
+          .groupBy($"user_id", $"click_id")
+          .agg(min(struct($"p_us", $"purchase_id")).as("b"))
+          .select($"user_id", $"click_id",
+            $"b.purchase_id".as("purchase_id"), $"b.p_us".as("p_us"))
+        clicks.join(first, Seq("user_id", "click_id"), "left")
+          .select($"user_id", $"click_id", $"purchase_id",
+            ($"p_us" - $"c_us").as("gap_us"),
+            $"purchase_id".isNotNull.as("converted"))
+          .orderBy($"user_id", $"click_id")
+      },
+      Some("""
+        WITH clicks AS (
+          SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+          FROM events WHERE event_type = 'click'),
+        first AS (
+          SELECT user_id, click_id, purchase_id, p_us FROM (
+            SELECT c.user_id, c.click_id, b.event_id AS purchase_id,
+                   epoch_us(b.ts) AS p_us,
+                   ROW_NUMBER() OVER (PARTITION BY c.user_id, c.click_id
+                                      ORDER BY epoch_us(b.ts), b.event_id) AS rn
+            FROM clicks c JOIN events b
+              ON b.user_id = c.user_id AND b.event_type = 'purchase'
+             AND epoch_us(b.ts) > c.c_us
+             AND epoch_us(b.ts) <= c.c_us + 7200000000) x
+          WHERE rn = 1)
+        SELECT c.user_id, c.click_id, f.purchase_id,
+               f.p_us - c.c_us AS gap_us,
+               f.purchase_id IS NOT NULL AS converted
+        FROM clicks c LEFT JOIN first f
+          ON f.user_id = c.user_id AND f.click_id = c.click_id
+        ORDER BY c.user_id, c.click_id"""),
+    ),
+
     // ---- e14: event-rate anomaly detection (z-score over minutely rate) --
     // The ops-dashboard operator: minutes whose event rate deviates >2σ
     // from the stream's mean rate. Moments are EXACT integer sums (counts

@@ -74,6 +74,34 @@ object EventTimeWindows {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[attribution]] plus the
+    * UNCONVERTED tail: a click with no in-window purchase is emitted with
+    * null purchase columns, and Spark emits that null row exactly when
+    * the watermark proves no matching purchase can still arrive
+    * (c_ts + within < watermark) — the state-eviction point doubles as
+    * the no-match decision point, which is why outer interval joins
+    * REQUIRE the watermark + both-ends time bound. Same bounded-state
+    * story as the inner form; the batch twin is e22's left join (the
+    * all-pairs layer under its first-touch pick). */
+  def attributionOuter(
+      events: DataFrame,
+      within: String = "2 hours",
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+      expr(s"c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + interval $within"),
+      "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Running per-minute event counts — the streaming half of the e14
     * anomaly detector. A plain streaming aggregation: the state store
     * keeps one count per minute and each micro-batch merges into it,

@@ -119,6 +119,80 @@ class EventsStreamParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("stream-stream LEFT OUTER interval join: matches equal the batch join, " +
+      "and the unconverted tail emits null rows exactly for watermark-proven clicks") {
+    import spark.implicits._
+    val all = graft.TestTables.events(spark)
+      .select("event_id", "ts", "user_id", "event_type")
+
+    val n = all.count()
+    val ordered = all.orderBy($"ts").collect()
+    val dir = Files.createTempDirectory("evattro")
+    val (first, second) = ordered.splitAt((n / 2).toInt)
+    Seq("0" -> first, "1" -> second).foreach { case (name, rows) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 2), all.schema)
+        .write.parquet(s"$dir/f$name")
+    }
+
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+    val q = EventTimeWindows.attributionOuter(stream)
+      .writeStream.outputMode("append").format("memory").queryName("attro").start()
+    q.processAllAvailable()
+    // null-row completeness is judged against the watermark the FINAL
+    // executed batch actually used (reported in progress) — eviction for
+    // events of the last file would need one more batch that never runs
+    val wmFinalUs = java.time.Instant.parse(
+      q.lastProgress.eventTime.get("watermark")).toEpochMilli * 1000L
+    q.stop()
+
+    val streamed = spark.sql(
+      "SELECT user_id, click_id, purchase_id, gap_us FROM attro")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toVector
+
+    // 1) the matched side is EXACTLY the batch inner interval join
+    val clicks = all.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), unix_micros($"ts").as("c_us"))
+    val purchases = all.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        unix_micros($"ts").as("p_us"))
+    val batchPairs = clicks.join(purchases,
+      $"user_id" === $"p_user" && $"p_us" > $"c_us" &&
+        $"p_us" <= $"c_us" + lit(7200L * 1000000L))
+      .select($"user_id", $"click_id", $"purchase_id", ($"p_us" - $"c_us").as("gap_us"))
+      .as[(Long, Long, Long, Long)].collect().toVector.sorted
+    val streamedMatches = streamed.collect {
+      case (u, c, Some(p), Some(g)) => (u, c, p, g)
+    }.sorted
+    assert(streamedMatches == batchPairs)
+
+    // 2) every null row is a genuinely unconverted click — never a click
+    //    that HAS an in-window purchase (that would be a premature or
+    //    duplicate eviction)
+    val converted = batchPairs.map(p => (p._1, p._2)).toSet
+    val streamedNulls = streamed.collect { case (u, c, None, None) => (u, c) }
+    assert(streamedNulls.distinct.size == streamedNulls.size, "duplicate null rows")
+    streamedNulls.foreach { uc =>
+      assert(!converted(uc), s"null row emitted for a CONVERTED click $uc")
+    }
+    assert(streamedNulls.nonEmpty,
+      "expected some watermark-proven unconverted clicks on the real events table")
+
+    // 3) completeness up to the watermark: an unconverted click whose
+    //    no-match proof point (c_ts + window) lies safely below the last
+    //    batch's watermark (1s guard) MUST have emitted its null row
+    val proofCut = wmFinalUs - 7200L * 1000000L - 1000000L
+    val mustEmit = clicks.as[(Long, Long, Long)].collect()
+      .filter { case (u, c, cus) => !converted((u, c)) && cus < proofCut }
+      .map { case (u, c, _) => (u, c) }.toSet
+    val nullSet = streamedNulls.toSet
+    mustEmit.foreach { uc =>
+      assert(nullSet(uc), s"watermark-proven unconverted click $uc was never emitted")
+    }
+  }
+
   test("streamed per-minute counts + moment dag reproduce the batch e14 " +
       "anomalies bit-for-bit") {
     import spark.implicits._
