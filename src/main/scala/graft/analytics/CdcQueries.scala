@@ -138,5 +138,39 @@ object CdcQueries {
           FROM per_sink) y WHERE rn = 1
         ORDER BY event_type"""),
     ),
+
+    // ---- c05: SCD Type-2 history — the versioned-dimension consumer ----
+    // CurrentState (c01) is SCD Type 1: latest wins, history discarded.
+    // The OTHER standard CDC consumer keeps every version with its
+    // validity interval — (valid_from, valid_to, is_current) — so a join
+    // "as of time T" picks the version that was live at T. Batch form:
+    // each change's valid_to is simply the NEXT change's timestamp for
+    // that key (lead), open-ended for the current version. One window
+    // partitioned by the key — high-cardinality, skew-free, the
+    // event-ordering guarantee (W1 strong total order per key) is what
+    // makes lead() the correct closure rule. The streaming twin is
+    // `streaming/ScdHistory`: the same intervals maintained incrementally
+    // under foreachBatch with exactly-once replay (ScdHistorySpec locks
+    // stream == this batch recompute).
+    QueryDef(
+      "c05_scd2_history",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .select($"user_id", $"event_id", $"value", $"us".as("valid_from_us"),
+            lead($"us", 1).over(w).as("valid_to_us"))
+          .withColumn("is_current", $"valid_to_us".isNull)
+          .orderBy($"user_id", $"valid_from_us", $"event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, value, us AS valid_from_us,
+               LEAD(us) OVER w AS valid_to_us,
+               LEAD(us) OVER w IS NULL AS is_current
+        FROM (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events) x
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ORDER BY user_id, valid_from_us, event_id"""),
+    ),
   )
 }

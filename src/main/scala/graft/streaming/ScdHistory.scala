@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** SCD Type-2 history maintenance over a CDC change stream — the
+  * versioned-dimension consumer next to [[CurrentState]]'s Type-1
+  * latest-wins merge: every version of a key survives with its validity
+  * interval (valid_from_us, valid_to_us, is_current), so downstream
+  * point-in-time joins can ask "what was this row at T".
+  *
+  * Per micro-batch: the batch's changes chain into versions by lead()
+  * WITHIN the batch (a key updated thrice in one batch produces two
+  * closed versions + one open), the snapshot's open row for each touched
+  * key closes at the batch's FIRST new timestamp for that key, and
+  * untouched history passes through unchanged. Correctness leans on the
+  * CDC ordering guarantee (W1: strong total order, so per-key changes
+  * arrive in timestamp order across batches) — the same assumption the
+  * batch twin's lead() closure encodes (c05, `analytics/CdcQueries`).
+  * Exactly-once under foreachBatch crash-replay is the [[SnapshotStore]]
+  * batch-id contract shared with IncrementalAgg/IncrementalMinMax.
+  *
+  * At 100 TB: per-batch work is one window over the BATCH (batch-sized),
+  * one broadcast-sized first-new-per-key frame joined to the snapshot,
+  * and the append — history rewrites become a MERGE INTO on a
+  * transactional table format, with the closed majority of history
+  * partition-pruned away by is_current/valid_to predicates.
+  */
+object ScdHistory {
+
+  /** Chain one batch's changes (user_id, event_id, us, value) into SCD
+    * rows: closed versions end at the next change's us, the last stays
+    * open. */
+  private[streaming] def versions(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    changes
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("us").as("valid_from_us"),
+        lead(col("us"), 1).over(w).as("valid_to_us"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
+  /** Merge frame (seam for shape/parity assertions): close the touched
+    * keys' open rows at their first new timestamp, pass everything else
+    * through, append the batch's versions. */
+  private[streaming] def mergedFrame(cur: Option[DataFrame], changes: DataFrame): DataFrame = {
+    val v = versions(changes)
+    cur match {
+      case None => v
+      case Some(cur) =>
+        val firstNew = changes.groupBy(col("user_id"))
+          .agg(min(struct(col("us"), col("event_id"))).as("f"))
+          .select(col("user_id"), col("f.us").as("new_us"))
+        val closed = cur.join(firstNew, Seq("user_id"), "left")
+          .select(col("user_id"), col("event_id"), col("value"), col("valid_from_us"),
+            when(col("is_current") && col("new_us").isNotNull, col("new_us"))
+              .otherwise(col("valid_to_us")).as("valid_to_us"),
+            (col("is_current") && col("new_us").isNull).as("is_current"))
+        closed.unionByName(v)
+    }
+  }
+
+  /** Apply one batch of changes; replayed batch ids are skipped. */
+  def merge(changes: DataFrame, batchId: Long, stateRoot: String): Unit = {
+    if (batchId <= SnapshotStore.lastBatchId(stateRoot)) return // replay
+    val spark = changes.sparkSession
+    SnapshotStore.writeNext(
+      mergedFrame(SnapshotStore.read(spark, stateRoot), changes),
+      stateRoot, Some(batchId))
+  }
+
+  /** Start the streaming maintainer; `changes` columns: user_id,
+    * event_id, us, value. */
+  def start(changes: DataFrame, stateRoot: String, checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) => merge(batch, id, stateRoot) }
+      .start()
+
+  /** The maintained history (user_id, event_id, value, valid_from_us,
+    * valid_to_us, is_current). */
+  def read(spark: SparkSession, stateRoot: String): Option[DataFrame] =
+    SnapshotStore.read(spark, stateRoot)
+}
