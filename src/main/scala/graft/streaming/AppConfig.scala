@@ -34,6 +34,9 @@ object AppConfig {
     def mysqlPassword: String = str("mysql_password", "")
     def serverId: Long = int("server_id", 1001L)
     def gtidEnabled: Boolean = bool("gtid_enabled", dflt = false)
+    /** Transport-blip retries for the live source (0 disables). */
+    def maxReconnects: Int = int("max_reconnects", 3L).toInt
+    def reconnectBackoffMs: Long = int("reconnect_backoff_ms", 500L)
 
     /** `:8080` or `host:8080` → 8080. */
     def adminPort: Option[Int] =

@@ -130,7 +130,9 @@ object Replay {
             sinkFilters = sinkFilters,
             schemaSql = cfg.schemaSeedSql,
             topicAddr = topicAddr,
-            snapshots = snapshots)
+            snapshots = snapshots,
+            maxReconnects = cfg.maxReconnects,
+            reconnectBackoffMs = cfg.reconnectBackoffMs)
           progressView = () => Some(live.minProgress.toString)
           // split-brain guard: leadership must be re-checked for the
           // LIFETIME of the pipeline — a leader whose ZK session expires
@@ -266,7 +268,9 @@ object Replay {
       sinkFilters: Map[String, CanalTableFilter] = Map.empty,
       schemaSql: Option[String] = None,
       topicAddr: Option[String] = None,
-      snapshots: Option[SchemaSnapshotStore] = None): LiveRun = {
+      snapshots: Option[SchemaSnapshotStore] = None,
+      maxReconnects: Int = 3,
+      reconnectBackoffMs: Long = 500L): LiveRun = {
     val ckpMgr = managerFor(outDir, ckpStorage)
     val resume = ckpMgr.getMinProgress
     import spark.implicits._
@@ -274,6 +278,8 @@ object Replay {
       .option("host", host).option("port", port.toString)
       .option("user", user).option("password", password)
       .option("serverId", serverId.toString)
+      .option("maxReconnects", maxReconnects.toString)
+      .option("reconnectBackoffMs", reconnectBackoffMs.toString)
     schemaSql.foreach(f => reader = reader.option("schemaSql", f))
     if (!resume.isZero) {
       reader = reader.option("startFile", resume.pos.name)
