@@ -1245,5 +1245,81 @@ object Dedup {
         FROM lab JOIN per USING (cluster_rep)
         ORDER BY lab.doc_id"""),
     ),
+
+    // ---- d20: duplicated-substring spans (substring-level exact dedup) ----
+    // The substring-granularity complement to d01 (whole doc), d09 (char
+    // tiles) and d03 (whole-doc near-dup): mark every token covered by a
+    // K=4-token gram that occurs >=2 times ANYWHERE in the corpus (within-
+    // doc repeats included), then merge covered positions into maximal
+    // spans — the "remove duplicated substrings, keep the rest of the doc"
+    // action of suffix-array training-data dedup (Lee et al. 2022),
+    // re-expressed as a Spark dataflow: positional grams are the inverted
+    // index (md5 keys, fixed-width shuffle), the duplicate-gram set is ONE
+    // partial-combined count aggregate, coverage is an interval union
+    // (explode K offsets -> distinct), and span merging is the classic
+    // p - row_number island trick under a PER-DOC window (bounded by doc
+    // length, never global). 100 TB: same shuffle unit as the d03 shingle
+    // index; hot grams skew the count agg's reduce side but arrive
+    // pre-combined; the coverage explode is K x (dup occurrences), a
+    // corpus-bounded fraction, and everything downstream is doc-partitioned.
+    QueryDef(
+      "d20_dup_span_removal",
+      (s, dir) => {
+        import s.implicits._
+        val K = 4
+        val toks = t(s, dir, "documents").repartition($"doc_id")
+          .withColumn("toks",
+            regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0)))
+          .select($"doc_id", $"toks", size($"toks").cast("long").as("n_tokens"))
+        val grams = toks
+          .select($"doc_id",
+            posexplode(graft.functions.Shingles.ngrams(K)($"toks")).as(Seq("pos", "g")))
+          .select($"doc_id", $"pos", md5($"g").as("gh"))
+        val dup = grams.groupBy($"gh").agg(count(lit(1)).as("n"))
+          .filter($"n" >= 2).select($"gh")
+        val cov = grams.join(dup, "gh")
+          .select($"doc_id", explode(sequence($"pos".cast("long"),
+            $"pos".cast("long") + (K - 1))).as("p"))
+          .distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"p")
+        val agg = cov.withColumn("grp", $"p" - row_number().over(w))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("dup_tokens"), countDistinct($"grp").as("n_spans"))
+        toks.select($"doc_id", $"n_tokens")
+          .join(agg, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("dup_tokens", "n_spans"))
+          .select($"doc_id", $"n_tokens", $"dup_tokens", $"n_spans",
+            ($"dup_tokens".cast("double") /
+              greatest($"n_tokens", lit(1L)).cast("double")).as("dup_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 md5(t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]) AS gh
+          FROM tk, unnest(range(0, GREATEST(len(t)-3, 0))) r(i)),
+        dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+        cov AS (
+          SELECT DISTINCT doc_id, pos + j AS p
+          FROM grams JOIN dup USING (gh), unnest(range(0, 4)) u(j)),
+        isl AS (
+          SELECT doc_id, p,
+                 p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          FROM cov),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS dup_tokens, COUNT(DISTINCT grp) AS n_spans
+          FROM isl GROUP BY doc_id)
+        SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+               COALESCE(agg.dup_tokens, 0) AS dup_tokens,
+               COALESCE(agg.n_spans, 0) AS n_spans,
+               CAST(COALESCE(agg.dup_tokens, 0) AS DOUBLE)
+                 / GREATEST(len(tk.t), 1) AS dup_ratio
+        FROM tk LEFT JOIN agg USING (doc_id)
+        ORDER BY tk.doc_id"""),
+    ),
   )
 }

@@ -834,5 +834,71 @@ object Events {
                COUNT(*) AS n_events, ${SUM("value")} AS session_value
         FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us"""),
     ),
+
+    // ---- e23: count-min-sketch heavy hitters (mergeable frequency sketch) ----
+    // The sketch-family member q30 (HLL distinct) and q48 (quantile sketch)
+    // don't cover: a Cormode–Muthukrishnan count-min sketch (D=4 rows x
+    // W=64 cells, md5 row-hashes so the DuckDB oracle replays them) with
+    // the one-sided guarantee est >= true surfaced explicitly — the true
+    // top-20 users are reported with BOTH their exact count and the
+    // sketch's min-of-rows estimate. Dataflow is the scalable order:
+    // exact per-user counts FIRST (one partial-combined aggregate — the
+    // only corpus-sized shuffle), then the sketch is built from the
+    // 150-row user-count frame, NOT from raw events (cell[j][b] =
+    // sum of n over users hashing there — identical to streaming
+    // increments because addition commutes). The D x W = 256-cell sketch
+    // is a broadcastable model; at 100 TB each executor sketches its
+    // partition and the reduce is cell-wise sum — the mergeability that
+    // makes CMS a streaming/ambient-state primitive (and why the
+    // estimate join below broadcasts the sketch, never shuffles users).
+    QueryDef(
+      "e23_cmsketch_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val D = 4
+        val W = 64L
+        def bucket(j: org.apache.spark.sql.Column,
+            u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          conv(substring(md5(concat(j.cast("string"), lit("-"),
+            u.cast("string"))), 1, 6), 16, 10).cast("long") % W
+        val perUser = t(s, dir, "events")
+          .groupBy($"user_id").agg(count(lit(1)).as("n"))
+        val hashed = perUser.select($"user_id", $"n",
+          explode(array((0 until D).map(j =>
+            struct(lit(j).as("j"), bucket(lit(j), $"user_id").as("b"))): _*)).as("jb"))
+          .select($"user_id", $"n", $"jb.j".as("j"), $"jb.b".as("b"))
+        val cells = hashed.groupBy($"j", $"b").agg(sum($"n").as("cnt"))
+        val est = hashed.join(broadcast(cells), Seq("j", "b"))
+          .groupBy($"user_id", $"n").agg(min($"cnt").as("est"))
+        // top-20 via TakeOrdered FIRST (scale-safe), then rank the 20
+        // survivors — the e05 pattern; the unpartitioned window never
+        // sees more than the limit
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"n".desc, $"user_id")
+        est.orderBy($"n".desc, $"user_id").limit(20)
+          .withColumn("rn", row_number().over(w))
+          .select($"user_id", $"n", $"est", $"rn")
+          .orderBy($"rn")
+      },
+      Some("""
+        WITH per_user AS (
+          SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        hashed AS (
+          SELECT user_id, n, j,
+                 CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '-' ||
+                   CAST(user_id AS VARCHAR)), 1, 6) AS BIGINT) % 64 AS b
+          FROM per_user, unnest(range(0, 4)) r(j)),
+        cells AS (
+          SELECT j, b, CAST(SUM(n) AS BIGINT) AS cnt FROM hashed GROUP BY j, b),
+        est AS (
+          SELECT user_id, n, MIN(cnt) AS est
+          FROM hashed JOIN cells USING (j, b)
+          GROUP BY user_id, n),
+        ranked AS (
+          SELECT user_id, n, est,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rn
+          FROM est)
+        SELECT user_id, n, est, rn FROM ranked WHERE rn <= 20 ORDER BY rn"""),
+    ),
   )
 }

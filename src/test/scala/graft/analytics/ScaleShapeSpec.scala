@@ -142,6 +142,7 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "p14_dsir_selection", // rank over the top-100 frame (TakeOrdered first)
       "s15_hybrid_rrf",     // rank windows over ≤50-row TakeOrdered frames
       "c04_min_progress_across_sinks", // one row per sink
+      "e23_cmsketch_heavy_hitters", // rank over the limit(20) survivors
     )
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

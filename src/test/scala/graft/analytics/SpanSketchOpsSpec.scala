@@ -1,0 +1,81 @@
+package graft.analytics
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Targeted gates for d20 (duplicated-substring spans) and e23 (count-min
+  * heavy hitters) — the algorithmic properties the DuckDB hash-compare
+  * can't isolate: d20's interval-union semantics (overlap merge, touching
+  * spans, within-doc repeats) on a corpus crafted to hit each case, and
+  * e23's one-sided CMS guarantee (est >= true always, with real
+  * collisions present at the tested density).
+  */
+class SpanSketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("span-sketch-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("d20: overlapping grams merge to one span; disjoint spans count " +
+      "separately; within-doc repeats are duplicates; unique docs are clean") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("d20edge").toString
+    // "a b c d" and "b c d e" each occur in doc 1 AND doc 2; doc 3 repeats
+    // "p q r s" twice WITHIN itself (its other grams are unique); doc 4 is
+    // all-unique. K = 4.
+    Seq(
+      (1L, "a b c d e x1 x2", "en", "s0", 0L),
+      (2L, "z1 a b c d z2 b c d e", "en", "s0", 0L),
+      (3L, "p q r s p q r s", "en", "s0", 0L),
+      (4L, "u1 u2 u3 u4 u5", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val out = graft.SparkEntry.queries("d20_dup_span_removal")(spark, dir)
+      .select("doc_id", "n_tokens", "dup_tokens", "n_spans")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // doc 1: covered 0-3 ("a b c d") union 1-4 ("b c d e") = 0-4: ONE span
+      (1L, 7L, 5L, 1L),
+      // doc 2: covered 1-4 and 6-9 — two disjoint spans
+      (2L, 10L, 8L, 2L),
+      // doc 3: "p q r s" at 0 and 4 (same doc!) — 0-3 and 4-7 touch: ONE span
+      (3L, 8L, 8L, 1L),
+      // doc 4: nothing duplicated
+      (4L, 5L, 0L, 0L)), s"got: $out")
+  }
+
+  test("e23: est >= true for every reported user, with real collisions " +
+      "at 200 users over 64 buckets, and the true top hitter ranked first") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("e23cms").toString
+    // user 0 gets 50 events (the heavy hitter), users 1..199 get one each:
+    // 200 keys into W=64 buckets makes all-4-row collisions near-certain,
+    // so the sketch must actually overestimate somewhere (lossy regime),
+    // while never underestimating anywhere (the CMS guarantee).
+    val rows = (Seq.fill(50)(0L) ++ (1L until 200L)).zipWithIndex.map {
+      case (u, i) => (i.toLong, new Timestamp(1700000000000L + i * 1000L),
+        u, "click", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+    val out = graft.SparkEntry.queries("e23_cmsketch_heavy_hitters")(spark, dir)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out.size == 20)
+    assert(out.forall { case (_, n, est, _) => est >= n },
+      s"CMS underestimated: ${out.filter(r => r._3 < r._2)}")
+    assert(out.exists { case (_, n, est, _) => est > n },
+      "no collision at 200 users / 64 buckets — sketch not in its lossy regime")
+    assert(out.head == ((0L, 50L, out.head._3, 1)), s"top row: ${out.head}")
+  }
+}
