@@ -118,6 +118,51 @@ object Dedup {
   private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     withShingles(docs).select(col("doc_id"), explode(col("sh")).as("s"))
 
+  /** Gram width for d20 and the streaming ingest span gate — ONE constant.
+    * The literature uses ~50-token substrings; 4 is the test-corpus policy
+    * value (docs are 30-80 tokens), the dataflow is width-independent. */
+  private[graft] val SPAN_K = 4
+
+  /** (doc_id, text) → positional word-K-grams as (doc_id, pos, gh):
+    * pos is the 0-based token offset of the gram start, gh its md5.
+    * THE positional-gram definition — batch d20 and the arrival-time span
+    * gate (streaming/IngestSpanDedup) both build on it, so corpus-side
+    * and stream-side coverage agree bit-for-bit. Bag semantics (no
+    * distinct): positions matter, within-doc repeats count. */
+  private[graft] def posGramsOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks",
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9']+"), lit(0)))
+      .select(col("doc_id"),
+        posexplode(graft.functions.Shingles.ngrams(SPAN_K)(col("toks")))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), md5(col("g")).as("gh"))
+
+  /** (doc_id, text) → (doc_id, n_tokens) under the same tokenizer. */
+  private[graft] def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks",
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9']+"), lit(0)))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+
+  /** Flagged gram occurrences (doc_id, pos, …) → per-doc interval-union
+    * stats (doc_id, span_tokens, n_spans): each occurrence covers tokens
+    * [pos, pos+K), overlapping/touching coverage merges into maximal
+    * spans via the p − row_number island trick under a PER-DOC window
+    * (bounded by doc length, never global). */
+  private[graft] def spanStats(hits: DataFrame): DataFrame = {
+    val cov = hits
+      .select(col("doc_id"), explode(sequence(col("pos").cast("long"),
+        col("pos").cast("long") + (SPAN_K - 1))).as("p"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    cov.withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("span_tokens"),
+        countDistinct(col("grp")).as("n_spans"))
+  }
+
   /** Shingle rows → 16-lane signatures (doc_id, mh0..mh15): the exact
     * lane computation the cached corpus path uses (see minhashSigs note). */
   private[graft] def minhashSigsOf(sh: DataFrame): DataFrame = {
@@ -1247,6 +1292,11 @@ object Dedup {
     ),
 
     // ---- d20: duplicated-substring spans (substring-level exact dedup) ----
+    // Built on the shared positional-gram + span-merge helpers below the
+    // defs Seq (posGramsOf / spanStats) — the SAME definitions the
+    // streaming ingest span gate (streaming/IngestSpanDedup) applies per
+    // micro-batch, so arrival-time coverage and corpus-batch coverage
+    // agree bit-for-bit.
     // The substring-granularity complement to d01 (whole doc), d09 (char
     // tiles) and d03 (whole-doc near-dup): mark every token covered by a
     // K=4-token gram that occurs >=2 times ANYWHERE in the corpus (within-
@@ -1266,27 +1316,13 @@ object Dedup {
       "d20_dup_span_removal",
       (s, dir) => {
         import s.implicits._
-        val K = 4
-        val toks = t(s, dir, "documents").repartition($"doc_id")
-          .withColumn("toks",
-            regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0)))
-          .select($"doc_id", $"toks", size($"toks").cast("long").as("n_tokens"))
-        val grams = toks
-          .select($"doc_id",
-            posexplode(graft.functions.Shingles.ngrams(K)($"toks")).as(Seq("pos", "g")))
-          .select($"doc_id", $"pos", md5($"g").as("gh"))
+        val docs = t(s, dir, "documents").repartition($"doc_id")
+        val grams = posGramsOf(docs)
         val dup = grams.groupBy($"gh").agg(count(lit(1)).as("n"))
           .filter($"n" >= 2).select($"gh")
-        val cov = grams.join(dup, "gh")
-          .select($"doc_id", explode(sequence($"pos".cast("long"),
-            $"pos".cast("long") + (K - 1))).as("p"))
-          .distinct()
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"p")
-        val agg = cov.withColumn("grp", $"p" - row_number().over(w))
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("dup_tokens"), countDistinct($"grp").as("n_spans"))
-        toks.select($"doc_id", $"n_tokens")
+        val agg = spanStats(grams.join(dup, "gh"))
+          .withColumnRenamed("span_tokens", "dup_tokens")
+        tokenCounts(docs)
           .join(agg, Seq("doc_id"), "left")
           .na.fill(0L, Seq("dup_tokens", "n_spans"))
           .select($"doc_id", $"n_tokens", $"dup_tokens", $"n_spans",

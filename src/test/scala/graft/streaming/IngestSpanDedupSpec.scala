@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming verbatim-copy gate: arriving documents measured for contiguous
+  * word runs already present in the corpus (d20's span semantics at arrival
+  * time). The scenario the sibling gates miss by construction: an arrival
+  * that pastes a corpus run into otherwise-fresh text has LOW Jaccard
+  * against every corpus doc but a high span_ratio here. */
+class IngestSpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("ingest-span-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def mkText(words: Seq[String]): String = words.mkString(" ")
+  private val run = (1 to 10).map(i => s"word$i") // a 10-token corpus run
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, mkText(run ++ (1 to 10).map(i => s"ctail$i"))),
+      (2L, mkText((1 to 20).map(i => s"other$i")))
+    ).toDF("doc_id", "text")
+  }
+
+  // 101 = pastes the 10-token corpus run into 10 fresh tokens (the
+  // plagiarism case: Jaccard vs doc 1 is 10/30 < 0.7, but HALF the
+  // arrival is a verbatim corpus run), 102 = fully fresh, 103 = too
+  // short to gram (K=4)
+  private def arrivals = Seq(
+    (101L, mkText((1 to 5).map(i => s"fresh$i") ++ run ++ (6 to 10).map(i => s"fresh$i"))),
+    (102L, mkText((1 to 20).map(i => s"new$i"))),
+    (103L, "a b c"))
+
+  private type Verdict = (Long, Long, Long, Long, Boolean)
+  private def verdicts(df: org.apache.spark.sql.DataFrame): Set[Verdict] = {
+    import spark.implicits._
+    df.select($"doc_id", $"n_tokens", $"span_tokens", $"n_spans", $"spandup")
+      .as[Verdict].collect().toSet
+  }
+
+  test("flagBatch: pasted corpus run flagged with exact span bounds; " +
+      "fresh and too-short arrivals report zeros") {
+    val grams = IngestSpanDedup.corpusIndex(corpus)
+    import spark.implicits._
+    val out = IngestSpanDedup.flagBatch(arrivals.toDF("doc_id", "text"), grams)
+    val v = verdicts(out)
+    // arrival 101: its grams inside positions 5..14 are corpus grams
+    // (the 7 grams fully inside the run: starts 5..11), covering tokens
+    // 5..14 = 10 tokens in ONE span; boundary grams straddling
+    // fresh|run don't exist in the corpus and add nothing
+    assert(v.contains((101L, 20L, 10L, 1L, true)), s"got: $v")
+    assert(v.contains((102L, 20L, 0L, 0L, false)))
+    assert(v.contains((103L, 3L, 0L, 0L, false)))
+  }
+
+  test("low-Jaccard high-span: the near-dup gate passes the arrival the " +
+      "span gate catches") {
+    import spark.implicits._
+    val (bands, shingles, counts) = IngestNearDup.corpusIndex(corpus)
+    val near = IngestNearDup.flagBatch(
+      arrivals.toDF("doc_id", "text"), bands, shingles, counts)
+    val nearFlag = near.filter($"doc_id" === 101L)
+      .select($"neardup").as[Boolean].head()
+    assert(!nearFlag, "arrival 101 must NOT be a >=0.7-Jaccard near-dup")
+    val span = IngestSpanDedup.flagBatch(
+      arrivals.toDF("doc_id", "text"), IngestSpanDedup.corpusIndex(corpus))
+    val spanFlag = span.filter($"doc_id" === 101L)
+      .select($"spandup").as[Boolean].head()
+    assert(spanFlag, "arrival 101 IS half-verbatim and must trip the span gate")
+  }
+
+  test("stream over micro-batches == one-shot batch; every arrival gets a verdict") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val grams = IngestSpanDedup.corpusIndex(corpus).persist()
+    try {
+      val stream = MemoryStream[(Long, String)]
+      val got = collection.mutable.ArrayBuffer.empty[Verdict]
+      val q = IngestSpanDedup.start(
+        stream.toDS().toDF("doc_id", "text"), grams,
+        java.nio.file.Files.createTempDirectory("span-ckp").toString) {
+        (flagged, _) => got.synchronized { got ++= verdicts(flagged) }
+      }
+      stream.addData(arrivals.take(1))
+      q.processAllAvailable()
+      stream.addData(arrivals.drop(1))
+      q.processAllAvailable()
+      q.stop()
+      val oneShot = verdicts(IngestSpanDedup.flagBatch(
+        arrivals.toDF("doc_id", "text"), grams))
+      assert(got.toSet == oneShot,
+        s"micro-batched verdicts ${got.toSet} != one-shot $oneShot")
+      assert(got.map(_._1).toSet == Set(101L, 102L, 103L))
+    } finally grams.unpersist()
+  }
+}
