@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *     left-join the static corpus tile index;
   *  3. near-dup — exact survivors band-join the static corpus band index,
   *     exact-Jaccard verify on collisions only;
+  *  3.5. span (only when the corpus sides carry a positional-gram index —
+  *     `CorpusSides.withSpanGate`) — near-dup survivors probe the corpus
+  *     gram index and corpus-present grams union into maximal verbatim
+  *     spans: the partial-plagiarism signal Jaccard misses;
   *  4. semantic (only when the corpus sides carry an embedding band index
   *     AND the batch has an `embedding` column) — near-dup survivors
   *     band-join the corpus EMBEDDING index, exact integer cosine verify
@@ -39,14 +43,20 @@ object IngestPipeline {
     * embeddings; absent, stage 4 is skipped. */
   final case class CorpusSides(tiles: DataFrame, bands: DataFrame,
       shingles: DataFrame, counts: DataFrame,
-      sem: Option[DataFrame] = None) {
+      sem: Option[DataFrame] = None,
+      grams: Option[DataFrame] = None) {
     def persist(): CorpusSides = {
-      (Seq(tiles, bands, shingles, counts) ++ sem).foreach(
+      (Seq(tiles, bands, shingles, counts) ++ sem ++ grams).foreach(
         _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       this
     }
     def unpersist(): Unit =
-      (Seq(tiles, bands, shingles, counts) ++ sem).foreach(_.unpersist())
+      (Seq(tiles, bands, shingles, counts) ++ sem ++ grams).foreach(_.unpersist())
+
+    /** Enable the verbatim-copy span stage: adds the corpus positional-gram
+      * index ([[IngestSpanDedup.corpusIndex]]) to the shared sides. */
+    def withSpanGate(corpusDocs: DataFrame): CorpusSides =
+      copy(grams = Some(IngestSpanDedup.corpusIndex(corpusDocs)))
   }
 
   def corpusIndex(corpusDocs: DataFrame): CorpusSides = {
@@ -65,14 +75,15 @@ object IngestPipeline {
     * arriving doc: the quality signals, the dedup flags of whichever
     * stages the doc reached (null-safe defaults for stages it never
     * reached), and `verdict` ∈ rejected_quality | exact_dup | near_dup |
+    * span_dup (gram side present) | sem_dup (embedding side present) |
     * accepted. */
   def gateBatch(batch: DataFrame, sides: CorpusSides,
       minEntropy: Double = 3.0, maxEntropy: Double = 6.0,
       minTokens: Long = 10L, minDistinctRatio: Double = 0.2,
       minFrac: Double = 0.5, minJaccard: Double = 0.7,
-      minCos: Double = 0.9): DataFrame =
+      minCos: Double = 0.9, maxSpanRatio: Double = 0.5): DataFrame =
     gateBatchTracked(batch, sides, minEntropy, maxEntropy, minTokens,
-      minDistinctRatio, minFrac, minJaccard, minCos)._1
+      minDistinctRatio, minFrac, minJaccard, minCos, maxSpanRatio)._1
 
   /** [[gateBatch]] plus the per-batch CACHED stage frames the caller must
     * unpersist once the verdict has been consumed ([[start]] does).
@@ -93,7 +104,7 @@ object IngestPipeline {
       minEntropy: Double = 3.0, maxEntropy: Double = 6.0,
       minTokens: Long = 10L, minDistinctRatio: Double = 0.2,
       minFrac: Double = 0.5, minJaccard: Double = 0.7,
-      minCos: Double = 0.9): (DataFrame, Seq[DataFrame]) = {
+      minCos: Double = 0.9, maxSpanRatio: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val temps = collection.mutable.ArrayBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame = { temps += df.persist(lvl); df }
@@ -115,30 +126,49 @@ object IngestPipeline {
       .select("doc_id", "entropy", "n_tokens", "distinct_ratio", "quality_pass")
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
+    // survivors of stage 3, input to the optional later stages (computed
+    // lazily — only when a later stage actually runs)
+    lazy val nearPass = cached(exactPass.join(
+      near.filter(!col("neardup")).select("doc_id"), Seq("doc_id"), "left_semi"))
+    // stage 3.5 (only when the corpus sides carry a gram index): verbatim-
+    // copy span coverage of near-dup survivors — the partial-plagiarism
+    // signal Jaccard misses (low set overlap, high contiguous-run overlap)
+    val spanStage = sides.grams
+    val (withSpan, spanPass) = spanStage match {
+      case None => (flagged, () => nearPass)
+      case Some(g) =>
+        val span = cached(IngestSpanDedup.flagBatch(nearPass, g, maxSpanRatio)
+          .select(col("doc_id"), col("span_tokens"), col("n_spans"),
+            col("span_ratio"), col("spandup")))
+        (flagged.join(span, Seq("doc_id"), "left"),
+          () => cached(nearPass.join(
+            span.filter(!col("spandup")).select("doc_id"), Seq("doc_id"), "left_semi")))
+    }
     // stage 4 runs only with both an embedding index and embedding data;
-    // survivors of stage 3 that carry a vector are checked, everything
-    // else passes through with null semantic signals
+    // survivors of the previous stages that carry a vector are checked,
+    // everything else passes through with null semantic signals
     val semStage = sides.sem.filter(_ => batch.columns.contains("embedding"))
     val withSem = semStage match {
-      case None => flagged
+      case None => withSpan
       case Some(idx) =>
-        val nearPass = exactPass.join(
-          near.filter(!col("neardup")).select("doc_id"), Seq("doc_id"), "left_semi")
         val vecs = cached(batch
           .select(col("doc_id").as("vec_id"), col("embedding"))
           .where(col("embedding").isNotNull)
-          .join(nearPass.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"))
+          .join(spanPass().select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"))
         val sem = IngestSemDedup.flagBatch(vecs, idx, minCos)
           .select(col("vec_id").as("doc_id"),
             col("n_candidates").as("n_semcands"),
             col("n_semdups"), col("semdup"), col("first_semdup"))
-        flagged.join(sem, Seq("doc_id"), "left")
+        withSpan.join(sem, Seq("doc_id"), "left")
     }
     val verdict = {
       val base = when(!col("quality_pass"), "rejected_quality")
         .when(col("exact_dup"), "exact_dup")
         .when(col("neardup"), "near_dup")
-      (if (semStage.isDefined) base.when(col("semdup"), "sem_dup") else base)
+      val withSpanV =
+        if (spanStage.isDefined) base.when(col("spandup"), "span_dup") else base
+      (if (semStage.isDefined) withSpanV.when(col("semdup"), "sem_dup")
+       else withSpanV)
         .otherwise("accepted")
     }
     (withSem

@@ -79,6 +79,25 @@ class IngestSpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spanFlag, "arrival 101 IS half-verbatim and must trip the span gate")
   }
 
+  test("composed pipeline with the span stage: span_dup verdict for the " +
+      "paste arrival, stage order preserved for the others") {
+    import spark.implicits._
+    val sides = IngestPipeline.corpusIndex(corpus).withSpanGate(corpus).persist()
+    try {
+      // make every arrival long/clean enough to pass quality (entropy of
+      // wordN-style tokens is fine, lengths >= 10 tokens)
+      val out = IngestPipeline.gateBatch(arrivals.toDF("doc_id", "text"), sides)
+      val v = out.select($"doc_id", $"verdict")
+        .as[(Long, String)].collect().toMap
+      assert(v(101L) == "span_dup", s"got: $v")
+      assert(v(102L) == "accepted")
+      assert(v(103L) == "rejected_quality") // 3 tokens < minTokens
+      // the span columns surface in the verdict frame
+      val spanCols = Set("span_tokens", "n_spans", "span_ratio", "spandup")
+      assert(spanCols.subsetOf(out.columns.toSet))
+    } finally sides.unpersist()
+  }
+
   test("stream over micro-batches == one-shot batch; every arrival gets a verdict") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
