@@ -48,7 +48,12 @@ object BenchSf1 {
     // round-8 additions: the corpus-materializing retrieval ops — s15
     // persists the shared tokenize, s16 runs k linear scans, p14 builds
     // the hashed-bigram model with three passes over the cached arrays
-    "s15_hybrid_rrf", "s16_mmr_diverse", "p14_dsir_selection")
+    "s15_hybrid_rrf", "s16_mmr_diverse", "p14_dsir_selection",
+    // d20's positional-gram index is bag-semantics (bigger than the
+    // distinct shingle index) and its dup-set join fan-out grows with
+    // corpus duplication — exactly the kind of term that could go
+    // super-linear at 10×, so it gets a checkpoint from day one
+    "d20_dup_span_removal")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

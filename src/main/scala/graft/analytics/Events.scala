@@ -900,5 +900,53 @@ object Events {
           FROM est)
         SELECT user_id, n, est, rn FROM ranked WHERE rn <= 20 ORDER BY rn"""),
     ),
+
+    // ---- e24: CEP pattern matching (strict contiguity, regex quantifiers) ----
+    // The complex-event-processing semantics (Flink CEP / MATCH_RECOGNIZE)
+    // the funnel family deliberately does NOT have: e03/e16/e19 are
+    // RELAXED-contiguity funnels (other events may intervene between
+    // steps); this is STRICT contiguity with quantifiers — `vc*p` counts
+    // view→purchase conversions where ONLY clicks sit between the steps
+    // (an intervening error/signup breaks the match), and `ee+` counts
+    // runs of >=2 consecutive errors (the ops burst signal). Re-expressed
+    // Spark-first: the per-user timeline collapses to a type-initial
+    // string (one ordered aggregate — initials are distinct across the
+    // five types) and each pattern is one non-overlapping leftmost regex
+    // scan. Patterns avoid alternation so Java regex (Spark) and RE2
+    // (DuckDB) agree on match boundaries. Scale: the shuffle is the same
+    // per-user exchange every e-query pays; the timeline string is
+    // bounded by per-user activity (the e02 boundedness class) and the
+    // regex runs once per user — a time-windowed variant would compose
+    // the same aggregate over e02's session_id instead of the whole user.
+    QueryDef(
+      "e24_cep_pattern",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .withColumn("ch", substring($"event_type", 1, 1))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            concat_ws("", transform(
+              array_sort(collect_list(struct($"us", $"event_id", $"ch"))),
+              x => x.getField("ch"))).as("tl"))
+          .select($"user_id", $"n_events",
+            size(regexp_extract_all($"tl", lit("vc*p"), lit(0)))
+              .cast("long").as("n_conv"),
+            size(regexp_extract_all($"tl", lit("ee+"), lit(0)))
+              .cast("long").as("n_error_bursts"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH tl AS (
+          SELECT user_id, COUNT(*) AS n_events,
+                 string_agg(substr(event_type, 1, 1), ''
+                   ORDER BY epoch_us(ts), event_id) AS tl
+          FROM events GROUP BY user_id)
+        SELECT user_id, n_events,
+               CAST(len(regexp_extract_all(tl, 'vc*p')) AS BIGINT) AS n_conv,
+               CAST(len(regexp_extract_all(tl, 'ee+')) AS BIGINT) AS n_error_bursts
+        FROM tl ORDER BY user_id"""),
+    ),
   )
 }

@@ -6,12 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 import java.sql.Timestamp
 
-/** Targeted gates for d20 (duplicated-substring spans) and e23 (count-min
-  * heavy hitters) — the algorithmic properties the DuckDB hash-compare
-  * can't isolate: d20's interval-union semantics (overlap merge, touching
-  * spans, within-doc repeats) on a corpus crafted to hit each case, and
-  * e23's one-sided CMS guarantee (est >= true always, with real
-  * collisions present at the tested density).
+/** Targeted gates for d20 (duplicated-substring spans), e23 (count-min
+  * heavy hitters) and e24 (CEP pattern matching) — the algorithmic
+  * properties the DuckDB hash-compare can't isolate: d20's interval-union
+  * semantics (overlap merge, touching spans, within-doc repeats) on a
+  * corpus crafted to hit each case, e23's one-sided CMS guarantee
+  * (est >= true always, with real collisions present at the tested
+  * density), and e24's strict contiguity (an intervening event breaks
+  * the match where every funnel operator would still convert).
   */
 class SpanSketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -77,5 +79,34 @@ class SpanSketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exists { case (_, n, est, _) => est > n },
       "no collision at 200 users / 64 buckets — sketch not in its lossy regime")
     assert(out.head == ((0L, 50L, out.head._3, 1)), s"top row: ${out.head}")
+  }
+
+  test("e24: strict contiguity — an intervening non-click breaks vc*p " +
+      "where relaxed funnels would convert; bursts need >=2 CONSECUTIVE errors") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("e24cep").toString
+    // user 1 timeline: v c c p           -> 1 match (quantifier spans clicks)
+    // user 2 timeline: v c E c p         -> 0     (error breaks contiguity;
+    //                                              e03's relaxed funnel counts this)
+    // user 3 timeline: v p e e e v p     -> 2 conv ('vp' twice), 1 burst ('eee')
+    // user 4 timeline: e v e             -> 0 bursts (isolated errors)
+    val types = Map('v' -> "view", 'c' -> "click", 'p' -> "purchase", 'e' -> "error")
+    val rows = Seq(
+      1L -> "vccp", 2L -> "vcecp", 3L -> "vpeeevp", 4L -> "eve").flatMap {
+      case (u, tl) => tl.zipWithIndex.map { case (ch, i) =>
+        (u * 100L + i, new Timestamp(1700000000000L + i * 60000L), u,
+          types(ch), 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+    val out = graft.SparkEntry.queries("e24_cep_pattern")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 1L, 0L),
+      (2L, 5L, 0L, 0L),
+      (3L, 7L, 2L, 1L),
+      (4L, 3L, 0L, 0L)), s"got: $out")
   }
 }
