@@ -948,5 +948,48 @@ object Events {
                CAST(len(regexp_extract_all(tl, 'ee+')) AS BIGINT) AS n_error_bursts
         FROM tl ORDER BY user_id"""),
     ),
+
+    // ---- e25: RANGE-interval window frame (trailing 1h per event) ----
+    // The window FRAME type the rest of the inventory doesn't exercise:
+    // q42/e14 use ROWS frames (count-based), this is RANGE over an
+    // interval — per event, activity in the PRECEDING HOUR of event time,
+    // however many rows that is. RANGE frames include peers (equal
+    // timestamps) in BOTH engines, so the frame is well-defined without a
+    // tie-break and the ordering key must be the single `us` expression
+    // (Spark's rangeBetween contract). The summed value is quantized to
+    // integer cents FIRST — a double sum inside a sliding frame would be
+    // order-sensitive. Scale: one user_id exchange (the e-family shuffle),
+    // per-user sort; Spark evaluates the sliding frame with two pointers
+    // over the sorted run — work linear in events, frame never
+    // materialized. The streaming twin of this shape is e09/e14's
+    // minutely-rate state (EventTimeWindows.minutelyRate): a production
+    // stream maintains the bucketed approximation, the batch RANGE frame
+    // is the exact retrospective answer.
+    QueryDef(
+      "e25_trailing_range_window",
+      (s, dir) => {
+        import s.implicits._
+        val hourUs = 3600000000L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"us")
+          .rangeBetween(-hourUs, 0L)
+        t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .withColumn("cents", round($"value" * 100).cast("long"))
+          .select($"user_id", $"event_id", $"us",
+            count(lit(1)).over(w).as("n_trailing_1h"),
+            sum($"cents").over(w).as("cents_trailing_1h"))
+          .orderBy($"user_id", $"us", $"event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               COUNT(*) OVER w AS n_trailing_1h,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                 AS cents_trailing_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, us, event_id"""),
+    ),
   )
 }
