@@ -913,5 +913,65 @@ object Curation {
         SELECT node AS doc_id, deg, r AS rank_q
         FROM r3 ORDER BY rank_q DESC, doc_id LIMIT 20"""),
     ),
+
+    // ---- p16: BFS hop distance from each cluster's representative ----
+    // How far (in near-dup hops) each document sits from its cluster's
+    // canonical representative — the graph-distance complement to d18's
+    // canonical SELECTION and p15's authority. Transitive near-dup chains
+    // (A~B~C where A!~C) are exactly the cases where hop distance grades
+    // "how derived" a copy is; a curation pass can then keep hops<=1 and
+    // drop the long tail of chained mutations.
+    //
+    // Dataflow: frontier-expansion BFS (the Pregel iteration written as
+    // joins). Start the frontier at the representatives (hops=0); each
+    // pass joins the frontier to the edge list on the node key (ONE
+    // shuffle keyed by node), min-aggregates same-level duplicates, and
+    // anti-joins the visited set so a node is emitted at its FIRST
+    // (minimum) level only. The loop runs diameter-many passes — near-dup
+    // clusters are dense, so 2-4 in practice; each pass's frames are
+    // localCheckpoint-truncated exactly like p03's contraction (swap for
+    // a checkpoint dir on a cluster). Nothing is ever corpus×corpus: the
+    // frontier is component-bounded and shrinks to empty.
+    QueryDef(
+      "p16_dup_graph_bfs",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Dedup.simhashPairs(s, dir).select($"i", $"j")
+        val edges = pairs.select($"i".as("src"), $"j".as("dst"))
+          .unionByName(pairs.select($"j".as("src"), $"i".as("dst")))
+          .localCheckpoint(true)
+        var dist = dupClusterLabels(s, dir)
+          .select($"lab").distinct()
+          .select($"lab".as("node"), $"lab".as("rep"), lit(0L).as("hops"))
+          .localCheckpoint(true)
+        var frontier = dist
+        while (!frontier.isEmpty) {
+          val next = frontier.as("f")
+            .join(edges.as("e"), $"f.node" === $"e.src")
+            .select($"e.dst".as("node"), $"f.rep".as("rep"),
+              ($"f.hops" + 1L).as("hops"))
+            .groupBy($"node", $"rep").agg(min($"hops").as("hops"))
+            .join(dist.select($"node", $"rep"), Seq("node", "rep"), "left_anti")
+            .localCheckpoint(true)
+          dist = dist.unionByName(next).localCheckpoint(true)
+          frontier = next
+        }
+        dist.select($"node".as("doc_id"), $"rep", $"hops")
+          .orderBy($"rep", $"hops", $"doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE sims AS (${Dedup.simhashSql}),
+        pairs AS (${Dedup.SIMHASH_PAIRS_SQL}),
+        ${CLUSTER_LABELS_SQL},
+        reps AS (SELECT DISTINCT rep FROM labels),
+        bfs(node, rep, hops) AS (
+          SELECT rep, rep, CAST(0 AS BIGINT) FROM reps
+          UNION
+          SELECT e.j, b.rep, b.hops + 1
+          FROM bfs b JOIN edges e ON e.i = b.node
+          WHERE b.hops < 64)
+        SELECT node AS doc_id, rep, CAST(MIN(hops) AS BIGINT) AS hops
+        FROM bfs GROUP BY node, rep ORDER BY rep, hops, doc_id"""),
+    ),
   )
 }

@@ -62,4 +62,33 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TopKPerKey"), s"custom exec missing:\n$plan")
     assert(!plan.contains("WindowExec"), s"window sort crept back in:\n$plan")
   }
+
+  test("p16 BFS levels are sound: hops=0 iff representative, every deeper " +
+      "node has a neighbor one level up, and labels/BFS agree on membership") {
+    import spark.implicits._
+    val dir = graft.TestTables.sfDir
+    val bfs = graft.SparkEntry.queries("p16_dup_graph_bfs")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(bfs.nonEmpty)
+    // one row per node; rep is the component minimum, so hops=0 iff node==rep
+    assert(bfs.map(_._1).distinct.length == bfs.length)
+    bfs.foreach { case (node, rep, hops) =>
+      assert((hops == 0L) == (node == rep), s"($node,$rep,$hops)")
+      assert(node >= rep)
+    }
+    // BFS invariant: a node at level h>0 has some neighbor at level h-1,
+    // and no neighbor more than one level away (else hops wouldn't be
+    // the MINIMUM hop count)
+    val pairs = graft.analytics.Dedup.simhashPairs(spark, dir)
+      .select("i", "j").as[(Long, Long)].collect()
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val level = bfs.map { case (n, _, h) => n -> h }.toMap
+    bfs.foreach { case (node, _, hops) =>
+      if (hops > 0L)
+        assert(adj(node).exists(nb => level(nb) == hops - 1), s"node $node stranded at $hops")
+      adj(node).foreach { nb =>
+        assert(math.abs(level(nb) - hops) <= 1L, s"edge $node->$nb skips a level")
+      }
+    }
+  }
 }
