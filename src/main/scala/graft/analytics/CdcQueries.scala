@@ -172,5 +172,52 @@ object CdcQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         ORDER BY user_id, valid_from_us, event_id"""),
     ),
+
+    // ---- c06: maintained changelog JOIN — the two-table CDC consumer ----
+    // Two changelogs (left = click/view events, right = purchase/signup;
+    // each event upserts its user's row, value < 1.0 is the tombstone)
+    // joined into the materialized view L ⋈ R on user_id. This is the
+    // semantics Structured Streaming's append-only stream-stream join
+    // cannot express (no retractions); the streaming twin is
+    // `streaming/IncrementalJoin` — a symmetric retraction-aware
+    // maintainer whose final view IncrementalJoinSpec locks to THIS batch
+    // recompute under any batch split of the ordered log. Batch shape:
+    // two latest-per-key aggregates (max-struct, no window sort) and one
+    // co-partitioned equi-join — each side shuffles once on user_id.
+    QueryDef(
+      "c06_changelog_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
+        def sideState(types: Seq[String]) =
+          ev.filter($"event_type".isin(types: _*))
+            .groupBy($"user_id")
+            .agg(max(struct($"us", $"event_id", $"value")).as("m"))
+            .select($"user_id", $"m.event_id".as("event_id"), $"m.value".as("value"))
+            .filter($"value" >= 1.0)
+        val l = sideState(Seq("click", "view"))
+          .select($"user_id", $"event_id".as("l_event_id"), $"value".as("l_value"))
+        val r = sideState(Seq("purchase", "signup"))
+          .select($"user_id", $"event_id".as("r_event_id"), $"value".as("r_value"))
+        l.join(r, Seq("user_id")).orderBy($"user_id")
+      },
+      Some("""
+        WITH l AS (
+          SELECT user_id, event_id AS l_event_id, value AS l_value
+          FROM (SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                FROM events WHERE event_type IN ('click','view')) x
+          WHERE rn = 1 AND value >= 1.0),
+        r AS (
+          SELECT user_id, event_id AS r_event_id, value AS r_value
+          FROM (SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                FROM events WHERE event_type IN ('purchase','signup')) y
+          WHERE rn = 1 AND value >= 1.0)
+        SELECT user_id, l_event_id, l_value, r_event_id, r_value
+        FROM l JOIN r USING (user_id) ORDER BY user_id"""),
+    ),
   )
 }
