@@ -991,5 +991,50 @@ object Events {
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         ORDER BY user_id, us, event_id"""),
     ),
+
+    // ---- e26: exact trailing MEDIAN (order statistic in a frame) ----
+    // The sliding-window ORDER STATISTIC the sum/count frames (q42, e25)
+    // can't derive: per event, the exact median of the last 7 values in
+    // the user's timeline — the robust-baseline primitive behind spike
+    // detectors (e14 compares against a trailing MEAN, which one outlier
+    // drags; the median doesn't budge). Both engines materialize the
+    // ≤7-element frame, sort it, and apply the SAME midpoint formula
+    // (lo+hi)/2 — deliberately NOT DuckDB's median() window aggregate,
+    // whose lo+0.5·(hi−lo) interpolation differs from (lo+hi)/2 in
+    // double rounding. For odd frames lo==hi and the formula is exact.
+    // Scale: one user_id exchange + per-user sort (the e-family shuffle);
+    // the frame is O(7) per row, so the collect_list is bounded — this is
+    // the bounded-frame exception to the no-collect rule, same as e12's
+    // fixed transition alphabet. A percentile other than 0.5 swaps the
+    // two element_at indexes; the t-digest swap at unbounded frames is
+    // documented at q38.
+    QueryDef(
+      "e26_trailing_median",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"us", $"event_id")
+          .rowsBetween(-6, 0)
+        t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .withColumn("fr", sort_array(collect_list($"value").over(w)))
+          .withColumn("n", size($"fr"))
+          .select($"user_id", $"event_id", $"us", $"n".cast("long").as("n_frame"),
+            ((element_at($"fr", (($"n" + 1) / 2).cast("int")) +
+              element_at($"fr", ($"n" / 2 + 1).cast("int"))) / 2).as("med_trailing"))
+          .orderBy($"user_id", $"us", $"event_id")
+      },
+      Some("""
+        WITH fr AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 list_sort(list(value) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fr
+          FROM events)
+        SELECT user_id, event_id, us, CAST(len(fr) AS BIGINT) AS n_frame,
+               (fr[CAST((len(fr)+1)//2 AS INT)] + fr[CAST(len(fr)//2+1 AS INT)])/2
+                 AS med_trailing
+        FROM fr ORDER BY user_id, us, event_id"""),
+    ),
   )
 }

@@ -1491,5 +1491,40 @@ object Tpch {
                n_total
         FROM q ORDER BY l_returnflag, p"""),
     ),
+
+    // ---- q49: correlated scalar subqueries ----
+    // Parts priced above their own brand's average — the classic
+    // correlated-scalar-aggregate shape, written as TWO correlated
+    // subqueries (COUNT and SUM against the outer row's brand) so the
+    // comparison `price·n > Σprice` stays exact BIGINT-on-cents: a
+    // floating AVG threshold could flip a row at the 1-ulp boundary
+    // between engines. Catalyst decorrelates each scalar subquery into a
+    // per-brand aggregate joined back on p_brand — the brand dimension is
+    // tiny, so both rewritten joins broadcast; the part table is scanned,
+    // never self-joined row-by-row. The same decorrelation machinery is
+    // what q33 (IN) and q34 (NOT EXISTS) exercise for the other subquery
+    // flavors — this closes the scalar case of the subquery matrix.
+    QueryDef(
+      "q49_correlated_scalar",
+      (s, dir) => {
+        part(s, dir).createOrReplaceTempView("g_part")
+        s.sql("""
+          SELECT p.p_brand, COUNT(*) AS n_above
+          FROM g_part p
+          WHERE CAST(floor(p.p_retailprice * 100) AS BIGINT) *
+                (SELECT COUNT(*) FROM g_part p2 WHERE p2.p_brand = p.p_brand)
+              > (SELECT SUM(CAST(floor(p3.p_retailprice * 100) AS BIGINT))
+                 FROM g_part p3 WHERE p3.p_brand = p.p_brand)
+          GROUP BY p.p_brand ORDER BY p.p_brand""")
+      },
+      Some("""
+        SELECT p.p_brand, COUNT(*) AS n_above
+        FROM part p
+        WHERE CAST(floor(p.p_retailprice * 100) AS BIGINT) *
+              (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+            > (SELECT SUM(CAST(floor(p3.p_retailprice * 100) AS BIGINT))
+               FROM part p3 WHERE p3.p_brand = p.p_brand)
+        GROUP BY p.p_brand ORDER BY p.p_brand"""),
+    ),
   )
 }
