@@ -967,6 +967,61 @@ object TextOps {
                CAST(SUM(np) AS BIGINT) * 10000 // COUNT(*) AS ppw_q
         FROM enc GROUP BY doc_id ORDER BY doc_id"""),
     ),
+
+    // ---- t23: cross-source KL divergence — the domain-shift monitor ----
+    // KL(a‖b) between every ordered pair of sources' unigram
+    // distributions (add-one smoothing over the GLOBAL vocab, so zero
+    // counts are defined and the sum runs over the same support for every
+    // pair) — the corpus-composition drift matrix: a new crawl snapshot
+    // whose divergence row jumps is the first sign its content changed.
+    // Dataflow: the corpus is touched ONCE (the per-(source, word) count
+    // aggregate); everything after is vocab-sized — the smoothed
+    // distribution grid is vocab × sources, and the pair matrix joins it
+    // to itself on the word key (vocab × sources² rows, sources in the
+    // tens — corpus-INDEPENDENT, like t21's vocab-linear iterations).
+    // Quantized ×10⁶ after the sum: the per-term products are O(1e-3),
+    // so double reassociation error (~1e-13·V) sits far below the
+    // quantization step — the t16/t17 precedent for log-domain outputs.
+    QueryDef(
+      "t23_source_kl",
+      (s, dir) => {
+        import s.implicits._
+        val tok = t(s, dir, "documents")
+          .select($"source", explode(toks($"text")).as("w"))
+        val cs = tok.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+        val tot = cs.groupBy($"source").agg(sum($"c").as("tot"))
+        val vocab = cs.select($"w").distinct()
+        val vsize = vocab.agg(count(lit(1)).as("v"))
+        val dist = vocab.crossJoin(broadcast(tot))
+          .join(cs, Seq("source", "w"), "left")
+          .crossJoin(broadcast(vsize))
+          .select($"source", $"w",
+            ((coalesce($"c", lit(0L)) + lit(1L)).cast("double") /
+              ($"tot" + $"v").cast("double")).as("p"))
+        dist.as("a")
+          .join(dist.as("b"),
+            $"a.w" === $"b.w" && $"a.source" =!= $"b.source")
+          .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+          .agg(round(sum($"a.p" * (log($"a.p") - log($"b.p"))) * 1000000)
+            .cast("long").as("kl_q"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some(s"""
+        WITH tok AS (SELECT source, unnest($TOKS_SQL) AS w FROM documents),
+        cs AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+        tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM cs GROUP BY source),
+        vocab AS (SELECT DISTINCT w FROM cs),
+        vs AS (SELECT COUNT(*) AS v FROM vocab),
+        dist AS (
+          SELECT t.source, vb.w,
+                 CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / CAST(t.tot + vs.v AS DOUBLE) AS p
+          FROM vocab vb CROSS JOIN tot t CROSS JOIN vs
+          LEFT JOIN cs c ON c.source = t.source AND c.w = vb.w)
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(round(SUM(a.p * (ln(a.p) - ln(b.p))) * 1000000) AS BIGINT) AS kl_q
+        FROM dist a JOIN dist b ON a.w = b.w AND a.source <> b.source
+        GROUP BY a.source, b.source ORDER BY src_a, src_b"""),
+    ),
   )
 
   /** The t21 training loop, cached per (session, dir) and shared with the
