@@ -219,5 +219,45 @@ object CdcQueries {
         SELECT user_id, l_event_id, l_value, r_event_id, r_value
         FROM l JOIN r USING (user_id) ORDER BY user_id"""),
     ),
+
+    // ---- c07: per-sink sequence-coverage audit — the T3 acceptance ----
+    // ---- check as a batch report ----
+    // Exactly-once delivery (T3 seq dedup) promises each sink a
+    // duplicate-free, gap-explainable id stream. This is the audit that
+    // VERIFIES it after the fact for one sink's delivered substream (the
+    // 'click' sink — its event_id gaps are the ids other sinks consumed,
+    // so the numbers are non-trivial): bucket the id space (div 1000),
+    // and per bucket report delivered count, lo/hi, the missing-inside
+    // count (span − delivered), and the gap to the previous bucket's hi.
+    // Scale shape is the point: NO global sort over the stream — the
+    // corpus-sized work is one map-side-combinable groupBy on the div
+    // key; the lag() window then runs over the BUCKET frame (id-range /
+    // 1000 rows, vanishingly small next to the stream), which is how a
+    // 100 TB delivery log gets audited without ever ordering it.
+    QueryDef(
+      "c07_seq_coverage_audit",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"bucket")
+        t(s, dir, "events")
+          .filter($"event_type" === "click")
+          .select(($"event_id" / 1000).cast("long").as("bucket"), $"event_id")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_delivered"),
+            min($"event_id").as("lo"), max($"event_id").as("hi"))
+          .withColumn("missing_inside", $"hi" - $"lo" + 1 - $"n_delivered")
+          .withColumn("gap_before", $"lo" - lag($"hi", 1).over(w) - 1)
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH b AS (
+          SELECT event_id // 1000 AS bucket, COUNT(*) AS n_delivered,
+                 MIN(event_id) AS lo, MAX(event_id) AS hi
+          FROM events WHERE event_type = 'click' GROUP BY 1)
+        SELECT bucket, n_delivered, lo, hi,
+               hi - lo + 1 - n_delivered AS missing_inside,
+               lo - LAG(hi) OVER (ORDER BY bucket) - 1 AS gap_before
+        FROM b ORDER BY bucket"""),
+    ),
   )
 }

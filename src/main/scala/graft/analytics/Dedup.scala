@@ -1357,5 +1357,56 @@ object Dedup {
         FROM tk LEFT JOIN agg USING (doc_id)
         ORDER BY tk.doc_id"""),
     ),
+
+    // ---- d21: corpus snapshot diff — the nightly what-changed report ----
+    // Two corpus snapshots (derived deterministically from `documents`:
+    // "old" = doc_id % 7 ≠ 0, "new" = doc_id % 5 ≠ 0 with every third
+    // doc's text mutated — the arithmetic guarantees all four statuses
+    // occur) compared into the added/removed/changed/unchanged matrix
+    // per source. This is the audit a corpus refresh publishes before
+    // d10's incremental dedup admits the additions: ONE full-outer
+    // equi-join on doc_id with the content compare on md5 inside the
+    // join projection — never text×text. At 100 TB both snapshots are
+    // bucketed by doc_id, so the join is co-located and shuffle-free;
+    // the output is sources × 4 rows.
+    QueryDef(
+      "d21_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val old = docs.filter($"doc_id" % 7 =!= 0)
+          .select($"doc_id", $"source", md5($"text").as("h_old"))
+        val neu = docs.filter($"doc_id" % 5 =!= 0)
+          .select($"doc_id", $"source",
+            md5(when($"doc_id" % 3 === 0, reverse($"text"))
+              .otherwise($"text")).as("h_new"))
+        old.as("o").join(neu.as("n"), Seq("doc_id"), "full_outer")
+          .select(
+            coalesce($"o.source", $"n.source").as("source"),
+            when($"h_old".isNull, "added")
+              .when($"h_new".isNull, "removed")
+              .when($"h_old" =!= $"h_new", "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy($"source", $"status")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"source", $"status")
+      },
+      Some("""
+        WITH old AS (
+          SELECT doc_id, source, md5(text) AS h_old
+          FROM documents WHERE doc_id % 7 <> 0),
+        new_ AS (
+          SELECT doc_id, source,
+                 md5(CASE WHEN doc_id % 3 = 0 THEN reverse(text) ELSE text END) AS h_new
+          FROM documents WHERE doc_id % 5 <> 0)
+        SELECT COALESCE(o.source, n.source) AS source,
+               CASE WHEN o.h_old IS NULL THEN 'added'
+                    WHEN n.h_new IS NULL THEN 'removed'
+                    WHEN o.h_old <> n.h_new THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COUNT(*) AS n_docs
+        FROM old o FULL OUTER JOIN new_ n USING (doc_id)
+        GROUP BY 1, 2 ORDER BY source, status"""),
+    ),
   )
 }
