@@ -110,4 +110,26 @@ class IncrementalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       chgDf(full.slice(11, full.size)), (splits.size - 1).toLong, root).isEmpty)
     assert(viewOf(root) === expected(full))
   }
+
+  test("replaying the real event log batch-wise reproduces the c06 batch query") {
+    import spark.implicits._
+    // the c06 tagged-changelog derivation over the driver testdata
+    val tagged = graft.TestTables.events(spark)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("side",
+        when(col("event_type").isin("click", "view"), "L")
+          .when(col("event_type").isin("purchase", "signup"), "R"))
+      .filter(col("side").isNotNull)
+      .select("side", "user_id", "event_id", "us", "value")
+      .as[(String, Long, Long, Long, Double)]
+      .collect().sortBy(c => (c._4, c._3)) // global (us, event_id) order
+    val root = Files.createTempDirectory("ijoin-c06").toString
+    tagged.grouped((tagged.length + 3) / 4).zipWithIndex.foreach { case (chunk, i) =>
+      assert(IncrementalJoin.merge(chgDf(chunk.toSeq), i.toLong, root).isDefined)
+    }
+    val batch = graft.SparkEntry.queries("c06_changelog_join")(spark, graft.TestTables.sfDir)
+      .as[ViewRow].collect().toSet
+    assert(viewOf(root) === batch)
+    assert(batch.nonEmpty)
+  }
 }
