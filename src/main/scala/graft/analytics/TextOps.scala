@@ -988,7 +988,11 @@ object TextOps {
         import s.implicits._
         val tok = t(s, dir, "documents")
           .select($"source", explode(toks($"text")).as("w"))
+        // persisted: the dist frame feeds BOTH sides of the pair self-join,
+        // and without the cache each side re-runs the corpus tokenize (the
+        // only corpus-sized pass here; cs itself is vocab × sources)
         val cs = tok.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = cs.groupBy($"source").agg(sum($"c").as("tot"))
         val vocab = cs.select($"w").distinct()
         val vsize = vocab.agg(count(lit(1)).as("v"))
