@@ -111,6 +111,30 @@ class IncrementalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viewOf(root) === expected(full))
   }
 
+  test("fuzz: random tagged logs under random batch splits match the recompute") {
+    for (seed <- Seq(11L, 42L, 77L)) {
+      val rnd = new scala.util.Random(seed)
+      // random interleaved log over few keys (maximizes state collisions);
+      // ~1/3 tombstones; us strictly increasing so per-key order holds
+      val full = (0 until 60).map { i =>
+        val side = if (rnd.nextBoolean()) "L" else "R"
+        val u = rnd.nextInt(4).toLong
+        val v = if (rnd.nextInt(3) == 0) 0.5 else 1.0 + rnd.nextInt(100)
+        (side, u, 1000L + i, i.toLong * 10, v)
+      }
+      // random monotone split points
+      val cuts = (Seq(full.size) ++ Seq.fill(rnd.nextInt(4))(1 + rnd.nextInt(full.size - 1)))
+        .distinct.sorted
+      val root = Files.createTempDirectory(s"ijoin-fuzz$seed").toString
+      var from = 0
+      cuts.zipWithIndex.foreach { case (to, i) =>
+        IncrementalJoin.merge(chgDf(full.slice(from, to)), i.toLong, root)
+        from = to
+      }
+      assert(viewOf(root) === expected(full), s"seed $seed splits $cuts")
+    }
+  }
+
   test("replaying the real event log batch-wise reproduces the c06 batch query") {
     import spark.implicits._
     // the c06 tagged-changelog derivation over the driver testdata
