@@ -1526,5 +1526,57 @@ object Tpch {
                FROM part p3 WHERE p3.p_brand = p.p_brand)
         GROUP BY p.p_brand ORDER BY p.p_brand"""),
     ),
+
+    // ---- q50: the analytic-rank window functions ----
+    // percent_rank / cume_dist / first_value / nth_value / last_value —
+    // the window functions the rest of the inventory doesn't touch (q27
+    // uses lag/lead/rank, q28 ntile-by-closed-form, q42/e25 frames).
+    // Ordering key (cents, custkey) is unique within a nation, so every
+    // rank function is tie-free and deterministic; percent_rank and
+    // cume_dist are exact integer ratios evaluated as the same double
+    // division in both engines. last_value gets the explicit
+    // whole-partition frame — its default frame ends at CURRENT ROW in
+    // both engines, which would make it the identity. Scale note: the
+    // nation partition key is dimension-coarse (25 groups), so at 100 TB
+    // each partition serializes one nation through one task — the same
+    // coarse-partition caveat as e05, acceptable here because the output
+    // contract IS per-nation full-partition analytics; for a
+    // high-cardinality rank at scale use q28's two-pass
+    // range-repartition rank instead.
+    QueryDef(
+      "q50_rank_functions",
+      (s, dir) => {
+        import s.implicits._
+        val base = cust(s, dir)
+          .select($"c_custkey", $"c_nationkey",
+            floor($"c_acctbal" * 100).cast("long").as("cents"))
+        val w = Window.partitionBy($"c_nationkey").orderBy($"cents", $"c_custkey")
+        val wf = Window.partitionBy($"c_nationkey").orderBy($"cents", $"c_custkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        base.select($"c_custkey", $"c_nationkey", $"cents",
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first_value($"c_custkey").over(wf).as("poorest"),
+          nth_value($"c_custkey", 2).over(wf).as("runner_up"),
+          last_value($"c_custkey").over(wf).as("richest"))
+          .orderBy($"c_nationkey", $"cents", $"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               first_value(c_custkey) OVER wf AS poorest,
+               nth_value(c_custkey, 2) OVER wf AS runner_up,
+               last_value(c_custkey) OVER wf AS richest
+        FROM customer
+        WINDOW
+          w AS (PARTITION BY c_nationkey
+                ORDER BY CAST(floor(c_acctbal * 100) AS BIGINT), c_custkey),
+          wf AS (PARTITION BY c_nationkey
+                 ORDER BY CAST(floor(c_acctbal * 100) AS BIGINT), c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY c_nationkey, cents, c_custkey"""),
+    ),
   )
 }
