@@ -973,5 +973,65 @@ object Curation {
         SELECT node AS doc_id, rep, CAST(MIN(hops) AS BIGINT) AS hops
         FROM bfs GROUP BY node, rep ORDER BY rep, hops, doc_id"""),
     ),
+
+    // ---- p17: soft-dedup-effective mixture — what the sampler really ----
+    // ---- draws once d19's weights are in effect ----
+    // p06's mixture maths assumed every document counts fully; d19's soft
+    // dedup says a cluster member contributes 1/cluster_size of itself.
+    // This is the composition: per source, raw vs EFFECTIVE token counts
+    // (Σ tokens/cluster_size) and the effective sampling share — the
+    // number that tells a trainer how much a source's apparent volume is
+    // multiplicity inflation (raw ≫ effective means the source is mostly
+    // near-copies of itself). Arithmetic is exact end-to-end: effective
+    // tokens are ppm-scaled BIGINT integral divisions (n·10⁶ div size) so
+    // the sums are order-independent and the share is an integer ratio —
+    // no double ever enters. Shape: the ONE shared cluster contraction
+    // (cached with p03/p11/d18/d19), shrink-only joins, a source-sized
+    // aggregate, and a one-row broadcast total.
+    QueryDef(
+      "p17_softdedup_mixture",
+      (s, dir) => {
+        import s.implicits._
+        val labels = dupClusterLabels(s, dir)
+        val docs = t(s, dir, "documents")
+          .withColumn("n",
+            size(regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0))).cast("long"))
+          .select($"doc_id", $"source", $"n")
+        val lab = docs.join(labels, $"doc_id" === $"node", "left")
+          .select($"source", $"n", coalesce($"lab", $"doc_id").as("cluster_rep"))
+        val per = lab.groupBy($"cluster_rep").agg(count(lit(1)).as("cluster_size"))
+        val perSrc = lab.join(per, "cluster_rep")
+          .withColumn("eff_q", expr("(n * 1000000) div cluster_size"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("raw_docs"), sum($"n").as("raw_tokens"),
+            sum($"eff_q").as("eff_tokens_ppm"))
+        val tot = perSrc.agg(sum($"eff_tokens_ppm").as("total_eff"))
+        perSrc.join(broadcast(tot))
+          .withColumn("eff_share_ppm", expr("(eff_tokens_ppm * 1000000) div total_eff"))
+          .select($"source", $"raw_docs", $"raw_tokens", $"eff_tokens_ppm", $"eff_share_ppm")
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH RECURSIVE sims AS (${Dedup.simhashSql}),
+        pairs AS (${Dedup.SIMHASH_PAIRS_SQL}),
+        ${CLUSTER_LABELS_SQL},
+        dn AS (
+          SELECT doc_id, source,
+                 CAST(len($TOKS_SQL) AS BIGINT) AS n
+          FROM documents),
+        lab AS (
+          SELECT d.source, d.n, COALESCE(l.rep, d.doc_id) AS cluster_rep
+          FROM dn d LEFT JOIN labels l ON l.node = d.doc_id),
+        per AS (
+          SELECT cluster_rep, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_rep),
+        src AS (
+          SELECT source, COUNT(*) AS raw_docs, CAST(SUM(n) AS BIGINT) AS raw_tokens,
+                 CAST(SUM((n * 1000000) // cluster_size) AS BIGINT) AS eff_tokens_ppm
+          FROM lab JOIN per USING (cluster_rep) GROUP BY source),
+        tot AS (SELECT CAST(SUM(eff_tokens_ppm) AS BIGINT) AS total_eff FROM src)
+        SELECT source, raw_docs, raw_tokens, eff_tokens_ppm,
+               (eff_tokens_ppm * 1000000) // total_eff AS eff_share_ppm
+        FROM src CROSS JOIN tot ORDER BY source"""),
+    ),
   )
 }
