@@ -1036,5 +1036,61 @@ object Events {
                  AS med_trailing
         FROM fr ORDER BY user_id, us, event_id"""),
     ),
+
+    // ---- e28: conversion-lag distribution — how long activation takes ----
+    // The timing complement to the funnels (e03/e16/e19 count WHO
+    // converts; this measures HOW LONG it takes): per user, first signup
+    // → first strictly-later purchase, and the exact quartiles of that
+    // lag in seconds over converted users. Spark `percentile` and DuckDB
+    // `quantile_cont` share the exact interpolation rule on the
+    // integer-seconds lags (the q38 contract). conv_ppm is an exact
+    // integer ratio. Shape: two per-user min-aggregates joined on
+    // user_id (co-partitioned, one shuffle family), then a one-row
+    // quantile aggregate over the user-sized lag frame — the quantile
+    // never touches the event stream itself; at larger user counts the
+    // t-digest swap is the same note as q38.
+    QueryDef(
+      "e28_conversion_lag",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
+        val signup = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"us").as("s_us"))
+        val lag = ev.filter($"event_type" === "purchase")
+          .join(signup, "user_id")
+          .filter($"us" > $"s_us")
+          .groupBy($"user_id").agg(min($"us").as("p_us"), min($"s_us").as("s_us"))
+          .select($"user_id", (($"p_us" - $"s_us") / 1000000L).cast("long").as("lag_s"))
+        signup.agg(count(lit(1)).as("n_signup")).crossJoin(
+          lag.agg(count(lit(1)).as("n_converted"),
+            expr("percentile(lag_s, 0.25)").as("lag_p25"),
+            expr("percentile(lag_s, 0.5)").as("lag_p50"),
+            expr("percentile(lag_s, 0.75)").as("lag_p75")))
+          .withColumn("conv_ppm", expr("(n_converted * 1000000) div n_signup"))
+          .select($"n_signup", $"n_converted", $"conv_ppm",
+            $"lag_p25", $"lag_p50", $"lag_p75")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        s AS (SELECT user_id, MIN(us) AS s_us FROM ev
+              WHERE event_type = 'signup' GROUP BY user_id),
+        lag AS (
+          SELECT e.user_id,
+                 CAST((MIN(e.us) - MIN(s.s_us)) // 1000000 AS BIGINT) AS lag_s
+          FROM ev e JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.us > s.s_us
+          GROUP BY e.user_id),
+        agg AS (
+          SELECT COUNT(*) AS n_converted,
+                 quantile_cont(lag_s, 0.25) AS lag_p25,
+                 quantile_cont(lag_s, 0.5) AS lag_p50,
+                 quantile_cont(lag_s, 0.75) AS lag_p75
+          FROM lag),
+        ns AS (SELECT COUNT(*) AS n_signup FROM s)
+        SELECT n_signup, n_converted,
+               (n_converted * 1000000) // n_signup AS conv_ppm,
+               lag_p25, lag_p50, lag_p75
+        FROM ns CROSS JOIN agg"""),
+    ),
   )
 }
