@@ -1033,5 +1033,112 @@ object Curation {
                (eff_tokens_ppm * 1000000) // total_eff AS eff_share_ppm
         FROM src CROSS JOIN tot ORDER BY source"""),
     ),
+
+    // ---- p18: the corpus-build funnel report — every gate, one pass ----
+    // The nightly end-to-end composition the individual operators exist
+    // for, as ONE query: quality gate (p01's length + lexical-diversity
+    // rule) → exact dedup among survivors (p01's keep-min-doc_id) →
+    // near-dup canonical selection (d18's corpus-wide max-chars-then-
+    // min-id canonicals over the ONE shared cluster contraction) →
+    // per-source quota admission (p12's cap, earliest-doc_id-first like
+    // the arrival-time IngestQuota, run on the custom TopKPerKey plan) —
+    // with the per-source survivor count after EVERY stage plus the final
+    // admitted token supply. This is the report a data-curation team
+    // reads each morning: where documents die, and what the trainer
+    // actually gets. Shape: each stage is a shrink-only semi-join off the
+    // previous survivor set, the cluster labels are the cached
+    // contraction shared with p03/p11/d18/d19/p17, the quota never sorts
+    // a source's documents (bounded heaps), and the five per-source
+    // stage counts are dimension-sized aggregates left-joined onto the
+    // source list.
+    QueryDef(
+      "p18_corpus_build_report",
+      (s, dir) => {
+        import s.implicits._
+        val Q = 8
+        val docs = t(s, dir, "documents")
+        val toksed = docs
+          .withColumn("tk", regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0)))
+          .withColumn("n", size($"tk").cast("long"))
+          .withColumn("h", md5($"text"))
+        val quality = toksed
+          .filter($"n" >= 25L &&
+            size(array_distinct($"tk")).cast("double") >= $"n" * 0.4)
+          .select($"doc_id", $"source", $"n", $"h")
+        val keep = quality.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+        val exact = quality.join(keep, Seq("h", "doc_id"), "left_semi")
+        // d18's corpus-wide canonical set (over ALL docs, then applied)
+        val labels = dupClusterLabels(s, dir)
+        val lab = docs.select($"doc_id", $"n_chars")
+          .join(labels, $"doc_id" === $"node", "left")
+          .select($"doc_id", coalesce($"lab", $"doc_id").as("cluster_rep"), $"n_chars")
+        val per = lab.groupBy($"cluster_rep").agg(max($"n_chars").as("mx"))
+        val canon = lab.join(per, "cluster_rep")
+          .filter($"n_chars" === $"mx")
+          .groupBy($"cluster_rep").agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id")
+        val deduped = exact.join(canon, Seq("doc_id"), "left_semi")
+        val admitted = graft.plans.TopK.perKey(
+          deduped.select($"source", $"doc_id", $"n"),
+          Seq("source"), Seq("doc_id" -> true), Q)
+        def cnt(df: DataFrame, name: String) =
+          df.groupBy($"source").agg(count(lit(1)).as(name))
+        cnt(docs, "docs_in")
+          .join(cnt(quality, "after_quality"), Seq("source"), "left")
+          .join(cnt(exact, "after_exact"), Seq("source"), "left")
+          .join(cnt(deduped, "after_canonical"), Seq("source"), "left")
+          .join(admitted.groupBy($"source")
+            .agg(count(lit(1)).as("admitted"), sum($"n").as("final_tokens")),
+            Seq("source"), "left")
+          .na.fill(0L, Seq("after_quality", "after_exact", "after_canonical",
+            "admitted", "final_tokens"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH RECURSIVE sims AS (${Dedup.simhashSql}),
+        pairs AS (${Dedup.SIMHASH_PAIRS_SQL}),
+        ${CLUSTER_LABELS_SQL},
+        tk AS (
+          SELECT doc_id, source, n_chars, md5(text) AS h, $TOKS_SQL AS tk
+          FROM documents),
+        q AS (
+          SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n, h
+          FROM tk
+          WHERE len(tk) >= 25
+            AND CAST(len(list_distinct(tk)) AS DOUBLE) >= len(tk) * 0.4),
+        k AS (SELECT h, MIN(doc_id) AS doc_id FROM q GROUP BY h),
+        e AS (SELECT q.* FROM q JOIN k ON k.h = q.h AND k.doc_id = q.doc_id),
+        lab AS (
+          SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS cluster_rep, d.n_chars
+          FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+        per AS (SELECT cluster_rep, MAX(n_chars) AS mx FROM lab GROUP BY cluster_rep),
+        canon AS (
+          SELECT MIN(lab.doc_id) AS doc_id
+          FROM lab JOIN per ON lab.cluster_rep = per.cluster_rep
+                           AND lab.n_chars = per.mx
+          GROUP BY lab.cluster_rep),
+        dd AS (SELECT e.* FROM e JOIN canon USING (doc_id)),
+        adm AS (
+          SELECT source, doc_id, n FROM (
+            SELECT source, doc_id, n,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM dd) x WHERE rn <= 8),
+        c0 AS (SELECT source, COUNT(*) AS docs_in FROM documents GROUP BY source),
+        c1 AS (SELECT source, COUNT(*) AS after_quality FROM q GROUP BY source),
+        c2 AS (SELECT source, COUNT(*) AS after_exact FROM e GROUP BY source),
+        c3 AS (SELECT source, COUNT(*) AS after_canonical FROM dd GROUP BY source),
+        c4 AS (SELECT source, COUNT(*) AS admitted, CAST(SUM(n) AS BIGINT) AS final_tokens
+               FROM adm GROUP BY source)
+        SELECT c0.source, c0.docs_in,
+               COALESCE(c1.after_quality, 0) AS after_quality,
+               COALESCE(c2.after_exact, 0) AS after_exact,
+               COALESCE(c3.after_canonical, 0) AS after_canonical,
+               COALESCE(c4.admitted, 0) AS admitted,
+               COALESCE(c4.final_tokens, 0) AS final_tokens
+        FROM c0
+        LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+        LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source)
+        ORDER BY c0.source"""),
+    ),
   )
 }
