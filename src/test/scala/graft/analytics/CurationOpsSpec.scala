@@ -63,6 +63,21 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("WindowExec"), s"window sort crept back in:\n$plan")
   }
 
+  test("p18 admits through TopKPerKey and never window-sorts a source") {
+    val df = graft.SparkEntry.queries("p18_corpus_build_report")(
+      spark, graft.TestTables.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"quota stage lost the custom exec:\n$plan")
+    assert(!plan.contains("WindowExec"), s"window sort crept into the funnel:\n$plan")
+    // the funnel monotonically shrinks and the quota cap holds
+    import spark.implicits._
+    val rows = df.as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (src, in, q, e, c, adm, _) =>
+      assert(in >= q && q >= e && e >= c && c >= adm, s"$src not monotone")
+      assert(adm <= 8, s"$src quota exceeded")
+    }
+  }
+
   test("p16 BFS levels are sound: hops=0 iff representative, every deeper " +
       "node has a neighbor one level up, and labels/BFS agree on membership") {
     import spark.implicits._
