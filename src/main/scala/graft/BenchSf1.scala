@@ -53,7 +53,13 @@ object BenchSf1 {
     // distinct shingle index) and its dup-set join fan-out grows with
     // corpus duplication — exactly the kind of term that could go
     // super-linear at 10×, so it gets a checkpoint from day one
-    "d20_dup_span_removal")
+    "d20_dup_span_removal",
+    // round-8 session additions that are expensive or iteration-shaped:
+    // p16's BFS loop runs diameter-many passes (pass count must stay
+    // flat at 10×, only per-pass width grows); t23's pair matrix must
+    // stay vocab-bounded; p18 composes four gates over the shared
+    // contraction and the TopKPerKey quota
+    "p16_dup_graph_bfs", "t23_source_kl", "p18_corpus_build_report")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,9 +31,15 @@ object Curation {
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
   private[analytics] def dupClusterLabels(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    labelsCache.getOrElseUpdate((s, dir), {
+    labelsCache.getOrElseUpdate((s, dir),
+      contractComponents(s, Dedup.simhashPairs(s, dir).select("i", "j")))
+
+  /** The iterated per-partition union-find contraction over an arbitrary
+    * `(i, j)` edge set — factored so other edge graphs (m10's cross-modal
+    * union) run the same machinery the SimHash labels use. */
+  private[analytics] def contractComponents(
+      s: org.apache.spark.sql.SparkSession, pairs: DataFrame): DataFrame = {
       import s.implicits._
-      val pairs = Dedup.simhashPairs(s, dir).select($"i", $"j")
       var active: DataFrame = pairs
         .select(least($"i", $"j").as("src"), greatest($"i", $"j").as("dst"))
         .localCheckpoint(true)
@@ -80,7 +86,7 @@ object Curation {
           .localCheckpoint(true)
       }
       labels
-    })
+  }
 
   /** Oracle twin of [[dupClusterLabels]]: CTE tail (edges/reach/labels)
     * to splice into a `WITH RECURSIVE` whose scope binds `pairs` —

@@ -478,5 +478,61 @@ object Multimodal {
         JOIN per pb ON pb.doc_id = pr.j
         ORDER BY pr.i, pr.j"""),
     ),
+
+    // ---- m10: cross-modal dup clusters — components over the UNION ----
+    // ---- of the text and image edge sets ----
+    // m06 classified individual PAIRS by which signal flagged them; the
+    // dedup action needs COMPONENTS, and a pair chain can cross
+    // modalities (A≈B by text, B≈C by image ⇒ {A,B,C} is one dup group —
+    // the image-text-pair reality where captions get copied with
+    // re-encoded images and vice versa). Edges = d05 SimHash pairs ∪ m05
+    // pHash pairs, components by the SAME iterated union-find
+    // contraction the text-only labels use (Curation.contractComponents,
+    // factored for exactly this reuse); the per-cluster report carries
+    // the edge-type mix (a pair in both sets counts in both columns).
+    // Scale: both edge sets are banded-LSH-bounded, the union is
+    // pair-sized, and the contraction/report joins never touch the
+    // corpus — identical envelope to p03.
+    QueryDef(
+      "m10_crossmodal_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val text = Dedup.simhashPairs(s, dir).select($"i", $"j")
+        val image = phashPairs(s, dir).select($"i", $"j")
+        val edges = text.union(image).distinct()
+        val labels = Curation.contractComponents(s, edges)
+        val report = labels.groupBy($"lab".as("cluster_rep"))
+          .agg(count(lit(1)).as("size"), max($"node").as("max_doc"))
+        def edgeCnt(p: org.apache.spark.sql.DataFrame, name: String) =
+          p.join(labels, p("i") === labels("node"))
+            .groupBy($"lab".as("cluster_rep")).agg(count(lit(1)).as(name))
+        report
+          .join(edgeCnt(text, "n_text_edges"), Seq("cluster_rep"), "left")
+          .join(edgeCnt(image, "n_image_edges"), Seq("cluster_rep"), "left")
+          .na.fill(0L, Seq("n_text_edges", "n_image_edges"))
+          .orderBy($"cluster_rep")
+      },
+      Some(s"""
+        WITH RECURSIVE sims AS (${Dedup.simhashSql}),
+        tpairs AS (${Dedup.SIMHASH_PAIRS_SQL}),
+        $PHASH_CTES,
+        pairs AS (SELECT i, j FROM tpairs UNION SELECT i, j FROM ipairs),
+        ${graft.analytics.Curation.CLUSTER_LABELS_SQL},
+        report AS (
+          SELECT rep AS cluster_rep, COUNT(*) AS size, MAX(node) AS max_doc
+          FROM labels GROUP BY rep),
+        te AS (
+          SELECT l.rep AS cluster_rep, COUNT(*) AS n_text_edges
+          FROM tpairs t JOIN labels l ON l.node = t.i GROUP BY l.rep),
+        ie AS (
+          SELECT l.rep AS cluster_rep, COUNT(*) AS n_image_edges
+          FROM ipairs p JOIN labels l ON l.node = p.i GROUP BY l.rep)
+        SELECT r.cluster_rep, r.size, r.max_doc,
+               COALESCE(te.n_text_edges, 0) AS n_text_edges,
+               COALESCE(ie.n_image_edges, 0) AS n_image_edges
+        FROM report r
+        LEFT JOIN te USING (cluster_rep) LEFT JOIN ie USING (cluster_rep)
+        ORDER BY r.cluster_rep"""),
+    ),
   )
 }
