@@ -946,23 +946,34 @@ object Curation {
         val edges = pairs.select($"i".as("src"), $"j".as("dst"))
           .unionByName(pairs.select($"j".as("src"), $"i".as("dst")))
           .localCheckpoint(true)
-        var dist = dupClusterLabels(s, dir)
-          .select($"lab").distinct()
-          .select($"lab".as("node"), $"lab".as("rep"), lit(0L).as("hops"))
-          .localCheckpoint(true)
-        var frontier = dist
+        // ONE materialization per level: each level frame is checkpointed
+        // as it's produced, and the anti-join's visited set is the lazy
+        // union of those already-materialized frames — checkpointing the
+        // accumulated union again each pass (the first cut) just re-wrote
+        // the same rows and put a second driver-scheduled job in every
+        // level (sf1 checkpoint: 14.9 s → this form; the loop is
+        // scheduling-bound, not data-bound, so jobs-per-level is the
+        // constant that matters at any SF).
+        var levels = List(
+          dupClusterLabels(s, dir)
+            .select($"lab").distinct()
+            .select($"lab".as("node"), $"lab".as("rep"), lit(0L).as("hops"))
+            .localCheckpoint(true))
+        var frontier = levels.head
         while (!frontier.isEmpty) {
+          val visited = levels.map(_.select($"node", $"rep")).reduce(_ unionByName _)
           val next = frontier.as("f")
             .join(edges.as("e"), $"f.node" === $"e.src")
             .select($"e.dst".as("node"), $"f.rep".as("rep"),
               ($"f.hops" + 1L).as("hops"))
             .groupBy($"node", $"rep").agg(min($"hops").as("hops"))
-            .join(dist.select($"node", $"rep"), Seq("node", "rep"), "left_anti")
+            .join(visited, Seq("node", "rep"), "left_anti")
             .localCheckpoint(true)
-          dist = dist.unionByName(next).localCheckpoint(true)
+          levels ::= next
           frontier = next
         }
-        dist.select($"node".as("doc_id"), $"rep", $"hops")
+        levels.reduce(_ unionByName _)
+          .select($"node".as("doc_id"), $"rep", $"hops")
           .orderBy($"rep", $"hops", $"doc_id")
       },
       Some(s"""

@@ -1648,5 +1648,70 @@ object Similarity {
         FROM picks ORDER BY rn"""
       },
     ),
+
+    // ---- s17: embedding outlier audit — noisy-label detection ----
+    // The embedding-table data-quality gate: per label, members whose
+    // squared distance to the LABEL CENTROID sits more than two standard
+    // deviations above the label mean — the vectors most likely
+    // mislabeled or corrupt, the audit run before s03/s04 trust the
+    // labels. The z-test is EXACT end-to-end: ssd is BIGINT on quantized
+    // ints, per-label moments are (count, Σssd as BIGINT, Σssd² as
+    // DECIMAL(38)/HUGEINT), and z > 2 is evaluated in cleared form —
+    // (n·x − S) > 0 ∧ (n·x − S)² > 4·n·(n·Q − S²) — so no square root,
+    // no float, and both engines agree at the boundary. Magnitudes are
+    // proven in-range: n·x ≤ 5e17 (long), the squares ≤ ~1e35
+    // (DECIMAL(38) / HUGEINT). Shape: one 64-way dim explode + two
+    // linear aggregates + a broadcast of the (labels × 64) centroid and
+    // (labels) moment tables — the corpus is touched twice (score +
+    // flag), never joined to itself.
+    QueryDef(
+      "s17_embedding_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val emb = withQNorm(t(s, dir, "embeddings"))
+        val dims = emb.select($"vec_id", $"label", posexplode($"q").as(Seq("dim", "v")))
+        val cents = dims.groupBy($"label", $"dim")
+          .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cv"))
+        val scored = dims.join(broadcast(cents), Seq("label", "dim"))
+          .withColumn("d", $"v" - $"cv")
+          .groupBy($"vec_id", $"label").agg(sum($"d" * $"d").as("ssd"))
+        val moms = scored.groupBy($"label").agg(
+          count(lit(1)).as("n"), sum($"ssd").as("s1"),
+          sum($"ssd".cast("decimal(19,0)") * $"ssd".cast("decimal(19,0)")).as("q2"))
+        scored.join(broadcast(moms), "label")
+          .withColumn("zl", $"n" * $"ssd" - $"s1")
+          .withColumn("is_outlier", $"zl" > 0 &&
+            ($"zl".cast("decimal(19,0)") * $"zl".cast("decimal(19,0)")) >
+              (lit(4).cast("decimal(2,0)") * $"n".cast("decimal(10,0)") *
+                ($"n".cast("decimal(10,0)") * $"q2" -
+                  $"s1".cast("decimal(19,0)") * $"s1".cast("decimal(19,0)"))))
+          .groupBy($"label")
+          .agg(min($"n").as("n"), expr("CAST(min(s1) div min(n) AS BIGINT)").as("mean_ssd"),
+            sum(when($"is_outlier", 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy($"label")
+      },
+      Some(s"""
+        WITH $QNORM_SQL,
+        dd AS (SELECT unnest(range(64)) AS i),
+        cents AS (
+          SELECT label, i, CAST(FLOOR(CAST(SUM(q[CAST(i+1 AS INT)]) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cv
+          FROM qv CROSS JOIN dd GROUP BY label, i),
+        sc AS (
+          SELECT v.vec_id, v.label,
+                 CAST(SUM((v.q[CAST(c.i+1 AS INT)] - c.cv)*(v.q[CAST(c.i+1 AS INT)] - c.cv)) AS BIGINT) AS ssd
+          FROM qv v JOIN cents c ON c.label = v.label
+          GROUP BY v.vec_id, v.label),
+        m AS (SELECT label, COUNT(*) AS n, CAST(SUM(ssd) AS BIGINT) AS s1,
+                     SUM(CAST(ssd AS HUGEINT)*ssd) AS q2
+              FROM sc GROUP BY label)
+        SELECT sc.label, CAST(MIN(m.n) AS BIGINT) AS n,
+               CAST(MIN(m.s1) // MIN(m.n) AS BIGINT) AS mean_ssd,
+               CAST(COUNT(*) FILTER (WHERE m.n*sc.ssd - m.s1 > 0
+                 AND CAST(m.n*sc.ssd - m.s1 AS HUGEINT)*(m.n*sc.ssd - m.s1)
+                   > 4*CAST(m.n AS HUGEINT)*(CAST(m.n AS HUGEINT)*m.q2
+                       - CAST(m.s1 AS HUGEINT)*m.s1)) AS BIGINT) AS n_outliers
+        FROM sc JOIN m USING (label)
+        GROUP BY sc.label ORDER BY sc.label"""),
+    ),
   )
 }
