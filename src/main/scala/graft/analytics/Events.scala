@@ -1092,5 +1092,37 @@ object Events {
                lag_p25, lag_p50, lag_p75
         FROM ns CROSS JOIN agg"""),
     ),
+
+    // ---- e29: trailing behavioral diversity (distinct-count frame) ----
+    // The third frame statistic next to e25's sum and e26's order
+    // statistic: per event, how many DISTINCT event types the user's
+    // last 7 events span — the behavioral-variety signal (a run of 7
+    // identical types reads as automation; the e18 regularity filter's
+    // categorical cousin). Exact because the frame is bounded: both
+    // engines materialize the ≤7-element frame and count distincts —
+    // the bounded-frame exception again; an unbounded distinct-over-
+    // window would be the q30 approx_count_distinct swap instead.
+    QueryDef(
+      "e29_trailing_diversity",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"us", $"event_id")
+          .rowsBetween(-6, 0)
+        t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .select($"user_id", $"event_id", $"us",
+            size(array_distinct(collect_list($"event_type").over(w)))
+              .cast("long").as("n_distinct_types"))
+          .orderBy($"user_id", $"us", $"event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(len(list_distinct(list(event_type) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))) AS BIGINT)
+                 AS n_distinct_types
+        FROM events ORDER BY user_id, us, event_id"""),
+    ),
   )
 }

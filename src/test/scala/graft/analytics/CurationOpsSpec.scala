@@ -78,6 +78,29 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("m10 clusters are connected: edge count per cluster covers a spanning tree " +
+      "and the union graph never splits a text-only cluster") {
+    import spark.implicits._
+    val dir = graft.TestTables.sfDir
+    val m10 = graft.SparkEntry.queries("m10_crossmodal_clusters")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(m10.nonEmpty)
+    m10.foreach { case (rep, size, maxDoc, nText, nImage) =>
+      // a connected component of `size` nodes needs >= size-1 edges
+      assert(nText + nImage >= size - 1, s"cluster $rep under-connected")
+      assert(maxDoc >= rep && size >= 1)
+    }
+    // adding image edges only MERGES components: the union graph covers
+    // at least every text-edge-touched node, in at most as many clusters,
+    // and its largest cluster is at least as large as the text-only max
+    val p03 = graft.SparkEntry.queries("p03_dup_clusters")(spark, dir)
+      .select("cluster_rep", "size").as[(Long, Long)].collect()
+    assert(m10.map(_._2).sum >= p03.map(_._2).sum, "union graph lost nodes")
+    assert(m10.map(_._2).max >= p03.map(_._2).max, "largest cluster shrank")
+    assert(m10.map(_._4).sum == graft.analytics.Dedup.simhashPairs(spark, dir).count(),
+      "text edges must be fully attributed to clusters")
+  }
+
   test("p16 BFS levels are sound: hops=0 iff representative, every deeper " +
       "node has a neighbor one level up, and labels/BFS agree on membership") {
     import spark.implicits._
