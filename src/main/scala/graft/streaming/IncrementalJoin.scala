@@ -69,28 +69,31 @@ object IncrementalJoin {
       .join(r.select(col("user_id"), col("event_id").as("r_event_id"),
         col("value").as("r_value")), Seq("user_id"))
 
-  /** Apply one batch of tagged changes. Returns the batch's view
-    * changelog (op, user_id, l_event_id, l_value, r_event_id, r_value);
-    * replayed batch ids return None. */
-  def merge(changes: DataFrame, batchId: Long, stateRoot: String): Option[DataFrame] = {
-    if (batchId <= SnapshotStore.lastBatchId(vRoot(stateRoot))) return None // replay
-    val spark = changes.sparkSession
-    val latest = latestPerKey(changes).localCheckpoint(true)
-    val touched = latest.select("user_id").distinct().localCheckpoint(true)
+  /** The per-batch frames, LAZY (no checkpoints) — the seam
+    * IncrementalJoinShapeSpec inspects: every contact with a snapshot
+    * (side or view) must go through a join against the broadcastable
+    * touched-key set; the only side-to-side join runs over the touched
+    * keys' rows. Returns (newL, newR, changelog, newView). */
+  private[streaming] def mergedFrames(
+      curL: Option[DataFrame], curR: Option[DataFrame], oldView: Option[DataFrame],
+      latest: DataFrame, touched: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val newL = mergeSide(curL, latest.filter(col("side") === "L"))
+    val newR = mergeSide(curR, latest.filter(col("side") === "R"))
+    val (changelog, newView) = viewFrames(oldView, newL, newR, touched)
+    (newL, newR, changelog, newView)
+  }
 
-    val newL = mergeSide(SnapshotStore.read(spark, lRoot(stateRoot)),
-      latest.filter(col("side") === "L")).localCheckpoint(true)
-    val newR = mergeSide(SnapshotStore.read(spark, rRoot(stateRoot)),
-      latest.filter(col("side") === "R")).localCheckpoint(true)
-
+  /** Changelog + next view from the (merged) sides and the old view. */
+  private def viewFrames(
+      oldView: Option[DataFrame], newL: DataFrame, newR: DataFrame,
+      touched: DataFrame): (DataFrame, DataFrame) = {
     // new view rows for the touched keys only: each side filtered to the
     // (broadcastable) touched set, then joined — never snapshot×snapshot
     val newTouched = joined(
       newL.join(broadcast(touched), Seq("user_id"), "left_semi"),
       newR.join(broadcast(touched), Seq("user_id"), "left_semi"))
-      .localCheckpoint(true)
     val viewCols = Seq("user_id", "l_event_id", "l_value", "r_event_id", "r_value")
-    val oldView = SnapshotStore.read(spark, vRoot(stateRoot))
     // canonical column order before exceptAll (positional semantics)
     val oldTouched = (oldView match {
       case None => newTouched.limit(0)
@@ -101,12 +104,32 @@ object IncrementalJoin {
       oldTouched.exceptAll(newTouchedC).withColumn("op", lit("-"))
         .unionByName(newTouchedC.exceptAll(oldTouched).withColumn("op", lit("+")))
         .select("op", "user_id", "l_event_id", "l_value", "r_event_id", "r_value")
-        .localCheckpoint(true)
-    val newView = (oldView match {
+    val newView = oldView match {
       case None => newTouched
       case Some(v) =>
         v.join(broadcast(touched), Seq("user_id"), "left_anti").unionByName(newTouched)
-    }).localCheckpoint(true)
+    }
+    (changelog, newView)
+  }
+
+  /** Apply one batch of tagged changes. Returns the batch's view
+    * changelog (op, user_id, l_event_id, l_value, r_event_id, r_value);
+    * replayed batch ids return None. */
+  def merge(changes: DataFrame, batchId: Long, stateRoot: String): Option[DataFrame] = {
+    if (batchId <= SnapshotStore.lastBatchId(vRoot(stateRoot))) return None // replay
+    val spark = changes.sparkSession
+    val latest = latestPerKey(changes).localCheckpoint(true)
+    val touched = latest.select("user_id").distinct().localCheckpoint(true)
+    // sides materialize first so the view/changelog plans read the
+    // checkpointed frames instead of re-deriving the side merges
+    val newL = mergeSide(SnapshotStore.read(spark, lRoot(stateRoot)),
+      latest.filter(col("side") === "L")).localCheckpoint(true)
+    val newR = mergeSide(SnapshotStore.read(spark, rRoot(stateRoot)),
+      latest.filter(col("side") === "R")).localCheckpoint(true)
+    val (changelog0, newView0) = viewFrames(
+      SnapshotStore.read(spark, vRoot(stateRoot)), newL, newR, touched)
+    val changelog = changelog0.localCheckpoint(true)
+    val newView = newView0.localCheckpoint(true)
 
     // commit order: sides first, view LAST — its batch id is the gate
     SnapshotStore.writeNext(newL, lRoot(stateRoot), Some(batchId))
