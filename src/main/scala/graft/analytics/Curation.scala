@@ -1157,5 +1157,46 @@ object Curation {
         LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source)
         ORDER BY c0.source"""),
     ),
+
+    // ---- p19: deterministic per-epoch training order ----
+    // Each training epoch needs a DIFFERENT but REPRODUCIBLE global
+    // permutation of the corpus (same shuffle on every re-run, no RNG
+    // state to checkpoint — the p02/p08 determinism contract applied to
+    // ORDER instead of membership). Epoch e's sort key is
+    // md5('epoch:<e>:' <> doc_id); positions come from the SAME two-pass
+    // rank p07 uses (range-repartition on the hash + sortWithinPartitions
+    // + zipWithIndex) — a distributed sort by a uniform key, NEVER a
+    // single-partition row_number window. Emitting two epochs proves the
+    // permutations differ while each stays reproducible; at 100 TB this
+    // is one range-shuffle per epoch, the exact cost of writing the
+    // epoch's shard manifest.
+    QueryDef(
+      "p19_epoch_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        val epochs = (0 until 2).map { e =>
+          val keyed = t(s, dir, "documents")
+            .select($"doc_id", md5(concat(lit(s"epoch:$e:"), $"doc_id")).as("k"))
+            .repartitionByRange(8, $"k")
+            .sortWithinPartitions($"k")
+          val ids = keyed.rdd.zipWithIndex
+            .map { case (r, i) => (r.getLong(0), i) }
+          s.createDataFrame(ids).toDF("doc_id", "position")
+            .withColumn("epoch", lit(e.toLong))
+        }
+        epochs.reduce(_ unionByName _)
+          .select($"epoch", $"position", $"doc_id")
+          .orderBy($"epoch", $"position")
+      },
+      Some("""
+        SELECT epoch, CAST(row_number() OVER (
+                 PARTITION BY epoch
+                 ORDER BY md5('epoch:' || epoch || ':' || doc_id)) - 1 AS BIGINT)
+                 AS position,
+               doc_id
+        FROM documents CROSS JOIN (SELECT unnest([CAST(0 AS BIGINT),
+                                                  CAST(1 AS BIGINT)]) AS epoch) e
+        ORDER BY epoch, position"""),
+    ),
   )
 }
