@@ -1124,5 +1124,40 @@ object Events {
                  AS n_distinct_types
         FROM events ORDER BY user_id, us, event_id"""),
     ),
+
+    // ---- e30: trending types per hour — top-k-per-window through ----
+    // ---- the custom TopKPerKey plan ----
+    // The "what's trending each hour" dashboard query: per-hour
+    // event-type counts, top-2 types per hour by (count desc, type asc).
+    // The pick runs on the custom TopKPerKey physical operator (bounded
+    // per-partition heaps around one hash exchange) rather than a
+    // rank-filter window — with few types per hour either wins, but at
+    // 100 TB the window form sorts every hour's full type list through
+    // one task per hot hour while the heap form shuffles only survivors;
+    // this is the q46/p12 operator applied to the event-time dimension.
+    // The hour is emitted as a formatted string (no raw timestamps in
+    // query outputs — the driver-gate contract).
+    QueryDef(
+      "e30_trending_types",
+      (s, dir) => {
+        import s.implicits._
+        val counts = t(s, dir, "events")
+          .withColumn("hour", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00"))
+          .groupBy($"hour", $"event_type")
+          .agg(count(lit(1)).as("n"))
+        graft.plans.TopK.perKey(counts, Seq("hour"),
+          Seq("n" -> false, "event_type" -> true), 2)
+          .select($"hour", $"event_type", $"n")
+          .orderBy($"hour", $"n".desc, $"event_type")
+      },
+      Some("""
+        SELECT hour, event_type, n FROM (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                 event_type, COUNT(*) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                   ORDER BY COUNT(*) DESC, event_type) AS rn
+          FROM events GROUP BY date_trunc('hour', ts), event_type) x
+        WHERE rn <= 2 ORDER BY hour, n DESC, event_type"""),
+    ),
   )
 }
