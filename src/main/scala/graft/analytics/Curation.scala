@@ -1198,5 +1198,71 @@ object Curation {
                                                   CAST(1 AS BIGINT)]) AS epoch) e
         ORDER BY epoch, position"""),
     ),
+
+    // ---- p20: curriculum ordering — easy→hard phases, shuffled within ----
+    // Curriculum learning's data-side contract: present high-quality
+    // (easy) documents first and the noisy tail last, but keep each
+    // phase internally SHUFFLED so no spurious ordering leaks into
+    // training. Quality is an integer-exact proxy built from the shared
+    // TextOps tokenizer (length credit + stopword-density credit — the
+    // t04 composite in the div-exact domain, no float thresholds), the
+    // phase is a fixed-threshold band (no global rank, so no
+    // unpartitioned ntile window), and the global position comes from
+    // the p19 machinery: ONE range shuffle on (phase, md5) + the
+    // partition-ordered zipWithIndex — exactly the cost of writing the
+    // curriculum's shard manifest. At 100 TB nothing here exceeds one
+    // range shuffle; the scoring pass is a narrow per-row map.
+    QueryDef(
+      "p20_curriculum_order",
+      (s, dir) => {
+        import s.implicits._
+        val stopArr = array(TextOps.stop.map(lit): _*)
+        val scored = t(s, dir, "documents")
+          .withColumn("toks", TextOps.toks($"text"))
+          .withColumn("nt", size($"toks").cast("long"))
+          .withColumn("ns",
+            size(filter($"toks", x => array_contains(stopArr, x))).cast("long"))
+          .withColumn("score_q",
+            least($"nt", lit(100L)) * 50L + expr("ns * 5000 div greatest(nt, 1)"))
+          .withColumn("phase_idx",
+            when($"score_q" >= 5000L, 0).when($"score_q" >= 2500L, 1).otherwise(2))
+          .withColumn("phase",
+            when($"phase_idx" === 0, "easy").when($"phase_idx" === 1, "medium")
+              .otherwise("hard"))
+          .withColumn("k", md5(concat(lit("curriculum:"), $"doc_id")))
+          .select($"doc_id", $"score_q", $"phase_idx", $"phase", $"k")
+        val ranged = scored
+          .repartitionByRange(8, $"phase_idx", $"k")
+          .sortWithinPartitions($"phase_idx", $"k")
+        val ids = ranged.rdd.zipWithIndex
+          .map { case (r, i) => (r.getLong(0), r.getLong(1), r.getString(3), i) }
+        s.createDataFrame(ids).toDF("doc_id", "score_q", "phase", "position")
+          .select($"position", $"phase", $"doc_id", $"score_q")
+          .orderBy($"position")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS BIGINT) AS nt,
+                 CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9'']+'),
+                                      x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS ns
+          FROM documents),
+        ph AS (
+          SELECT doc_id,
+                 least(nt, 100) * 50 + ns * 5000 // greatest(nt, 1) AS score_q
+          FROM scored),
+        lab AS (
+          SELECT doc_id, score_q,
+                 CASE WHEN score_q >= 5000 THEN 0 WHEN score_q >= 2500 THEN 1
+                      ELSE 2 END AS phase_idx,
+                 CASE WHEN score_q >= 5000 THEN 'easy' WHEN score_q >= 2500 THEN 'medium'
+                      ELSE 'hard' END AS phase
+          FROM ph)
+        SELECT CAST(row_number() OVER (
+                 ORDER BY phase_idx, md5('curriculum:' || doc_id)) - 1 AS BIGINT)
+                 AS position,
+               phase, doc_id, score_q
+        FROM lab ORDER BY position"""),
+    ),
   )
 }

@@ -1159,5 +1159,56 @@ object Events {
           FROM events GROUP BY date_trunc('hour', ts), event_type) x
         WHERE rn <= 2 ORDER BY hour, n DESC, event_type"""),
     ),
+
+    // ---- e31: watermark-lag audit — distributed prefix scan ----
+    // The question every Structured-Streaming deployment asks before
+    // picking `withWatermark`: under the real arrival order, how late do
+    // events run behind the high-watermark (the max event time seen so
+    // far)? The events table arrives exactly time-ordered, so the audit
+    // replays it under a DETERMINISTIC network-jitter permutation
+    // (arrival key = event_id + md5(event_id) % 64 — the md5 stub both
+    // engines reproduce) and computes each event's lateness against the
+    // running max event time. The running max over a global order is the
+    // unpartitioned-window trap; here it is graft.plans.PrefixScan —
+    // range shuffle + per-partition fold + #partitions-row carry window
+    // + one imperative partition scan, ONE corpus-sized shuffle total
+    // (the step-2/step-3 subtrees share the exchange via ReusedExchange).
+    // The report is a plain per-type hash-agg of integer lateness.
+    QueryDef(
+      "e31_watermark_lag",
+      (s, dir) => {
+        import s.implicits._
+        val arr = t(s, dir, "events")
+          .select($"event_id", $"event_type",
+            unix_micros($"ts").as("tus"),
+            ($"event_id" +
+              conv(substring(md5($"event_id".cast("string")), 1, 2), 16, 10)
+                .cast("long") % 64).as("ak"))
+        graft.plans.PrefixScan
+          .runningMax(arr, Seq($"ak", $"event_id"), $"tus", "wm")
+          .withColumn("late_us", $"wm" - $"tus")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"late_us" > 0L, 1L).otherwise(0L)).as("n_late"),
+            max($"late_us").as("max_late_us"),
+            sum($"late_us").as("sum_late_us"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH arr AS (
+          SELECT event_id, event_type, epoch_us(ts) AS tus,
+                 event_id + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2) AS BIGINT) % 64 AS ak
+          FROM events),
+        lat AS (
+          SELECT event_type,
+                 MAX(tus) OVER (ORDER BY ak, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tus AS late_us
+          FROM arr)
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE late_us > 0) AS n_late,
+               CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+               CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+        FROM lat GROUP BY event_type ORDER BY event_type"""),
+    ),
   )
 }

@@ -534,5 +534,70 @@ object Multimodal {
         LEFT JOIN te USING (cluster_rep) LEFT JOIN ie USING (cluster_rep)
         ORDER BY r.cluster_rep"""),
     ),
+
+    // ---- m11: audio alignment — landmark-hash offset voting ----
+    // The Shazam-family question m09's shingles can't answer: not just
+    // "do these two clips overlap" but "at WHAT time offset" — the
+    // primitive behind clip-in-broadcast detection and trimmed-copy
+    // dedup. Each doc emits (frame_idx, 16-bit landmark hash) pairs (the
+    // md5 stub standing in for the spectral-peak constellation a codec
+    // UDF would produce); matching hashes across two docs VOTE for their
+    // frame-index DIFFERENCE, and a true overlap concentrates votes on
+    // one offset while chance collisions scatter. Per pair: argmax-vote
+    // offset, kept at >= 3 votes (24 aligned bytes; expected chance
+    // votes per pair at 64 frames and 16-bit hashes is 64*64/2^16 ~
+    // 0.06, so 3 is far outside noise). Scale shape: the join is a
+    // DF-capped equi-join on the hash (df <= 16 — the d02/m09 hot-key
+    // cap argument: a silence/boilerplate landmark every clip shares
+    // cannot go quadratic), votes is one hash-agg on (i, j, offset),
+    // and the per-pair argmax is the sort-free max(struct) — no window,
+    // no per-partition sort, no cartesian anywhere.
+    QueryDef(
+      "m11_audio_alignment",
+      (s, dir) => {
+        import s.implicits._
+        val fp = t(s, dir, "documents")
+          .withColumn("n_frames",
+            least(ceil(length($"text") / lit(8.0)).cast("int"), lit(64)))
+          .withColumn("frame_idx", explode(expr(
+            "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
+          .withColumn("frame_idx", $"frame_idx".cast("long"))
+          .select($"doc_id", $"frame_idx",
+            substring(md5(expr("substring(text, frame_idx*8 + 1, 8)")), 1, 4).as("h"))
+        val dfc = fp.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
+        val idx = fp.join(dfc.filter($"df" <= 16), "h")
+        idx.as("a").join(idx.as("b"),
+            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+            ($"a.frame_idx" - $"b.frame_idx").as("off"))
+          .agg(count(lit(1)).as("v"))
+          .groupBy($"i", $"j")
+          // argmax votes, tie -> smallest offset: max(struct(v, -off))
+          .agg(max(struct($"v", (-$"off").as("noff"))).as("m"))
+          .select($"i", $"j", (-$"m.noff").as("best_offset"), $"m.v".as("votes"))
+          .filter($"votes" >= 3)
+          .orderBy($"i", $"j")
+      },
+      Some("""
+        WITH fp AS (
+          SELECT doc_id, frame_idx,
+                 substr(md5(substr(text, CAST(frame_idx*8 + 1 AS BIGINT), 8)), 1, 4) AS h
+          FROM (SELECT doc_id, text,
+                       unnest(range(least(CAST(ceil(length(text)/8.0) AS BIGINT), 64))) AS frame_idx
+                FROM documents) x),
+        dfc AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM fp GROUP BY h),
+        idx AS (SELECT fp.* FROM fp JOIN dfc USING (h) WHERE df <= 16),
+        votes AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, a.frame_idx - b.frame_idx AS off,
+                 COUNT(*) AS v
+          FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3),
+        best AS (
+          SELECT i, j, off AS best_offset, v AS votes,
+                 ROW_NUMBER() OVER (PARTITION BY i, j ORDER BY v DESC, off) AS rn
+          FROM votes)
+        SELECT i, j, best_offset, votes
+        FROM best WHERE rn = 1 AND votes >= 3 ORDER BY i, j"""),
+    ),
   )
 }

@@ -1713,5 +1713,73 @@ object Similarity {
         FROM sc JOIN m USING (label)
         GROUP BY sc.label ORDER BY sc.label"""),
     ),
+
+    // ---- s18: k-means Lloyd step — the clustering-build primitive ----
+    // One full Lloyd iteration over the embedding table, integer-exact:
+    // assign every vector to its nearest seed centroid (fused LongSsd
+    // against the k=8 BROADCAST seeds; argmin is the sort-free
+    // min(struct(ssd, cid)), ties to the smallest cid), then recompute
+    // each centroid as the per-dimension floored mean of its members and
+    // report how far it moved. This is the dataflow an embedding-space
+    // curation stage (topic balancing, s05's IVF cell build, semantic
+    // tiering) runs per iteration at 100 TB: seeds are a TakeOrdered-k
+    // (k driver rows, broadcast back), the corpus-sized work is ONE
+    // k-way fused-SSD scan plus ONE 64-way posexplode hash-agg (both
+    // map-side combinable), and the centroid update + drift touch only
+    // k×64 rows. No window, no self-join, no sort anywhere. The floored
+    // mean (floor(sum/n) in double — exact: |sum| < 2^31·2^10 ≪ 2^53)
+    // matches DuckDB bit-for-bit, so drift is an exact BIGINT.
+    QueryDef(
+      "s18_kmeans_step",
+      (s, dir) => {
+        import s.implicits._
+        val qv = withQNorm(t(s, dir, "embeddings")).select($"vec_id", $"q")
+        val cent = qv.orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("cid"), $"q".as("cq"))
+        val assign = qv.crossJoin(broadcast(cent))
+          .withColumn("ssd", longSsd($"q", $"cq"))
+          .groupBy($"vec_id")
+          .agg(min(struct($"ssd", $"cid")).as("m"), first($"q").as("q"))
+          .select($"m.cid".as("cid"), $"q")
+        val dimsum = assign
+          .select($"cid", posexplode($"q").as(Seq("pos", "v")))
+          .groupBy($"cid", $"pos")
+          .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+          .withColumn("m", floor($"sv".cast("double") / $"n").cast("long"))
+        val centDims = cent.select($"cid", posexplode($"cq").as(Seq("pos", "cv")))
+        dimsum.join(broadcast(centDims), Seq("cid", "pos"))
+          .groupBy($"cid")
+          .agg(max($"n").as("n_assigned"),
+            sum(($"m" - $"cv") * ($"m" - $"cv")).as("drift"))
+          .orderBy($"cid")
+      },
+      Some(s"""
+        WITH $QNORM_SQL,
+        dd AS (SELECT unnest(range(64)) AS i),
+        cent AS (SELECT vec_id AS cid, q AS cq FROM qv ORDER BY vec_id LIMIT 8),
+        dist AS (
+          SELECT v.vec_id, c.cid,
+                 CAST(SUM((v.q[CAST(i+1 AS INT)]-c.cq[CAST(i+1 AS INT)])
+                         *(v.q[CAST(i+1 AS INT)]-c.cq[CAST(i+1 AS INT)])) AS BIGINT) AS ssd
+          FROM qv v CROSS JOIN cent c CROSS JOIN dd
+          GROUP BY v.vec_id, c.cid),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ssd, cid) AS rn
+            FROM dist) z WHERE rn = 1),
+        dimsum AS (
+          SELECT a.cid, i AS pos, CAST(SUM(v.q[CAST(i+1 AS INT)]) AS BIGINT) AS sv,
+                 COUNT(*) AS n
+          FROM assign a JOIN qv v USING (vec_id) CROSS JOIN dd
+          GROUP BY a.cid, i),
+        newc AS (
+          SELECT cid, pos, CAST(floor(sv * 1.0 / n) AS BIGINT) AS m, n FROM dimsum)
+        SELECT nc.cid, MAX(nc.n) AS n_assigned,
+               CAST(SUM((nc.m - c.cq[CAST(nc.pos+1 AS INT)])
+                       *(nc.m - c.cq[CAST(nc.pos+1 AS INT)])) AS BIGINT) AS drift
+        FROM newc nc JOIN cent c ON c.cid = nc.cid
+        GROUP BY nc.cid ORDER BY nc.cid"""),
+    ),
   )
 }

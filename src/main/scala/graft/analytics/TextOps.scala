@@ -15,13 +15,15 @@ import org.apache.spark.sql.expressions.Window
 object TextOps {
   import Tables.t
 
-  /** Word tokens of lower-cased text — same regex in the DuckDB oracle. */
-  private def toks(c: Column): Column =
+  /** Word tokens of lower-cased text — same regex in the DuckDB oracle.
+    * `private[analytics]`: p20's curriculum quality proxy reuses the ONE
+    * tokenizer + stopword definition rather than growing a twin. */
+  private[analytics] def toks(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9']+"), lit(0))
-  private val TOKS_SQL = """regexp_extract_all(lower(text), '[a-z0-9'']+')"""
+  private[analytics] val TOKS_SQL = """regexp_extract_all(lower(text), '[a-z0-9'']+')"""
 
-  private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-  private val STOP_SQL = stop.map(w => s"'$w'").mkString("(", ",", ")")
+  private[analytics] val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[analytics] val STOP_SQL = stop.map(w => s"'$w'").mkString("(", ",", ")")
 
   /** t10's sensitive-term lexicon (stand-in for a PII regex bank — the
     * synthetic corpus has no emails/phones/IPs to match). */

@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed prefix scan: exact parity with the unpartitioned
+  * running window it replaces — max/sum/min, nulls, duplicate order keys,
+  * skewed key distributions — plus the plan-shape promise: NO
+  * unpartitioned WindowExec over the corpus-sized input (the only window
+  * in the plan runs over the #buckets-row carry frame). */
+class PrefixScanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("prefix-scan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Seeded random rows (key, tie, value) with duplicate keys and nulls. */
+  private def sample(n: Int, seed: Long, nullEvery: Int = 0) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val v: java.lang.Long =
+        if (nullEvery > 0 && i % nullEvery == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(1000).toLong - 500)
+      // duplicate-heavy keys: ~n/8 distinct, exercising ties across rows
+      (rnd.nextInt(math.max(n / 8, 1)).toLong, i.toLong, v)
+    }.toDF("k", "tie", "v").repartition(7)
+  }
+
+  private def windowRef(df: org.apache.spark.sql.DataFrame,
+      agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    val w = Window.orderBy(col("k"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("ref", agg(col("v")).over(w))
+  }
+
+  private def check(n: Int, seed: Long, nullEvery: Int): Unit = {
+    import spark.implicits._
+    for ((name, scanOp, aggC) <- Seq[(String,
+        (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.Column],
+         org.apache.spark.sql.Column, String) => org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      ("max", PrefixScan.runningMax, max),
+      ("sum", PrefixScan.runningSum, sum),
+      ("min", PrefixScan.runningMin, min))) {
+      val df = sample(n, seed, nullEvery)
+      val got = scanOp(df, Seq($"k", $"tie"), $"v", "run")
+        .select($"tie", $"run").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+        .toMap
+      val exp = windowRef(df, aggC)
+        .select($"tie", $"ref").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+        .toMap
+      assert(got == exp, s"$name scan diverges from the window reference " +
+        s"(n=$n seed=$seed nullEvery=$nullEvery)")
+    }
+  }
+
+  test("max/sum/min parity with the running window on duplicate-heavy keys") {
+    check(n = 2000, seed = 7L, nullEvery = 0)
+  }
+
+  test("parity with nulls interleaved (scan skips them like the window)") {
+    check(n = 1500, seed = 13L, nullEvery = 5)
+  }
+
+  test("parity on a tiny input (fewer rows than buckets)") {
+    check(n = 3, seed = 21L, nullEvery = 0)
+    check(n = 1, seed = 22L, nullEvery = 0)
+  }
+
+  test("parity on a heavily skewed key (one key dominates)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    val df = (0 until 2000).map { i =>
+      val k = if (rnd.nextInt(10) < 8) 42L else rnd.nextInt(100).toLong
+      (k, i.toLong, java.lang.Long.valueOf(rnd.nextInt(100).toLong))
+    }.toDF("k", "tie", "v").repartition(5)
+    val got = PrefixScan.runningSum(df, Seq($"k", $"tie"), $"v", "run")
+      .select($"tie", $"run").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = windowRef(df, sum)
+      .select($"tie", $"ref").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+
+  test("plan shape: no unpartitioned window over the corpus input") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = sample(5000, 31L)
+    val out = PrefixScan.runningMax(df, Seq($"k", $"tie"), $"v", "run")
+    val unpart = out.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    // the ONLY unpartitioned window permitted is the carry fold — its
+    // input is the per-bucket aggregate, i.e. at most #buckets rows,
+    // which shows as a HashAggregate directly under the window's sort
+    assert(unpart.size == 1, s"expected exactly the carry window, got ${unpart.size}")
+    val overAgg = unpart.head.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(overAgg.nonEmpty,
+      "carry window must read the per-bucket aggregate, not corpus rows")
+    // and the output column count is input + 1 (no helper columns leak)
+    assert(out.columns.toSeq == df.columns.toSeq :+ "run")
+  }
+}
