@@ -1210,5 +1210,46 @@ object Events {
                CAST(SUM(late_us) AS BIGINT) AS sum_late_us
         FROM lat GROUP BY event_type ORDER BY event_type"""),
     ),
+
+    // ---- e32: behavioral entropy — how predictable is each user ----
+    // The segmentation axis e18's timing regularity doesn't measure:
+    // Shannon entropy of each user's event-TYPE distribution. A
+    // single-action bot scores 0 bits; a user spread evenly over all
+    // five types scores log2(5); recommendation/anomaly pipelines bucket
+    // on exactly this. Computed per the t15/t16 contract — both engines
+    // evaluate the same  log2(N) − Σ c·log2(c) / N  double expression
+    // over per-(user, type) counts and quantize ×10⁴ (round-off ~1e-13
+    // relative, far below the grid). Shape: two hash-aggs keyed on
+    // user_id — (user, type) counts, then the per-user moment — both
+    // map-side combinable, output bounded by the user population, no
+    // window and no join anywhere.
+    QueryDef(
+      "e32_behavioral_entropy",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).cast("double").as("cnt"))
+          .groupBy($"user_id")
+          .agg(
+            sum($"cnt").cast("long").as("n_events"),
+            count(lit(1)).as("n_types"),
+            round((log2(sum($"cnt")) - sum($"cnt" * log2($"cnt")) / sum($"cnt"))
+              * 10000).cast("long").as("entropy_q"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH tc AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS cnt
+          FROM events GROUP BY user_id, event_type),
+        ent AS (
+          SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_events,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt) AS h
+          FROM tc GROUP BY user_id)
+        SELECT user_id, n_events, n_types,
+               CAST(round(h * 10000) AS BIGINT) AS entropy_q
+        FROM ent ORDER BY user_id"""),
+    ),
   )
 }

@@ -1028,6 +1028,43 @@ object TextOps {
         FROM dist a JOIN dist b ON a.w = b.w AND a.source <> b.source
         GROUP BY a.source, b.source ORDER BY src_a, src_b"""),
     ),
+
+    // ---- t24: term burstiness — topical vs function words ----
+    // Church & Gale's observation: a term's corpus frequency alone can't
+    // separate topical words from function words, but its BURSTINESS —
+    // mean occurrences per document that CONTAINS it (cf/df) — can: "the"
+    // appears once or twice everywhere, a topical term clumps hard inside
+    // the few documents about it. The keyword-extraction prior behind
+    // tf-idf variants, and the signal t11's per-source salience doesn't
+    // carry (t11 ranks by where a term concentrates, t24 by how it
+    // clumps). Exact integer ×10⁴ ratio; df ≥ 5 floors out hapax noise.
+    // Shape: one token explode + ONE hash-agg computing cf and df
+    // together (count + count-distinct over the same key, map-side
+    // partially aggregated), then a global top-30 via TakeOrdered — no
+    // window, no join, vocabulary-sized intermediate.
+    QueryDef(
+      "t24_term_burstiness",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", explode(toks($"text")).as("w"))
+          .groupBy($"w")
+          .agg(count(lit(1)).as("cf"), countDistinct($"doc_id").as("df"))
+          .filter($"df" >= 5L)
+          .withColumn("burst_q", expr("cf * 10000 div df"))
+          .orderBy($"burst_q".desc, $"w")
+          .limit(30)
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($TOKS_SQL) AS w FROM documents),
+        stats AS (
+          SELECT w, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+          FROM tok GROUP BY w)
+        SELECT w, cf, df, cf * 10000 // df AS burst_q
+        FROM stats WHERE df >= 5
+        ORDER BY burst_q DESC, w LIMIT 30"""),
+    ),
   )
 
   /** The t21 training loop, cached per (session, dir) and shared with the
