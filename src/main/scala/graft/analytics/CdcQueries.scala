@@ -259,5 +259,62 @@ object CdcQueries {
                lo - LAG(hi) OVER (ORDER BY bucket) - 1 AS gap_before
         FROM b ORDER BY bucket"""),
     ),
+
+    // ---- c08: key-churn skew profile — write-load planning for a sink ----
+    // The capacity question a CDC sink asks before choosing partitioning
+    // and compaction cadence: how is the write load distributed over
+    // primary keys? A log2-bucketed churn histogram (the t13
+    // binary-width trick — ≤64 buckets at ANY key cardinality, so the
+    // report never needs a rank/ntile window over the unbounded key
+    // population) with per-bucket key counts, op totals, the hottest
+    // key's op count, and each bucket's exact ppm share of total write
+    // volume. A bucket holding few keys but a large ops_ppm IS the
+    // hot-partition alarm (salt those keys / split their partitions).
+    // Shape: one per-key hash-agg (map-side combinable), one ≤64-row
+    // re-agg, one broadcast one-row grand total — integer-exact ppm by
+    // integral division, no window, no self-join.
+    QueryDef(
+      "c08_key_churn",
+      (s, dir) => {
+        import s.implicits._
+        val per = t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_ops"),
+            countDistinct($"event_type").as("n_types"),
+            (max($"us") - min($"us")).as("span_us"))
+        val grand = per.agg(sum($"n_ops").as("grand"))
+        per
+          .withColumn("blen", length(bin($"n_ops")).cast("int"))
+          .groupBy($"blen")
+          .agg(count(lit(1)).as("n_keys"), sum($"n_ops").as("total_ops"),
+            max($"n_ops").as("max_ops"), min($"span_us").as("min_span_us"))
+          .crossJoin(broadcast(grand))
+          .select($"blen",
+            expr("shiftleft(1L, blen - 1)").as("bucket_lo"),
+            expr("shiftleft(1L, blen) - 1L").as("bucket_hi"),
+            $"n_keys", $"total_ops", $"max_ops", $"min_span_us",
+            expr("total_ops * 1000000 div grand").as("ops_ppm"))
+          .orderBy($"blen")
+      },
+      Some("""
+        WITH per AS (
+          SELECT user_id, COUNT(*) AS n_ops,
+                 COUNT(DISTINCT event_type) AS n_types,
+                 epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+          FROM events GROUP BY user_id),
+        b AS (
+          SELECT CAST(length(bin(n_ops)) AS INT) AS blen,
+                 COUNT(*) AS n_keys, CAST(SUM(n_ops) AS BIGINT) AS total_ops,
+                 CAST(MAX(n_ops) AS BIGINT) AS max_ops,
+                 CAST(MIN(span_us) AS BIGINT) AS min_span_us
+          FROM per GROUP BY 1),
+        g AS (SELECT CAST(SUM(n_ops) AS BIGINT) AS grand FROM per)
+        SELECT blen, CAST(1 << (blen - 1) AS BIGINT) AS bucket_lo,
+               CAST((1 << blen) - 1 AS BIGINT) AS bucket_hi,
+               n_keys, total_ops, max_ops, min_span_us,
+               total_ops * 1000000 // grand AS ops_ppm
+        FROM b CROSS JOIN g ORDER BY blen"""),
+    ),
   )
 }

@@ -1408,5 +1408,80 @@ object Dedup {
         FROM old o FULL OUTER JOIN new_ n USING (doc_id)
         GROUP BY 1, 2 ORDER BY source, status"""),
     ),
+
+    // ---- d22: boilerplate/template detection — per-source high-DF ----
+    // ---- shingles and per-doc template coverage ----
+    // The CCNet/trafilatura-style boilerplate stage the pairwise dedup
+    // family can't express: a navigation header or footer repeated
+    // across a SOURCE isn't a near-dup PAIR signal (each page's body
+    // differs) — it's a gram whose within-source document frequency is
+    // implausibly high. Template grams = word-3-gram shingles (the ONE
+    // shared shingle definition) present in ≥20% of a source's docs;
+    // the per-doc report is template coverage ×10⁴ — the "how much of
+    // this page is chrome" number a cleaning pass thresholds on. The
+    // corpus carries no organic boilerplate, so the t18/t20 injection
+    // recipe applies: a per-source header is prepended to a
+    // deterministic 40% md5-bucket of docs (the shared Sampling rule)
+    // inside the query, identically in the oracle. Shape: one shingle
+    // explode; the template set from one (source, gram) hash-agg joined
+    // to the 20-row source-size table; coverage = index ⋈ template set
+    // on the (source, gram) key — a shuffle equi-join whose right side
+    // is df-thresholded (≥20% of a source), NOT the raw index, so the
+    // d02-cap argument holds: per-(source, gram) fan-out on the left is
+    // one doc each, on the right one row each. No self-join, no window.
+    QueryDef(
+      "d22_template_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val injected = t(s, dir, "documents")
+          .withColumn("text",
+            when(Sampling.pctBucket($"doc_id") < 40L,
+              concat(lit("subscribe to "), $"source",
+                lit(" newsletter follow us for updates "), $"text"))
+              .otherwise($"text"))
+        val sh = withShingles(injected)
+          .select($"doc_id", $"source", explode($"sh").as("g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val srcsz = t(s, dir, "documents")
+          .groupBy($"source").agg(countDistinct($"doc_id").as("n_docs"))
+        val tpl = sh.groupBy($"source", $"g")
+          .agg(countDistinct($"doc_id").as("docs_with"))
+          .join(broadcast(srcsz), "source")
+          .filter($"docs_with" * 100L >= $"n_docs" * 20L)
+          .select($"source", $"g")
+        val per = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+        val cov = sh.join(tpl, Seq("source", "g"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_tpl"))
+        per.join(cov, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_tpl"))
+          .select($"doc_id", $"n_sh", $"n_tpl",
+            expr("n_tpl * 10000 div n_sh").as("tpl_q"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH inj AS (
+          SELECT doc_id, source,
+                 CASE WHEN ${Sampling.pctBucketSql("doc_id")} < 40
+                      THEN 'subscribe to ' || source || ' newsletter follow us for updates ' || text
+                      ELSE text END AS text
+          FROM documents),
+        sh AS (SELECT doc_id, source, unnest($SHINGLES_SQL) AS g FROM inj),
+        srcsz AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+                  FROM documents GROUP BY source),
+        tpl AS (
+          SELECT sh.source, g
+          FROM sh JOIN srcsz USING (source)
+          GROUP BY sh.source, g, n_docs
+          HAVING COUNT(DISTINCT doc_id) * 100 >= n_docs * 20),
+        per AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        cov AS (
+          SELECT sh.doc_id, COUNT(*) AS n_tpl
+          FROM sh JOIN tpl ON tpl.source = sh.source AND tpl.g = sh.g
+          GROUP BY sh.doc_id)
+        SELECT p.doc_id, p.n_sh, COALESCE(c.n_tpl, 0) AS n_tpl,
+               COALESCE(c.n_tpl, 0) * 10000 // p.n_sh AS tpl_q
+        FROM per p LEFT JOIN cov c USING (doc_id)
+        ORDER BY p.doc_id"""),
+    ),
   )
 }
