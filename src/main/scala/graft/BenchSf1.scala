@@ -59,7 +59,13 @@ object BenchSf1 {
     // flat at 10×, only per-pass width grows); t23's pair matrix must
     // stay vocab-bounded; p18 composes four gates over the shared
     // contraction and the TopKPerKey quota
-    "p16_dup_graph_bfs", "t23_source_kl", "p18_corpus_build_report")
+    "p16_dup_graph_bfs", "t23_source_kl", "p18_corpus_build_report",
+    // late round-8 additions with corpus-sized moving parts: e31's
+    // PrefixScan (one range shuffle + quantile job — must stay linear),
+    // d22's df-thresholded template join over the shingle index, and
+    // m11's DF-capped landmark-hash pair join (the cap must keep the
+    // pair set linear under 10× duplication)
+    "e31_watermark_lag", "d22_template_coverage", "m11_audio_alignment")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1264,5 +1264,85 @@ object Curation {
                phase, doc_id, score_q
         FROM lab ORDER BY position"""),
     ),
+
+    // ---- p21: cluster transitivity — clique or chain? ----
+    // The dup-graph QUALITY audit the component queries (p03/m10) can't
+    // make: two clusters of the same size can be a CLIQUE (every member
+    // near-dups every other — a true duplicate group, safe to collapse
+    // to one canonical) or a CHAIN (A≈B≈C≈… with the ends unrelated —
+    // LSH/threshold drift, where collapsing to one representative
+    // destroys distinct documents). Transitivity separates them: per
+    // cluster, 3·triangles / wedges (×10⁶ exact integral) is 1 for a
+    // clique and →0 for a chain. Triangles are counted ORIENTED — each
+    // {a<b<c} once at its smallest apex via two joins over the pair set
+    // ((a,b)⋈(a,c) then the closing (b,c) probe) — the standard
+    // fan-out-bounded dataflow (production would orient by degree for
+    // O(√E) per-node fan-out; id-orientation keeps it deterministic
+    // here); wedges are Σ d·(d−1)/2 from one degree agg. Everything is
+    // pair-set-sized (the banded-LSH-bounded edge list), never
+    // corpus-sized; size-2 clusters have no wedges and report NULL.
+    QueryDef(
+      "p21_cluster_transitivity",
+      (s, dir) => {
+        import s.implicits._
+        val edges = Dedup.simhashPairs(s, dir).select($"i", $"j")
+        val labels = dupClusterLabels(s, dir)
+        val tri = edges.as("e1")
+          .join(edges.as("e2"), $"e2.i" === $"e1.i" && $"e2.j" > $"e1.j")
+          .join(edges.as("e3"), $"e3.i" === $"e1.j" && $"e3.j" === $"e2.j")
+          .select($"e1.i".as("node"))
+        val triC = tri.join(labels, "node")
+          .groupBy($"lab").agg(count(lit(1)).as("n_tri"))
+        val edgeC = edges.join(labels, edges("i") === labels("node"))
+          .groupBy($"lab").agg(count(lit(1)).as("n_edges"))
+        val deg = edges.select($"i".as("node"))
+          .unionAll(edges.select($"j".as("node")))
+          .groupBy($"node").agg(count(lit(1)).as("d"))
+        val wedC = deg.join(labels, "node")
+          .groupBy($"lab").agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+        labels.groupBy($"lab").agg(count(lit(1)).as("size"))
+          .join(edgeC, Seq("lab"))
+          .join(wedC, Seq("lab"))
+          .join(triC, Seq("lab"), "left")
+          .na.fill(0L, Seq("n_tri"))
+          .select($"lab".as("cluster_rep"), $"size", $"n_edges", $"n_tri",
+            $"n_wedges",
+            expr("CASE WHEN n_wedges > 0 THEN 3 * n_tri * 1000000 div n_wedges END")
+              .as("transitivity_ppm"))
+          .orderBy($"cluster_rep")
+      },
+      Some(s"""
+        WITH RECURSIVE sims AS (${Dedup.simhashSql}),
+        pairs AS (${Dedup.SIMHASH_PAIRS_SQL}),
+        $CLUSTER_LABELS_SQL,
+        tri AS (
+          SELECT e1.i AS node
+          FROM pairs e1
+          JOIN pairs e2 ON e2.i = e1.i AND e2.j > e1.j
+          JOIN pairs e3 ON e3.i = e1.j AND e3.j = e2.j),
+        tric AS (
+          SELECT l.rep AS rep, COUNT(*) AS n_tri
+          FROM tri t JOIN labels l ON l.node = t.node GROUP BY l.rep),
+        edgec AS (
+          SELECT l.rep AS rep, COUNT(*) AS n_edges
+          FROM pairs p JOIN labels l ON l.node = p.i GROUP BY l.rep),
+        deg AS (
+          SELECT node, COUNT(*) AS d
+          FROM (SELECT i AS node FROM pairs
+                UNION ALL SELECT j AS node FROM pairs) x
+          GROUP BY node),
+        wedc AS (
+          SELECT l.rep AS rep, CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+          FROM deg JOIN labels l ON l.node = deg.node GROUP BY l.rep),
+        sz AS (SELECT rep, COUNT(*) AS size FROM labels GROUP BY rep)
+        SELECT sz.rep AS cluster_rep, size, n_edges,
+               COALESCE(n_tri, 0) AS n_tri, n_wedges,
+               CASE WHEN n_wedges > 0
+                    THEN 3 * COALESCE(n_tri, 0) * 1000000 // n_wedges END
+                 AS transitivity_ppm
+        FROM sz
+        JOIN edgec USING (rep) JOIN wedc USING (rep) LEFT JOIN tric USING (rep)
+        ORDER BY cluster_rep"""),
+    ),
   )
 }
