@@ -1781,5 +1781,78 @@ object Similarity {
         FROM newc nc JOIN cent c ON c.cid = nc.cid
         GROUP BY nc.cid ORDER BY nc.cid"""),
     ),
+
+    // ---- s19: hard-negative mining — contrastive training pairs ----
+    // The embedding-model training-data op: for each anchor, the top-3
+    // WRONG-label vectors by cosine (the hard negatives a contrastive
+    // loss learns most from) plus each negative's margin against the
+    // anchor's nearest SAME-label vector — margin > 0 flags the
+    // semi-hard/violating negatives a triplet loss would actually move.
+    // Anchors are a deterministic key sample (vec_id % 50); scoring is
+    // one BROADCAST-anchors × corpus fused-dot scan (work ∝ corpus ×
+    // anchors, the s10 coarse-scan argument), the per-anchor top-3 runs
+    // on the custom TopKPerKey plan (bounded heap per anchor per
+    // partition — no per-anchor window sort however many anchors), and
+    // the nearest-positive is one sort-free max-struct agg. Cosines are
+    // ×10⁹-quantized on the SAME IEEE expression both engines evaluate
+    // (the s16 contract); margins subtract exactly in BIGINT.
+    QueryDef(
+      "s19_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val qv = withQNorm(t(s, dir, "embeddings"))
+          .select($"vec_id", $"label", $"q", $"n2")
+        val anchors = qv.filter($"vec_id" % 50L === 0L)
+          .select($"vec_id".as("a_id"), $"label".as("a_label"),
+            $"q".as("aq"), $"n2".as("a_n2"))
+        val cand = qv.join(broadcast(anchors), $"vec_id" =!= $"a_id")
+          .withColumn("cos_q",
+            round(cosine(longDot($"aq", $"q"), $"a_n2", $"n2") * 1e9).cast("long"))
+        val pos = cand.filter($"label" === $"a_label")
+          .groupBy($"a_id").agg(max($"cos_q").as("pos_cos_q"))
+        val negs = graft.plans.TopK.perKey(
+          cand.filter($"label" =!= $"a_label")
+            .select($"a_id", $"vec_id".as("neg_id"), $"cos_q"),
+          Seq("a_id"), Seq("cos_q" -> false, "neg_id" -> true), 3)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"a_id").orderBy($"cos_q".desc, $"neg_id")
+        negs
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .join(pos, Seq("a_id"))
+          .select($"a_id".as("anchor_id"), $"rank", $"neg_id",
+            $"cos_q".as("neg_cos_q"), ($"cos_q" - $"pos_cos_q").as("margin_q"))
+          .orderBy($"anchor_id", $"rank")
+      },
+      Some(s"""
+        WITH $QNORM_SQL,
+        dd AS (SELECT unnest(range(64)) AS i),
+        anchors AS (
+          SELECT vec_id AS a_id, label AS a_label, q AS aq
+          FROM qv WHERE vec_id % 50 = 0),
+        cand AS (
+          SELECT a.a_id, a.a_label, v.vec_id, v.label,
+                 CAST(round(CAST(SUM(a.aq[CAST(i+1 AS INT)]*v.q[CAST(i+1 AS INT)]) AS DOUBLE)
+                      / sqrt(CAST(na.n2 AS DOUBLE)*CAST(nv.n2 AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS cos_q
+          FROM anchors a
+          JOIN qv v ON v.vec_id <> a.a_id
+          CROSS JOIN dd
+          JOIN norms na ON na.vec_id = a.a_id
+          JOIN norms nv ON nv.vec_id = v.vec_id
+          GROUP BY a.a_id, a.a_label, v.vec_id, v.label, na.n2, nv.n2),
+        pos AS (
+          SELECT a_id, MAX(cos_q) AS pos_cos_q
+          FROM cand WHERE label = a_label GROUP BY a_id),
+        negs AS (
+          SELECT a_id, vec_id AS neg_id, cos_q,
+                 ROW_NUMBER() OVER (PARTITION BY a_id
+                   ORDER BY cos_q DESC, vec_id) AS rank
+          FROM cand WHERE label <> a_label)
+        SELECT n.a_id AS anchor_id, CAST(n.rank AS BIGINT) AS rank, n.neg_id,
+               n.cos_q AS neg_cos_q, n.cos_q - p.pos_cos_q AS margin_q
+        FROM negs n JOIN pos p USING (a_id)
+        WHERE n.rank <= 3
+        ORDER BY anchor_id, rank"""),
+    ),
   )
 }
