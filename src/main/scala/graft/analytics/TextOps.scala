@@ -1065,6 +1065,52 @@ object TextOps {
         FROM stats WHERE df >= 5
         ORDER BY burst_q DESC, w LIMIT 30"""),
     ),
+
+    // ---- t25: vocabulary growth curves — Heaps'-law companion to t17 ----
+    // The tokenizer-sizing question t17's Zipf slope doesn't answer: how
+    // fast does each source's TYPE count grow with token supply? (Heaps:
+    // V ≈ k·Nᵝ — a source whose curve is still steep at full size will
+    // blow past a fixed vocab budget as the corpus grows.) Checkpoints
+    // are NESTED DETERMINISTIC SAMPLES — docs whose shared md5 percent
+    // bucket (the Sampling rule) falls under 25/50/75/100 — so the curve
+    // needs NO per-source rank window and no ordering at all: ONE token
+    // explode cross-joined with the 4-row checkpoint table, aggregated
+    // by (source, pct) with conditional count-distincts. Growth between
+    // checkpoints is exactly what a distributed engine can add corpus
+    // increments to (each checkpoint is a superset sample); everything
+    // is one map-side-combinable agg over tokens×4.
+    QueryDef(
+      "t25_vocab_growth",
+      (s, dir) => {
+        import s.implicits._
+        val cp = s.range(1, 5).select(($"id" * 25L).as("pct"))
+        t(s, dir, "documents")
+          .select($"doc_id", $"source",
+            graft.analytics.Sampling.pctBucket($"doc_id").as("b"),
+            explode(toks($"text")).as("w"))
+          .crossJoin(broadcast(cp))
+          .groupBy($"source", $"pct")
+          .agg(
+            countDistinct(when($"b" < $"pct", $"doc_id")).as("n_docs"),
+            count(when($"b" < $"pct", lit(1))).as("n_tokens"),
+            countDistinct(when($"b" < $"pct", $"w")).as("n_types"))
+          .orderBy($"source", $"pct")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 ${graft.analytics.Sampling.pctBucketSql("doc_id")} AS b,
+                 unnest($TOKS_SQL) AS w
+          FROM documents),
+        cp AS (SELECT unnest([CAST(25 AS BIGINT), CAST(50 AS BIGINT),
+                              CAST(75 AS BIGINT), CAST(100 AS BIGINT)]) AS pct)
+        SELECT source, pct,
+               COUNT(DISTINCT CASE WHEN b < pct THEN doc_id END) AS n_docs,
+               COUNT(CASE WHEN b < pct THEN 1 END) AS n_tokens,
+               COUNT(DISTINCT CASE WHEN b < pct THEN w END) AS n_types
+        FROM tok CROSS JOIN cp
+        GROUP BY source, pct ORDER BY source, pct"""),
+    ),
   )
 
   /** The t21 training loop, cached per (session, dir) and shared with the
