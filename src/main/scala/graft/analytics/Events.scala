@@ -1251,5 +1251,60 @@ object Events {
                CAST(round(h * 10000) AS BIGINT) AS entropy_q
         FROM ent ORDER BY user_id"""),
     ),
+
+    // ---- e33: watermark sizing — the delay-vs-loss decision table ----
+    // e31 measured HOW late events run; e33 answers the question that
+    // measurement exists for: for each candidate `withWatermark` delay
+    // (1 min / 10 min / 1 h / 6 h), exactly how many events would the
+    // state-cleanup boundary drop as too-late, and what completeness
+    // does the pipeline buy by holding state longer? (An event is lost
+    // when its lateness behind the high-watermark exceeds the delay.)
+    // Same jittered replay and the same PrefixScan running max as e31;
+    // the verdict table is the per-event lateness frame cross-joined
+    // with the 4-row candidate list into one conditional count agg —
+    // ppm loss by exact integral division. This is the table you read
+    // ACROSS: the smallest delay whose dropped_ppm meets the pipeline's
+    // completeness SLO is the watermark you deploy.
+    QueryDef(
+      "e33_watermark_sizing",
+      (s, dir) => {
+        import s.implicits._
+        val arr = t(s, dir, "events")
+          .select($"event_id", unix_micros($"ts").as("tus"),
+            ($"event_id" +
+              conv(substring(md5($"event_id".cast("string")), 1, 2), 16, 10)
+                .cast("long") % 64).as("ak"))
+        val lat = graft.plans.PrefixScan
+          .runningMax(arr, Seq($"ak", $"event_id"), $"tus", "wm")
+          .select(($"wm" - $"tus").as("late_us"))
+        val delays = s.createDataset(
+          Seq(60000000L, 600000000L, 3600000000L, 21600000000L)).toDF("delay_us")
+        lat.crossJoin(broadcast(delays))
+          .groupBy($"delay_us")
+          .agg(
+            count(when($"late_us" > $"delay_us", lit(1))).as("n_dropped"),
+            count(lit(1)).as("n_total"))
+          .select($"delay_us", $"n_dropped", $"n_total",
+            expr("n_dropped * 1000000 div n_total").as("dropped_ppm"))
+          .orderBy($"delay_us")
+      },
+      Some("""
+        WITH arr AS (
+          SELECT event_id, epoch_us(ts) AS tus,
+                 event_id + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2) AS BIGINT) % 64 AS ak
+          FROM events),
+        lat AS (
+          SELECT MAX(tus) OVER (ORDER BY ak, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tus AS late_us
+          FROM arr),
+        d AS (SELECT unnest([CAST(60000000 AS BIGINT), CAST(600000000 AS BIGINT),
+                             CAST(3600000000 AS BIGINT), CAST(21600000000 AS BIGINT)]) AS delay_us)
+        SELECT delay_us,
+               COUNT(CASE WHEN late_us > delay_us THEN 1 END) AS n_dropped,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               COUNT(CASE WHEN late_us > delay_us THEN 1 END) * 1000000 // COUNT(*) AS dropped_ppm
+        FROM lat CROSS JOIN d
+        GROUP BY delay_us ORDER BY delay_us"""),
+    ),
   )
 }

@@ -145,6 +145,7 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "e23_cmsketch_heavy_hitters", // rank over the limit(20) survivors
       "c07_seq_coverage_audit", // lag over the bucket frame (id-range/1000 rows)
       "e31_watermark_lag",  // PrefixScan's carry window over #buckets rows
+      "e33_watermark_sizing", // same PrefixScan carry window as e31
     )
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
