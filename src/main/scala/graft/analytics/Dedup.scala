@@ -89,6 +89,10 @@ object Dedup {
   /** d11's distinct (source, shingle) set — see the persist note there. */
   private val srcShingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** d22's injected-boilerplate shingle index (distinct from the organic
+    * corpus index above — the injection changes the text). */
+  private val tplShCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[analytics] def shingleIndex(s: SparkSession, dir: String): DataFrame =
     shCache.getOrElseUpdate((s, dir),
       withShingles(t(s, dir, "documents").repartition(col("doc_id")))
@@ -1439,9 +1443,12 @@ object Dedup {
               concat(lit("subscribe to "), $"source",
                 lit(" newsletter follow us for updates "), $"text"))
               .otherwise($"text"))
-        val sh = withShingles(injected)
+        // keyed cache, not a per-call persist: the query reads the frame
+        // 3x and the bench calls it 3x per session — an unkeyed persist
+        // would strand two dead copies in executor storage per round
+        val sh = tplShCache.getOrElseUpdate((s, dir), withShingles(injected)
           .select($"doc_id", $"source", explode($"sh").as("g"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val srcsz = t(s, dir, "documents")
           .groupBy($"source").agg(countDistinct($"doc_id").as("n_docs"))
         val tpl = sh.groupBy($"source", $"g")
