@@ -23,14 +23,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *      materialization, so physical ids are not stable across the two
   *      passes that must agree (measured: the pid form returned wrong
   *      carries at sf0.01).
-  *   2. fold each bucket to one aggregate row (map-side combine) and
-  *      turn those into exclusive CARRY values with a window over
-  *      #buckets rows — bounded by cluster size, never by data size;
-  *   3. hash-shuffle on the bucket + sort within partitions (the
-  *      operator's one corpus-sized shuffle), then a per-partition
+  *   2. hash-shuffle on the bucket + sort within partitions (the
+  *      operator's ONE corpus-sized shuffle), then a per-partition
   *      imperative scan (`mapPartitions` — the one construct Spark has
   *      for a sequential carry) emits each row's within-bucket running
   *      value, resetting at bucket changes;
+  *   3. fold each bucket to one aggregate row (map-side combine, read
+  *      off the SCANNED side so the MapPartitions object barrier forces
+  *      exchange reuse — see the inline note) and turn those into
+  *      exclusive CARRY values with a window over #buckets rows —
+  *      bounded by cluster size, never by data size;
   *   4. broadcast the carries back and combine: `out = carry ⊕ local`.
   *
   * Values are LongType (the engine's integer-exact currency); nulls are
@@ -92,12 +94,6 @@ object PrefixScan {
       .withColumn(bkt, bucket)
       .repartition(n, col(bkt))
       .sortWithinPartitions(col(bkt) +: order: _*)
-    // Exclusive per-bucket carries: #buckets rows end-to-end.
-    val carries = ranged.groupBy(col(bkt)).agg(agg(col(v)).as("pagg"))
-      .withColumn("__ps_carry",
-        agg(col("pagg")).over(
-          Window.orderBy(col(bkt)).rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col(bkt), col("__ps_carry"))
     val schemaOut = ranged.schema.add(local, LongType, nullable = true)
     val idxV = ranged.schema.fieldIndex(v)
     val idxB = ranged.schema.fieldIndex(bkt)
@@ -114,6 +110,18 @@ object PrefixScan {
         Row.fromSeq(r.toSeq :+ (acc: Any))
       }
     }(Encoders.row(schemaOut))
+    // Exclusive per-bucket carries: #buckets rows end-to-end. Derived
+    // from `scanned`, NOT from `ranged` — column pruning pushes below a
+    // plain aggregate and produces a narrower (different) exchange
+    // subtree, so a carries-from-ranged plan re-scans and re-shuffles
+    // the whole corpus (observed in e31's explain). The MapPartitions
+    // object barrier blocks pruning, so both consumers read the ONE
+    // exchange (ReusedExchange) and the corpus moves exactly once.
+    val carries = scanned.groupBy(col(bkt)).agg(agg(col(v)).as("pagg"))
+      .withColumn("__ps_carry",
+        agg(col("pagg")).over(
+          Window.orderBy(col(bkt)).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col(bkt), col("__ps_carry"))
     scanned
       .join(broadcast(carries), Seq(bkt), "left")
       .withColumn(out,
