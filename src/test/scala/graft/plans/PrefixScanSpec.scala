@@ -113,4 +113,47 @@ class PrefixScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the output column count is input + 1 (no helper columns leak)
     assert(out.columns.toSeq == df.columns.toSeq :+ "run")
   }
+
+  test("runtime plan: the carries side REUSES the one corpus bucket shuffle") {
+    // The regression this pins: carries derived from the pre-scan frame
+    // let column pruning produce a narrower exchange subtree, so the
+    // carries pass re-scanned and re-shuffled the whole corpus. Deriving
+    // them from the MapPartitions output blocks pruning, and AQE's stage
+    // cache turns the second consumer into a ReusedExchange of the ONE
+    // bucket shuffle — visible only in the EXECUTED adaptive plan.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    val df = sample(5000, 47L)
+    val out = PrefixScan.runningMax(df, Seq($"k", $"tie"), $"v", "run")
+    out.collect()
+    // walk the EXECUTED adaptive plan (leaf-node stages hide their
+    // subtrees from the plain TreeNode traversal)
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      // query stages (shuffle AND broadcast) are leaves hiding subtrees
+      case s: QueryStageExec => p +: walk(s.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val nodes = walk(out.queryExecution.executedPlan)
+    val bucketShuffles = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("__ps_bkt") => e
+    }
+    val reused = nodes.collect {
+      case r: ReusedExchangeExec
+        if r.child.outputPartitioning.toString.contains("__ps_bkt") => r
+    }
+    // the repartition(n, bkt) corpus shuffle materializes ONCE; the
+    // carries consumer reads it as a ReusedExchange. (The only other
+    // __ps_bkt exchange permitted is the tiny per-bucket aggregate's
+    // ENSURE_REQUIREMENTS shuffle, which repartitions #buckets-sized
+    // aggregate rows, not corpus rows.)
+    assert(reused.nonEmpty,
+      "carries must reuse the corpus bucket exchange, not recompute it")
+    val corpusShuffles = bucketShuffles.filter(_.shuffleOrigin.toString == "REPARTITION_BY_NUM")
+    assert(corpusShuffles.size == 1,
+      s"expected one materialized corpus bucket shuffle, got ${corpusShuffles.size}")
+  }
 }
