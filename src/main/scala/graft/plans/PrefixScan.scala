@@ -43,9 +43,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * determinism requirement the window form has.
   *
   * MEASURED BOUNDARY (PrefixScanBench, sf0.1 events = 600k rows, 32
-  * threads, median-of-3 warm): window 0.257 s vs scan 1.080 s — at
-  * test SF the single-task sort FITS one core and the scan pays the
-  * quantile job + two exchanges, so the operator is 4× SLOWER there.
+  * threads, median-of-3 warm): window 0.298 s vs scan 1.116 s (same
+  * split after the exchange-reuse fix) — at test SF the single-task
+  * sort FITS one core and the scan pays the quantile job + the
+  * exchange, so the operator is ~4× SLOWER there.
   * The crossover is memory, not speed: the window form funnels the
   * ENTIRE input through one task (at 100 TB that task simply dies),
   * while every stage here is bounded by 1/#buckets of the data. Use
