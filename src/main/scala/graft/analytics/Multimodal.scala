@@ -599,5 +599,80 @@ object Multimodal {
         SELECT i, j, best_offset, votes
         FROM best WHERE rn = 1 AND votes >= 3 ORDER BY i, j"""),
     ),
+
+    // ---- m12: audio periodicity — tempo by energy autocorrelation ----
+    // The rhythm question m07's segmentation and m11's alignment don't
+    // ask: does a clip's energy envelope REPEAT, and at what period?
+    // (Beat tracking's first stage: the autocorrelation of the frame
+    // energy, whose argmax lag is the tempo hypothesis.) Per doc:
+    // ac(lag) = Σ eᵢ·eᵢ₊lag over the m07 energy stub for lag 2..16,
+    // length-normalized by integral division (×10⁴ mean product, so
+    // short-lag sums with more terms don't win by length alone), best
+    // lag by the sort-free max(struct) with ties to the SMALLEST lag
+    // (the fundamental, not its multiple). Shape: the frame fan-out ×15
+    // lags self-joins ONLY within a doc on the (doc, frame) key — per-doc
+    // bounded (≤64×15 terms), embarrassingly parallel across docs, no
+    // window, no cross-doc contact anywhere; docs shorter than 18 frames
+    // (no lag-16 evidence) are excluded rather than reported on noise.
+    QueryDef(
+      "m12_audio_periodicity",
+      (s, dir) => {
+        import s.implicits._
+        val fr = t(s, dir, "documents")
+          .withColumn("nf",
+            least(ceil(length($"text") / lit(8.0)).cast("int"), lit(64)))
+          .withColumn("i", explode(expr(
+            "CASE WHEN nf >= 1 THEN sequence(0, nf-1) ELSE array() END")))
+          .withColumn("i", $"i".cast("long"))
+          .select($"doc_id",
+            $"i",
+            conv(substring(md5(expr("substring(text, i*8 + 1, 8)")), 1, 2), 16, 10)
+              .cast("long").as("e"))
+        val n = fr.groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
+        val lags = s.range(2, 17).select($"id".as("lg"))
+        val ac = fr.as("f1").crossJoin(broadcast(lags))
+          .join(fr.as("f2"),
+            col("f2.doc_id") === col("f1.doc_id") &&
+              col("f2.i") === col("f1.i") + $"lg")
+          .groupBy(col("f1.doc_id").as("doc_id"), $"lg")
+          .agg(sum(col("f1.e") * col("f2.e")).as("ac"),
+            count(lit(1)).as("n_terms"))
+          .withColumn("ac_q", expr("ac * 10000 div n_terms"))
+        ac.groupBy($"doc_id")
+          .agg(max(struct($"ac_q", (-$"lg").as("nl"))).as("m"))
+          .join(n, "doc_id")
+          .filter($"n_frames" >= 18L)
+          .select($"doc_id", $"n_frames", (-$"m.nl").as("best_lag"),
+            $"m.ac_q".as("ac_q"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH fr AS (
+          SELECT doc_id, frame_idx AS i,
+                 CAST('0x' || substr(md5(substr(text, CAST(frame_idx*8 + 1 AS BIGINT), 8)), 1, 2) AS BIGINT) AS e
+          FROM (SELECT doc_id, text,
+                       unnest(range(least(CAST(ceil(length(text)/8.0) AS BIGINT), 64))) AS frame_idx
+                FROM documents) x),
+        n AS (SELECT doc_id, COUNT(*) AS n_frames FROM fr GROUP BY doc_id),
+        lags AS (SELECT unnest(range(2, 17)) AS lg),
+        ac AS (
+          SELECT f1.doc_id, l.lg, CAST(SUM(f1.e * f2.e) AS BIGINT) AS ac,
+                 COUNT(*) AS n_terms
+          FROM fr f1
+          CROSS JOIN lags l
+          JOIN fr f2 ON f2.doc_id = f1.doc_id AND f2.i = f1.i + l.lg
+          GROUP BY f1.doc_id, l.lg),
+        norm AS (
+          SELECT doc_id, lg, ac * 10000 // n_terms AS ac_q FROM ac),
+        best AS (
+          SELECT doc_id, lg AS best_lag, ac_q,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY ac_q DESC, lg) AS rn
+          FROM norm)
+        SELECT b.doc_id, n.n_frames, b.best_lag, b.ac_q
+        FROM best b JOIN n USING (doc_id)
+        WHERE rn = 1 AND n.n_frames >= 18
+        ORDER BY b.doc_id"""),
+    ),
   )
 }
