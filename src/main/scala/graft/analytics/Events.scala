@@ -1306,5 +1306,60 @@ object Events {
         FROM lat CROSS JOIN d
         GROUP BY delay_us ORDER BY delay_us"""),
     ),
+
+    // ---- e34: emerging types — split-half trend significance ----
+    // The trend-DETECTION primitive the ranking queries don't have: e30
+    // ranks types within an hour and e14 z-scores a type against its own
+    // history, but "is this type's share actually GROWING, beyond
+    // noise?" is a two-sample question. Split the stream at the median
+    // event_id; under no-change, a type's second-half count n2 is
+    // Binomial(n1+n2, ½), and the 2σ test is evaluated in CLEARED
+    // integer form — n2 > n1 ∧ (n2−n1)² > 4·(n1+n2) — the s17/e14
+    // no-sqrt-no-float house pattern, so both engines agree at the
+    // boundary exactly. The corpus is uniform by construction, so the
+    // t18/t20 injection recipe simulates a mid-stream feature launch
+    // (a deterministic third of first-half clicks removed): the launch
+    // type flags emerging, every organically-jittered type does not.
+    // Shape: one broadcast one-row midpoint, one conditional hash-agg
+    // keyed event_type — map-side combinable, type-bounded output.
+    QueryDef(
+      "e34_emerging_types",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val mid = ev.agg(
+          expr("CAST((min(event_id) + max(event_id)) div 2 AS BIGINT)").as("mid"))
+        ev.crossJoin(broadcast(mid))
+          .filter(!($"event_type" === "click" && $"event_id" % 3 === 0 &&
+            $"event_id" <= $"mid"))
+          .withColumn("first_half", $"event_id" <= $"mid")
+          .groupBy($"event_type")
+          .agg(
+            count(when($"first_half", lit(1))).as("n1"),
+            count(when(!$"first_half", lit(1))).as("n2"))
+          .select($"event_type", $"n1", $"n2",
+            expr("n2 * 1000000 div greatest(n1, 1)").as("lift_ppm"),
+            ($"n2" > $"n1" &&
+              ($"n2" - $"n1") * ($"n2" - $"n1") > lit(4L) * ($"n1" + $"n2"))
+              .as("emerging"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH b AS (SELECT CAST((MIN(event_id) + MAX(event_id)) // 2 AS BIGINT) AS mid
+                   FROM events),
+        ev AS (
+          SELECT event_type, event_id, (event_id <= mid) AS first_half
+          FROM events CROSS JOIN b
+          WHERE NOT (event_type = 'click' AND event_id % 3 = 0 AND event_id <= mid)),
+        c AS (
+          SELECT event_type,
+                 COUNT(CASE WHEN first_half THEN 1 END) AS n1,
+                 COUNT(CASE WHEN NOT first_half THEN 1 END) AS n2
+          FROM ev GROUP BY event_type)
+        SELECT event_type, n1, n2,
+               n2 * 1000000 // GREATEST(n1, 1) AS lift_ppm,
+               (n2 > n1 AND (n2 - n1) * (n2 - n1) > 4 * (n1 + n2)) AS emerging
+        FROM c ORDER BY event_type"""),
+    ),
   )
 }
