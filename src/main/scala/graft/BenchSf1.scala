@@ -79,6 +79,7 @@ object BenchSf1 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    BenchLog.quietBoundedWindowWarnings()
 
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/_GENERATED"))) {
       generate(spark, srcDir, outDir)

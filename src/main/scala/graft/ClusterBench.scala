@@ -16,7 +16,7 @@ object ClusterBench {
   // names) so any future round's "did these really regress?" question runs
   // the same two-pass interleaved protocol without editing this file.
   private val Cluster = sys.env.get("SPARK_GRAFT_CLUSTER")
-    .map(_.split(",").toSeq.filter(_.nonEmpty))
+    .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     .getOrElse(Seq("q05_regional_revenue", "q06_revenue_forecast",
       "q07_volume_shipping", "q08_market_share", "q09_nation_year_revenue",
       "q10_returned_items"))
@@ -32,6 +32,7 @@ object ClusterBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    BenchLog.quietBoundedWindowWarnings()
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
@@ -41,6 +42,10 @@ object ClusterBench {
       catch { case _: Throwable => () }
     }
     val names = Cluster ++ Controls
+    // Fail loudly on a typo'd SPARK_GRAFT_CLUSTER entry: a silently-skipped
+    // suspect would make the adjudication look green by omission.
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     def pass(): Map[String, Double] = {
       val samples = collection.mutable.LinkedHashMap.empty[String, List[Double]]
       for (_ <- 1 to 3; name <- names) {

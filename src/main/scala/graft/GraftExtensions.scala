@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.LongDot.info, functions.LongDot.builder))
     ext.injectFunction((functions.LongSsd.identifier,
       functions.LongSsd.info, functions.LongSsd.builder))
+    ext.injectFunction((functions.SortedIntersectCount.identifier,
+      functions.SortedIntersectCount.info, functions.SortedIntersectCount.builder))
     ext.injectFunction((functions.InterleaveBits.identifier,
       functions.InterleaveBits.info, functions.InterleaveBits.builder))
     ext.injectFunction((functions.CharEntropy.identifier,

@@ -16,6 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    BenchLog.quietBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // A query that throws leaves no parquet dir, and a missing dir is
     // indistinguishable from a never-declared query in the driver's

@@ -929,51 +929,55 @@ object Curation {
     // drop the long tail of chained mutations.
     //
     // Dataflow: frontier-expansion BFS (the Pregel iteration written as
-    // joins). Start the frontier at the representatives (hops=0); each
-    // pass joins the frontier to the edge list on the node key (ONE
-    // shuffle keyed by node), min-aggregates same-level duplicates, and
-    // anti-joins the visited set so a node is emitted at its FIRST
-    // (minimum) level only. The loop runs diameter-many passes — near-dup
-    // clusters are dense, so 2-4 in practice; each pass's frames are
-    // localCheckpoint-truncated exactly like p03's contraction (swap for
-    // a checkpoint dir on a cluster). Nothing is ever corpus×corpus: the
-    // frontier is component-bounded and shrinks to empty.
+    // joins), co-partitioned per the round-8 scale audit (sf1 ratio was
+    // 0.888, the fleet's worst — the edge list re-shuffled EVERY level):
+    //  * the edge list is repartitioned by src ONCE and materialized, so
+    //    each hop's frontier⋈edges join reuses that hash partitioning
+    //    (the frontier side arrives hash(node)-partitioned from the
+    //    previous level's min-agg; localCheckpoint preserves the physical
+    //    partitioning into the LogicalRDD) — the corpus-pair-sized side
+    //    never moves again;
+    //  * the BFS key is the NODE alone, not (node, rep): component
+    //    membership already fixes each node's representative (the shared
+    //    cluster labels), so hop propagation needn't carry it — half the
+    //    key width in every shuffle, and rep attaches with ONE label join
+    //    at the end instead of riding diameter-many passes.
+    // Each pass min-aggregates same-level duplicates and anti-joins the
+    // visited set (lazy union of the already-materialized level frames —
+    // re-checkpointing the accumulated union each pass just re-writes the
+    // same rows) so a node is emitted at its FIRST level only. The loop
+    // runs diameter-many passes — near-dup clusters are dense, so 2-4 in
+    // practice. Nothing is ever corpus×corpus: the frontier is
+    // component-bounded and shrinks to empty.
     QueryDef(
       "p16_dup_graph_bfs",
       (s, dir) => {
         import s.implicits._
         val pairs = Dedup.simhashPairs(s, dir).select($"i", $"j")
+        val labels = dupClusterLabels(s, dir)
         val edges = pairs.select($"i".as("src"), $"j".as("dst"))
           .unionByName(pairs.select($"j".as("src"), $"i".as("dst")))
+          .repartition($"src")
           .localCheckpoint(true)
-        // ONE materialization per level: each level frame is checkpointed
-        // as it's produced, and the anti-join's visited set is the lazy
-        // union of those already-materialized frames — checkpointing the
-        // accumulated union again each pass (the first cut) just re-wrote
-        // the same rows and put a second driver-scheduled job in every
-        // level (sf1 checkpoint: 14.9 s → this form; the loop is
-        // scheduling-bound, not data-bound, so jobs-per-level is the
-        // constant that matters at any SF).
         var levels = List(
-          dupClusterLabels(s, dir)
-            .select($"lab").distinct()
-            .select($"lab".as("node"), $"lab".as("rep"), lit(0L).as("hops"))
+          labels.select($"lab").distinct()
+            .select($"lab".as("node"), lit(0L).as("hops"))
             .localCheckpoint(true))
         var frontier = levels.head
         while (!frontier.isEmpty) {
-          val visited = levels.map(_.select($"node", $"rep")).reduce(_ unionByName _)
+          val visited = levels.map(_.select($"node")).reduce(_ unionByName _)
           val next = frontier.as("f")
             .join(edges.as("e"), $"f.node" === $"e.src")
-            .select($"e.dst".as("node"), $"f.rep".as("rep"),
-              ($"f.hops" + 1L).as("hops"))
-            .groupBy($"node", $"rep").agg(min($"hops").as("hops"))
-            .join(visited, Seq("node", "rep"), "left_anti")
+            .select($"e.dst".as("node"), ($"f.hops" + 1L).as("hops"))
+            .groupBy($"node").agg(min($"hops").as("hops"))
+            .join(visited, Seq("node"), "left_anti")
             .localCheckpoint(true)
           levels ::= next
           frontier = next
         }
         levels.reduce(_ unionByName _)
-          .select($"node".as("doc_id"), $"rep", $"hops")
+          .join(labels, "node")
+          .select($"node".as("doc_id"), $"lab".as("rep"), $"hops")
           .orderBy($"rep", $"hops", $"doc_id")
       },
       Some(s"""
@@ -1273,36 +1277,75 @@ object Curation {
     // LSH/threshold drift, where collapsing to one representative
     // destroys distinct documents). Transitivity separates them: per
     // cluster, 3·triangles / wedges (×10⁶ exact integral) is 1 for a
-    // clique and →0 for a chain. Triangles are counted ORIENTED — each
-    // {a<b<c} once at its smallest apex via two joins over the pair set
-    // ((a,b)⋈(a,c) then the closing (b,c) probe) — the standard
-    // fan-out-bounded dataflow (production would orient by degree for
-    // O(√E) per-node fan-out; id-orientation keeps it deterministic
-    // here); wedges are Σ d·(d−1)/2 from one degree agg. Everything is
-    // pair-set-sized (the banded-LSH-bounded edge list), never
-    // corpus-sized; size-2 clusters have no wedges and report NULL.
+    // clique and →0 for a chain. Triangles are counted by COMPACT-FORWARD
+    // over a DEGREE-ORIENTED edge list: each undirected edge points from
+    // its lower-(degree, id) endpoint to the higher one — capping every
+    // out-degree at O(√E) (a hub of degree d keeps out-edges only toward
+    // its ≥-degree neighbors, of which there are ≤√(2E)) — then per-node
+    // out-neighbor ARRAYS are intersected per edge:
+    // tri(u→v) = |N⁺(u) ∩ N⁺(v)|, so each triangle {a→b, a→c, b→c} is
+    // counted exactly once, at its (a,b) edge. This never materializes
+    // wedge ROWS: near-dup components are near-cliques (sf0.1: 15.8M
+    // wedges / 15.4M triangles over 166k edges — enumeration shuffled
+    // 15.8M rows; measured 6.2 s → 1.3 s warm), while the intersection
+    // form's join output stays EDGE-sized with O(√E)-bounded arrays —
+    // the shape that survives both a skewed hub (orientation bounds the
+    // array) and a dense clique (no wedge blow-up). Per-cluster counts
+    // are identical to the oracle's id-oriented enumeration (all three
+    // corners share a component label). Wedges are Σ d·(d−1)/2 from one
+    // degree agg. Everything is pair-set-sized (the banded-LSH-bounded
+    // edge list), never corpus-sized; size-2 clusters have no wedges and
+    // report NULL.
     QueryDef(
       "p21_cluster_transitivity",
       (s, dir) => {
         import s.implicits._
         val edges = Dedup.simhashPairs(s, dir).select($"i", $"j")
         val labels = dupClusterLabels(s, dir)
-        val tri = edges.as("e1")
-          .join(edges.as("e2"), $"e2.i" === $"e1.i" && $"e2.j" > $"e1.j")
-          .join(edges.as("e3"), $"e3.i" === $"e1.j" && $"e3.j" === $"e2.j")
-          .select($"e1.i".as("node"))
-        val triC = tri.join(labels, "node")
-          .groupBy($"lab").agg(count(lit(1)).as("n_tri"))
-        val edgeC = edges.join(labels, edges("i") === labels("node"))
-          .groupBy($"lab").agg(count(lit(1)).as("n_edges"))
-        val deg = edges.select($"i".as("node"))
-          .unionAll(edges.select($"j".as("node")))
-          .groupBy($"node").agg(count(lit(1)).as("d"))
-        val wedC = deg.join(labels, "node")
-          .groupBy($"lab").agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-        labels.groupBy($"lab").agg(count(lit(1)).as("size"))
-          .join(edgeC, Seq("lab"))
-          .join(wedC, Seq("lab"))
+        // ONE adjacency build feeds everything: symmetric edges, neighbor
+        // degree attached by a single co-partitioned join (the degree agg's
+        // hash(node) output is the join-side partitioning), then one
+        // groupBy collecting (neighbor_degree, neighbor) structs. The
+        // checkpointed frame is consumed three times (out-lists, per-node
+        // stats, the probe side) as cheap per-row maps — the first cut
+        // recomputed the two degree joins in every consumer, and the sf0.1
+        // cost was pure exchange-scheduling, not data.
+        val symm = edges.select($"i".as("src"), $"j".as("dst"))
+          .unionAll(edges.select($"j".as("src"), $"i".as("dst")))
+        val degF = symm.groupBy($"src").agg(count(lit(1)).as("dd"))
+          .select($"src".as("dst"), $"dd")
+        val adjFull = symm.join(degF, "dst")
+          .groupBy($"src").agg(
+            count(lit(1)).as("d"),
+            sort_array(collect_list(struct($"dd", $"dst"))).as("nbr"))
+          .localCheckpoint(true)
+        // Out-lists in (degree, id) orientation, re-sorted by plain id so
+        // the merge kernel intersects on node identity; ei = this node's
+        // i-side undirected edge count (i < j pairs), d(d-1)/2 = wedges —
+        // all derived per-row from the one materialized adjacency.
+        val out = adjFull.select($"src", $"d",
+          expr("size(filter(nbr, x -> x.dst > src))").cast("long").as("ei"),
+          sort_array(expr(
+            "transform(filter(nbr, x -> x.dd > d OR (x.dd = d AND x.dst > src)), x -> x.dst)"))
+            .as("out_ids"))
+        // |N⁺(u) ∩ N⁺(v)| via the native zero-allocation sorted-merge
+        // kernel — size(array_intersect(...)) builds a per-row hash set
+        // plus a matched-element array it immediately discards.
+        val interCnt = {
+          import org.apache.spark.sql.graft.ColumnBridge
+          ColumnBridge.column(graft.functions.SortedIntersectCount(
+            ColumnBridge.expression($"nu"), ColumnBridge.expression($"nv")))
+        }
+        val triC = out
+          .select($"src", $"out_ids".as("nu"), explode($"out_ids").as("dst"))
+          .join(out.select($"src".as("dst"), $"out_ids".as("nv")), "dst")
+          .join(labels, $"src" === labels("node"))
+          .groupBy($"lab").agg(sum(interCnt).as("n_tri"))
+        out.join(labels, out("src") === labels("node"))
+          .groupBy($"lab").agg(
+            count(lit(1)).as("size"),
+            sum($"ei").as("n_edges"),
+            sum(expr("d * (d - 1) div 2")).as("n_wedges"))
           .join(triC, Seq("lab"), "left")
           .na.fill(0L, Seq("n_tri"))
           .select($"lab".as("cluster_rep"), $"size", $"n_edges", $"n_tri",

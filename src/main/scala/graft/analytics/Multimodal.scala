@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media treated as opaque BINARY payloads with
   * typed metadata, processed by deterministic, partition-parallel transforms.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic stub (`fakeDecode*` — md5-derived features);
-  * everything around it — the binary column, the typed metadata struct, the
-  * fixed-size frame slicing, the per-frame fan-out (explode), partitioning
-  * and batch shape — is the real Spark plumbing a codec UDF would slot into.
-  * Payload bytes are the UTF-8 text of `documents` (ASCII here), so the
-  * DuckDB oracle can replay byte-level ops on the string form.
+  * The ORACLE-facing queries keep a clearly-marked deterministic stub for
+  * the decode step (md5-derived features) so DuckDB can replay byte-level
+  * ops on the string form; everything around it — the binary column, the
+  * typed metadata struct, the fixed-size frame slicing, the per-frame
+  * fan-out (explode), partitioning and batch shape — is the real Spark
+  * plumbing a codec UDF slots into. The REAL image codec exists behind
+  * the same seam: [[ImageCodec]] (JDK `javax.imageio` — PNG decode,
+  * area-average resize, 32×32 DCT pHash, histogram features), proven
+  * end-to-end on real PNG bytes through this file's banded near-dup /
+  * thumbnail / batched-extract dataflows by `ImageCodecSpec`. Audio/video
+  * remain stubbed (no JDK-native codec).
   */
 object Multimodal {
   import Tables.t

@@ -157,3 +157,81 @@ object LongSsd {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(identifier, info, builder)
 }
+
+/** `sorted_intersect_count(a, b)` = |a ∩ b| for two SORTED `array<bigint>`
+  * columns — the compact-forward triangle kernel (p21): per oriented edge
+  * (u→v) it counts |N⁺(u) ∩ N⁺(v)| in one merge pass. The built-in
+  * `size(array_intersect(a, b))` allocates a per-row hash set AND the
+  * matched-element array when only the count is needed; this is a fused
+  * two-pointer merge — zero allocation, whole-stage codegen. On near-dup
+  * components (near-cliques: sf0.1 has 15.8M wedge probes over 166k
+  * edges) the intersection loops are THE hot path of the transitivity
+  * audit.
+  *
+  * Contract: both arrays ascending-sorted, no null elements (the caller
+  * builds them with sort_array over non-null ids); duplicate elements
+  * count min(multiplicity) times like a sorted-bag merge — callers pass
+  * sets. Null ARRAY → null via BinaryExpression's null intercept. */
+final case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects (array<bigint>, array<bigint>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SortedIntersectCount$$.MODULE$$.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+
+  /** Kernel shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { acc += 1L; i += 1; j += 1 }
+    }
+    acc
+  }
+
+  // ---- SQL registration (sorted_intersect_count(a, b)) ----
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("sorted_intersect_count")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[SortedIntersectCount].getCanonicalName, null, "sorted_intersect_count",
+    "_FUNC_(a, b) - count of common elements of two sorted bigint arrays.", "")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SortedIntersectCount(a, b)
+    case args => throw new IllegalArgumentException(
+      s"sorted_intersect_count expects exactly 2 arguments, got ${args.length}")
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(identifier, info, builder)
+}
