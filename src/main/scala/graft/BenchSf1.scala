@@ -60,6 +60,11 @@ object BenchSf1 {
     // stay vocab-bounded; p18 composes four gates over the shared
     // contraction and the TopKPerKey quota
     "p16_dup_graph_bfs", "t23_source_kl", "p18_corpus_build_report",
+    // round-9 additions: p21's compact-forward triangle count (the
+    // intersection work is Σ out-deg² — the term degree-orientation
+    // bounds, so it gets measured at 10×) and m10's two-pair-set union
+    // contraction (the r8 bench's second most expensive query)
+    "p21_cluster_transitivity", "m10_crossmodal_clusters",
     // late round-8 additions with corpus-sized moving parts: e31's
     // PrefixScan (one range shuffle + quantile job — must stay linear),
     // d22's df-thresholded template join over the shingle index, and

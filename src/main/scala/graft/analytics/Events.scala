@@ -516,7 +516,10 @@ object Events {
     // checks gets wrong. Three per-user min-aggregates chained by
     // broadcast-size joins (the funnel population only shrinks): at
     // 100 TB each stage is one shuffle on user_id over an
-    // already-filtered event subset.
+    // already-filtered event subset. The per-user step frames are
+    // user-count-sized and each feeds TWO consumers (the next stage and
+    // its own funnel count) — materialized once so neither consumer
+    // re-derives the events aggregation from lineage.
     QueryDef(
       "e16_strict_funnel",
       (s, dir) => {
@@ -525,10 +528,12 @@ object Events {
         val ev = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
         val v = ev.filter($"event_type" === "view")
           .groupBy($"user_id").agg(min($"us").as("t0"))
+          .localCheckpoint(true)
         val c = ev.filter($"event_type" === "click")
           .join(v, "user_id")
           .filter($"us" > $"t0" && $"us" <= $"t0" + dayUs)
           .groupBy($"user_id").agg(min($"us").as("t1"))
+          .localCheckpoint(true)
         val p = ev.filter($"event_type" === "purchase")
           .join(c, "user_id")
           .filter($"us" > $"t1" && $"us" <= $"t1" + dayUs)

@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * the same seam: [[ImageCodec]] (JDK `javax.imageio` — PNG decode,
   * area-average resize, 32×32 DCT pHash, histogram features), proven
   * end-to-end on real PNG bytes through this file's banded near-dup /
-  * thumbnail / batched-extract dataflows by `ImageCodecSpec`. Audio/video
-  * remain stubbed (no JDK-native codec).
+  * thumbnail / batched-extract dataflows by `ImageCodecSpec`; and
+  * [[AudioCodec]] (JDK `javax.sound.sampled` — WAV/PCM decode, per-frame
+  * RMS energies, VAD islands, autocorrelation periodicity), proven on
+  * real WAV bytes through m07/m12's shapes by `AudioCodecSpec`. Video
+  * remains stubbed (no JDK-native container/codec).
   */
 object Multimodal {
   import Tables.t
@@ -56,19 +59,28 @@ object Multimodal {
     })
 
   /** m05's verified phash near-dup pairs `(i, j)` — the image-side edge
-    * set, shared with the cross-modal consensus (m06). */
-  private def phashPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val ph = phashOf(s, dir)
-    val hamming = (0 until 4).map(k =>
-      bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _).cast("long")
-    def band(k: Int) = ph.as("a")
-      .join(ph.as("b"), col(s"a.b$k") === col(s"b.b$k") && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), hamming.as("hamming"))
-      .filter($"hamming" <= 3)
-    (0 until 4).map(band).reduce(_ unionAll _).distinct()
-      .select($"i", $"j", $"hamming")
-  }
+    * set, shared with the cross-modal consensus (m06) and the union
+    * contraction (m10). Persisted per (session, dir) exactly like its
+    * text twin `Dedup.simhashPairs`: without the cache every consumer
+    * re-ran the four band joins per invocation (m10 paid them on every
+    * call — the r8 bench's second most expensive query was mostly this
+    * rebuild). */
+  private val phPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def phashPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    phPairsCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val ph = phashOf(s, dir)
+      val hamming = (0 until 4).map(k =>
+        bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _).cast("long")
+      def band(k: Int) = ph.as("a")
+        .join(ph.as("b"), col(s"a.b$k") === col(s"b.b$k") && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"), hamming.as("hamming"))
+        .filter($"hamming" <= 3)
+      (0 until 4).map(band).reduce(_ unionAll _).distinct()
+        .select($"i", $"j", $"hamming")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Oracle CTEs for the phash pair set, ending in `ipairs(i, j)`. */
   private val PHASH_CTES = """

@@ -42,6 +42,30 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * a TOTAL order (include a unique tie-break column) — the same
   * determinism requirement the window form has.
   *
+  * CALLER CONTRACT, beyond the total order:
+  *  - the input DataFrame must be DETERMINISTIC (no rand(), no fresh
+  *    sampling): the carries subtree and the join subtree both consume
+  *    `scanned`, and while the MapPartitions barrier makes the planner
+  *    reuse the one exchange, exchange reuse is a runtime optimization
+  *    (spark.sql.exchange.reuse) — if it is disabled or defeated, the
+  *    two consumers recompute the lineage independently, and a
+  *    non-deterministic source would hand them DIFFERENT rows (wrong
+  *    carries). Persist the input first if its lineage is not
+  *    replay-stable.
+  *  - the quantile bucketing launches ONE extra job over the input
+  *    before the main pass (approxQuantile), so an un-persisted input
+  *    is scanned at least twice per call; the e31/e33 callers only
+  *    avoid the double scan because Tables.t frames are session-cached.
+  *    Persist (or pre-cache) the input when its lineage is expensive.
+  *  - the "every stage bounded by 1/#buckets" claim below holds only
+  *    when the LEADING order key is not heavily skewed: buckets are
+  *    quantiles of that key, so a single dominant value (one key
+  *    carrying 80% of rows, as in the skewed-key spec) collapses into
+  *    ONE bucket whose sequential scan holds most of the corpus —
+  *    results stay correct, but the single-task cliff returns. With a
+  *    skewed leading key, refine the order head (e.g. a finer-grained
+  *    timestamp) before reaching for this operator.
+  *
   * MEASURED BOUNDARY (PrefixScanBench, sf0.1 events = 600k rows, 32
   * threads, median-of-3 warm): window 0.298 s vs scan 1.116 s (same
   * split after the exchange-reuse fix) — at test SF the single-task
@@ -49,8 +73,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * exchange, so the operator is ~4× SLOWER there.
   * The crossover is memory, not speed: the window form funnels the
   * ENTIRE input through one task (at 100 TB that task simply dies),
-  * while every stage here is bounded by 1/#buckets of the data. Use
-  * the window form for provably-bounded inputs (the ScaleShapeSpec
+  * while every stage here is bounded by 1/#buckets of the data — under
+  * the non-skewed-leading-key condition in the caller contract above.
+  * Use the window form for provably-bounded inputs (the ScaleShapeSpec
   * allow-list); use this for corpus-sized ones.
   */
 object PrefixScan {
