@@ -252,6 +252,31 @@ class SchemaTrackerSpec extends AnyFunSuite {
     assert(store.load(Position("mysql-bin.000001", 1500, 8)).isEmpty)
   }
 
+  test("X9 snapshot key: zero-padded filename order == numeric position " +
+      "order (the boltdb big-endian trick purge's lexicographic-max relies on)") {
+    val dir = Files.createTempDirectory("snapstore-keys")
+    val store = new SchemaSnapshotStore(dir)
+    val t = freshTracker
+    // positions chosen so UNPADDED lexicographic order would be wrong:
+    // "9" > "10", "100"; serverId 7 vs 77 likewise
+    val positions = Seq(
+      Position("mysql-bin.000001", 9L, 7),
+      Position("mysql-bin.000001", 10L, 7),
+      Position("mysql-bin.000001", 100L, 7),
+      Position("mysql-bin.000001", 5L, 77))
+    positions.foreach(p => store.save(p, t.getDatabases, t.snapshotCatalog))
+    val names = dir.toFile.listFiles().map(_.getName)
+      .filter(_.startsWith("snap-")).sorted.toSeq
+    // lexicographic filename sort must equal (serverId, pos) numeric sort
+    val numeric = positions.sortBy(p => (p.serverId, p.pos))
+      .map(p => f"snap-${p.serverId}%020d-${p.name}-${p.pos}%020d.bin")
+    assert(names == numeric)
+    // and load() picks the numerically-newest at-or-below, not the
+    // lexicographically-confusable one
+    val (got, _, _) = store.load(Position("mysql-bin.000001", 50L, 7)).get
+    assert(got == Position("mysql-bin.000001", 10L, 7))
+  }
+
   test("incremental persistence: O(N/cadence) full snapshots, restore exact at every position") {
     val dir = Files.createTempDirectory("snapstore-incr")
     val store = new SchemaSnapshotStore(dir, snapshotEvery = 4)

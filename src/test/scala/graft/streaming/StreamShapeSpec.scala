@@ -108,6 +108,27 @@ class StreamShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally idx.unpersist()
   }
 
+  test("IngestMediaDedup contacts the corpus only via the persisted " +
+      "fingerprint index — payload files are never re-decoded per batch") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("shape-media").toString
+    (1 to 8).map(g => (g.toLong,
+      graft.analytics.ImageCodec.encodePng(16, 16, (x, y) => (x * y + g) % 256)))
+      .toDF("image_id", "payload").write.mode("overwrite").parquet(corpusDir)
+    val idx = IngestMediaDedup.corpusIndex(spark.read.parquet(corpusDir)).persist()
+    try {
+      val batch = Seq((900L,
+        graft.analytics.ImageCodec.encodePng(16, 16, (x, y) => (x + y) % 256)))
+        .toDF("image_id", "payload")
+      val df = IngestMediaDedup.flagBatch(batch, idx)
+      val corpusScans = fileScanPaths(df).filter(_.contains(corpusDir))
+      assert(corpusScans.isEmpty,
+        s"IngestMediaDedup re-decodes the corpus payloads per micro-batch: $corpusScans")
+      assert(inMemoryRelations(df) > 0,
+        "IngestMediaDedup never touches the persisted index — the test is vacuous")
+    } finally idx.unpersist()
+  }
+
   test("IncrementalAgg per-batch plan: batch + current snapshot only, one join, no window") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("shape-agg").toString
