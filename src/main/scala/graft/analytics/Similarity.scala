@@ -109,6 +109,11 @@ object Similarity {
     df.withColumn("q", q).withColumn("n2", norm2(col("q")))
   }
 
+  /** Quantize + integer-norm a raw embedding frame — the batch family's
+    * round(x·2^20) contract, exposed for the streaming maintainers so
+    * arriving vectors enter the exact integer domain bit-for-bit. */
+  private[graft] def quantizeNorm(df: DataFrame): DataFrame = withQNorm(df)
+
   /** Band k of the 32-plane signature: packs sign bits of planes
     * [16k, 16k+16) into one 16-bit key (shared by s02 and d06). A narrow
     * per-row map — the index-build pass at scale. */
@@ -323,13 +328,31 @@ object Similarity {
         x => x.getField("cv")).as("qc"))
       .withColumn("n2c", norm2($"qc"))
       .filter($"n2c" > 0L)
-    val assigned = corpus.join(broadcast(cent1))
-      .withColumn("ccos", cosine(dotInt("qc", "qb"), $"n2c", $"n2b"))
-      .groupBy($"cid")
-      .agg(max(struct($"ccos", (-$"cent_id").as("nc"), $"qb", $"n2b")).as("b"))
-      .select($"cid", $"b.qb".as("qb"), $"b.n2b".as("n2b"), (-$"b.nc").as("cent_id"))
+    val assigned = assignVectors(corpus, cent1)
     (assigned, cent1)
   }
+
+  /** Assign quantized vectors `(cid, qb, n2b)` to their argmax-cosine
+    * cell against BROADCAST centroids `(cent_id, qc, n2c)` → one row per
+    * vector `(cid, qb, n2b, cent_id)`. The sort-free max(struct) argmax
+    * (ties: ccos DESC, cent_id ASC via the negated id) — factored out of
+    * the batch IVF build so the streaming maintainer
+    * ([[graft.streaming.IncrementalIvf]]) assigns arriving vectors with
+    * BIT-IDENTICAL semantics against the same frozen quantizer. */
+  private[graft] def assignVectors(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotInt("qc", "qb"), col("n2c"), col("n2b")))
+      .groupBy(col("cid"))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("nc"),
+        col("qb"), col("n2b"))).as("b"))
+      .select(col("cid"), col("b.qb").as("qb"), col("b.n2b").as("n2b"),
+        (-col("b.nc")).as("cent_id"))
+
+  /** The frozen coarse quantizer (refined centroids) of the session's
+    * cached IVF build — what a production deployment pins between
+    * re-trains and hands to the incremental assignment maintainer. */
+  private[graft] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    ivfBuild(s, dir)._2
 
   private def ivfCandidates(s: SparkSession, dir: String,
       nlist: Int = NLIST, nprobe: Int = NPROBE): DataFrame = {
@@ -1853,6 +1876,45 @@ object Similarity {
         FROM negs n JOIN pos p USING (a_id)
         WHERE n.rank <= 3
         ORDER BY anchor_id, rank"""),
+    ),
+
+    // ---- s20: IVF cell-balance audit — the re-train signal ----
+    // The operational report an IVF deployment watches: per-cell vector
+    // counts and each cell's load as a ppm of the MEAN cell load. A
+    // balanced index probes NPROBE/NLIST of the corpus per query; a cell
+    // drifted to 10× mean makes every probe touching it 10× more
+    // expensive, and the report crossing a threshold is what schedules
+    // the offline re-train (the frozen-quantizer contract the streaming
+    // maintainer IncrementalIvf keeps between re-trains — its live view
+    // is THIS report over corpus+arrivals, parity-specced). Exact
+    // integers end-to-end: load_ppm_of_mean = n·cells·10⁶ div total.
+    // Scale: reads the ONE cached IVF assignment (shared with s05/s06/
+    // s07), then a cell-count-sized aggregate + one-row broadcast total
+    // — the audit itself never touches the corpus again.
+    QueryDef(
+      "s20_ivf_cell_balance",
+      (s, dir) => {
+        import s.implicits._
+        val (assigned, _) = ivfBuild(s, dir)
+        val counts = assigned.groupBy($"cent_id")
+          .agg(count(lit(1)).as("n_vectors"))
+        val total = counts.agg(sum($"n_vectors").as("total"),
+          count(lit(1)).as("n_cells"))
+        counts.crossJoin(broadcast(total))
+          .select($"cent_id", $"n_vectors",
+            expr("n_vectors * n_cells * 1000000 div total").as("load_ppm_of_mean"))
+          .orderBy($"cent_id")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        $QNORM_SQL,
+        ${ivfBuildCtes(NLIST)},
+        counts AS (SELECT cent_id, COUNT(*) AS n_vectors FROM assign GROUP BY cent_id),
+        tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total,
+                       COUNT(*) AS n_cells FROM counts)
+        SELECT cent_id, n_vectors,
+               n_vectors * n_cells * 1000000 // total AS load_ppm_of_mean
+        FROM counts CROSS JOIN tot ORDER BY cent_id"""),
     ),
   )
 }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming maintenance of the IVF assignment index — the s05 build kept
+  * LIVE as embeddings arrive, under the FROZEN-QUANTIZER contract a
+  * production ANN deployment actually runs: the coarse quantizer
+  * (refined centroids) is trained offline and pinned between re-trains
+  * (`Similarity.ivfCentroids`), so an arriving vector's cell depends
+  * only on the vector and the broadcast centroids — assignment is
+  * STATELESS per row, and maintenance is exactly delta-only:
+  *
+  *  - per batch: one batch×k broadcast argmax-cosine scan
+  *    (`Similarity.assignVectors` — bit-identical to the batch build's
+  *    assignment step, factored for precisely this reuse), then
+  *  - the cell-count sufficient statistics merge additively (k rows at
+  *    any corpus size — the balance view's only state), and
+  *  - the batch's assignment rows land as an idempotent parquet delta
+  *    under `assignDir/batch=<id>` (a replayed micro-batch sees its
+  *    directory exists and skips — the write-once twin of
+  *    [[SnapshotStore]]'s batch-id contract, without rewriting the
+  *    corpus-sized table per batch).
+  *
+  * `balanceView` reproduces the s20 cell-balance audit (the re-train
+  * signal) over everything arrived so far; `assignments` reads the delta
+  * directories back as the full index — both parity-specced against the
+  * batch forms on the same rows (IncrementalIvfSpec). When the audit
+  * crosses its threshold, the operator re-trains offline, swaps the
+  * frozen centroids, and resets state — each generation is one exact
+  * batch build.
+  */
+object IncrementalIvf {
+
+  /** Quantize + norm one batch of raw `(vec_id, embedding)` rows into the
+    * assignment domain `(cid, qb, n2b)`. */
+  def prepared(batch: DataFrame): DataFrame =
+    graft.analytics.Similarity.quantizeNorm(batch)
+      .select(col("vec_id").as("cid"), col("q").as("qb"), col("n2").as("n2b"))
+
+  /** One batch against the frozen broadcast centroids → assignment rows
+    * `(cid, cent_id)`. */
+  def deltas(batch: DataFrame, cents: DataFrame): DataFrame =
+    graft.analytics.Similarity.assignVectors(prepared(batch), cents)
+      .select(col("cid"), col("cent_id"))
+
+  /** Apply one micro-batch: write the assignment delta (idempotent by
+    * batch directory) and merge the per-cell counts (additive). */
+  def merge(batch: DataFrame, cents: DataFrame, batchId: Long,
+      stateRoot: String): Unit = {
+    val spark = batch.sparkSession
+    val batchDir = java.nio.file.Paths.get(s"$stateRoot/assign/batch=$batchId")
+    if (batchId <= SnapshotStore.lastBatchId(s"$stateRoot/cells") &&
+      java.nio.file.Files.exists(batchDir)) return // replayed batch
+    val d = deltas(batch, cents).persist()
+    try {
+      if (!java.nio.file.Files.exists(batchDir))
+        d.write.mode("overwrite").parquet(batchDir.toString)
+      if (batchId > SnapshotStore.lastBatchId(s"$stateRoot/cells")) {
+        val counts = d.groupBy(col("cent_id")).agg(count(lit(1)).as("n_vectors"))
+        val merged = SnapshotStore.read(spark, s"$stateRoot/cells")
+          .fold(counts)(_.unionByName(counts)
+            .groupBy(col("cent_id")).agg(sum(col("n_vectors")).as("n_vectors")))
+        SnapshotStore.writeNext(merged, s"$stateRoot/cells", Some(batchId))
+      }
+    } finally d.unpersist()
+  }
+
+  /** The full maintained assignment index: union of the batch deltas. */
+  def assignments(spark: SparkSession, stateRoot: String): DataFrame =
+    spark.read.parquet(s"$stateRoot/assign")
+
+  /** The live s20 cell-balance report over everything arrived so far —
+    * cell-count-sized compute off the k-row state, never a corpus scan. */
+  def balanceView(spark: SparkSession, stateRoot: String): DataFrame = {
+    val counts = SnapshotStore.read(spark, s"$stateRoot/cells")
+      .getOrElse(spark.emptyDataFrame.select(lit(0L).as("cent_id"),
+        lit(0L).as("n_vectors")).limit(0))
+    val total = counts.agg(sum(col("n_vectors")).as("total"),
+      count(lit(1)).as("n_cells"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cent_id"), col("n_vectors"),
+        expr("n_vectors * n_cells * 1000000 div total").as("load_ppm_of_mean"))
+      .orderBy(col("cent_id"))
+  }
+
+  /** Start the streaming maintainer over a raw embedding stream. */
+  def start(vecs: DataFrame, cents: DataFrame, stateRoot: String,
+      checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        merge(batch, cents, id, stateRoot)
+      }
+      .start()
+}
