@@ -1490,5 +1490,92 @@ object Dedup {
         FROM per p LEFT JOIN cov c USING (doc_id)
         ORDER BY p.doc_id"""),
     ),
+
+    // ---- d23: span-dedup REWRITE — the cleaned corpus d20 only reports --
+    // d20 measures duplicated-substring coverage; this is the ACTION the
+    // pipeline actually ships (Lee et al. 2022's ExactSubstr semantics):
+    // every duplicated K-gram keeps its globally FIRST occurrence (min
+    // (doc_id, pos) — deterministic, order-free) and every other
+    // occurrence is cut; a token covered by any CUT occurrence is
+    // dropped, the rest of the doc survives, and the output is the
+    // reconstructed token stream per doc (the tokenizer's lowercase
+    // word form — the normalization a training corpus tokenizes into
+    // anyway). Within-doc repeats dedup too (first kept, later cut).
+    // Dataflow: the d20 positional-gram index, ONE count+argmin
+    // aggregate per gram (max-struct pattern, no window), cut coverage
+    // as the K-offset explode of CUT occurrences, token survival as one
+    // per-(doc, pos) anti-join, and per-doc reconstruction by
+    // array_sort(collect(struct(pos, tok))) — a PER-DOC bounded sort,
+    // never a global one. 100 TB: same shuffle envelope as d20 plus one
+    // doc-partitioned reassembly of the kept tokens.
+    QueryDef(
+      "d23_span_dedup_rewrite",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").repartition($"doc_id")
+        val toks = docs
+          .withColumn("toks",
+            regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0)))
+          .select($"doc_id", posexplode($"toks").as(Seq("p", "tok")))
+        val grams = posGramsOf(docs)
+        val firstOcc = grams.groupBy($"gh")
+          .agg(count(lit(1)).as("n"),
+            min(struct($"doc_id", $"pos")).as("f"))
+          .filter($"n" >= 2L)
+          .select($"gh", $"f.doc_id".as("f_doc"), $"f.pos".as("f_pos"))
+        val cut = grams.join(firstOcc, "gh")
+          .filter(!($"doc_id" === $"f_doc" && $"pos" === $"f_pos"))
+          .select($"doc_id", explode(sequence($"pos".cast("long"),
+            $"pos".cast("long") + (SPAN_K - 1))).as("p"))
+          .distinct()
+        val kept = toks.join(cut, Seq("doc_id", "p"), "left_anti")
+        val rebuilt = kept.groupBy($"doc_id")
+          .agg(count(lit(1)).as("kept_tokens"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct($"p", $"tok"))),
+              x => x.getField("tok"))).as("text_dedup"))
+        tokenCounts(docs)
+          .join(rebuilt, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("kept_tokens")).na.fill("", Seq("text_dedup"))
+          .select($"doc_id", $"n_tokens", $"kept_tokens",
+            ($"n_tokens" - $"kept_tokens").as("cut_tokens"), $"text_dedup")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+          FROM documents),
+        toks AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS p, t[i+1] AS tok
+          FROM tk, unnest(range(0, len(t))) r(i)),
+        grams AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 md5(t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]) AS gh
+          FROM tk, unnest(range(0, GREATEST(len(t)-3, 0))) r(i)),
+        firstocc AS (
+          SELECT gh, doc_id AS f_doc, pos AS f_pos FROM (
+            SELECT gh, doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY gh) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+            FROM grams) x
+          WHERE n >= 2 AND rn = 1),
+        cut AS (
+          SELECT DISTINCT g.doc_id, g.pos + j AS p
+          FROM grams g JOIN firstocc f USING (gh), unnest(range(0, 4)) u(j)
+          WHERE NOT (g.doc_id = f.f_doc AND g.pos = f.f_pos)),
+        kept AS (
+          SELECT toks.doc_id, toks.p, toks.tok
+          FROM toks ANTI JOIN cut ON cut.doc_id = toks.doc_id AND cut.p = toks.p),
+        rebuilt AS (
+          SELECT doc_id, COUNT(*) AS kept_tokens,
+                 string_agg(tok, ' ' ORDER BY p) AS text_dedup
+          FROM kept GROUP BY doc_id)
+        SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+               COALESCE(r.kept_tokens, 0) AS kept_tokens,
+               CAST(len(tk.t) AS BIGINT) - COALESCE(r.kept_tokens, 0) AS cut_tokens,
+               COALESCE(r.text_dedup, '') AS text_dedup
+        FROM tk LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY tk.doc_id"""),
+    ),
   )
 }

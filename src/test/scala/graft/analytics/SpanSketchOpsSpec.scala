@@ -56,6 +56,44 @@ class SpanSketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 5L, 0L, 0L)), s"got: $out")
   }
 
+  test("d23: the rewrite keeps the globally-first occurrence and cuts the " +
+      "rest; clean docs pass through verbatim; cut coverage never exceeds " +
+      "d20's dup coverage") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("d23edge").toString
+    // same crafted corpus as the d20 gate (K = 4)
+    Seq(
+      (1L, "a b c d e x1 x2", "en", "s0", 0L),
+      (2L, "z1 a b c d z2 b c d e", "en", "s0", 0L),
+      (3L, "p q r s p q r s", "en", "s0", 0L),
+      (4L, "u1 u2 u3 u4 u5", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val out = graft.SparkEntry.queries("d23_span_dedup_rewrite")(spark, dir)
+      .select("doc_id", "n_tokens", "kept_tokens", "cut_tokens", "text_dedup")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 owns the first occurrence of both dup grams → fully kept
+    assert(out(1L) == ((1L, 7L, 7L, 0L, "a b c d e x1 x2")))
+    // doc 2's copies are later occurrences → tokens 1-4 and 6-9 cut
+    assert(out(2L) == ((2L, 10L, 2L, 8L, "z1 z2")))
+    // doc 3: within-doc repeat — only "p q r s" itself is duplicated (the
+    // rotations "q r s p" etc. occur once each); the first occurrence at
+    // pos 0 is kept, the pos-4 copy is cut (tokens 4-7). d20 reports all
+    // 8 tokens as dup-COVERED; the rewrite keeps the owner's 4.
+    assert(out(3L) == ((3L, 8L, 4L, 4L, "p q r s")))
+    // doc 4: untouched
+    assert(out(4L) == ((4L, 5L, 5L, 0L, "u1 u2 u3 u4 u5")))
+
+    // structural bound vs d20: a cut token is always dup-covered
+    val d20 = graft.SparkEntry.queries("d20_dup_span_removal")(spark, dir)
+      .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+    out.values.foreach { case (id, _, _, cut, _) =>
+      assert(cut <= d20(id), s"doc $id: cut $cut > dup-covered ${d20(id)}")
+    }
+  }
+
   test("e23: est >= true for every reported user, with real collisions " +
       "at 200 users over 64 buckets, and the true top hitter ranked first") {
     import spark.implicits._
