@@ -142,6 +142,25 @@ object Dedup {
           .as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"), md5(col("g")).as("gh"))
 
+  /** (doc_id, text) → one row per token (doc_id, p, tok) under the same
+    * tokenizer — the reconstruction side of the span-REWRITE pair (batch
+    * d23 and the arrival-time `IngestSpanDedup.rewriteBatch` both rebuild
+    * cleaned text from it, so their outputs agree bit-for-bit). */
+  private[graft] def posTokensOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks",
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9']+"), lit(0)))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+
+  /** Kept (doc_id, p, tok) rows → per-doc reconstructed text: array_sort
+    * over (p, tok) structs — a PER-DOC bounded sort, never global. */
+  private[graft] def rebuildKept(kept: DataFrame): DataFrame =
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok"))).as("text_dedup"))
+
   /** (doc_id, text) → (doc_id, n_tokens) under the same tokenizer. */
   private[graft] def tokenCounts(docs: DataFrame): DataFrame =
     docs
@@ -1513,10 +1532,7 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents").repartition($"doc_id")
-        val toks = docs
-          .withColumn("toks",
-            regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0)))
-          .select($"doc_id", posexplode($"toks").as(Seq("p", "tok")))
+        val toks = posTokensOf(docs)
         val grams = posGramsOf(docs)
         val firstOcc = grams.groupBy($"gh")
           .agg(count(lit(1)).as("n"),
@@ -1528,12 +1544,7 @@ object Dedup {
           .select($"doc_id", explode(sequence($"pos".cast("long"),
             $"pos".cast("long") + (SPAN_K - 1))).as("p"))
           .distinct()
-        val kept = toks.join(cut, Seq("doc_id", "p"), "left_anti")
-        val rebuilt = kept.groupBy($"doc_id")
-          .agg(count(lit(1)).as("kept_tokens"),
-            concat_ws(" ", transform(
-              array_sort(collect_list(struct($"p", $"tok"))),
-              x => x.getField("tok"))).as("text_dedup"))
+        val rebuilt = rebuildKept(toks.join(cut, Seq("doc_id", "p"), "left_anti"))
         tokenCounts(docs)
           .join(rebuilt, Seq("doc_id"), "left")
           .na.fill(0L, Seq("kept_tokens")).na.fill("", Seq("text_dedup"))

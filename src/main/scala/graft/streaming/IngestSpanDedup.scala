@@ -59,6 +59,36 @@ object IngestSpanDedup {
       .withColumn("spandup", col("span_ratio") >= maxSpanRatio)
   }
 
+  /** The arrival-time span-dedup REWRITE — the streaming twin of batch
+    * d23 the way `flagBatch` twins d20: tokens of an arriving doc covered
+    * by any corpus-present K-gram are CUT (at arrival time the corpus
+    * owns every first occurrence by definition — exactly d23's
+    * keep-the-first rule with the corpus as the earlier owner), and the
+    * surviving token stream is reconstructed per doc
+    * (`Dedup.posTokensOf`/`rebuildKept` — the same definitions batch d23
+    * rebuilds with, so stream and batch agree bit-for-bit). Within-batch
+    * duplication is deliberately NOT cut here: the admitted batch joins
+    * the corpus index afterwards, and the next batch's arrivals see it —
+    * the same corpus-vs-increment contract as every sibling gate.
+    * Output: one row per arrival (doc_id, n_tokens, kept_tokens,
+    * cut_tokens, text_dedup). */
+  def rewriteBatch(arrivals: DataFrame, corpusGrams: DataFrame): DataFrame = {
+    val grams = graft.analytics.Dedup.posGramsOf(arrivals)
+    val k = graft.analytics.Dedup.SPAN_K
+    val cut = grams.join(corpusGrams, Seq("gh"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("pos").cast("long"),
+        col("pos").cast("long") + (k - 1))).as("p"))
+      .distinct()
+    val kept = graft.analytics.Dedup.posTokensOf(arrivals)
+      .join(cut, Seq("doc_id", "p"), "left_anti")
+    graft.analytics.Dedup.tokenCounts(arrivals)
+      .join(graft.analytics.Dedup.rebuildKept(kept), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("kept_tokens")).na.fill("", Seq("text_dedup"))
+      .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+        (col("n_tokens") - col("kept_tokens")).as("cut_tokens"),
+        col("text_dedup"))
+  }
+
   /** Run the gate over a stream of (doc_id, text): each micro-batch is
     * flagged against the static corpus side and handed to `sink`. */
   def start(stream: DataFrame, corpusGrams: DataFrame, checkpoint: String,

@@ -63,6 +63,29 @@ class IngestSpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v.contains((103L, 3L, 0L, 0L, false)))
   }
 
+  test("rewriteBatch: the pasted corpus run is cut and the fresh remainder " +
+      "survives; clean and too-short arrivals pass through verbatim") {
+    import spark.implicits._
+    val grams = IngestSpanDedup.corpusIndex(corpus)
+    val out = IngestSpanDedup.rewriteBatch(arrivals.toDF("doc_id", "text"), grams)
+      .select($"doc_id", $"n_tokens", $"kept_tokens", $"cut_tokens", $"text_dedup")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // arrival 101: tokens 5..14 (the pasted run) cut, fresh halves kept
+    assert(out(101L) == ((101L, 20L, 10L, 10L,
+      mkText((1 to 5).map(i => s"fresh$i") ++ (6 to 10).map(i => s"fresh$i")))))
+    // fully fresh and too-short arrivals: nothing cut, text reconstructed
+    assert(out(102L) == ((102L, 20L, 20L, 0L, mkText((1 to 20).map(i => s"new$i")))))
+    assert(out(103L) == ((103L, 3L, 3L, 0L, "a b c")))
+    // parity with batch d23's cut rule: the rewrite's cut coverage equals
+    // flagBatch's span coverage (same grams, same K, same union)
+    val flags = IngestSpanDedup.flagBatch(arrivals.toDF("doc_id", "text"), grams)
+      .select($"doc_id", $"span_tokens").as[(Long, Long)].collect().toMap
+    out.values.foreach { case (id, _, _, cut, _) =>
+      assert(cut == flags(id), s"doc $id: cut $cut != flagged span ${flags(id)}")
+    }
+  }
+
   test("low-Jaccard high-span: the near-dup gate passes the arrival the " +
       "span gate catches") {
     import spark.implicits._
