@@ -64,10 +64,9 @@ object Bench {
     // session put every suspect at-or-below its r7 level in BOTH passes
     // (s06 1.48/1.36s vs official 4.63; s05 0.38/0.35 vs 1.78; d16
     // 3.55/3.37 vs 5.09) with flat q01/q03 controls.
-    val warmupFailed = collection.mutable.LinkedHashSet.empty[String]
     for ((name, fn) <- SparkEntry.queries)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => warmupFailed += name }
+      catch { case _: Throwable => () } // a failing query lands in failed[] below
     val samples = collection.mutable.LinkedHashMap.empty[String, List[Double]]
     // A query that throws must NEVER masquerade as a fast one: round 7
     // shipped sixteen 2–12 ms "medians" that were exception paths (stderr

@@ -65,6 +65,9 @@ object BenchSf1 {
     // bounds, so it gets measured at 10×) and m10's two-pair-set union
     // contraction (the r8 bench's second most expensive query)
     "p21_cluster_transitivity", "m10_crossmodal_clusters",
+    // d23 rebuilds the cleaned corpus: gram index + per-doc reassembly
+    // (array_sort + string build) — the reconstruction term is new at 10×
+    "d23_span_dedup_rewrite",
     // late round-8 additions with corpus-sized moving parts: e31's
     // PrefixScan (one range shuffle + quantile job — must stay linear),
     // d22's df-thresholded template join over the shingle index, and

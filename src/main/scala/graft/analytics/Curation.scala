@@ -1287,7 +1287,7 @@ object Curation {
     // counted exactly once, at its (a,b) edge. This never materializes
     // wedge ROWS: near-dup components are near-cliques (sf0.1: 15.8M
     // wedges / 15.4M triangles over 166k edges — enumeration shuffled
-    // 15.8M rows; measured 6.2 s → 1.3 s warm), while the intersection
+    // 15.8M rows; measured 6.0 s → 2.3 s warm), while the intersection
     // form's join output stays EDGE-sized with O(√E)-bounded arrays —
     // the shape that survives both a skewed hub (orientation bounds the
     // array) and a dense clique (no wedge blow-up). Per-cluster counts
