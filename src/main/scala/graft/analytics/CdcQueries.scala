@@ -316,5 +316,82 @@ object CdcQueries {
                total_ops * 1000000 // grand AS ops_ppm
         FROM b CROSS JOIN g ORDER BY blen"""),
     ),
+
+    // ---- c09: point-in-time reconstruction + drift vs current ----
+    // The time-travel consumer the c-family was missing: "what did the
+    // table look like AT position X, and which keys moved since" — the
+    // audit a CDC sink answers for a consistency check or a backfill cut
+    // (the reference's checkpointed positions make any X reproducible;
+    // here X = the 3000th event by the W1 total order, derived exactly
+    // like c02's checkpoint). AS-OF state is latest-per-key over ops
+    // at-or-below X; drift compares it to c01's current state. Scale
+    // shape: the cutoff row is TakeOrderedAndProject + a one-row
+    // broadcast (never a global row_number over the stream); BOTH state
+    // snapshots are sort-free max(struct) aggregates (partial-combined
+    // per key — unlike a per-key window, nothing sorts the event
+    // stream); the drift join is key-vs-key co-partitioned. Without
+    // tombstones in the stand-in stream a key can never vanish, so the
+    // statuses are created_since / advanced / unchanged.
+    QueryDef(
+      "c09_point_in_time",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
+        val ckp = ev.select($"us", $"event_id")
+          .orderBy($"us", $"event_id").limit(3000)
+          .agg(max(struct($"us", $"event_id")).as("m"))
+          .select($"m.us".as("ckp_us"), $"m.event_id".as("ckp_id"))
+        def latest(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy($"user_id")
+          .agg(max(struct($"us", $"event_id", $"event_type")).as("m"))
+          .select($"user_id", $"m.event_id".as("eid"), $"m.event_type".as("etype"))
+        val pit = latest(ev.join(broadcast(ckp))
+          .filter($"us" < $"ckp_us" ||
+            ($"us" === $"ckp_us" && $"event_id" <= $"ckp_id")))
+          .select($"user_id", $"eid".as("pit_event_id"), $"etype".as("pit_type"))
+        val now = latest(ev)
+          .select($"user_id", $"eid".as("now_event_id"), $"etype".as("now_type"))
+        now.join(pit, Seq("user_id"), "left")
+          .select($"user_id", $"pit_event_id", $"pit_type",
+            $"now_event_id", $"now_type",
+            when($"pit_event_id".isNull, "created_since")
+              .when($"pit_event_id" === $"now_event_id", "unchanged")
+              .otherwise("advanced").as("status"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        ordered AS (
+          SELECT us, event_id,
+                 ROW_NUMBER() OVER (ORDER BY us, event_id) AS rn
+          FROM ev),
+        ckp AS (
+          -- least(3000, n): a stream shorter than the cut keeps its last
+          -- event as the position, matching Spark's limit-then-max
+          SELECT us AS ckp_us, event_id AS ckp_id FROM ordered
+          WHERE rn = LEAST(3000, (SELECT MAX(rn) FROM ordered))),
+        pit AS (
+          SELECT user_id, event_id AS pit_event_id, event_type AS pit_type FROM (
+            SELECT e.user_id, e.event_id, e.event_type,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                     ORDER BY e.us DESC, e.event_id DESC) AS rn
+            FROM ev e CROSS JOIN ckp
+            WHERE e.us < ckp_us OR (e.us = ckp_us AND e.event_id <= ckp_id)) x
+          WHERE rn = 1),
+        now_ AS (
+          SELECT user_id, event_id AS now_event_id, event_type AS now_type FROM (
+            SELECT user_id, event_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY us DESC, event_id DESC) AS rn
+            FROM ev) x
+          WHERE rn = 1)
+        SELECT n.user_id, p.pit_event_id, p.pit_type, n.now_event_id, n.now_type,
+               CASE WHEN p.pit_event_id IS NULL THEN 'created_since'
+                    WHEN p.pit_event_id = n.now_event_id THEN 'unchanged'
+                    ELSE 'advanced' END AS status
+        FROM now_ n LEFT JOIN pit p USING (user_id)
+        ORDER BY n.user_id"""),
+    ),
   )
 }
