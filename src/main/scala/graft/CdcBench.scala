@@ -150,6 +150,30 @@ object CdcBench {
       new graft.kafka.KafkaTopicClient("127.0.0.1", broker.port, s"bench-${passes - 1}"))
     val kafka2Scan = scanRate(new graft.kafka.KafkaTopicClient("127.0.0.1", broker.port,
       s"bench2-${passes - 1}", messageFormat = 2))
+
+    // graft-topic source throughput: the downstream-consumer path (poll +
+    // seq-dedup decode + JSON render + InternalRow build) through the DSv2
+    // micro-batch machinery over the last pass's topic — read-only, so
+    // median-of-3 with a fresh stream per pass is sound
+    def consumeRate(addr: String): Long = {
+      def once(): Long = {
+        val s = new graft.sources.TopicConsumeMicroBatchStream(addr)
+        val t = System.nanoTime()
+        s.initialOffset()
+        val end = s.latestOffset().asInstanceOf[graft.sources.TopicOffset]
+        val parts = s.planInputPartitions(graft.sources.TopicOffset.zero, end)
+        val reader = s.createReaderFactory().createReader(parts(0))
+        var c = 0L
+        while (reader.next()) c += 1
+        val sec = (System.nanoTime() - t) / 1e9
+        s.stop()
+        require(c == end.opIdx, s"consume read $c of ${end.opIdx} ops")
+        (c / sec).toLong
+      }
+      median(Array.fill(3)(once()))
+    }
+    val simConsume = consumeRate(s"127.0.0.1:${sim.port}")
+    val kafkaConsume = consumeRate(s"kafka://127.0.0.1:${broker.port}/bench-${passes - 1}")
     sim.close(); broker.close()
     spark.stop()
 
@@ -165,6 +189,8 @@ object CdcBench {
       s""""recovery_scan_topicsim_msgs_per_sec":$simScan,""" +
       s""""recovery_scan_kafka_msgs_per_sec":$kafkaScan,""" +
       s""""recovery_scan_kafka2_msgs_per_sec":$kafka2Scan,""" +
+      s""""consume_source_topicsim_ops_per_sec":$simConsume,""" +
+      s""""consume_source_kafka_ops_per_sec":$kafkaConsume,""" +
       s""""wire_messages":$messages,"topic_messages":$kafkaMsgs,""" +
       s""""sim_messages":$simMsgs}""")
   }

@@ -1,0 +1,275 @@
+package graft.sources
+
+import graft.cdc._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The consumer-library twin as a Spark streaming source: a downstream
+  * pipeline `readStream.format("graft-topic")`s a served topic and gets
+  * the decoded operation stream with the protocol's exactly-once contract
+  * held across restarts (seq dedup from the checkpointed commit seq,
+  * fragment groups completing across poll boundaries, batch boundaries
+  * only on COMMITs). */
+class TopicConsumeSourceSpec extends AnyFunSuite {
+
+  private def insert(logPos: Long, id: Long): Operation = {
+    val table = TableDef("test", "t", Vector(
+      ColumnDef("id", "int(11)", InnerType.LONG, key = "PRI", nullable = false)))
+    Operation(
+      OperationHeader(66693, OpType.Insert, 1546300800L, logPos),
+      table = Some(table),
+      rows = Vector(OpRow(None, Some(Vector(Some(id.toString))))))
+  }
+
+  private def trx(basePos: Long, id: Long): Seq[Operation] = Seq(
+    Operation(OperationHeader(66693, OpType.Begin, 1546300800L, basePos)),
+    insert(basePos + 50, id),
+    Operation(OperationHeader(66693, OpType.Commit, 1546300800L, basePos + 100),
+      progress = Some(Progress(Position("mysql-bin.000008", basePos + 100, 66693), None))))
+
+  private def readAll(stream: TopicConsumeMicroBatchStream,
+      start: TopicOffset, end: TopicOffset): Vector[(Long, Long, Long, String)] = {
+    val parts = stream.planInputPartitions(start, end)
+    val reader = stream.createReaderFactory().createReader(parts(0))
+    Iterator.continually(reader).takeWhile(_.next()).map { r =>
+      val row = r.get()
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getUTF8String(3).toString)
+    }.toVector
+  }
+
+  test("micro-batch consume over TopicSim: decode, slice, commit trims; " +
+      "a later poll sees only new trxs") {
+    val server = new TopicServer().start()
+    try {
+      val client = new TopicClient("127.0.0.1", server.port)
+      val producer = new FragmentingProducer(producerId = 1L)
+      (producer.produce(trx(200, 1)) ++ producer.produce(trx(400, 2)))
+        .foreach(m => client.produce(Wire.encodeMessage(m)))
+
+      val stream = new TopicConsumeMicroBatchStream(s"127.0.0.1:${server.port}")
+      assert(stream.initialOffset() == TopicOffset.zero)
+      val o1 = stream.latestOffset().asInstanceOf[TopicOffset]
+      assert(o1.opIdx == 6) // 2 trx x (begin, insert, commit)
+      val rows = readAll(stream, TopicOffset.zero, o1)
+      assert(rows.map(_._1) == (0L until 6L).toVector)
+      assert(rows.map(r => (r._4.contains("\"type\":\"begin\""),
+        r._4.contains("\"type\":\"insert\""),
+        r._4.contains("\"type\":\"commit\""))).count(_._2) == 2)
+      // commit_seq is constant within a trx and increases across trxs
+      assert(rows.slice(0, 3).map(_._2).distinct.size == 1)
+      assert(rows.slice(3, 6).map(_._2).distinct.size == 1)
+      assert(rows(3)._2 > rows(0)._2)
+
+      stream.commit(o1)
+      // new trx arrives; next batch is exactly its ops
+      producer.produce(trx(600, 3)).foreach(m => client.produce(Wire.encodeMessage(m)))
+      val o2 = stream.latestOffset().asInstanceOf[TopicOffset]
+      assert(o2.opIdx == 9)
+      val rows2 = readAll(stream, o1, o2)
+      assert(rows2.map(_._1) == Vector(6L, 7L, 8L))
+      assert(rows2.count(_._4.contains("\"type\":\"insert\"")) == 1)
+      client.close()
+      stream.stop()
+    } finally server.close()
+  }
+
+  test("restart resume: a fresh stream armed at the checkpointed offset " +
+      "seq-dedups the already-consumed prefix") {
+    val server = new TopicServer().start()
+    try {
+      val client = new TopicClient("127.0.0.1", server.port)
+      val producer = new FragmentingProducer(producerId = 1L)
+      (producer.produce(trx(200, 1)) ++ producer.produce(trx(400, 2)))
+        .foreach(m => client.produce(Wire.encodeMessage(m)))
+
+      // run 1 consumes everything and "checkpoints" o1
+      val s1 = new TopicConsumeMicroBatchStream(s"127.0.0.1:${server.port}")
+      s1.initialOffset()
+      val o1 = s1.latestOffset().asInstanceOf[TopicOffset]
+      assert(o1.opIdx == 6)
+      s1.stop()
+
+      // run 2 re-arms from the checkpoint JSON (Spark's restart path) and
+      // only sees the trx produced after the checkpoint — even though the
+      // fetch replays the raw topic from the checkpointed msg offset, the
+      // dup region is dropped by the seq floor
+      producer.produce(trx(600, 3)).foreach(m => client.produce(Wire.encodeMessage(m)))
+      val s2 = new TopicConsumeMicroBatchStream(s"127.0.0.1:${server.port}")
+      val restored = s2.deserializeOffset(o1.json()).asInstanceOf[TopicOffset]
+      assert(restored == o1)
+      val o2 = s2.latestOffset().asInstanceOf[TopicOffset]
+      assert(o2.opIdx == 9)
+      val rows = readAll(s2, o1, o2)
+      assert(rows.map(_._1) == Vector(6L, 7L, 8L))
+      assert(rows.count(_._4.contains("\"type\":\"insert\"")) == 1)
+      client.close()
+      s2.stop()
+    } finally server.close()
+  }
+
+  test("WAL replay hands offsets in either order: re-arm at the smaller " +
+      "offset is allowed before the first poll, so the committed-but-" +
+      "unprocessed batch is re-consumable") {
+    val server = new TopicServer().start()
+    try {
+      val client = new TopicClient("127.0.0.1", server.port)
+      val producer = new FragmentingProducer(producerId = 1L)
+      (producer.produce(trx(200, 1)) ++ producer.produce(trx(400, 2)))
+        .foreach(m => client.produce(Wire.encodeMessage(m)))
+      // simulate: run 1 checkpointed start=after-trx1, end=after-trx2
+      val s0 = new TopicConsumeMicroBatchStream(s"127.0.0.1:${server.port}")
+      s0.initialOffset()
+      s0.latestOffset()
+      s0.stop()
+      val start = TopicOffset(1, 1, 3) // after trx1 (1 raw msg, seq 1, 3 ops)
+
+      val s = new TopicConsumeMicroBatchStream(s"127.0.0.1:${server.port}")
+      // WAL replay: END deserialized first, then START (smaller) — must re-arm
+      val end = s.latestOffset().asInstanceOf[TopicOffset]
+      assert(end.opIdx == 6)
+      s.stop()
+      val s2 = new TopicConsumeMicroBatchStream(s"127.0.0.1:${server.port}")
+      s2.deserializeOffset(end.json())
+      s2.deserializeOffset(start.json()) // smaller, before first poll: re-arms
+      val latest = s2.latestOffset().asInstanceOf[TopicOffset]
+      assert(latest.opIdx == 6)
+      val rows = readAll(s2, start, latest)
+      assert(rows.map(_._1) == Vector(3L, 4L, 5L)) // trx2 re-consumed
+      // after a poll, rewinding below the base is a hard error
+      intercept[IllegalArgumentException] {
+        s2.deserializeOffset(TopicOffset(0, 0, 0).json())
+      }
+      client.close()
+      s2.stop()
+    } finally server.close()
+  }
+
+  test("fragment group straddling a poll boundary completes on the next " +
+      "poll; a torn group's ops are withheld until its final fragment") {
+    val server = new TopicServer().start()
+    try {
+      val client = new TopicClient("127.0.0.1", server.port)
+      // tiny payload cap -> the trx fragments into multiple messages
+      val producer = new FragmentingProducer(producerId = 1L, maxPayloadSize = 8)
+      val msgs = producer.produce(trx(200, 1))
+      assert(msgs.size > 1, "trx must fragment for this test")
+      // publish all but the last fragment
+      msgs.init.foreach(m => client.produce(Wire.encodeMessage(m)))
+      val stream = new TopicConsumeMicroBatchStream(s"127.0.0.1:${server.port}")
+      stream.initialOffset()
+      val o1 = stream.latestOffset().asInstanceOf[TopicOffset]
+      // the tiny cap binary-splits the trx into one group per op; the two
+      // complete groups (begin, insert) emit, the torn last group (commit)
+      // is withheld in decoder state
+      assert(o1.opIdx == 2, "incomplete fragment group must withhold its ops")
+      // the REPORTED offset rewinds to the torn group's head — a restart
+      // at o1 must refetch the whole group, not hit a seq gap on its tail
+      val tornGroupHead = msgs.indexWhere(_.groupId == msgs.last.groupId)
+      assert(o1.msgOffset == tornGroupHead,
+        "checkpointed msg offset must be the torn group's head")
+      // final fragment lands; the group completes with ALL its ops
+      client.produce(Wire.encodeMessage(msgs.last))
+      val o2 = stream.latestOffset().asInstanceOf[TopicOffset]
+      assert(o2.opIdx == 3)
+      val rows = readAll(stream, o1, o2)
+      assert(rows.count(_._4.contains("\"type\":\"commit\"")) == 1)
+      // the full stream carries the whole trx exactly once
+      val all = readAll(stream, TopicOffset.zero, o2)
+      assert(all.count(_._4.contains("\"type\":\"insert\"")) == 1)
+      assert(all.map(_._1) == Vector(0L, 1L, 2L))
+      client.close()
+      stream.stop()
+    } finally server.close()
+  }
+
+  test("restart AT a torn-group checkpoint: the fresh stream refetches the " +
+      "whole group and completes it — no seq gap, no duplicate") {
+    val server = new TopicServer().start()
+    try {
+      val client = new TopicClient("127.0.0.1", server.port)
+      val producer = new FragmentingProducer(producerId = 1L, maxPayloadSize = 8)
+      val msgs = producer.produce(trx(200, 1))
+      msgs.init.foreach(m => client.produce(Wire.encodeMessage(m)))
+      val s1 = new TopicConsumeMicroBatchStream(s"127.0.0.1:${server.port}")
+      s1.initialOffset()
+      val o1 = s1.latestOffset().asInstanceOf[TopicOffset]
+      assert(o1.opIdx == 2) // begin+insert groups; commit group torn
+      s1.stop()
+
+      // the query restarts from the checkpoint; the final fragment lands
+      client.produce(Wire.encodeMessage(msgs.last))
+      val s2 = new TopicConsumeMicroBatchStream(s"127.0.0.1:${server.port}")
+      s2.deserializeOffset(o1.json())
+      val o2 = s2.latestOffset().asInstanceOf[TopicOffset]
+      assert(o2.opIdx == 3)
+      val rows = readAll(s2, o1, o2)
+      assert(rows.map(_._1) == Vector(2L))
+      assert(rows.head._4.contains("\"type\":\"commit\""))
+      client.close()
+      s2.stop()
+    } finally server.close()
+  }
+
+  test("admission control: maxOpsPerTrigger caps batches at group " +
+      "boundaries; every batch end is a replayable checkpoint") {
+    val server = new TopicServer().start()
+    try {
+      val client = new TopicClient("127.0.0.1", server.port)
+      val producer = new FragmentingProducer(producerId = 1L)
+      (producer.produce(trx(200, 1)) ++ producer.produce(trx(400, 2)) ++
+        producer.produce(trx(600, 3)))
+        .foreach(m => client.produce(Wire.encodeMessage(m)))
+
+      val stream = new TopicConsumeMicroBatchStream(
+        s"127.0.0.1:${server.port}", maxOpsPerTrigger = Some(4L))
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      assert(stream.getDefaultReadLimit.toString.contains("4"))
+      val z = stream.initialOffset().asInstanceOf[TopicOffset]
+      // budget 4 ops -> only trx1's 3-op group fits
+      val o1 = stream.latestOffset(z, ReadLimit.maxRows(4)).asInstanceOf[TopicOffset]
+      assert(o1.opIdx == 3)
+      assert(readAll(stream, z, o1).map(_._1) == Vector(0L, 1L, 2L))
+      // budget 1 op -> smaller than any group: one whole group still taken
+      val o2 = stream.latestOffset(o1, ReadLimit.maxRows(1)).asInstanceOf[TopicOffset]
+      assert(o2.opIdx == 6, "progress quantum is one whole group")
+      // allAvailable from there drains the rest
+      val o3 = stream.latestOffset(o2, ReadLimit.allAvailable()).asInstanceOf[TopicOffset]
+      assert(o3.opIdx == 9)
+      client.close()
+      stream.stop()
+    } finally server.close()
+  }
+
+  test("spark.readStream format graft-topic end-to-end over the kafka wire " +
+      "dialect") {
+    val broker = new graft.kafka.KafkaBroker().start()
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-topic-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val client = new graft.kafka.KafkaTopicClient("127.0.0.1", broker.port, "ops")
+      val producer = new FragmentingProducer(producerId = 1L)
+      (producer.produce(trx(200, 1)) ++ producer.produce(trx(400, 2)))
+        .foreach(m => client.produce(Wire.encodeMessage(m)))
+      client.close()
+
+      val q = spark.readStream.format("graft-topic")
+        .option("addr", s"kafka://127.0.0.1:${broker.port}/ops")
+        .load()
+        .writeStream.format("memory").queryName("topicmem").outputMode("append")
+        .start()
+      try {
+        val deadline = System.nanoTime() + 30_000_000_000L
+        def rows() = spark.sql(
+          "SELECT op_idx, op_json FROM topicmem ORDER BY op_idx").collect()
+        while (rows().length < 6 && System.nanoTime() < deadline) Thread.sleep(100)
+        val got = rows()
+        assert(got.length == 6)
+        assert(got.map(_.getLong(0)).toVector == (0L until 6L).toVector)
+        assert(got.count(_.getString(1).contains("\"type\":\"insert\"")) == 2)
+      } finally q.stop()
+    } finally { spark.stop(); broker.close() }
+  }
+}
