@@ -64,14 +64,59 @@ class TopicConsumeTable(opts: CaseInsensitiveStringMap) extends Table with Suppo
   override def name(): String = s"graft-topic(${opts.get("addr")})"
   override def schema(): StructType = TopicConsumeSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = TopicConsumeSource.SCHEMA
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new TopicConsumeMicroBatchStream(opts.get("addr"),
           Option(opts.get("maxOpsPerTrigger")).map(_.toLong))
+      // batch form: `spark.read.format("graft-topic")` — the recovery
+      // scan as a DataFrame. Unlike the streaming path (driver-side feed,
+      // the ordered-protocol handoff), the batch scan runs ON AN EXECUTOR:
+      // the partition carries only (addr, fromSeq) and the reader
+      // connects/fetches/decodes there, so the driver never holds the
+      // topic. One partition — the topic IS the W1 total order and the
+      // seq-dedup decode is inherently sequential; parallelism belongs to
+      // the analytics after this scan.
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        new org.apache.spark.sql.connector.read.Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            Array(TopicBatchScan(opts.get("addr"),
+              Option(opts.get("fromSeq")).map(_.toLong).getOrElse(0L)))
+          override def createReaderFactory(): PartitionReaderFactory =
+            new TopicBatchReaderFactory
+        }
     }
+}
+
+/** Batch-scan partition: everything the executor needs to consume the
+  * whole topic (connection address + seq-dedup floor). */
+final case class TopicBatchScan(addr: String, fromSeq: Long) extends InputPartition
+
+class TopicBatchReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TopicBatchScan]
+    new PartitionReader[InternalRow] {
+      private val client = TopicLike.connect(p.addr)
+      private val decoder = new OperationDecoder(lastCommitSeq = p.fromSeq)
+      private val it = client.fetchFrom(0L).iterator.flatMap { case (off, bytes) =>
+        decoder.feed(bytes, off).toSeq.flatMap(b =>
+          b.ops.map(op => (b.commitSeq, b.commitOffset, OperationJson.render(op))))
+      }.zipWithIndex
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val ((seq, off, json), idx) = it.next()
+          cur = new GenericInternalRow(Array[Any](idx.toLong, seq, off,
+            UTF8String.fromString(json)))
+          true
+        } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit =
+        try client.close() catch { case _: Exception => () }
+    }
+  }
 }
 
 /** (next raw message offset, decoder seq floor, ops emitted so far) —

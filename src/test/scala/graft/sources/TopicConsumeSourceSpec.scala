@@ -239,6 +239,42 @@ class TopicConsumeSourceSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("spark.read (BATCH) format graft-topic: the recovery scan as a " +
+      "DataFrame, decoded on an executor; fromSeq resumes past a prefix") {
+    val server = new TopicServer().start()
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-topic-batch-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val client = new TopicClient("127.0.0.1", server.port)
+      val producer = new FragmentingProducer(producerId = 1L)
+      val msgs1 = producer.produce(trx(200, 1))
+      (msgs1 ++ producer.produce(trx(400, 2)))
+        .foreach(m => client.produce(Wire.encodeMessage(m)))
+      client.close()
+
+      val df = spark.read.format("graft-topic")
+        .option("addr", s"127.0.0.1:${server.port}").load()
+      val rows = df.orderBy("op_idx").collect()
+      assert(rows.length == 6)
+      assert(rows.map(_.getLong(0)).toVector == (0L until 6L).toVector)
+      assert(rows.count(_.getString(3).contains("\"type\":\"insert\"")) == 2)
+      // and it behaves as a real table: aggregates distribute
+      assert(df.groupBy("commit_seq").count().count() == 2)
+
+      // fromSeq: the lastSeq watermark semantics of the recovery scan
+      val tail = spark.read.format("graft-topic")
+        .option("addr", s"127.0.0.1:${server.port}")
+        .option("fromSeq", msgs1.last.seq.toString)
+        .load().collect()
+      assert(tail.length == 3)
+      assert(tail.count(_.getString(3).contains("\"type\":\"insert\"")) == 1)
+    } finally { spark.stop(); server.close() }
+  }
+
   test("spark.readStream format graft-topic end-to-end over the kafka wire " +
       "dialect") {
     val broker = new graft.kafka.KafkaBroker().start()
