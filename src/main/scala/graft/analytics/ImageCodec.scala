@@ -47,30 +47,37 @@ object ImageCodec {
   }
 
   /** Area-average resize (box filter) to tw×th — the real version of
-    * m03's byte-decimation stub: every source pixel contributes to
-    * exactly one target cell, integer accumulation, floor division. */
+    * m03's byte-decimation stub. Iterates TARGET cells and averages each
+    * cell's source rectangle (integer accumulation, floor division):
+    * downscale boxes tile the source exactly, and upscale degenerates to
+    * nearest-neighbor replication — every target cell always averages at
+    * least one real pixel. (The earlier source-pixel-scatter form left
+    * unmapped cells BLACK when tw>w or th>h, so the pHash of a sub-32px
+    * thumbnail hashed a zero-interleaved lattice and landed ~16 Hamming
+    * bits from its original — past any near-dup gate.) */
   def resizeGray(gray: Array[Int], w: Int, h: Int, tw: Int, th: Int): Array[Int] = {
     require(w > 0 && h > 0 && tw > 0 && th > 0)
-    val sums = new Array[Long](tw * th)
-    val counts = new Array[Long](tw * th)
-    var y = 0
-    while (y < h) {
-      val ty = math.min(y * th / h, th - 1)
-      var x = 0
-      while (x < w) {
-        val tx = math.min(x * tw / w, tw - 1)
-        val i = ty * tw + tx
-        sums(i) += gray(y * w + x)
-        counts(i) += 1
-        x += 1
-      }
-      y += 1
-    }
     val out = new Array[Int](tw * th)
-    var i = 0
-    while (i < out.length) {
-      out(i) = if (counts(i) == 0) 0 else (sums(i) / counts(i)).toInt
-      i += 1
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * h / th
+      val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * w / tw
+        val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+        var sum = 0L
+        var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += gray(y * w + x); cnt += 1; x += 1 }
+          y += 1
+        }
+        out(ty * tw + tx) = (sum / cnt).toInt
+        tx += 1
+      }
+      ty += 1
     }
     out
   }

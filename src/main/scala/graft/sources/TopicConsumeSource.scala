@@ -251,6 +251,16 @@ class TopicConsumeMicroBatchStream(addr: String,
     val s = start.asInstanceOf[TopicOffset].opIdx
     val e = end.asInstanceOf[TopicOffset].opIdx
     val slice = synchronized {
+      // Restart replay: Spark re-runs a committed-to-the-offset-log batch
+      // straight through planInputPartitions — constructNextBatch (and so
+      // latestOffset/poll) is SKIPPED for a recovered batch. The buffer is
+      // empty then; refetch from the armed checkpoint (the topic retains
+      // the messages) so the replayed batch carries its original rows
+      // instead of silently committing empty and shifting every later
+      // op_idx.
+      if (e - baseIdx > buffer.size) poll()
+      require(s >= baseIdx && e - baseIdx <= buffer.size,
+        s"batch [$s,$e) not coverable from base $baseIdx + ${buffer.size} buffered ops")
       buffer.slice((s - baseIdx).toInt, (e - baseIdx).toInt).toVector
     }
     Array(TopicSlice(slice))

@@ -46,16 +46,22 @@ object IncrementalIvf {
       .select(col("cid"), col("cent_id"))
 
   /** Apply one micro-batch: write the assignment delta (idempotent by
-    * batch directory) and merge the per-cell counts (additive). */
+    * batch directory) and merge the per-cell counts (additive). Write
+    * completion is judged by the committer's `_SUCCESS` marker, not bare
+    * directory existence — a crash mid-write leaves a partial
+    * `batch=<id>` dir, and the replay must repair it (mode("overwrite")
+    * clears the torn files), or the assignment index would silently miss
+    * the batch the cell counts include. */
   def merge(batch: DataFrame, cents: DataFrame, batchId: Long,
       stateRoot: String): Unit = {
     val spark = batch.sparkSession
     val batchDir = java.nio.file.Paths.get(s"$stateRoot/assign/batch=$batchId")
+    val deltaComplete = java.nio.file.Files.exists(batchDir.resolve("_SUCCESS"))
     if (batchId <= SnapshotStore.lastBatchId(s"$stateRoot/cells") &&
-      java.nio.file.Files.exists(batchDir)) return // replayed batch
+      deltaComplete) return // replayed batch
     val d = deltas(batch, cents).persist()
     try {
-      if (!java.nio.file.Files.exists(batchDir))
+      if (!deltaComplete)
         d.write.mode("overwrite").parquet(batchDir.toString)
       if (batchId > SnapshotStore.lastBatchId(s"$stateRoot/cells")) {
         val counts = d.groupBy(col("cent_id")).agg(count(lit(1)).as("n_vectors"))
@@ -67,9 +73,14 @@ object IncrementalIvf {
     } finally d.unpersist()
   }
 
-  /** The full maintained assignment index: union of the batch deltas. */
+  /** The full maintained assignment index: union of the batch deltas —
+    * empty (same schema) before the first batch lands, like
+    * [[balanceView]]. */
   def assignments(spark: SparkSession, stateRoot: String): DataFrame =
-    spark.read.parquet(s"$stateRoot/assign")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stateRoot/assign")))
+      spark.emptyDataFrame
+        .select(lit(0L).as("cid"), lit(0L).as("cent_id")).limit(0)
+    else spark.read.parquet(s"$stateRoot/assign")
 
   /** The live s20 cell-balance report over everything arrived so far —
     * cell-count-sized compute off the k-row state, never a corpus scan. */

@@ -52,19 +52,24 @@ object IngestMediaDedup {
     * index. Every arrival gets a verdict row: candidate count, verified
     * near-dup count, the nearest existing image (min Hamming, ties to the
     * smallest id), and the boolean gate. */
-  def flagBatch(arrivals: DataFrame, corpusIdx: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    val arr = withBands(arrivals.select(col("image_id"), phashUdf(col("payload")).as("h")))
+  private def hashedArrivals(arrivals: DataFrame): DataFrame =
+    withBands(arrivals.select(col("image_id"), phashUdf(col("payload")).as("h")))
       .withColumnRenamed("image_id", "new_id")
       .withColumnRenamed("h", "hn")
+
+  private def candidates(arr: DataFrame, corpusIdx: DataFrame): DataFrame = {
     val corpus = corpusIdx
       .withColumnRenamed("image_id", "corpus_id")
       .withColumnRenamed("h", "hc")
     def band(k: Int) = arr.select(col("new_id"), col("hn"), col(s"b$k").as("bh"))
       .join(corpus.select(col("corpus_id"), col("hc"), col(s"b$k").as("bh")), "bh")
       .select(col("new_id"), col("hn"), col("corpus_id"), col("hc"))
-    val cands = (0 until 4).map(band).reduce(_ unionAll _).distinct()
+    (0 until 4).map(band).reduce(_ unionAll _).distinct()
       .withColumn("hamming", bit_count(col("hn").bitwiseXOR(col("hc"))).cast("long"))
+  }
+
+  private def verdicts(arrivals: DataFrame, cands: DataFrame,
+      maxHamming: Int): DataFrame = {
     val verified = cands.filter(col("hamming") <= maxHamming)
     arrivals.select(col("image_id")).distinct()
       .join(cands.groupBy(col("new_id").as("image_id"))
@@ -78,6 +83,25 @@ object IngestMediaDedup {
       .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
       .withColumn("n_neardups", coalesce(col("n_neardups"), lit(0L)))
       .withColumn("neardup", col("n_neardups") > 0L)
+  }
+
+  /** The verdict as a PURE PLAN (no caching, no materialization) — what
+    * the scale-shape spec inspects: corpus contact only via the index. */
+  def flagPlan(arrivals: DataFrame, corpusIdx: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    verdicts(arrivals, candidates(hashedArrivals(arrivals), corpusIdx), maxHamming)
+
+  def flagBatch(arrivals: DataFrame, corpusIdx: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    // the hashed arrivals feed 4 band joins, and the candidate set feeds
+    // two aggregates — without caching, each consumer re-runs the decode
+    // + DCT lineage (~8 full decodes per payload per batch). Cache both,
+    // materialize the batch-sized verdict (localCheckpoint cuts the
+    // lineage), then drop the caches before handing the frame out.
+    val arr = hashedArrivals(arrivals).persist()
+    val cands = candidates(arr, corpusIdx).persist()
+    try verdicts(arrivals, cands, maxHamming).localCheckpoint(true)
+    finally { arr.unpersist(); cands.unpersist() }
   }
 
   /** Run the gate over a stream of (image_id, payload): each micro-batch

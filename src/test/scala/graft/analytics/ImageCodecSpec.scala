@@ -83,6 +83,43 @@ class ImageCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hamming(a1, b1) >= 16, s"distinct content only ${hamming(a1, b1)} apart")
   }
 
+  /** Spectrally DENSE content — energy at EVERY low-frequency bin with
+    * 1/f² amplitudes and deterministic per-group phases, a natural
+    * image's broad spectrum. The sparse [[basePixel]] fixture leaves ~57
+    * of the 63 pHash coefficients near zero where the median split is
+    * fragile, so ANY resample flips ~16 bits (even pure downscales);
+    * scale-robustness claims need the dense fixture. */
+  private def densePixel(g: Int)(x: Int, y: Int): Int = {
+    var v = 128.0
+    for (u <- 0 until 8; w2 <- 0 until 8; if u + w2 > 0) {
+      val amp = 90.0 / ((1 + u + w2) * (1 + u + w2))
+      val ph = (g * 31 + u * 7 + w2 * 13) % 17 * 0.37
+      v += amp * math.cos(math.Pi * u * (x + 0.5) / W + ph) *
+        math.cos(math.Pi * w2 * (y + 0.5) / W - ph)
+    }
+    math.max(0, math.min(255, v.toInt))
+  }
+
+  test("a sub-32px thumbnail pHashes within the near-dup gate of its " +
+      "original (the resize UPSCALE path: target cells with no mapped " +
+      "source pixel must replicate, not stay black)") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    for (g <- 1 to 3) {
+      val full = ImageCodec.encodePng(W, W, densePixel(g))
+      val (w, h, gray) = ImageCodec.decodeGray(full)
+      val small = ImageCodec.resizeGray(gray, w, h, 16, 16)
+      val thumb = ImageCodec.encodePng(16, 16, (x, y) => small(y * 16 + x))
+      // pre-fix, the 16→32 upscale left every odd row/column BLACK and
+      // these landed 12–20 bits away; post-fix they sit at 0–2
+      val d = hamming(ImageCodec.phash64(full), ImageCodec.phash64(thumb))
+      assert(d <= 3, s"16px thumbnail of pattern $g landed $d bits away")
+    }
+    // and distinct dense content still lands far
+    val h2 = ImageCodec.phash64(ImageCodec.encodePng(W, W, densePixel(2)))
+    val h3 = ImageCodec.phash64(ImageCodec.encodePng(W, W, densePixel(3)))
+    assert(hamming(h2, h3) >= 16)
+  }
+
   test("end-to-end over Spark: real PNG payloads → executor decode → " +
       "banded pHash join finds exactly the planted near-dup pairs (m05's " +
       "dataflow on real bytes)") {

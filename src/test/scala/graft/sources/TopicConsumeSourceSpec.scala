@@ -181,6 +181,47 @@ class TopicConsumeSourceSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("restart replay of an UNCOMMITTED batch goes straight to " +
+      "planInputPartitions (no latestOffset): the source refetches and " +
+      "hands back the batch's original rows, not an empty partition") {
+    val server = new TopicServer().start()
+    try {
+      val client = new TopicClient("127.0.0.1", server.port)
+      val producer = new FragmentingProducer(producerId = 1L)
+      (producer.produce(trx(200, 1)) ++ producer.produce(trx(400, 2)))
+        .foreach(m => client.produce(Wire.encodeMessage(m)))
+
+      // run 1: batch [o1, o2) was written to the offset log, crash before
+      // its commit-log entry
+      val s1 = new TopicConsumeMicroBatchStream(s"127.0.0.1:${server.port}")
+      s1.initialOffset()
+      s1.latestOffset() // [zero, all) consumed; say o1 = after trx1
+      s1.stop()
+      val o1 = TopicOffset(1, 1, 3)
+      val o2 = TopicOffset(2, 2, 6)
+
+      // restart: Spark deserializes both ends of the pending batch and
+      // replays it DIRECTLY via planInputPartitions — latestOffset is
+      // never called for a recovered batch (MicroBatchExecution skips
+      // constructNextBatch)
+      val s2 = new TopicConsumeMicroBatchStream(s"127.0.0.1:${server.port}")
+      s2.deserializeOffset(o2.json())
+      s2.deserializeOffset(o1.json())
+      val rows = readAll(s2, o1, o2)
+      assert(rows.map(_._1) == Vector(3L, 4L, 5L),
+        "replayed batch must carry its original rows")
+      assert(rows.count(_._4.contains("\"type\":\"insert\"")) == 1)
+      // and the stream continues correctly after the replayed batch
+      s2.commit(o2)
+      producer.produce(trx(600, 3)).foreach(m => client.produce(Wire.encodeMessage(m)))
+      val o3 = s2.latestOffset().asInstanceOf[TopicOffset]
+      assert(o3.opIdx == 9)
+      assert(readAll(s2, o2, o3).map(_._1) == Vector(6L, 7L, 8L))
+      client.close()
+      s2.stop()
+    } finally server.close()
+  }
+
   test("restart AT a torn-group checkpoint: the fresh stream refetches the " +
       "whole group and completes it — no seq gap, no duplicate") {
     val server = new TopicServer().start()

@@ -120,7 +120,10 @@ class StreamShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       val batch = Seq((900L,
         graft.analytics.ImageCodec.encodePng(16, 16, (x, y) => (x + y) % 256)))
         .toDF("image_id", "payload")
-      val df = IngestMediaDedup.flagBatch(batch, idx)
+      // flagPlan is the pure plan flagBatch caches/materializes — the
+      // executed flagBatch frame is a localCheckpoint whose lineage is
+      // cut, so the shape must be pinned on the plan form
+      val df = IngestMediaDedup.flagPlan(batch, idx)
       val corpusScans = fileScanPaths(df).filter(_.contains(corpusDir))
       assert(corpusScans.isEmpty,
         s"IngestMediaDedup re-decodes the corpus payloads per micro-batch: $corpusScans")
