@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** The library's front door: a SparkSession builder pre-configured with the
   * settings every deployment of this engine wants, so `GraftSession.builder()
@@ -38,4 +38,44 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** The conf key that switches every iterated-plan materialization from
+    * `localCheckpoint` to RELIABLE `checkpoint`. */
+  val CheckpointDirKey = "spark.graft.checkpointDir"
+
+  /** Eagerly materialize a frame and CUT ITS LINEAGE — the primitive every
+    * iterated plan in the engine (p03/p15/p16/p21 contractions, BFS
+    * levels, t21's BPE vocab loop, the d05 band-join build) uses between
+    * iterations so plan depth and recompute cost stay O(1) per pass.
+    *
+    * Reliability seam: `localCheckpoint(true)` stores blocks only on
+    * executors — fast, but Spark documents that a lost executor (spot
+    * preemption, OOM kill) makes the job FAIL because the truncated
+    * lineage cannot recompute the blocks. Invisible at local[32]; fatal
+    * for an hours-long iterated job on a preemptible 1000-executor
+    * cluster. So: when `spark.graft.checkpointDir` is set, this uses
+    * reliable `checkpoint()` (blocks in fault-tolerant storage — HDFS/
+    * object store — survive any executor loss; recovery is a re-read,
+    * not a rerun); unset (local dev, tests, bench) it keeps the fast
+    * executor-local path. Set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` alongside it
+    * to GC checkpoint files whose frames have gone out of scope.
+    */
+  def materialize[T](ds: Dataset[T]): Dataset[T] = {
+    val spark = ds.sparkSession
+    spark.conf.getOption(CheckpointDirKey) match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = spark.sparkContext
+        // setCheckpointDir mints a fresh UUID subdir per call — set once
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        ds.checkpoint(eager = true)
+      case _ => ds.localCheckpoint(eager = true)
+    }
+  }
+
+  /** `import graft.GraftSession.MaterializeOps` → `df.materialized` reads
+    * like the `localCheckpoint(true)` chains it replaces. */
+  implicit class MaterializeOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def materialized: Dataset[T] = materialize(ds)
+  }
 }

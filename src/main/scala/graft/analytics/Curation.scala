@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.GraftSession.MaterializeOps
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -42,12 +43,12 @@ object Curation {
       import s.implicits._
       var active: DataFrame = pairs
         .select(least($"i", $"j").as("src"), greatest($"i", $"j").as("dst"))
-        .localCheckpoint(true)
+        .materialized
       var labels: DataFrame = active.select($"src".as("node"))
         .union(active.select($"dst"))
         .distinct()
         .withColumn("lab", $"node")
-        .localCheckpoint(true)
+        .materialized
       while (!active.isEmpty) {
         // union-find inside each partition: node -> min reachable root
         // THERE; a node split across partitions reconciles via min()
@@ -74,7 +75,7 @@ object Curation {
         labels = labels.as("l")
           .join(local.as("m"), $"l.lab" === $"m.node", "left")
           .select($"l.node".as("node"), coalesce($"m.root", $"l.lab").as("lab"))
-          .localCheckpoint(true)
+          .materialized
         // contract the edge list; same-root edges vanish as self-loops
         active = active.as("e")
           .join(local.as("a"), $"e.src" === $"a.node", "left")
@@ -83,7 +84,7 @@ object Curation {
           .filter($"u" =!= $"v")
           .select(least($"u", $"v").as("src"), greatest($"u", $"v").as("dst"))
           .distinct()
-          .localCheckpoint(true)
+          .materialized
       }
       labels
   }
@@ -194,8 +195,9 @@ object Curation {
     // two-phase CC shape (Kiveris et al., "Connected Components in
     // MapReduce and Beyond"): per-pass traffic is O(surviving edges),
     // per-partition memory is O(nodes in partition), and at 1000-executor
-    // scale a 10^9-pair graph contracts in the same 2-4 passes — swap
-    // localCheckpoint for a checkpoint dir and nothing else changes. The
+    // scale a 10^9-pair graph contracts in the same 2-4 passes — with
+    // spark.graft.checkpointDir set, GraftSession.materialize swaps the
+    // executor-local blocks for reliable checkpoint storage. The
     // driver sees only the surviving-edge count of a checkpointed frame.
     QueryDef(
       "p03_dup_clusters",
@@ -861,7 +863,7 @@ object Curation {
     // truncate on the positive values used), so both engines produce
     // bit-identical ranks with no float summation anywhere. Scale shape:
     // the edge list is the (sparse) near-dup pair set, persisted once via
-    // localCheckpoint (the band-join build must not replay per
+    // GraftSession.materialize (the band-join build must not replay per
     // iteration); each step is contribution-map (narrow) → one shuffle on
     // the destination key → left join back to the node set — the
     // Pregel/GraphX dataflow written as three unrolled joins, never a
@@ -876,9 +878,9 @@ object Curation {
         val pairs = Dedup.simhashPairs(s, dir).select($"i", $"j")
         val edges = pairs.select($"i".as("src"), $"j".as("dst"))
           .unionByName(pairs.select($"j".as("src"), $"i".as("dst")))
-          .localCheckpoint(true)
+          .materialized
         val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-          .localCheckpoint(true)
+          .materialized
         var ranks = deg.select($"src".as("node"), $"deg", lit(SCALE).as("r"))
         for (_ <- 1 to 3) {
           val contrib = ranks.select($"node".as("src"), expr("r DIV deg").as("c"))
@@ -934,8 +936,9 @@ object Curation {
     //  * the edge list is repartitioned by src ONCE and materialized, so
     //    each hop's frontier⋈edges join reuses that hash partitioning
     //    (the frontier side arrives hash(node)-partitioned from the
-    //    previous level's min-agg; localCheckpoint preserves the physical
-    //    partitioning into the LogicalRDD) — the corpus-pair-sized side
+    //    previous level's min-agg; the materialize seam preserves the
+    //    physical partitioning into the LogicalRDD) — the corpus-pair-sized
+    //    side
     //    never moves again;
     //  * the BFS key is the NODE alone, not (node, rep): component
     //    membership already fixes each node's representative (the shared
@@ -958,11 +961,11 @@ object Curation {
         val edges = pairs.select($"i".as("src"), $"j".as("dst"))
           .unionByName(pairs.select($"j".as("src"), $"i".as("dst")))
           .repartition($"src")
-          .localCheckpoint(true)
+          .materialized
         var levels = List(
           labels.select($"lab").distinct()
             .select($"lab".as("node"), lit(0L).as("hops"))
-            .localCheckpoint(true))
+            .materialized)
         var frontier = levels.head
         while (!frontier.isEmpty) {
           val visited = levels.map(_.select($"node")).reduce(_ unionByName _)
@@ -971,7 +974,7 @@ object Curation {
             .select($"e.dst".as("node"), ($"f.hops" + 1L).as("hops"))
             .groupBy($"node").agg(min($"hops").as("hops"))
             .join(visited, Seq("node"), "left_anti")
-            .localCheckpoint(true)
+            .materialized
           levels ::= next
           frontier = next
         }
@@ -1318,7 +1321,7 @@ object Curation {
           .groupBy($"src").agg(
             count(lit(1)).as("d"),
             sort_array(collect_list(struct($"dd", $"dst"))).as("nbr"))
-          .localCheckpoint(true)
+          .materialized
         // Out-lists in (degree, id) orientation, re-sorted by plain id so
         // the merge kernel intersects on node identity; ei = this node's
         // i-side undirected edge count (i < j pairs), d(d-1)/2 = wedges —

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.GraftSession.MaterializeOps
 import graft.{QueryDef, Tables}
 import graft.sqlx._
 import org.apache.spark.sql.SparkSession
@@ -528,12 +529,12 @@ object Events {
         val ev = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
         val v = ev.filter($"event_type" === "view")
           .groupBy($"user_id").agg(min($"us").as("t0"))
-          .localCheckpoint(true)
+          .materialized
         val c = ev.filter($"event_type" === "click")
           .join(v, "user_id")
           .filter($"us" > $"t0" && $"us" <= $"t0" + dayUs)
           .groupBy($"user_id").agg(min($"us").as("t1"))
-          .localCheckpoint(true)
+          .materialized
         val p = ev.filter($"event_type" === "purchase")
           .join(c, "user_id")
           .filter($"us" > $"t1" && $"us" <= $"t1" + dayUs)

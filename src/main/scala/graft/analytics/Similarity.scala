@@ -1902,7 +1902,12 @@ object Similarity {
           count(lit(1)).as("n_cells"))
         counts.crossJoin(broadcast(total))
           .select($"cent_id", $"n_vectors",
-            expr("n_vectors * n_cells * 1000000 div total").as("load_ppm_of_mean"))
+            // decimal(38,0) intermediate: at the 100 TB design point
+            // (~1e12 vectors × 1024 cells × 1e6) the bare Long product
+            // wraps silently under non-ANSI mode; `div` on decimals still
+            // returns the exact integral bigint the oracle computes.
+            expr("cast(n_vectors as decimal(38,0)) * n_cells * 1000000 div total")
+              .as("load_ppm_of_mean"))
           .orderBy($"cent_id")
       },
       Some(s"""

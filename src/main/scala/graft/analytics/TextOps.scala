@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.GraftSession.MaterializeOps
 import graft.{QueryDef, Tables}
 import graft.sqlx._
 import org.apache.spark.sql.{Column, SparkSession}
@@ -1131,7 +1132,7 @@ object TextOps {
         .groupBy($"word").agg(count(lit(1)).as("freq"))
         .withColumn("seq",
           concat(lit(" "), trim(regexp_replace($"word", "(.)", "$1 ")), lit(" ")))
-        .localCheckpoint(true)
+        .materialized
       val merges = (1 to BPE_MERGES).map { it =>
         val pairs = vocab
           .withColumn("toks", split(trim($"seq"), " "))
@@ -1144,17 +1145,17 @@ object TextOps {
         val best = pairs
           .agg(min(struct((-$"cnt").as("nc"), $"pair".as("p"))).as("m"))
           .select($"m.p".as("pair"), (-$"m.nc").as("cnt"))
-          .localCheckpoint(true)
+          .materialized
         vocab = vocab.withColumn("k", lit(1))
           .join(best.select($"pair", lit(1).as("k")), "k")
           .withColumn("seq", expr(
             "replace(seq, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')"))
           .select($"word", $"freq", $"seq")
-          .localCheckpoint(true)
+          .materialized
         best.select(lit(it.toLong).as("it"), $"pair",
           regexp_replace($"pair", " ", "").as("new_token"), $"cnt".as("pair_count"))
       }
-      (merges.reduce(_ unionAll _).localCheckpoint(true), vocab)
+      (merges.reduce(_ unionAll _).materialized, vocab)
     })
 
   /** Number of t21 merge iterations — enough to exercise merged symbols

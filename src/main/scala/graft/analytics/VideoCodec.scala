@@ -54,6 +54,13 @@ object VideoCodec {
         val id = fourcc(bytes, off)
         val size = u32(bytes, off + 4).toInt
         val body = off + 8
+        // The size field is attacker-controlled bytes: a value ≥ 2^31 goes
+        // negative through .toInt (off would stop advancing — infinite
+        // loop), and an oversized one would surface as a raw copyOfRange
+        // error. Fail fast with a diagnosis instead.
+        require(size >= 0 && body.toLong + size <= end,
+          s"truncated/corrupt AVI: chunk '$id' at offset $off declares " +
+            s"size ${u32(bytes, off + 4)} but only ${end - body} bytes remain")
         id match {
           case "LIST" => walk(body + 4, body + size) // skip the list type
           case "avih" =>

@@ -137,7 +137,8 @@ object TopicOffset {
 }
 
 class TopicConsumeMicroBatchStream(addr: String,
-    maxOpsPerTrigger: Option[Long] = None) extends MicroBatchStream
+    maxOpsPerTrigger: Option[Long] = None,
+    pollPage: Int = 512) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
@@ -186,20 +187,49 @@ class TopicConsumeMicroBatchStream(addr: String,
       s"cannot rewind a live consume feed to $at (base $baseIdx)")
   }
 
-  private def poll(): Unit = synchronized {
+  /** Buffered-but-uncommitted op count — exposed for the bounded-poll
+    * driver-memory spec. */
+  private[sources] def bufferedOps: Int = synchronized(buffer.size)
+
+  /** Drain the broker in BOUNDED `fetchPage` rounds, stopping once a group
+    * boundary at/past `untilOpIdx` is buffered (or the high-water mark is
+    * reached). With admission control the budget is start + maxRows, so
+    * driver memory stays proportional to the trigger size — a restart
+    * against a long-retained topic no longer materializes the whole
+    * backlog into the buffer to serve one capped batch. `Long.MaxValue`
+    * (allAvailable) keeps the old drain-to-hwm behavior, which is then the
+    * batch size by definition. */
+  private def poll(untilOpIdx: Long): Unit = synchronized {
     polled = true
-    val msgs = client.fetchFrom(nextMsgOffset)
-    msgs.foreach { case (off, bytes) =>
-      decoder.feed(bytes, off).foreach { b =>
-        b.ops.foreach { op =>
-          buffer += ((baseIdx + buffer.size, b.commitSeq, b.commitOffset,
-            OperationJson.render(op)))
+    var caughtUp = false
+    while (!caughtUp &&
+        !(boundaries.nonEmpty && boundaries.last.opIdx >= untilOpIdx)) {
+      val msgs = client.fetchPage(nextMsgOffset, pollPage)
+      if (msgs.isEmpty) caughtUp = true
+      else {
+        // A page whose head is beyond the requested offset means the broker
+        // no longer retains [nextMsgOffset, head) — the checkpoint points
+        // into purged log. Diagnose instead of feeding the decoder a gap.
+        if (msgs.head._1 > nextMsgOffset)
+          throw new IllegalStateException(
+            s"topic retention purged offsets < ${msgs.head._1}: the consume " +
+              s"checkpoint needs message $nextMsgOffset, which the broker no " +
+              "longer retains; this checkpoint is unrecoverable — restart " +
+              "from a fresh checkpoint at the earliest retained offset (and " +
+              "re-bootstrap downstream state), or raise the topic retention")
+        msgs.foreach { case (off, bytes) =>
+          decoder.feed(bytes, off).foreach { b =>
+            b.ops.foreach { op =>
+              buffer += ((baseIdx + buffer.size, b.commitSeq, b.commitOffset,
+                OperationJson.render(op)))
+            }
+            commitSeq = b.commitSeq
+            safeMsgOffset = off + 1
+            boundaries += TopicOffset(safeMsgOffset, commitSeq, baseIdx + buffer.size)
+          }
+          nextMsgOffset = off + 1
         }
-        commitSeq = b.commitSeq
-        safeMsgOffset = off + 1
-        boundaries += TopicOffset(safeMsgOffset, commitSeq, baseIdx + buffer.size)
       }
-      nextMsgOffset = off + 1
     }
   }
 
@@ -216,7 +246,7 @@ class TopicConsumeMicroBatchStream(addr: String,
     // Spark calls deserializeOffset(checkpoint) then latestOffset on a
     // restarted query; arming is idempotent and deserializeOffset arms.
     if (armedAt.isEmpty) arm(TopicOffset.zero)
-    poll()
+    poll(Long.MaxValue)
     safeLatest
   }
 
@@ -229,15 +259,17 @@ class TopicConsumeMicroBatchStream(addr: String,
     * is taken whole — one group is the progress quantum. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
     if (armedAt.isEmpty) arm(start.asInstanceOf[TopicOffset])
-    poll()
     val s = start.asInstanceOf[TopicOffset].opIdx
     limit match {
       case mr: ReadMaxRows =>
         val budget = s + mr.maxRows
+        poll(budget) // bounded: stop at the first boundary at/past the budget
         val within = boundaries.filter(b => b.opIdx > s && b.opIdx <= budget)
         if (within.nonEmpty) within.last
         else boundaries.find(_.opIdx > s).getOrElse(safeLatest)
-      case _ => safeLatest
+      case _ =>
+        poll(Long.MaxValue)
+        safeLatest
     }
   }
 
@@ -258,9 +290,22 @@ class TopicConsumeMicroBatchStream(addr: String,
       // the messages) so the replayed batch carries its original rows
       // instead of silently committing empty and shifting every later
       // op_idx.
-      if (e - baseIdx > buffer.size) poll()
-      require(s >= baseIdx && e - baseIdx <= buffer.size,
-        s"batch [$s,$e) not coverable from base $baseIdx + ${buffer.size} buffered ops")
+      if (e - baseIdx > buffer.size) poll(e)
+      if (!(s >= baseIdx && e - baseIdx <= buffer.size)) {
+        // Coverage failure after a refetch usually means the broker no
+        // longer holds the checkpointed range (retention purge, or the
+        // topic was truncated/recreated shorter than the checkpoint).
+        val hwm = try client.highWaterMark() catch { case _: Exception => -1L }
+        if (hwm >= 0 && hwm < nextMsgOffset)
+          throw new IllegalStateException(
+            s"topic retention purged the checkpointed range: replaying batch " +
+              s"[$s,$e) needs messages from offset $safeMsgOffset but the " +
+              s"broker's high-water mark is $hwm (topic truncated or " +
+              "recreated); this checkpoint is unrecoverable — restart from a " +
+              "fresh checkpoint and re-bootstrap downstream state")
+        throw new IllegalStateException(
+          s"batch [$s,$e) not coverable from base $baseIdx + ${buffer.size} buffered ops")
+      }
       buffer.slice((s - baseIdx).toInt, (e - baseIdx).toInt).toVector
     }
     Array(TopicSlice(slice))

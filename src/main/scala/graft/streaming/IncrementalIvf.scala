@@ -92,7 +92,10 @@ object IncrementalIvf {
       count(lit(1)).as("n_cells"))
     counts.crossJoin(broadcast(total))
       .select(col("cent_id"), col("n_vectors"),
-        expr("n_vectors * n_cells * 1000000 div total").as("load_ppm_of_mean"))
+        // decimal(38,0) intermediate — the bare Long product wraps at the
+        // ~1e12-vector design point (see s20 in Similarity.scala)
+        expr("cast(n_vectors as decimal(38,0)) * n_cells * 1000000 div total")
+          .as("load_ppm_of_mean"))
       .orderBy(col("cent_id"))
   }
 

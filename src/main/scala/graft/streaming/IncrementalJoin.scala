@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.GraftSession.MaterializeOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -118,18 +119,18 @@ object IncrementalJoin {
   def merge(changes: DataFrame, batchId: Long, stateRoot: String): Option[DataFrame] = {
     if (batchId <= SnapshotStore.lastBatchId(vRoot(stateRoot))) return None // replay
     val spark = changes.sparkSession
-    val latest = latestPerKey(changes).localCheckpoint(true)
-    val touched = latest.select("user_id").distinct().localCheckpoint(true)
+    val latest = latestPerKey(changes).materialized
+    val touched = latest.select("user_id").distinct().materialized
     // sides materialize first so the view/changelog plans read the
     // checkpointed frames instead of re-deriving the side merges
     val newL = mergeSide(SnapshotStore.read(spark, lRoot(stateRoot)),
-      latest.filter(col("side") === "L")).localCheckpoint(true)
+      latest.filter(col("side") === "L")).materialized
     val newR = mergeSide(SnapshotStore.read(spark, rRoot(stateRoot)),
-      latest.filter(col("side") === "R")).localCheckpoint(true)
+      latest.filter(col("side") === "R")).materialized
     val (changelog0, newView0) = viewFrames(
       SnapshotStore.read(spark, vRoot(stateRoot)), newL, newR, touched)
-    val changelog = changelog0.localCheckpoint(true)
-    val newView = newView0.localCheckpoint(true)
+    val changelog = changelog0.materialized
+    val newView = newView0.materialized
 
     // commit order: sides first, view LAST — its batch id is the gate
     SnapshotStore.writeNext(newL, lRoot(stateRoot), Some(batchId))

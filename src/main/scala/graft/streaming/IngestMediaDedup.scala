@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.GraftSession.MaterializeOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -46,7 +47,12 @@ object IngestMediaDedup {
   private def withBands(withHash: DataFrame): DataFrame =
     withHash.select(Seq(col("image_id"), col("h")) ++
       (0 until 4).map(k =>
-        (shiftrightunsigned(col("h"), k * 16) % 65536).as(s"b$k")): _*)
+        // Mask, not `% 65536`: Spark's % keeps the dividend's sign, so a
+        // fingerprint with bit 63 set would get a NEGATIVE band-3 residue
+        // and never collide with an equal-band positive one. phash64 pins
+        // bit 63 to 0 today, but the gate must stay correct for any
+        // 64-bit fingerprint source.
+        shiftrightunsigned(col("h"), k * 16).bitwiseAND(lit(0xFFFFL)).as(s"b$k")): _*)
 
   /** Flag one batch of arrivals (image_id, payload) against the corpus
     * index. Every arrival gets a verdict row: candidate count, verified
@@ -100,7 +106,7 @@ object IngestMediaDedup {
     // lineage), then drop the caches before handing the frame out.
     val arr = hashedArrivals(arrivals).persist()
     val cands = candidates(arr, corpusIdx).persist()
-    try verdicts(arrivals, cands, maxHamming).localCheckpoint(true)
+    try verdicts(arrivals, cands, maxHamming).materialized
     finally { arr.unpersist(); cands.unpersist() }
   }
 

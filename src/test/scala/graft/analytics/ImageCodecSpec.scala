@@ -132,7 +132,8 @@ class ImageCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = rows.toDF("doc_id", "payload").repartition(4)
     val ph = udf((b: Array[Byte]) => ImageCodec.phash64(b))
     val bandCols = Seq($"doc_id", $"h") ++
-      (0 until 4).map(k => (shiftrightunsigned($"h", k * 16) % 65536).as(s"b$k"))
+      (0 until 4).map(k =>
+        shiftrightunsigned($"h", k * 16).bitwiseAND(lit(0xFFFFL)).as(s"b$k"))
     val withBands = df.select($"doc_id", ph($"payload").as("h"))
       .select(bandCols: _*)
       .persist()

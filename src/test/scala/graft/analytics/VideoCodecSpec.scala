@@ -32,6 +32,29 @@ class VideoCodecSpec extends AnyFunSuite {
     VideoCodec.encodeAviMjpeg(W, W, fps, jpegs)
   }
 
+  test("corrupt AVI chunk sizes fail fast with a diagnosis (no infinite " +
+      "loop on a negative .toInt size, no raw copyOfRange error)") {
+    val good = clip(Seq((1, 3)))
+    // oversized: first chunk after the RIFF header claims more bytes than
+    // remain in the buffer
+    val oversized = good.clone()
+    oversized(16) = 0xFF.toByte; oversized(17) = 0xFF.toByte
+    oversized(18) = 0xFF.toByte; oversized(19) = 0x7E.toByte
+    val e1 = intercept[IllegalArgumentException](VideoCodec.parseAvi(oversized))
+    assert(e1.getMessage.contains("truncated/corrupt AVI"))
+    // size ≥ 2^31: u32(...).toInt goes negative — without the guard the
+    // walk offset stops advancing and the parser loops forever
+    val negative = good.clone()
+    negative(16) = 0.toByte; negative(17) = 0.toByte
+    negative(18) = 0.toByte; negative(19) = 0x80.toByte
+    val e2 = intercept[IllegalArgumentException](VideoCodec.parseAvi(negative))
+    assert(e2.getMessage.contains("truncated/corrupt AVI"))
+    // truncation mid-chunk is also a clean failure
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length - 7)
+    val e3 = intercept[IllegalArgumentException](VideoCodec.parseAvi(truncated))
+    assert(e3.getMessage.contains("truncated/corrupt AVI"))
+  }
+
   test("AVI round-trip: container metadata and every MJPEG frame survive") {
     val avi = clip(Seq((2, 7), (3, 5)))
     val parsed = VideoCodec.parseAvi(avi)

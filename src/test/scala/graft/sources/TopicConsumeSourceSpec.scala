@@ -222,6 +222,26 @@ class TopicConsumeSourceSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("retention purge: replaying a checkpointed batch against a broker " +
+      "that no longer retains the range fails with an ACTIONABLE " +
+      "retention diagnosis, not a bare coverage error") {
+    // the broker was truncated/recreated: it holds NOTHING, while the
+    // checkpoint references messages 1..2 (a purged range)
+    val server = new TopicServer().start()
+    try {
+      val s2 = new TopicConsumeMicroBatchStream(s"127.0.0.1:${server.port}")
+      val o1 = TopicOffset(1, 1, 3)
+      val o2 = TopicOffset(2, 2, 6)
+      s2.deserializeOffset(o2.json())
+      s2.deserializeOffset(o1.json())
+      val e = intercept[IllegalStateException](s2.planInputPartitions(o1, o2))
+      assert(e.getMessage.contains("retention purged"),
+        s"want a retention diagnosis, got: ${e.getMessage}")
+      assert(e.getMessage.contains("unrecoverable"))
+      s2.stop()
+    } finally server.close()
+  }
+
   test("restart AT a torn-group checkpoint: the fresh stream refetches the " +
       "whole group and completes it — no seq gap, no duplicate") {
     val server = new TopicServer().start()
@@ -275,6 +295,35 @@ class TopicConsumeSourceSpec extends AnyFunSuite {
       // allAvailable from there drains the rest
       val o3 = stream.latestOffset(o2, ReadLimit.allAvailable()).asInstanceOf[TopicOffset]
       assert(o3.opIdx == 9)
+      client.close()
+      stream.stop()
+    } finally server.close()
+  }
+
+  test("bounded polling: with admission control the driver buffers ∝ the " +
+      "trigger budget, not the whole retained backlog") {
+    val server = new TopicServer().start()
+    try {
+      val client = new TopicClient("127.0.0.1", server.port)
+      val producer = new FragmentingProducer(producerId = 1L)
+      // a long-retained backlog: 40 trxs = 120 ops / ≥120 messages
+      (1 to 40).flatMap(i => producer.produce(trx(i * 200L, i.toLong)))
+        .foreach(m => client.produce(Wire.encodeMessage(m)))
+
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      val stream = new TopicConsumeMicroBatchStream(
+        s"127.0.0.1:${server.port}", maxOpsPerTrigger = Some(6L), pollPage = 4)
+      val z = stream.initialOffset().asInstanceOf[TopicOffset]
+      val o1 = stream.latestOffset(z, ReadLimit.maxRows(6)).asInstanceOf[TopicOffset]
+      assert(o1.opIdx == 6)
+      assert(stream.bufferedOps < 30,
+        s"poll must stop near the budget, buffered ${stream.bufferedOps} of 120")
+      assert(readAll(stream, z, o1).map(_._1) == (0L until 6L).toVector)
+      // later triggers keep draining correctly page by page
+      stream.commit(o1)
+      val o2 = stream.latestOffset(o1, ReadLimit.maxRows(6)).asInstanceOf[TopicOffset]
+      assert(o2.opIdx == 12)
+      assert(readAll(stream, o1, o2).map(_._1) == (6L until 12L).toVector)
       client.close()
       stream.stop()
     } finally server.close()
