@@ -57,14 +57,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    is scanned at least twice per call; the e31/e33 callers only
   *    avoid the double scan because Tables.t frames are session-cached.
   *    Persist (or pre-cache) the input when its lineage is expensive.
-  *  - the "every stage bounded by 1/#buckets" claim below holds only
-  *    when the LEADING order key is not heavily skewed: buckets are
-  *    quantiles of that key, so a single dominant value (one key
-  *    carrying 80% of rows, as in the skewed-key spec) collapses into
-  *    ONE bucket whose sequential scan holds most of the corpus —
-  *    results stay correct, but the single-task cliff returns. With a
-  *    skewed leading key, refine the order head (e.g. a finer-grained
-  *    timestamp) before reaching for this operator.
+  *  - SKEWED LEADING KEYS are handled by a deterministic refinement:
+  *    when the leading-key quantiles collapse onto a dominant value (a
+  *    key carrying ≥2 buckets' worth of mass repeats in the quantile
+  *    array), that key's rows are sub-bucketed by quantiles of the
+  *    SECOND order column — boundaries become (key, tie) pairs compared
+  *    lexicographically, so bucket ids stay monotone in the total order
+  *    and the two passes still agree without any physical-partition
+  *    state (still no `spark_partition_id`, still bit-identical to the
+  *    window form). The refinement costs one extra approxQuantile job
+  *    per dominant value (capped at 4). It needs a NUMERIC second order
+  *    column to refine on; with a single-column order (or a
+  *    non-castable second column) the dominant key degrades to the old
+  *    one-big-bucket behavior — correct, but single-task-bounded.
   *
   * MEASURED BOUNDARY (PrefixScanBench, sf0.1 events = 600k rows, 32
   * threads, median-of-3 warm): window 0.298 s vs scan 1.116 s (same
@@ -92,6 +97,38 @@ object PrefixScan {
   def runningMin(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame =
     scan(df, order, value, out, min, least(_, _), math.min)
 
+  /** Bucket boundaries for the two-pass scan: each is `(kb, None)` — the
+    * bucket index increments where `k > kb` — or, for a DOMINANT leading
+    * key (one that repeats in the leading-key quantile array, i.e.
+    * carries ≥ 2 buckets' worth of mass), `(kb, Some(tb))` pairs from
+    * quantiles of the second order column among that key's rows: the
+    * index increments where `k > kb || (k == kb && t > tb)`. Indicators
+    * are monotone in the (k, t) lexicographic order, so bucket ids stay
+    * consistent with the total order — the carry combination is
+    * unchanged. Exposed `private[plans]` for the skew spec. */
+  private[plans] def boundariesFor(keyed: DataFrame, n: Int, k: String,
+      k2: Option[String]): Seq[(Double, Option[Double])] = {
+    val raw = keyed.stat
+      .approxQuantile(k, (1 until n).map(_.toDouble / n).toArray, 0.001)
+    val byValue = raw.groupBy(identity).toSeq.sortBy(_._1)
+    // refine at most the 4 heaviest dominant values — enough for any real
+    // skew profile, bounds the extra quantile jobs
+    val refinable = byValue.filter(_._2.length >= 2)
+      .sortBy(-_._2.length).take(4).map(_._1).toSet
+    byValue.flatMap { case (h, copies) =>
+      val m = copies.length
+      val sub: Seq[(Double, Option[Double])] =
+        if (m >= 2 && refinable(h) && k2.isDefined)
+          try keyed.filter(col(k) === h).stat
+            .approxQuantile(k2.get, (1 until m).map(_.toDouble / m).toArray, 0.001)
+            .distinct.sorted.toSeq.map(t => (h, Some(t)))
+          catch { case _: Exception => Seq.empty } // non-numeric/all-null tie
+        else Seq.empty
+      if (sub.nonEmpty) sub
+      else Seq((h, None)) // collapse duplicates like the old .distinct
+    }
+  }
+
   private def scan(
       df: DataFrame,
       order: Seq[Column],
@@ -103,18 +140,22 @@ object PrefixScan {
     val spark = df.sparkSession
     val n = math.max(spark.sparkContext.defaultParallelism, 1)
     val k = "__ps_k"
+    val k2 = "__ps_k2"
     val bkt = "__ps_bkt"
     val v = "__ps_v"
     val local = "__ps_local"
-    val keyed = df
+    val hasTie = order.length >= 2
+    val keyed0 = df
       .withColumn(k, order.head.cast("double"))
       .withColumn(v, value.cast(LongType))
-    // Deterministic bucket boundaries: #buckets-1 driver doubles.
-    val bounds = keyed.stat
-      .approxQuantile(k, (1 until n).map(_.toDouble / n).toArray, 0.001)
-      .distinct.sorted
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(k) > b, 1).otherwise(0)
+    val keyed = if (hasTie) keyed0.withColumn(k2, order(1).cast("double")) else keyed0
+    // Deterministic bucket boundaries: O(#buckets) driver doubles.
+    val bounds = boundariesFor(keyed, n, k, if (hasTie) Some(k2) else None)
+    val bucket = bounds.foldLeft(lit(0)) {
+      case (acc, (kb, None)) =>
+        acc + when(col(k) > kb, 1).otherwise(0)
+      case (acc, (kb, Some(tb))) =>
+        acc + when(col(k) > kb || (col(k) === kb && col(k2) > tb), 1).otherwise(0)
     }.cast(IntegerType)
     val ranged = keyed
       .withColumn(bkt, bucket)
@@ -154,6 +195,6 @@ object PrefixScan {
         when(col("__ps_carry").isNull, col(local))
           .otherwise(when(col(local).isNull, col("__ps_carry"))
             .otherwise(combine(col("__ps_carry"), col(local)))))
-      .drop(bkt, k, v, local, "__ps_carry")
+      .drop(bkt, k, k2, v, local, "__ps_carry")
   }
 }

@@ -79,17 +79,51 @@ class PrefixScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(n = 1, seed = 22L, nullEvery = 0)
   }
 
-  test("parity on a heavily skewed key (one key dominates)") {
+  test("parity on a heavily skewed key (one key dominates) AND the " +
+      "dominant key is refined into >1 bucket by tie-column quantiles") {
     import spark.implicits._
     val rnd = new scala.util.Random(99L)
     val df = (0 until 2000).map { i =>
       val k = if (rnd.nextInt(10) < 8) 42L else rnd.nextInt(100).toLong
       (k, i.toLong, java.lang.Long.valueOf(rnd.nextInt(100).toLong))
     }.toDF("k", "tie", "v").repartition(5)
-    val got = PrefixScan.runningSum(df, Seq($"k", $"tie"), $"v", "run")
-      .select($"tie", $"run").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val exp = windowRef(df, sum)
-      .select($"tie", $"ref").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bit-identical to the window reference, max/sum/min alike
+    for ((scanOp, aggC) <- Seq[((org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.Column], org.apache.spark.sql.Column,
+        String) => org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      (PrefixScan.runningSum, sum), (PrefixScan.runningMax, max))) {
+      val got = scanOp(df, Seq($"k", $"tie"), $"v", "run")
+        .select($"tie", $"run").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = windowRef(df, aggC)
+        .select($"tie", $"ref").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exp)
+    }
+    // the single-task cliff is gone: the dominant key (80% of rows on 42)
+    // no longer collapses into one bucket — its quantile-array copies are
+    // refined into (k=42, tie-quantile) sub-boundaries
+    val keyed = df.withColumn("__ps_k", $"k".cast("double"))
+      .withColumn("__ps_k2", $"tie".cast("double"))
+    val bounds = PrefixScan.boundariesFor(keyed,
+      math.max(spark.sparkContext.defaultParallelism, 1), "__ps_k", Some("__ps_k2"))
+    val subBounds = bounds.filter(b => b._1 == 42.0 && b._2.isDefined)
+    assert(subBounds.size >= 1,
+      s"dominant key was not refined; boundaries: $bounds")
+    // sub-boundaries split 42's rows into >1 bucket (each boundary adds one)
+    assert(subBounds.map(_._2.get).distinct.size == subBounds.size)
+  }
+
+  test("single-column order: skew refinement degrades gracefully (no tie " +
+      "column to refine on) and parity still holds") {
+    import spark.implicits._
+    // distinct keys so the single-column order is still total
+    val df = (0 until 300).map(i => (i.toLong, java.lang.Long.valueOf(i % 7)))
+      .toDF("k", "v").repartition(3)
+    val got = PrefixScan.runningSum(df, Seq($"k"), $"v", "run")
+      .select($"k", $"run").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy($"k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("ref", sum($"v").over(w))
+      .select($"k", $"ref").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == exp)
   }
 
