@@ -31,13 +31,19 @@ object BenchSf1 {
   private val Reps = 10
   private val Off = 10000000L
 
-  /** Top of the sf0.1 cost table (bench_queries.json, round 7), plus the
-    * recall gates (the round-6 size-targeted eval sample must stay flat at
-    * 10× — at 50k docs the pct drops from 50 to 5) and the round-7
+  /** Every query at or above this sf0.1 median (bench_queries.json) is
+    * AUTOMATICALLY selected for the 10× gate — a new heavy query cannot
+    * silently skip the checkpoint by not being on the curated list. */
+  private val CostThresholdSec = 1.0
+
+  /** Structural always-list: queries measured at 10× regardless of their
+    * sf0.1 cost — recall gates (the size-targeted eval sample must stay
+    * flat at 10× — at 50k docs the pct drops from 50 to 5) and the
     * iterated/fan-out operators whose scale story deserves measurement:
     * t21 (K-round vocab loop), d17 (cdc-chunk explode), d18 (drives the
-    * shared p03 cluster contraction at 10×). */
-  private val Top10 = Seq(
+    * shared p03 cluster contraction at 10×), etc. The expensive-query
+    * dimension is covered by [[CostThresholdSec]], not this list. */
+  private val Always = Seq(
     "p03_dup_clusters", "m06_crossmodal_consensus", "s13_pq_adc_recall",
     "s14_ivfpq_recall", // r7's most expensive query — unmeasured at 10× until r8
     "q45_bag_set_ops", "d10_incremental_dedup", "d05_simhash_pairs",
@@ -98,9 +104,17 @@ object BenchSf1 {
     // warmup outside timing, as in Bench
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val queries = Top10.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-    require(queries.size == Top10.size,
-      s"benchmark names no longer resolve: ${Top10.toSet -- queries.map(_._1)}")
+    // Selection = curated structural list ∪ every query whose sf0.1
+    // median crosses the cost threshold. The auto leg is what keeps the
+    // gate honest: a newly-added expensive query lands here by cost, not
+    // by someone remembering to list it.
+    val sf01 = readSf01Medians()
+    val auto = sf01.filter { case (n, m) =>
+      m >= CostThresholdSec && SparkEntry.queries.contains(n) }.keys.toSeq.sorted
+    val names = (Always ++ auto.filterNot(Always.contains)).toVector
+    val queries = names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    require(Always.forall(n => SparkEntry.queries.contains(n)),
+      s"benchmark names no longer resolve: ${Always.toSet -- queries.map(_._1)}")
     val cold = collection.mutable.LinkedHashMap.empty[String, Double]
     val warm = collection.mutable.LinkedHashMap.empty[String, List[Double]]
     def time(fn: (SparkSession, String) => DataFrame): Double = {
@@ -112,7 +126,6 @@ object BenchSf1 {
     for (_ <- 1 to 3; (name, fn) <- queries)
       warm.updateWith(name)(prev => Some(time(fn) :: prev.getOrElse(Nil)))
 
-    val sf01 = readSf01Medians()
     def r3(v: Double): String = f"$v%.3f"
     val rows = spark.read.parquet(s"$outDir/lineitem.parquet").count()
     val docs = spark.read.parquet(s"$outDir/documents.parquet").count()
@@ -121,8 +134,9 @@ object BenchSf1 {
       val ratio = sf01.get(name).map(m => s""","x_vs_10x_sf01":${r3(w / (10 * m))}""").getOrElse("")
       s""""$name":{"cold":${r3(cold(name))},"warm":${r3(w)}$ratio}"""
     }.mkString("{", ",", "}")
+    val autoJson = auto.map("\"" + _ + "\"").mkString("[", ",", "]")
     val out =
-      s"""{"metric":"sf1_checkpoint","lineitem_rows":$rows,"document_rows":$docs,"reps":$Reps,"queries":$qjson,"src":"$srcDir","method":"cold = first pass in a fresh session (scan + cache + shared index builds attributed to first toucher); warm = median of 3 subsequent passes; x_vs_10x_sf01 = warm / (10 x sf0.1 median from bench_queries.json)"}"""
+      s"""{"metric":"sf1_checkpoint","lineitem_rows":$rows,"document_rows":$docs,"reps":$Reps,"queries":$qjson,"src":"$srcDir","selection":{"threshold_sec":$CostThresholdSec,"auto":$autoJson,"always":${Always.size}},"method":"selection = structural always-list UNION every query with sf0.1 median >= ${CostThresholdSec}s in bench_queries.json (auto leg - new heavy queries cannot skip the 10x gate); cold = first pass in a fresh session (scan + cache + shared index builds attributed to first toucher); warm = median of 3 subsequent passes; x_vs_10x_sf01 = warm / (10 x sf0.1 median from bench_queries.json)"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1.json"),
       (out + "\n").getBytes("UTF-8"))
     println(out)

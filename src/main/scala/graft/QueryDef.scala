@@ -119,4 +119,21 @@ object sqlx {
   def AVG(e: String): String = s"${SUM(e)}/COUNT(*)"
 
   def ts(s: String): Column = to_timestamp(lit(s))
+
+  /** Idempotent persist for frames rebuilt per QueryDef call: Spark's
+    * CacheManager matches by logical plan, so re-running a query re-persists
+    * an identical plan and logs `Asked to cache already cached data` — in a
+    * 3-round bench over 192 queries that spam drowns the artifact (and a
+    * REAL caching regression with it). `Dataset.storageLevel` consults the
+    * CacheManager by plan, so skipping when it's already non-NONE is exactly
+    * "persist once per session"; downstream consumers still hit the cache
+    * via the planner's InMemoryRelation substitution. Builders already
+    * guarded by a session TrieMap don't need this. */
+  implicit class PersistOnceOps[T](private val ds: org.apache.spark.sql.Dataset[T])
+      extends AnyVal {
+    def persistOnce(level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): org.apache.spark.sql.Dataset[T] =
+      if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE) ds.persist(level)
+      else ds
+  }
 }

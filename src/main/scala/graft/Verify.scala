@@ -9,12 +9,20 @@ object Verify {
     // optional 3rd arg: comma-separated subset of query names (iteration aid)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,4096] runs the whole suite
+    // with REAL executor processes (separate JVMs, real serialization,
+    // real block-manager transfers) — the closest offline approximation
+    // of a multi-executor cluster. Needs the classes as a jar
+    // (SPARK_GRAFT_JARS=target/scala-2.13/<...>.jar from `sbt package`)
+    // since executors run from SPARK_HOME, not the sbt classpath.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     BenchLog.quietBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()

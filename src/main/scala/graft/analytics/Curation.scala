@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.GraftSession.MaterializeOps
 import graft.{QueryDef, Tables}
+import graft.sqlx.PersistOnceOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -459,7 +460,7 @@ object Curation {
           .sortWithinPartitions($"novelty", $"doc_id")
           // cache: count() and zipWithIndex would each re-run the novelty
           // aggregates + shuffle + sort from lineage
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistOnce()
         val n = sortedNov.count() // distributed agg; table stats at scale
         val (q10, rem) = (n / 10L, n % 10L)
         val ranked = s.createDataFrame(

@@ -453,7 +453,7 @@ object Events {
         val perMin = t(s, dir, "events")
           .groupBy(unix_micros(date_trunc("minute", $"ts")).as("minute_us"))
           .agg(count(lit(1)).as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistOnce()
         val stats = perMin.agg(
           sum($"n").as("s"), sum($"n" * $"n").as("sq"), count(lit(1)).as("cnt"))
         perMin.crossJoin(broadcast(stats))

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.{QueryDef, Tables}
+import graft.sqlx.PersistOnceOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -451,7 +452,7 @@ object Multimodal {
           .filter($"f2".isNotNull)
           .select($"doc_id", md5(concat($"fh", $"f1", $"f2")).as("sh"))
           .distinct()
-          .persist()
+          .persistOnce()
         val dfc = sh.groupBy($"sh").agg(countDistinct($"doc_id").as("df"))
         val idx = sh.join(dfc.filter($"df" <= 32), "sh")
         val per = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.{QueryDef, Tables}
+import graft.sqlx.PersistOnceOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -555,7 +556,7 @@ object Similarity {
         // pr column says which probe admitted a candidate, so nprobe=1 is a
         // filter over the persisted nprobe=2 candidate set — the index is
         // never built twice (this is also how a real eval sweeps the dial)
-        val cands = ivfCandidates(s, dir).persist()
+        val cands = ivfCandidates(s, dir).persistOnce()
         val perSetting = Seq(1, NPROBE).map { np =>
           val ivf = rankTopK(s, cands.filter($"pr" <= np)).select($"qid", $"cid")
           val hits = exact.join(ivf, Seq("qid", "cid"), "left_semi")
@@ -1299,7 +1300,7 @@ object Similarity {
         val res = assigned.join(broadcast(cent1), "cent_id")
           .withColumn("rb", zip_with($"qb", $"qc", (x, y) => x - y))
           .select($"cid", $"cent_id", $"rb")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistOnce()
         def subRows(df: DataFrame, col0: String): DataFrame =
           (0 until M).map(m =>
             df.select(df.columns.filterNot(_ == col0).map(col) :+
@@ -1603,7 +1604,7 @@ object Similarity {
             round(cosine(dotInt("qa", "q"), $"n2a", $"n2") * 1e9).cast("long"))
           .select($"vec_id", $"q", $"n2", $"rel_q")
           .withColumn("ms_q", lit(0L))
-          .persist()
+          .persistOnce()
         val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
         for (k <- 1 to 5) {
           val top = cand

@@ -995,7 +995,7 @@ object TextOps {
         // and without the cache each side re-runs the corpus tokenize (the
         // only corpus-sized pass here; cs itself is vocab × sources)
         val cs = tok.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistOnce()
         val tot = cs.groupBy($"source").agg(sum($"c").as("tot"))
         val vocab = cs.select($"w").distinct()
         val vsize = vocab.agg(count(lit(1)).as("v"))

@@ -751,7 +751,7 @@ object Tpch {
           .sortWithinPartitions($"c_acctbal", $"c_custkey")
           // cache the sorted partitions: count() and zipWithIndex would
           // otherwise each re-run the full shuffle+sort from lineage
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistOnce()
         val n = sorted.count() // distributed count; table stats at scale
         val (q10, rem) = (n / 10L, n % 10L)
         val big = q10 + 1L
