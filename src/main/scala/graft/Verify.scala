@@ -22,6 +22,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    // SPARK_GRAFT_CHECKPOINT_DIR flips every iterated plan's
+    // materialization from localCheckpoint to RELIABLE checkpoint
+    // (GraftSession.materialize) — combined with local-cluster this is
+    // the preemption-survivability configuration run end-to-end.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(d => builder.config(GraftSession.CheckpointDirKey, d))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     BenchLog.quietBoundedWindowWarnings()
