@@ -16,8 +16,12 @@ import scala.collection.mutable
   *   request  = 0x01                      — high water mark
   *            | 0x02 ++ int64 fromOffset  — fetch to current hwm
   *            | 0x03 ++ int32 len ++ data — append one message (producer)
+  *            | 0x04 ++ int64 fromOffset ++ int32 maxMessages — one
+  *              BOUNDED page (the streaming consumer's poll unit: without
+  *              it the paged consume path would re-stream the whole tail
+  *              per page — quadratic on the wire)
   *   response = int64 hwm                          (for 0x01 and 0x03)
-  *            | { int64 offset, int32 len, data }* ++ int64 -1   (for 0x02)
+  *            | { int64 offset, int32 len, data }* ++ int64 -1   (for 0x02/0x04)
   * Every request and response is self-delimiting, so requests ride one
   * persistent connection back-to-back (the server loops until EOF) — the
   * original one-request-per-connection shape cost ~10x in the ordered
@@ -85,6 +89,18 @@ final class TopicServer(seed: Seq[Array[Byte]] = Nil) {
             off += 1
           }
           out.writeLong(-1L) // end of fetch
+        case 0x04 =>
+          val from = in.readLong()
+          val max = in.readInt()
+          val hwm = highWaterMark
+          var off = from
+          val end = math.min(hwm, from + math.max(max, 0))
+          while (off < end) {
+            val m = messageAt(off)
+            out.writeLong(off); out.writeInt(m.length); out.write(m)
+            off += 1
+          }
+          out.writeLong(-1L) // end of page
         case 0x03 =>
           val data = new Array[Byte](in.readInt())
           in.readFully(data)
@@ -217,6 +233,21 @@ final class TopicClient(host: String, port: Int) extends TopicLike {
   /** All (offset, message) pairs in [fromOffset, hwm-at-fetch-time). */
   def fetchFrom(fromOffset: Long): Vector[(Long, Array[Byte])] = withConn { (in, out) =>
     out.writeByte(0x02); out.writeLong(fromOffset); out.flush()
+    readFetchStream(in)
+  }
+
+  /** One BOUNDED page over the 0x04 opcode — the streaming consumer's
+    * poll unit. The base trait's `fetchFrom(...).take(n)` default would
+    * re-stream the whole topic tail per page (quadratic on the wire);
+    * this asks the server for exactly `maxMessages`. */
+  override def fetchPage(fromOffset: Long,
+      maxMessages: Int): Vector[(Long, Array[Byte])] = withConn { (in, out) =>
+    out.writeByte(0x04); out.writeLong(fromOffset); out.writeInt(maxMessages)
+    out.flush()
+    readFetchStream(in)
+  }
+
+  private def readFetchStream(in: DataInputStream): Vector[(Long, Array[Byte])] = {
     val res = Vector.newBuilder[(Long, Array[Byte])]
     var done = false
     while (!done) {

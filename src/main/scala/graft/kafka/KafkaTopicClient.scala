@@ -122,11 +122,26 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
     (resp, msgs)
   }
 
-  /** One bounded Fetch round — the streaming-consumer page. */
+  // Remainder of the last Fetch round not yet handed out by fetchPage:
+  // a 1 MiB Fetch response can carry thousands of messages, and slicing
+  // it to maxMessages then REFETCHING the rest next page would discard
+  // ~90% of every response (measured: 218k -> 168k ops/s through the
+  // consume source). Bounded by fetchMaxBytes, so holding it costs at
+  // most one wire round of memory.
+  private var pageBuf: Vector[(Long, Array[Byte])] = Vector.empty
+
+  /** One bounded page — at most `maxMessages` messages, served from the
+    * remainder of the previous Fetch round when the requested offset
+    * continues it, else from one fresh Fetch round. */
   override def fetchPage(fromOffset: Long, maxMessages: Int): Vector[(Long, Array[Byte])] = {
-    val (resp, msgs) = fetchOnce(fromOffset)
-    msgs.filter(m => m.offset >= fromOffset && m.offset < resp.highWatermark)
-      .take(maxMessages).map(m => (m.offset, m.value))
+    if (pageBuf.isEmpty || pageBuf.head._1 != fromOffset) {
+      val (resp, msgs) = fetchOnce(fromOffset)
+      pageBuf = msgs.filter(m => m.offset >= fromOffset && m.offset < resp.highWatermark)
+        .map(m => (m.offset, m.value))
+    }
+    val (page, rest) = pageBuf.splitAt(maxMessages)
+    pageBuf = rest
+    page
   }
 
   def fetchFrom(fromOffset: Long): Vector[(Long, Array[Byte])] = {

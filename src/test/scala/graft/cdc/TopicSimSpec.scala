@@ -39,6 +39,14 @@ class TopicSimSpec extends AnyFunSuite {
       assert(all.map(p => new String(p._2)) == Vector("m0", "m1"))
       assert(client.fetchFrom(1L).map(p => new String(p._2)) == Vector("m1"))
       assert(client.fetchFrom(2L).isEmpty)
+      // paged fetch (0x04): exactly maxMessages per round, resumable
+      assert(client.produce("m2".getBytes) == 3L)
+      val p0 = client.fetchPage(0L, 2)
+      assert(p0.map(_._1) == Vector(0L, 1L))
+      val p1 = client.fetchPage(p0.last._1 + 1, 2)
+      assert(p1.map(p => new String(p._2)) == Vector("m2"))
+      assert(client.fetchPage(3L, 2).isEmpty)
+      assert(client.fetchPage(0L, 0).isEmpty)
     } finally server.close()
   }
 
