@@ -98,7 +98,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_queries.json")
+    // bench_queries.json is the sf0.1 median table BenchSf1's auto
+    // selection and 10x ratios DIVIDE BY — a local sf0.001 iteration run
+    // silently overwriting it corrupts every later sf1 ratio (round 10:
+    // d02 read as 1.1x super-linear against sf0.001 medians). Default the
+    // detail of non-sf0.1 runs to a scale-suffixed file instead.
+    val sfTag = sfDir.replaceAll(".*/", "")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      if (sfTag == "sf0.1") "bench_queries.json" else s"bench_queries_$sfTag.json")
     val detail =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"rounds":$rounds,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","method":"warm-cache, median-of-$rounds per query, after one UNTIMED full pass over all queries that builds every shared session index (shingle/signature/simhash-pair/IVF/SQ8/PQ/cluster-label/BPE caches) outside timing — so medians measure queries, not first-toucher index-build attribution. Cold-read parquet numbers would be higher (see README). Queries that throw are EXCLUDED from count/total and listed in failed[]. History: the r6 q05-q10 and r8 s06/s05/d15/d16/d02/d20 regression clusters both failed to reproduce under graft.ClusterBench (interleaved median-of-3, two back-to-back passes, flat q01/q03 controls; r8: s06 1.48/1.36s vs official 4.63) — session-scale attribution noise, which this warm-up phase now removes at the source; driver heap stays 32g (8g evicted shared frames, build.sbt)"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

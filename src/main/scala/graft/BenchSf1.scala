@@ -147,6 +147,13 @@ object BenchSf1 {
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_queries.json")), "UTF-8")
+      // the medians MUST be sf0.1 ones: both the auto selection and the
+      // 10x ratios divide by them, and a stale sf0.001 table silently
+      // inflates every ratio ~100x (seen round 10). Bench now writes
+      // non-sf0.1 details to a suffixed file, and this guards old files.
+      require(txt.contains("\"sf\":\"/root/testdata/sf0.1\"") ||
+          txt.contains("sf0.1\","),
+        "bench_queries.json is not an sf0.1 run — refusing its medians")
       // minimal extraction: "name":1.234 pairs inside the "queries" object
       val m = """"([a-z0-9_]+)":([0-9]+\.[0-9]+)""".r
       m.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap

@@ -128,6 +128,45 @@ object AudioCodec {
     0
   }
 
+  /** m11's landmark constellation from REAL frame energies: at frame i
+    * the landmark is a 16-bit hash of the quantized energy CONTOUR over
+    * an 8-frame window — each energy ilog2-bucketed (stable under
+    * sub-bucket sample noise, keyed to envelope shape rather than fine
+    * amplitude), the window FNV-folded and avalanched into the full
+    * 16-bit space. The (frame_idx, hash) pairs feed m11's offset-vote
+    * alignment: matching hashes across two clips vote for their
+    * frame-index difference; a true overlap concentrates votes on one
+    * offset while chance collisions scatter.
+    *
+    * Window length is a recall/precision dial: overlapping windows mean
+    * one accidental L-frame envelope agreement yields L-7 votes at the
+    * SAME offset, so the 3-vote threshold is really a 10-frame (~0.3 s
+    * at 256/8000) agreement requirement — at 8 ilog2 buckets that is
+    * ~8⁻¹⁰ per alignment, far under noise even for million-clip corpora
+    * (the measured failure mode of a 4-frame window over a synthetic
+    * 5-level envelope: chance 6-frame agreements chained 3 same-offset
+    * votes and flagged every fresh clip at a 60-clip corpus). */
+  def landmarks(energies: Array[Long], window: Int = 8): Array[(Int, Int)] = {
+    def bucket(v: Long): Int = {
+      var b = 0
+      var x = v + 1
+      while (x > 1 && b < 15) { x >>= 1; b += 1 }
+      b
+    }
+    val n = math.max(energies.length - window + 1, 0)
+    val out = new Array[(Int, Int)](n)
+    var i = 0
+    while (i < n) {
+      var h = 0x811C9DC5
+      var k = 0
+      while (k < window) { h = (h ^ bucket(energies(i + k))) * 0x01000193; k += 1 }
+      h ^= h >>> 15; h *= 0x2C1B3C6D; h ^= h >>> 12
+      out(i) = (i, h & 0xFFFF)
+      i += 1
+    }
+    out
+  }
+
   /** Deterministic WAV synthesis for fixtures/specs: 16-bit mono PCM at
     * `rate` Hz from a sample function (index → [-32768, 32767]). */
   def encodeWav(nSamples: Int, rate: Float, sample: Int => Int): Array[Byte] = {
