@@ -9,12 +9,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,4096] (with SPARK_GRAFT_JARS
+    // from `sbt package`) times the suite against REAL executor processes —
+    // the same convention Verify uses for the multi-JVM correctness gate.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     BenchLog.quietBoundedWindowWarnings()
     // JIT/codegen warmup so the first measured query doesn't absorb
@@ -107,7 +112,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       if (sfTag == "sf0.1") "bench_queries.json" else s"bench_queries_$sfTag.json")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"rounds":$rounds,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","method":"warm-cache, median-of-$rounds per query, after one UNTIMED full pass over all queries that builds every shared session index (shingle/signature/simhash-pair/IVF/SQ8/PQ/cluster-label/BPE caches) outside timing — so medians measure queries, not first-toucher index-build attribution. Cold-read parquet numbers would be higher (see README). Queries that throw are EXCLUDED from count/total and listed in failed[]. History: the r6 q05-q10 and r8 s06/s05/d15/d16/d02/d20 regression clusters both failed to reproduce under graft.ClusterBench (interleaved median-of-3, two back-to-back passes, flat q01/q03 controls; r8: s06 1.48/1.36s vs official 4.63) — session-scale attribution noise, which this warm-up phase now removes at the source; driver heap stays 32g (8g evicted shared frames, build.sbt)"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"rounds":$rounds,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","master":"$master","method":"warm-cache, median-of-$rounds per query, after one UNTIMED full pass over all queries that builds every shared session index (shingle/signature/simhash-pair/IVF/SQ8/PQ/cluster-label/BPE caches) outside timing — so medians measure queries, not first-toucher index-build attribution. Cold-read parquet numbers would be higher (see README). Queries that throw are EXCLUDED from count/total and listed in failed[]. History: the r6 q05-q10 and r8 s06/s05/d15/d16/d02/d20 regression clusters both failed to reproduce under graft.ClusterBench (interleaved median-of-3, two back-to-back passes, flat q01/q03 controls; r8: s06 1.48/1.36s vs official 4.63) — session-scale attribution noise, which this warm-up phase now removes at the source; driver heap stays 32g (8g evicted shared frames, build.sbt)"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     // Headline subset keeps the stdout line short (<400 chars) while still
@@ -117,7 +122,7 @@ object Bench {
       "s05_ivf_ann", "e10_asof_join", "t06_top_bigrams")
       .flatMap(k => results.get(k).map(v => "\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"failed":$failedJson,"queries":$headline,"sf":"$sfDir","detail":"$detailPath","method":"warm-cache median-of-$rounds"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"failed":$failedJson,"queries":$headline,"sf":"$sfDir","master":"$master","detail":"$detailPath","method":"warm-cache median-of-$rounds"}""")
     spark.stop()
   }
 }

@@ -1043,6 +1043,84 @@ object Events {
         FROM fr ORDER BY user_id, us, event_id"""),
     ),
 
+    // ---- e27: hourly gap-fill + LOCF — time-series regularization ----
+    // The GRID operator the window queries assume away: every e-query so
+    // far computes over hours that HAVE events; a monitoring/feature
+    // pipeline needs a value for every hour in the user's span —
+    // time_bucket_gapfill + locf in the time-series engines. Three-stage
+    // shape: (1) per-(user, hour) last observation — one map-side-
+    // combinable hash-agg over the stream, the only corpus-sized pass,
+    // with the tie-break on a zero-padded (us, event_id) string so the
+    // pick is deterministic even under timestamp collisions; (2) the
+    // hour grid via sequence(hmin, hmax) exploded per user — span-
+    // bounded (≤ corpus duration in hours per user, 720 here), NOT
+    // corpus-sized, and generated distributed (no driver calendar);
+    // (3) LOCF as last(ignoreNulls) over the per-user hour order — the
+    // partition is the user's grid (≤720 rows), so the sort is local
+    // and bounded. carry_age audits staleness (hours since the carried
+    // observation). Output is user-bounded; cents quantization is the
+    // e25 contract so the fill checksum compares exactly. At 100 TB the
+    // grid grows with users × span, not events — the regularized frame
+    // is usually SMALLER than its input, and each stage is one exchange
+    // on user_id that AQE coalesces.
+    QueryDef(
+      "e27_hourly_gapfill",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val obs = t(s, dir, "events")
+          .select($"user_id", expr("unix_micros(ts) div 3600000000").as("h"),
+            format_string("%020d%020d", unix_micros($"ts"), $"event_id").as("ord"),
+            $"value")
+          .groupBy($"user_id", $"h")
+          .agg(max_by($"value", $"ord").as("vlast"))
+        val grid = obs.groupBy($"user_id")
+          .agg(min($"h").as("hmin"), max($"h").as("hmax"))
+          .select($"user_id", explode(sequence($"hmin", $"hmax")).as("h"))
+        grid.join(obs, Seq("user_id", "h"), "left")
+          .withColumn("v_fill", last($"vlast", ignoreNulls = true).over(w))
+          .withColumn("carry_age",
+            $"h" - last(when($"vlast".isNotNull, $"h"), ignoreNulls = true).over(w))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_hours"),
+            count($"vlast").as("n_observed"),
+            (count(lit(1)) - count($"vlast")).as("n_carried"),
+            max($"carry_age").as("max_carry_age"),
+            sum(round($"v_fill" * 100).cast("long")).as("cents_filled"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+                 epoch_us(ts) AS us, event_id, value
+          FROM events),
+        obs AS (
+          SELECT user_id, h,
+                 arg_max(value, printf('%020d%020d', us, event_id)) AS vlast
+          FROM ev GROUP BY user_id, h),
+        span AS (
+          SELECT user_id, MIN(h) AS hmin, MAX(h) AS hmax FROM obs GROUP BY user_id),
+        grid AS (
+          SELECT user_id, unnest(generate_series(hmin, hmax)) AS h FROM span),
+        filled AS (
+          SELECT g.user_id, g.h, o.vlast,
+                 last_value(o.vlast IGNORE NULLS) OVER w AS v_fill,
+                 g.h - last_value(CASE WHEN o.vlast IS NOT NULL THEN g.h END
+                   IGNORE NULLS) OVER w AS carry_age
+          FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+          WINDOW w AS (PARTITION BY g.user_id ORDER BY g.h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(COUNT(vlast) AS BIGINT) AS n_observed,
+               CAST(COUNT(*) - COUNT(vlast) AS BIGINT) AS n_carried,
+               CAST(MAX(carry_age) AS BIGINT) AS max_carry_age,
+               CAST(SUM(CAST(round(v_fill * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_filled
+        FROM filled GROUP BY user_id ORDER BY user_id"""),
+    ),
+
     // ---- e28: conversion-lag distribution — how long activation takes ----
     // The timing complement to the funnels (e03/e16/e19 count WHO
     // converts; this measures HOW LONG it takes): per user, first signup

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The incremental gap-fill view must equal the batch e27 query after ANY
+  * split of the event stream into micro-batches — including out-of-order
+  * arrival (later event-time delivered first) and replayed batches — and
+  * a batch must only recompute the summary rows of the users it touched. */
+class IncrementalGapFillSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("incremental-gapfill-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def events: DataFrame =
+    graft.Tables.t(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "value")
+
+  /** The batch truth: the e27 QueryDef itself. */
+  private def expected: Seq[(Long, Long, Long, Long, Long, Long)] =
+    collectView(graft.SparkEntry.queries("e27_hourly_gapfill")(spark, sfDir))
+
+  private def collectView(df: DataFrame): Seq[(Long, Long, Long, Long, Long, Long)] =
+    df.select("user_id", "n_hours", "n_observed", "n_carried",
+        "max_carry_age", "cents_filled")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("gapfill-state").toString
+
+  test("chronological batches converge to the batch e27 summary") {
+    val root = freshRoot()
+    val days = events.withColumn("d", expr("unix_micros(ts) div 86400000000"))
+    val cuts = days.select("d").distinct().collect().map(_.getLong(0)).sorted
+    // Three contiguous event-time slices (≈ the replay of a 30-day stream)
+    val groups = cuts.grouped((cuts.length + 2) / 3).toSeq
+    groups.zipWithIndex.foreach { case (ds, i) =>
+      IncrementalGapFill.merge(
+        days.filter(col("d").isin(ds: _*)).drop("d"), i.toLong, root)
+    }
+    assert(collectView(IncrementalGapFill.view(spark, root).get) === expected)
+  }
+
+  test("out-of-order arrival (latest slice first) converges identically") {
+    val root = freshRoot()
+    val h3 = events.withColumn("g", pmod(col("event_id"), lit(3L)))
+    // event_id mod 3 interleaves event-time arbitrarily; deliver 2,0,1
+    Seq(2L, 0L, 1L).zipWithIndex.foreach { case (g, i) =>
+      IncrementalGapFill.merge(
+        h3.filter(col("g") === g).drop("g"), i.toLong, root)
+    }
+    assert(collectView(IncrementalGapFill.view(spark, root).get) === expected)
+  }
+
+  test("replayed batch id is a no-op; re-delivered rows are idempotent") {
+    val root = freshRoot()
+    IncrementalGapFill.merge(events, 0L, root)
+    val v1 = collectView(IncrementalGapFill.view(spark, root).get)
+    // foreachBatch replay: same batch id → skipped entirely
+    IncrementalGapFill.merge(events, 0L, root)
+    assert(collectView(IncrementalGapFill.view(spark, root).get) === v1)
+    // recovered-batch path: same ROWS under a fresh id → greater-ord merge
+    // is idempotent, view unchanged
+    IncrementalGapFill.merge(events, 1L, root)
+    assert(collectView(IncrementalGapFill.view(spark, root).get) === v1)
+    assert(v1 === expected)
+  }
+
+  test("a batch touching one user rewrites only that user's summary row") {
+    val root = freshRoot()
+    val someUser = events.select(min("user_id")).head().getLong(0)
+    IncrementalGapFill.merge(events.filter(col("user_id") =!= someUser), 0L, root)
+    val before = collectView(IncrementalGapFill.view(spark, root).get)
+    IncrementalGapFill.merge(events.filter(col("user_id") === someUser), 1L, root)
+    val after = collectView(IncrementalGapFill.view(spark, root).get)
+    assert(after.filterNot(_._1 == someUser) === before.filterNot(_._1 == someUser),
+      "untouched users' rows must be byte-identical")
+    assert(after === expected)
+  }
+}
