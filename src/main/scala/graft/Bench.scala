@@ -108,7 +108,10 @@ object Bench {
     // silently overwriting it corrupts every later sf1 ratio (round 10:
     // d02 read as 1.1x super-linear against sf0.001 medians). Default the
     // detail of non-sf0.1 runs to a scale-suffixed file instead.
-    val sfTag = sfDir.replaceAll(".*/", "")
+    // strip trailing slashes first: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1/
+    // must still tag as sf0.1 (an empty tag would shunt the detail to
+    // bench_queries_.json and silently strand bench_queries.json stale)
+    val sfTag = sfDir.replaceAll("/+$", "").replaceAll(".*/", "")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       if (sfTag == "sf0.1") "bench_queries.json" else s"bench_queries_$sfTag.json")
     val detail =

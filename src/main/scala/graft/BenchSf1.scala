@@ -157,7 +157,13 @@ object BenchSf1 {
       // minimal extraction: "name":1.234 pairs inside the "queries" object
       val m = """"([a-z0-9_]+)":([0-9]+\.[0-9]+)""".r
       m.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
-    } catch { case _: Exception => Map.empty }
+    } catch {
+      // the stale-medians guard must fail LOUDLY — swallowing it into
+      // Map.empty would silently run Always-only with no 10x ratios,
+      // which is exactly the honesty gap the guard exists to close
+      case e: IllegalArgumentException => throw e
+      case _: Exception => Map.empty // no bench_queries.json yet: Always-only
+    }
 
   private def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val reps = spark.range(Reps).toDF("rep")

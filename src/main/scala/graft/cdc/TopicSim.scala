@@ -125,6 +125,11 @@ final class TopicServer(seed: Seq[Array[Byte]] = Nil) {
   * and [[graft.kafka.KafkaTopicClient]] (the real Kafka protocol). */
 trait TopicLike {
   def highWaterMark(): Long
+  /** First retained offset. The simulator never purges (0); the Kafka
+    * client asks ListOffsets(earliest). Consumers use it to tell a
+    * retention purge (logStart > wanted) from the benign offset gaps a
+    * real broker has (log compaction, transaction control records). */
+  def logStartOffset(): Long = 0L
   /** Appends `msg`; returns THIS message's offset + 1 (its own per-message
     * ack), NOT a topic-hwm re-query — see TopicClient.produce. */
   def produce(msg: Array[Byte]): Long
@@ -173,11 +178,21 @@ object TopicLike {
     }
     if (addr.startsWith("kafka2://")) kafka("kafka2://", 2)
     else if (addr.startsWith("kafka://")) kafka("kafka://", 1)
-    else {
+    else dialects.collectFirst {
+      case (scheme, mk) if addr.startsWith(scheme) => mk(addr)
+    }.getOrElse {
       val (host, port) = hostPort(addr)
       new TopicClient(host, port)
     }
   }
+
+  // Pluggable broker dialects: scheme prefix -> client factory. Lets a
+  // deployment (or a spec) route `addr` to a custom TopicLike without
+  // touching the consume source; kafka:// and kafka2:// stay built in.
+  private val dialects =
+    scala.collection.concurrent.TrieMap.empty[String, String => TopicLike]
+  def registerDialect(scheme: String, mk: String => TopicLike): Unit =
+    dialects.put(scheme, mk)
 }
 
 /** Client side of the simulator — the consumer surface the recovery scan

@@ -86,6 +86,13 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
     resp.offset
   }
 
+  override def logStartOffset(): Long = {
+    val resp = decodeListOffsetsResponse(call(ApiListOffsets, 1,
+      encodeListOffsetsRequest(ListOffsetsRequest(topic, partition, TimestampEarliest))))
+    require(resp.errorCode == ErrNone, s"ListOffsets error ${resp.errorCode}")
+    resp.offset
+  }
+
   def produce(msg: Array[Byte]): Long = {
     val m = Msg(0L, System.currentTimeMillis(), null, msg)
     val req = ProduceRequest(acks = -1, timeoutMs = 10000, topic, partition,

@@ -201,16 +201,25 @@ class TopicConsumeMicroBatchStream(addr: String,
     * batch size by definition. */
   private def poll(untilOpIdx: Long): Unit = synchronized {
     polled = true
-    var caughtUp = false
+    // Bound the drain at the hwm observed ON ENTRY: against a continuously
+    // producing topic the page loop would otherwise chase the tail forever
+    // (fetchPage never comes back empty while the producer outruns the
+    // fetch round-trip), holding the stream's monitor and growing the
+    // buffer without bound — the same first-response-hwm invariant
+    // KafkaTopicClient.fetchFrom documents for the recovery scan.
+    val hwm = client.highWaterMark()
+    var caughtUp = nextMsgOffset >= hwm
     while (!caughtUp &&
         !(boundaries.nonEmpty && boundaries.last.opIdx >= untilOpIdx)) {
       val msgs = client.fetchPage(nextMsgOffset, pollPage)
       if (msgs.isEmpty) caughtUp = true
       else {
-        // A page whose head is beyond the requested offset means the broker
-        // no longer retains [nextMsgOffset, head) — the checkpoint points
-        // into purged log. Diagnose instead of feeding the decoder a gap.
-        if (msgs.head._1 > nextMsgOffset)
+        // A page whose head is beyond the requested offset is a retention
+        // purge ONLY if the broker's log-start moved past the checkpoint;
+        // a real Kafka log also has benign offset gaps (compaction,
+        // transaction control records) that must NOT kill a healthy stream.
+        if (msgs.head._1 > nextMsgOffset &&
+            client.logStartOffset() > nextMsgOffset)
           throw new IllegalStateException(
             s"topic retention purged offsets < ${msgs.head._1}: the consume " +
               s"checkpoint needs message $nextMsgOffset, which the broker no " +
@@ -229,6 +238,9 @@ class TopicConsumeMicroBatchStream(addr: String,
           }
           nextMsgOffset = off + 1
         }
+        // pages bound the drain at THIS poll's hwm — anything a concurrent
+        // producer appends past it belongs to the next trigger
+        if (nextMsgOffset >= hwm) caughtUp = true
       }
     }
   }

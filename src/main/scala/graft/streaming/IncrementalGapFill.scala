@@ -121,7 +121,12 @@ object IncrementalGapFill {
   def merge(events: DataFrame, batchId: Long, stateRoot: String): Unit = {
     val obsRoot = s"$stateRoot/obs"
     val viewRoot = s"$stateRoot/view"
-    if (batchId <= SnapshotStore.lastBatchId(obsRoot)) return // replay
+    // Commit order: obs first, view LAST — so the replay gate reads the
+    // VIEW's batch id. A crash between the two writes leaves obs ahead of
+    // view; the replay then re-merges the batch into obs (safe: greater-ord
+    // merge is idempotent) and completes the missing view update. Gating on
+    // obsRoot would skip the replay and leave the view stale forever.
+    if (batchId <= SnapshotStore.lastBatchId(viewRoot)) return // replay
     val spark = events.sparkSession
     val d = deltas(events).materialized
     val touched = d.select("user_id").distinct().materialized

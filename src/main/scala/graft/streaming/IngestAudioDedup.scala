@@ -36,7 +36,7 @@ object IngestAudioDedup {
   private val DfCap = 16
   private val MinVotes = 3
 
-  private[streaming] case class Landmark(frame_idx: Long, h: Int, n_marks: Int)
+  private[streaming] case class Landmark(frame_idx: Long, h: Int)
 
   private def clipLandmarks(payload: Array[Byte], frameSize: Int): Seq[Landmark] = {
     val marks =
@@ -44,14 +44,14 @@ object IngestAudioDedup {
         graft.analytics.AudioCodec.frameEnergies(
           graft.analytics.AudioCodec.decodePcm16(payload), frameSize))
       catch { case _: Exception => Array.empty[(Int, Int)] } // not a WAV
-    marks.toSeq.map { case (f, h) => Landmark(f.toLong, h, marks.length) }
+    marks.toSeq.map { case (f, h) => Landmark(f.toLong, h) }
   }
 
   private def landmarkRows(clips: DataFrame, idCol: String,
       frameSize: Int): DataFrame = {
     val lmUdf = udf((b: Array[Byte]) => clipLandmarks(b, frameSize))
     clips.select(col(idCol), explode(lmUdf(col("payload"))).as("l"))
-      .select(col(idCol), col("l.frame_idx"), col("l.h"), col("l.n_marks"))
+      .select(col(idCol), col("l.frame_idx"), col("l.h"))
   }
 
   /** Corpus side: the DF-capped landmark index from (audio_id, payload)

@@ -52,9 +52,13 @@ object IngestVideoDedup {
 
   private def clipShingles(payload: Array[Byte]): Seq[Shingle] = {
     val hashes =
+      // Exception, not just IllegalArgumentException: a well-formed RIFF
+      // wrapping a truncated JPEG frame makes ImageIO throw IIOException —
+      // a malformed payload must not take down the micro-batch (the same
+      // contract the audio twin keeps)
       try graft.analytics.VideoCodec.parseAvi(payload).frames
         .map(graft.analytics.ImageCodec.phash64)
-      catch { case _: IllegalArgumentException => Vector.empty }
+      catch { case _: Exception => Vector.empty }
     val triples = hashes.iterator.sliding(3).withPartial(false)
       .map(t => (t(0), t(1), t(2))).toVector.distinct
     def band(h: Long, k: Int): Long = (h >>> (k * 16)) & 0xFFFFL

@@ -398,4 +398,83 @@ class TopicConsumeSourceSpec extends AnyFunSuite {
       } finally q.stop()
     } finally { spark.stop(); broker.close() }
   }
+
+  /** Scripted broker for dialect edge cases the simulator can't produce:
+    * a SPARSE log (real Kafka skips offsets for compaction holes and
+    * transaction control records) and a producer that appends during the
+    * consumer's poll. */
+  private final class ScriptedTopic(logStart: Long = 0L,
+      onFetch: ScriptedTopic => Unit = _ => ()) extends TopicLike {
+    @volatile var log: Vector[(Long, Array[Byte])] = Vector.empty
+    var fetches = 0
+    def appendAt(off: Long, bytes: Array[Byte]): Unit =
+      synchronized { log = log :+ ((off, bytes)) }
+    override def highWaterMark(): Long =
+      synchronized(log.lastOption.map(_._1 + 1).getOrElse(logStart))
+    override def logStartOffset(): Long = logStart
+    override def produce(msg: Array[Byte]): Long = synchronized {
+      appendAt(highWaterMark(), msg); highWaterMark()
+    }
+    override def fetchFrom(fromOffset: Long): Vector[(Long, Array[Byte])] =
+      synchronized(log.filter(_._1 >= fromOffset))
+    override def fetchPage(fromOffset: Long,
+        maxMessages: Int): Vector[(Long, Array[Byte])] = {
+      onFetch(this)
+      synchronized { fetches += 1; log.filter(_._1 >= fromOffset).take(maxMessages) }
+    }
+  }
+
+  test("benign offset gaps (compaction / txn control records) do NOT " +
+      "trigger the retention-purge diagnosis while the log start is " +
+      "below the checkpoint") {
+    val topic = new ScriptedTopic()
+    val producer = new FragmentingProducer(producerId = 1L)
+    // trx1 at dense offsets 0..2; a control record consumed offset 3; trx2
+    // lands at 4..6 — a healthy real-Kafka log shape
+    producer.produce(trx(200, 1)).zipWithIndex.foreach { case (m, i) =>
+      topic.appendAt(i.toLong, Wire.encodeMessage(m)) }
+    producer.produce(trx(400, 2)).zipWithIndex.foreach { case (m, i) =>
+      topic.appendAt(4L + i, Wire.encodeMessage(m)) }
+    TopicLike.registerDialect("scripted-gap://", _ => topic)
+
+    val stream = new TopicConsumeMicroBatchStream("scripted-gap://t")
+    val z = stream.initialOffset().asInstanceOf[TopicOffset]
+    val o1 = stream.latestOffset().asInstanceOf[TopicOffset]
+    assert(o1.opIdx == 6, "both trxs must decode across the offset gap")
+    val rows = readAll(stream, z, o1)
+    assert(rows.count(_._4.contains("\"type\":\"insert\"")) == 2)
+    stream.stop()
+  }
+
+  test("a producer outrunning the poll cannot wedge latestOffset: the " +
+      "drain is bounded by the hwm observed at poll entry") {
+    val producer = new FragmentingProducer(producerId = 1L)
+    var next = 10
+    // every fetch round lands another whole trx — fetchPage NEVER comes
+    // back empty, so an unbounded drain would chase the tail forever
+    val topic: ScriptedTopic = new ScriptedTopic(onFetch = t => {
+      next += 1
+      producer.produce(trx(next * 200L, next.toLong))
+        .foreach(m => t.produce(Wire.encodeMessage(m)))
+    })
+    producer.produce(trx(200, 1)).foreach(m => topic.produce(Wire.encodeMessage(m)))
+    producer.produce(trx(400, 2)).foreach(m => topic.produce(Wire.encodeMessage(m)))
+    TopicLike.registerDialect("scripted-race://", _ => topic)
+
+    val stream = new TopicConsumeMicroBatchStream("scripted-race://t", pollPage = 4)
+    stream.initialOffset()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var o1: TopicOffset = null
+    val t = new Thread(() => {
+      o1 = stream.latestOffset().asInstanceOf[TopicOffset]; done.countDown()
+    })
+    t.setDaemon(true)
+    t.start()
+    assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "latestOffset must return against a continuously producing topic")
+    assert(o1.opIdx >= 6, "the two pre-poll trxs are fully drained")
+    assert(topic.fetches <= 8,
+      s"the drain must stop at the entry hwm, took ${topic.fetches} fetch rounds")
+    stream.stop()
+  }
 }

@@ -81,6 +81,25 @@ class IncrementalGapFillSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v1 === expected)
   }
 
+  test("crash between the obs and view writes: replaying the batch " +
+      "completes the view instead of being gated out (commit order: view " +
+      "LAST, so the replay gate must read the VIEW's batch id)") {
+    val root = freshRoot()
+    val someUser = events.select(min("user_id")).head().getLong(0)
+    IncrementalGapFill.merge(events.filter(col("user_id") =!= someUser), 0L, root)
+    // simulate the torn batch-1 commit: obs committed at batch 1, then the
+    // driver dies before the view write
+    val d = IncrementalGapFill.deltas(events.filter(col("user_id") === someUser))
+    val obs = IncrementalGapFill.mergedObs(
+      SnapshotStore.read(spark, s"$root/obs"), d)
+    SnapshotStore.writeNext(obs, s"$root/obs", Some(1L))
+    // restart: foreachBatch replays batch 1 — the merge must run (the obs
+    // re-merge is idempotent) and produce the missing view update
+    IncrementalGapFill.merge(events.filter(col("user_id") === someUser), 1L, root)
+    assert(collectView(IncrementalGapFill.view(spark, root).get) === expected,
+      "the replayed batch must rebuild the view for its touched users")
+  }
+
   test("a batch touching one user rewrites only that user's summary row") {
     val root = freshRoot()
     val someUser = events.select(min("user_id")).head().getLong(0)
