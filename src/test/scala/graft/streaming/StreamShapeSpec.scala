@@ -180,6 +180,47 @@ class StreamShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         "window funnels the whole state through one task")
   }
 
+  test("IncrementalGapFill per-batch plans: the obs merge reads batch + " +
+      "current snapshot only (one join, no window); the view rebuild is " +
+      "touched-users-bounded with PARTITIONED windows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("shape-gapfill").toString
+    def batch(i: Int) = Seq((i.toLong % 3, i.toLong,
+      new java.sql.Timestamp(1700000000000L + i * 3600000L), i.toDouble))
+      .toDF("user_id", "event_id", "ts", "value")
+    IncrementalGapFill.merge(batch(1), 0L, root)
+    IncrementalGapFill.merge(batch(2), 1L, root)
+    IncrementalGapFill.merge(batch(3), 2L, root)
+    val obsRoot = s"$root/obs"
+    val cur = SnapshotStore.read(spark, obsRoot)
+    val curVersion = SnapshotStore.versions(obsRoot).last
+    val merged = IncrementalGapFill.mergedObs(cur, IncrementalGapFill.deltas(batch(4)))
+    val scans = fileScanPaths(merged)
+    assert(scans.nonEmpty && scans.forall(_.endsWith(s"v=$curVersion")),
+      s"obs merge must scan exactly the current snapshot v=$curVersion, got $scans")
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val joins = merged.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(joins.size == 1, s"expected exactly one snapshot↔delta join, got ${joins.size}")
+    assert(merged.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "no window belongs in the obs merge")
+    // view rebuild: previous rows survive via an ANTI join on the touched
+    // set, the recompute is SEMI-join-bounded to the touched users, and
+    // every LOCF window is partitioned by user_id (span-bounded sort)
+    val touched = batch(4).select($"user_id").distinct()
+    val view = IncrementalGapFill.mergedView(
+      SnapshotStore.read(spark, s"$root/view"), cur.get, touched)
+    val types = view.queryExecution.optimizedPlan.collect {
+      case j: LJoin => j.joinType }
+    assert(types.contains(LeftAnti) && types.contains(LeftSemi),
+      s"view rebuild must anti-keep untouched rows and semi-bound the recompute, got $types")
+    val windows = view.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "LOCF windows must be partitioned by user_id — an unpartitioned " +
+        "window funnels the whole grid through one task")
+  }
+
   test("IncrementalTopK re-rank input is bounded by the touched keys") {
     import spark.implicits._
     val base = (1 to 30).map(i => (s"k${i % 10}", i.toLong, i.toDouble))
