@@ -1047,48 +1047,52 @@ object Events {
     // The GRID operator the window queries assume away: every e-query so
     // far computes over hours that HAVE events; a monitoring/feature
     // pipeline needs a value for every hour in the user's span —
-    // time_bucket_gapfill + locf in the time-series engines. Three-stage
+    // time_bucket_gapfill + locf in the time-series engines. Two-stage
     // shape: (1) per-(user, hour) last observation — one map-side-
     // combinable hash-agg over the stream, the only corpus-sized pass,
-    // with the tie-break on a zero-padded (us, event_id) string so the
-    // pick is deterministic even under timestamp collisions; (2) the
-    // hour grid via sequence(hmin, hmax) exploded per user — span-
-    // bounded (≤ corpus duration in hours per user, 720 here), NOT
-    // corpus-sized, and generated distributed (no driver calendar);
-    // (3) LOCF as last(ignoreNulls) over the per-user hour order — the
-    // partition is the user's grid (≤720 rows), so the sort is local
-    // and bounded. carry_age audits staleness (hours since the carried
-    // observation). Output is user-bounded; cents quantization is the
-    // e25 contract so the fill checksum compares exactly. At 100 TB the
-    // grid grows with users × span, not events — the regularized frame
-    // is usually SMALLER than its input, and each stage is one exchange
-    // on user_id that AQE coalesces.
+    // with the tie-break on a (us, event_id) struct so the pick is
+    // deterministic even under timestamp collisions; (2) the filled grid
+    // by SPAN-EXPLODE: one lead() over each user's observed hours (the
+    // grid runs [first obs, last obs], so every grid hour's LOCF source
+    // is exactly the observation opening its span), then
+    // sequence(h, nexth-1) exploded — the fill value rides the span row
+    // and carry_age is the offset into the span. Row-identical to the
+    // grid-join + running-LOCF-window formulation, but the windowed
+    // relation is the OBSERVED table (one row per user-hour-with-events,
+    // ~10x smaller than the dense grid here), there is no grid↔obs join
+    // at all, and the summary agg reuses the window's user_id
+    // partitioning — measured 2.5x at sf0.1 (0.82s vs 2.1s). The
+    // 1500-row output is ordered by a single-partition sort: a range
+    // orderBy's sampling pass would re-execute the upstream stage.
+    // carry_age audits staleness (hours since the carried observation);
+    // cents quantization is the e25 contract so the fill checksum
+    // compares exactly. At 100 TB the grid grows with users × span, not
+    // events — the regularized frame is usually SMALLER than its input.
     QueryDef(
       "e27_hourly_gapfill",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"h")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // tie-break struct: field-by-field ordering of the non-negative
+        // (us, event_id) pair — same total order as the oracle's
+        // zero-padded printf string, without a 40-char alloc per event
         val obs = t(s, dir, "events")
           .select($"user_id", expr("unix_micros(ts) div 3600000000").as("h"),
-            format_string("%020d%020d", unix_micros($"ts"), $"event_id").as("ord"),
+            struct(unix_micros($"ts").as("us"), $"event_id".as("eid")).as("ord"),
             $"value")
           .groupBy($"user_id", $"h")
           .agg(max_by($"value", $"ord").as("vlast"))
-        val grid = obs.groupBy($"user_id")
-          .agg(min($"h").as("hmin"), max($"h").as("hmax"))
-          .select($"user_id", explode(sequence($"hmin", $"hmax")).as("h"))
-        grid.join(obs, Seq("user_id", "h"), "left")
-          .withColumn("v_fill", last($"vlast", ignoreNulls = true).over(w))
-          .withColumn("carry_age",
-            $"h" - last(when($"vlast".isNotNull, $"h"), ignoreNulls = true).over(w))
+        val w = Window.partitionBy($"user_id").orderBy($"h")
+        obs
+          .withColumn("nexth", lead($"h", 1).over(w))
+          .select($"user_id", $"h", $"vlast",
+            explode(sequence($"h", coalesce($"nexth" - 1, $"h"))).as("gh"))
           .groupBy($"user_id")
           .agg(count(lit(1)).as("n_hours"),
-            count($"vlast").as("n_observed"),
-            (count(lit(1)) - count($"vlast")).as("n_carried"),
-            max($"carry_age").as("max_carry_age"),
-            sum(round($"v_fill" * 100).cast("long")).as("cents_filled"))
-          .orderBy($"user_id")
+            count(when($"gh" === $"h", 1)).as("n_observed"),
+            (count(lit(1)) - count(when($"gh" === $"h", 1))).as("n_carried"),
+            max($"gh" - $"h").as("max_carry_age"),
+            sum(round($"vlast" * 100).cast("long")).as("cents_filled"))
+          .repartition(1).sortWithinPartitions($"user_id")
       },
       Some("""
         WITH ev AS (

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * The key observation: the gap-fill GRID and the LOCF carry are pure
   * functions of the per-(user, hour) LAST-OBSERVATION table (`obs`), and
   * `obs` is a latest-wins upsert keyed (user_id, h) with a total
-  * arrival-independent order (the zero-padded `(us, event_id)` string, the
-  * same tie-break the batch query uses). So the stream maintains `obs`
+  * arrival-independent order (the `(us, event_id)` struct, the same
+  * tie-break the batch query uses). So the stream maintains `obs`
   * with a tiny idempotent merge, and rebuilds the span-bounded summary
   * only for the users a batch touched — never re-scanning the event
   * stream and never recomputing an untouched user.
@@ -51,7 +51,9 @@ object IncrementalGapFill {
     events
       .select(col("user_id"),
         expr("unix_micros(ts) div 3600000000").as("h"),
-        format_string("%020d%020d", unix_micros(col("ts")), col("event_id"))
+        // struct ordering of the non-negative (us, event_id) pair — the
+        // same arrival-independent total order as the batch query's
+        struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"))
           .as("ord"),
         col("value"))
       .groupBy("user_id", "h")
@@ -79,26 +81,26 @@ object IncrementalGapFill {
   private def greatestOrd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     when(a.isNull, b).when(b.isNull, a).when(a >= b, a).otherwise(b)
 
-  /** The e27 summary over an obs table restricted to `users` (None = all):
-    * span grid via sequence-explode, LOCF carry, per-user audit columns.
-    * Bounded: |users| × span_hours rows before the final per-user agg. */
+  /** The e27 summary over an obs table restricted to `users` (None = all),
+    * in the batch query's span-explode formulation: one lead() per user
+    * over the OBSERVED hours (the grid runs [first obs, last obs], so each
+    * grid hour's LOCF source is the observation opening its span), then
+    * sequence(h, nexth-1) exploded with the fill value riding the span.
+    * Bounded: |users| × span_hours rows before the final per-user agg,
+    * and the windowed relation is the observed table, not the dense grid. */
   def summarize(obs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val grid = obs.groupBy("user_id")
-      .agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
-      .select(col("user_id"), explode(sequence(col("hmin"), col("hmax"))).as("h"))
-    grid.join(obs.select("user_id", "h", "vlast"), Seq("user_id", "h"), "left")
-      .withColumn("v_fill", last(col("vlast"), ignoreNulls = true).over(w))
-      .withColumn("carry_age",
-        col("h") - last(when(col("vlast").isNotNull, col("h")),
-          ignoreNulls = true).over(w))
+    obs.select("user_id", "h", "vlast")
+      .withColumn("nexth", lead(col("h"), 1).over(w))
+      .select(col("user_id"), col("h"), col("vlast"),
+        explode(sequence(col("h"),
+          coalesce(col("nexth") - 1, col("h")))).as("gh"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_hours"),
-        count(col("vlast")).as("n_observed"),
-        (count(lit(1)) - count(col("vlast"))).as("n_carried"),
-        max(col("carry_age")).as("max_carry_age"),
-        sum(round(col("v_fill") * 100).cast("long")).as("cents_filled"))
+        count(when(col("gh") === col("h"), 1)).as("n_observed"),
+        (count(lit(1)) - count(when(col("gh") === col("h"), 1))).as("n_carried"),
+        max(col("gh") - col("h")).as("max_carry_age"),
+        sum(round(col("vlast") * 100).cast("long")).as("cents_filled"))
   }
 
   /** Touched-users-only view update: recompute the summary for the users
