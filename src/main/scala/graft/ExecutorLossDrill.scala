@@ -48,11 +48,16 @@ object ExecutorLossDrill {
     // pass 1: baseline — correct answer, executors registered, JIT warm
     val baseline = run()
 
+    // scope to THIS app's executors (--app-id rides the executor command
+    // line): a machine-wide CoarseGrainedExecutorBackend match could kill
+    // a concurrent job's executor and report a recovery never exercised
+    val appId = spark.sparkContext.applicationId
     def executorPids(): Seq[ProcessHandle] = {
       import scala.jdk.CollectionConverters._
       ProcessHandle.allProcesses().iterator().asScala.filter { h =>
         val cmd = h.info().commandLine()
-        cmd.isPresent && cmd.get.contains("CoarseGrainedExecutorBackend")
+        cmd.isPresent && cmd.get.contains("CoarseGrainedExecutorBackend") &&
+          cmd.get.contains(appId)
       }.toSeq
     }
     val before = executorPids().map(_.pid()).toSet
@@ -97,7 +102,10 @@ object ExecutorLossDrill {
     val relaunched = (after -- before).nonEmpty
 
     val matches = duringMatch && baseline.sameElements(post)
-    val vacuous = killedPid < 0
+    // the drill's claim is recovery of an IN-FLIGHT job: a kill landing
+    // between runs exercises only the relaunch path, so it fails the drill
+    // (rerun it) rather than passing vacuously
+    val vacuous = killedPid < 0 || !killedMidQuery
     val json = s"""{"metric":"executor_loss_drill","query":"$query","sf":"$sfDir",""" +
       s""""master":"$master","killed_pid":$killedPid,""" +
       s""""killed_mid_query":$killedMidQuery,"runs_during":$duringRuns,""" +

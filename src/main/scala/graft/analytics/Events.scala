@@ -1074,8 +1074,14 @@ object Events {
         import s.implicits._
         // tie-break struct: field-by-field ordering of the non-negative
         // (us, event_id) pair — same total order as the oracle's
-        // zero-padded printf string, without a 40-char alloc per event
+        // zero-padded printf string, without a 40-char alloc per event.
+        // An event with NULL value is NOT an observation (filtered at the
+        // source, mirrored in the oracle's ev CTE): without the filter the
+        // two formulations diverge on whether a null-valued hour opens a
+        // carry span, so the semantics are pinned where both engines agree
+        // by construction for ANY input.
         val obs = t(s, dir, "events")
+          .filter($"value".isNotNull)
           .select($"user_id", expr("unix_micros(ts) div 3600000000").as("h"),
             struct(unix_micros($"ts").as("us"), $"event_id".as("eid")).as("ord"),
             $"value")
@@ -1098,7 +1104,7 @@ object Events {
         WITH ev AS (
           SELECT user_id, epoch_us(ts) // 3600000000 AS h,
                  epoch_us(ts) AS us, event_id, value
-          FROM events),
+          FROM events WHERE value IS NOT NULL),
         obs AS (
           SELECT user_id, h,
                  arg_max(value, printf('%020d%020d', us, event_id)) AS vlast

@@ -178,7 +178,9 @@ object TopicLike {
     }
     if (addr.startsWith("kafka2://")) kafka("kafka2://", 2)
     else if (addr.startsWith("kafka://")) kafka("kafka://", 1)
-    else dialects.collectFirst {
+    else dialects.toSeq.sortBy(-_._1.length).collectFirst {
+      // longest scheme wins, so overlapping prefixes resolve
+      // deterministically (TrieMap iteration order is not stable)
       case (scheme, mk) if addr.startsWith(scheme) => mk(addr)
     }.getOrElse {
       val (host, port) = hostPort(addr)
@@ -188,7 +190,9 @@ object TopicLike {
 
   // Pluggable broker dialects: scheme prefix -> client factory. Lets a
   // deployment (or a spec) route `addr` to a custom TopicLike without
-  // touching the consume source; kafka:// and kafka2:// stay built in.
+  // touching the consume source; kafka:// and kafka2:// stay built in and
+  // are checked FIRST (a registered "kafka://" is shadowed by design).
+  // Registrations are process-global and live for the JVM.
   private val dialects =
     scala.collection.concurrent.TrieMap.empty[String, String => TopicLike]
   def registerDialect(scheme: String, mk: String => TopicLike): Unit =

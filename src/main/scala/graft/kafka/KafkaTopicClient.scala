@@ -136,18 +136,27 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
   // consume source). Bounded by fetchMaxBytes, so holding it costs at
   // most one wire round of memory.
   private var pageBuf: Vector[(Long, Array[Byte])] = Vector.empty
+  private var pageBufNext = -1L // continuation offset of the last served page
 
   /** One bounded page — at most `maxMessages` messages, served from the
     * remainder of the previous Fetch round when the requested offset
-    * continues it, else from one fresh Fetch round. */
+    * continues it, else from one fresh Fetch round. "Continues" is EITHER
+    * the buffered head's own offset OR the continuation offset of the last
+    * served slice — the two differ on a compacted/transactional log, where
+    * the next retained offset jumps a benign gap; matching only the head
+    * would discard the remainder and refetch the same bytes at every gap
+    * that straddles a page boundary. */
   override def fetchPage(fromOffset: Long, maxMessages: Int): Vector[(Long, Array[Byte])] = {
-    if (pageBuf.isEmpty || pageBuf.head._1 != fromOffset) {
+    val continues = pageBuf.nonEmpty &&
+      (pageBuf.head._1 == fromOffset || fromOffset == pageBufNext)
+    if (!continues) {
       val (resp, msgs) = fetchOnce(fromOffset)
       pageBuf = msgs.filter(m => m.offset >= fromOffset && m.offset < resp.highWatermark)
         .map(m => (m.offset, m.value))
     }
     val (page, rest) = pageBuf.splitAt(maxMessages)
     pageBuf = rest
+    if (page.nonEmpty) pageBufNext = page.last._1 + 1
     page
   }
 

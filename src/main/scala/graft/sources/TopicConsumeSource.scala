@@ -208,6 +208,10 @@ class TopicConsumeMicroBatchStream(addr: String,
     // buffer without bound — the same first-response-hwm invariant
     // KafkaTopicClient.fetchFrom documents for the recovery scan.
     val hwm = client.highWaterMark()
+    // log-start probed at most once per poll: it only moves forward, so a
+    // value <= nextMsgOffset proves every later gap in this drain benign
+    // without an extra round trip per gap-straddling page
+    var logStart = -1L
     var caughtUp = nextMsgOffset >= hwm
     while (!caughtUp &&
         !(boundaries.nonEmpty && boundaries.last.opIdx >= untilOpIdx)) {
@@ -218,8 +222,10 @@ class TopicConsumeMicroBatchStream(addr: String,
         // purge ONLY if the broker's log-start moved past the checkpoint;
         // a real Kafka log also has benign offset gaps (compaction,
         // transaction control records) that must NOT kill a healthy stream.
-        if (msgs.head._1 > nextMsgOffset &&
-            client.logStartOffset() > nextMsgOffset)
+        if (msgs.head._1 > nextMsgOffset && {
+              if (logStart < 0) logStart = client.logStartOffset()
+              logStart > nextMsgOffset
+            })
           throw new IllegalStateException(
             s"topic retention purged offsets < ${msgs.head._1}: the consume " +
               s"checkpoint needs message $nextMsgOffset, which the broker no " +
@@ -238,8 +244,11 @@ class TopicConsumeMicroBatchStream(addr: String,
           }
           nextMsgOffset = off + 1
         }
-        // pages bound the drain at THIS poll's hwm — anything a concurrent
-        // producer appends past it belongs to the next trigger
+        // pages bound the drain at THIS poll's hwm, to within the final
+        // page: messages a concurrent producer appended past the entry hwm
+        // that ride that page are kept (they were already fetched —
+        // re-fetching them next trigger would waste the wire round), so the
+        // bound is hwm + at most one page, never unbounded chase
         if (nextMsgOffset >= hwm) caughtUp = true
       }
     }

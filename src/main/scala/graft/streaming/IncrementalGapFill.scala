@@ -46,9 +46,12 @@ import org.apache.spark.sql.functions._
 object IncrementalGapFill {
 
   /** Reduce one event batch (user_id, ts, event_id, value) to its
-    * per-(user, hour) last observation. */
+    * per-(user, hour) last observation. A NULL-valued event is NOT an
+    * observation — the batch query's contract (it neither opens a carry
+    * span nor counts as observed). */
   def deltas(events: DataFrame): DataFrame =
     events
+      .filter(col("value").isNotNull)
       .select(col("user_id"),
         expr("unix_micros(ts) div 3600000000").as("h"),
         // struct ordering of the non-negative (us, event_id) pair — the
@@ -80,6 +83,18 @@ object IncrementalGapFill {
 
   private def greatestOrd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     when(a.isNull, b).when(b.isNull, a).when(a >= b, a).otherwise(b)
+
+  /** Lazy read-side migration: an obs snapshot persisted by the original
+    * format ("%020d%020d" string ord) upgrades to the struct ord on read —
+    * the zero-padded fields parse back exactly, so restart continuity holds
+    * across the layout change instead of crashing on a string-vs-struct
+    * join comparison. */
+  private def upgraded(obs: DataFrame): DataFrame =
+    if (obs.schema("ord").dataType == org.apache.spark.sql.types.StringType)
+      obs.withColumn("ord", struct(
+        substring(col("ord"), 1, 20).cast("long").as("us"),
+        substring(col("ord"), 21, 20).cast("long").as("eid")))
+    else obs
 
   /** The e27 summary over an obs table restricted to `users` (None = all),
     * in the batch query's span-explode formulation: one lead() per user
@@ -132,7 +147,7 @@ object IncrementalGapFill {
     val spark = events.sparkSession
     val d = deltas(events).materialized
     val touched = d.select("user_id").distinct().materialized
-    val obs = mergedObs(SnapshotStore.read(spark, obsRoot), d)
+    val obs = mergedObs(SnapshotStore.read(spark, obsRoot).map(upgraded), d)
     SnapshotStore.writeNext(obs, obsRoot, Some(batchId))
     val obsNow = SnapshotStore.read(spark, obsRoot).get
     val view = mergedView(SnapshotStore.read(spark, viewRoot), obsNow, touched)

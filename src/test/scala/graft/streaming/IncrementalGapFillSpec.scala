@@ -81,6 +81,55 @@ class IncrementalGapFillSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v1 === expected)
   }
 
+  test("NULL-valued events are not observations: they neither open a " +
+      "carry span nor count as observed, in the batch query and the twin") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gapfill-null").toString
+    val base = 1700000000000L
+    def ts(hours: Int, min: Int) =
+      new java.sql.Timestamp(base + hours * 3600000L + min * 60000L)
+    val rows = Seq(
+      (7L, ts(0, 10), 1L, Option(1.0)),
+      (7L, ts(1, 10), 2L, Option.empty[Double]), // NULL: not an observation
+      (7L, ts(3, 10), 3L, Option(5.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    rows.write.parquet(s"$dir/events.parquet")
+    // observed hours +0h (1.0) and +3h (5.0); the null at +1h is ignored:
+    // grid [0,3] = 4 hours, 2 observed, carry runs 1.0 through h1,h2
+    val want = (7L, 4L, 2L, 2L, 2L, 100L + 100L + 100L + 500L)
+    val batch = collectView(
+      graft.SparkEntry.queries("e27_hourly_gapfill")(spark, dir))
+    assert(batch === Seq(want), "batch query must ignore the null event")
+    val root = freshRoot()
+    // the null row arrives in its own batch — must be a no-op for state
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    IncrementalGapFill.merge(ev.filter($"event_id" === 2L), 0L, root)
+    assert(IncrementalGapFill.view(spark, root).get.count() == 0,
+      "a batch of only null-valued events observes nothing")
+    IncrementalGapFill.merge(ev.filter($"event_id" =!= 2L), 1L, root)
+    assert(collectView(IncrementalGapFill.view(spark, root).get) === Seq(want))
+  }
+
+  test("obs snapshot persisted with the legacy string ord upgrades on " +
+      "read: a restart over old state merges instead of crashing") {
+    import spark.implicits._
+    val root = freshRoot()
+    val someUser = events.select(min("user_id")).head().getLong(0)
+    // simulate the legacy store: batch 0's obs written with the
+    // "%020d%020d" STRING ord (the original layout), view in step
+    val d0 = IncrementalGapFill.deltas(events)
+    val legacy = d0.withColumn("ord",
+      format_string("%020d%020d", $"ord.us", $"ord.eid"))
+    SnapshotStore.writeNext(legacy, s"$root/obs", Some(0L))
+    SnapshotStore.writeNext(IncrementalGapFill.summarize(d0),
+      s"$root/view", Some(0L))
+    // upgrade-era batch re-delivers one user's events (idempotent merge
+    // against the upgraded snapshot must keep the view exact)
+    IncrementalGapFill.merge(
+      events.filter(col("user_id") === someUser), 1L, root)
+    assert(collectView(IncrementalGapFill.view(spark, root).get) === expected)
+  }
+
   test("crash between the obs and view writes: replaying the batch " +
       "completes the view instead of being gated out (commit order: view " +
       "LAST, so the replay gate must read the VIEW's batch id)") {
