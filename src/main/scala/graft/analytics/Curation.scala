@@ -38,8 +38,9 @@ object Curation {
 
   /** The iterated per-partition union-find contraction over an arbitrary
     * `(i, j)` edge set — factored so other edge graphs (m10's cross-modal
-    * union) run the same machinery the SimHash labels use. */
-  private[analytics] def contractComponents(
+    * union, streaming.IncrementalComponents' per-batch delta graph) run
+    * the same machinery the SimHash labels use. */
+  private[graft] def contractComponents(
       s: org.apache.spark.sql.SparkSession, pairs: DataFrame): DataFrame = {
       import s.implicits._
       var active: DataFrame = pairs

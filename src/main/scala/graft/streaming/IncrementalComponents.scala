@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the dup-graph connected-component labels —
+  * the structure every downstream curation action consumes (p03's cluster
+  * report, p11's leakage-safe split, d18 canonical selection, d19 soft
+  * dedup, p17's mixture) — under an ARRIVING edge stream, e.g. the
+  * near-dup pairs the ingest gates (IngestNearDup / IngestMediaDedup /
+  * IngestVideoDedup) emit at admission time.
+  *
+  * Semantics: after any prefix of edge batches, `view` equals the batch
+  * contraction (`Curation.contractComponents`) of the union of those
+  * batches — `(node, lab)` with `lab` = the component's minimum node id,
+  * exactly the label rule the batch pipeline uses, so a consumer can swap
+  * the incremental view in without re-deriving anything.
+  *
+  * Why incrementality is cheap here: component labels are a CLOSURE under
+  * edge arrival. A new edge can only MERGE components, never split them,
+  * so the per-batch work is:
+  *
+  *  1. map the batch's endpoints through the current labels — each node
+  *     stands in for its component representative (its min); unseen nodes
+  *     represent themselves. One equi-join where the BATCH side is the
+  *     small side (broadcast at scale).
+  *  2. contract the REPRESENTATIVE graph — bounded by the batch's edge
+  *     count, not the corpus: every old component is one supernode. This
+  *     reuses the exact p03 union-find machinery.
+  *  3. relabel: old labels re-point through the delta (old rep → merged
+  *     rep); nodes first seen in this batch enter with their contracted
+  *     label. The delta is batch-bounded, so the relabel join broadcasts
+  *     it against the snapshot — no corpus-sized shuffle anywhere.
+  *
+  * Correctness of the min-label invariant: old reps are component minima,
+  * so the contracted minimum over the rep graph IS the minimum of the
+  * merged node set (new node ids participate directly).
+  *
+  * Exactly-once under foreachBatch replay: the snapshot records the
+  * producing batch id (`SnapshotStore` `_COMMIT`); `merge` skips any
+  * batch at-or-below it. A replay that slips through the recovered-batch
+  * path is still safe — re-merging edges already inside one component
+  * yields an EMPTY rep graph and the labels pass through unchanged
+  * (idempotent), and any batch split converges because union-find is
+  * confluent.
+  *
+  * At 100 TB: the labels snapshot is the only corpus-scaled state (one
+  * row per edge-touched node — smaller than the document corpus); a batch
+  * costs one broadcast probe of it plus a batch-sized contraction. On a
+  * cluster the snapshot becomes a transactional table bucketed by `lab`
+  * and step 3 a MERGE INTO over exactly the merged components' buckets.
+  */
+object IncrementalComponents {
+
+  /** Normalize an edge batch to undirected (src<dst) distinct pairs. */
+  private def normalized(edges: DataFrame): DataFrame =
+    edges.select(least(col("i"), col("j")).as("src"),
+        greatest(col("i"), col("j")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** The relabel frame (step 3) — exposed pure for plan-shape assertions:
+    * the snapshot relabels through a BROADCAST of the batch-bounded delta
+    * (one join, no window, no corpus shuffle). */
+  private[streaming] def relabeled(cur: DataFrame, delta: DataFrame): DataFrame =
+    cur.as("l")
+      .join(broadcast(delta).as("d"), col("l.lab") === col("d.node"), "left")
+      .select(col("l.node").as("node"),
+        coalesce(col("d.lab"), col("l.lab")).as("lab"))
+
+  /** Apply one edge batch. Batches replayed at-or-below the committed id
+    * are skipped (foreachBatch contract). */
+  def merge(edges: DataFrame, batchId: Long, stateRoot: String): Unit = {
+    if (batchId <= SnapshotStore.lastBatchId(stateRoot)) return // replay
+    val spark = edges.sparkSession
+    import graft.GraftSession.MaterializeOps
+    val e = normalized(edges).materialized
+    val cur = SnapshotStore.read(spark, stateRoot)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    // each endpoint stands in for its component rep (self when unseen)
+    val repOf = (cur match {
+      case Some(c) => nodes.join(c, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lab"), col("node")).as("rep"))
+      case None => nodes.select(col("node"), col("node").as("rep"))
+    }).materialized
+    val repEdges = e
+      .join(repOf.as("a"), col("src") === col("a.node"))
+      .join(repOf.as("b"), col("dst") === col("b.node"))
+      .select(col("a.rep").as("i"), col("b.rep").as("j"))
+      .filter(col("i") =!= col("j"))
+    // batch-bounded: every old component is one supernode here
+    val delta = graft.analytics.Curation.contractComponents(spark, repEdges)
+      .materialized
+    // first-seen nodes enter with their contracted label (self if their
+    // every edge vanished into an existing component)
+    val fresh = (cur match {
+      case Some(c) => repOf.join(c, Seq("node"), "left_anti")
+      case None => repOf
+    }).as("n")
+      .join(broadcast(delta).as("d"), col("n.rep") === col("d.node"), "left")
+      .select(col("n.node").as("node"),
+        coalesce(col("d.lab"), col("n.rep")).as("lab"))
+    val next = cur.map(c => relabeled(c, delta).unionByName(fresh)).getOrElse(fresh)
+    SnapshotStore.writeNext(next, stateRoot, Some(batchId))
+  }
+
+  /** The maintained `(node, lab)` labels (None before the first batch). */
+  def view(spark: SparkSession, stateRoot: String): Option[DataFrame] =
+    SnapshotStore.read(spark, stateRoot)
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The incremental component labels must equal the batch contraction
+  * (`Curation.contractComponents`) of the union of all delivered edges —
+  * after ANY split of the edge stream into batches, in any order,
+  * including replays — with the same `(node, lab = component min)` rule
+  * every batch consumer (p03/p11/d18/d19/p17) assumes. */
+class IncrementalComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("incremental-components-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("components-state").toString
+
+  private def edgesDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("i", "j")
+  }
+
+  private def labelsOf(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def batchTruth(pairs: Seq[(Long, Long)]): Set[(Long, Long)] =
+    labelsOf(graft.analytics.Curation.contractComponents(spark, edgesDf(pairs)))
+
+  /** Deterministic multi-component random graph: chains + random extra
+    * edges inside blocks of 10 nodes, so components are non-trivial and
+    * merges happen across batches. */
+  private def syntheticEdges(seed: Int, n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val chain = (0 until n).filter(_ % 10 != 9)
+      .map(k => (k.toLong, k.toLong + 1))
+    val extra = Seq.fill(n / 2) {
+      val block = rnd.nextInt(n / 10) * 10
+      (block + rnd.nextInt(10).toLong, block + rnd.nextInt(10).toLong)
+    }.filter { case (a, b) => a != b }
+    chain ++ extra
+  }
+
+  test("any batch split of a random multi-component graph converges to " +
+      "the batch contraction") {
+    val all = syntheticEdges(seed = 1, n = 200)
+    val want = batchTruth(all)
+    for (splits <- Seq(2, 3, 5)) {
+      val root = freshRoot()
+      all.grouped((all.size + splits - 1) / splits).zipWithIndex.foreach {
+        case (b, i) => IncrementalComponents.merge(edgesDf(b), i.toLong, root)
+      }
+      assert(labelsOf(IncrementalComponents.view(spark, root).get) === want,
+        s"split into $splits batches diverged from the batch contraction")
+    }
+  }
+
+  test("delivery order does not matter: reversed batches converge too") {
+    val all = syntheticEdges(seed = 2, n = 150)
+    val want = batchTruth(all)
+    val root = freshRoot()
+    all.grouped(40).toSeq.reverse.zipWithIndex.foreach { case (b, i) =>
+      IncrementalComponents.merge(edgesDf(b), i.toLong, root)
+    }
+    assert(labelsOf(IncrementalComponents.view(spark, root).get) === want)
+  }
+
+  test("a later edge MERGES two existing components and every member " +
+      "relabels to the union minimum") {
+    val root = freshRoot()
+    IncrementalComponents.merge(edgesDf(Seq((2L, 3L), (7L, 8L))), 0L, root)
+    assert(labelsOf(IncrementalComponents.view(spark, root).get) ===
+      Set((2L, 2L), (3L, 2L), (7L, 7L), (8L, 7L)))
+    // the bridge: both components collapse to min=2, including node 8
+    // which the bridging edge never touches directly
+    IncrementalComponents.merge(edgesDf(Seq((3L, 7L))), 1L, root)
+    assert(labelsOf(IncrementalComponents.view(spark, root).get) ===
+      Set((2L, 2L), (3L, 2L), (7L, 2L), (8L, 2L)))
+  }
+
+  test("replayed batch id is a no-op; re-delivered edges are idempotent") {
+    val root = freshRoot()
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    IncrementalComponents.merge(edgesDf(edges), 0L, root)
+    val v1 = labelsOf(IncrementalComponents.view(spark, root).get)
+    IncrementalComponents.merge(edgesDf(edges), 0L, root) // same id: skipped
+    assert(labelsOf(IncrementalComponents.view(spark, root).get) === v1)
+    // recovered-batch path: same edges under a fresh id — rep graph is
+    // empty (all intra-component), labels pass through unchanged
+    IncrementalComponents.merge(edgesDf(edges), 1L, root)
+    assert(labelsOf(IncrementalComponents.view(spark, root).get) === v1)
+    assert(v1 === batchTruth(edges))
+  }
+
+  test("an edge inside one existing component changes nothing; an edge " +
+      "between two brand-new nodes starts its own component") {
+    val root = freshRoot()
+    IncrementalComponents.merge(edgesDf(Seq((5L, 6L))), 0L, root)
+    IncrementalComponents.merge(edgesDf(Seq((5L, 6L), (20L, 21L))), 1L, root)
+    assert(labelsOf(IncrementalComponents.view(spark, root).get) ===
+      Set((5L, 5L), (6L, 5L), (20L, 20L), (21L, 20L)))
+  }
+}

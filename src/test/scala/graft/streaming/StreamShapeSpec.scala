@@ -221,6 +221,29 @@ class StreamShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         "window funnels the whole grid through one task")
   }
 
+  test("IncrementalComponents relabel: the snapshot joins a BROADCAST of " +
+      "the batch-bounded delta — current version only, no corpus shuffle") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("shape-comp").toString
+    IncrementalComponents.merge(Seq((1L, 2L), (5L, 6L)).toDF("i", "j"), 0L, root)
+    IncrementalComponents.merge(Seq((2L, 5L)).toDF("i", "j"), 1L, root)
+    val cur = SnapshotStore.read(spark, root).get
+    val curVersion = SnapshotStore.versions(root).last
+    val delta = Seq((1L, 1L)).toDF("node", "lab")
+    val frame = IncrementalComponents.relabeled(cur, delta)
+    val scans = fileScanPaths(frame)
+    assert(scans.nonEmpty && scans.forall(_.endsWith(s"v=$curVersion")),
+      s"relabel must scan exactly the current snapshot v=$curVersion, got $scans")
+    val bcasts = frame.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+    assert(bcasts.nonEmpty,
+      "the delta must broadcast — a shuffled relabel join re-exchanges the " +
+        "whole corpus-sized label snapshot every batch")
+    val exchanges = frame.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty, s"no shuffle belongs in the relabel: $exchanges")
+  }
+
   test("IncrementalTopK re-rank input is bounded by the touched keys") {
     import spark.implicits._
     val base = (1 to 30).map(i => (s"k${i % 10}", i.toLong, i.toDouble))
