@@ -52,9 +52,12 @@ object IngestNearDup {
     * Every arrival gets a verdict row — a doc too short to shingle (or
     * with no band collision at all) reports zero candidates rather than
     * silently bypassing the gate. */
-  def flagBatch(arrivals: DataFrame, corpusBands: DataFrame,
+  /** Band-collision candidates and exact-Jaccard-verified pairs of one
+    * batch — the shared core of the per-doc verdicts (`flagBatch`) and
+    * the raw edge stream (`verifiedPairs`). */
+  private def candidatesAndVerified(arrivals: DataFrame, corpusBands: DataFrame,
       corpusShingles: DataFrame, corpusCounts: DataFrame,
-      minJaccard: Double = 0.7): DataFrame = {
+      minJaccard: Double): (DataFrame, DataFrame) = {
     val sh = graft.analytics.Dedup.shinglesOf(arrivals)
       .withColumnRenamed("doc_id", "new_id")
     val bands = graft.analytics.Dedup.bandsOf(
@@ -74,6 +77,26 @@ object IngestNearDup {
       .join(corpusCounts, "corpus_id")
       .filter(col("shared").cast("double") /
         (col("na") + col("nc") - col("shared")) >= minJaccard)
+    (cands, verified)
+  }
+
+  /** The verified (new_id, corpus_id) near-dup PAIRS of one batch — the
+    * arrival-time edge stream `IncrementalComponents.merge` maintains the
+    * live dup-graph labels from, closing the loop: gate flags the pair,
+    * the component view absorbs it, and every downstream curation action
+    * (canonical pick, soft-dedup weight, leakage-safe split) sees the
+    * merged cluster without a batch recompute. */
+  def verifiedPairs(arrivals: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, corpusCounts: DataFrame,
+      minJaccard: Double = 0.7): DataFrame =
+    candidatesAndVerified(arrivals, corpusBands, corpusShingles, corpusCounts,
+      minJaccard)._2.select(col("new_id"), col("corpus_id"))
+
+  def flagBatch(arrivals: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, corpusCounts: DataFrame,
+      minJaccard: Double = 0.7): DataFrame = {
+    val (cands, verified) = candidatesAndVerified(arrivals, corpusBands,
+      corpusShingles, corpusCounts, minJaccard)
     arrivals.select(col("doc_id")).distinct()
       .join(cands.groupBy(col("new_id")).agg(count(lit(1)).as("n_candidates"))
         .withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")

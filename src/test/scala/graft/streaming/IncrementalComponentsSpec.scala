@@ -101,6 +101,44 @@ class IncrementalComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v1 === batchTruth(edges))
   }
 
+  test("composed with the near-dup gate: arrival-time verified pairs " +
+      "maintain the same labels a one-shot batch run would produce") {
+    import spark.implicits._
+    def text(prefix: String, changed: Int = -1): String =
+      (1 to 40).map(i => if (i == changed) "CHANGED" else s"$prefix$i")
+        .mkString(" ")
+    // corpus: two near-dup families (docs 1,2 and docs 5,6) + a singleton
+    val corpus = Seq(
+      (1L, text("alpha")), (2L, text("alpha", changed = 7)),
+      (5L, text("beta")), (6L, text("beta", changed = 30)),
+      (9L, text("gamma"))).toDF("doc_id", "text")
+    val (bands, shingles, counts) = IngestNearDup.corpusIndex(corpus)
+    // arrivals in two micro-batches: 101 joins the alpha family,
+    // 102 joins beta, 103 is fresh. EXACT copies, so band collision is
+    // certain — this test pins the gate→components composition, not LSH
+    // recall (d12 owns that)
+    val batches = Seq(
+      Seq((101L, text("alpha"))),
+      Seq((102L, text("beta")), (103L, text("delta"))))
+    val root = freshRoot()
+    var allPairs = Seq.empty[(Long, Long)]
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val pairs = IngestNearDup.verifiedPairs(
+        docs.toDF("doc_id", "text"), bands, shingles, counts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      allPairs ++= pairs
+      IncrementalComponents.merge(
+        pairs.toDF("i", "j"), i.toLong, root)
+    }
+    assert(allPairs.nonEmpty, "the gate must flag the planted near-dups")
+    val got = labelsOf(IncrementalComponents.view(spark, root).get)
+    assert(got === batchTruth(allPairs),
+      "arrival-time component view diverged from the one-shot contraction")
+    // and the families actually merged: 101 labels into min(alpha family)
+    assert(got.contains((101L, 1L)) && got.contains((102L, 5L)))
+    assert(!got.exists(_._1 == 103L), "fresh doc 103 must stay unlabeled")
+  }
+
   test("an edge inside one existing component changes nothing; an edge " +
       "between two brand-new nodes starts its own component") {
     val root = freshRoot()
