@@ -105,6 +105,16 @@ object IncrementalComponents {
     SnapshotStore.writeNext(next, stateRoot, Some(batchId))
   }
 
+  /** Run the maintainer over a streaming `(i, j)` edge frame — e.g. the
+    * gate's `IngestNearDup.verifiedPairs` per batch. */
+  def start(edges: DataFrame, stateRoot: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) => merge(batch, id, stateRoot) }
+      .start()
+
   /** The maintained `(node, lab)` labels (None before the first batch). */
   def view(spark: SparkSession, stateRoot: String): Option[DataFrame] =
     SnapshotStore.read(spark, stateRoot)

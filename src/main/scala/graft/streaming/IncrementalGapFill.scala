@@ -154,6 +154,16 @@ object IncrementalGapFill {
     SnapshotStore.writeNext(view, viewRoot, Some(batchId))
   }
 
+  /** Run the maintainer over a streaming (user_id, ts, event_id, value)
+    * event frame. */
+  def start(events: DataFrame, stateRoot: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) => merge(batch, id, stateRoot) }
+      .start()
+
   /** The maintained summary view (None before the first batch). */
   def view(spark: SparkSession, stateRoot: String): Option[DataFrame] =
     SnapshotStore.read(spark, s"$stateRoot/view")

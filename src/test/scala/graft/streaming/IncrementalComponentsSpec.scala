@@ -87,6 +87,26 @@ class IncrementalComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((2L, 2L), (3L, 2L), (7L, 2L), (8L, 2L)))
   }
 
+  test("real streaming query: edges through readStream/foreachBatch " +
+      "produce the batch contraction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = syntheticEdges(seed = 3, n = 100)
+    val root = freshRoot()
+    val ckp = Files.createTempDirectory("components-ckp").toString
+    val stream = MemoryStream[(Long, Long)]
+    val q = IncrementalComponents.start(stream.toDS().toDF("i", "j"), root, ckp)
+    val (h, t) = all.splitAt(all.size / 2)
+    stream.addData(h)
+    q.processAllAvailable()
+    stream.addData(t)
+    q.processAllAvailable()
+    q.stop()
+    assert(labelsOf(IncrementalComponents.view(spark, root).get) ===
+      batchTruth(all))
+  }
+
   test("replayed batch id is a no-op; re-delivered edges are idempotent") {
     val root = freshRoot()
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))

@@ -81,6 +81,30 @@ class IncrementalGapFillSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v1 === expected)
   }
 
+  test("real streaming query: events through readStream/foreachBatch " +
+      "produce the batch e27 summary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val root = freshRoot()
+    val ckp = Files.createTempDirectory("gapfill-ckp").toString
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = IncrementalGapFill.start(
+      stream.toDS().toDF("user_id", "ts", "event_id", "value"), root, ckp)
+    val (h, t) = rows.splitAt(rows.size / 2)
+    stream.addData(h)
+    q.processAllAvailable()
+    stream.addData(t)
+    q.processAllAvailable()
+    q.stop()
+    assert(collectView(IncrementalGapFill.view(spark, root).get) === expected)
+  }
+
   test("NULL-valued events are not observations: they neither open a " +
       "carry span nor count as observed, in the batch query and the twin") {
     import spark.implicits._
