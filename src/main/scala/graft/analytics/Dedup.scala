@@ -345,6 +345,8 @@ object Dedup {
     * text (multiset — internal repeats count), persisted and shared by
     * d09/d10 (the shingle-index pattern: the tokenize/normalize pass is
     * paid once, not once per consumer). */
+  private val winnowFpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val tileCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def tileIndex(s: SparkSession, dir: String): DataFrame =
@@ -584,14 +586,19 @@ object Dedup {
       "d08_containment_pairs",
       (s, dir) => {
         import s.implicits._
-        val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
-        val fp0 = t(s, dir, "documents")
-          .withColumn("fps", graft.functions.RollingHash.winnow(8, 4, 1L << 25)(norm))
-          .select($"doc_id", explode($"fps").as("fp"))
-        val rare = fp0.groupBy($"fp").agg(count(lit(1)).as("c"))
-          .filter($"c" <= 8).select($"fp")
-        val fp = fp0.join(rare, "fp")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // session-cached like the other shared indexes: an unconditional
+        // persist here would re-register the same plan every run
+        // (CacheManager "already cached" warning once per bench round)
+        val fp = winnowFpCache.getOrElseUpdate((s, dir), {
+          val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
+          val fp0 = t(s, dir, "documents")
+            .withColumn("fps", graft.functions.RollingHash.winnow(8, 4, 1L << 25)(norm))
+            .select($"doc_id", explode($"fps").as("fp"))
+          val rare = fp0.groupBy($"fp").agg(count(lit(1)).as("c"))
+            .filter($"c" <= 8).select($"fp")
+          fp0.join(rare, "fp")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        })
         val sz = fp.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val ov = fp.as("a")
           .join(fp.as("b"), $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
