@@ -341,12 +341,13 @@ object Dedup {
 
   private[analytics] def simhashSql: String = SIMHASH_SQL
 
+  /** d08's rare (df ≤ 8) winnowed-fingerprint inverted index. */
+  private val winnowFpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   /** doc_id → md5 of each non-overlapping K=40-char tile of the normalized
     * text (multiset — internal repeats count), persisted and shared by
     * d09/d10 (the shingle-index pattern: the tokenize/normalize pass is
     * paid once, not once per consumer). */
-  private val winnowFpCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val tileCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def tileIndex(s: SparkSession, dir: String): DataFrame =

@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   *
   *  1. map the batch's endpoints through the current labels — each node
   *     stands in for its component representative (its min); unseen nodes
-  *     represent themselves. One equi-join where the BATCH side is the
-  *     small side (broadcast at scale).
+  *     represent themselves. This is the batch's ONE probe of the
+  *     snapshot (a first-seen flag rides the same join, so fresh nodes
+  *     need no second probe); at scale it is a co-located lookup against
+  *     a labels table bucketed by node.
   *  2. contract the REPRESENTATIVE graph — bounded by the batch's edge
   *     count, not the corpus: every old component is one supernode. This
   *     reuses the exact p03 union-find machinery.
@@ -46,13 +48,19 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: the labels snapshot is the only corpus-scaled state (one
   * row per edge-touched node — smaller than the document corpus); a batch
-  * costs one broadcast probe of it plus a batch-sized contraction. On a
-  * cluster the snapshot becomes a transactional table bucketed by `lab`
-  * and step 3 a MERGE INTO over exactly the merged components' buckets.
+  * costs one snapshot probe (step 1), a batch-sized contraction (step 2),
+  * and one broadcast-delta relabel scan (step 3, shuffle-free — pinned by
+  * StreamShapeSpec). On a cluster the snapshot becomes a transactional
+  * table bucketed by node, step 1 a partition-pruned lookup of the
+  * batch's buckets, and step 3 a MERGE INTO over exactly the merged
+  * components' rows.
   */
 object IncrementalComponents {
 
-  /** Normalize an edge batch to undirected (src<dst) distinct pairs. */
+  /** Normalize an edge batch to undirected (src<dst) distinct pairs.
+    * Self-loops carry no merge information and are dropped HERE — but
+    * their nodes still enter the label set (see `merge`), matching the
+    * batch contraction, which labels a self-loop's node as itself. */
   private def normalized(edges: DataFrame): DataFrame =
     edges.select(least(col("i"), col("j")).as("src"),
         greatest(col("i"), col("j")).as("dst"))
@@ -76,13 +84,19 @@ object IncrementalComponents {
     import graft.GraftSession.MaterializeOps
     val e = normalized(edges).materialized
     val cur = SnapshotStore.read(spark, stateRoot)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
-    // each endpoint stands in for its component rep (self when unseen)
+    // node set from the RAW endpoints (self-loop nodes must still label,
+    // like the batch contraction's (x, x) row for an (x, x) edge)
+    val nodes = edges.select(col("i").as("node"))
+      .union(edges.select(col("j"))).distinct()
+    // each endpoint stands in for its component rep (self when unseen);
+    // the first-seen flag rides this ONE snapshot probe so fresh nodes
+    // need no second (anti-join) pass over the corpus-sized labels
     val repOf = (cur match {
       case Some(c) => nodes.join(c, Seq("node"), "left")
-        .select(col("node"), coalesce(col("lab"), col("node")).as("rep"))
-      case None => nodes.select(col("node"), col("node").as("rep"))
+        .select(col("node"), coalesce(col("lab"), col("node")).as("rep"),
+          col("lab").isNull.as("is_fresh"))
+      case None =>
+        nodes.select(col("node"), col("node").as("rep"), lit(true).as("is_fresh"))
     }).materialized
     val repEdges = e
       .join(repOf.as("a"), col("src") === col("a.node"))
@@ -93,11 +107,8 @@ object IncrementalComponents {
     val delta = graft.analytics.Curation.contractComponents(spark, repEdges)
       .materialized
     // first-seen nodes enter with their contracted label (self if their
-    // every edge vanished into an existing component)
-    val fresh = (cur match {
-      case Some(c) => repOf.join(c, Seq("node"), "left_anti")
-      case None => repOf
-    }).as("n")
+    // every edge vanished into an existing component or was a self-loop)
+    val fresh = repOf.filter(col("is_fresh")).as("n")
       .join(broadcast(delta).as("d"), col("n.rep") === col("d.node"), "left")
       .select(col("n.node").as("node"),
         coalesce(col("d.lab"), col("n.rep")).as("lab"))

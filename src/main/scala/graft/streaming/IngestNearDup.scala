@@ -48,10 +48,6 @@ object IngestNearDup {
     (bands, shingles, counts)
   }
 
-  /** Flag one batch of arrivals (doc_id, text) against the corpus sides.
-    * Every arrival gets a verdict row — a doc too short to shingle (or
-    * with no band collision at all) reports zero candidates rather than
-    * silently bypassing the gate. */
   /** Band-collision candidates and exact-Jaccard-verified pairs of one
     * batch — the shared core of the per-doc verdicts (`flagBatch`) and
     * the raw edge stream (`verifiedPairs`). */
@@ -80,18 +76,23 @@ object IngestNearDup {
     (cands, verified)
   }
 
-  /** The verified (new_id, corpus_id) near-dup PAIRS of one batch — the
-    * arrival-time edge stream `IncrementalComponents.merge` maintains the
-    * live dup-graph labels from, closing the loop: gate flags the pair,
-    * the component view absorbs it, and every downstream curation action
-    * (canonical pick, soft-dedup weight, leakage-safe split) sees the
-    * merged cluster without a batch recompute. */
+  /** The verified near-dup PAIRS of one batch as an `(i, j)` edge frame
+    * (i = arriving doc, j = its corpus near-dup) — the exact input shape
+    * `IncrementalComponents.merge`/`start` consume, closing the loop:
+    * gate flags the pair, the component view absorbs it, and every
+    * downstream curation action (canonical pick, soft-dedup weight,
+    * leakage-safe split) sees the merged cluster without a batch
+    * recompute. */
   def verifiedPairs(arrivals: DataFrame, corpusBands: DataFrame,
       corpusShingles: DataFrame, corpusCounts: DataFrame,
       minJaccard: Double = 0.7): DataFrame =
     candidatesAndVerified(arrivals, corpusBands, corpusShingles, corpusCounts,
-      minJaccard)._2.select(col("new_id"), col("corpus_id"))
+      minJaccard)._2.select(col("new_id").as("i"), col("corpus_id").as("j"))
 
+  /** Flag one batch of arrivals (doc_id, text) against the corpus sides.
+    * Every arrival gets a verdict row — a doc too short to shingle (or
+    * with no band collision at all) reports zero candidates rather than
+    * silently bypassing the gate. */
   def flagBatch(arrivals: DataFrame, corpusBands: DataFrame,
       corpusShingles: DataFrame, corpusCounts: DataFrame,
       minJaccard: Double = 0.7): DataFrame = {

@@ -143,12 +143,12 @@ class IncrementalComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val root = freshRoot()
     var allPairs = Seq.empty[(Long, Long)]
     batches.zipWithIndex.foreach { case (docs, i) =>
-      val pairs = IngestNearDup.verifiedPairs(
+      // the gate's output frame feeds merge DIRECTLY — this pins the
+      // documented (i, j) column contract between the two modules
+      val pairsDf = IngestNearDup.verifiedPairs(
         docs.toDF("doc_id", "text"), bands, shingles, counts)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      allPairs ++= pairs
-      IncrementalComponents.merge(
-        pairs.toDF("i", "j"), i.toLong, root)
+      allPairs ++= pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      IncrementalComponents.merge(pairsDf, i.toLong, root)
     }
     assert(allPairs.nonEmpty, "the gate must flag the planted near-dups")
     val got = labelsOf(IncrementalComponents.view(spark, root).get)
@@ -166,5 +166,15 @@ class IncrementalComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     IncrementalComponents.merge(edgesDf(Seq((5L, 6L), (20L, 21L))), 1L, root)
     assert(labelsOf(IncrementalComponents.view(spark, root).get) ===
       Set((5L, 5L), (6L, 5L), (20L, 20L), (21L, 20L)))
+  }
+
+  test("a self-loop edge labels its node as itself — the batch " +
+      "contraction's (x, x) row — instead of dropping the node") {
+    val root = freshRoot()
+    IncrementalComponents.merge(edgesDf(Seq((9L, 9L), (1L, 2L))), 0L, root)
+    assert(labelsOf(IncrementalComponents.view(spark, root).get) ===
+      Set((9L, 9L), (1L, 1L), (2L, 1L)))
+    assert(labelsOf(IncrementalComponents.view(spark, root).get) ===
+      batchTruth(Seq((9L, 9L), (1L, 2L))))
   }
 }

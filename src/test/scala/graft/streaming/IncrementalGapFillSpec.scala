@@ -86,14 +86,19 @@ class IncrementalGapFillSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Option[Double] keeps the round-trip null-safe: null-valued events
+    // are a supported input (the non-observation contract below), and a
+    // primitive getDouble would throw on them if the fixture ever grows
+    // organic nulls
     val rows = events
       .select($"user_id", $"ts", $"event_id", $"value")
       .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        if (r.isNullAt(3)) Option.empty[Double] else Some(r.getDouble(3))))
       .toSeq
     val root = freshRoot()
     val ckp = Files.createTempDirectory("gapfill-ckp").toString
-    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Option[Double])]
     val q = IncrementalGapFill.start(
       stream.toDS().toDF("user_id", "ts", "event_id", "value"), root, ckp)
     val (h, t) = rows.splitAt(rows.size / 2)
