@@ -14,10 +14,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * snapshot intact, and foreachBatch's committed-batch tracking makes
   * replays idempotent.
   *
-  * At production scale the same shape targets a transactional table format
-  * (MERGE INTO on Delta/Iceberg) instead of snapshot rewrite; the streaming
-  * plumbing — append stream, foreachBatch boundary, per-key
-  * latest-wins resolution — is identical.
+  * The physical write is the bucketed MERGE-INTO shape: state hashes into
+  * buckets on user_id and a batch rewrites only its touched buckets
+  * ([[SnapshotStore.writeNextBucketed]]) — per-batch write cost is
+  * ∝ touched buckets, not ∝ state. A production deployment swaps the
+  * manifest store for a transactional table format (Delta/Iceberg MERGE
+  * INTO) with the identical dataflow.
   */
 object CurrentState {
 
@@ -38,10 +40,17 @@ object CurrentState {
 
   /** Merge one batch of change rows (user_id, event_id, event_type, us,
     * value) into the snapshot. Exposed for direct (batch) use and reused by
-    * the streaming writer. */
+    * the streaming writer. Bucketed write: only the buckets the batch's
+    * user_ids hash into are physically rewritten — untouched keys' rows
+    * pass through the merge plan unchanged and stay in their current
+    * version dirs via the manifest, so bytes written per batch ∝ touched
+    * buckets, not ∝ state. */
   def merge(batch: DataFrame, stateRoot: String): Unit = {
     val spark = batch.sparkSession
-    SnapshotStore.writeNext(mergedFrame(read(spark, stateRoot), batch), stateRoot)
+    SnapshotStore.writeNextBucketed(
+      mergedFrame(read(spark, stateRoot), batch), stateRoot, None,
+      SnapshotStore.bucketsFor(spark, Seq("user_id")),
+      Some(batch.select("user_id").distinct()))
   }
 
   /** The per-batch merge FRAME — latest-wins over snapshot ∪ batch,

@@ -26,9 +26,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * transactional-sink contract.
   *
   * At 100 TB: the base table never re-scans; per-batch work is
-  * O(batch + |touched groups|), and the snapshot rewrite becomes a MERGE
-  * INTO on a transactional table format. The delta reduction is the same
-  * partial-aggregate shape Spark uses for the batch GROUP BY.
+  * O(batch + |touched groups|), and the snapshot write IS the MERGE-INTO
+  * shape — state hashes into buckets on grp and a batch physically
+  * rewrites only its touched buckets ([[SnapshotStore.writeNextBucketed]]),
+  * so bytes written per batch ∝ touched buckets. The delta reduction is
+  * the same partial-aggregate shape Spark uses for the batch GROUP BY.
   */
 object IncrementalAgg {
 
@@ -75,8 +77,12 @@ object IncrementalAgg {
   def merge(ops: DataFrame, batchId: Long, stateRoot: String): Unit = {
     if (batchId <= SnapshotStore.lastBatchId(stateRoot)) return // replay
     val spark = ops.sparkSession
-    val merged = mergedFrame(SnapshotStore.read(spark, stateRoot), deltas(ops))
-    SnapshotStore.writeNext(merged.filter(col("n") =!= 0L), stateRoot, Some(batchId))
+    import graft.GraftSession.MaterializeOps
+    val d = deltas(ops).materialized
+    val merged = mergedFrame(SnapshotStore.read(spark, stateRoot), d)
+    SnapshotStore.writeNextBucketed(merged.filter(col("n") =!= 0L), stateRoot,
+      Some(batchId), SnapshotStore.bucketsFor(spark, Seq("grp")),
+      Some(d.select("grp")))
   }
 
   /** Start the streaming maintainer over a change stream with the

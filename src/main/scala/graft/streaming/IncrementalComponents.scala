@@ -50,10 +50,10 @@ import org.apache.spark.sql.functions._
   * row per edge-touched node — smaller than the document corpus); a batch
   * costs one snapshot probe (step 1), a batch-sized contraction (step 2),
   * and one broadcast-delta relabel scan (step 3, shuffle-free — pinned by
-  * StreamShapeSpec). On a cluster the snapshot becomes a transactional
-  * table bucketed by node, step 1 a partition-pruned lookup of the
-  * batch's buckets, and step 3 a MERGE INTO over exactly the merged
-  * components' rows.
+  * StreamShapeSpec). The snapshot buckets on node and the batch's write
+  * materializes only the buckets holding fresh or relabeled nodes
+  * ([[SnapshotStore.writeNextBucketed]]) — the MERGE-INTO write shape
+  * over exactly the merged components' rows.
   */
 object IncrementalComponents {
 
@@ -113,7 +113,18 @@ object IncrementalComponents {
       .select(col("n.node").as("node"),
         coalesce(col("d.lab"), col("n.rep")).as("lab"))
     val next = cur.map(c => relabeled(c, delta).unionByName(fresh)).getOrElse(fresh)
-    SnapshotStore.writeNext(next, stateRoot, Some(batchId))
+    // a row changes only if its node is fresh or its label was one of the
+    // merged old reps — so the touched-key set is fresh nodes ∪ the
+    // members of relabeled components (one broadcast semi-join probe of
+    // the labels; the relabel scan reads them anyway)
+    val touchedNodes = fresh.select("node").unionByName(cur match {
+      case Some(c) => c.as("l")
+        .join(broadcast(delta).as("d"), col("l.lab") === col("d.node"), "left_semi")
+        .select(col("node"))
+      case None => fresh.select("node").limit(0)
+    })
+    SnapshotStore.writeNextBucketed(next, stateRoot, Some(batchId),
+      SnapshotStore.bucketsFor(spark, Seq("node")), Some(touchedNodes))
   }
 
   /** Run the maintainer over a streaming `(i, j)` edge frame — e.g. the

@@ -38,20 +38,31 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: obs is the only corpus-scaled state and it is SMALLER than
   * the stream (one row per user-hour); the summary rebuild touches
-  * users × 720 rows per batch. On a cluster the obs snapshot becomes a
-  * MERGE INTO on a transactional table bucketed by user_id, and the
-  * touched-user recompute is a partition-pruned scan of exactly those
-  * buckets.
+  * users × 720 rows per batch. Both stores bucket on user_id and a batch
+  * physically writes only its touched users' buckets
+  * ([[SnapshotStore.writeNextBucketed]]) — the MERGE-INTO write shape; a
+  * transactional table format would additionally prune the untouched
+  * buckets from the read.
   */
 object IncrementalGapFill {
 
   /** Reduce one event batch (user_id, ts, event_id, value) to its
     * per-(user, hour) last observation. A NULL-valued event is NOT an
     * observation — the batch query's contract (it neither opens a carry
-    * span nor counts as observed). */
+    * span nor counts as observed).
+    *
+    * Non-negative domain GUARD: hour bucketing uses integer `div`
+    * (truncates toward zero) where the e27 oracle's `//` floors, and the
+    * (us, event_id) struct order matches the batch query's printf order
+    * only for non-negative fields — both agree exactly on us ≥ 0 ∧
+    * event_id ≥ 0 and silently diverge below zero. Pre-epoch timestamps
+    * and negative event ids are outside every producer's domain here, so
+    * the guard filters them at the source rather than letting the three
+    * formulations drift apart. */
   def deltas(events: DataFrame): DataFrame =
     events
       .filter(col("value").isNotNull)
+      .filter(expr("unix_micros(ts) >= 0") && col("event_id") >= 0)
       .select(col("user_id"),
         expr("unix_micros(ts) div 3600000000").as("h"),
         // struct ordering of the non-negative (us, event_id) pair — the
@@ -147,11 +158,16 @@ object IncrementalGapFill {
     val spark = events.sparkSession
     val d = deltas(events).materialized
     val touched = d.select("user_id").distinct().materialized
+    // both stores bucket on user_id (not the full (user_id, h) obs key):
+    // a user's rows co-locate in one bucket, so the batch rewrites only
+    // the touched users' buckets in obs AND view — the manifest carries
+    // every other bucket forward untouched
+    val buckets = SnapshotStore.bucketsFor(spark, Seq("user_id"))
     val obs = mergedObs(SnapshotStore.read(spark, obsRoot).map(upgraded), d)
-    SnapshotStore.writeNext(obs, obsRoot, Some(batchId))
+    SnapshotStore.writeNextBucketed(obs, obsRoot, Some(batchId), buckets, Some(touched))
     val obsNow = SnapshotStore.read(spark, obsRoot).get
     val view = mergedView(SnapshotStore.read(spark, viewRoot), obsNow, touched)
-    SnapshotStore.writeNext(view, viewRoot, Some(batchId))
+    SnapshotStore.writeNextBucketed(view, viewRoot, Some(batchId), buckets, Some(touched))
   }
 
   /** Run the maintainer over a streaming (user_id, ts, event_id, value)

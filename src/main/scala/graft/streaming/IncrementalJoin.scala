@@ -23,9 +23,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Per batch, everything is batch-sized except three key-joins against
   * snapshots: the touched-key set (≤ batch rows, broadcastable) anti/semi
-  * joins each side snapshot and the view — at 100 TB each becomes a
-  * MERGE INTO on a transactional table keyed by user_id, with the
-  * untouched majority partition-pruned. The join that produces new view
+  * joins each side snapshot and the view. Each store buckets on user_id
+  * and its write materializes only the touched keys' buckets
+  * ([[SnapshotStore.writeNextBucketed]]) — the MERGE-INTO write shape; a
+  * transactional table format would additionally prune the untouched
+  * majority from the read. The join that produces new view
   * rows runs only over the touched keys' rows of each side, never
   * snapshot × snapshot. Alongside the view, each batch emits a CHANGELOG
   * (op '+'/'-') so downstream consumers can themselves be incremental —
@@ -132,10 +134,16 @@ object IncrementalJoin {
     val changelog = changelog0.materialized
     val newView = newView0.materialized
 
-    // commit order: sides first, view LAST — its batch id is the gate
-    SnapshotStore.writeNext(newL, lRoot(stateRoot), Some(batchId))
-    SnapshotStore.writeNext(newR, rRoot(stateRoot), Some(batchId))
-    SnapshotStore.writeNext(newView, vRoot(stateRoot), Some(batchId))
+    // commit order: sides first, view LAST — its batch id is the gate.
+    // All three stores bucket on user_id: each write materializes only
+    // the touched keys' buckets, untouched rows ride the manifest.
+    val buckets = SnapshotStore.bucketsFor(spark, Seq("user_id"))
+    SnapshotStore.writeNextBucketed(newL, lRoot(stateRoot), Some(batchId),
+      buckets, Some(touched))
+    SnapshotStore.writeNextBucketed(newR, rRoot(stateRoot), Some(batchId),
+      buckets, Some(touched))
+    SnapshotStore.writeNextBucketed(newView, vRoot(stateRoot), Some(batchId),
+      buckets, Some(touched))
     Some(changelog)
   }
 

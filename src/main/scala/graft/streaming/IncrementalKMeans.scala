@@ -68,6 +68,8 @@ object IncrementalKMeans {
   def merge(batch: DataFrame, cent: DataFrame, batchId: Long, stateRoot: String): Unit = {
     if (batchId <= SnapshotStore.lastBatchId(stateRoot)) return // replay
     val spark = batch.sparkSession
+    // k×dim-sized state: full rewrite IS the right physical write here
+    // (a bucketed manifest would save no bytes on O(k) rows)
     SnapshotStore.writeNext(
       mergedFrame(SnapshotStore.read(spark, stateRoot), deltas(batch, cent)),
       stateRoot, Some(batchId))

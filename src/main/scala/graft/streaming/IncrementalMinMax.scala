@@ -70,8 +70,14 @@ object IncrementalMinMax {
   def merge(ops: DataFrame, batchId: Long, stateRoot: String): Unit = {
     if (batchId <= SnapshotStore.lastBatchId(stateRoot)) return // replay
     val spark = ops.sparkSession
-    val merged = mergedFrame(SnapshotStore.read(spark, stateRoot), deltas(ops))
-    SnapshotStore.writeNext(merged.filter(col("cnt") =!= 0L), stateRoot, Some(batchId))
+    import graft.GraftSession.MaterializeOps
+    val d = deltas(ops).materialized
+    val merged = mergedFrame(SnapshotStore.read(spark, stateRoot), d)
+    // support rows bucket on (grp, v) — the merge's own join key — so a
+    // batch rewrites only the buckets its touched (grp, value) pairs hit
+    SnapshotStore.writeNextBucketed(merged.filter(col("cnt") =!= 0L), stateRoot,
+      Some(batchId), SnapshotStore.bucketsFor(spark, Seq("grp", "v")),
+      Some(d.select("grp", "v")))
   }
 
   /** Start the streaming maintainer over a change stream. */

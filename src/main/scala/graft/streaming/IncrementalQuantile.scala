@@ -47,6 +47,8 @@ object IncrementalQuantile {
   def merge(batch: DataFrame, batchId: Long, stateRoot: String): Unit = {
     if (batchId <= SnapshotStore.lastBatchId(stateRoot)) return // replay
     val spark = batch.sparkSession
+    // sketch-sized state: full rewrite IS the right physical write here
+    // (a bucketed manifest would save no bytes on O(sketch) rows)
     SnapshotStore.writeNext(
       mergedFrame(SnapshotStore.read(spark, stateRoot), deltas(batch)),
       stateRoot, Some(batchId))

@@ -82,9 +82,13 @@ object IncrementalTopK {
       case None => reranked
     }
 
-    // base first, view (with the batch id) last — see the scaladoc
-    SnapshotStore.writeNext(newBase, roots.base, Some(batchId))
-    SnapshotStore.writeNext(newView, roots.view, Some(batchId))
+    // base first, view (with the batch id) last — see the scaladoc.
+    // Both stores are corpus-proportional, so both write bucketed: base
+    // on id (touched ids' buckets), view on key (touched keys' buckets).
+    SnapshotStore.writeNextBucketed(newBase, roots.base, Some(batchId),
+      SnapshotStore.bucketsFor(spark, Seq("id")), Some(touchedIds))
+    SnapshotStore.writeNextBucketed(newView, roots.view, Some(batchId),
+      SnapshotStore.bucketsFor(spark, Seq("key")), Some(touchedKeys))
     newBase.unpersist()
   }
 

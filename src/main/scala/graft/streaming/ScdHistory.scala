@@ -24,9 +24,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * At 100 TB: per-batch work is one window over the BATCH (batch-sized),
   * one broadcast-sized first-new-per-key frame joined to the snapshot,
-  * and the append — history rewrites become a MERGE INTO on a
-  * transactional table format, with the closed majority of history
-  * partition-pruned away by is_current/valid_to predicates.
+  * and a bucketed write that materializes only the touched users' buckets
+  * ([[SnapshotStore.writeNextBucketed]]) — the closed majority of history
+  * is never rewritten; a transactional table format would additionally
+  * prune it from the read with is_current/valid_to predicates.
   */
 object ScdHistory {
 
@@ -62,13 +63,18 @@ object ScdHistory {
     }
   }
 
-  /** Apply one batch of changes; replayed batch ids are skipped. */
+  /** Apply one batch of changes; replayed batch ids are skipped. History
+    * buckets on user_id: a batch rewrites only the touched users' buckets
+    * (their whole per-bucket history — the price of bucket-granular
+    * writes), untouched users' history stays put via the manifest. */
   def merge(changes: DataFrame, batchId: Long, stateRoot: String): Unit = {
     if (batchId <= SnapshotStore.lastBatchId(stateRoot)) return // replay
     val spark = changes.sparkSession
-    SnapshotStore.writeNext(
+    SnapshotStore.writeNextBucketed(
       mergedFrame(SnapshotStore.read(spark, stateRoot), changes),
-      stateRoot, Some(batchId))
+      stateRoot, Some(batchId),
+      SnapshotStore.bucketsFor(spark, Seq("user_id")),
+      Some(changes.select("user_id").distinct()))
   }
 
   /** Start the streaming maintainer; `changes` columns: user_id,

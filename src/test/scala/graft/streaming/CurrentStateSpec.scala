@@ -55,9 +55,17 @@ class CurrentStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Ev].collect().toVector.sortBy(_._1)
     assert(state2 == state)
 
-    // old versions pruned: at most 2 snapshot dirs retained
-    val vs = new java.io.File(stateRoot).listFiles().count(_.getName.startsWith("v="))
-    assert(vs <= 2)
+    // retention is bounded: every surviving v= dir is either one of the two
+    // newest complete versions (current + crash fallback) or still hosts a
+    // bucket one of their manifests references — nothing else survives
+    val top2 = SnapshotStore.versions(stateRoot).takeRight(2).toSet
+    val referenced = top2.flatMap(v =>
+      SnapshotStore.manifest(new java.io.File(s"$stateRoot/v=$v"))
+        .map(_.buckets.values.toSet).getOrElse(Set.empty[Long]))
+    val surviving = new java.io.File(stateRoot).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong).toSet
+    assert(surviving.subsetOf(top2 ++ referenced),
+      s"unreferenced versions survive retention: $surviving vs ${top2 ++ referenced}")
   }
 
   test("crash mid-merge: a partial v=N dir (no _COMMIT) is never the current snapshot") {

@@ -1,0 +1,179 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** The bucketed SnapshotStore: per-batch writes materialize ONLY the
+  * touched buckets (the MERGE-INTO write shape), the manifest carries
+  * untouched buckets forward, the `_COMMIT` crash window is unchanged,
+  * and retention keeps exactly the versions/buckets the two newest
+  * manifests still reference. */
+class SnapshotStoreBucketedSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("snapshot-bucketed-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val B = SnapshotStore.Buckets(Seq("k"), 8)
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private def state(root: String): Map[Long, String] =
+    SnapshotStore.read(spark, root).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  /** Data bytes inside one version dir (parquet part files only). */
+  private def dataBytes(root: String, v: Long): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.startsWith("part-")) f.length()
+      else 0L
+    walk(new java.io.File(s"$root/v=$v"))
+  }
+
+  private def bucketDirs(root: String, v: Long): Set[Int] =
+    Option(new java.io.File(s"$root/v=$v").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${SnapshotStore.BucketCol}="))
+      .map(_.getName.stripPrefix(s"${SnapshotStore.BucketCol}=").toInt).toSet
+
+  test("write amplification: bytes written per batch ∝ touched buckets, " +
+      "and the merged view stays exact across incremental writes") {
+    val root = Files.createTempDirectory("bucketed").toString
+    val full = (0L until 400L).map(k => k -> s"v$k")
+    // batch 0: everything (first write = full rewrite by construction)
+    SnapshotStore.writeNextBucketed(df(full), root, Some(0L), B, None)
+    assert(state(root) == full.toMap)
+    assert(bucketDirs(root, 1L) == (0 until B.num).toSet,
+      "400 keys over 8 buckets must populate every bucket")
+    val fullBytes = dataBytes(root, 1L)
+
+    // batch 1: touch ONE key — the whole state frame is passed (untouched
+    // rows unioned through, as every maintainer's merge plan does), but
+    // only the touched key's bucket may be physically written
+    val touched1 = df(Seq(7L -> "")).select("k")
+    val after1 = full.toMap + (7L -> "V7")
+    SnapshotStore.writeNextBucketed(
+      df(after1.toSeq), root, Some(1L), B, Some(touched1))
+    assert(state(root) == after1)
+    val written1 = bucketDirs(root, 2L)
+    assert(written1.size == 1, s"one touched key must write one bucket, got $written1")
+    val incrBytes = dataBytes(root, 2L)
+    assert(incrBytes * 4 < fullBytes,
+      s"write amplification: incremental batch wrote $incrBytes bytes vs " +
+        s"full snapshot $fullBytes — expected ≲ 1/${B.num} of the state")
+
+    // batch 2: delete every key in one bucket — the bucket must leave the
+    // manifest (and the view) even though it produced no output rows
+    val victimBucket = written1.head
+    val bexpr = pmod(hash(col("k")), lit(B.num))
+    val survivors = df(after1.toSeq).filter(bexpr =!= victimBucket)
+    val victims = df(after1.toSeq).filter(bexpr === victimBucket).select("k")
+    SnapshotStore.writeNextBucketed(survivors, root, Some(2L), B, Some(victims))
+    val expect2 = survivors.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state(root) == expect2)
+    assert(!state(root).contains(7L))
+  }
+
+  test("crash window: an uncommitted bucketed version (manifest and all) is " +
+      "invisible; readers fall back to the previous manifest") {
+    val root = Files.createTempDirectory("bucketed-crash").toString
+    SnapshotStore.writeNextBucketed(df(Seq(1L -> "a", 2L -> "b")), root, Some(0L), B, None)
+    SnapshotStore.writeNextBucketed(df(Seq(1L -> "A", 2L -> "b")), root, Some(1L),
+      B, Some(df(Seq(1L -> "")).select("k")))
+    assert(state(root) == Map(1L -> "A", 2L -> "b"))
+    // simulate the crash: v=2's parquet job + manifest landed, _COMMIT did not
+    val commit = new java.io.File(s"$root/v=2/_COMMIT")
+    assert(commit.delete())
+    assert(new java.io.File(s"$root/v=2/_MANIFEST").isFile,
+      "test setup: the uncommitted version must still carry its manifest")
+    assert(state(root) == Map(1L -> "a", 2L -> "b"),
+      "reader surfaced an uncommitted bucketed version")
+    assert(SnapshotStore.lastBatchId(root) == 0L)
+    // the replayed batch re-merges onto the fallback and commits as v=3
+    SnapshotStore.writeNextBucketed(df(Seq(1L -> "A", 2L -> "b")), root, Some(1L),
+      B, Some(df(Seq(1L -> "")).select("k")))
+    assert(state(root) == Map(1L -> "A", 2L -> "b"))
+    assert(SnapshotStore.lastBatchId(root) == 1L)
+  }
+
+  test("retention: versions referenced by the two newest manifests survive, " +
+      "older versions and superseded bucket dirs are pruned") {
+    val root = Files.createTempDirectory("bucketed-retain").toString
+    val keys = (0L until 80L)
+    SnapshotStore.writeNextBucketed(
+      df(keys.map(k => k -> "x")), root, Some(0L), B, None)
+    // ten batches, each touching the same single key: its bucket gets a new
+    // dir every version; every OTHER bucket must keep resolving to v=1
+    (1 to 10).foreach { i =>
+      SnapshotStore.writeNextBucketed(
+        df(keys.map(k => k -> (if (k == 3L) s"x$i" else "x"))),
+        root, Some(i.toLong), B, Some(df(Seq(3L -> "")).select("k")))
+    }
+    assert(state(root)(3L) == "x10")
+    assert(state(root)(4L) == "x")
+    val surviving = SnapshotStore.versionDirs(root).map(_._1).toSet
+    // v=1 must survive (hosts the 7 untouched buckets); the intermediate
+    // single-bucket versions v=2..v=9 are unreferenced by the two newest
+    // manifests and must be gone
+    assert(surviving(1L), "v=1 still hosts untouched buckets — must survive")
+    assert(!surviving.exists(v => v >= 2L && v <= 9L),
+      s"superseded single-bucket versions not pruned: $surviving")
+    assert(surviving(10L) && surviving(11L))
+    // and the store stays bounded: live data + the fallback copy
+    val totalDirs = surviving.size
+    assert(totalDirs <= 3, s"unbounded version accretion: $surviving")
+  }
+
+  test("bucket-count change forces one full rewrite, then incremental resumes") {
+    val root = Files.createTempDirectory("bucketed-resize").toString
+    SnapshotStore.writeNextBucketed(df(Seq(1L -> "a", 2L -> "b")), root, Some(0L), B, None)
+    val wider = SnapshotStore.Buckets(Seq("k"), 16)
+    // touched says "key 1 only" but the layout changed — the store must
+    // ignore the hint and rewrite everything under the new bucket count
+    SnapshotStore.writeNextBucketed(df(Seq(1L -> "A", 2L -> "b")), root, Some(1L),
+      wider, Some(df(Seq(1L -> "")).select("k")))
+    assert(state(root) == Map(1L -> "A", 2L -> "b"))
+    SnapshotStore.writeNextBucketed(df(Seq(1L -> "A", 2L -> "B")), root, Some(2L),
+      wider, Some(df(Seq(2L -> "")).select("k")))
+    assert(state(root) == Map(1L -> "A", 2L -> "B"))
+  }
+
+  test("flat → bucketed migration: first bucketed write over a flat store " +
+      "full-rewrites, reads stay whole throughout") {
+    val root = Files.createTempDirectory("bucketed-migrate").toString
+    SnapshotStore.writeNext(df(Seq(1L -> "a", 2L -> "b")), root, Some(0L))
+    SnapshotStore.writeNextBucketed(df(Seq(1L -> "A", 2L -> "b")), root, Some(1L),
+      B, Some(df(Seq(1L -> "")).select("k")))
+    assert(state(root) == Map(1L -> "A", 2L -> "b"))
+    assert(bucketDirs(root, 2L).nonEmpty)
+    // and flat writeNext atop a bucketed store must not strand readers
+    SnapshotStore.writeNext(df(Seq(9L -> "z")), root, Some(2L))
+    assert(state(root) == Map(9L -> "z"))
+  }
+
+  test("empty state round-trips: schema survives in the manifest") {
+    val root = Files.createTempDirectory("bucketed-empty").toString
+    SnapshotStore.writeNextBucketed(df(Seq(1L -> "a")), root, Some(0L), B, None)
+    // delete the only row
+    SnapshotStore.writeNextBucketed(df(Seq.empty), root, Some(1L),
+      B, Some(df(Seq(1L -> "")).select("k")))
+    val cur = SnapshotStore.read(spark, root).get
+    assert(cur.count() == 0L)
+    assert(cur.columns.toSeq == Seq("k", "v"))
+    // and a fresh write resumes normally
+    SnapshotStore.writeNextBucketed(df(Seq(5L -> "e")), root, Some(2L),
+      B, Some(df(Seq(5L -> "")).select("k")))
+    assert(state(root) == Map(5L -> "e"))
+  }
+}

@@ -47,6 +47,21 @@ class StreamShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def inMemoryRelations(df: DataFrame): Int =
     df.queryExecution.optimizedPlan.collect { case m: InMemoryRelation => m }.size
 
+  /** Assert a merge plan's file scans are EXACTLY the store's current live
+    * paths — the manifest-resolved bucket dirs for a bucketed store, the
+    * one `v=N` dir for a flat one. Reading anything else (older versions,
+    * superseded buckets) would grow per-batch read cost with the store's
+    * history; reading less would drop state. */
+  private def assertScansLive(df: DataFrame, root: String, what: String): Unit = {
+    val live = SnapshotStore.livePaths(root)
+    val scans = fileScanPaths(df)
+    assert(scans.nonEmpty, s"$what has no file scan — the assertion is vacuous")
+    assert(scans.forall(p => live.exists(p.endsWith)),
+      s"$what scans beyond the current snapshot's live paths $live, got $scans")
+    assert(live.forall(lp => scans.exists(_.endsWith(lp))),
+      s"$what misses live paths $live, got $scans")
+  }
+
   test("ingest gates contact the corpus only via the persisted index, never a corpus re-scan") {
     import spark.implicits._
     val corpusDir = java.nio.file.Files.createTempDirectory("shape-corpus").toString
@@ -141,15 +156,13 @@ class StreamShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     IncrementalAgg.merge(batch(1), 0L, root)
     IncrementalAgg.merge(batch(2), 1L, root)
     IncrementalAgg.merge(batch(3), 2L, root)
-    // the store retains current + fallback; the merge frame must read ONLY
-    // the current version — a history or corpus scan here would grow
-    // per-batch work with the store's age
+    // the store retains current + fallback (and, bucketed, older versions
+    // still hosting live buckets); the merge frame must read ONLY the
+    // manifest-resolved live data — a history or corpus scan here would
+    // grow per-batch work with the store's age
     val cur = SnapshotStore.read(spark, root)
-    val curVersion = SnapshotStore.versions(root).last
     val merged = IncrementalAgg.mergedFrame(cur, IncrementalAgg.deltas(batch(4)))
-    val scans = fileScanPaths(merged)
-    assert(scans.nonEmpty && scans.forall(_.endsWith(s"v=$curVersion")),
-      s"merge must scan exactly the current snapshot v=$curVersion, got $scans")
+    assertScansLive(merged, root, "IncrementalAgg merge")
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
     val joins = merged.queryExecution.optimizedPlan.collect { case j: LJoin => j }
     assert(joins.size == 1, s"expected exactly one snapshot↔delta join, got ${joins.size}")
@@ -169,11 +182,8 @@ class StreamShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     CurrentState.merge(batch(2), root)
     CurrentState.merge(batch(3), root)
     val cur = CurrentState.read(spark, root)
-    val curVersion = SnapshotStore.versions(root).last
     val merged = CurrentState.mergedFrame(cur, batch(4))
-    val scans = fileScanPaths(merged)
-    assert(scans.nonEmpty && scans.forall(_.endsWith(s"v=$curVersion")),
-      s"merge must scan exactly the current snapshot v=$curVersion, got $scans")
+    assertScansLive(merged, root, "CurrentState merge")
     val windows = merged.queryExecution.sparkPlan.collect { case w: WindowExec => w }
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       "latest-wins window must be PARTITIONED by the key — an unpartitioned " +
@@ -193,11 +203,8 @@ class StreamShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     IncrementalGapFill.merge(batch(3), 2L, root)
     val obsRoot = s"$root/obs"
     val cur = SnapshotStore.read(spark, obsRoot)
-    val curVersion = SnapshotStore.versions(obsRoot).last
     val merged = IncrementalGapFill.mergedObs(cur, IncrementalGapFill.deltas(batch(4)))
-    val scans = fileScanPaths(merged)
-    assert(scans.nonEmpty && scans.forall(_.endsWith(s"v=$curVersion")),
-      s"obs merge must scan exactly the current snapshot v=$curVersion, got $scans")
+    assertScansLive(merged, obsRoot, "IncrementalGapFill obs merge")
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
     val joins = merged.queryExecution.optimizedPlan.collect { case j: LJoin => j }
@@ -228,12 +235,9 @@ class StreamShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     IncrementalComponents.merge(Seq((1L, 2L), (5L, 6L)).toDF("i", "j"), 0L, root)
     IncrementalComponents.merge(Seq((2L, 5L)).toDF("i", "j"), 1L, root)
     val cur = SnapshotStore.read(spark, root).get
-    val curVersion = SnapshotStore.versions(root).last
     val delta = Seq((1L, 1L)).toDF("node", "lab")
     val frame = IncrementalComponents.relabeled(cur, delta)
-    val scans = fileScanPaths(frame)
-    assert(scans.nonEmpty && scans.forall(_.endsWith(s"v=$curVersion")),
-      s"relabel must scan exactly the current snapshot v=$curVersion, got $scans")
+    assertScansLive(frame, root, "IncrementalComponents relabel")
     val bcasts = frame.queryExecution.sparkPlan.collect {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
     assert(bcasts.nonEmpty,
