@@ -341,7 +341,12 @@ object Dedup {
 
   private[analytics] def simhashSql: String = SIMHASH_SQL
 
-  /** d08's rare (df ≤ 8) winnowed-fingerprint inverted index. */
+  /** d08's rare (df ≤ 8) winnowed-fingerprint inverted index. Entries for
+    * STOPPED sessions are evicted on the next access ([[evictStopped]]) —
+    * their persisted blocks died with the session's executors, so keeping
+    * the keys would only pin dead DataFrame handles for the JVM lifetime.
+    * Within a live session, entries pin one persisted index per data dir
+    * by design (the shared-index pattern). */
   private val winnowFpCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   /** doc_id → md5 of each non-overlapping K=40-char tile of the normalized
@@ -350,10 +355,19 @@ object Dedup {
     * paid once, not once per consumer). */
   private val tileCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Drop cache entries whose owning session has stopped — O(entries),
+    * called on the cache-miss path so live-session lookups stay lock-free. */
+  private[analytics] def evictStopped(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]): Unit =
+    cache.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) cache.remove(k)
+    }
   private def tileIndex(s: SparkSession, dir: String): DataFrame =
-    tileCache.getOrElseUpdate((s, dir),
+    tileCache.getOrElseUpdate((s, dir), {
+      evictStopped(tileCache)
       tileHashes(t(s, dir, "documents").repartition(col("doc_id")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** `(doc_id, text)` → exploded `(doc_id, th)` K=40-char tile hashes —
     * THE tile definition, shared by d09/d10 and the streaming
@@ -591,6 +605,7 @@ object Dedup {
         // persist here would re-register the same plan every run
         // (CacheManager "already cached" warning once per bench round)
         val fp = winnowFpCache.getOrElseUpdate((s, dir), {
+          evictStopped(winnowFpCache)
           val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
           val fp0 = t(s, dir, "documents")
             .withColumn("fps", graft.functions.RollingHash.winnow(8, 4, 1L << 25)(norm))

@@ -83,6 +83,11 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
     val resp = decodeListOffsetsResponse(call(ApiListOffsets, 1,
       encodeListOffsetsRequest(ListOffsetsRequest(topic, partition, TimestampLatest))))
     require(resp.errorCode == ErrNone, s"ListOffsets error ${resp.errorCode}")
+    // a regressed hwm means the topic was truncated/recreated since the
+    // last Fetch round — the page-continuation buffer would otherwise keep
+    // serving bytes from the DELETED log and mask the purge diagnosis
+    // until the next fresh fetch
+    synchronized { if (resp.offset < pageBufNext) { pageBuf = Vector.empty; pageBufNext = -1L } }
     resp.offset
   }
 
@@ -134,7 +139,13 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
   // it to maxMessages then REFETCHING the rest next page would discard
   // ~90% of every response (measured: 218k -> 168k ops/s through the
   // consume source). Bounded by fetchMaxBytes, so holding it costs at
-  // most one wire round of memory.
+  // most one wire round of memory. The continuation state makes this
+  // client STATEFUL across fetchPage calls: one client serves ONE
+  // sequential consumer (the wire protocol is sequential on the single
+  // socket anyway — `call` serializes); fetchPage synchronizes on the
+  // same monitor so a misuse from two threads corrupts nothing, but
+  // interleaved consumers would still thrash the continuation buffer —
+  // give each consumer its own client.
   private var pageBuf: Vector[(Long, Array[Byte])] = Vector.empty
   private var pageBufNext = -1L // continuation offset of the last served page
 
@@ -145,20 +156,23 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
     * served slice — the two differ on a compacted/transactional log, where
     * the next retained offset jumps a benign gap; matching only the head
     * would discard the remainder and refetch the same bytes at every gap
-    * that straddles a page boundary. */
-  override def fetchPage(fromOffset: Long, maxMessages: Int): Vector[(Long, Array[Byte])] = {
-    val continues = pageBuf.nonEmpty &&
-      (pageBuf.head._1 == fromOffset || fromOffset == pageBufNext)
-    if (!continues) {
-      val (resp, msgs) = fetchOnce(fromOffset)
-      pageBuf = msgs.filter(m => m.offset >= fromOffset && m.offset < resp.highWatermark)
-        .map(m => (m.offset, m.value))
+    * that straddles a page boundary. A high-water mark observed below the
+    * continuation offset (topic truncated/recreated between pages)
+    * invalidates the buffer — see [[highWaterMark]]. */
+  override def fetchPage(fromOffset: Long, maxMessages: Int): Vector[(Long, Array[Byte])] =
+    synchronized {
+      val continues = pageBuf.nonEmpty &&
+        (pageBuf.head._1 == fromOffset || fromOffset == pageBufNext)
+      if (!continues) {
+        val (resp, msgs) = fetchOnce(fromOffset)
+        pageBuf = msgs.filter(m => m.offset >= fromOffset && m.offset < resp.highWatermark)
+          .map(m => (m.offset, m.value))
+      }
+      val (page, rest) = pageBuf.splitAt(maxMessages)
+      pageBuf = rest
+      if (page.nonEmpty) pageBufNext = page.last._1 + 1
+      page
     }
-    val (page, rest) = pageBuf.splitAt(maxMessages)
-    pageBuf = rest
-    if (page.nonEmpty) pageBufNext = page.last._1 + 1
-    page
-  }
 
   def fetchFrom(fromOffset: Long): Vector[(Long, Array[Byte])] = {
     val res = Vector.newBuilder[(Long, Array[Byte])]

@@ -65,11 +65,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    lexicographically, so bucket ids stay monotone in the total order
   *    and the two passes still agree without any physical-partition
   *    state (still no `spark_partition_id`, still bit-identical to the
-  *    window form). The refinement costs one extra approxQuantile job
-  *    per dominant value (capped at 4). It needs a NUMERIC second order
-  *    column to refine on; with a single-column order (or a
-  *    non-castable second column) the dominant key degrades to the old
-  *    one-big-bucket behavior — correct, but single-task-bounded.
+  *    window form). The refinement costs ONE extra scan of the input (a
+  *    persisted two-column projection of the dominant keys' rows) plus
+  *    up to 4 approxQuantile jobs over that cached projection — so a
+  *    skewed un-persisted input is scanned at most three times per call
+  *    (leading-key quantiles, refinement projection, main pass), never
+  *    once per dominant value. It needs a NUMERIC second order column to
+  *    refine on; with a single-column order (or a non-castable second
+  *    column) the dominant key degrades to the old one-big-bucket
+  *    behavior — correct, but single-task-bounded, and logged.
   *
   * MEASURED BOUNDARY (PrefixScanBench, sf0.1 events = 600k rows, 32
   * threads, median-of-3 warm): window 0.298 s vs scan 1.116 s (same
@@ -106,6 +110,8 @@ object PrefixScan {
     * are monotone in the (k, t) lexicographic order, so bucket ids stay
     * consistent with the total order — the carry combination is
     * unchanged. Exposed `private[plans]` for the skew spec. */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private[plans] def boundariesFor(keyed: DataFrame, n: Int, k: String,
       k2: Option[String]): Seq[(Double, Option[Double])] = {
     val raw = keyed.stat
@@ -115,18 +121,39 @@ object PrefixScan {
     // skew profile, bounds the extra quantile jobs
     val refinable = byValue.filter(_._2.length >= 2)
       .sortBy(-_._2.length).take(4).map(_._1).toSet
-    byValue.flatMap { case (h, copies) =>
+    // ONE persisted two-column projection of the dominant keys' rows: the
+    // per-value sub-quantile jobs scan THIS, not the full input lineage —
+    // without it each refined value re-executed the un-persisted input,
+    // turning the documented double scan into ~6 full scans on skewed data
+    val dom =
+      if (refinable.nonEmpty && k2.isDefined)
+        Some(keyed.select(col(k), col(k2.get))
+          .filter(col(k).isin(refinable.toSeq: _*)).persist())
+      else None
+    try byValue.flatMap { case (h, copies) =>
       val m = copies.length
       val sub: Seq[(Double, Option[Double])] =
-        if (m >= 2 && refinable(h) && k2.isDefined)
-          try keyed.filter(col(k) === h).stat
-            .approxQuantile(k2.get, (1 until m).map(_.toDouble / m).toArray, 0.001)
-            .distinct.sorted.toSeq.map(t => (h, Some(t)))
-          catch { case _: Exception => Seq.empty } // non-numeric/all-null tie
+        if (m >= 2 && refinable(h) && dom.isDefined)
+          try {
+            val q = dom.get.filter(col(k) === h).stat
+              .approxQuantile(k2.get, (1 until m).map(_.toDouble / m).toArray, 0.001)
+              .distinct.sorted.toSeq.map(t => (h, Some(t)))
+            if (q.isEmpty)
+              log.warn(s"PrefixScan skew refinement: tie column has no " +
+                s"numeric values for dominant key $h — falling back to one " +
+                "bucket for that key (exact, but single-task-bounded)")
+            q
+          } catch {
+            case e: Exception => // non-numeric/all-null tie
+              log.warn(s"PrefixScan skew refinement failed on the tie column " +
+                s"for dominant key $h (${e.getMessage}) — falling back to one " +
+                "bucket for that key (exact, but single-task-bounded)")
+              Seq.empty
+          }
         else Seq.empty
       if (sub.nonEmpty) sub
       else Seq((h, None)) // collapse duplicates like the old .distinct
-    }
+    } finally dom.foreach(_.unpersist(false))
   }
 
   private def scan(
@@ -146,9 +173,15 @@ object PrefixScan {
     val local = "__ps_local"
     val hasTie = order.length >= 2
     val keyed0 = df
-      .withColumn(k, order.head.cast("double"))
+      .withColumn(k, order.head.cast("double")) // contract: numeric — fail loudly
       .withColumn(v, value.cast(LongType))
-    val keyed = if (hasTie) keyed0.withColumn(k2, order(1).cast("double")) else keyed0
+    // the tie column is OPTIONAL refinement input: a non-numeric tie must
+    // fall back (logged), not abort the scan — under ANSI a plain cast
+    // throws CAST_INVALID_INPUT at runtime, so this must be a try_cast
+    val keyed = if (hasTie)
+      keyed0.withColumn(k2, order(1))
+        .withColumn(k2, expr(s"try_cast(`$k2` as double)"))
+      else keyed0
     // Deterministic bucket boundaries: O(#buckets) driver doubles.
     val bounds = boundariesFor(keyed, n, k, if (hasTie) Some(k2) else None)
     val bucket = bounds.foldLeft(lit(0)) {

@@ -83,7 +83,8 @@ class TopicConsumeTable(opts: CaseInsensitiveStringMap) extends Table with Suppo
         new org.apache.spark.sql.connector.read.Batch {
           override def planInputPartitions(): Array[InputPartition] =
             Array(TopicBatchScan(opts.get("addr"),
-              Option(opts.get("fromSeq")).map(_.toLong).getOrElse(0L)))
+              Option(opts.get("fromSeq")).map(_.toLong).getOrElse(0L),
+              Option(opts.get("pageSize")).map(_.toInt).getOrElse(512)))
           override def createReaderFactory(): PartitionReaderFactory =
             new TopicBatchReaderFactory
         }
@@ -91,8 +92,9 @@ class TopicConsumeTable(opts: CaseInsensitiveStringMap) extends Table with Suppo
 }
 
 /** Batch-scan partition: everything the executor needs to consume the
-  * whole topic (connection address + seq-dedup floor). */
-final case class TopicBatchScan(addr: String, fromSeq: Long) extends InputPartition
+  * whole topic (connection address + seq-dedup floor + fetch page size). */
+final case class TopicBatchScan(addr: String, fromSeq: Long, pageSize: Int = 512)
+    extends InputPartition
 
 class TopicBatchReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -100,7 +102,30 @@ class TopicBatchReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val client = TopicLike.connect(p.addr)
       private val decoder = new OperationDecoder(lastCommitSeq = p.fromSeq)
-      private val it = client.fetchFrom(0L).iterator.flatMap { case (off, bytes) =>
+      // Paged drain, NOT one fetchFrom(0): a long-retained topic would
+      // otherwise materialize whole into the reader's heap before the
+      // first row is served. Each fetchPage round holds at most pageSize
+      // raw messages; the scan is bounded by the high-water mark observed
+      // at open (the streaming poll's entry-hwm invariant — a concurrent
+      // producer's tail belongs to a later scan, and messages appended
+      // past the entry hwm that ride the final fetched page are kept
+      // rather than re-fetched).
+      private val entryHwm = client.highWaterMark()
+      private val raw: Iterator[(Long, Array[Byte])] = new Iterator[(Long, Array[Byte])] {
+        private var nextOffset = 0L
+        private var page: Vector[(Long, Array[Byte])] = Vector.empty
+        private var i = 0
+        private def refill(): Unit =
+          while (i >= page.length && nextOffset < entryHwm) {
+            page = client.fetchPage(nextOffset, p.pageSize)
+            i = 0
+            // an empty page below the hwm is a retention gap tail: done
+            nextOffset = if (page.isEmpty) entryHwm else page.last._1 + 1
+          }
+        override def hasNext: Boolean = { refill(); i < page.length }
+        override def next(): (Long, Array[Byte]) = { refill(); val m = page(i); i += 1; m }
+      }
+      private val it = raw.flatMap { case (off, bytes) =>
         decoder.feed(bytes, off).toSeq.flatMap(b =>
           b.ops.map(op => (b.commitSeq, b.commitOffset, OperationJson.render(op))))
       }.zipWithIndex

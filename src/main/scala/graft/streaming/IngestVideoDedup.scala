@@ -121,15 +121,18 @@ object IngestVideoDedup {
       .join(perPair.groupBy(col("new_id").as("video_id")).agg(
         count(lit(1)).as("n_neardups"),
         // best match: most shared triples, ties to the smallest id —
-        // sort-free max(struct) with negated tie field
-        max(struct(col("n_shared").as("ns"), (-col("corpus_id")).as("nid")))
-          .getField("nid").as("neg_nearest"),
-        max(col("containment_q")).as("containment_q")), Seq("video_id"), "left")
-      .withColumn("nearest_video", -col("neg_nearest"))
+        // sort-free max(struct) with negated tie field. containment_q
+        // RIDES the same pick (it never decides it: (ns, nid) is already
+        // unique per pair), so the reported containment describes the
+        // reported nearest_video, not some other corpus clip's maximum
+        max(struct(col("n_shared").as("ns"), (-col("corpus_id")).as("nid"),
+          col("containment_q").as("cq"))).as("best")), Seq("video_id"), "left")
+      .withColumn("nearest_video", -col("best.nid"))
+      .withColumn("containment_q", col("best.cq"))
       .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
       .withColumn("n_neardups", coalesce(col("n_neardups"), lit(0L)))
       .withColumn("neardup", col("n_neardups") > 0L)
-      .drop("neg_nearest")
+      .drop("best")
   }
 
   /** The verdict as a PURE PLAN (no caching) — what a scale-shape spec

@@ -113,6 +113,35 @@ class PrefixScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(subBounds.map(_._2.get).distinct.size == subBounds.size)
   }
 
+  test("NON-NUMERIC tie column on a dominant key: refinement falls back to " +
+      "one bucket for that key (logged) and parity still holds exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101L)
+    // 80% of rows on one key, tie is a STRING — cast("double") nulls it,
+    // so the sub-quantile refinement has nothing numeric to split on
+    val df = (0 until 1200).map { i =>
+      val k = if (rnd.nextInt(10) < 8) 42L else rnd.nextInt(50).toLong
+      (k, f"t$i%06d", java.lang.Long.valueOf(rnd.nextInt(100).toLong))
+    }.toDF("k", "tie", "v").repartition(5)
+    // boundaries: the dominant key must appear UNREFINED (no sub-bounds);
+    // try_cast mirrors the scan's own tie handling (ANSI-safe)
+    val keyed = df.withColumn("__ps_k", $"k".cast("double"))
+      .withColumn("__ps_k2", expr("try_cast(tie as double)"))
+    val bounds = PrefixScan.boundariesFor(keyed,
+      math.max(spark.sparkContext.defaultParallelism, 1), "__ps_k", Some("__ps_k2"))
+    assert(bounds.count(_._1 == 42.0) == 1 && bounds.forall(_._2.isEmpty),
+      s"expected the fallback single boundary for key 42, got $bounds")
+    // and the scan output is still bit-identical to the window form —
+    // the string tie still participates in the in-bucket sort
+    val got = PrefixScan.runningSum(df, Seq($"k", $"tie"), $"v", "run")
+      .select($"tie", $"run").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy($"k", $"tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("ref", sum($"v").over(w))
+      .select($"tie", $"ref").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+
   test("single-column order: skew refinement degrades gracefully (no tie " +
       "column to refine on) and parity still holds") {
     import spark.implicits._

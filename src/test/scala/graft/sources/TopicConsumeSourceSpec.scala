@@ -477,4 +477,47 @@ class TopicConsumeSourceSpec extends AnyFunSuite {
       s"the drain must stop at the entry hwm, took ${topic.fetches} fetch rounds")
     stream.stop()
   }
+
+  test("BATCH scan drains a topic larger than the page size in bounded " +
+      "fetchPage rounds — never one unbounded fetchFrom(0)") {
+    val producer = new FragmentingProducer(producerId = 1L)
+    // 12 trxs -> 36 raw messages: many pages at pageSize=4
+    val topic = new TopicLike {
+      @volatile var log: Vector[(Long, Array[Byte])] = Vector.empty
+      var fetches = 0
+      var maxPage = 0
+      override def highWaterMark(): Long = log.size.toLong
+      override def produce(msg: Array[Byte]): Long =
+        synchronized { log = log :+ ((log.size.toLong, msg)); log.size.toLong }
+      override def fetchFrom(fromOffset: Long): Vector[(Long, Array[Byte])] =
+        fail("batch scan must page, not fetchFrom the whole topic")
+      override def fetchPage(fromOffset: Long,
+          maxMessages: Int): Vector[(Long, Array[Byte])] = synchronized {
+        fetches += 1
+        val page = log.filter(_._1 >= fromOffset).take(maxMessages)
+        maxPage = math.max(maxPage, page.size)
+        page
+      }
+    }
+    (1 to 12).foreach(i =>
+      producer.produce(trx(i * 200L, i.toLong))
+        .foreach(m => topic.produce(Wire.encodeMessage(m))))
+    val nMsgs = topic.log.size
+    assert(nMsgs > 8, s"test setup: need multiple pages, got $nMsgs messages")
+    TopicLike.registerDialect("scripted-batchpage://", _ => topic)
+
+    val reader = new TopicBatchReaderFactory()
+      .createReader(TopicBatchScan("scripted-batchpage://t", 0L, pageSize = 4))
+    val rows = Iterator.continually(reader).takeWhile(_.next()).map { r =>
+      (r.get().getLong(0), r.get().getUTF8String(3).toString)
+    }.toVector
+    reader.close()
+    assert(rows.length == 36, s"12 trx x 3 ops, got ${rows.length}")
+    assert(rows.map(_._1) == (0L until 36L).toVector)
+    assert(rows.count(_._2.contains("\"type\":\"insert\"")) == 12)
+    assert(topic.maxPage <= 4, s"a fetch round exceeded the page bound: ${topic.maxPage}")
+    val expected = (nMsgs + 3) / 4
+    assert(topic.fetches >= expected && topic.fetches <= expected + 2,
+      s"expected ~$expected bounded rounds for $nMsgs messages, took ${topic.fetches}")
+  }
 }
