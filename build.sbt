@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The JUnit XML reports accumulate one file per suite ACROSS runs, so a
+// deleted suite's stale report inflates artifact counts (round-10 hygiene
+// finding). Wipe the dir before a full `test` run: report count == live
+// suite count afterwards. `testOnly` keeps its incremental reports.
+val cleanTestReports = taskKey[Unit]("delete stale JUnit XML test reports")
+cleanTestReports := IO.delete(target.value / "test-reports")
+Test / test := (Test / test).dependsOn(cleanTestReports).value
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,11 +5,27 @@
 CORRECTNESS-style JSON object per query plus a _meta record describing
 the execution mode, so `CORRECTNESS_cluster.json` reads like the
 driver's own gate output."""
-import duckdb, sys, glob, json, math
+import duckdb, sys, glob, json, math, os, subprocess, time
 import pandas as pd
 import pyarrow.parquet as pq
 
 sfdir, outdir, outjson, mode = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+
+# Staleness guard (round-10 finding: a cluster artifact one commit older
+# than HEAD shipped): refuse to bless a Verify dump produced BEFORE the
+# newest source commit — regenerate the dump at HEAD instead.
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def git(*args):
+    return subprocess.run(['git', '-C', repo] + list(args),
+                          capture_output=True, text=True).stdout.strip()
+head = git('rev-parse', 'HEAD')
+head_ct = int(git('log', '-1', '--format=%ct') or 0)
+dump_mt = os.path.getmtime(f'{outdir}/oracle_sql.json')
+if dump_mt < head_ct:
+    sys.exit(f'REFUSED: verify dump at {outdir} ({time.ctime(dump_mt)}) predates '
+             f'HEAD {head[:9]} ({time.ctime(head_ct)}) — rerun graft.Verify at HEAD '
+             'before shipping a cluster artifact')
+
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']:
@@ -25,7 +41,8 @@ def cell(v):
         return v.hex() if not math.isnan(v) else 'nan'
     return str(v)
 
-out = {'_meta': {'mode': mode, 'sf': sfdir}}
+out = {'_meta': {'mode': mode, 'sf': sfdir, 'head': head,
+                 'generated_at': time.strftime('%Y-%m-%dT%H:%M:%S%z')}}
 npass = nfail = 0
 for name in sorted(oracle):
     rec = {'rows_match': False, 'schema_match': False, 'hash_match': False,
