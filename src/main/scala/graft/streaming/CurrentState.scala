@@ -40,17 +40,19 @@ object CurrentState {
 
   /** Merge one batch of change rows (user_id, event_id, event_type, us,
     * value) into the snapshot. Exposed for direct (batch) use and reused by
-    * the streaming writer. Bucketed write: only the buckets the batch's
-    * user_ids hash into are physically rewritten — untouched keys' rows
-    * pass through the merge plan unchanged and stay in their current
-    * version dirs via the manifest, so bytes written per batch ∝ touched
-    * buckets, not ∝ state. */
+    * the streaming writer. Bucketed READ-pruned MERGE: the batch's user_ids
+    * pick their buckets, the merge plan reads ONLY those buckets' snapshot
+    * rows (cohabiting untouched keys ride through latest-wins unchanged),
+    * and the write materializes only those buckets — per-batch cost is
+    * ∝ touched buckets end to end; the manifest carries every other
+    * bucket forward without reading OR writing it. */
   def merge(batch: DataFrame, stateRoot: String): Unit = {
     val spark = batch.sparkSession
-    SnapshotStore.writeNextBucketed(
-      mergedFrame(read(spark, stateRoot), batch), stateRoot, None,
-      SnapshotStore.bucketsFor(spark, Seq("user_id")),
-      Some(batch.select("user_id").distinct()))
+    val buckets = SnapshotStore.bucketsFor(spark, Seq("user_id"))
+    val tb = SnapshotStore.bucketIds(batch.select("user_id").distinct(), buckets)
+    val cur = SnapshotStore.readTouched(spark, stateRoot, buckets, tb)
+    SnapshotStore.writeNextBuckets(
+      mergedFrame(cur, batch), stateRoot, None, buckets, Some(tb))
   }
 
   /** The per-batch merge FRAME — latest-wins over snapshot ∪ batch,

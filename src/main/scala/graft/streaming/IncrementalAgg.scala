@@ -79,10 +79,16 @@ object IncrementalAgg {
     val spark = ops.sparkSession
     import graft.GraftSession.MaterializeOps
     val d = deltas(ops).materialized
-    val merged = mergedFrame(SnapshotStore.read(spark, stateRoot), d)
-    SnapshotStore.writeNextBucketed(merged.filter(col("n") =!= 0L), stateRoot,
-      Some(batchId), SnapshotStore.bucketsFor(spark, Seq("grp")),
-      Some(d.select("grp")))
+    // read-pruned MERGE INTO: the delta's groups pick their buckets, the
+    // full-outer merge reads ONLY those buckets' snapshot rows (cohabiting
+    // untouched groups pass through with null delta), and the write
+    // materializes only those buckets
+    val buckets = SnapshotStore.bucketsFor(spark, Seq("grp"))
+    val tb = SnapshotStore.bucketIds(d.select("grp"), buckets)
+    val merged = mergedFrame(
+      SnapshotStore.readTouched(spark, stateRoot, buckets, tb), d)
+    SnapshotStore.writeNextBuckets(merged.filter(col("n") =!= 0L), stateRoot,
+      Some(batchId), buckets, Some(tb))
   }
 
   /** Start the streaming maintainer over a change stream with the

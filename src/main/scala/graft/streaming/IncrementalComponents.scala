@@ -116,7 +116,12 @@ object IncrementalComponents {
     // a row changes only if its node is fresh or its label was one of the
     // merged old reps — so the touched-key set is fresh nodes ∪ the
     // members of relabeled components (one broadcast semi-join probe of
-    // the labels; the relabel scan reads them anyway)
+    // the labels; the relabel scan reads them anyway). Reads stay FULL by
+    // design: membership of a merged component is a property of the LAB
+    // column, not the node-bucket, so detecting the touched rows needs the
+    // broadcast probe over all labels — only the WRITE prunes to the
+    // touched nodes' buckets (a lab→bucket inverted index would buy read
+    // pruning at the cost of a second maintained structure).
     val touchedNodes = fresh.select("node").unionByName(cur match {
       case Some(c) => c.as("l")
         .join(broadcast(delta).as("d"), col("l.lab") === col("d.node"), "left_semi")

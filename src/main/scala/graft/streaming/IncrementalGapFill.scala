@@ -159,15 +159,20 @@ object IncrementalGapFill {
     val d = deltas(events).materialized
     val touched = d.select("user_id").distinct().materialized
     // both stores bucket on user_id (not the full (user_id, h) obs key):
-    // a user's rows co-locate in one bucket, so the batch rewrites only
-    // the touched users' buckets in obs AND view — the manifest carries
-    // every other bucket forward untouched
+    // a user's rows co-locate in one bucket, so the batch READS and
+    // REWRITES only the touched users' buckets in obs AND view — the
+    // manifest carries every other bucket forward untouched, and the
+    // touched-user recompute below scans exactly those buckets (the
+    // partition-pruned lookup of a MERGE INTO)
     val buckets = SnapshotStore.bucketsFor(spark, Seq("user_id"))
-    val obs = mergedObs(SnapshotStore.read(spark, obsRoot).map(upgraded), d)
-    SnapshotStore.writeNextBucketed(obs, obsRoot, Some(batchId), buckets, Some(touched))
-    val obsNow = SnapshotStore.read(spark, obsRoot).get
-    val view = mergedView(SnapshotStore.read(spark, viewRoot), obsNow, touched)
-    SnapshotStore.writeNextBucketed(view, viewRoot, Some(batchId), buckets, Some(touched))
+    val tb = SnapshotStore.bucketIds(touched, buckets)
+    val obs = mergedObs(
+      SnapshotStore.readTouched(spark, obsRoot, buckets, tb).map(upgraded), d)
+    SnapshotStore.writeNextBuckets(obs, obsRoot, Some(batchId), buckets, Some(tb))
+    val obsNow = SnapshotStore.readTouched(spark, obsRoot, buckets, tb).get
+    val view = mergedView(
+      SnapshotStore.readTouched(spark, viewRoot, buckets, tb), obsNow, touched)
+    SnapshotStore.writeNextBuckets(view, viewRoot, Some(batchId), buckets, Some(tb))
   }
 
   /** Run the maintainer over a streaming (user_id, ts, event_id, value)

@@ -123,27 +123,31 @@ object IncrementalJoin {
     val spark = changes.sparkSession
     val latest = latestPerKey(changes).materialized
     val touched = latest.select("user_id").distinct().materialized
+    // All three stores bucket on user_id and every snapshot contact is
+    // READ-pruned to the touched keys' buckets: the side merges, the old
+    // view's anti-join carry, and the touched-key join inputs only ever
+    // see those buckets' rows — per-batch cost ∝ touched buckets end to
+    // end, untouched buckets ride the manifest unread and unwritten.
+    val buckets = SnapshotStore.bucketsFor(spark, Seq("user_id"))
+    val tb = SnapshotStore.bucketIds(touched, buckets)
     // sides materialize first so the view/changelog plans read the
     // checkpointed frames instead of re-deriving the side merges
-    val newL = mergeSide(SnapshotStore.read(spark, lRoot(stateRoot)),
+    val newL = mergeSide(SnapshotStore.readTouched(spark, lRoot(stateRoot), buckets, tb),
       latest.filter(col("side") === "L")).materialized
-    val newR = mergeSide(SnapshotStore.read(spark, rRoot(stateRoot)),
+    val newR = mergeSide(SnapshotStore.readTouched(spark, rRoot(stateRoot), buckets, tb),
       latest.filter(col("side") === "R")).materialized
     val (changelog0, newView0) = viewFrames(
-      SnapshotStore.read(spark, vRoot(stateRoot)), newL, newR, touched)
+      SnapshotStore.readTouched(spark, vRoot(stateRoot), buckets, tb), newL, newR, touched)
     val changelog = changelog0.materialized
     val newView = newView0.materialized
 
-    // commit order: sides first, view LAST — its batch id is the gate.
-    // All three stores bucket on user_id: each write materializes only
-    // the touched keys' buckets, untouched rows ride the manifest.
-    val buckets = SnapshotStore.bucketsFor(spark, Seq("user_id"))
-    SnapshotStore.writeNextBucketed(newL, lRoot(stateRoot), Some(batchId),
-      buckets, Some(touched))
-    SnapshotStore.writeNextBucketed(newR, rRoot(stateRoot), Some(batchId),
-      buckets, Some(touched))
-    SnapshotStore.writeNextBucketed(newView, vRoot(stateRoot), Some(batchId),
-      buckets, Some(touched))
+    // commit order: sides first, view LAST — its batch id is the gate
+    SnapshotStore.writeNextBuckets(newL, lRoot(stateRoot), Some(batchId),
+      buckets, Some(tb))
+    SnapshotStore.writeNextBuckets(newR, rRoot(stateRoot), Some(batchId),
+      buckets, Some(tb))
+    SnapshotStore.writeNextBuckets(newView, vRoot(stateRoot), Some(batchId),
+      buckets, Some(tb))
     Some(changelog)
   }
 

@@ -72,12 +72,15 @@ object IncrementalMinMax {
     val spark = ops.sparkSession
     import graft.GraftSession.MaterializeOps
     val d = deltas(ops).materialized
-    val merged = mergedFrame(SnapshotStore.read(spark, stateRoot), d)
-    // support rows bucket on (grp, v) — the merge's own join key — so a
-    // batch rewrites only the buckets its touched (grp, value) pairs hit
-    SnapshotStore.writeNextBucketed(merged.filter(col("cnt") =!= 0L), stateRoot,
-      Some(batchId), SnapshotStore.bucketsFor(spark, Seq("grp", "v")),
-      Some(d.select("grp", "v")))
+    // support rows bucket on (grp, v) — the merge's own join key — and the
+    // merge is read-pruned: only the touched (grp, value) pairs' buckets
+    // are read and rewritten, the rest ride the manifest
+    val buckets = SnapshotStore.bucketsFor(spark, Seq("grp", "v"))
+    val tb = SnapshotStore.bucketIds(d.select("grp", "v"), buckets)
+    val merged = mergedFrame(
+      SnapshotStore.readTouched(spark, stateRoot, buckets, tb), d)
+    SnapshotStore.writeNextBuckets(merged.filter(col("cnt") =!= 0L), stateRoot,
+      Some(batchId), buckets, Some(tb))
   }
 
   /** Start the streaming maintainer over a change stream. */

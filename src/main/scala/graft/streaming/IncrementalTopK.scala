@@ -85,6 +85,11 @@ object IncrementalTopK {
     // base first, view (with the batch id) last — see the scaladoc.
     // Both stores are corpus-proportional, so both write bucketed: base
     // on id (touched ids' buckets), view on key (touched keys' buckets).
+    // Reads stay FULL here by design: the re-rank must gather ALL base
+    // rows of a touched key, and those are spread across id-buckets — a
+    // read prune by touched ids would drop the very rows the heap ranks.
+    // (A key-bucketed secondary index would buy read pruning; the write
+    // side is where the state-proportional cost lived.)
     SnapshotStore.writeNextBucketed(newBase, roots.base, Some(batchId),
       SnapshotStore.bucketsFor(spark, Seq("id")), Some(touchedIds))
     SnapshotStore.writeNextBucketed(newView, roots.view, Some(batchId),

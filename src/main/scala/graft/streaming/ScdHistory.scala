@@ -64,17 +64,19 @@ object ScdHistory {
   }
 
   /** Apply one batch of changes; replayed batch ids are skipped. History
-    * buckets on user_id: a batch rewrites only the touched users' buckets
-    * (their whole per-bucket history — the price of bucket-granular
-    * writes), untouched users' history stays put via the manifest. */
+    * buckets on user_id and the merge is READ-pruned: only the touched
+    * users' buckets are read (their cohabiting users' history rides
+    * through the left join with new_us null) and only those buckets are
+    * rewritten; the closed majority of history is neither read nor
+    * written — the manifest carries it forward. */
   def merge(changes: DataFrame, batchId: Long, stateRoot: String): Unit = {
     if (batchId <= SnapshotStore.lastBatchId(stateRoot)) return // replay
     val spark = changes.sparkSession
-    SnapshotStore.writeNextBucketed(
-      mergedFrame(SnapshotStore.read(spark, stateRoot), changes),
-      stateRoot, Some(batchId),
-      SnapshotStore.bucketsFor(spark, Seq("user_id")),
-      Some(changes.select("user_id").distinct()))
+    val buckets = SnapshotStore.bucketsFor(spark, Seq("user_id"))
+    val tb = SnapshotStore.bucketIds(changes.select("user_id").distinct(), buckets)
+    SnapshotStore.writeNextBuckets(
+      mergedFrame(SnapshotStore.readTouched(spark, stateRoot, buckets, tb), changes),
+      stateRoot, Some(batchId), buckets, Some(tb))
   }
 
   /** Start the streaming maintainer; `changes` columns: user_id,

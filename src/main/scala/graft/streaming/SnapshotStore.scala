@@ -157,14 +157,48 @@ private[streaming] object SnapshotStore {
     * dirs); an empty bucketed store yields an empty frame with the
     * manifest's recorded schema. */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
+    readPruned(spark, root, None)
+
+  /** The distinct bucket ids `touchedKeys` (columns = `buckets.keyCols`)
+    * hash into — at most `buckets.num` driver values. Compute ONCE per
+    * batch and share between [[readTouched]] and [[writeNextBuckets]] so
+    * the read prune and the write set agree by construction. */
+  def bucketIds(touchedKeys: DataFrame, buckets: Buckets): Set[Int] =
+    touchedKeys.select(bucketExpr(buckets.keyCols, buckets.num).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+  /** The current snapshot RESTRICTED to the given buckets, reading only
+    * those buckets' dirs — the partition-pruned lookup a MERGE INTO does:
+    * a batch's merge plan only needs the touched buckets' rows (it writes
+    * only those buckets; the manifest carries the rest forward untouched),
+    * so per-batch READ cost is ∝ touched buckets too, not ∝ state.
+    * Falls back to the FULL snapshot when the store has no compatible
+    * manifest (flat store, changed layout) — exactly the condition under
+    * which [[writeNextBuckets]] full-rewrites, so read and write always
+    * agree on scope. */
+  def readTouched(spark: SparkSession, root: String, buckets: Buckets,
+      touched: Set[Int]): Option[DataFrame] =
+    currentManifest(root).map(_._2)
+      .filter(m => m.num == buckets.num && m.keyCols == buckets.keyCols) match {
+      case Some(_) => readPruned(spark, root, Some(touched))
+      case None => read(spark, root)
+    }
+
+  private def readPruned(spark: SparkSession, root: String,
+      only: Option[Set[Int]]): Option[DataFrame] =
     versions(root).lastOption.map { v =>
       manifest(new java.io.File(s"$root/v=$v")) match {
-        case Some(m) if m.buckets.isEmpty =>
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-            DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
         case Some(m) =>
-          spark.read.parquet(m.buckets.toSeq.sorted.map { case (b, bv) =>
-            s"$root/v=$bv/$BucketCol=$b" }: _*)
+          val live = only match {
+            case Some(ts) => m.buckets.filter { case (b, _) => ts(b) }
+            case None => m.buckets
+          }
+          if (live.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+          else
+            spark.read.parquet(live.toSeq.sorted.map { case (b, bv) =>
+              s"$root/v=$bv/$BucketCol=$b" }: _*)
         case None => spark.read.parquet(s"$root/v=$v")
       }
     }
@@ -280,17 +314,21 @@ private[streaming] object SnapshotStore {
     * so a crash anywhere before the marker rename leaves readers on the
     * previous complete version and its manifest. */
   def writeNextBucketed(df: DataFrame, root: String, batchId: Option[Long],
-      buckets: Buckets, touchedKeys: Option[DataFrame]): Unit = {
+      buckets: Buckets, touchedKeys: Option[DataFrame]): Unit =
+    writeNextBuckets(df, root, batchId, buckets,
+      touchedKeys.map(tk => bucketIds(tk, buckets)))
+
+  /** [[writeNextBucketed]] with the touched-bucket set precomputed (via
+    * [[bucketIds]]) — the form the read-pruned merge path uses, so one
+    * driver-side set drives both the snapshot read prune and the write. */
+  def writeNextBuckets(df: DataFrame, root: String, batchId: Option[Long],
+      buckets: Buckets, touchedBuckets: Option[Set[Int]]): Unit = {
     ensureFormat(root)
     val prev = currentManifest(root).map(_._2)
       .filter(m => m.num == buckets.num && m.keyCols == buckets.keyCols)
     val schemaJson = df.schema.json
-    val touched: Option[Set[Int]] = (prev, touchedKeys) match {
-      case (Some(_), Some(tk)) =>
-        Some(tk.select(bucketExpr(buckets.keyCols, buckets.num).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet)
-      case _ => None // full rewrite
-    }
+    val touched: Option[Set[Int]] =
+      if (prev.isDefined) touchedBuckets else None // no manifest: full rewrite
     val next = versionDirs(root).lastOption.map(_._1).getOrElse(0L) + 1
     val withB = df.withColumn(BucketCol, bucketExpr(buckets.keyCols, buckets.num))
     val out = touched match {

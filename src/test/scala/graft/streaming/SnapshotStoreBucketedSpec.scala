@@ -162,6 +162,39 @@ class SnapshotStoreBucketedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state(root) == Map(9L -> "z"))
   }
 
+  test("readTouched scans ONLY the touched buckets' dirs (the MERGE INTO " +
+      "read prune); a flat store falls back to the full read") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val root = Files.createTempDirectory("bucketed-prune").toString
+    val all = (0L until 80L).map(k => k -> s"v$k")
+    SnapshotStore.writeNextBucketed(df(all), root, Some(0L), B, None)
+    val tb = SnapshotStore.bucketIds(df(Seq(3L -> "")).select("k"), B)
+    assert(tb.size == 1)
+    val pruned = SnapshotStore.readTouched(spark, root, B, tb).get
+    // physical: the scan's root paths are exactly the touched bucket dirs
+    val scans = pruned.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    val expectDirs = tb.map(b => s"$root/v=1/${SnapshotStore.BucketCol}=$b")
+    assert(scans.nonEmpty && scans.forall(p => expectDirs.exists(p.endsWith)),
+      s"prune leaked beyond the touched buckets: $scans")
+    // logical: exactly the keys that hash into the touched bucket — key 3
+    // plus its cohabitants, nobody else
+    val expectKeys = df(all)
+      .filter(pmod(hash(col("k")), lit(B.num)).isin(tb.toSeq.map(Int.box): _*))
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.collect().map(_.getLong(0)).toSet == expectKeys)
+    assert(expectKeys(3L) && expectKeys.size < all.size)
+    // flat store: no manifest to prune with — full read, never silent loss
+    val flat = Files.createTempDirectory("bucketed-prune-flat").toString
+    SnapshotStore.writeNext(df(Seq(1L -> "a", 2L -> "b")), flat, Some(0L))
+    val full = SnapshotStore.readTouched(spark, flat, B, tb).get
+    assert(full.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("empty state round-trips: schema survives in the manifest") {
     val root = Files.createTempDirectory("bucketed-empty").toString
     SnapshotStore.writeNextBucketed(df(Seq(1L -> "a")), root, Some(0L), B, None)
