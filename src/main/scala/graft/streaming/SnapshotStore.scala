@@ -307,7 +307,9 @@ private[streaming] object SnapshotStore {
     * safe — they only widen the write). `None`, a missing/incompatible
     * previous manifest (flat store, changed bucket count or key columns),
     * or a first write all force one full rewrite, after which incremental
-    * writes resume.
+    * writes resume. A SCHEMA change also requires one full rewrite (pass
+    * `None`): incremental writes would otherwise mix old-schema untouched
+    * buckets with new-schema touched ones under a single multi-path read.
     *
     * Crash window: identical to [[writeNext]] — the manifest lives INSIDE
     * the uncommitted version dir and only becomes visible with `_COMMIT`,

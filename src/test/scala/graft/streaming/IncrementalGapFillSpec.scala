@@ -139,6 +139,24 @@ class IncrementalGapFillSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(collectView(IncrementalGapFill.view(spark, root).get) === Seq(want))
   }
 
+  test("non-negative domain guard: pre-epoch timestamps and negative " +
+      "event ids are filtered at the source (outside the domain where " +
+      "div-vs-floor and struct-vs-printf orderings agree)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val rows = Seq(
+      (7L, new java.sql.Timestamp(-3600000L), 1L, Option(9.0)), // pre-epoch
+      (7L, new java.sql.Timestamp(1700000000000L), -2L, Option(9.0)), // neg id
+      (7L, new java.sql.Timestamp(1700000000000L), 3L, Option(5.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    assert(IncrementalGapFill.deltas(rows).count() == 1,
+      "only the in-domain event may become an observation")
+    IncrementalGapFill.merge(rows, 0L, root)
+    val v = IncrementalGapFill.view(spark, root).get.collect()
+    assert(v.length == 1 && v.head.getLong(1) == 1L, // n_hours: one observed hour
+      "the guarded-out events must not open carry spans")
+  }
+
   test("obs snapshot persisted with the legacy string ord upgrades on " +
       "read: a restart over old state merges instead of crashing") {
     import spark.implicits._
