@@ -40,7 +40,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * uncommitted version (manifest and all) is invisible, and retention
   * keeps every version dir a surviving manifest still references.
   */
-private[streaming] object SnapshotStore {
+private[graft] object SnapshotStore {
 
   /** Internal partition column for bucketed versions; `partitionBy` strips
     * it from the data files, and manifest reads address the leaf dirs
