@@ -48,18 +48,12 @@ object ExecutorLossDrill {
     // pass 1: baseline — correct answer, executors registered, JIT warm
     val baseline = run()
 
-    // scope to THIS app's executors (--app-id rides the executor command
-    // line): a machine-wide CoarseGrainedExecutorBackend match could kill
-    // a concurrent job's executor and report a recovery never exercised
+    // scope to THIS app's executors (DrillKit: --app-id rides the executor
+    // command line) — a machine-wide CoarseGrainedExecutorBackend match
+    // could kill a concurrent job's executor and report a recovery never
+    // exercised
     val appId = spark.sparkContext.applicationId
-    def executorPids(): Seq[ProcessHandle] = {
-      import scala.jdk.CollectionConverters._
-      ProcessHandle.allProcesses().iterator().asScala.filter { h =>
-        val cmd = h.info().commandLine()
-        cmd.isPresent && cmd.get.contains("CoarseGrainedExecutorBackend") &&
-          cmd.get.contains(appId)
-      }.toSeq
-    }
+    def executorPids(): Seq[ProcessHandle] = DrillKit.executorPids(appId)
     val before = executorPids().map(_.pid()).toSet
 
     // pass 2: repeat the query until the killer lands its SIGKILL inside
@@ -95,11 +89,10 @@ object ExecutorLossDrill {
     val post = run() // a full run strictly after the kill
     val queryMs = (System.nanoTime() - t0) / 1000000L
 
-    // the standalone worker relaunches the dead executor; record that the
-    // fleet recovered (a NEW pid appears) so the drill also witnesses the
-    // retry path, not just survival of the in-flight job
-    val after = executorPids().map(_.pid()).toSet
-    val relaunched = (after -- before).nonEmpty
+    // the standalone worker relaunches the dead executor; wait (bounded)
+    // for the NEW pid so the drill witnesses the retry path, not just
+    // survival of the in-flight job
+    val relaunched = DrillKit.awaitRelaunch(appId, before)
 
     val matches = duringMatch && baseline.sameElements(post)
     // the drill's claim is recovery of an IN-FLIGHT job: a kill landing

@@ -66,14 +66,7 @@ object StreamStateLossDrill {
       .collect().map(_.toString).sorted
 
     val appId = spark.sparkContext.applicationId
-    def executorPids(): Seq[ProcessHandle] = {
-      import scala.jdk.CollectionConverters._
-      ProcessHandle.allProcesses().iterator().asScala.filter { h =>
-        val cmd = h.info().commandLine()
-        cmd.isPresent && cmd.get.contains("CoarseGrainedExecutorBackend") &&
-          cmd.get.contains(appId)
-      }.toSeq
-    }
+    def executorPids(): Seq[ProcessHandle] = DrillKit.executorPids(appId)
     val before = executorPids().map(_.pid()).toSet
 
     // the killer waits for a mid-run stage, then SIGKILLs one executor —
@@ -111,8 +104,7 @@ object StreamStateLossDrill {
 
     val state = graft.streaming.CurrentState.read(spark, stateRoot).get
       .collect().map(_.toString).sorted
-    val after = executorPids().map(_.pid()).toSet
-    val relaunched = (after -- before).nonEmpty
+    val relaunched = DrillKit.awaitRelaunch(appId, before)
     val matches = truth.sameElements(state)
     val vacuous = killedPid < 0 || killBatch < 0
     // how many version dirs the manifest spans — evidence the drill ran
@@ -131,6 +123,8 @@ object StreamStateLossDrill {
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
-    if (!matches || vacuous) sys.exit(1)
+    // the drill's documented claims are ALL gated: exact state, a kill
+    // that landed inside a merge, AND a recovered fleet
+    if (!matches || vacuous || !relaunched) sys.exit(1)
   }
 }

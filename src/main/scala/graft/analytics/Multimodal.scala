@@ -94,16 +94,27 @@ object Multimodal {
     * a fraction of the payload bytes. */
   private val featCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
-  private[analytics] def mediaFeatures(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    featCache.getOrElseUpdate((s, dir), {
+  // which sf dir's features the FeaturesPath dump currently holds: a cache
+  // HIT for a dir the dump doesn't match must re-dump from the persisted
+  // frame, or a multi-dir session (sf0.1 then sf1 then back) would let the
+  // oracle compare one dir's Spark results against another dir's features
+  @volatile private var dumpedFor: String = null
+  private[analytics] def mediaFeatures(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val df = featCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      val df = t(s, dir, "documents").select($"doc_id").as[Long]
+      t(s, dir, "documents").select($"doc_id").as[Long]
         .mapPartitions(_.grouped(64).flatMap(_.flatMap(featureRows)))
         .toDF("doc_id", "modality", "idx", "v1", "v2", "h")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.write.mode("overwrite").parquet(FeaturesPath)
-      df
     })
+    synchronized {
+      if (dumpedFor != dir) {
+        df.write.mode("overwrite").parquet(FeaturesPath)
+        dumpedFor = dir
+      }
+    }
+    df
+  }
 
   /** Shared FROM clause of the four feature-table oracles. */
   private val FEAT = s"read_parquet('$FeaturesPath/*.parquet')"

@@ -86,8 +86,14 @@ final class KafkaTopicClient(host: String, port: Int, topic: String,
     // a regressed hwm means the topic was truncated/recreated since the
     // last Fetch round — the page-continuation buffer would otherwise keep
     // serving bytes from the DELETED log and mask the purge diagnosis
-    // until the next fresh fetch
-    synchronized { if (resp.offset < pageBufNext) { pageBuf = Vector.empty; pageBufNext = -1L } }
+    // until the next fresh fetch. Compare against the buffer's END (last
+    // buffered offset + 1), not its start: a truncation landing INSIDE the
+    // buffered range also invalidates everything buffered at/past the new
+    // hwm, and the retained prefix may differ after a recreate too.
+    synchronized {
+      val bufEnd = pageBuf.lastOption.map(_._1 + 1).getOrElse(pageBufNext)
+      if (resp.offset < bufEnd) { pageBuf = Vector.empty; pageBufNext = -1L }
+    }
     resp.offset
   }
 

@@ -70,9 +70,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    up to 4 approxQuantile jobs over that cached projection — so a
   *    skewed un-persisted input is scanned at most three times per call
   *    (leading-key quantiles, refinement projection, main pass), never
-  *    once per dominant value. It needs a NUMERIC second order column to
-  *    refine on; with a single-column order (or a non-castable second
-  *    column) the dominant key degrades to the old one-big-bucket
+  *    once per dominant value. Refinement is gated on the second order
+  *    column's TYPE being numeric (a double cast of a non-numeric tie —
+  *    e.g. a string — would not preserve its native sort order, and
+  *    sub-bucketing by the cast while sorting natively would silently
+  *    corrupt carries); with a single-column order or a non-numeric
+  *    second column the dominant key degrades to the old one-big-bucket
   *    behavior — correct, but single-task-bounded, and logged.
   *
   * MEASURED BOUNDARY (PrefixScanBench, sf0.1 events = 600k rows, 32
@@ -88,6 +91,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * allow-list); use this for corpus-sized ones.
   */
 object PrefixScan {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Running MAX of `value` over the global `order`, appended as `out`. */
   def runningMax(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame =
@@ -110,8 +115,6 @@ object PrefixScan {
     * are monotone in the (k, t) lexicographic order, so bucket ids stay
     * consistent with the total order — the carry combination is
     * unchanged. Exposed `private[plans]` for the skew spec. */
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
   private[plans] def boundariesFor(keyed: DataFrame, n: Int, k: String,
       k2: Option[String]): Seq[(Double, Option[Double])] = {
     val raw = keyed.stat
@@ -171,19 +174,29 @@ object PrefixScan {
     val bkt = "__ps_bkt"
     val v = "__ps_v"
     val local = "__ps_local"
-    val hasTie = order.length >= 2
+    // The tie column is OPTIONAL refinement input, and refinement is only
+    // SOUND when the double cast preserves the tie's own sort order — true
+    // for numeric types, FALSE for strings ("10" < "2" lexicographically
+    // but 10.0 > 2.0 numerically: sub-bucketing a castable string tie by
+    // its numeric value would silently produce wrong carries while the
+    // in-bucket sort stays lexicographic). So the refinement leg is gated
+    // on the tie's TYPE, not on cast success: non-numeric ties degrade to
+    // the unrefined dominant bucket (exact, single-task-bounded, logged).
+    val tieNumeric = order.length >= 2 && {
+      val dt = df.select(order(1)).schema.head.dataType
+      dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    }
+    if (order.length >= 2 && !tieNumeric)
+      log.warn("PrefixScan skew refinement disabled: the second order " +
+        "column is non-numeric (double-cast order would diverge from its " +
+        "native sort order) — dominant keys fall back to one bucket each")
     val keyed0 = df
       .withColumn(k, order.head.cast("double")) // contract: numeric — fail loudly
       .withColumn(v, value.cast(LongType))
-    // the tie column is OPTIONAL refinement input: a non-numeric tie must
-    // fall back (logged), not abort the scan — under ANSI a plain cast
-    // throws CAST_INVALID_INPUT at runtime, so this must be a try_cast
-    val keyed = if (hasTie)
-      keyed0.withColumn(k2, order(1))
-        .withColumn(k2, expr(s"try_cast(`$k2` as double)"))
+    val keyed = if (tieNumeric) keyed0.withColumn(k2, order(1).cast("double"))
       else keyed0
     // Deterministic bucket boundaries: O(#buckets) driver doubles.
-    val bounds = boundariesFor(keyed, n, k, if (hasTie) Some(k2) else None)
+    val bounds = boundariesFor(keyed, n, k, if (tieNumeric) Some(k2) else None)
     val bucket = bounds.foldLeft(lit(0)) {
       case (acc, (kb, None)) =>
         acc + when(col(k) > kb, 1).otherwise(0)

@@ -113,18 +113,18 @@ class PrefixScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(subBounds.map(_._2.get).distinct.size == subBounds.size)
   }
 
-  test("NON-NUMERIC tie column on a dominant key: refinement falls back to " +
-      "one bucket for that key (logged) and parity still holds exactly") {
+  test("NON-NUMERIC tie column on a dominant key: refinement is type-gated " +
+      "off (logged) and parity still holds exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(101L)
-    // 80% of rows on one key, tie is a STRING — cast("double") nulls it,
-    // so the sub-quantile refinement has nothing numeric to split on
+    // 80% of rows on one key, tie is a STRING — refinement must not run
+    // (a double cast would not preserve the string's own sort order)
     val df = (0 until 1200).map { i =>
       val k = if (rnd.nextInt(10) < 8) 42L else rnd.nextInt(50).toLong
       (k, f"t$i%06d", java.lang.Long.valueOf(rnd.nextInt(100).toLong))
     }.toDF("k", "tie", "v").repartition(5)
-    // boundaries: the dominant key must appear UNREFINED (no sub-bounds);
-    // try_cast mirrors the scan's own tie handling (ANSI-safe)
+    // boundariesFor-level fallback: an all-null tie column (what a
+    // non-castable tie would produce) degrades to the unrefined boundary
     val keyed = df.withColumn("__ps_k", $"k".cast("double"))
       .withColumn("__ps_k2", expr("try_cast(tie as double)"))
     val bounds = PrefixScan.boundariesFor(keyed,
@@ -140,6 +140,29 @@ class PrefixScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exp = df.withColumn("ref", sum($"v").over(w))
       .select($"tie", $"ref").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == exp)
+  }
+
+  test("NUMERIC-STRING tie column (lexicographic \"10\" < \"2\" but numeric " +
+      "10 > 2) on a dominant key: the type gate prevents silent numeric " +
+      "sub-bucketing and parity holds on the string's own order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(103L)
+    // ties are DIGIT STRINGS of varying length — fully castable to double,
+    // so a cast-success gate would refine and misbucket ("10" sorts before
+    // "2" lexicographically but after it numerically); only a TYPE gate
+    // keeps the sub-bucket order aligned with the in-bucket sort
+    val df = (0 until 1200).map { i =>
+      val k = if (rnd.nextInt(10) < 8) 42L else rnd.nextInt(50).toLong
+      (k, i.toString, java.lang.Long.valueOf(rnd.nextInt(100).toLong))
+    }.toDF("k", "tie", "v").repartition(5)
+    val got = PrefixScan.runningSum(df, Seq($"k", $"tie"), $"v", "run")
+      .select($"tie", $"run").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy($"k", $"tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("ref", sum($"v").over(w))
+      .select($"tie", $"ref").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp,
+      "castable string ties must NOT be numerically sub-bucketed")
   }
 
   test("single-column order: skew refinement degrades gracefully (no tie " +

@@ -20,6 +20,14 @@ def git(*args):
                           capture_output=True, text=True).stdout.strip()
 head = git('rev-parse', 'HEAD')
 head_ct = int(git('log', '-1', '--format=%ct') or 0)
+if not head or head_ct == 0:
+    # fail CLOSED: without HEAD the guard cannot certify freshness, and a
+    # silent pass here is exactly the stale-artifact regression it exists
+    # to stop
+    sys.exit(f'REFUSED: cannot determine git HEAD of {repo} — the staleness '
+             'guard needs a readable repository to certify the artifact')
+if not os.path.isfile(f'{outdir}/oracle_sql.json'):
+    sys.exit(f'REFUSED: {outdir}/oracle_sql.json missing — run graft.Verify first')
 dump_mt = os.path.getmtime(f'{outdir}/oracle_sql.json')
 if dump_mt < head_ct:
     sys.exit(f'REFUSED: verify dump at {outdir} ({time.ctime(dump_mt)}) predates '
