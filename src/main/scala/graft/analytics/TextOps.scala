@@ -1112,6 +1112,69 @@ object TextOps {
         FROM tok CROSS JOIN cp
         GROUP BY source, pct ORDER BY source, pct"""),
     ),
+
+    // ---- t26: overlapping chunk windows + cross-doc chunk dedup ----
+    // The RAG/pretraining CHUNKER: every document splits into 64-token
+    // windows at stride 48 (16-token overlap keeps context across cuts —
+    // the standard retrieval-chunking shape), each chunk gets a stable
+    // content hash, and a chunk whose exact token window already occurred
+    // earlier in the corpus (first occurrence = min (doc, idx) key) flags
+    // as a duplicate — the memorization-control signal chunk-level
+    // training dedup acts on, catching repeated passages (licenses,
+    // boilerplate, syndicated paragraphs) that document-level dedup
+    // misses inside otherwise-distinct documents. Scale shape: the window
+    // fan-out is a per-row narrow transform (sequence + slice inside
+    // codegen, ~n/48 chunks per doc), first-occurrence is ONE hash-agg on
+    // the chunk hash, and the dup flag joins back on that same key — both
+    // sides hash-partitioned on chunk_hash, no window over the corpus,
+    // no sort until the final (report-sized) ordering.
+    QueryDef(
+      "t26_chunk_windows",
+      (s, dir) => {
+        import s.implicits._
+        val ch = t(s, dir, "documents")
+          .select($"doc_id", toks($"text").as("tk"))
+          .withColumn("n", size($"tk").cast("long"))
+          .filter($"n" > 0L)
+          .withColumn("chunk_idx", explode(expr(
+            "sequence(CAST(0 AS BIGINT), " +
+              "greatest(CAST(ceil((n - 64) / 48.0) AS BIGINT), CAST(0 AS BIGINT)))")))
+          .withColumn("ctk", expr(
+            "slice(tk, CAST(chunk_idx*48 + 1 AS INT), " +
+              "CAST(least(64, n - chunk_idx*48) AS INT))"))
+          .withColumn("n_chunk_tokens", size($"ctk").cast("long"))
+          .withColumn("chunk_hash", md5(concat_ws(" ", $"ctk")))
+          // total order on occurrences without a struct-min (the oracle
+          // has no struct MIN): chunk_idx < 100000 by construction, so
+          // the arithmetic key preserves (doc_id, chunk_idx) order
+          .withColumn("k", $"doc_id" * 100000L + $"chunk_idx")
+        val first = ch.groupBy($"chunk_hash").agg(min($"k").as("k0"))
+        ch.join(first, "chunk_hash")
+          .select($"doc_id", $"chunk_idx", $"n_chunk_tokens", $"chunk_hash",
+            ($"k" =!= $"k0").as("dup"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, $TOKS_SQL AS tk FROM documents),
+        c0 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+               FROM d WHERE len(tk) > 0),
+        ix AS (SELECT doc_id, tk, n,
+                      unnest(range(greatest(CAST(ceil((n - 64) / 48.0) AS BIGINT),
+                                            0) + 1)) AS chunk_idx
+               FROM c0),
+        ch AS (SELECT doc_id, chunk_idx,
+                      list_slice(tk, CAST(chunk_idx*48 + 1 AS BIGINT),
+                                 CAST(least(chunk_idx*48 + 64, n) AS BIGINT)) AS ctk,
+                      doc_id*100000 + chunk_idx AS k
+               FROM ix),
+        h AS (SELECT doc_id, chunk_idx, CAST(len(ctk) AS BIGINT) AS n_chunk_tokens,
+                     md5(array_to_string(ctk, ' ')) AS chunk_hash, k
+              FROM ch),
+        f AS (SELECT chunk_hash, MIN(k) AS k0 FROM h GROUP BY chunk_hash)
+        SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_hash, (k <> k0) AS dup
+        FROM h JOIN f USING (chunk_hash)
+        ORDER BY doc_id, chunk_idx"""),
+    ),
   )
 
   /** The t21 training loop, cached per (session, dir) and shared with the
