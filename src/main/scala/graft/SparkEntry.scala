@@ -11,7 +11,11 @@ import scala.collection.immutable.ListMap
   */
 object SparkEntry {
 
-  private lazy val all: Seq[QueryDef] =
+  // a def, not a lazy val: Multimodal's oracle SQL embeds the dir-keyed
+  // decode-dump paths of the last dir queried, so the strings must be
+  // built when `oracleSql` is collected (after the queries ran), not at
+  // first access
+  private def all: Seq[QueryDef] =
     analytics.Tpch.defs ++
       analytics.Events.defs ++
       analytics.CdcQueries.defs ++

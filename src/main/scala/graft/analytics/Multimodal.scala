@@ -8,38 +8,61 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media treated as opaque BINARY payloads with
   * typed metadata, processed by deterministic, partition-parallel transforms.
   *
-  * Two tiers of oracle coverage:
+  * Two decode-once tables back the oracle rows:
   *
-  *  - m02/m04/m07/m08 run on REAL DECODED FEATURES: [[mediaFeatures]]
-  *    synthesizes one media payload per document (PNG via [[ImageCodec]],
-  *    WAV via [[AudioCodec]], MJPEG-AVI via [[VideoCodec]] — all seeded by
-  *    doc_id alone), decodes it ONCE with the real codecs inside a batched
-  *    mapPartitions (the mapInPandas batch shape), and dumps the per-unit
-  *    feature rows to a parquet the DuckDB oracle reads by path — the
-  *    oracle never decodes, it verifies the QUERY LOGIC (sampling,
-  *    histogram banding, VAD islands, scene-cut lag) over the same
-  *    feature table, the way `documents` backs the text queries.
-  *  - the remaining byte-level queries (m01/m03/m05/m09/m11/m12) keep the
-  *    clearly-marked deterministic md5 stub so DuckDB can replay the
-  *    byte ops on the string form; the real codecs behind the same seams
-  *    are proven on real bytes by `ImageCodecSpec`/`AudioCodecSpec`/
-  *    `VideoCodecSpec` and the three streaming ingest gates.
+  *  - [[mediaFeatures]] (m02/m04/m07/m08/m12): one media payload per
+  *    document (PNG via [[ImageCodec]], WAV via [[AudioCodec]], MJPEG-AVI
+  *    via [[VideoCodec]] — seeded by doc_id alone), decoded ONCE with the
+  *    real codecs inside a batched mapPartitions (the mapInPandas batch
+  *    shape), per-unit FEATURE rows dumped to a parquet the DuckDB oracle
+  *    reads by path — the oracle never decodes, it verifies the QUERY
+  *    LOGIC (sampling, histogram banding, VAD islands, scene-cut lag,
+  *    energy autocorrelation) over the same feature table, the way
+  *    `documents` backs the text queries.
+  *  - [[mediaFingerprints]] (m05/m06/m09/m10/m11): fixture media derived
+  *    from each document's TEXT (region r of the payload ← md5 of the
+  *    text's r-th 4-char frame), so textual near-duplicates become
+  *    near-duplicate MEDIA — then decoded and fingerprinted by the REAL
+  *    codecs: DCT pHash bands of the decoded PNG
+  *    ([[ImageCodec.phash64]]), md5 of each MJPEG frame demuxed by
+  *    [[VideoCodec.parseAvi]], and the energy-landmark constellation of
+  *    the PCM-decoded WAV ([[AudioCodec.landmarks]]). The pair queries'
+  *    oracle rows thus derive from real decoded fingerprints end to end;
+  *    the oracle replays only the pair LOGIC (banding, hamming, shingle
+  *    joins, offset voting) over the dumped fingerprint parquet.
+  *
+  * Only m01/m03 keep the clearly-marked deterministic md5 byte stub (they
+  * test byte-plumbing — metadata structs and decimation indexing — where
+  * DuckDB can replay the byte ops on the string form directly).
   */
 object Multimodal {
   import Tables.t
 
-  /** Where [[mediaFeatures]] dumps the decoded feature rows for the
-    * DuckDB oracle (a fixed path: the oracle SQL is static). One Verify/
-    * check cycle per sf dir at a time — the builder overwrites the dump
-    * per (session, dir), and the Spark side consumes the PERSISTED frame,
-    * never the files, so only the oracle read needs the last-written dump
-    * to match the sf dir under check (which the sequential
-    * Verify-then-compare driver flow guarantees). */
-  val FeaturesPath = "/tmp/graft_media_features"
-
+  /** Oracle dump paths are KEYED BY sf dir (hash suffix), so interleaved
+    * runs over different dirs — or two concurrent JVMs, as in the
+    * multi-JVM cluster correctness flow — can never clobber each other's
+    * dump: each dir owns its path, and the dumped content is a pure
+    * deterministic function of the dir. The oracle SQL embeds the path of
+    * the LAST dir queried in this JVM (`Verify` runs every query before
+    * it dumps `oracle_sql.json`, so the recorded SQL always points at the
+    * dump matching the verified dir). Note the dump targets driver-local
+    * /tmp: correct for local[*] and same-host local-cluster (the offline
+    * harness); a multi-host deployment would point these at a shared FS. */
   private def md5hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map(x => f"$x%02x").mkString
+
+  private[analytics] def featuresPathFor(dir: String): String =
+    s"/tmp/graft_media_features_${md5hex(dir.getBytes).take(8)}"
+  private[analytics] def fingerprintsPathFor(dir: String): String =
+    s"/tmp/graft_media_fp_${md5hex(dir.getBytes).take(8)}"
+
+  /** The sf dir whose dump paths the oracle SQL should reference — set by
+    * every feature/fingerprint build, read by [[defs]] (a def: the SQL is
+    * built when the driver collects `oracleSql`, after the queries ran). */
+  @volatile private var oracleDir: String = "/root/testdata/sf0.01"
+
+  // ------------------------------------------------------ features (by id)
 
   /** One document's REAL decoded feature rows
     * (doc_id, modality, idx, v1, v2, h) — synthesis seeded by doc_id only:
@@ -88,67 +111,126 @@ object Multimodal {
     * built once per (session, dir), REAL codecs end to end, batched in
     * 64-row groups inside mapPartitions (the mapInPandas batch shape a
     * model-inference UDF uses). Persisted for every Spark consumer and
-    * dumped to [[FeaturesPath]] for the DuckDB oracle. At 100 TB this is
-    * the decode-once feature-extraction job every media pipeline runs
+    * dumped to [[featuresPathFor]] for the DuckDB oracle. At 100 TB this
+    * is the decode-once feature-extraction job every media pipeline runs
     * before analytics: embarrassingly parallel over documents, output
     * a fraction of the payload bytes. */
   private val featCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
-  // which sf dir's features the FeaturesPath dump currently holds: a cache
-  // HIT for a dir the dump doesn't match must re-dump from the persisted
-  // frame, or a multi-dir session (sf0.1 then sf1 then back) would let the
-  // oracle compare one dir's Spark results against another dir's features
-  @volatile private var dumpedFor: String = null
+  /** Dirs whose feature dump this JVM already wrote (the dump content is
+    * deterministic per dir, so once per JVM is enough). */
+  private val featDumped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[analytics] def mediaFeatures(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val df = featCache.getOrElseUpdate((s, dir), {
+      Dedup.evictStopped(featCache)
       import s.implicits._
       t(s, dir, "documents").select($"doc_id").as[Long]
         .mapPartitions(_.grouped(64).flatMap(_.flatMap(featureRows)))
         .toDF("doc_id", "modality", "idx", "v1", "v2", "h")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
-    synchronized {
-      if (dumpedFor != dir) {
-        df.write.mode("overwrite").parquet(FeaturesPath)
-        dumpedFor = dir
-      }
-    }
+    if (featDumped.add(dir))
+      df.write.mode("overwrite").parquet(featuresPathFor(dir))
+    oracleDir = dir
     df
   }
 
-  /** Shared FROM clause of the four feature-table oracles. */
-  private val FEAT = s"read_parquet('$FeaturesPath/*.parquet')"
+  // -------------------------------------------------- fingerprints (by text)
 
-  /** m05 band k: sum of region bits 16k..16k+15, shifted into a 16-bit
-    * band value (0 when the payload has no frames in the band). */
-  private def bandBit(k: Int) = {
-    import org.apache.spark.sql.Column
-    val c: Column = coalesce(sum(when(
-      col("frame_idx") >= k * 16 && col("frame_idx") < (k + 1) * 16,
-      expr(s"shiftleft(bit, CAST(frame_idx - ${k * 16} AS INT))"))), lit(0L))
-    c.as(s"b$k")
+  /** Per-frame-value JPEG memo: a video frame's pixels are a pure function
+    * of its 16-bit region value, so at most 65536 distinct tiny JPEGs
+    * exist — encode each once per JVM instead of once per (doc, frame). */
+  private val jpegMemo =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Byte]]
+  private def jpegFor(v: Int): Array[Byte] =
+    jpegMemo.getOrElseUpdate(v, VideoCodec.encodeJpeg(8, 8, (x, y) =>
+      ((x * 3 + y * 5) * 7 + (v % 251) * 13 + (v >> 8)) % 251))
+
+  /** One document's REAL decoded fingerprint rows (doc_id, kind, idx, v, h).
+    * The fixture payloads derive from the TEXT — region r ← md5 of the
+    * text's r-th 4-char frame — so aligned textual near-duplicates become
+    * near-duplicate media; the fingerprints then come from real decodes:
+    *
+    *  - kind='band' (idx 0..3): the four 16-bit bands of the REAL DCT
+    *    pHash ([[ImageCodec.phash64]]) of the decoded 24×24 PNG whose 3×3
+    *    blocks carry the region bytes — m05's banded-LSH input.
+    *  - kind='frame' (idx = frame no): md5 of each real MJPEG frame after
+    *    an encode→[[VideoCodec.parseAvi]] demux round trip; frame pixels
+    *    carry the region's 16-bit value — m09's shingle input.
+    *  - kind='landmark' (idx = frame no): the 16-bit landmark-constellation
+    *    hashes ([[AudioCodec.landmarks]]) over the RMS energies of the
+    *    PCM-decoded WAV whose 125-sample blocks take one of 8 amplitude
+    *    levels per region byte — m11's offset-voting input. */
+  private[analytics] def fingerprintRows(docId: Long, text: String)
+      : Seq[(Long, String, Long, Long, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dg = Array.tabulate(64) { r =>
+      md.reset()
+      md.digest(text.slice(r * 4, r * 4 + 4).getBytes("UTF-8"))
+    }
+    def b0(r: Int): Int = dg(r)(0) & 0xFF
+    def v16(r: Int): Int = ((dg(r)(0) & 0xFF) << 8) | (dg(r)(1) & 0xFF)
+    val nUnits = math.min(math.max((text.length + 3) / 4, 8), 64)
+    // image: region bytes → 3×3 blocks of a 24×24 PNG → real DCT pHash
+    val png = ImageCodec.encodePng(24, 24, (x, y) => b0((y / 3) * 8 + (x / 3)))
+    val ph = ImageCodec.phash64(png)
+    val bands = (0 until 4).map(k =>
+      (docId, "band", k.toLong, (ph >>> (k * 16)) & 0xFFFFL, null: String))
+    // video: one 8×8 JPEG per region (16-bit value → pixels), AVI round trip
+    val jpegs = (0 until nUnits).map(k => jpegFor(v16(k)))
+    val frames = VideoCodec.parseAvi(VideoCodec.encodeAviMjpeg(8, 8, 25, jpegs)).frames
+    val fhs = frames.zipWithIndex.map { case (j, i) =>
+      (docId, "frame", i.toLong, j.length.toLong, md5hex(j)) }
+    // audio: region byte → one of 8 amplitude levels per 125-sample block
+    // (uniform over the landmark bucketing's log2 levels), real PCM decode
+    val wav = AudioCodec.encodeWav(nUnits * 125, 8000f, i =>
+      (StrictMath.sin(2 * StrictMath.PI * i / 20) *
+        (1 << (b0(i / 125) % 8 + 4))).toInt)
+    val energies = AudioCodec.frameEnergies(AudioCodec.decodePcm16(wav), 125)
+    val lms = AudioCodec.landmarks(energies).toSeq.map { case (pos, h) =>
+      (docId, "landmark", pos.toLong, h.toLong, null: String) }
+    bands ++ fhs ++ lms
   }
 
-  /** (doc_id, b0..b3) perceptual fingerprints, persisted: m05's four band
-    * joins reference the subtree on both sides — without reuse the
-    * explode+md5 fingerprint build would run 8x (same pattern as Dedup's
-    * shared simhash/shingle caches). */
+  /** The decoded media-fingerprints table (doc_id, kind, idx, v, h): built
+    * once per (session, dir) like [[mediaFeatures]], persisted, and dumped
+    * to [[fingerprintsPathFor]] for the DuckDB oracle. Corpus-linear
+    * (≤ 64+64+57 rows per doc), embarrassingly parallel across documents. */
+  private val fpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  private val fpDumped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[analytics] def mediaFingerprints(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val df = fpCache.getOrElseUpdate((s, dir), {
+      Dedup.evictStopped(fpCache)
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.grouped(64).flatMap(_.flatMap { case (id, tx) =>
+          fingerprintRows(id, tx) }))
+        .toDF("doc_id", "kind", "idx", "v", "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+    if (fpDumped.add(dir))
+      df.write.mode("overwrite").parquet(fingerprintsPathFor(dir))
+    oracleDir = dir
+    df
+  }
+
+  /** m05 band k: the k-th 16-bit band of the real pHash. */
+  private def bandCol(k: Int) =
+    max(when(col("idx") === k, col("v"))).as(s"b$k")
+
+  /** (doc_id, b0..b3) REAL pHash bands, persisted: m05's four band joins
+    * reference the subtree on both sides — without reuse the pivot would
+    * run 8x (same pattern as Dedup's shared simhash/shingle caches). */
   private val phCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
   private def phashOf(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     phCache.getOrElseUpdate((s, dir), {
+      Dedup.evictStopped(phCache)
       import s.implicits._
-      t(s, dir, "documents")
-        .withColumn("payload", $"text".cast("binary"))
-        .withColumn("n_frames",
-          least(ceil(length($"payload") / lit(4.0)).cast("int"), lit(64)))
-        .withColumn("frame_idx", explode(expr(
-          "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
-        .withColumn("bit",
-          conv(substring(md5(expr("substring(text, frame_idx*4 + 1, 4)")), 1, 1), 16, 10)
-            .cast("long") % 2)
+      mediaFingerprints(s, dir).filter($"kind" === "band")
         .groupBy($"doc_id")
-        .agg(bandBit(0), (1 until 4).map(bandBit): _*)
+        .agg(bandCol(0), (1 until 4).map(bandCol): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -163,6 +245,7 @@ object Multimodal {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
   private def phashPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     phPairsCache.getOrElseUpdate((s, dir), {
+      Dedup.evictStopped(phPairsCache)
       import s.implicits._
       val ph = phashOf(s, dir)
       val hamming = (0 until 4).map(k =>
@@ -176,21 +259,23 @@ object Multimodal {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  /** Oracle CTEs for the phash pair set, ending in `ipairs(i, j)`. */
-  private val PHASH_CTES = """
-        frames AS (
-          SELECT doc_id, frame_idx,
-                 CAST('0x' || substr(md5(substr(text, CAST(frame_idx*4 + 1 AS BIGINT), 4)), 1, 1) AS BIGINT) % 2 AS bit
-          FROM (SELECT doc_id, text,
-                       unnest(range(least(CAST(ceil(length(text)/4.0) AS BIGINT), 64))) AS frame_idx
-                FROM documents) x),
+  /** The queries — a def, not a val: the oracle FROM clauses embed the
+    * dir-keyed dump paths of the LAST dir queried (see [[oracleDir]]). */
+  def defs: Seq[QueryDef] = {
+    /** Shared FROM clause of the feature-table oracles. */
+    val FEAT = s"read_parquet('${featuresPathFor(oracleDir)}/*.parquet')"
+    /** Shared FROM clause of the fingerprint-table oracles. */
+    val FP = s"read_parquet('${fingerprintsPathFor(oracleDir)}/*.parquet')"
+
+    /** Oracle CTEs for the REAL-pHash pair set, ending in `ipairs(i, j)`. */
+    val PHASH_CTES = s"""
         ph AS (
           SELECT doc_id,
-            CAST(COALESCE(SUM(CASE WHEN frame_idx < 16 THEN bit << (frame_idx) END), 0) AS BIGINT) AS b0,
-            CAST(COALESCE(SUM(CASE WHEN frame_idx >= 16 AND frame_idx < 32 THEN bit << (frame_idx-16) END), 0) AS BIGINT) AS b1,
-            CAST(COALESCE(SUM(CASE WHEN frame_idx >= 32 AND frame_idx < 48 THEN bit << (frame_idx-32) END), 0) AS BIGINT) AS b2,
-            CAST(COALESCE(SUM(CASE WHEN frame_idx >= 48 THEN bit << (frame_idx-48) END), 0) AS BIGINT) AS b3
-          FROM frames GROUP BY doc_id),
+            CAST(MAX(CASE WHEN idx = 0 THEN v END) AS BIGINT) AS b0,
+            CAST(MAX(CASE WHEN idx = 1 THEN v END) AS BIGINT) AS b1,
+            CAST(MAX(CASE WHEN idx = 2 THEN v END) AS BIGINT) AS b2,
+            CAST(MAX(CASE WHEN idx = 3 THEN v END) AS BIGINT) AS b3
+          FROM $FP WHERE kind = 'band' GROUP BY doc_id),
         icands AS (
           SELECT a.doc_id AS i, b.doc_id AS j,
                  bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
@@ -200,7 +285,7 @@ object Multimodal {
            AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
         ipairs AS (SELECT DISTINCT i, j FROM icands WHERE hamming <= 3)"""
 
-  val defs: Seq[QueryDef] = Seq(
+    Seq(
     // ---- m01: binary ingest + typed metadata + fake decode ----
     QueryDef(
       "m01_blob_metadata",
@@ -319,13 +404,12 @@ object Multimodal {
     ),
 
     // ---- m05: perceptual-hash near-duplicate media (banded pairs) ----
-    // The real-pipeline shape for image/video dedup: a 64-bit fingerprint
-    // with one bit per LOCAL REGION of the payload (here 4-byte frames,
-    // capped at 64 — the md5-parity stand-in for a DCT phash; similar
-    // payloads agree on most region bits), then the d05 machinery: 4×16-bit
-    // bands, per-band equi-joins (never an OR nested-loop), hamming
-    // verified per-row BEFORE the union+distinct, ≤3 over 4 bands is
-    // pigeonhole-exact recall. Bucket sizes are O(n/2^16) — survives 100×.
+    // REAL pHash: the 64-bit DCT hash of each doc's decoded fixture PNG,
+    // computed by ImageCodec.phash64 inside the decode-once fingerprint
+    // build, then the d05 machinery over its four 16-bit bands: per-band
+    // equi-joins (never an OR nested-loop), hamming verified per-row
+    // BEFORE the union+distinct, ≤3 over 4 bands is pigeonhole-exact
+    // recall. Bucket sizes are O(n/2^16) — survives 100×.
     QueryDef(
       "m05_phash_neardup",
       (s, dir) => {
@@ -376,9 +460,7 @@ object Multimodal {
     // ---- m07: VAD-style audio segmentation (gaps and islands) ----
     // The speech-pipeline front door: classify fixed-size frames as
     // voiced/silent by energy, then group CONSECUTIVE voiced frames into
-    // segments — the per-frame classifier would be the codec/VAD UDF
-    // (here the deterministic md5 stub, 8-byte frames → energy 0..255);
-    // the segmentation is the classic gaps-and-islands window
+    // segments; the segmentation is the classic gaps-and-islands window
     // (frame_idx − row_number over voiced frames is constant within a
     // run). Both windows partition by doc_id, so the whole operator is
     // one frame fan-out + per-doc local windows — embarrassingly
@@ -427,12 +509,11 @@ object Multimodal {
     // ---- m08: keyframe detection (scene-change by feature delta) ----
     // The video-summarization front door: a frame is a KEYFRAME when its
     // feature distance to the previous frame exceeds a threshold (scene
-    // cut), plus frame 0 unconditionally. The per-frame feature is the
-    // m07 stub (md5 energy, 0..255 — a codec histogram/embedding in
-    // production); the temporal comparison is one lag() window per doc.
-    // Like m07: per-doc local windows only, embarrassingly parallel
-    // across documents, no cross-doc shuffle. Keyframe density (the
-    // output per doc) is what a frame-sampling policy (m02) consumes.
+    // cut), plus frame 0 unconditionally. The temporal comparison is one
+    // lag() window per doc. Like m07: per-doc local windows only,
+    // embarrassingly parallel across documents, no cross-doc shuffle.
+    // Keyframe density (the output per doc) is what a frame-sampling
+    // policy (m02) consumes.
     QueryDef(
       "m08_keyframes",
       (s, dir) => {
@@ -478,33 +559,36 @@ object Multimodal {
 
     // ---- m09: video-sequence near-dup — frame-hash shingles ----
     // Clip-level dedup, the sequence analogue of m05's per-image phash:
-    // a "video" (the 64-byte-frame payload of m02) is fingerprinted as
-    // the SEQUENCE of its frame hashes, shingled in consecutive triples —
-    // two clips match when they share a run of 3 identical frames, which
-    // survives re-muxing/concatenation (aligned frames keep their hash)
-    // where a whole-file checksum dies. Pipeline: per-doc frame hash →
-    // triple shingle (per-doc window, bounded by the 100 TB frame count
-    // of ONE clip) → DF-capped shingle equi-join (df ≤ 32: a hot intro/
-    // outro shingle — the boilerplate frame run every clip shares —
-    // cannot quadratically explode the join, the d02 cap argument) →
-    // per-pair shared-run count and quantized containment. No cartesian,
-    // no uncapped self-join; everything else is linear hash-aggs.
+    // a video is fingerprinted as the SEQUENCE of its REAL frame hashes
+    // (md5 of each MJPEG frame demuxed by parseAvi, from the decode-once
+    // fingerprint table), shingled in consecutive runs of 5 — two clips
+    // match when they share a run of 5 identical frames, which survives
+    // re-muxing/concatenation (aligned frames keep their hash) where a
+    // whole-file checksum dies. Pipeline: per-doc frame hash → 5-frame
+    // shingle (per-doc window, bounded by the 100 TB frame count of ONE
+    // clip; 5 consecutive identical frames ≈ a fifth of a second of
+    // video — 3-frame shingles let common aligned phrase-frames flag
+    // 14% of all doc pairs at sf0.001, 74× the 5-frame set) → DF-capped
+    // shingle equi-join (df ≤ 32: a hot intro/outro shingle — the
+    // boilerplate frame run every clip shares — cannot quadratically
+    // explode the join, the d02 cap argument) → per-pair shared-run
+    // count and quantized containment. No cartesian, no uncapped
+    // self-join; everything else is linear hash-aggs.
     QueryDef(
       "m09_sequence_neardup",
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy($"doc_id").orderBy($"f")
-        val sh = t(s, dir, "documents")
-          .withColumn("n_frames", ceil(length($"text") / lit(64.0)).cast("int"))
-          .withColumn("f", explode(expr(
-            "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
-          .withColumn("fh",
-            substring(md5(expr("substring(text, f*64 + 1, 64)")), 1, 8))
+        val sh = mediaFingerprints(s, dir).filter($"kind" === "frame")
+          .select($"doc_id", $"idx".as("f"), $"h".as("fh"))
           .withColumn("f1", lead($"fh", 1).over(w))
           .withColumn("f2", lead($"fh", 2).over(w))
-          .filter($"f2".isNotNull)
-          .select($"doc_id", md5(concat($"fh", $"f1", $"f2")).as("sh"))
+          .withColumn("f3", lead($"fh", 3).over(w))
+          .withColumn("f4", lead($"fh", 4).over(w))
+          .filter($"f4".isNotNull)
+          .select($"doc_id",
+            md5(concat($"fh", $"f1", $"f2", $"f3", $"f4")).as("sh"))
           .distinct()
           .persistOnce()
         val dfc = sh.groupBy($"sh").agg(countDistinct($"doc_id").as("df"))
@@ -520,21 +604,20 @@ object Multimodal {
             expr("n_shared * 10000 div least(ni, nj)").as("containment_q"))
           .orderBy($"i", $"j")
       },
-      Some("""
+      Some(s"""
         WITH fr AS (
-          SELECT doc_id, f,
-                 substr(md5(substr(text, CAST(f*64 + 1 AS BIGINT), 64)), 1, 8) AS fh
-          FROM (SELECT doc_id, text,
-                       unnest(range(CAST(ceil(length(text)/64.0) AS BIGINT))) AS f
-                FROM documents) x),
+          SELECT doc_id, idx AS f, h AS fh
+          FROM $FP WHERE kind = 'frame'),
         sh0 AS (
           SELECT doc_id, fh,
                  LEAD(fh, 1) OVER (PARTITION BY doc_id ORDER BY f) AS f1,
-                 LEAD(fh, 2) OVER (PARTITION BY doc_id ORDER BY f) AS f2
+                 LEAD(fh, 2) OVER (PARTITION BY doc_id ORDER BY f) AS f2,
+                 LEAD(fh, 3) OVER (PARTITION BY doc_id ORDER BY f) AS f3,
+                 LEAD(fh, 4) OVER (PARTITION BY doc_id ORDER BY f) AS f4
           FROM fr),
         sh AS (
-          SELECT DISTINCT doc_id, md5(fh || f1 || f2) AS sh
-          FROM sh0 WHERE f2 IS NOT NULL),
+          SELECT DISTINCT doc_id, md5(fh || f1 || f2 || f3 || f4) AS sh
+          FROM sh0 WHERE f4 IS NOT NULL),
         dfc AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY sh),
         idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh) WHERE df <= 32),
         per AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -610,31 +693,26 @@ object Multimodal {
     // The Shazam-family question m09's shingles can't answer: not just
     // "do these two clips overlap" but "at WHAT time offset" — the
     // primitive behind clip-in-broadcast detection and trimmed-copy
-    // dedup. Each doc emits (frame_idx, 16-bit landmark hash) pairs (the
-    // md5 stub standing in for the spectral-peak constellation a codec
-    // UDF would produce); matching hashes across two docs VOTE for their
-    // frame-index DIFFERENCE, and a true overlap concentrates votes on
-    // one offset while chance collisions scatter. Per pair: argmax-vote
-    // offset, kept at >= 3 votes (24 aligned bytes; expected chance
-    // votes per pair at 64 frames and 16-bit hashes is 64*64/2^16 ~
-    // 0.06, so 3 is far outside noise). Scale shape: the join is a
-    // DF-capped equi-join on the hash (df <= 16 — the d02/m09 hot-key
-    // cap argument: a silence/boilerplate landmark every clip shares
-    // cannot go quadratic), votes is one hash-agg on (i, j, offset),
-    // and the per-pair argmax is the sort-free max(struct) — no window,
-    // no per-partition sort, no cartesian anywhere.
+    // dedup. Each doc's (frame_idx, 16-bit landmark hash) constellation
+    // comes from the REAL AudioCodec.landmarks pass over the RMS
+    // energies of its PCM-decoded fixture WAV (decode-once fingerprint
+    // table); matching hashes across two docs VOTE for their frame-index
+    // DIFFERENCE, and a true overlap concentrates votes on one offset
+    // while chance collisions scatter. Per pair: argmax-vote offset,
+    // kept at >= 3 votes (landmarks are overlapping 8-frame windows, so
+    // 3 same-offset votes ≈ a 10-frame aligned energy run — see the
+    // AudioCodec.landmarks scaladoc's noise arithmetic). Scale shape:
+    // the join is a DF-capped equi-join on the hash (df <= 16 — the
+    // d02/m09 hot-key cap argument: a silence/boilerplate landmark every
+    // clip shares cannot go quadratic), votes is one hash-agg on
+    // (i, j, offset), and the per-pair argmax is the sort-free
+    // max(struct) — no window, no per-partition sort, no cartesian.
     QueryDef(
       "m11_audio_alignment",
       (s, dir) => {
         import s.implicits._
-        val fp = t(s, dir, "documents")
-          .withColumn("n_frames",
-            least(ceil(length($"text") / lit(8.0)).cast("int"), lit(64)))
-          .withColumn("frame_idx", explode(expr(
-            "CASE WHEN n_frames >= 1 THEN sequence(0, n_frames-1) ELSE array() END")))
-          .withColumn("frame_idx", $"frame_idx".cast("long"))
-          .select($"doc_id", $"frame_idx",
-            substring(md5(expr("substring(text, frame_idx*8 + 1, 8)")), 1, 4).as("h"))
+        val fp = mediaFingerprints(s, dir).filter($"kind" === "landmark")
+          .select($"doc_id", $"idx".as("frame_idx"), $"v".as("h"))
         val dfc = fp.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
         val idx = fp.join(dfc.filter($"df" <= 16), "h")
         idx.as("a").join(idx.as("b"),
@@ -649,13 +727,10 @@ object Multimodal {
           .filter($"votes" >= 3)
           .orderBy($"i", $"j")
       },
-      Some("""
+      Some(s"""
         WITH fp AS (
-          SELECT doc_id, frame_idx,
-                 substr(md5(substr(text, CAST(frame_idx*8 + 1 AS BIGINT), 8)), 1, 4) AS h
-          FROM (SELECT doc_id, text,
-                       unnest(range(least(CAST(ceil(length(text)/8.0) AS BIGINT), 64))) AS frame_idx
-                FROM documents) x),
+          SELECT doc_id, idx AS frame_idx, v AS h
+          FROM $FP WHERE kind = 'landmark'),
         dfc AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM fp GROUP BY h),
         idx AS (SELECT fp.* FROM fp JOIN dfc USING (h) WHERE df <= 16),
         votes AS (
@@ -676,29 +751,24 @@ object Multimodal {
     // ask: does a clip's energy envelope REPEAT, and at what period?
     // (Beat tracking's first stage: the autocorrelation of the frame
     // energy, whose argmax lag is the tempo hypothesis.) Per doc:
-    // ac(lag) = Σ eᵢ·eᵢ₊lag over the m07 energy stub for lag 2..16,
-    // length-normalized by integral division (×10⁴ mean product, so
-    // short-lag sums with more terms don't win by length alone), best
+    // ac(lag) = Σ eᵢ·eᵢ₊lag over the REAL RMS energies of the decoded
+    // WAV (the m07 feature table — tone/tone/silence blocks give the
+    // envelope a 6-frame period the autocorrelation must find) for lag
+    // 2..16, length-normalized by integral division (×10⁴ mean product,
+    // so short-lag sums with more terms don't win by length alone), best
     // lag by the sort-free max(struct) with ties to the SMALLEST lag
-    // (the fundamental, not its multiple). Shape: the frame fan-out ×15
-    // lags self-joins ONLY within a doc on the (doc, frame) key — per-doc
-    // bounded (≤64×15 terms), embarrassingly parallel across docs, no
+    // (the fundamental, not its multiple). Shape: the frame rows ×15
+    // lags self-join ONLY within a doc on the (doc, frame) key — per-doc
+    // bounded (≤30×15 terms), embarrassingly parallel across docs, no
     // window, no cross-doc contact anywhere; docs shorter than 18 frames
     // (no lag-16 evidence) are excluded rather than reported on noise.
     QueryDef(
       "m12_audio_periodicity",
       (s, dir) => {
         import s.implicits._
-        val fr = t(s, dir, "documents")
-          .withColumn("nf",
-            least(ceil(length($"text") / lit(8.0)).cast("int"), lit(64)))
-          .withColumn("i", explode(expr(
-            "CASE WHEN nf >= 1 THEN sequence(0, nf-1) ELSE array() END")))
-          .withColumn("i", $"i".cast("long"))
-          .select($"doc_id",
-            $"i",
-            conv(substring(md5(expr("substring(text, i*8 + 1, 8)")), 1, 2), 16, 10)
-              .cast("long").as("e"))
+        val fr = mediaFeatures(s, dir)
+          .filter($"modality" === "audio")
+          .select($"doc_id", $"idx".as("i"), $"v1".as("e"))
         val n = fr.groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
         val lags = s.range(2, 17).select($"id".as("lg"))
         val ac = fr.as("f1").crossJoin(broadcast(lags))
@@ -717,13 +787,10 @@ object Multimodal {
             $"m.ac_q".as("ac_q"))
           .orderBy($"doc_id")
       },
-      Some("""
+      Some(s"""
         WITH fr AS (
-          SELECT doc_id, frame_idx AS i,
-                 CAST('0x' || substr(md5(substr(text, CAST(frame_idx*8 + 1 AS BIGINT), 8)), 1, 2) AS BIGINT) AS e
-          FROM (SELECT doc_id, text,
-                       unnest(range(least(CAST(ceil(length(text)/8.0) AS BIGINT), 64))) AS frame_idx
-                FROM documents) x),
+          SELECT doc_id, idx AS i, v1 AS e
+          FROM $FEAT WHERE modality = 'audio'),
         n AS (SELECT doc_id, COUNT(*) AS n_frames FROM fr GROUP BY doc_id),
         lags AS (SELECT unnest(range(2, 17)) AS lg),
         ac AS (
@@ -745,5 +812,6 @@ object Multimodal {
         WHERE rn = 1 AND n.n_frames >= 18
         ORDER BY b.doc_id"""),
     ),
-  )
+    )
+  }
 }

@@ -106,10 +106,13 @@ class TopicBatchReaderFactory extends PartitionReaderFactory {
       // otherwise materialize whole into the reader's heap before the
       // first row is served. Each fetchPage round holds at most pageSize
       // raw messages; the scan is bounded by the high-water mark observed
-      // at open (the streaming poll's entry-hwm invariant — a concurrent
-      // producer's tail belongs to a later scan, and messages appended
-      // past the entry hwm that ride the final fetched page are kept
-      // rather than re-fetched).
+      // at open (the streaming poll's entry-hwm invariant) and messages
+      // AT OR PAST the entry hwm are dropped even when they ride the
+      // final fetched page: a concurrent producer's tail belongs to a
+      // later scan, and — the reason the filter is strict — a RETRIED
+      // task opens a fresh reader with a fresh (higher) hwm, so serving
+      // the observed tail would make the retry return a different row
+      // set than the original attempt for the same partition.
       private val entryHwm = client.highWaterMark()
       private val raw: Iterator[(Long, Array[Byte])] = new Iterator[(Long, Array[Byte])] {
         private var nextOffset = 0L
@@ -117,7 +120,7 @@ class TopicBatchReaderFactory extends PartitionReaderFactory {
         private var i = 0
         private def refill(): Unit =
           while (i >= page.length && nextOffset < entryHwm) {
-            page = client.fetchPage(nextOffset, p.pageSize)
+            page = client.fetchPage(nextOffset, p.pageSize).filter(_._1 < entryHwm)
             i = 0
             // an empty page below the hwm is a retention gap tail: done
             nextOffset = if (page.isEmpty) entryHwm else page.last._1 + 1

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -23,6 +25,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    [[SnapshotStore]]'s batch-id contract, without rewriting the
   *    corpus-sized table per batch).
   *
+  * Delta dirs are COMPACTED so the directory count stays bounded: when
+  * more than `spark.graft.ivf.assign.maxDeltaDirs` (default 16) batch
+  * dirs exist, the older half folds into one combined `batch=<maxId>`
+  * dir (cost ∝ the folded deltas, amortized O(1) dirs per batch — never
+  * a corpus rewrite). The fold is crash-safe: combined rows land in an
+  * underscore-prefixed staging dir (invisible to the root parquet read),
+  * a `_folded_through` watermark publishes via atomic rename BEFORE any
+  * original dir is deleted, and an interrupted fold is either completed
+  * or discarded deterministically on the next merge. The watermark also
+  * keeps replay exact: a replayed batch at or below it must NOT rewrite
+  * its (now folded-away) delta dir.
+  *
+  * All metadata IO (existence probes, watermark, fold staging) goes
+  * through `org.apache.hadoop.fs.FileSystem` resolved from the state
+  * root's scheme, so the index works unchanged on `file://` and HDFS
+  * (S3A rename caveat as documented on [[SnapshotStore]]).
+  *
   * `balanceView` reproduces the s20 cell-balance audit (the re-train
   * signal) over everything arrived so far; `assignments` reads the delta
   * directories back as the full index — both parity-specced against the
@@ -32,6 +51,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * batch build.
   */
 object IncrementalIvf {
+
+  /** Conf key bounding the number of `assign/batch=<id>` delta dirs;
+    * crossing it folds the older half into one dir. */
+  val MaxDeltaDirsKey = "spark.graft.ivf.assign.maxDeltaDirs"
+
+  private def fsFor(root: String): FileSystem =
+    new Path(root).getFileSystem(
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration()))
 
   /** Quantize + norm one batch of raw `(vec_id, embedding)` rows into the
     * assignment domain `(cid, qb, n2b)`. */
@@ -45,18 +74,125 @@ object IncrementalIvf {
     graft.analytics.Similarity.assignVectors(prepared(batch), cents)
       .select(col("cid"), col("cent_id"))
 
+  // --------------------------------------------------------- delta layout
+
+  private def assignDir(stateRoot: String) = new Path(s"$stateRoot/assign")
+
+  private def deltaDirIds(fs: FileSystem, stateRoot: String): Seq[Long] = {
+    val d = assignDir(stateRoot)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .sorted
+  }
+
+  private def foldMarker(stateRoot: String) =
+    new Path(assignDir(stateRoot), "_folded_through")
+
+  /** Highest batch id whose delta rows live inside a FOLDED dir (−1 when
+    * no fold has ever completed publishing). */
+  private def foldedThrough(fs: FileSystem, stateRoot: String): Long = {
+    val m = foldMarker(stateRoot)
+    if (!fs.exists(m)) -1L
+    else {
+      val len = fs.getFileStatus(m).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(m)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf).trim.toLong
+    }
+  }
+
+  private def publishMarker(fs: FileSystem, stateRoot: String, v: Long): Unit = {
+    val dst = foldMarker(stateRoot)
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  private def foldStaging(stateRoot: String, target: Long) =
+    new Path(assignDir(stateRoot), s"_fold_v$target")
+
+  /** Complete or discard an interrupted fold. Deterministic from on-disk
+    * state alone: a staging dir WITH `_SUCCESS` and a watermark ≥ its
+    * target was mid-publish — finish it (delete originals ≤ target,
+    * rename staging into place); anything else is pre-publish garbage —
+    * the originals are intact, so drop the staging dir. */
+  private def recoverFold(fs: FileSystem, stateRoot: String): Unit = {
+    val d = assignDir(stateRoot)
+    if (!fs.exists(d)) return
+    fs.listStatus(d)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_fold_v"))
+      .foreach { st =>
+        val target = st.getPath.getName.stripPrefix("_fold_v").toLong
+        val complete = fs.exists(new Path(st.getPath, "_SUCCESS"))
+        if (complete && foldedThrough(fs, stateRoot) >= target)
+          finalizeFold(fs, stateRoot, target)
+        else
+          fs.delete(st.getPath, true)
+      }
+  }
+
+  /** Publish a complete staging dir: delete every original `batch=<id>`
+    * dir at or below the target (the staged union contains their rows),
+    * then rename the staging dir to `batch=<target>`. Idempotent — safe
+    * to re-run after a crash at any step. */
+  private def finalizeFold(fs: FileSystem, stateRoot: String, target: Long): Unit = {
+    deltaDirIds(fs, stateRoot).filter(_ <= target).foreach { id =>
+      fs.delete(new Path(assignDir(stateRoot), s"batch=$id"), true)
+    }
+    val staging = foldStaging(stateRoot, target)
+    if (fs.exists(staging) &&
+      !fs.rename(staging, new Path(assignDir(stateRoot), s"batch=$target")))
+      throw new java.io.IOException(s"fold rename failed for $staging")
+  }
+
+  /** Fold the older half of the delta dirs into one when the count
+    * exceeds the bound. Cost ∝ folded-delta bytes (never the corpus; the
+    * newest half stays untouched, so a given row is re-folded O(log)
+    * times over the store's life). Runs inside `merge` — a concurrent
+    * `assignments` read during the publish step may see a torn view, the
+    * usual caveat for any non-snapshot directory read. */
+  private def maybeCompact(spark: SparkSession, stateRoot: String,
+      fs: FileSystem): Unit = {
+    val maxDirs = spark.conf.getOption(MaxDeltaDirsKey).map(_.toInt).getOrElse(16)
+    val ids = deltaDirIds(fs, stateRoot)
+    if (ids.size <= maxDirs) return
+    val folds = ids.dropRight(math.max(1, maxDirs / 2))
+    if (folds.size < 2) return
+    val target = folds.last
+    val staging = foldStaging(stateRoot, target)
+    spark.read.parquet(
+        folds.map(id => s"$stateRoot/assign/batch=$id"): _*)
+      .select(col("cid"), col("cent_id"))
+      .write.mode("overwrite").parquet(staging.toString)
+    publishMarker(fs, stateRoot, target)
+    finalizeFold(fs, stateRoot, target)
+  }
+
+  // ---------------------------------------------------------------- merge
+
   /** Apply one micro-batch: write the assignment delta (idempotent by
     * batch directory) and merge the per-cell counts (additive). Write
     * completion is judged by the committer's `_SUCCESS` marker, not bare
     * directory existence — a crash mid-write leaves a partial
     * `batch=<id>` dir, and the replay must repair it (mode("overwrite")
     * clears the torn files), or the assignment index would silently miss
-    * the batch the cell counts include. */
+    * the batch the cell counts include. A batch at or below the fold
+    * watermark is already inside a folded dir — rewriting its delta
+    * would double its rows, so the watermark check comes first. */
   def merge(batch: DataFrame, cents: DataFrame, batchId: Long,
       stateRoot: String): Unit = {
     val spark = batch.sparkSession
-    val batchDir = java.nio.file.Paths.get(s"$stateRoot/assign/batch=$batchId")
-    val deltaComplete = java.nio.file.Files.exists(batchDir.resolve("_SUCCESS"))
+    val fs = fsFor(stateRoot)
+    recoverFold(fs, stateRoot)
+    val batchDir = new Path(assignDir(stateRoot), s"batch=$batchId")
+    val deltaComplete = batchId <= foldedThrough(fs, stateRoot) ||
+      fs.exists(new Path(batchDir, "_SUCCESS"))
     if (batchId <= SnapshotStore.lastBatchId(s"$stateRoot/cells") &&
       deltaComplete) return // replayed batch
     val d = deltas(batch, cents).persist()
@@ -70,17 +206,20 @@ object IncrementalIvf {
             .groupBy(col("cent_id")).agg(sum(col("n_vectors")).as("n_vectors")))
         SnapshotStore.writeNext(merged, s"$stateRoot/cells", Some(batchId))
       }
+      maybeCompact(spark, stateRoot, fs)
     } finally d.unpersist()
   }
 
   /** The full maintained assignment index: union of the batch deltas —
     * empty (same schema) before the first batch lands, like
     * [[balanceView]]. */
-  def assignments(spark: SparkSession, stateRoot: String): DataFrame =
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stateRoot/assign")))
+  def assignments(spark: SparkSession, stateRoot: String): DataFrame = {
+    val fs = fsFor(stateRoot)
+    if (deltaDirIds(fs, stateRoot).isEmpty)
       spark.emptyDataFrame
         .select(lit(0L).as("cid"), lit(0L).as("cent_id")).limit(0)
     else spark.read.parquet(s"$stateRoot/assign")
+  }
 
   /** The live s20 cell-balance report over everything arrived so far —
     * cell-count-sized compute off the k-row state, never a corpus scan. */

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -21,6 +23,22 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * is invisible (no `_COMMIT` — readers fall back to the previous
   * version and the replayed batch re-merges onto that consistent base)
   * or it is visible WITH its batch id and the replay is skipped.
+  *
+  * == Filesystem portability ==
+  *
+  * ALL metadata IO (version listing, `_COMMIT`/`_FORMAT`/`_MANIFEST`
+  * read/write, retention deletes) goes through
+  * `org.apache.hadoop.fs.FileSystem`, resolved from the root path's
+  * scheme with the active session's Hadoop configuration — the same
+  * resolution Spark's own parquet jobs use. A bare local path, an
+  * explicit `file://` URI, and `hdfs://` all behave identically; the
+  * commit-marker rename is atomic on the local filesystem and on HDFS.
+  * S3A caveat: object-store rename is copy+delete, not atomic — on S3
+  * the `_COMMIT` rename narrows but does not fully close the crash
+  * window (the marker is a single small object, so the copy is one PUT;
+  * a torn state needs a crash inside that PUT). Deployments that need a
+  * hard guarantee on S3 should front the store with a consistent
+  * metadata layer (HDFS, or S3 with a conditional-put committer).
   *
   * == Bucketed writes (the 100 TB state layer) ==
   *
@@ -64,29 +82,87 @@ private[graft] object SnapshotStore {
   private def bucketExpr(keyCols: Seq[String], num: Int): Column =
     pmod(hash(keyCols.map(col): _*), lit(num))
 
-  def versionDirs(root: String): Seq[(Long, java.io.File)] = {
-    val d = new java.io.File(root)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(f => f.getName.stripPrefix("v=").toLong -> f)
+  // ------------------------------------------------------------- hadoop fs
+
+  /** Hadoop conf for metadata IO — the active session's (so `fs.*` confs,
+    * credentials, and scheme→impl bindings match what the parquet jobs
+    * use), falling back to a bare Configuration off the driver. */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** FileSystem for `root`, resolved from the path's scheme — a bare
+    * local path, `file://`, and `hdfs://` all route correctly. */
+  private def fsFor(root: String): FileSystem =
+    new Path(root).getFileSystem(hadoopConf)
+
+  private def writeSmall(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+
+  /** Atomic-rename publish of a small marker file: tmp write + rename.
+    * Atomic on local FS and HDFS; see the S3A caveat in the class doc. */
+  private def publishSmall(fs: FileSystem, dst: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+    writeSmall(fs, tmp, bytes)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  /** Deletion guard (defense against a corrupted manifest or a mangled
+    * version number steering retention outside the store): refuse to
+    * delete anything that does not resolve strictly under `root`. */
+  private[streaming] def deleteUnder(fs: FileSystem, root: Path, victim: Path): Unit = {
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    val victimPath = fs.makeQualified(victim).toUri.getPath
+    require(victimPath.startsWith(rootPath + "/") && !victimPath.contains("/../"),
+      s"refusing to delete '$victimPath' — not under store root '$rootPath'")
+    fs.delete(victim, true)
+  }
+
+  // ---------------------------------------------------------------- listing
+
+  def versionDirs(root: String): Seq[(Long, Path)] = {
+    val fs = fsFor(root)
+    val d = new Path(root)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap { st =>
+        // tolerate foreign dirs (a non-numeric v= name is not ours)
+        scala.util.Try(st.getPath.getName.stripPrefix("v=").toLong).toOption
+          .map(_ -> st.getPath)
+      }
       .sortBy(_._1)
   }
 
-  def isComplete(dir: java.io.File): Boolean =
-    new java.io.File(dir, "_COMMIT").isFile
+  private def isComplete(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, "_COMMIT"))
 
   /** Root-level marker: this store has been written by the _COMMIT-aware
     * code at least once. Written BEFORE the first new-format parquet job,
     * so a crash inside the very first commit window cannot be mistaken
     * for a legacy store (which would wrongly surface the half-committed
     * version via the migration fallback below). */
-  private def formatMarker(root: String) = new java.io.File(root, "_FORMAT")
+  private def formatMarker(root: String) = new Path(root, "_FORMAT")
 
   def versions(root: String): Seq[Long] = {
+    val fs = fsFor(root)
     val dirs = versionDirs(root)
-    if (dirs.exists { case (_, f) => isComplete(f) } || formatMarker(root).isFile)
-      dirs.collect { case (v, f) if isComplete(f) => v }
+    if (dirs.exists { case (_, p) => isComplete(fs, p) } ||
+      fs.exists(formatMarker(root)))
+      dirs.collect { case (v, p) if isComplete(fs, p) => v }
     else
       // migration (read path): a store with no _COMMIT anywhere AND no
       // _FORMAT marker predates the marker format entirely — accept its
@@ -95,34 +171,50 @@ private[graft] object SnapshotStore {
       // means new-format: a _SUCCESS-only dir is an uncommitted partial,
       // and accepting it would re-open the crash window the marker closes.
       dirs.collect {
-        case (v, f) if new java.io.File(f, "_SUCCESS").isFile => v
+        case (v, p) if fs.exists(new Path(p, "_SUCCESS")) => v
       }
   }
 
   // ---------------------------------------------------------------- manifest
+
+  /** Nullability/metadata-insensitive schema normal form: incremental
+    * writes must not mix STRUCTURALLY different schemas under one
+    * multi-path read, but nullable-flag drift (a merge's join/union
+    * relaxing nullability relative to the first batch's frame) is benign
+    * for parquet and must not trip the guard. */
+  private def normalized(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, normalized(f.dataType))))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = normalized(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = normalized(m.keyType),
+        valueType = normalized(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private def sameShape(aJson: String, bJson: String): Boolean =
+    normalized(DataType.fromJson(aJson)) == normalized(DataType.fromJson(bJson))
 
   /** Bucket manifest of one version dir: layout params + the store schema
     * (for empty-state reads) + the bucket → hosting-version map. */
   private[streaming] final case class Manifest(
       keyCols: Seq[String], num: Int, schemaJson: String, buckets: Map[Int, Long])
 
-  private def manifestFile(versionDir: java.io.File) =
-    new java.io.File(versionDir, "_MANIFEST")
-
   /** Line format (schema json is single-line by construction):
     * `num\nkeyCols-csv\nschema-json\nb v\nb v…` */
-  private def writeManifest(versionDir: java.io.File, m: Manifest): Unit = {
+  private def writeManifest(fs: FileSystem, versionDir: Path, m: Manifest): Unit = {
     val body = (Seq(m.num.toString, m.keyCols.mkString(","), m.schemaJson) ++
       m.buckets.toSeq.sorted.map { case (b, v) => s"$b $v" }).mkString("\n")
-    java.nio.file.Files.write(manifestFile(versionDir).toPath,
+    writeSmall(fs, new Path(versionDir, "_MANIFEST"),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  private[streaming] def manifest(versionDir: java.io.File): Option[Manifest] = {
-    val f = manifestFile(versionDir)
-    if (!f.isFile) None
+  private def manifest(fs: FileSystem, versionDir: Path): Option[Manifest] = {
+    val f = new Path(versionDir, "_MANIFEST")
+    if (!fs.exists(f)) None
     else {
-      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      val lines = new String(readSmall(fs, f),
         java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq
       val keyCols = lines(1).split(",").toSeq.filter(_.nonEmpty)
       val buckets = lines.drop(3).filter(_.nonEmpty).map { l =>
@@ -133,9 +225,12 @@ private[graft] object SnapshotStore {
     }
   }
 
+  /** Manifest of `<root>/v=<version>`, if any (spec/diagnostic entry). */
+  private[streaming] def manifestAt(root: String, version: Long): Option[Manifest] =
+    manifest(fsFor(root), new Path(root, s"v=$version"))
+
   private def currentManifest(root: String): Option[(Long, Manifest)] =
-    versions(root).lastOption.flatMap(v =>
-      manifest(new java.io.File(s"$root/v=$v")).map(v -> _))
+    versions(root).lastOption.flatMap(v => manifestAt(root, v).map(v -> _))
 
   /** The physical paths holding the CURRENT snapshot's data — one `v=<N>`
     * dir for a flat store, the manifest-resolved bucket leaf dirs for a
@@ -143,7 +238,7 @@ private[graft] object SnapshotStore {
     * (per-batch read cost must not grow with the store's history). */
   def livePaths(root: String): Seq[String] =
     versions(root).lastOption.toSeq.flatMap { v =>
-      manifest(new java.io.File(s"$root/v=$v")) match {
+      manifestAt(root, v) match {
         case Some(m) => m.buckets.toSeq.sorted.map { case (b, bv) =>
           s"$root/v=$bv/$BucketCol=$b" }
         case None => Seq(s"$root/v=$v")
@@ -187,7 +282,7 @@ private[graft] object SnapshotStore {
   private def readPruned(spark: SparkSession, root: String,
       only: Option[Set[Int]]): Option[DataFrame] =
     versions(root).lastOption.map { v =>
-      manifest(new java.io.File(s"$root/v=$v")) match {
+      manifestAt(root, v) match {
         case Some(m) =>
           val live = only match {
             case Some(ts) => m.buckets.filter { case (b, _) => ts(b) }
@@ -206,12 +301,14 @@ private[graft] object SnapshotStore {
   /** Batch id recorded with the current snapshot (−1 when none, and −1 for
     * a migrated pre-_COMMIT snapshot — its producing batch is unknown, so
     * replayed batches re-merge, the safe direction for idempotent merges). */
-  def lastBatchId(root: String): Long =
+  def lastBatchId(root: String): Long = {
+    val fs = fsFor(root)
     versions(root).lastOption.map { v =>
-      val f = new java.io.File(s"$root/v=$v", "_COMMIT")
-      if (!f.isFile) -1L
-      else new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
+      val f = new Path(root, s"v=$v/_COMMIT")
+      if (!fs.exists(f)) -1L
+      else new String(readSmall(fs, f)).trim.toLong
     }.getOrElse(-1L)
+  }
 
   // ------------------------------------------------------------------ write
 
@@ -227,32 +324,25 @@ private[graft] object SnapshotStore {
     * CURRENT version were stamped last a crash mid-adoption would leave
     * readers on a stale older snapshot; newest-first means any partial
     * adoption still surfaces the current version. */
-  private def ensureFormat(root: String): Unit =
-    if (!formatMarker(root).isFile) {
+  private def ensureFormat(root: String): Unit = {
+    val fs = fsFor(root)
+    if (!fs.exists(formatMarker(root))) {
       val dirs = versionDirs(root)
-      if (!dirs.exists { case (_, f) => isComplete(f) })
+      if (!dirs.exists { case (_, p) => isComplete(fs, p) })
         dirs.reverse.foreach { case (_, dir) =>
-          if (new java.io.File(dir, "_SUCCESS").isFile &&
-            !new java.io.File(dir, "_COMMIT").isFile)
-            java.nio.file.Files.write(dir.toPath.resolve("_COMMIT"), "-1".getBytes)
+          if (fs.exists(new Path(dir, "_SUCCESS")) &&
+            !fs.exists(new Path(dir, "_COMMIT")))
+            writeSmall(fs, new Path(dir, "_COMMIT"), "-1".getBytes)
         }
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-      java.nio.file.Files.write(formatMarker(root).toPath, Array.emptyByteArray)
+      fs.mkdirs(new Path(root))
+      writeSmall(fs, formatMarker(root), Array.emptyByteArray)
     }
+  }
 
   /** Single commit point: tmp write + atomic rename, id inside the marker. */
-  private def commit(root: String, version: Long, batchId: Option[Long]): Unit = {
-    val dir = java.nio.file.Paths.get(s"$root/v=$version")
-    val tmp = dir.resolve("_COMMIT.tmp")
-    java.nio.file.Files.write(tmp, batchId.getOrElse(-1L).toString.getBytes)
-    java.nio.file.Files.move(tmp, dir.resolve("_COMMIT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rm)
-    f.delete()
-  }
+  private def commit(root: String, version: Long, batchId: Option[Long]): Unit =
+    publishSmall(fsFor(root), new Path(root, s"v=$version/_COMMIT"),
+      batchId.getOrElse(-1L).toString.getBytes)
 
   /** Retention: keep the two highest COMPLETE versions (current + the
     * crash-recovery fallback) plus every version dir either of their
@@ -260,14 +350,17 @@ private[graft] object SnapshotStore {
     * partial leftovers). Within surviving BUCKETED versions, prune bucket
     * dirs neither kept manifest references — storage stays ∝ 2× live
     * state instead of accreting superseded buckets. The version just
-    * written is complete, so the newest snapshot can never be deleted. */
+    * written is complete, so the newest snapshot can never be deleted.
+    * Every delete goes through [[deleteUnder]]: a corrupted manifest can
+    * never steer retention outside the store root. */
   private def retain(root: String): Unit = {
+    val fs = fsFor(root)
+    val rootPath = new Path(root)
     val top = versions(root).takeRight(2)
-    val manifests: Seq[Manifest] =
-      top.flatMap(v => manifest(new java.io.File(s"$root/v=$v")))
+    val manifests: Seq[Manifest] = top.flatMap(v => manifestAt(root, v))
     val keep = top.toSet ++ manifests.flatMap(_.buckets.values)
     versionDirs(root).filterNot { case (v, _) => keep(v) }
-      .foreach { case (_, dir) => rm(dir) }
+      .foreach { case (_, dir) => deleteUnder(fs, rootPath, dir) }
     // referenced (bucket, version) pairs across the kept manifests — built
     // from a Seq, NOT a Map keyed by bucket id: the same bucket is live in
     // TWO versions when current and fallback disagree on it
@@ -276,11 +369,12 @@ private[graft] object SnapshotStore {
     versionDirs(root).foreach { case (v, dir) =>
       // only prune inside versions that ARE bucketed (flat dirs hold one
       // indivisible snapshot) and only when some manifest still governs them
-      if (manifestFile(dir).isFile)
-        dir.listFiles().filter(_.getName.startsWith(s"$BucketCol="))
-          .foreach { bd =>
-            val b = bd.getName.stripPrefix(s"$BucketCol=").toInt
-            if (!liveBuckets((b, v))) rm(bd)
+      if (fs.exists(new Path(dir, "_MANIFEST")))
+        fs.listStatus(dir)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+          .foreach { st =>
+            val b = st.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+            if (!liveBuckets((b, v))) deleteUnder(fs, rootPath, st.getPath)
           }
     }
   }
@@ -308,8 +402,10 @@ private[graft] object SnapshotStore {
     * previous manifest (flat store, changed bucket count or key columns),
     * or a first write all force one full rewrite, after which incremental
     * writes resume. A SCHEMA change also requires one full rewrite (pass
-    * `None`): incremental writes would otherwise mix old-schema untouched
-    * buckets with new-schema touched ones under a single multi-path read.
+    * `None`) — enforced: an incremental write whose frame schema differs
+    * from the manifest's recorded schema fails fast rather than mixing
+    * old-schema untouched buckets with new-schema touched ones under a
+    * single multi-path read.
     *
     * Crash window: identical to [[writeNext]] — the manifest lives INSIDE
     * the uncommitted version dir and only becomes visible with `_COMMIT`,
@@ -326,11 +422,23 @@ private[graft] object SnapshotStore {
   def writeNextBuckets(df: DataFrame, root: String, batchId: Option[Long],
       buckets: Buckets, touchedBuckets: Option[Set[Int]]): Unit = {
     ensureFormat(root)
+    val fs = fsFor(root)
     val prev = currentManifest(root).map(_._2)
       .filter(m => m.num == buckets.num && m.keyCols == buckets.keyCols)
     val schemaJson = df.schema.json
     val touched: Option[Set[Int]] =
       if (prev.isDefined) touchedBuckets else None // no manifest: full rewrite
+    // schema-change guard: an incremental write would mix old-schema
+    // untouched buckets with new-schema touched ones under one multi-path
+    // read. Fail LOUD rather than silently full-rewriting — the caller may
+    // have built df from a pruned readTouched, so a forced full rewrite
+    // here would drop the untouched buckets' data.
+    touched.foreach { _ =>
+      require(sameShape(prev.get.schemaJson, schemaJson),
+        s"schema changed under an incremental bucketed write at $root — " +
+          "a schema migration needs one full rewrite: rebuild the whole " +
+          "snapshot frame and pass touchedKeys=None for this batch")
+    }
     val next = versionDirs(root).lastOption.map(_._1).getOrElse(0L) + 1
     val withB = df.withColumn(BucketCol, bucketExpr(buckets.keyCols, buckets.num))
     val out = touched match {
@@ -340,17 +448,18 @@ private[graft] object SnapshotStore {
     out.write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/v=$next")
     // which touched buckets actually produced rows (a touched bucket whose
     // every row vanished gets no dir — it must leave the manifest too)
-    val written = Option(new java.io.File(s"$root/v=$next").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
-      .map(_.getName.stripPrefix(s"$BucketCol=").toInt).toSet
+    val nextDir = new Path(root, s"v=$next")
+    val written =
+      (if (!fs.exists(nextDir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+       else fs.listStatus(nextDir))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+        .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt).toSet
     val newMap = touched match {
       case Some(ts) =>
         prev.get.buckets -- ts ++ written.map(_ -> next)
       case None => written.map(_ -> next).toMap
     }
-    writeManifest(new java.io.File(s"$root/v=$next"),
-      Manifest(buckets.keyCols, buckets.num, schemaJson, newMap))
+    writeManifest(fs, nextDir, Manifest(buckets.keyCols, buckets.num, schemaJson, newMap))
     commit(root, next, batchId)
     retain(root)
   }

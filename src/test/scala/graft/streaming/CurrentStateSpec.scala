@@ -60,7 +60,7 @@ class CurrentStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bucket one of their manifests references — nothing else survives
     val top2 = SnapshotStore.versions(stateRoot).takeRight(2).toSet
     val referenced = top2.flatMap(v =>
-      SnapshotStore.manifest(new java.io.File(s"$stateRoot/v=$v"))
+      SnapshotStore.manifestAt(stateRoot, v)
         .map(_.buckets.values.toSet).getOrElse(Set.empty[Long]))
     val surviving = new java.io.File(stateRoot).listFiles()
       .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong).toSet

@@ -73,6 +73,76 @@ class IncrementalIvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(view.map(_._2).sum == emb.count())
   }
 
+  test("delta-dir compaction: the assign directory count stays bounded " +
+      "across 3N batches, assignments and replay semantics unchanged") {
+    import spark.implicits._
+    spark.conf.set(IncrementalIvf.MaxDeltaDirsKey, "4")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+      val slices = arrivedSlices(12)
+      val maxSeen = slices.zipWithIndex.map { case (b, i) =>
+        IncrementalIvf.merge(b, cents, i.toLong, root)
+        new java.io.File(s"$root/assign").listFiles()
+          .count(_.getName.startsWith("batch="))
+      }.max
+      assert(maxSeen <= 5, s"delta dirs accreted to $maxSeen across 12 batches")
+      // no staging leftovers, and the fold watermark exists
+      val names = new java.io.File(s"$root/assign").listFiles().map(_.getName)
+      assert(!names.exists(_.startsWith("_fold_v")))
+      assert(names.contains("_folded_through"))
+      // the full maintained index equals the batch assignment of all rows
+      val maintained = IncrementalIvf.assignments(spark, root)
+        .select(col("cid"), col("cent_id")).as[(Long, Long)].collect().toSet
+      assert(maintained == batchAssign(emb), "compaction changed the index")
+      // replaying a FOLDED batch must be a no-op: its delta dir is gone,
+      // but the fold watermark proves its rows live in the folded dir —
+      // rewriting the dir would double them
+      val before = IncrementalIvf.assignments(spark, root).count()
+      IncrementalIvf.merge(slices(0), cents, 0L, root)
+      assert(IncrementalIvf.assignments(spark, root).count() == before)
+      assert(IncrementalIvf.assignments(spark, root)
+        .select(col("cid"), col("cent_id")).as[(Long, Long)].collect().toSet
+        == batchAssign(emb))
+    } finally spark.conf.unset(IncrementalIvf.MaxDeltaDirsKey)
+  }
+
+  test("interrupted fold recovers deterministically: a staged-but-unpublished " +
+      "fold is discarded, a published one is completed") {
+    import spark.implicits._
+    spark.conf.set(IncrementalIvf.MaxDeltaDirsKey, "100") // no auto-fold
+    try {
+      val root = java.nio.file.Files.createTempDirectory("ivf-recover").toString
+      val slices = arrivedSlices(4)
+      slices.zipWithIndex.foreach { case (b, i) =>
+        IncrementalIvf.merge(b, cents, i.toLong, root)
+      }
+      val truth = batchAssign(emb)
+      // crash BEFORE publish: a staging dir without _SUCCESS — next merge
+      // (replay of batch 3) must discard it and leave the index intact
+      val preStage = new java.io.File(s"$root/assign/_fold_v1")
+      assert(preStage.mkdirs())
+      IncrementalIvf.merge(slices(3), cents, 3L, root)
+      assert(!preStage.exists(), "unpublished staging dir must be discarded")
+      assert(IncrementalIvf.assignments(spark, root)
+        .select(col("cid"), col("cent_id")).as[(Long, Long)].collect().toSet == truth)
+      // crash AFTER publish, before the originals were deleted: staging
+      // holds batches 0..1 with _SUCCESS + watermark — next merge must
+      // complete the fold (delete originals, rename staging into place)
+      spark.read.parquet(s"$root/assign/batch=0", s"$root/assign/batch=1")
+        .select(col("cid"), col("cent_id"))
+        .write.mode("overwrite").parquet(s"$root/assign/_fold_v1")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/assign/_folded_through"), "1".getBytes)
+      IncrementalIvf.merge(slices(3), cents, 3L, root) // replay triggers recovery
+      val names = new java.io.File(s"$root/assign").listFiles().map(_.getName).toSet
+      assert(!names.exists(_.startsWith("_fold_v")))
+      assert(!names.contains("batch=0"), "folded original must be deleted")
+      assert(names.contains("batch=1"), "fold target dir must exist")
+      assert(IncrementalIvf.assignments(spark, root)
+        .select(col("cid"), col("cent_id")).as[(Long, Long)].collect().toSet == truth)
+    } finally spark.conf.unset(IncrementalIvf.MaxDeltaDirsKey)
+  }
+
   test("real streaming query over micro-batches == one-shot batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

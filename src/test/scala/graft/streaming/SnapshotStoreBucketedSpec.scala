@@ -195,6 +195,103 @@ class SnapshotStoreBucketedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("store addressed through an explicit file:// URI — the Hadoop " +
+      "FileSystem metadata path, no raw java.io.File fallback") {
+    // every metadata op (version listing, manifest, _COMMIT, retention)
+    // must resolve through the Hadoop FS API: a raw java.io.File would
+    // treat "file:/..." as a literal relative path and break immediately
+    val local = Files.createTempDirectory("bucketed-uri").toString
+    val root = s"file://$local"
+    val full = (0L until 100L).map(k => k -> s"v$k")
+    SnapshotStore.writeNextBucketed(df(full), root, Some(0L), B, None)
+    assert(state(root) == full.toMap)
+    // incremental write + manifest-carried untouched buckets
+    val after = full.toMap + (7L -> "V7")
+    SnapshotStore.writeNextBucketed(df(after.toSeq), root, Some(1L),
+      B, Some(df(Seq(7L -> "")).select("k")))
+    assert(state(root) == after)
+    assert(SnapshotStore.lastBatchId(root) == 1L)
+    assert(SnapshotStore.versions(root) == Seq(1L, 2L))
+    // the physical layout landed under the local path (not a ./file:... dir)
+    assert(new java.io.File(s"$local/v=2/_MANIFEST").isFile)
+    assert(new java.io.File(s"$local/v=2/_COMMIT").isFile)
+    // read prune + retention still work through the URI
+    val tb = SnapshotStore.bucketIds(df(Seq(7L -> "")).select("k"), B)
+    val pruned = SnapshotStore.readTouched(spark, root, B, tb).get
+    assert(pruned.collect().map(_.getLong(0)).toSet.contains(7L))
+    (2 to 5).foreach { i =>
+      SnapshotStore.writeNextBucketed(df(after.toSeq), root, Some(i.toLong),
+        B, Some(df(Seq(7L -> "")).select("k")))
+    }
+    assert(SnapshotStore.versionDirs(root).size <= 3,
+      "retention must prune through the Hadoop FS API too")
+    assert(state(root) == after)
+  }
+
+  test("schema change under an incremental bucketed write fails fast " +
+      "(a migration needs one explicit full rewrite)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bucketed-schema").toString
+    SnapshotStore.writeNextBucketed(df(Seq(1L -> "a", 2L -> "b")), root, Some(0L), B, None)
+    val widened = Seq((1L, "A", 9L), (2L, "b", 8L)).toDF("k", "v", "extra")
+    // incremental write with a NEW schema: must refuse loudly — a silent
+    // full rewrite could drop untouched buckets if the caller's frame was
+    // built from a pruned readTouched
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.writeNextBucketed(widened, root, Some(1L),
+        B, Some(df(Seq(1L -> "")).select("k")))
+    }
+    assert(e.getMessage.contains("schema changed"))
+    // the store is untouched by the refused write
+    assert(state(root) == Map(1L -> "a", 2L -> "b"))
+    // the documented migration path: same schema change with
+    // touchedKeys=None full-rewrites and succeeds
+    SnapshotStore.writeNextBucketed(widened, root, Some(1L), B, None)
+    val cur = SnapshotStore.read(spark, root).get
+    assert(cur.columns.toSet == Set("k", "v", "extra"))
+    assert(cur.count() == 2L)
+    // and incremental writes resume under the new schema
+    val widened2 = Seq((1L, "A", 9L), (2L, "B", 8L)).toDF("k", "v", "extra")
+    SnapshotStore.writeNextBucketed(widened2, root, Some(2L),
+      B, Some(df(Seq(2L -> "")).select("k")))
+    assert(SnapshotStore.read(spark, root).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "A", 2L -> "B"))
+  }
+
+  test("retention deletion guard: a victim outside the store root is refused") {
+    val root = Files.createTempDirectory("bucketed-guard").toString
+    val outside = Files.createTempDirectory("bucketed-guard-outside")
+    val victim = outside.resolve("precious")
+    Files.createDirectories(victim)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.deleteUnder(fs, new org.apache.hadoop.fs.Path(root),
+        new org.apache.hadoop.fs.Path(victim.toString))
+    }
+    assert(e.getMessage.contains("refusing to delete"))
+    assert(Files.isDirectory(victim), "guard must not have deleted the victim")
+    // and a hand-corrupted manifest version cannot steer retention outside
+    // the root either: hosting versions are parsed as longs (traversal
+    // strings never parse) and unresolvable versions match no dir
+    SnapshotStore.writeNextBucketed(df(Seq(1L -> "a")), root, Some(0L), B, None)
+    val manPath = new org.apache.hadoop.fs.Path(s"$root/v=1/_MANIFEST")
+    // corrupt THROUGH the fs API (the local FS keeps checksum sidecars)
+    val in = fs.open(manPath)
+    val lines = scala.io.Source.fromInputStream(in).mkString.split("\n").toSeq
+    in.close()
+    val corrupted = (lines.take(3) ++
+      lines.drop(3).map(l => l.split(" ")(0) + " 999999999")).mkString("\n")
+    val out = fs.create(manPath, true)
+    out.write(corrupted.getBytes)
+    out.close()
+    // a full-rewrite write over the corrupt store: retention must ignore
+    // the unresolvable version rather than resolve anything outside root
+    SnapshotStore.writeNextBucketed(df(Seq(1L -> "b")), root, Some(1L), B, None)
+    assert(Files.isDirectory(victim))
+    assert(state(root) == Map(1L -> "b"))
+  }
+
   test("empty state round-trips: schema survives in the manifest") {
     val root = Files.createTempDirectory("bucketed-empty").toString
     SnapshotStore.writeNextBucketed(df(Seq(1L -> "a")), root, Some(0L), B, None)
