@@ -592,7 +592,9 @@ object Multimodal {
           .distinct()
           .persistOnce()
         val dfc = sh.groupBy($"sh").agg(countDistinct($"doc_id").as("df"))
-        val idx = sh.join(dfc.filter($"df" <= 32), "sh")
+        // both sides of the pair self-join read idx: persist it or the
+        // shingle build + DF-cap join runs twice (measured ~2x at sf0.1)
+        val idx = sh.join(dfc.filter($"df" <= 32), "sh").persistOnce()
         val per = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
         idx.as("a").join(idx.as("b"),
             $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
@@ -714,7 +716,8 @@ object Multimodal {
         val fp = mediaFingerprints(s, dir).filter($"kind" === "landmark")
           .select($"doc_id", $"idx".as("frame_idx"), $"v".as("h"))
         val dfc = fp.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
-        val idx = fp.join(dfc.filter($"df" <= 16), "h")
+        // persisted for the same two-sided-join reason as m09's idx
+        val idx = fp.join(dfc.filter($"df" <= 16), "h").persistOnce()
         idx.as("a").join(idx.as("b"),
             $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"),
