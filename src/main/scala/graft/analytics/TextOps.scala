@@ -26,6 +26,29 @@ object TextOps {
   private[analytics] val stop = Seq("the", "a", "of", "and", "to", "in", "is")
   private[analytics] val STOP_SQL = stop.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** THE t26 chunk definition — 64-token windows at stride 48 over the
+    * shared tokenizer, one `struct(h: md5 content hash, nt: token count)`
+    * per window, as a per-doc ARRAY (empty when the doc tokenizes to
+    * nothing). Shared by the batch operator (t26, which posexplodes it)
+    * and the ingestion-time chunk gate (`streaming/IngestChunkDedup`), so
+    * batch and stream agree bit-for-bit — the tileArray pattern. A narrow
+    * per-row transform (sequence + slice + md5 inside codegen, ~n/48
+    * chunks per doc): works on a streaming DataFrame unchanged. */
+  def chunkStructs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("chunks", when(col("n") > 0L, expr(
+        """transform(
+             sequence(CAST(0 AS BIGINT),
+                      greatest(CAST(ceil((n - 64) / 48.0) AS BIGINT),
+                               CAST(0 AS BIGINT))),
+             ci -> named_struct(
+               'h', md5(array_join(slice(tk, CAST(ci*48 + 1 AS INT),
+                                         CAST(least(64, n - ci*48) AS INT)), ' ')),
+               'nt', CAST(least(64, n - ci*48) AS BIGINT)))"""))
+        .otherwise(expr("CAST(array() AS array<struct<h: string, nt: bigint>>)")))
+      .select(col("doc_id"), col("chunks"))
+
   /** t10's sensitive-term lexicon (stand-in for a PII regex bank — the
     * synthetic corpus has no emails/phones/IPs to match). */
   private val BLOCKLIST = Seq("customer", "spark", "stream")
@@ -1114,6 +1137,9 @@ object TextOps {
     ),
 
     // ---- t26: overlapping chunk windows + cross-doc chunk dedup ----
+    // Chunk definition factored into [[chunkStructs]] (shared with the
+    // ingestion-time chunk gate `streaming/IngestChunkDedup`, so batch
+    // and stream agree bit-for-bit — the tileHashes pattern).
     // The RAG/pretraining CHUNKER: every document splits into 64-token
     // windows at stride 48 (16-token overlap keeps context across cuts —
     // the standard retrieval-chunking shape), each chunk gets a stable
@@ -1132,18 +1158,11 @@ object TextOps {
       "t26_chunk_windows",
       (s, dir) => {
         import s.implicits._
-        val ch = t(s, dir, "documents")
-          .select($"doc_id", toks($"text").as("tk"))
-          .withColumn("n", size($"tk").cast("long"))
-          .filter($"n" > 0L)
-          .withColumn("chunk_idx", explode(expr(
-            "sequence(CAST(0 AS BIGINT), " +
-              "greatest(CAST(ceil((n - 64) / 48.0) AS BIGINT), CAST(0 AS BIGINT)))")))
-          .withColumn("ctk", expr(
-            "slice(tk, CAST(chunk_idx*48 + 1 AS INT), " +
-              "CAST(least(64, n - chunk_idx*48) AS INT))"))
-          .withColumn("n_chunk_tokens", size($"ctk").cast("long"))
-          .withColumn("chunk_hash", md5(concat_ws(" ", $"ctk")))
+        val ch = chunkStructs(t(s, dir, "documents"))
+          .select($"doc_id", posexplode($"chunks").as(Seq("chunk_idx", "c")))
+          .withColumn("chunk_idx", $"chunk_idx".cast("long"))
+          .withColumn("n_chunk_tokens", $"c.nt")
+          .withColumn("chunk_hash", $"c.h")
           // total order on occurrences without a struct-min (the oracle
           // has no struct MIN): chunk_idx < 100000 by construction, so
           // the arithmetic key preserves (doc_id, chunk_idx) order

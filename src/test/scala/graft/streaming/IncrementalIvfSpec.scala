@@ -143,6 +143,31 @@ class IncrementalIvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(IncrementalIvf.MaxDeltaDirsKey)
   }
 
+  test("state root addressed through an explicit file:// URI — the Hadoop " +
+      "FS metadata path (delta markers, fold watermark) has no raw-File fallback") {
+    import spark.implicits._
+    spark.conf.set(IncrementalIvf.MaxDeltaDirsKey, "4")
+    try {
+      val local = java.nio.file.Files.createTempDirectory("ivf-uri").toString
+      val root = s"file://$local"
+      val slices = arrivedSlices(8)
+      slices.zipWithIndex.foreach { case (b, i) =>
+        IncrementalIvf.merge(b, cents, i.toLong, root)
+      }
+      // compaction ran through the URI: bounded dirs + watermark on disk
+      val names = new java.io.File(s"$local/assign").listFiles().map(_.getName)
+      assert(names.count(_.startsWith("batch=")) <= 5)
+      assert(names.contains("_folded_through"))
+      val maintained = IncrementalIvf.assignments(spark, root)
+        .select(col("cid"), col("cent_id")).as[(Long, Long)].collect().toSet
+      assert(maintained == batchAssign(emb))
+      // replay of a folded batch stays a no-op through the URI too
+      val before = IncrementalIvf.assignments(spark, root).count()
+      IncrementalIvf.merge(slices(0), cents, 0L, root)
+      assert(IncrementalIvf.assignments(spark, root).count() == before)
+    } finally spark.conf.unset(IncrementalIvf.MaxDeltaDirsKey)
+  }
+
   test("real streaming query over micro-batches == one-shot batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
