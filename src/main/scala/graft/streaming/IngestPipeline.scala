@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   *     corpus contact, zero shuffles; rejects never reach a join;
   *  2. exact tile dedup — quality survivors explode to tile hashes and
   *     left-join the static corpus tile index;
-  *  3. near-dup — exact survivors band-join the static corpus band index,
+  *  2.5. chunk (only when the corpus sides carry a chunk-hash index —
+  *     `CorpusSides.withChunkGate`) — exact survivors probe the corpus
+  *     chunk index with their t26 64-token windows: the repeated-passage
+  *     screen (license blocks, syndicated paragraphs) document-level
+  *     tiles and MinHash both miss, at tile-gate cost;
+  *  3. near-dup — survivors band-join the static corpus band index,
   *     exact-Jaccard verify on collisions only;
   *  3.5. span (only when the corpus sides carry a positional-gram index —
   *     `CorpusSides.withSpanGate`) — near-dup survivors probe the corpus
@@ -44,19 +49,26 @@ object IngestPipeline {
   final case class CorpusSides(tiles: DataFrame, bands: DataFrame,
       shingles: DataFrame, counts: DataFrame,
       sem: Option[DataFrame] = None,
-      grams: Option[DataFrame] = None) {
+      grams: Option[DataFrame] = None,
+      chunks: Option[DataFrame] = None) {
     def persist(): CorpusSides = {
-      (Seq(tiles, bands, shingles, counts) ++ sem ++ grams).foreach(
+      (Seq(tiles, bands, shingles, counts) ++ sem ++ grams ++ chunks).foreach(
         _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       this
     }
     def unpersist(): Unit =
-      (Seq(tiles, bands, shingles, counts) ++ sem ++ grams).foreach(_.unpersist())
+      (Seq(tiles, bands, shingles, counts) ++ sem ++ grams ++ chunks)
+        .foreach(_.unpersist())
 
     /** Enable the verbatim-copy span stage: adds the corpus positional-gram
       * index ([[IngestSpanDedup.corpusIndex]]) to the shared sides. */
     def withSpanGate(corpusDocs: DataFrame): CorpusSides =
       copy(grams = Some(IngestSpanDedup.corpusIndex(corpusDocs)))
+
+    /** Enable the chunk-window stage: adds the distinct corpus chunk-hash
+      * index ([[IngestChunkDedup.corpusIndex]]) to the shared sides. */
+    def withChunkGate(corpusDocs: DataFrame): CorpusSides =
+      copy(chunks = Some(IngestChunkDedup.corpusIndex(corpusDocs)))
   }
 
   def corpusIndex(corpusDocs: DataFrame): CorpusSides = {
@@ -74,16 +86,18 @@ object IngestPipeline {
   /** Gate one batch of arrivals (doc_id, text). One verdict row per
     * arriving doc: the quality signals, the dedup flags of whichever
     * stages the doc reached (null-safe defaults for stages it never
-    * reached), and `verdict` ∈ rejected_quality | exact_dup | near_dup |
-    * span_dup (gram side present) | sem_dup (embedding side present) |
-    * accepted. */
+    * reached), and `verdict` ∈ rejected_quality | exact_dup | chunk_dup
+    * (chunk side present) | near_dup | span_dup (gram side present) |
+    * sem_dup (embedding side present) | accepted. */
   def gateBatch(batch: DataFrame, sides: CorpusSides,
       minEntropy: Double = 3.0, maxEntropy: Double = 6.0,
       minTokens: Long = 10L, minDistinctRatio: Double = 0.2,
       minFrac: Double = 0.5, minJaccard: Double = 0.7,
-      minCos: Double = 0.9, maxSpanRatio: Double = 0.5): DataFrame =
+      minCos: Double = 0.9, maxSpanRatio: Double = 0.5,
+      minChunkFrac: Double = 0.5): DataFrame =
     gateBatchTracked(batch, sides, minEntropy, maxEntropy, minTokens,
-      minDistinctRatio, minFrac, minJaccard, minCos, maxSpanRatio)._1
+      minDistinctRatio, minFrac, minJaccard, minCos, maxSpanRatio,
+      minChunkFrac)._1
 
   /** [[gateBatch]] plus the per-batch CACHED stage frames the caller must
     * unpersist once the verdict has been consumed ([[start]] does).
@@ -104,7 +118,8 @@ object IngestPipeline {
       minEntropy: Double = 3.0, maxEntropy: Double = 6.0,
       minTokens: Long = 10L, minDistinctRatio: Double = 0.2,
       minFrac: Double = 0.5, minJaccard: Double = 0.7,
-      minCos: Double = 0.9, maxSpanRatio: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
+      minCos: Double = 0.9, maxSpanRatio: Double = 0.5,
+      minChunkFrac: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val temps = collection.mutable.ArrayBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame = { temps += df.persist(lvl); df }
@@ -118,17 +133,31 @@ object IngestPipeline {
       .select(col("doc_id"), col("matched_frac"), col("dup").as("exact_dup")))
     val exactPass = cached(qPass.join(
       exact.filter(!col("exact_dup")).select("doc_id"), Seq("doc_id"), "left_semi"))
-    val near = cached(IngestNearDup.flagBatch(exactPass,
+    // stage 2.5 (only when the corpus sides carry a chunk index): the
+    // t26 repeated-passage screen over exact survivors — tile-gate cost,
+    // so it runs BEFORE the banding/verify work of near-dup
+    val chunkStage = sides.chunks
+    val (chunkCols, nearInput) = chunkStage match {
+      case None => (None, exactPass)
+      case Some(idx) =>
+        val ch = cached(IngestChunkDedup.flagArrivals(exactPass, idx, minChunkFrac)
+          .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+            col("dup_frac").as("chunk_frac"), col("dup").as("chunkdup")))
+        (Some(ch), cached(exactPass.join(
+          ch.filter(!col("chunkdup")).select("doc_id"), Seq("doc_id"), "left_semi")))
+    }
+    val near = cached(IngestNearDup.flagBatch(nearInput,
         sides.bands, sides.shingles, sides.counts, minJaccard)
       .select(col("doc_id"), col("n_candidates"), col("n_neardups"),
         col("neardup"), col("first_neardup")))
-    val flagged = scored
+    val flagged0 = scored
       .select("doc_id", "entropy", "n_tokens", "distinct_ratio", "quality_pass")
       .join(exact, Seq("doc_id"), "left")
+    val flagged = chunkCols.fold(flagged0)(ch => flagged0.join(ch, Seq("doc_id"), "left"))
       .join(near, Seq("doc_id"), "left")
     // survivors of stage 3, input to the optional later stages (computed
     // lazily — only when a later stage actually runs)
-    lazy val nearPass = cached(exactPass.join(
+    lazy val nearPass = cached(nearInput.join(
       near.filter(!col("neardup")).select("doc_id"), Seq("doc_id"), "left_semi"))
     // stage 3.5 (only when the corpus sides carry a gram index): verbatim-
     // copy span coverage of near-dup survivors — the partial-plagiarism
@@ -162,8 +191,10 @@ object IngestPipeline {
         withSpan.join(sem, Seq("doc_id"), "left")
     }
     val verdict = {
-      val base = when(!col("quality_pass"), "rejected_quality")
+      val afterExact = when(!col("quality_pass"), "rejected_quality")
         .when(col("exact_dup"), "exact_dup")
+      val base = (if (chunkStage.isDefined)
+        afterExact.when(col("chunkdup"), "chunk_dup") else afterExact)
         .when(col("neardup"), "near_dup")
       val withSpanV =
         if (spanStage.isDefined) base.when(col("spandup"), "span_dup") else base

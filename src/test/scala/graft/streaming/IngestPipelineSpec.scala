@@ -71,6 +71,44 @@ class IngestPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sides.unpersist()
   }
 
+  test("chunk stage catches a repeated aligned passage that tiles AND " +
+      "MinHash both miss; absent the chunk side the doc is accepted") {
+    import spark.implicits._
+    // a 200-token donor in the corpus (varied words: quality-band entropy)
+    val donorToks = (0 until 200).map(i => s"${base(i % 40)}$i")
+    val corpusL = corpus.unionByName(
+      Seq((3L, donorToks.mkString(" "))).toDF("doc_id", "text"))
+    // the arrival pastes the donor's first 160 tokens COMMA-joined (the
+    // punctuation shifts every 40-CHAR tile ⇒ the exact tile gate sees 0
+    // matches, but the TOKEN stream — what chunks hash — is unchanged)
+    // and appends 48 fresh tokens (shingle Jaccard vs the donor < 0.7 ⇒
+    // the near-dup gate passes). Chunk grid: windows 0..2 (tokens 1-64,
+    // 49-112, 97-160) match the donor verbatim, window 3 spans the fresh
+    // tail — 3/4 dup windows, the repeated-passage signal.
+    val pasted = donorToks.take(160).mkString(", ") + " " +
+      (0 until 48).map(i => s"fresh${i}zz").mkString(" ")
+    val batch = Seq((301L, pasted)).toDF("doc_id", "text")
+    val withChunk = IngestPipeline.corpusIndex(corpusL)
+      .withChunkGate(corpusL).persist()
+    val without = IngestPipeline.corpusIndex(corpusL).persist()
+    try {
+      val out = IngestPipeline.gateBatch(batch, withChunk)
+      assert(verdictMap(out) == Map(301L -> "chunk_dup"),
+        s"expected chunk_dup: ${verdictMap(out)}")
+      val (nc, dc) = out.filter($"doc_id" === 301L)
+        .select($"n_chunks", $"dup_chunks").as[(Long, Long)].head()
+      assert(nc == 4L && dc == 3L, s"chunk grid: $nc/$dc")
+      // the SAME arrival sails through without the chunk side — the
+      // stage is the only gate that sees this failure mode
+      assert(verdictMap(IngestPipeline.gateBatch(batch, without))
+        == Map(301L -> "accepted"))
+      // and the composed stage equals the standalone gate's flag
+      val solo = IngestChunkDedup.flagArrivals(batch, withChunk.chunks.get)
+        .select($"doc_id", $"dup").as[(Long, Boolean)].head()
+      assert(solo == (301L, true))
+    } finally { withChunk.unpersist(); without.unpersist() }
+  }
+
   test("single pass == the three gates chained independently") {
     import spark.implicits._
     val sides = IngestPipeline.corpusIndex(corpus).persist()
