@@ -72,7 +72,12 @@ object Tables {
     // not df.rdd.getNumPartitions — materializing the RDD lineage just to
     // count splits would de-optimize the plan boundary.
     val par = spark.sparkContext.defaultParallelism
-    val bytes = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    // Hadoop FS, not java.nio: the data dir may carry a scheme (file://,
+    // hdfs://), and a multi-file table needs the summed content length
+    val tablePath = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val bytes = tablePath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(tablePath).getLength
     val maxSplit =
       try spark.conf.get("spark.sql.files.maxPartitionBytes", s"${128L << 20}")
         .toLowerCase.stripSuffix("b").toLong
