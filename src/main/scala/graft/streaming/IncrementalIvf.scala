@@ -25,17 +25,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    [[SnapshotStore]]'s batch-id contract, without rewriting the
   *    corpus-sized table per batch).
   *
-  * Delta dirs are COMPACTED so the directory count stays bounded: when
-  * more than `spark.graft.ivf.assign.maxDeltaDirs` (default 16) batch
-  * dirs exist, the older half folds into one combined `batch=<maxId>`
-  * dir (cost ∝ the folded deltas, amortized O(1) dirs per batch — never
-  * a corpus rewrite). The fold is crash-safe: combined rows land in an
-  * underscore-prefixed staging dir (invisible to the root parquet read),
-  * a `_folded_through` watermark publishes via atomic rename BEFORE any
-  * original dir is deleted, and an interrupted fold is either completed
-  * or discarded deterministically on the next merge. The watermark also
-  * keeps replay exact: a replayed batch at or below it must NOT rewrite
-  * its (now folded-away) delta dir.
+  * Delta dirs are COMPACTED in two tiers so the directory count stays
+  * bounded WITHOUT refolding all history every cycle: past
+  * `spark.graft.ivf.assign.maxDeltaDirs` (default 16) raw batch dirs,
+  * the oldest half folds into one tier-1 dir; past maxDirs/4 tier-1
+  * dirs, those merge into one — amortized per-batch fold IO
+  * ∝ arrived/(maxDirs²/8), never a per-batch corpus rewrite (see
+  * maybeCompact). Folds are crash-safe: combined rows land in an
+  * underscore-prefixed staging dir (invisible to the root parquet read)
+  * with a `_FOLDS` record of exactly the dirs it replaces, the
+  * `_folded_through` LEDGER (replay watermark + live fold-dir ids)
+  * publishes via atomic rename BEFORE any original dir is deleted, and
+  * an interrupted fold is either completed or discarded
+  * deterministically on the next merge. The watermark keeps replay
+  * exact: a replayed batch at or below it must NOT rewrite its (now
+  * folded-away) delta dir.
   *
   * All metadata IO (existence probes, watermark, fold staging) goes
   * through `org.apache.hadoop.fs.FileSystem` resolved from the state
@@ -90,25 +94,44 @@ object IncrementalIvf {
   private def foldMarker(stateRoot: String) =
     new Path(assignDir(stateRoot), "_folded_through")
 
-  /** Highest batch id whose delta rows live inside a FOLDED dir (−1 when
-    * no fold has ever completed publishing). */
-  private def foldedThrough(fs: FileSystem, stateRoot: String): Long = {
+  /** Durable fold ledger: `through` = highest RAW batch id whose delta
+    * rows live inside a folded dir (the replay guard — a batch at or
+    * below it must not rewrite its delta), `folds` = the ids of the LIVE
+    * fold-produced dirs (tier 1), so compaction can tell a fold dir from
+    * a raw delta without refolding deep history every cycle. Marker file
+    * format: line 1 = through, line 2 = space-separated fold ids (absent
+    * line 2 = legacy single-value marker, parsed with no fold list). */
+  private final case class FoldState(through: Long, folds: Seq[Long])
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf)
+  }
+
+  private def foldState(fs: FileSystem, stateRoot: String): FoldState = {
     val m = foldMarker(stateRoot)
-    if (!fs.exists(m)) -1L
+    if (!fs.exists(m)) FoldState(-1L, Seq.empty)
     else {
-      val len = fs.getFileStatus(m).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(m)
-      try in.readFully(0, buf) finally in.close()
-      new String(buf).trim.toLong
+      val lines = readSmall(fs, m).split("\n", -1).toSeq
+      FoldState(lines.head.trim.toLong,
+        lines.lift(1).map(_.trim).filter(_.nonEmpty)
+          .map(_.split(" ").toSeq.map(_.toLong)).getOrElse(Seq.empty).sorted)
     }
   }
 
-  private def publishMarker(fs: FileSystem, stateRoot: String, v: Long): Unit = {
+  private def foldedThrough(fs: FileSystem, stateRoot: String): Long =
+    foldState(fs, stateRoot).through
+
+  /** Atomic ledger publish: tmp write + rename. */
+  private def publishState(fs: FileSystem, stateRoot: String, st: FoldState): Unit = {
     val dst = foldMarker(stateRoot)
     val tmp = new Path(dst.getParent, dst.getName + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes) finally out.close()
+    try out.write(s"${st.through}\n${st.folds.sorted.mkString(" ")}".getBytes)
+    finally out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
@@ -117,32 +140,41 @@ object IncrementalIvf {
   private def foldStaging(stateRoot: String, target: Long) =
     new Path(assignDir(stateRoot), s"_fold_v$target")
 
-  /** Complete or discard an interrupted fold. Deterministic from on-disk
-    * state alone: a staging dir WITH `_SUCCESS` and a watermark ≥ its
-    * target was mid-publish — finish it (delete originals ≤ target,
-    * rename staging into place); anything else is pre-publish garbage —
-    * the originals are intact, so drop the staging dir. */
-  private def recoverFold(fs: FileSystem, stateRoot: String): Unit = {
-    val d = assignDir(stateRoot)
-    if (!fs.exists(d)) return
-    fs.listStatus(d)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_fold_v"))
-      .foreach { st =>
-        val target = st.getPath.getName.stripPrefix("_fold_v").toLong
-        val complete = fs.exists(new Path(st.getPath, "_SUCCESS"))
-        if (complete && foldedThrough(fs, stateRoot) >= target)
-          finalizeFold(fs, stateRoot, target)
-        else
-          fs.delete(st.getPath, true)
-      }
+  /** The exact `batch=<id>` dirs a staged fold replaces, recorded INSIDE
+    * the staging dir (after the parquet `_SUCCESS`, before the ledger
+    * publish) so recovery deletes precisely the folded dirs — tiering
+    * breaks the old "everything ≤ target" prefix invariant (an older
+    * live fold dir may have a smaller id than a raw fold's target). */
+  private def foldsFile(staging: Path) = new Path(staging, "_FOLDS")
+
+  /** Fold the given dirs into one `batch=<max id>` dir, crash-safe:
+    * staged parquet → `_FOLDS` id list → atomic ledger publish (the
+    * commit point) → delete originals → rename staging into place.
+    * A crash before the publish leaves the originals intact and the
+    * staging dir is discarded on recovery; after it, recovery completes
+    * the deletes + rename deterministically from `_FOLDS`. */
+  private def foldOnce(spark: SparkSession, stateRoot: String, fs: FileSystem,
+      prev: FoldState, foldSet: Seq[Long], newThrough: Long): Unit = {
+    val target = foldSet.max
+    val staging = foldStaging(stateRoot, target)
+    spark.read.parquet(
+        foldSet.map(id => s"$stateRoot/assign/batch=$id"): _*)
+      .select(col("cid"), col("cent_id"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(foldsFile(staging), true)
+    try out.write(foldSet.sorted.mkString(" ").getBytes) finally out.close()
+    publishState(fs, stateRoot, FoldState(math.max(prev.through, newThrough),
+      prev.folds.filterNot(foldSet.contains) :+ target))
+    finalizeFold(fs, stateRoot, target, foldSet)
   }
 
-  /** Publish a complete staging dir: delete every original `batch=<id>`
-    * dir at or below the target (the staged union contains their rows),
-    * then rename the staging dir to `batch=<target>`. Idempotent — safe
-    * to re-run after a crash at any step. */
-  private def finalizeFold(fs: FileSystem, stateRoot: String, target: Long): Unit = {
-    deltaDirIds(fs, stateRoot).filter(_ <= target).foreach { id =>
+  /** Delete exactly the folded dirs, then rename the staging dir to
+    * `batch=<target>`. Idempotent — safe to re-run after a crash at any
+    * step (a folded dir already gone deletes as a no-op; a completed
+    * rename leaves no staging dir to move). */
+  private def finalizeFold(fs: FileSystem, stateRoot: String, target: Long,
+      foldSet: Seq[Long]): Unit = {
+    foldSet.foreach { id =>
       fs.delete(new Path(assignDir(stateRoot), s"batch=$id"), true)
     }
     val staging = foldStaging(stateRoot, target)
@@ -151,27 +183,66 @@ object IncrementalIvf {
       throw new java.io.IOException(s"fold rename failed for $staging")
   }
 
-  /** Fold the older half of the delta dirs into one when the count
-    * exceeds the bound. Cost ∝ folded-delta bytes (never the corpus; the
-    * newest half stays untouched, so a given row is re-folded O(log)
-    * times over the store's life). Runs inside `merge` — a concurrent
-    * `assignments` read during the publish step may see a torn view, the
-    * usual caveat for any non-snapshot directory read. */
+  /** Complete or discard an interrupted fold. Deterministic from on-disk
+    * state alone: a staging dir whose target the LEDGER lists as a live
+    * fold dir (and which carries `_SUCCESS` + `_FOLDS`) was mid-publish —
+    * finish it by replaying the recorded deletes + rename; anything else
+    * is pre-publish garbage — the originals are intact, drop the staging
+    * dir. */
+  private def recoverFold(fs: FileSystem, stateRoot: String): Unit = {
+    val d = assignDir(stateRoot)
+    if (!fs.exists(d)) return
+    val st = foldState(fs, stateRoot)
+    fs.listStatus(d)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_fold_v"))
+      .foreach { s =>
+        val target = s.getPath.getName.stripPrefix("_fold_v").toLong
+        val complete = fs.exists(new Path(s.getPath, "_SUCCESS")) &&
+          fs.exists(foldsFile(s.getPath))
+        if (complete && st.folds.contains(target)) {
+          val foldSet = readSmall(fs, foldsFile(s.getPath)).trim
+            .split(" ").toSeq.filter(_.nonEmpty).map(_.toLong)
+          finalizeFold(fs, stateRoot, target, foldSet)
+        } else
+          fs.delete(s.getPath, true)
+      }
+  }
+
+  /** Two-tier compaction, so per-batch fold IO stays amortized-bounded
+    * instead of refolding all history every cycle:
+    *
+    *  - tier 0 (raw deltas): when more than `maxDirs` raw batch dirs
+    *    exist, the oldest half fold into ONE tier-1 dir — each raw row
+    *    is folded here exactly once;
+    *  - tier 1 (fold dirs, tracked in the ledger): when more than
+    *    max(2, maxDirs/4) fold dirs accumulate, they merge into one —
+    *    a row re-folds here once per ~(maxDirs/2 × maxDirs/4) batches,
+    *    so amortized per-batch fold IO is ∝ arrived/(maxDirs²/8), and
+    *    the re-train contract (each frozen-quantizer generation resets
+    *    state) bounds the residual linear term. Deeper tiers are the
+    *    same mechanical step if a deployment ever needs them.
+    *
+    * Total dir count stays ≤ maxDirs + maxDirs/4 + 2. Runs inside
+    * `merge` — a concurrent `assignments` read during the publish step
+    * may see a torn view, the usual caveat for any non-snapshot
+    * directory read. */
   private def maybeCompact(spark: SparkSession, stateRoot: String,
       fs: FileSystem): Unit = {
     val maxDirs = spark.conf.getOption(MaxDeltaDirsKey).map(_.toInt).getOrElse(16)
+    val maxFolds = math.max(2, maxDirs / 4)
+    val st = foldState(fs, stateRoot)
     val ids = deltaDirIds(fs, stateRoot)
-    if (ids.size <= maxDirs) return
-    val folds = ids.dropRight(math.max(1, maxDirs / 2))
-    if (folds.size < 2) return
-    val target = folds.last
-    val staging = foldStaging(stateRoot, target)
-    spark.read.parquet(
-        folds.map(id => s"$stateRoot/assign/batch=$id"): _*)
-      .select(col("cid"), col("cent_id"))
-      .write.mode("overwrite").parquet(staging.toString)
-    publishMarker(fs, stateRoot, target)
-    finalizeFold(fs, stateRoot, target)
+    val folds = st.folds.filter(ids.contains)
+    val raws = ids.filterNot(folds.contains)
+    if (raws.size > maxDirs) {
+      val foldSet = raws.dropRight(math.max(2, maxDirs / 2))
+      if (foldSet.size >= 2)
+        foldOnce(spark, stateRoot, fs, st.copy(folds = folds), foldSet,
+          newThrough = foldSet.max)
+    } else if (folds.size > maxFolds) {
+      foldOnce(spark, stateRoot, fs, st.copy(folds = folds), folds,
+        newThrough = st.through)
+    }
   }
 
   // ---------------------------------------------------------------- merge
