@@ -61,7 +61,7 @@ object ClusterBench {
     val b = pass()
     def fmt(m: Map[String, Double]): String =
       names.map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
-    val out = s"""{"passA":${fmt(a)},"passB":${fmt(b)},"sf":"$sfDir","method":"interleaved median-of-3, two back-to-back passes in one session; controls q01/q03"}"""
+    val out = s"""{"passA":${fmt(a)},"passB":${fmt(b)},"sf":"$sfDir","head":"${Bench.gitHead()}","method":"interleaved median-of-3, two back-to-back passes in one session; controls q01/q03${Bench.benchNote()}"}"""
     val path = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_OUT", "/tmp/cluster_bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(path), (out + "\n").getBytes("UTF-8"))
     println(out)

@@ -39,15 +39,22 @@ object Multimodal {
   import Tables.t
 
   /** Oracle dump paths are KEYED BY sf dir (hash suffix), so interleaved
-    * runs over different dirs — or two concurrent JVMs, as in the
-    * multi-JVM cluster correctness flow — can never clobber each other's
-    * dump: each dir owns its path, and the dumped content is a pure
-    * deterministic function of the dir. The oracle SQL embeds the path of
-    * the LAST dir queried in this JVM (`Verify` runs every query before
-    * it dumps `oracle_sql.json`, so the recorded SQL always points at the
-    * dump matching the verified dir). Note the dump targets driver-local
-    * /tmp: correct for local[*] and same-host local-cluster (the offline
-    * harness); a multi-host deployment would point these at a shared FS. */
+    * runs over different dirs can never clobber each other's dump: each
+    * dir owns its path, and the dumped content is a pure deterministic
+    * function of the dir. Two JVMs verifying the SAME dir concurrently
+    * (the local[*] and local-cluster legs) are handled by the dump
+    * protocol, not by keying: each JVM writes to a per-process temp path
+    * and atomically renames it into place ([[swapDump]]) — the
+    * destination is only ever absent for the instant between a delete
+    * and a rename, never torn mid-parquet-job the way a shared
+    * mode(overwrite) target would be, and a lost rename race simply
+    * discards the loser's (bit-identical) dump. The oracle SQL embeds
+    * the path of the LAST dir queried in this JVM (`Verify` runs every
+    * query before it dumps `oracle_sql.json`, so the recorded SQL always
+    * points at the dump matching the verified dir). Note the dump
+    * targets driver-local /tmp: correct for local[*] and same-host
+    * local-cluster (the offline harness); a multi-host deployment would
+    * point these at a shared FS. */
   private def md5hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map(x => f"$x%02x").mkString
@@ -56,6 +63,41 @@ object Multimodal {
     s"/tmp/graft_media_features_${md5hex(dir.getBytes).take(8)}"
   private[analytics] def fingerprintsPathFor(dir: String): String =
     s"/tmp/graft_media_fp_${md5hex(dir.getBytes).take(8)}"
+
+  /** Atomic oracle-dump publish (driver-local /tmp by construction, so
+    * java.nio rename IS rename(2)): write the parquet to a per-process
+    * temp dir, then swap it in. `Files.move(ATOMIC_MOVE)` onto an
+    * existing non-empty dir throws — that is the lost-race signal (a
+    * concurrent JVM swapped its bit-identical dump in between our delete
+    * and rename), and the loser just discards its temp copy. */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+    f.delete(); ()
+  }
+  private[analytics] def swapDump(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+    val tmp = s"$dest.tmp-${ProcessHandle.current().pid()}"
+    df.write.mode("overwrite").parquet(tmp)
+    try {
+      rmTree(new java.io.File(dest))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dest),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case _: java.nio.file.FileSystemException => // lost the swap race
+        rmTree(new java.io.File(tmp))
+    }
+  }
+
+  /** Once-per-JVM dump gate that UNMARKS on failure: marking before the
+    * write is what makes concurrent same-dir calls collapse to one dump,
+    * but a throwing write must not leave the dir marked — every later
+    * query would then skip re-dumping and the DuckDB oracle would read a
+    * torn/absent dump with no Spark-side failure. */
+  private[analytics] def dumpOnce(dumped: java.util.Set[String], dir: String)(
+      write: => Unit): Unit =
+    if (dumped.add(dir))
+      try write
+      catch { case e: Throwable => dumped.remove(dir); throw e }
 
   /** The sf dir whose dump paths the oracle SQL should reference — set by
     * every feature/fingerprint build, read by [[defs]] (a def: the SQL is
@@ -129,8 +171,7 @@ object Multimodal {
         .toDF("doc_id", "modality", "idx", "v1", "v2", "h")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
-    if (featDumped.add(dir))
-      df.write.mode("overwrite").parquet(featuresPathFor(dir))
+    dumpOnce(featDumped, dir)(swapDump(df, featuresPathFor(dir)))
     oracleDir = dir
     df
   }
@@ -209,8 +250,7 @@ object Multimodal {
         .toDF("doc_id", "kind", "idx", "v", "h")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
-    if (fpDumped.add(dir))
-      df.write.mode("overwrite").parquet(fingerprintsPathFor(dir))
+    dumpOnce(fpDumped, dir)(swapDump(df, fingerprintsPathFor(dir)))
     oracleDir = dir
     df
   }

@@ -50,8 +50,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    (spark.sql.exchange.reuse) — if it is disabled or defeated, the
   *    two consumers recompute the lineage independently, and a
   *    non-deterministic source would hand them DIFFERENT rows (wrong
-  *    carries). Persist the input first if its lineage is not
-  *    replay-stable.
+  *    carries). ENFORCED at runtime: an un-persisted input whose plan
+  *    carries a non-deterministic expression is auto-persisted (logged);
+  *    persist/unpersist it yourself to control the cache lifetime.
   *  - the quantile bucketing launches ONE extra job over the input
   *    before the main pass (approxQuantile), so an un-persisted input
   *    is scanned at least twice per call; the e31/e33 callers only
@@ -159,14 +160,40 @@ object PrefixScan {
     } finally dom.foreach(_.unpersist(false))
   }
 
+  /** True when the plan's own expressions are all deterministic — the
+    * replay-stability half of the caller contract, now ENFORCED at
+    * runtime instead of scaladoc-only: the quantile job, the carries
+    * subtree and the join subtree all consume the input, and if exchange
+    * reuse is defeated a non-deterministic lineage hands them DIFFERENT
+    * rows (wrong carries). Expression-level check (rand()/uuid()/
+    * shuffle()…); it does not descend into subquery plans — the same
+    * scope Catalyst's own `Expression.deterministic` governs. */
+  private def hasNonDeterministicLineage(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.exists(p =>
+      p.expressions.exists(e => e.exists(!_.deterministic)))
+
   private def scan(
-      df: DataFrame,
+      df0: DataFrame,
       order: Seq[Column],
       value: Column,
       out: String,
       agg: Column => Column,
       combine: (Column, Column) => Column,
       op: (Long, Long) => Long): DataFrame = {
+    // Caller-contract enforcement: a non-deterministic, un-persisted
+    // input is auto-persisted so every consumer reads ONE materialization
+    // (an already-persisted input is replay-stable as cached). The frame
+    // stays cached for the session — persist/unpersist the input yourself
+    // to control its lifetime.
+    val df =
+      if (df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+        hasNonDeterministicLineage(df0)) {
+        log.warn("PrefixScan input has non-deterministic lineage " +
+          "(rand()/uuid()/…): auto-persisting it so the scan's consumers " +
+          "agree on one materialization — persist the input yourself to " +
+          "control the cache lifetime")
+        df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else df0
     val spark = df.sparkSession
     val n = math.max(spark.sparkContext.defaultParallelism, 1)
     val k = "__ps_k"

@@ -34,8 +34,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * maybeCompact). Folds are crash-safe: combined rows land in an
   * underscore-prefixed staging dir (invisible to the root parquet read)
   * with a `_FOLDS` record of exactly the dirs it replaces, the
-  * `_folded_through` LEDGER (replay watermark + live fold-dir ids)
-  * publishes via atomic rename BEFORE any original dir is deleted, and
+  * `_folded_through.<seq>` LEDGER (replay watermark + live fold-dir ids;
+  * versioned so a publish never deletes the live ledger before its
+  * replacement is visible — readers take the max seq) publishes via
+  * atomic rename BEFORE any original dir is deleted, and
   * an interrupted fold is either completed or discarded
   * deterministically on the next merge. The watermark keeps replay
   * exact: a replayed batch at or below it must NOT rewrite its (now
@@ -91,8 +93,7 @@ object IncrementalIvf {
       .sorted
   }
 
-  private def foldMarker(stateRoot: String) =
-    new Path(assignDir(stateRoot), "_folded_through")
+  private val LedgerName = "_folded_through"
 
   /** Durable fold ledger: `through` = highest RAW batch id whose delta
     * rows live inside a folded dir (the replay guard — a batch at or
@@ -101,7 +102,32 @@ object IncrementalIvf {
     * a raw delta without refolding deep history every cycle. Marker file
     * format: line 1 = through, line 2 = space-separated fold ids (absent
     * line 2 = legacy single-value marker, parsed with no fold list). */
-  private final case class FoldState(through: Long, folds: Seq[Long])
+  private[streaming] final case class FoldState(through: Long, folds: Seq[Long])
+
+  /** Ledger files are VERSIONED (`_folded_through.<seq>`, readers take
+    * the max seq) so a publish NEVER deletes the live ledger before its
+    * replacement is in place: the classic tmp-write + delete(dst) +
+    * rename(dst) pattern has a crash window between the delete and the
+    * rename in which the ledger is simply absent — a fresh process would
+    * then read foldedThrough = −1, let a replayed already-folded batch
+    * rewrite its delta dir, and double-count that batch's rows. With
+    * versioned names the new ledger renames into a FRESH path (atomic,
+    * nothing to delete first) and old versions are garbage-collected
+    * only after the new one is durably visible. A bare legacy
+    * `_folded_through` parses as seq 0. */
+  private def ledgerSeq(name: String): Option[Long] =
+    if (name == LedgerName) Some(0L)
+    else if (name.startsWith(LedgerName + ".") && !name.endsWith(".tmp"))
+      scala.util.Try(name.stripPrefix(LedgerName + ".").toLong).toOption
+    else None
+
+  private def ledgerFiles(fs: FileSystem, stateRoot: String): Seq[(Long, Path)] = {
+    val d = assignDir(stateRoot)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.filter(_.isFile)
+      .flatMap(st => ledgerSeq(st.getPath.getName).map(_ -> st.getPath))
+      .sortBy(_._1)
+  }
 
   private def readSmall(fs: FileSystem, p: Path): String = {
     val len = fs.getFileStatus(p).getLen.toInt
@@ -111,30 +137,42 @@ object IncrementalIvf {
     new String(buf)
   }
 
-  private def foldState(fs: FileSystem, stateRoot: String): FoldState = {
-    val m = foldMarker(stateRoot)
-    if (!fs.exists(m)) FoldState(-1L, Seq.empty)
-    else {
-      val lines = readSmall(fs, m).split("\n", -1).toSeq
-      FoldState(lines.head.trim.toLong,
-        lines.lift(1).map(_.trim).filter(_.nonEmpty)
-          .map(_.split(" ").toSeq.map(_.toLong)).getOrElse(Seq.empty).sorted)
+  private[streaming] def foldState(fs: FileSystem, stateRoot: String): FoldState = {
+    ledgerFiles(fs, stateRoot).lastOption match {
+      case None => FoldState(-1L, Seq.empty)
+      case Some((_, p)) =>
+        val lines = readSmall(fs, p).split("\n", -1).toSeq
+        FoldState(lines.head.trim.toLong,
+          lines.lift(1).map(_.trim).filter(_.nonEmpty)
+            .map(_.split(" ").toSeq.map(_.toLong)).getOrElse(Seq.empty).sorted)
     }
   }
 
   private def foldedThrough(fs: FileSystem, stateRoot: String): Long =
     foldState(fs, stateRoot).through
 
-  /** Atomic ledger publish: tmp write + rename. */
+  /** Ledger publish with NO absent-ledger window: write the next
+    * versioned name via tmp + atomic rename (the destination is fresh, so
+    * nothing is deleted before the rename), then best-effort GC of the
+    * superseded versions and stray tmps. A crash at any point leaves
+    * either the old ledger (pre-rename) or both (post-rename, pre-GC) —
+    * readers take the max seq, so foldedThrough never regresses. */
   private def publishState(fs: FileSystem, stateRoot: String, st: FoldState): Unit = {
-    val dst = foldMarker(stateRoot)
+    val existing = ledgerFiles(fs, stateRoot)
+    val seq = existing.lastOption.map(_._1).getOrElse(0L) + 1
+    val dst = new Path(assignDir(stateRoot), s"$LedgerName.$seq")
     val tmp = new Path(dst.getParent, dst.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(s"${st.through}\n${st.folds.sorted.mkString(" ")}".getBytes)
     finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    // GC only AFTER the new ledger is durably visible
+    existing.foreach { case (_, p) => fs.delete(p, false) }
+    fs.listStatus(assignDir(stateRoot))
+      .filter(st => st.isFile && st.getPath.getName.startsWith(LedgerName + ".")
+        && st.getPath.getName.endsWith(".tmp"))
+      .foreach(st => fs.delete(st.getPath, false))
   }
 
   private def foldStaging(stateRoot: String, target: Long) =
@@ -188,8 +226,18 @@ object IncrementalIvf {
     * fold dir (and which carries `_SUCCESS` + `_FOLDS`) was mid-publish —
     * finish it by replaying the recorded deletes + rename; anything else
     * is pre-publish garbage — the originals are intact, drop the staging
-    * dir. */
-  private def recoverFold(fs: FileSystem, stateRoot: String): Unit = {
+    * dir.
+    *
+    * `gcIncomplete` distinguishes the two callers: the MAINTAINER (merge)
+    * passes true and also drops pre-publish garbage; READ-ONLY consumers
+    * (assignments/balanceView, possibly in a different process while a
+    * maintainer is live) pass false — they still COMPLETE a published
+    * fold (finalize is idempotent, and without it a crash inside
+    * finalizeFold would leave the folded rows invisible: originals
+    * deleted, staging still underscore-prefixed), but they must never
+    * delete a staging dir a concurrent maintainer may be mid-writing. */
+  private def recoverFold(fs: FileSystem, stateRoot: String,
+      gcIncomplete: Boolean): Unit = {
     val d = assignDir(stateRoot)
     if (!fs.exists(d)) return
     val st = foldState(fs, stateRoot)
@@ -203,7 +251,7 @@ object IncrementalIvf {
           val foldSet = readSmall(fs, foldsFile(s.getPath)).trim
             .split(" ").toSeq.filter(_.nonEmpty).map(_.toLong)
           finalizeFold(fs, stateRoot, target, foldSet)
-        } else
+        } else if (gcIncomplete)
           fs.delete(s.getPath, true)
       }
   }
@@ -259,8 +307,9 @@ object IncrementalIvf {
   def merge(batch: DataFrame, cents: DataFrame, batchId: Long,
       stateRoot: String): Unit = {
     val spark = batch.sparkSession
+    SnapshotStore.requireAtomicRename(stateRoot) // fail BEFORE the delta write
     val fs = fsFor(stateRoot)
-    recoverFold(fs, stateRoot)
+    recoverFold(fs, stateRoot, gcIncomplete = true)
     val batchDir = new Path(assignDir(stateRoot), s"batch=$batchId")
     val deltaComplete = batchId <= foldedThrough(fs, stateRoot) ||
       fs.exists(new Path(batchDir, "_SUCCESS"))
@@ -283,9 +332,13 @@ object IncrementalIvf {
 
   /** The full maintained assignment index: union of the batch deltas —
     * empty (same schema) before the first batch lands, like
-    * [[balanceView]]. */
+    * [[balanceView]]. Completes any PUBLISHED-but-unfinalized fold first
+    * (read-only recovery): a crash inside finalizeFold deletes the
+    * original dirs before the staging rename, and without this a fresh
+    * consumer would silently read a shrunken index. */
   def assignments(spark: SparkSession, stateRoot: String): DataFrame = {
     val fs = fsFor(stateRoot)
+    recoverFold(fs, stateRoot, gcIncomplete = false)
     if (deltaDirIds(fs, stateRoot).isEmpty)
       spark.emptyDataFrame
         .select(lit(0L).as("cid"), lit(0L).as("cent_id")).limit(0)
@@ -293,8 +346,13 @@ object IncrementalIvf {
   }
 
   /** The live s20 cell-balance report over everything arrived so far —
-    * cell-count-sized compute off the k-row state, never a corpus scan. */
+    * cell-count-sized compute off the k-row state, never a corpus scan.
+    * (The cells snapshot itself is fold-independent, but a fresh
+    * read-only consumer may be the first process up after a crash, so it
+    * completes a published fold too — keeps the store's on-disk state
+    * converging regardless of which entry point runs first.) */
   def balanceView(spark: SparkSession, stateRoot: String): DataFrame = {
+    recoverFold(fsFor(stateRoot), stateRoot, gcIncomplete = false)
     val counts = SnapshotStore.read(spark, s"$stateRoot/cells")
       .getOrElse(spark.emptyDataFrame.select(lit(0L).as("cent_id"),
         lit(0L).as("n_vectors")).limit(0))

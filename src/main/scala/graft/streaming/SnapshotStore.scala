@@ -39,6 +39,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * a torn state needs a crash inside that PUT). Deployments that need a
   * hard guarantee on S3 should front the store with a consistent
   * metadata layer (HDFS, or S3 with a conditional-put committer).
+  * ENFORCED: the write path fail-fasts on object-store schemes
+  * (s3a/gs/abfs/…) unless `spark.graft.snapshot.allowNonAtomicRename`
+  * is explicitly set — the caveat is a contract, not a footnote (see
+  * [[requireAtomicRename]]).
   *
   * == Bucketed writes (the 100 TB state layer) ==
   *
@@ -81,6 +85,44 @@ private[graft] object SnapshotStore {
 
   private def bucketExpr(keyCols: Seq[String], num: Int): Column =
     pmod(hash(keyCols.map(col): _*), lit(num))
+
+  // ---------------------------------------------------------- scheme gate
+
+  /** Filesystem schemes whose rename is copy+delete (or otherwise not the
+    * single atomic metadata operation the `_COMMIT` publish relies on).
+    * Conservative, by scheme string — checked BEFORE any FileSystem
+    * resolution so the refusal is a clear contract error, not a
+    * classpath/credential failure. */
+  private val NonAtomicRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+    "cos", "cosn", "swift")
+
+  /** Conf escape hatch for deployments that accept the narrowed-but-open
+    * crash window on object stores (e.g. a dev bucket): the exactly-once
+    * contract is then best-effort, exactly as the class doc describes. */
+  val AllowNonAtomicRenameKey = "spark.graft.snapshot.allowNonAtomicRename"
+
+  /** Fail-fast gate: refuse to WRITE store state on a scheme whose rename
+    * is non-atomic, unless [[AllowNonAtomicRenameKey]] is explicitly set.
+    * Reads are unaffected (a reader cannot tear the store). Also used by
+    * [[IncrementalIvf]] for its delta/ledger root, which shares the same
+    * atomic-rename commit discipline. */
+  def requireAtomicRename(root: String): Unit = {
+    val scheme = Option(new Path(root).toUri.getScheme)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file")
+    if (NonAtomicRenameSchemes(scheme)) {
+      val allowed = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .flatMap(_.conf.getOption(AllowNonAtomicRenameKey))
+        .exists(_.trim.equalsIgnoreCase("true"))
+      require(allowed,
+        s"state root '$root' resolves to object-store scheme '$scheme' " +
+          "whose rename is not atomic — the _COMMIT/ledger publish cannot " +
+          "guarantee exactly-once there. Point the state root at HDFS or " +
+          s"a posix filesystem, or set $AllowNonAtomicRenameKey=true to " +
+          "accept the documented crash window (SnapshotStore class doc).")
+    }
+  }
 
   // ------------------------------------------------------------- hadoop fs
 
@@ -325,6 +367,7 @@ private[graft] object SnapshotStore {
     * readers on a stale older snapshot; newest-first means any partial
     * adoption still surfaces the current version. */
   private def ensureFormat(root: String): Unit = {
+    requireAtomicRename(root) // write-path gate, before any mutation
     val fs = fsFor(root)
     if (!fs.exists(formatMarker(root))) {
       val dirs = versionDirs(root)

@@ -242,4 +242,40 @@ class PrefixScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusShuffles.size == 1,
       s"expected one materialized corpus bucket shuffle, got ${corpusShuffles.size}")
   }
+
+  test("non-deterministic input lineage is auto-persisted, and the scan's " +
+      "carries stay consistent with the rows it actually emitted") {
+    import spark.implicits._
+    // rand()-tainted value column: without one shared materialization the
+    // quantile job / scan pass / carries pass would each see DIFFERENT
+    // values and the combined output would be internally inconsistent
+    val df = spark.range(0, 5000, 1, 7).toDF("tie")
+      .withColumn("v", (rand() * 1000).cast("long") - lit(500))
+      .withColumn("k", pmod(col("tie"), lit(611)))
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    val got = PrefixScan.runningSum(df, Seq($"k", $"tie"), $"v", "run")
+      .select($"k", $"tie", $"v", $"run").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // enforcement visible: the input frame got persisted by the scan
+    assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "scan must auto-persist a non-deterministic input")
+    // self-consistency: the running sum over the OUTPUT's own (k, tie)
+    // order equals each row's carried value — true iff every pass read
+    // the same materialization of the random values
+    var acc = 0L
+    got.foreach { case (_, _, v, run) =>
+      acc += v
+      assert(run == acc, "carries diverged from the emitted rows — the " +
+        "non-deterministic lineage was re-executed between passes")
+    }
+    df.unpersist()
+    // a deterministic input is NOT persisted by the scan
+    val det = spark.range(0, 1000, 1, 3).toDF("tie")
+      .withColumn("v", pmod(col("tie") * 37, lit(101)))
+      .withColumn("k", pmod(col("tie"), lit(13)))
+    PrefixScan.runningSum(det, Seq($"k", $"tie"), $"v", "run").collect()
+    assert(det.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "deterministic inputs must not be silently cached")
+  }
 }

@@ -88,10 +88,13 @@ class IncrementalIvfSpec extends AnyFunSuite with BeforeAndAfterAll {
       // bound = maxDirs raw + maxDirs/4 tier-1 + slack; 24 batches at
       // maxDirs=4 cycle tier-0 folds ~7x and tier-1 merges ~2x
       assert(maxSeen <= 7, s"delta dirs accreted to $maxSeen across 24 batches")
-      // no staging leftovers, and the fold watermark exists
+      // no staging leftovers, and exactly one (versioned) fold ledger
       val names = new java.io.File(s"$root/assign").listFiles().map(_.getName)
       assert(!names.exists(_.startsWith("_fold_v")))
-      assert(names.contains("_folded_through"))
+      assert(names.count(_.startsWith("_folded_through")) == 1,
+        "superseded ledger versions must be GCed after publish")
+      assert(names.exists(_.matches("_folded_through\\.\\d+")),
+        "ledger must publish under a versioned name (no delete-then-rename window)")
       // the full maintained index equals the batch assignment of all rows
       val maintained = IncrementalIvf.assignments(spark, root)
         .select(col("cid"), col("cent_id")).as[(Long, Long)].collect().toSet
@@ -163,7 +166,7 @@ class IncrementalIvfSpec extends AnyFunSuite with BeforeAndAfterAll {
       // compaction ran through the URI: bounded dirs + watermark on disk
       val names = new java.io.File(s"$local/assign").listFiles().map(_.getName)
       assert(names.count(_.startsWith("batch=")) <= 5)
-      assert(names.contains("_folded_through"))
+      assert(names.exists(_.startsWith("_folded_through")))
       val maintained = IncrementalIvf.assignments(spark, root)
         .select(col("cid"), col("cent_id")).as[(Long, Long)].collect().toSet
       assert(maintained == batchAssign(emb))
@@ -171,6 +174,101 @@ class IncrementalIvfSpec extends AnyFunSuite with BeforeAndAfterAll {
       val before = IncrementalIvf.assignments(spark, root).count()
       IncrementalIvf.merge(slices(0), cents, 0L, root)
       assert(IncrementalIvf.assignments(spark, root).count() == before)
+    } finally spark.conf.unset(IncrementalIvf.MaxDeltaDirsKey)
+  }
+
+  test("ledger is never absent nor regressed across compaction cycles — " +
+      "the versioned publish closes the delete-then-rename window") {
+    spark.conf.set(IncrementalIvf.MaxDeltaDirsKey, "4")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("ivf-ledger").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      var lastThrough = -1L
+      var everFolded = false
+      arrivedSlices(24).zipWithIndex.foreach { case (b, i) =>
+        IncrementalIvf.merge(b, cents, i.toLong, root)
+        val st = IncrementalIvf.foldState(fs, root)
+        assert(st.through >= lastThrough,
+          s"fold watermark regressed at batch $i: $lastThrough -> ${st.through}")
+        lastThrough = st.through
+        if (st.through >= 0) everFolded = true
+        if (everFolded) {
+          val names = new java.io.File(s"$root/assign").listFiles().map(_.getName)
+          assert(names.exists(_.startsWith("_folded_through")),
+            s"ledger absent after batch $i despite a completed fold — " +
+              "a crash here would reset foldedThrough to -1 and double-count replays")
+        }
+      }
+      assert(everFolded, "test setup: 24 batches at maxDirs=4 must fold")
+    } finally spark.conf.unset(IncrementalIvf.MaxDeltaDirsKey)
+  }
+
+  test("ledger read: stray .tmp ignored, highest seq wins, legacy bare name " +
+      "parses as seq 0") {
+    val root = java.nio.file.Files.createTempDirectory("ivf-ledger-read").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val assign = new java.io.File(s"$root/assign"); assert(assign.mkdirs())
+    def put(name: String, body: String): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/assign/$name"), body.getBytes)
+    put("_folded_through", "3\n3")               // legacy = seq 0
+    assert(IncrementalIvf.foldState(fs, root) ==
+      IncrementalIvf.FoldState(3L, Seq(3L)))
+    put("_folded_through.2", "5\n5")             // versioned wins over legacy
+    assert(IncrementalIvf.foldState(fs, root).through == 5L)
+    put("_folded_through.9.tmp", "99\n99")       // torn publish: ignored
+    assert(IncrementalIvf.foldState(fs, root).through == 5L)
+    put("_folded_through.10", "7\n7")            // higher seq wins
+    assert(IncrementalIvf.foldState(fs, root).through == 7L)
+  }
+
+  test("read-only consumer completes a PUBLISHED fold: crash between ledger " +
+      "publish and delta deletes, and crash after deletes before the staging " +
+      "rename, both recover through assignments() alone") {
+    import spark.implicits._
+    spark.conf.set(IncrementalIvf.MaxDeltaDirsKey, "100") // no auto-fold
+    try {
+      val truth = batchAssign(emb)
+      def setupPublishedFold(): String = {
+        val root = java.nio.file.Files.createTempDirectory("ivf-ro").toString
+        arrivedSlices(4).zipWithIndex.foreach { case (b, i) =>
+          IncrementalIvf.merge(b, cents, i.toLong, root)
+        }
+        spark.read.parquet(s"$root/assign/batch=0", s"$root/assign/batch=1")
+          .select(col("cid"), col("cent_id"))
+          .write.mode("overwrite").parquet(s"$root/assign/_fold_v1")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/assign/_fold_v1/_FOLDS"), "0 1".getBytes)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/assign/_folded_through.1"), "1\n1".getBytes)
+        root
+      }
+      // crash IMMEDIATELY after the ledger publish: originals intact
+      val r1 = setupPublishedFold()
+      assert(IncrementalIvf.assignments(spark, r1)
+        .select(col("cid"), col("cent_id")).as[(Long, Long)].collect().toSet == truth)
+      val n1 = new java.io.File(s"$r1/assign").listFiles().map(_.getName).toSet
+      assert(!n1.exists(_.startsWith("_fold_v")) && !n1.contains("batch=0") &&
+        n1.contains("batch=1"))
+      // crash MID-FINALIZE: originals already deleted, staging not renamed —
+      // without read-side recovery this is the silently-shrunken index
+      val r2 = setupPublishedFold()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$r2/assign/batch=0"))
+      rm(new java.io.File(s"$r2/assign/batch=1"))
+      assert(IncrementalIvf.assignments(spark, r2)
+        .select(col("cid"), col("cent_id")).as[(Long, Long)].collect().toSet == truth)
+      // a read-only consumer must NOT GC an unpublished staging dir (it may
+      // be a live maintainer's in-flight fold)
+      val pre = new java.io.File(s"$r2/assign/_fold_v9"); assert(pre.mkdirs())
+      IncrementalIvf.assignments(spark, r2).count()
+      assert(pre.exists(), "reader GCed an unpublished staging dir")
+      IncrementalIvf.balanceView(spark, r2).count() // same read-only recovery path
+      assert(pre.exists())
     } finally spark.conf.unset(IncrementalIvf.MaxDeltaDirsKey)
   }
 

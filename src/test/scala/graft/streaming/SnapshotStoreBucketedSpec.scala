@@ -292,6 +292,35 @@ class SnapshotStoreBucketedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state(root) == Map(1L -> "b"))
   }
 
+  test("object-store schemes fail fast on the write path: the S3A " +
+      "non-atomic-rename crash window is a contract error, not a footnote") {
+    // gate fires by SCHEME STRING, before any FileSystem resolution — the
+    // refusal must be this message, not a hadoop-aws classpath error
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.writeNext(df(Seq(1L -> "a")), "s3a://some-bucket/state")
+    }
+    assert(e.getMessage.contains("not atomic"))
+    assert(e.getMessage.contains(SnapshotStore.AllowNonAtomicRenameKey))
+    Seq("s3://b/x", "gs://b/x", "abfss://c@a.dfs.core.windows.net/x",
+      "wasb://c@a/x").foreach { root =>
+      intercept[IllegalArgumentException](SnapshotStore.requireAtomicRename(root))
+    }
+    // the escape hatch gets past the gate (documented best-effort mode)
+    spark.conf.set(SnapshotStore.AllowNonAtomicRenameKey, "true")
+    try SnapshotStore.requireAtomicRename("s3a://some-bucket/state")
+    finally spark.conf.unset(SnapshotStore.AllowNonAtomicRenameKey)
+    // atomic-rename filesystems are untouched by the gate
+    SnapshotStore.requireAtomicRename("/tmp/x")
+    SnapshotStore.requireAtomicRename("file:///tmp/x")
+    SnapshotStore.requireAtomicRename("hdfs://nn:8020/x")
+    // and the IVF maintainer shares the gate for its delta/ledger root
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalIvf.merge(df(Seq(1L -> "a")), df(Seq(1L -> "a")),
+        0L, "s3a://some-bucket/ivf")
+    }
+    assert(e2.getMessage.contains("not atomic"))
+  }
+
   test("empty state round-trips: schema survives in the manifest") {
     val root = Files.createTempDirectory("bucketed-empty").toString
     SnapshotStore.writeNextBucketed(df(Seq(1L -> "a")), root, Some(0L), B, None)

@@ -10,8 +10,19 @@ per-query map lives in the detail file (graft.Bench's
 SPARK_GRAFT_BENCH_DETAIL / bench_queries_<sf>.json) — pass it as the
 third arg for the per-name coverage check.
 
+Freshness is anchored on the LAST COMMIT TOUCHING src/ + build.sbt, not
+HEAD (round-12 finding: README/evidence-only commits after the bench run
+made the guard refuse an artifact that was in fact produced at the final
+source state). Provenance is checked by the SHA the bench recorded
+inside the artifact ("head", written by graft.Bench) when present — the
+artifact is fresh iff that sha has the last source commit as an
+ancestor-or-equal; file mtimes are only the fallback for sha-less
+artifacts, because a fresh clone resets mtimes to checkout time and an
+mtime guard then passes trivially off the producing machine.
+
 Refuses (exit != 0) when:
-  - the artifact (or the detail file) predates HEAD's commit time, or
+  - the artifact (or the detail file) was produced before the last
+    source commit (by recorded sha, else by mtime), or
   - the artifact's query COUNT differs from the declared oracle suite
     (the verify dump's oracle_sql.json at HEAD), or the detail file's
     query NAMES miss any declared query, or
@@ -25,39 +36,58 @@ detail_path = sys.argv[3] if len(sys.argv) > 3 else None
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def git(*args):
     return subprocess.run(['git', '-C', repo] + list(args),
-                          capture_output=True, text=True).stdout.strip()
-head = git('rev-parse', 'HEAD')
-head_ct = int(git('log', '-1', '--format=%ct') or 0)
-if not head or head_ct == 0:
-    # fail CLOSED, mirroring check_cluster.py: without HEAD the guard
-    # cannot certify freshness
-    sys.exit(f'REFUSED: cannot determine git HEAD of {repo}')
+                          capture_output=True, text=True)
+def git_out(*args):
+    return git(*args).stdout.strip()
 
-bench_mt = os.path.getmtime(bench_path)
-if bench_mt < head_ct:
-    sys.exit(f'REFUSED: {bench_path} ({time.ctime(bench_mt)}) predates HEAD '
-             f'{head[:9]} ({time.ctime(head_ct)}) — rerun graft.Bench at HEAD')
+src_head = git_out('log', '-1', '--format=%H', '--', 'src/', 'build.sbt')
+src_ct = int(git_out('log', '-1', '--format=%ct', '--', 'src/', 'build.sbt') or 0)
+if not src_head or src_ct == 0:
+    # fail CLOSED: without the source anchor the guard cannot certify
+    # freshness
+    sys.exit(f'REFUSED: cannot determine last source commit of {repo}')
+
+def check_fresh(path, obj=None):
+    """Artifact freshness vs the last source commit: recorded sha when the
+    artifact carries one, mtime fallback otherwise."""
+    rec = (obj or {}).get('head')
+    if rec and rec != 'unknown':
+        if git('cat-file', '-e', f'{rec}^{{commit}}').returncode != 0:
+            sys.exit(f'REFUSED: {path} records unknown commit {rec[:9]}')
+        if git('merge-base', '--is-ancestor', src_head, rec).returncode != 0:
+            sys.exit(f'REFUSED: {path} was produced at {rec[:9]}, which '
+                     f'predates the last source commit {src_head[:9]} — '
+                     'rerun it at (or after) the current source state')
+        return f'sha {rec[:9]}'
+    mt = os.path.getmtime(path)
+    if mt < src_ct:
+        sys.exit(f'REFUSED: {path} ({time.ctime(mt)}) predates the last '
+                 f'source commit {src_head[:9]} ({time.ctime(src_ct)}) — '
+                 'rerun it at the current source state')
+    return 'mtime'
+
+bench = json.load(open(bench_path))
+how = check_fresh(bench_path, bench)
 
 oracle_file = f'{dump_dir}/oracle_sql.json'
 if not os.path.isfile(oracle_file):
     sys.exit(f'REFUSED: {oracle_file} missing — run graft.Verify first')
-if os.path.getmtime(oracle_file) < head_ct:
-    sys.exit(f'REFUSED: {oracle_file} predates HEAD — rerun graft.Verify')
+check_fresh(oracle_file)
 
 declared = set(json.load(open(oracle_file)))
-bench = json.load(open(bench_path))
 if bench.get('count') != len(declared):
     sys.exit(f'REFUSED: bench artifact counts {bench.get("count")} queries, '
              f'declared suite has {len(declared)} — stale scope')
 if bench.get('failed'):
     sys.exit(f'REFUSED: bench artifact records failures: {bench["failed"]}')
 if detail_path:
-    if os.path.getmtime(detail_path) < head_ct:
-        sys.exit(f'REFUSED: detail file {detail_path} predates HEAD')
-    benched = set(json.load(open(detail_path)).get('queries', {}))
+    detail = json.load(open(detail_path))
+    check_fresh(detail_path, detail)
+    benched = set(detail.get('queries', {}))
     missing = declared - benched
     if missing:
         sys.exit(f'REFUSED: detail file is missing {len(missing)} declared '
                  f'queries: {sorted(missing)[:10]}')
-print(f'OK: {bench_path} fresh at HEAD {head[:9]}, {bench["count"]} queries '
-      '(= declared suite' + (', per-name verified' if detail_path else '') + ')')
+print(f'OK: {bench_path} fresh vs source commit {src_head[:9]} (via {how}), '
+      f'{bench["count"]} queries (= declared suite'
+      + (', per-name verified' if detail_path else '') + ')')

@@ -13,26 +13,29 @@ sfdir, outdir, outjson, mode = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4
 
 # Staleness guard (round-10 finding: a cluster artifact one commit older
 # than HEAD shipped): refuse to bless a Verify dump produced BEFORE the
-# newest source commit — regenerate the dump at HEAD instead.
+# last SOURCE commit — anchored on src/ + build.sbt, not HEAD (round-12
+# finding: doc/evidence-only commits after the Verify run would otherwise
+# refuse an artifact produced at the final source state).
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def git(*args):
     return subprocess.run(['git', '-C', repo] + list(args),
                           capture_output=True, text=True).stdout.strip()
 head = git('rev-parse', 'HEAD')
-head_ct = int(git('log', '-1', '--format=%ct') or 0)
-if not head or head_ct == 0:
-    # fail CLOSED: without HEAD the guard cannot certify freshness, and a
-    # silent pass here is exactly the stale-artifact regression it exists
-    # to stop
-    sys.exit(f'REFUSED: cannot determine git HEAD of {repo} — the staleness '
-             'guard needs a readable repository to certify the artifact')
+src_head = git('log', '-1', '--format=%H', '--', 'src/', 'build.sbt')
+src_ct = int(git('log', '-1', '--format=%ct', '--', 'src/', 'build.sbt') or 0)
+if not head or not src_head or src_ct == 0:
+    # fail CLOSED: without the source anchor the guard cannot certify
+    # freshness, and a silent pass here is exactly the stale-artifact
+    # regression it exists to stop
+    sys.exit(f'REFUSED: cannot determine last source commit of {repo} — the '
+             'staleness guard needs a readable repository to certify the artifact')
 if not os.path.isfile(f'{outdir}/oracle_sql.json'):
     sys.exit(f'REFUSED: {outdir}/oracle_sql.json missing — run graft.Verify first')
 dump_mt = os.path.getmtime(f'{outdir}/oracle_sql.json')
-if dump_mt < head_ct:
+if dump_mt < src_ct:
     sys.exit(f'REFUSED: verify dump at {outdir} ({time.ctime(dump_mt)}) predates '
-             f'HEAD {head[:9]} ({time.ctime(head_ct)}) — rerun graft.Verify at HEAD '
-             'before shipping a cluster artifact')
+             f'the last source commit {src_head[:9]} ({time.ctime(src_ct)}) — '
+             'rerun graft.Verify at the current source state')
 
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem',
@@ -49,7 +52,7 @@ def cell(v):
         return v.hex() if not math.isnan(v) else 'nan'
     return str(v)
 
-out = {'_meta': {'mode': mode, 'sf': sfdir, 'head': head,
+out = {'_meta': {'mode': mode, 'sf': sfdir, 'head': head, 'src_head': src_head,
                  'generated_at': time.strftime('%Y-%m-%dT%H:%M:%S%z')}}
 npass = nfail = 0
 for name in sorted(oracle):
