@@ -95,8 +95,10 @@ object IvfFoldLossDrill {
     val ledgerFiles = names.count(n =>
       n.startsWith("_folded_through") && !n.endsWith(".tmp"))
     val stagingLeft = names.count(_.startsWith("_fold_v"))
-    // at maxDirs=2, 16 batches fold ~a dozen times; bound incl. transients
-    val bounded = deltaDirs <= 8
+    // documented bound at maxDirs=2: maxDirs + max(2, maxDirs/4) + 2 = 6
+    // (the first drill run caught tier-1 starvation at exactly this
+    // setting — dirs accreted to 9 — so the bound is load-bearing)
+    val bounded = deltaDirs <= 6
     val foldsRan = ledgerFiles >= 1
 
     val json = s"""{"metric":"ivf_fold_loss_drill","sf":"$sfDir",""" +

@@ -270,7 +270,12 @@ object IncrementalIvf {
     *    state) bounds the residual linear term. Deeper tiers are the
     *    same mechanical step if a deployment ever needs them.
     *
-    * Total dir count stays ≤ maxDirs + maxDirs/4 + 2. Runs inside
+    * Total dir count stays ≤ maxDirs + max(2, maxDirs/4) + 2. The two
+    * tiers are evaluated INDEPENDENTLY per merge (not if/else): at small
+    * maxDirs the raw count sits above maxDirs on every batch even when
+    * its foldSet is too small to act, and an else-chained tier-1 branch
+    * would then be starved forever — fold dirs accreted without bound at
+    * maxDirs=2 until the IvfFoldLossDrill caught it. Runs inside
     * `merge` — a concurrent `assignments` read during the publish step
     * may see a torn view, the usual caveat for any non-snapshot
     * directory read. */
@@ -287,10 +292,14 @@ object IncrementalIvf {
       if (foldSet.size >= 2)
         foldOnce(spark, stateRoot, fs, st.copy(folds = folds), foldSet,
           newThrough = foldSet.max)
-    } else if (folds.size > maxFolds) {
-      foldOnce(spark, stateRoot, fs, st.copy(folds = folds), folds,
-        newThrough = st.through)
     }
+    // re-read: the raw fold above may have changed the ledger/dir set
+    val st2 = foldState(fs, stateRoot)
+    val ids2 = deltaDirIds(fs, stateRoot)
+    val folds2 = st2.folds.filter(ids2.contains)
+    if (folds2.size > maxFolds)
+      foldOnce(spark, stateRoot, fs, st2.copy(folds = folds2), folds2,
+        newThrough = st2.through)
   }
 
   // ---------------------------------------------------------------- merge

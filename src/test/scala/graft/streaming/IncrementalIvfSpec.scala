@@ -177,6 +177,34 @@ class IncrementalIvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(IncrementalIvf.MaxDeltaDirsKey)
   }
 
+  test("tier-1 merge is not starved at degenerate maxDeltaDirs=2: fold dirs " +
+      "stay bounded even though the raw count exceeds maxDirs on every batch") {
+    import spark.implicits._
+    // the IvfFoldLossDrill's first run caught this: with if/else-chained
+    // tiers, raws sits at 3-4 (> maxDirs=2) on every merge while its
+    // foldSet is too small to act, so the else-branch tier-1 merge NEVER
+    // ran and fold dirs accreted one per two batches without bound
+    spark.conf.set(IncrementalIvf.MaxDeltaDirsKey, "2")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("ivf-starve").toString
+      val slices = arrivedSlices(16)
+      val maxSeen = slices.zipWithIndex.map { case (b, i) =>
+        IncrementalIvf.merge(b, cents, i.toLong, root)
+        new java.io.File(s"$root/assign").listFiles()
+          .count(_.getName.startsWith("batch="))
+      }.max
+      // documented bound: maxDirs + max(2, maxDirs/4) + 2 = 6
+      assert(maxSeen <= 6, s"delta dirs accreted to $maxSeen at maxDirs=2 — " +
+        "tier-1 merge starved")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(IncrementalIvf.foldState(fs, root).folds.size <= 2)
+      assert(IncrementalIvf.assignments(spark, root)
+        .select(col("cid"), col("cent_id")).as[(Long, Long)].collect().toSet
+        == batchAssign(emb), "compaction changed the index")
+    } finally spark.conf.unset(IncrementalIvf.MaxDeltaDirsKey)
+  }
+
   test("ledger is never absent nor regressed across compaction cycles — " +
       "the versioned publish closes the delete-then-rename window") {
     spark.conf.set(IncrementalIvf.MaxDeltaDirsKey, "4")
