@@ -1456,5 +1456,63 @@ object Curation {
           UNION ALL SELECT 'n_neardup_clusters', COUNT(DISTINCT rep) FROM labels
         ) z ORDER BY metric"""),
     ),
+
+    // ---- p23: training-shard manifest (hash sharding + per-shard card) ----
+    // The last step before a corpus ships to the trainer: deterministically
+    // assign every document to one of 16 output shards by a salted content-
+    // independent hash of its id (content-independent so re-crawls of the
+    // same id land in the same shard; salted so the shard key is independent
+    // of every other md5-derived bucket in the pipeline), then emit the
+    // manifest row a shard file is published with — doc/token/char supply,
+    // language and source breadth, the id range, and an order-independent
+    // content checksum (sum of 32-bit doc fingerprints; readers re-derive it
+    // to detect torn/partial shard writes — at extreme per-shard counts
+    // (>2^31 docs) publish the sum as DECIMAL instead). Balance check is the
+    // reader's diff of n_docs/n_tokens across rows. Scale shape: one
+    // corpus-linear pass (md5 + tokenize inside codegen), then a map-side-
+    // combinable aggregate onto a 16-key space; the physical shard write
+    // would be `df.write.partitionBy("shard")` on this same key — no
+    // window, no pair join, no skew (md5 is uniform).
+    QueryDef(
+      "p23_shard_manifest",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("shard",
+            (conv(substring(md5(concat(lit("shard:"), $"doc_id".cast("string"))),
+              1, 6), 16, 10).cast("long") % 16L).cast("int"))
+          .withColumn("nt", size(TextOps.toks($"text")).cast("long"))
+          .withColumn("chk",
+            conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+              md5($"text"))), 1, 8), 16, 10).cast("long"))
+          .groupBy($"shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"nt").as("n_tokens"),
+            sum($"n_chars").as("n_chars"),
+            countDistinct($"lang").as("n_langs"),
+            countDistinct($"source").as("n_sources"),
+            min($"doc_id").as("min_doc_id"),
+            max($"doc_id").as("max_doc_id"),
+            sum($"chk").as("checksum"))
+          .orderBy($"shard")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                           1, 6) AS BIGINT) % 16 AS INT) AS shard,
+                 doc_id, lang, source, n_chars,
+                 CAST(len($TOKS_SQL) AS BIGINT) AS nt,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)),
+                      1, 8) AS BIGINT) AS chk
+          FROM documents)
+        SELECT shard, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+               CAST(SUM(chk) AS BIGINT) AS checksum
+        FROM d GROUP BY shard ORDER BY shard"""),
+    ),
   )
 }

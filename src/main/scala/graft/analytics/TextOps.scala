@@ -1194,6 +1194,62 @@ object TextOps {
         FROM h JOIN f USING (chunk_hash)
         ORDER BY doc_id, chunk_idx"""),
     ),
+
+    // ---- t27: context-length budget (truncate / pad / pack planning) ----
+    // The sizing question every pretraining run answers before launch: at
+    // context length C, how many documents truncate, how many tokens are
+    // lost to truncation, how much of each batch is padding if documents
+    // map one-per-sequence, and what is the perfect-packing lower bound on
+    // sequence count (the number a greedy packer is judged against). One
+    // row per candidate C in {512, 1024, 2048, 4096}. Ratios are exact
+    // integer ppm (BIGINT throughout — the ×1e6 numerators hold to ~9e12
+    // corpus tokens per aggregate; beyond that, shard the corpus first and
+    // sum the raw token columns, which never overflow). Scale shape: ONE
+    // corpus-linear tokenize pass fanned out ×4 against a broadcast 4-row
+    // frame, then a map-side-combinable aggregate onto a 4-key space — no
+    // window, no pair join, nothing corpus×corpus.
+    QueryDef(
+      "t27_context_budget",
+      (s, dir) => {
+        import s.implicits._
+        val nt = t(s, dir, "documents")
+          .select(size(toks($"text")).cast("long").as("nt"))
+        val ctxs = s.range(1).select(
+          explode(array(Seq(512L, 1024L, 2048L, 4096L).map(lit): _*)).as("ctx"))
+        nt.crossJoin(broadcast(ctxs))
+          .groupBy($"ctx")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when($"nt" > $"ctx", 1L).otherwise(0L)).as("n_truncated"),
+            sum($"nt").as("tokens_total"),
+            sum(least($"nt", $"ctx")).as("tokens_kept"))
+          .select($"ctx", $"n_docs", $"n_truncated", $"tokens_total", $"tokens_kept",
+            expr("(tokens_total - tokens_kept) * 1000000 div tokens_total")
+              .as("trunc_loss_ppm"),
+            expr("(ctx * n_docs - tokens_kept) * 1000000 div (ctx * n_docs)")
+              .as("pad_waste_ppm"),
+            expr("(tokens_kept + ctx - 1) div ctx").as("packed_seqs_lb"))
+          .orderBy($"ctx")
+      },
+      Some(s"""
+        WITH nt AS (
+          SELECT CAST(len($TOKS_SQL) AS BIGINT) AS nt FROM documents),
+        c AS (SELECT CAST(unnest([512, 1024, 2048, 4096]) AS BIGINT) AS ctx),
+        g AS (
+          SELECT ctx, COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN nt > ctx THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_truncated,
+                 CAST(SUM(nt) AS BIGINT) AS tokens_total,
+                 CAST(SUM(least(nt, ctx)) AS BIGINT) AS tokens_kept
+          FROM nt CROSS JOIN c GROUP BY ctx)
+        SELECT ctx, n_docs, n_truncated, tokens_total, tokens_kept,
+               (tokens_total - tokens_kept) * 1000000 // tokens_total
+                 AS trunc_loss_ppm,
+               (ctx * n_docs - tokens_kept) * 1000000 // (ctx * n_docs)
+                 AS pad_waste_ppm,
+               (tokens_kept + ctx - 1) // ctx AS packed_seqs_lb
+        FROM g ORDER BY ctx"""),
+    ),
   )
 
   /** The t21 training loop, cached per (session, dir) and shared with the
