@@ -1475,28 +1475,10 @@ object Curation {
     // window, no pair join, no skew (md5 is uniform).
     QueryDef(
       "p23_shard_manifest",
-      (s, dir) => {
-        import s.implicits._
-        t(s, dir, "documents")
-          .withColumn("shard",
-            (conv(substring(md5(concat(lit("shard:"), $"doc_id".cast("string"))),
-              1, 6), 16, 10).cast("long") % 16L).cast("int"))
-          .withColumn("nt", size(TextOps.toks($"text")).cast("long"))
-          .withColumn("chk",
-            conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
-              md5($"text"))), 1, 8), 16, 10).cast("long"))
-          .groupBy($"shard")
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum($"nt").as("n_tokens"),
-            sum($"n_chars").as("n_chars"),
-            countDistinct($"lang").as("n_langs"),
-            countDistinct($"source").as("n_sources"),
-            min($"doc_id").as("min_doc_id"),
-            max($"doc_id").as("max_doc_id"),
-            sum($"chk").as("checksum"))
-          .orderBy($"shard")
-      },
+      (s, dir) => manifestAgg(shardCards(t(s, dir, "documents"))
+        .select(col("shard"), col("lang"), col("source"),
+          lit(1L).as("n_docs"), col("nt"), col("n_chars"),
+          col("doc_id").as("min_id"), col("doc_id").as("max_id"), col("chk"))),
       Some(s"""
         WITH d AS (
           SELECT CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
@@ -1515,4 +1497,39 @@ object Curation {
         FROM d GROUP BY shard ORDER BY shard"""),
     ),
   )
+
+  /** Per-document shard-card projection — the shard key, token count, and
+    * 32-bit content fingerprint p23 aggregates. Shared with the streaming
+    * maintainer ([[graft.streaming.IncrementalShardManifest]]) so the batch
+    * manifest and the incrementally-maintained one can never drift on the
+    * hash/tokenize definitions. Adds `shard`/`nt`/`chk`; input needs
+    * `doc_id` and `text`. */
+  private[graft] def shardCards(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("shard",
+        (conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))),
+          1, 6), 16, 10).cast("long") % 16L).cast("int"))
+      .withColumn("nt", size(TextOps.toks(col("text"))).cast("long"))
+      .withColumn("chk",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          md5(col("text")))), 1, 8), 16, 10).cast("long"))
+
+  /** The manifest aggregate over shard-card rows at ANY granularity whose
+    * additive columns are already partial sums — raw per-document cards
+    * (`n_docs=1`, `min_id=max_id=doc_id`) and the streaming maintainer's
+    * per-(shard,lang,source) state rows both qualify, which is exactly why
+    * the two views are bit-identical: sums re-sum, min/max re-fold, and
+    * distinct lang/source counts see the same key set either way. */
+  private[graft] def manifestAgg(cards: DataFrame): DataFrame =
+    cards.groupBy(col("shard"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("min_id")).as("min_doc_id"),
+        max(col("max_id")).as("max_doc_id"),
+        sum(col("chk")).as("checksum"))
+      .orderBy(col("shard"))
 }
