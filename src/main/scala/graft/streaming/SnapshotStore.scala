@@ -61,6 +61,32 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * version dir, so the commit marker remains the single commit point: an
   * uncommitted version (manifest and all) is invisible, and retention
   * keeps every version dir a surviving manifest still references.
+  *
+  * == Single writer (enforced) ==
+  *
+  * Exactly ONE producer may write a store root at a time — Structured
+  * Streaming guarantees this within one query (foreachBatch batches are
+  * serial), but nothing stops a second query or a batch backfill from
+  * pointing at the same root, and two writers that both compute
+  * `next = last + 1` used to race `mode(overwrite)` jobs on the SAME
+  * version dir: the slower job's delete-and-rewrite could destroy the
+  * faster writer's already-committed data. The write path therefore never
+  * writes a version dir in place: the parquet job (and manifest) lands in
+  * a writer-unique `_staging_v=<N>.<uuid>` dir carrying a `_WRITER.<uuid>`
+  * token, and publication is a single exclusive rename to `v=<N>` —
+  * pre-checked, post-verified by the token (so a filesystem that renames
+  * INTO an existing dir is caught too), and failed CLOSED with a
+  * concurrent-writer error while the winner's data stays untouched. The
+  * `_COMMIT` publish is itself exclusive (never overwrites an existing
+  * marker) and monotonic (refuses to commit at-or-below an already
+  * committed version), so an interleaving that slips past the dir rename
+  * still fails loudly instead of committing a lost update. Crash-leftover
+  * staging dirs are invisible to readers (no `v=` prefix) and swept by
+  * the next successful write's retention pass. What enforcement CANNOT
+  * recover is the violating writer's batch itself: its merge was computed
+  * against a base another writer has since advanced, so after the loud
+  * failure the caller must re-merge — the contract is one writer per
+  * root, and the enforcement exists to make violations fail, not work.
   */
 private[graft] object SnapshotStore {
 
@@ -160,6 +186,63 @@ private[graft] object SnapshotStore {
     if (fs.exists(dst)) fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  /** [[publishSmall]] but EXCLUSIVE: refuses to replace an existing `dst`.
+    * Used for `_COMMIT` markers, where an existing marker means another
+    * writer committed this version first — overwriting would silently
+    * adopt a version whose parquet contents are not this writer's. */
+  private def publishSmallExclusive(fs: FileSystem, dst: Path,
+      bytes: Array[Byte]): Unit = {
+    if (fs.exists(dst))
+      throw new ConcurrentWriterException(
+        s"$dst already exists — another writer committed this version")
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+    writeSmall(fs, tmp, bytes)
+    // FileContext.rename WITHOUT Options.Rename.OVERWRITE: atomic AND
+    // exclusive on local FS and HDFS — the arbiter if two committers pass
+    // the exists() pre-check together
+    try org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, hadoopConf)
+      .rename(tmp, dst)
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new ConcurrentWriterException(
+          s"$dst was committed by another writer during publish", e)
+    }
+  }
+
+  /** Loud, typed signal that the single-writer-per-root contract was
+    * violated (see the class doc) — the caller's merge must be redone
+    * against the advanced base, not retried blindly. */
+  final class ConcurrentWriterException(msg: String, cause: Throwable = null)
+    extends java.io.IOException(
+      s"concurrent snapshot writer detected: $msg. The SnapshotStore " +
+        "contract is ONE writer per store root; this writer's merge was " +
+        "computed against a base another writer has advanced and must be " +
+        "re-run.", cause)
+
+  /** Publish a staged version dir as `v=<N>` by exclusive rename. The
+    * staging dir must carry the `_WRITER.<token>` file this writer wrote;
+    * the token is re-verified AFTER the rename so a filesystem that
+    * resolves rename-onto-existing-dir as move-INTO (instead of failing)
+    * is also caught. On any failure the winner's `dst` is left untouched
+    * and this writer's staging (or mis-nested copy) is cleaned up. */
+  private[streaming] def publishVersionDir(fs: FileSystem, root: Path,
+      staging: Path, dst: Path, token: String): Unit = {
+    def fail(why: String, cause: Throwable = null): Nothing = {
+      if (fs.exists(staging)) deleteUnder(fs, root, staging)
+      val misNested = new Path(dst, staging.getName)
+      if (fs.exists(misNested)) deleteUnder(fs, root, misNested)
+      throw new ConcurrentWriterException(s"$why (publishing $dst)", cause)
+    }
+    if (fs.exists(dst)) fail(s"$dst already exists")
+    val renamed =
+      try fs.rename(staging, dst)
+      catch { case e: java.io.IOException => fail(s"rename threw", e) }
+    if (!renamed) fail(s"rename $staging -> $dst failed")
+    if (!fs.exists(new Path(dst, s"_WRITER.$token")))
+      fail(s"$dst does not carry this writer's token after rename")
   }
 
   /** Deletion guard (defense against a corrupted manifest or a mangled
@@ -383,9 +466,36 @@ private[graft] object SnapshotStore {
   }
 
   /** Single commit point: tmp write + atomic rename, id inside the marker. */
-  private def commit(root: String, version: Long, batchId: Option[Long]): Unit =
-    publishSmall(fsFor(root), new Path(root, s"v=$version/_COMMIT"),
+  private[streaming] def commit(root: String, version: Long, batchId: Option[Long]): Unit = {
+    // monotonic: committing at-or-below an already committed version means
+    // another writer advanced the store while this merge ran — its frame
+    // was computed against a stale base, so adopt-by-commit would publish
+    // a lost update. Fail loud instead (single-writer contract).
+    versions(root).lastOption.filter(_ >= version).foreach { newest =>
+      throw new ConcurrentWriterException(
+        s"version $newest is already committed at $root, refusing to " +
+          s"commit v=$version behind it")
+    }
+    publishSmallExclusive(fsFor(root), new Path(root, s"v=$version/_COMMIT"),
       batchId.getOrElse(-1L).toString.getBytes)
+  }
+
+  private val StagingPrefix = "_staging_"
+
+  /** Stage-and-publish seam shared by [[writeNext]] and
+    * [[writeNextBuckets]]: runs `job` against a writer-unique staging dir
+    * (invisible to readers and version listing), drops the writer token,
+    * and publishes by exclusive rename. Returns the published dir. */
+  private def writeVersionDir(fs: FileSystem, root: String, next: Long)(
+      job: Path => Unit): Path = {
+    val token = java.util.UUID.randomUUID.toString
+    val staging = new Path(root, s"$StagingPrefix$next.$token")
+    job(staging)
+    writeSmall(fs, new Path(staging, s"_WRITER.$token"), Array.emptyByteArray)
+    val dst = new Path(root, s"v=$next")
+    publishVersionDir(fs, new Path(root), staging, dst, token)
+    dst
+  }
 
   /** Retention: keep the two highest COMPLETE versions (current + the
     * crash-recovery fallback) plus every version dir either of their
@@ -399,6 +509,13 @@ private[graft] object SnapshotStore {
   private def retain(root: String): Unit = {
     val fs = fsFor(root)
     val rootPath = new Path(root)
+    // sweep crash-leftover staging dirs: this writer's own staging has
+    // already renamed away, so anything still here is a dead writer's
+    // leftover (or a live contract-violator, whose job then fails — the
+    // intended outcome; see the single-writer class doc)
+    fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(StagingPrefix))
+      .foreach(st => deleteUnder(fs, rootPath, st.getPath))
     val top = versions(root).takeRight(2)
     val manifests: Seq[Manifest] = top.flatMap(v => manifestAt(root, v))
     val keep = top.toSet ++ manifests.flatMap(_.buckets.values)
@@ -428,7 +545,9 @@ private[graft] object SnapshotStore {
   def writeNext(df: DataFrame, root: String, batchId: Option[Long] = None): Unit = {
     ensureFormat(root)
     val next = versionDirs(root).lastOption.map(_._1).getOrElse(0L) + 1
-    df.write.mode("overwrite").parquet(s"$root/v=$next")
+    writeVersionDir(fsFor(root), root, next) { staging =>
+      df.write.mode("overwrite").parquet(staging.toString)
+    }
     commit(root, next, batchId)
     retain(root)
   }
@@ -488,21 +607,24 @@ private[graft] object SnapshotStore {
       case Some(ts) => withB.filter(col(BucketCol).isin(ts.toSeq.map(Int.box): _*))
       case None => withB
     }
-    out.write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/v=$next")
-    // which touched buckets actually produced rows (a touched bucket whose
-    // every row vanished gets no dir — it must leave the manifest too)
-    val nextDir = new Path(root, s"v=$next")
-    val written =
-      (if (!fs.exists(nextDir)) Array.empty[org.apache.hadoop.fs.FileStatus]
-       else fs.listStatus(nextDir))
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
-        .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt).toSet
-    val newMap = touched match {
-      case Some(ts) =>
-        prev.get.buckets -- ts ++ written.map(_ -> next)
-      case None => written.map(_ -> next).toMap
+    writeVersionDir(fs, root, next) { staging =>
+      out.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+      // which touched buckets actually produced rows (a touched bucket
+      // whose every row vanished gets no dir — it must leave the manifest
+      // too); listed and recorded while still in staging, so the published
+      // dir is complete (manifest and all) the instant the rename lands
+      val written =
+        (if (!fs.exists(staging)) Array.empty[org.apache.hadoop.fs.FileStatus]
+         else fs.listStatus(staging))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+          .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt).toSet
+      val newMap = touched match {
+        case Some(ts) =>
+          prev.get.buckets -- ts ++ written.map(_ -> next)
+        case None => written.map(_ -> next).toMap
+      }
+      writeManifest(fs, staging, Manifest(buckets.keyCols, buckets.num, schemaJson, newMap))
     }
-    writeManifest(fs, nextDir, Manifest(buckets.keyCols, buckets.num, schemaJson, newMap))
     commit(root, next, batchId)
     retain(root)
   }
