@@ -33,16 +33,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * resolution Spark's own parquet jobs use. A bare local path, an
   * explicit `file://` URI, and `hdfs://` all behave identically; the
   * commit-marker rename is atomic on the local filesystem and on HDFS.
-  * S3A caveat: object-store rename is copy+delete, not atomic — on S3
-  * the `_COMMIT` rename narrows but does not fully close the crash
-  * window (the marker is a single small object, so the copy is one PUT;
-  * a torn state needs a crash inside that PUT). Deployments that need a
-  * hard guarantee on S3 should front the store with a consistent
-  * metadata layer (HDFS, or S3 with a conditional-put committer).
-  * ENFORCED: the write path fail-fasts on object-store schemes
-  * (s3a/gs/abfs/…) unless `spark.graft.snapshot.allowNonAtomicRename`
-  * is explicitly set — the caveat is a contract, not a footnote (see
-  * [[requireAtomicRename]]).
+  * Object stores (s3a/gs/abfs/…) get a DIFFERENT commit protocol: their
+  * rename is copy+delete and not atomic, so those schemes route to the
+  * object-store committer ([[ObjMode]]) — writer-unique data dirs written
+  * in place, one conditional-PUT commit object, no rename anywhere on the
+  * commit path — selected automatically by scheme and overridable via
+  * `spark.graft.snapshot.committer` (see [[committerFor]]). The legacy
+  * escape hatch `spark.graft.snapshot.allowNonAtomicRename` is now only
+  * consulted when the RENAME committer is explicitly forced onto an
+  * object-store scheme (see [[requireAtomicRename]]).
   *
   * == Bucketed writes (the 100 TB state layer) ==
   *
@@ -115,38 +114,98 @@ private[graft] object SnapshotStore {
   // ---------------------------------------------------------- scheme gate
 
   /** Filesystem schemes whose rename is copy+delete (or otherwise not the
-    * single atomic metadata operation the `_COMMIT` publish relies on).
-    * Conservative, by scheme string — checked BEFORE any FileSystem
-    * resolution so the refusal is a clear contract error, not a
-    * classpath/credential failure. */
-  private val NonAtomicRenameSchemes = Set(
+    * single atomic metadata operation the RENAME committer's `_COMMIT`
+    * publish relies on). Conservative, by scheme string — checked BEFORE
+    * any FileSystem resolution so a refusal is a clear contract error, not
+    * a classpath/credential failure. These schemes route to the OBJECT
+    * committer by default (see [[committerFor]]), which needs no rename on
+    * its commit path; the gate below only fires when the rename committer
+    * is explicitly forced onto one of them. `objsim` is the offline
+    * simulation ([[ObjStoreSimFs]]) and gets the same treatment as the
+    * real stores so the selection logic is exercised end-to-end. */
+  private[streaming] val NonAtomicRenameSchemes = Set(
     "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
-    "cos", "cosn", "swift")
+    "cos", "cosn", "swift", ObjStoreSimFs.Scheme)
 
   /** Conf escape hatch for deployments that accept the narrowed-but-open
     * crash window on object stores (e.g. a dev bucket): the exactly-once
     * contract is then best-effort, exactly as the class doc describes. */
   val AllowNonAtomicRenameKey = "spark.graft.snapshot.allowNonAtomicRename"
 
-  /** Fail-fast gate: refuse to WRITE store state on a scheme whose rename
-    * is non-atomic, unless [[AllowNonAtomicRenameKey]] is explicitly set.
-    * Reads are unaffected (a reader cannot tear the store). Also used by
-    * [[IncrementalIvf]] for its delta/ledger root, which shares the same
-    * atomic-rename commit discipline. */
+  /** Fail-fast gate: refuse RENAME-committer writes on a scheme whose
+    * rename is non-atomic, unless [[AllowNonAtomicRenameKey]] is
+    * explicitly set. Reads are unaffected (a reader cannot tear the
+    * store). SnapshotStore itself only reaches this gate when the rename
+    * committer is FORCED onto an object-store scheme (auto mode routes
+    * those schemes to the object committer, which needs no gate); it is
+    * also used directly by [[IncrementalIvf]] for its delta/ledger root,
+    * whose fold machinery genuinely depends on atomic rename. */
   def requireAtomicRename(root: String): Unit = {
-    val scheme = Option(new Path(root).toUri.getScheme)
-      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file")
+    val scheme = schemeOf(root)
     if (NonAtomicRenameSchemes(scheme)) {
-      val allowed = SparkSession.getActiveSession
-        .orElse(SparkSession.getDefaultSession)
-        .flatMap(_.conf.getOption(AllowNonAtomicRenameKey))
+      val allowed = activeConf(AllowNonAtomicRenameKey)
         .exists(_.trim.equalsIgnoreCase("true"))
       require(allowed,
         s"state root '$root' resolves to object-store scheme '$scheme' " +
           "whose rename is not atomic — the _COMMIT/ledger publish cannot " +
           "guarantee exactly-once there. Point the state root at HDFS or " +
-          s"a posix filesystem, or set $AllowNonAtomicRenameKey=true to " +
-          "accept the documented crash window (SnapshotStore class doc).")
+          s"a posix filesystem, use the object-store committer " +
+          s"($CommitterConfKey=object, the default for this scheme), or " +
+          s"set $AllowNonAtomicRenameKey=true to accept the documented " +
+          "crash window (SnapshotStore class doc).")
+    }
+  }
+
+  private def schemeOf(root: String): String =
+    Option(new Path(root).toUri.getScheme)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file")
+
+  private def activeConf(key: String): Option[String] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption(key))
+
+  // ------------------------------------------------------ committer choice
+
+  /** Conf override for the write-path commit protocol: `object` (data dirs
+    * published by a create-exclusive commit OBJECT, no rename anywhere on
+    * the commit path — the object-store protocol), `rename` (the staged
+    * exclusive-rename protocol, the default on rename-atomic filesystems),
+    * or unset = auto: follow the root's existing layout, else pick by
+    * scheme. Forcing a committer that contradicts a root's existing layout
+    * fails loudly — there is no silent migration between protocols. */
+  val CommitterConfKey = "spark.graft.snapshot.committer"
+
+  /** Resolve which commit protocol WRITES to `root` use. Reads never
+    * consult this — the read path detects the layout from disk (a root
+    * with commit objects is object-layout, anything else is
+    * version-dir-layout), so any reader can read any store. */
+  private[streaming] def committerFor(root: String): String = {
+    val forced = activeConf(CommitterConfKey).map(_.trim.toLowerCase(java.util.Locale.ROOT))
+    forced.foreach(f => require(f == "object" || f == "rename",
+      s"$CommitterConfKey must be 'object' or 'rename', got '$f'"))
+    // layout detection is best-effort: an unresolvable filesystem (e.g. a
+    // cloud scheme without its connector on the classpath) must surface as
+    // the CHOSEN committer's own clear error (the rename gate's contract
+    // message, or the object write's connector error), not as a classpath
+    // failure inside this probe
+    val layout: Option[String] = scala.util.Try {
+      if (ObjMode.commitFiles(root).nonEmpty) Some("object")
+      else {
+        val fs = fsFor(root)
+        if (versionDirs(root).nonEmpty || fs.exists(formatMarker(root)))
+          Some("rename")
+        else None
+      }
+    }.toOption.flatten
+    (forced, layout) match {
+      case (Some(f), Some(l)) if f != l => throw new IllegalStateException(
+        s"store root '$root' already has $l-committer layout but " +
+          s"$CommitterConfKey forces '$f' — protocols cannot be mixed on " +
+          "one root; rebuild the store (or drop the conf) to switch")
+      case (Some(f), _) => f
+      case (None, Some(l)) => l
+      case (None, None) =>
+        if (NonAtomicRenameSchemes(schemeOf(root))) "object" else "rename"
     }
   }
 
@@ -211,6 +270,27 @@ private[graft] object SnapshotStore {
           s"$dst was committed by another writer during publish", e)
     }
   }
+
+  /** Atomic CREATE-EXCLUSIVE publish of a small object — the object-store
+    * committer's commit primitive: one conditional PUT (If-None-Match),
+    * no tmp file, no rename. `FileSystem.create(dst, overwrite=false)` is
+    * the conditional create on every store that has one (HDFS namenode
+    * create, S3A conditional writes, [[ObjStoreSimFs]]'s hard-link
+    * arbiter); the exclusivity violation can surface at create() (the
+    * pre-check) or at close() (the atomic arbiter) — both map to
+    * [[ConcurrentWriterException]]. */
+  private def createExclusive(fs: FileSystem, dst: Path, bytes: Array[Byte]): Unit =
+    try {
+      val out = fs.create(dst, false)
+      try out.write(bytes) finally out.close()
+    } catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new ConcurrentWriterException(
+          s"$dst was committed by another writer (create-exclusive lost)", e)
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentWriterException(
+          s"$dst was committed by another writer (create-exclusive lost)", e)
+    }
 
   /** Loud, typed signal that the single-writer-per-root contract was
     * violated (see the class doc) — the caller's merge must be redone
@@ -283,6 +363,8 @@ private[graft] object SnapshotStore {
   private def formatMarker(root: String) = new Path(root, "_FORMAT")
 
   def versions(root: String): Seq[Long] = {
+    val obj = ObjMode.commitFiles(root)
+    if (obj.nonEmpty) return obj.map(_._1)
     val fs = fsFor(root)
     val dirs = versionDirs(root)
     if (dirs.exists { case (_, p) => isComplete(fs, p) } ||
@@ -359,15 +441,20 @@ private[graft] object SnapshotStore {
 
   /** The physical paths holding the CURRENT snapshot's data — one `v=<N>`
     * dir for a flat store, the manifest-resolved bucket leaf dirs for a
-    * bucketed one. Shape specs assert a merge plan scans exactly these
+    * bucketed one (object-layout roots resolve through their newest commit
+    * object instead). Shape specs assert a merge plan scans exactly these
     * (per-batch read cost must not grow with the store's history). */
   def livePaths(root: String): Seq[String] =
-    versions(root).lastOption.toSeq.flatMap { v =>
-      manifestAt(root, v) match {
-        case Some(m) => m.buckets.toSeq.sorted.map { case (b, bv) =>
-          s"$root/v=$bv/$BucketCol=$b" }
-        case None => Seq(s"$root/v=$v")
-      }
+    ObjMode.newestCommit(root) match {
+      case Some((_, c)) => ObjMode.livePaths(root, c, None)
+      case None =>
+        versions(root).lastOption.toSeq.flatMap { v =>
+          manifestAt(root, v) match {
+            case Some(m) => m.buckets.toSeq.sorted.map { case (b, bv) =>
+              s"$root/v=$bv/$BucketCol=$b" }
+            case None => Seq(s"$root/v=$v")
+          }
+        }
     }
 
   // ------------------------------------------------------------------- read
@@ -397,15 +484,22 @@ private[graft] object SnapshotStore {
     * which [[writeNextBuckets]] full-rewrites, so read and write always
     * agree on scope. */
   def readTouched(spark: SparkSession, root: String, buckets: Buckets,
-      touched: Set[Int]): Option[DataFrame] =
-    currentManifest(root).map(_._2)
-      .filter(m => m.num == buckets.num && m.keyCols == buckets.keyCols) match {
-      case Some(_) => readPruned(spark, root, Some(touched))
-      case None => read(spark, root)
+      touched: Set[Int]): Option[DataFrame] = {
+    val compatible = ObjMode.newestCommit(root) match {
+      case Some((_, c)) => c.man.exists(m =>
+        m.num == buckets.num && m.keyCols == buckets.keyCols)
+      case None => currentManifest(root).map(_._2)
+        .exists(m => m.num == buckets.num && m.keyCols == buckets.keyCols)
     }
+    if (compatible) readPruned(spark, root, Some(touched))
+    else read(spark, root)
+  }
 
   private def readPruned(spark: SparkSession, root: String,
-      only: Option[Set[Int]]): Option[DataFrame] =
+      only: Option[Set[Int]]): Option[DataFrame] = {
+    ObjMode.newestCommit(root).foreach { case (_, c) =>
+      return Some(ObjMode.readCommit(spark, root, c, only))
+    }
     versions(root).lastOption.map { v =>
       manifestAt(root, v) match {
         case Some(m) =>
@@ -422,11 +516,13 @@ private[graft] object SnapshotStore {
         case None => spark.read.parquet(s"$root/v=$v")
       }
     }
+  }
 
   /** Batch id recorded with the current snapshot (−1 when none, and −1 for
     * a migrated pre-_COMMIT snapshot — its producing batch is unknown, so
     * replayed batches re-merge, the safe direction for idempotent merges). */
   def lastBatchId(root: String): Long = {
+    ObjMode.newestCommit(root).foreach { case (_, c) => return c.batchId }
     val fs = fsFor(root)
     versions(root).lastOption.map { v =>
       val f = new Path(root, s"v=$v/_COMMIT")
@@ -478,9 +574,35 @@ private[graft] object SnapshotStore {
     }
     publishSmallExclusive(fsFor(root), new Path(root, s"v=$version/_COMMIT"),
       batchId.getOrElse(-1L).toString.getBytes)
+    // TOCTOU closure on the monotonic guard: a racing writer can commit a
+    // HIGHER version between the pre-check above and this writer's
+    // exclusive publish — the marker then lands silently BEHIND the newer
+    // version and this writer would believe its batch committed (a
+    // contract-violating lost update; readers are unaffected, they surface
+    // the highest version). Re-check after the publish and withdraw the
+    // stale marker loudly. Withdrawing is data-safe: retention keeps every
+    // version dir a surviving manifest references, committed or not.
+    versions(root).lastOption.filter(_ > version).foreach { newest =>
+      fsFor(root).delete(new Path(root, s"v=$version/_COMMIT"), false)
+      throw new ConcurrentWriterException(
+        s"version $newest was committed at $root while this writer " +
+          s"published v=$version — the marker has been withdrawn")
+    }
   }
 
   private val StagingPrefix = "_staging_"
+
+  /** Diagnostic for the loss drills: artifacts a clean final write should
+    * have swept — crash-leftover `_staging_` dirs (rename layout) and
+    * data dirs no kept commit object references (object layout). Non-empty
+    * after a clean run means retention failed to converge the store. */
+  private[graft] def orphanArtifacts(root: String): Seq[String] = {
+    val fs = fsFor(root)
+    val d = new Path(root)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(StagingPrefix)) ++ ObjMode.orphanDataDirs(root)
+  }
 
   /** Stage-and-publish seam shared by [[writeNext]] and
     * [[writeNextBuckets]]: runs `job` against a writer-unique staging dir
@@ -543,6 +665,7 @@ private[graft] object SnapshotStore {
     * Right for O(k)-sized state (sketches, centroids, capped top-k); use
     * [[writeNextBucketed]] for corpus-proportional state. */
   def writeNext(df: DataFrame, root: String, batchId: Option[Long] = None): Unit = {
+    if (committerFor(root) == "object") return ObjMode.writeNext(df, root, batchId)
     ensureFormat(root)
     val next = versionDirs(root).lastOption.map(_._1).getOrElse(0L) + 1
     writeVersionDir(fsFor(root), root, next) { staging =>
@@ -583,6 +706,8 @@ private[graft] object SnapshotStore {
     * driver-side set drives both the snapshot read prune and the write. */
   def writeNextBuckets(df: DataFrame, root: String, batchId: Option[Long],
       buckets: Buckets, touchedBuckets: Option[Set[Int]]): Unit = {
+    if (committerFor(root) == "object")
+      return ObjMode.writeNextBuckets(df, root, batchId, buckets, touchedBuckets)
     ensureFormat(root)
     val fs = fsFor(root)
     val prev = currentManifest(root).map(_._2)
@@ -627,5 +752,258 @@ private[graft] object SnapshotStore {
     }
     commit(root, next, batchId)
     retain(root)
+  }
+
+  // ------------------------------------------------- object-store committer
+
+  /** The object-store commit protocol — NO rename anywhere on the commit
+    * path, because object-store rename is copy+delete and not atomic.
+    *
+    * Layout: data lands in writer-unique `d=<N>.<uuid>/` dirs (written
+    * directly by the parquet job — never staged, never renamed; a dir no
+    * commit object references is invisible garbage, so the job's internal
+    * task-commit renames are correctness-irrelevant even when torn), and
+    * the SINGLE commit point is a small `c=<N>` commit OBJECT at the root,
+    * published by ONE conditional PUT ([[createExclusive]] — If-None-Match
+    * on S3-class stores, namenode create on HDFS, a hard-link arbiter on
+    * [[ObjStoreSimFs]]). The commit object carries the batch id AND the
+    * full data location map (the flat data dir, or the bucketed manifest
+    * with every bucket's hosting dir recorded BY NAME), so readers resolve
+    * a snapshot from one object read with no transitive lookups: either
+    * `c=<N>` exists — completely, PUTs are all-or-nothing — and names a
+    * consistent snapshot, or it does not exist and readers use `c=<N−1>`.
+    * There is no window in which a crash leaves a visible-but-torn
+    * version, which is exactly the guarantee the rename committer gets
+    * from atomic rename and object stores cannot give it.
+    *
+    * Single-writer enforcement is STRONGER here than under rename: the
+    * conditional PUT is the arbiter (two writers racing `c=<N>` — exactly
+    * one wins, no pre-check window), the monotonic guard re-checks after
+    * publish (same TOCTOU closure as [[commit]]), and a loser's orphan
+    * data dir is swept by the winner's retention.
+    *
+    * Retention keeps the two newest commit objects plus every data dir
+    * either references; bucket subdirs neither kept manifest references
+    * are pruned inside surviving dirs — storage stays ∝ 2× live state,
+    * as in rename mode. */
+  private[streaming] object ObjMode {
+
+    private val CommitPrefix = "c="
+    private val DataPrefix = "d="
+    private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+    /** Bucketed-layout manifest with hosting data dirs recorded by NAME —
+      * self-contained (no version-number indirection), so one commit
+      * object read resolves the whole snapshot. */
+    final case class ObjManifest(keyCols: Seq[String], num: Int,
+        schemaJson: String, buckets: Map[Int, String])
+
+    /** One commit object's content: producing batch id + data location. */
+    final case class ObjCommit(batchId: Long, flatDir: Option[String],
+        man: Option[ObjManifest])
+
+    /** Data dirs no kept (top-2) commit object references — see
+      * [[SnapshotStore.orphanArtifacts]]. */
+    def orphanDataDirs(root: String): Seq[String] = {
+      val fs = fsFor(root)
+      val d = new Path(root)
+      if (!fs.exists(d)) return Seq.empty
+      val commits = commitFiles(root)
+      if (commits.isEmpty) return Seq.empty // not an object-layout root
+      val live: Set[String] = commits.takeRight(2).flatMap { case (_, p) =>
+        val c = parse(readSmall(fs, p))
+        c.flatDir.toSeq ++ c.man.toSeq.flatMap(_.buckets.values)
+      }.toSet
+      fs.listStatus(d).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(DataPrefix))
+        .map(_.getPath.getName).filterNot(live)
+    }
+
+    def commitFiles(root: String): Seq[(Long, Path)] = {
+      val fs = fsFor(root)
+      val d = new Path(root)
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith(CommitPrefix))
+        .flatMap { st =>
+          scala.util.Try(st.getPath.getName.stripPrefix(CommitPrefix).toLong)
+            .toOption.map(_ -> st.getPath)
+        }
+        .sortBy(_._1)
+    }
+
+    def newestCommit(root: String): Option[(Long, ObjCommit)] =
+      commitFiles(root).lastOption.map { case (v, p) =>
+        v -> parse(readSmall(fsFor(root), p))
+      }
+
+    /** Line format: batchId, layout tag, then either the flat data dir or
+      * `num / keyCols-csv / schema-json / "b dir"…` (schema json is
+      * single-line by construction, like the rename-mode `_MANIFEST`). */
+    private def serialize(c: ObjCommit): Array[Byte] = {
+      val body = (c.flatDir, c.man) match {
+        case (Some(dir), None) =>
+          Seq(c.batchId.toString, "flat", dir).mkString("\n")
+        case (None, Some(m)) =>
+          (Seq(c.batchId.toString, "bucketed", m.num.toString,
+            m.keyCols.mkString(","), m.schemaJson) ++
+            m.buckets.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" })
+            .mkString("\n")
+        case _ => throw new IllegalArgumentException(
+          "commit object must carry exactly one of flatDir/manifest")
+      }
+      body.getBytes(Utf8)
+    }
+
+    private def parse(bytes: Array[Byte]): ObjCommit = {
+      val lines = new String(bytes, Utf8).split("\n", -1).toSeq
+      val bid = lines.head.trim.toLong
+      lines(1) match {
+        case "flat" => ObjCommit(bid, Some(lines(2)), None)
+        case "bucketed" =>
+          val keyCols = lines(3).split(",").toSeq.filter(_.nonEmpty)
+          val buckets = lines.drop(5).filter(_.nonEmpty).map { l =>
+            val i = l.indexOf(' ')
+            l.take(i).toInt -> l.drop(i + 1)
+          }.toMap
+          ObjCommit(bid, None,
+            Some(ObjManifest(keyCols, lines(2).toInt, lines(4), buckets)))
+        case other => throw new java.io.IOException(
+          s"unknown commit-object layout tag '$other'")
+      }
+    }
+
+    def livePaths(root: String, c: ObjCommit, only: Option[Set[Int]]): Seq[String] =
+      c.man match {
+        case Some(m) =>
+          val live = only match {
+            case Some(ts) => m.buckets.filter { case (b, _) => ts(b) }
+            case None => m.buckets
+          }
+          live.toSeq.sortBy(_._1).map { case (b, d) => s"$root/$d/$BucketCol=$b" }
+        case None => c.flatDir.toSeq.map(d => s"$root/$d")
+      }
+
+    def readCommit(spark: SparkSession, root: String, c: ObjCommit,
+        only: Option[Set[Int]]): DataFrame =
+      c.man match {
+        case Some(m) =>
+          val paths = livePaths(root, c, only)
+          if (paths.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+          else spark.read.parquet(paths: _*)
+        case None => spark.read.parquet(s"$root/${c.flatDir.get}")
+      }
+
+    /** The commit point: monotonic pre-check, ONE conditional PUT of the
+      * commit object, TOCTOU re-check (mirror of [[commit]]). */
+    private[streaming] def publishCommit(fs: FileSystem, root: String, version: Long,
+        c: ObjCommit): Unit = {
+      commitFiles(root).lastOption.map(_._1).filter(_ >= version).foreach { n =>
+        throw new ConcurrentWriterException(
+          s"version $n is already committed at $root, refusing to " +
+            s"commit v=$version behind it")
+      }
+      val dst = new Path(root, s"$CommitPrefix$version")
+      createExclusive(fs, dst, serialize(c))
+      commitFiles(root).lastOption.map(_._1).filter(_ > version).foreach { n =>
+        fs.delete(dst, false)
+        throw new ConcurrentWriterException(
+          s"version $n was committed at $root while this writer published " +
+            s"v=$version — the commit object has been withdrawn")
+      }
+    }
+
+    private def newDataDir(next: Long): String =
+      s"$DataPrefix$next.${java.util.UUID.randomUUID}"
+
+    def writeNext(df: DataFrame, root: String, batchId: Option[Long]): Unit = {
+      val fs = fsFor(root)
+      fs.mkdirs(new Path(root))
+      val next = commitFiles(root).lastOption.map(_._1).getOrElse(0L) + 1
+      val dataDir = newDataDir(next)
+      df.write.mode("overwrite").parquet(s"$root/$dataDir")
+      publishCommit(fs, root, next,
+        ObjCommit(batchId.getOrElse(-1L), Some(dataDir), None))
+      retainObj(root)
+    }
+
+    def writeNextBuckets(df: DataFrame, root: String, batchId: Option[Long],
+        buckets: Buckets, touchedBuckets: Option[Set[Int]]): Unit = {
+      val fs = fsFor(root)
+      fs.mkdirs(new Path(root))
+      val prev = newestCommit(root).flatMap(_._2.man)
+        .filter(m => m.num == buckets.num && m.keyCols == buckets.keyCols)
+      val schemaJson = df.schema.json
+      val touched: Option[Set[Int]] =
+        if (prev.isDefined) touchedBuckets else None // no manifest: full rewrite
+      touched.foreach { _ => // same loud guard as the rename committer
+        require(sameShape(prev.get.schemaJson, schemaJson),
+          s"schema changed under an incremental bucketed write at $root — " +
+            "a schema migration needs one full rewrite: rebuild the whole " +
+            "snapshot frame and pass touchedKeys=None for this batch")
+      }
+      val next = commitFiles(root).lastOption.map(_._1).getOrElse(0L) + 1
+      val withB = df.withColumn(BucketCol, bucketExpr(buckets.keyCols, buckets.num))
+      val out = touched match {
+        case Some(ts) => withB.filter(col(BucketCol).isin(ts.toSeq.map(Int.box): _*))
+        case None => withB
+      }
+      val dataDir = newDataDir(next)
+      val dataPath = new Path(root, dataDir)
+      out.write.mode("overwrite").partitionBy(BucketCol).parquet(dataPath.toString)
+      val written =
+        (if (!fs.exists(dataPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+         else fs.listStatus(dataPath))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+          .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt).toSet
+      val newMap = touched match {
+        case Some(ts) => prev.get.buckets -- ts ++ written.map(_ -> dataDir)
+        case None => written.map(_ -> dataDir).toMap
+      }
+      publishCommit(fs, root, next, ObjCommit(batchId.getOrElse(-1L), None,
+        Some(ObjManifest(buckets.keyCols, buckets.num, schemaJson, newMap))))
+      retainObj(root)
+    }
+
+    /** Retention: keep the two newest commit objects + every data dir
+      * either references; everything else — older commit objects,
+      * superseded data dirs, dead writers' orphan dirs (a crashed or
+      * racing writer's parquet output that no commit ever adopted) — is
+      * deleted, bucket subdirs pruned inside surviving dirs. All deletes
+      * go through [[deleteUnder]]. */
+    private def retainObj(root: String): Unit = {
+      val fs = fsFor(root)
+      val rootPath = new Path(root)
+      val commits = commitFiles(root)
+      val kept = commits.takeRight(2).map { case (v, p) =>
+        v -> parse(readSmall(fs, p))
+      }
+      commits.dropRight(2).foreach { case (_, p) => fs.delete(p, false) }
+      val liveDirs: Set[String] = kept.flatMap { case (_, c) =>
+        c.flatDir.toSeq ++ c.man.toSeq.flatMap(_.buckets.values)
+      }.toSet
+      fs.listStatus(rootPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(DataPrefix))
+        .filterNot(st => liveDirs(st.getPath.getName))
+        .foreach(st => deleteUnder(fs, rootPath, st.getPath))
+      // referenced (dir, bucket) pairs — built via toSeq, NOT by mapping
+      // the Map (inverting a Map[Int, String] keys by dir name and
+      // collapses every bucket of one dir into a single entry)
+      val liveBuckets: Set[(String, Int)] = kept.flatMap { case (_, c) =>
+        c.man.toSeq.flatMap(_.buckets.toSeq.map { case (b, d) => (d, b) })
+      }.toSet
+      liveBuckets.map(_._1).foreach { d =>
+        val dp = new Path(root, d)
+        if (fs.exists(dp))
+          fs.listStatus(dp)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+            .foreach { st =>
+              val b = st.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+              if (!liveBuckets((d, b))) deleteUnder(fs, rootPath, st.getPath)
+            }
+      }
+    }
   }
 }

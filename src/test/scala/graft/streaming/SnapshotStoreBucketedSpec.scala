@@ -292,15 +292,29 @@ class SnapshotStoreBucketedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state(root) == Map(1L -> "b"))
   }
 
-  test("object-store schemes fail fast on the write path: the S3A " +
-      "non-atomic-rename crash window is a contract error, not a footnote") {
-    // gate fires by SCHEME STRING, before any FileSystem resolution — the
-    // refusal must be this message, not a hadoop-aws classpath error
-    val e = intercept[IllegalArgumentException] {
-      SnapshotStore.writeNext(df(Seq(1L -> "a")), "s3a://some-bucket/state")
+  test("object-store schemes route to the object committer; forcing the " +
+      "rename committer onto one fails fast (contract error, not classpath)") {
+    // auto mode: object schemes get the rename-free commit protocol — no
+    // override flag needed, no refusal (the actual write would then fail
+    // only for the honest reason: no connector/credentials in this env)
+    Seq("s3a://b/state", "s3://b/x", "gs://b/x",
+      "abfss://c@a.dfs.core.windows.net/x", "wasb://c@a/x").foreach { root =>
+      assert(SnapshotStore.committerFor(root) == "object", root)
     }
-    assert(e.getMessage.contains("not atomic"))
-    assert(e.getMessage.contains(SnapshotStore.AllowNonAtomicRenameKey))
+    // FORCING the rename committer onto an object scheme hits the gate —
+    // by SCHEME STRING, before any FileSystem resolution, so the refusal
+    // is this message, not a hadoop-aws classpath error
+    spark.conf.set(SnapshotStore.CommitterConfKey, "rename")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.writeNext(df(Seq(1L -> "a")), "s3a://some-bucket/state")
+      }
+      assert(e.getMessage.contains("not atomic"))
+      assert(e.getMessage.contains(SnapshotStore.AllowNonAtomicRenameKey))
+    } finally spark.conf.unset(SnapshotStore.CommitterConfKey)
+    // the direct gate keeps refusing object schemes without the legacy
+    // escape hatch ([[IncrementalIvf]] still relies on it for its
+    // rename-dependent delta/ledger layout)
     Seq("s3://b/x", "gs://b/x", "abfss://c@a.dfs.core.windows.net/x",
       "wasb://c@a/x").foreach { root =>
       intercept[IllegalArgumentException](SnapshotStore.requireAtomicRename(root))
@@ -309,11 +323,15 @@ class SnapshotStoreBucketedSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set(SnapshotStore.AllowNonAtomicRenameKey, "true")
     try SnapshotStore.requireAtomicRename("s3a://some-bucket/state")
     finally spark.conf.unset(SnapshotStore.AllowNonAtomicRenameKey)
-    // atomic-rename filesystems are untouched by the gate
+    // atomic-rename filesystems are untouched by the gate and keep the
+    // rename committer by default
     SnapshotStore.requireAtomicRename("/tmp/x")
     SnapshotStore.requireAtomicRename("file:///tmp/x")
     SnapshotStore.requireAtomicRename("hdfs://nn:8020/x")
-    // and the IVF maintainer shares the gate for its delta/ledger root
+    assert(SnapshotStore.committerFor(
+      java.nio.file.Files.createTempDirectory("cfr").toString) == "rename")
+    // and the IVF maintainer shares the direct gate for its delta/ledger
+    // root (its fold machinery genuinely depends on atomic rename)
     val e2 = intercept[IllegalArgumentException] {
       IncrementalIvf.merge(df(Seq(1L -> "a")), df(Seq(1L -> "a")),
         0L, "s3a://some-bucket/ivf")

@@ -1,0 +1,239 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The object-store commit protocol on the simulated object store
+  * ([[ObjStoreSimFs]]): rename-free commit path, conditional-PUT commit
+  * objects, crash/race behavior, retention bounds, and a maintainer
+  * running end-to-end on an `objsim://` state root with bit-equal results
+  * to the same merges on a posix root. The scheme gate's role here is
+  * ADMISSION: `objsim` is listed with s3a/gs/abfs as non-atomic-rename,
+  * and these writes pass with NO override flag — the override is only for
+  * forcing the legacy rename committer onto such a scheme. */
+class SnapshotStoreObjectCommitterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("snapshot-object-committer-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.hadoopConfiguration
+      .set(ObjStoreSimFs.ImplConfKey, ObjStoreSimFs.ImplClass)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fs(root: String) = new Path(root).getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  private def objRoot(): String =
+    "objsim://" + Files.createTempDirectory("objstore").toString
+
+  private def df(vals: Long*) = {
+    import spark.implicits._
+    vals.toDF("x")
+  }
+
+  private def kv(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private def rootNames(root: String): Set[String] =
+    fs(root).listStatus(new Path(root)).map(_.getPath.getName).toSet
+
+  test("flat store round-trips on the simulated object store, no override " +
+      "flag, with retention bounding commits and data dirs to 2") {
+    val root = objRoot()
+    SnapshotStore.writeNext(df(1L), root, Some(0L))
+    SnapshotStore.writeNext(df(1L, 2L), root, Some(1L))
+    SnapshotStore.writeNext(df(1L, 2L, 3L), root, Some(2L))
+    assert(SnapshotStore.read(spark, root).get.count() === 3L)
+    assert(SnapshotStore.lastBatchId(root) === 2L)
+    assert(SnapshotStore.versions(root) === Seq(2L, 3L), "retention keeps top-2")
+    val names = rootNames(root)
+    assert(names.count(_.startsWith("c=")) === 2)
+    assert(names.count(_.startsWith("d=")) === 2)
+    assert(!names.exists(_.startsWith("v=")), "no version dirs in object layout")
+    // crash-recovery fallback: the previous version is still readable if
+    // the newest commit object is (hypothetically) lost
+    fs(root).delete(new Path(root, "c=3"), false)
+    assert(SnapshotStore.read(spark, root).get.count() === 2L)
+    assert(SnapshotStore.lastBatchId(root) === 1L)
+  }
+
+  test("the commit path performs ZERO renames: data dirs are written in " +
+      "place and the commit object is one conditional PUT") {
+    val root = objRoot()
+    ObjStoreSimFs.renameLog.clear()
+    SnapshotStore.writeNext(df(1L, 2L), root, Some(0L))
+    import scala.jdk.CollectionConverters._
+    val renames = ObjStoreSimFs.renameLog.asScala.toSeq
+      .filter(_.contains(root.stripPrefix("objsim://")))
+    // the parquet job's internal task/job commits may rename INSIDE the
+    // data dir (correctness-irrelevant: the dir is invisible until the
+    // commit object lands) — but nothing may rename a commit object, a
+    // data dir itself, or any _COMMIT-style marker
+    assert(renames.forall(r => r.contains("/d=")),
+      s"every rename must stay inside a data dir, got: $renames")
+    assert(!renames.exists(_.contains("c=")), s"commit object was renamed: $renames")
+    assert(!renames.exists(_.contains("_COMMIT")), s"marker rename: $renames")
+  }
+
+  test("a torn rename inside the data job cannot corrupt the store: the " +
+      "previous commit stays current, and the next clean write recovers") {
+    val root = objRoot()
+    SnapshotStore.writeNext(df(1L, 2L), root, Some(0L))
+    ObjStoreSimFs.armRenameFailure(afterObjects = 0) // first rename dies
+    try intercept[Throwable] {
+      SnapshotStore.writeNext(df(1L, 2L, 3L, 4L), root, Some(1L))
+    } finally ObjStoreSimFs.disarmRenameFailure()
+    assert(SnapshotStore.read(spark, root).get.count() === 2L,
+      "reader must still see the last committed snapshot")
+    assert(SnapshotStore.lastBatchId(root) === 0L)
+    SnapshotStore.writeNext(df(1L, 2L, 3L, 4L), root, Some(1L))
+    assert(SnapshotStore.read(spark, root).get.count() === 4L)
+    // the torn write's orphan data dir was swept by the clean write
+    assert(rootNames(root).count(_.startsWith("d=")) <= 2)
+  }
+
+  test("bucketed incremental writes: only touched buckets land in the new " +
+      "data dir, untouched buckets resolve to the older dir by name") {
+    val root = objRoot()
+    val B = SnapshotStore.Buckets(Seq("k"), 8)
+    val all = (0L until 16L).map(k => k -> s"v$k")
+    SnapshotStore.writeNextBuckets(kv(all), root, Some(0L), B, None)
+    val dirsAfterFull = rootNames(root).filter(_.startsWith("d="))
+    // touch exactly one key's bucket
+    val touched = SnapshotStore.bucketIds(kv(Seq(3L -> "")).select("k"), B)
+    val updated = all.map { case (k, v) => k -> (if (k == 3L) "UPD" else v) }
+    SnapshotStore.writeNextBuckets(kv(updated), root, Some(1L), B, Some(touched))
+    val live = SnapshotStore.livePaths(root)
+    val newDirs = rootNames(root).filter(_.startsWith("d=")) -- dirsAfterFull
+    assert(newDirs.size === 1)
+    val hostedInNew = live.count(p => p.contains(newDirs.head))
+    val hostedInOld = live.count(p => dirsAfterFull.exists(p.contains))
+    assert(hostedInNew === touched.size, "new dir hosts exactly the touched buckets")
+    assert(hostedInOld === live.size - touched.size, "the rest stay in the old dir")
+    // and the logical snapshot is whole and current
+    val got = SnapshotStore.read(spark, root).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === updated.toMap)
+    // physical write volume: the new dir contains only the touched buckets
+    val bucketDirs = fs(root).listStatus(new Path(root, newDirs.head))
+      .filter(_.getPath.getName.startsWith(SnapshotStore.BucketCol + "="))
+    assert(bucketDirs.length === touched.size)
+  }
+
+  test("bucketed: empty store keeps its schema; schema change under an " +
+      "incremental write fails loudly") {
+    val root = objRoot()
+    val B = SnapshotStore.Buckets(Seq("k"), 8)
+    SnapshotStore.writeNextBuckets(kv(Seq(1L -> "a")), root, Some(0L), B, None)
+    // delete the only row — empty snapshot must still read with schema
+    SnapshotStore.writeNextBuckets(kv(Seq.empty), root, Some(1L), B,
+      Some(SnapshotStore.bucketIds(kv(Seq(1L -> "")).select("k"), B)))
+    val cur = SnapshotStore.read(spark, root).get
+    assert(cur.count() === 0L)
+    assert(cur.columns.toSeq === Seq("k", "v"))
+    // schema-changed incremental write is refused
+    import spark.implicits._
+    val widened = Seq((5L, "e", 9)).toDF("k", "v", "extra")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.writeNextBuckets(widened, root, Some(2L), B,
+        Some(SnapshotStore.bucketIds(kv(Seq(5L -> "")).select("k"), B)))
+    }
+    assert(e.getMessage.contains("schema changed"))
+  }
+
+  test("a racing writer's commit object makes this writer fail loudly with " +
+      "the winner's state untouched (monotonic guard + conditional PUT)") {
+    val root = objRoot()
+    SnapshotStore.writeNext(df(1L), root, Some(0L)) // c=1
+    // both writers computed next=2 against base c=1; the racer's commit
+    // object lands first (a valid one, pointing at its real data dir)
+    val f = fs(root)
+    df(7L, 8L).write.parquet(s"$root/d=2.racer")
+    val out = f.create(new Path(root, "c=2"), false)
+    out.write("1\nflat\nd=2.racer".getBytes("UTF-8")); out.close()
+    // our writer's publish of ITS v=2 must fail loudly, not overwrite —
+    // the monotonic guard catches it pre-PUT, and had it slipped past,
+    // the conditional PUT itself arbitrates (ObjStoreSimFsSpec proves
+    // that layer has exactly-one-winner semantics)
+    df(1L, 2L).write.parquet(s"$root/d=2.ours")
+    val e = intercept[SnapshotStore.ConcurrentWriterException] {
+      SnapshotStore.ObjMode.publishCommit(f, root, 2L,
+        SnapshotStore.ObjMode.ObjCommit(1L, Some("d=2.ours"), None))
+    }
+    assert(e.getMessage.contains("concurrent snapshot writer"))
+    assert(SnapshotStore.read(spark, root).get.collect().map(_.getLong(0)).sorted
+      === Array(7L, 8L), "the racer's committed snapshot must survive")
+    assert(SnapshotStore.lastBatchId(root) === 1L)
+    // the loser's orphan data dir is swept by the next successful write
+    SnapshotStore.writeNext(df(9L), root, Some(2L))
+    assert(!rootNames(root).contains("d=2.ours"))
+    assert(SnapshotStore.read(spark, root).get.collect().map(_.getLong(0)).toSeq
+      === Seq(9L))
+  }
+
+  test("layouts do not mix: forcing the other committer onto an existing " +
+      "root is refused; auto mode follows the existing layout") {
+    // rename-layout local root refuses a forced object committer
+    val localRoot = Files.createTempDirectory("mix1").toString
+    SnapshotStore.writeNext(df(1L), localRoot, Some(0L))
+    spark.conf.set(SnapshotStore.CommitterConfKey, "object")
+    try {
+      val e = intercept[IllegalStateException] {
+        SnapshotStore.writeNext(df(1L, 2L), localRoot, Some(1L))
+      }
+      assert(e.getMessage.contains("cannot be mixed"))
+    } finally spark.conf.unset(SnapshotStore.CommitterConfKey)
+    // object-layout root (local disk, forced object) then written with NO
+    // conf: auto mode follows the object layout
+    val objOnLocal = Files.createTempDirectory("mix2").toString
+    spark.conf.set(SnapshotStore.CommitterConfKey, "object")
+    try SnapshotStore.writeNext(df(1L), objOnLocal, Some(0L))
+    finally spark.conf.unset(SnapshotStore.CommitterConfKey)
+    SnapshotStore.writeNext(df(1L, 2L), objOnLocal, Some(1L)) // follows layout
+    assert(SnapshotStore.read(spark, objOnLocal).get.count() === 2L)
+    assert(rootNames(objOnLocal).exists(_.startsWith("c=")))
+    // ...and refuses a forced rename committer
+    spark.conf.set(SnapshotStore.CommitterConfKey, "rename")
+    try {
+      val e2 = intercept[IllegalStateException] {
+        SnapshotStore.writeNext(df(1L, 2L, 3L), objOnLocal, Some(2L))
+      }
+      assert(e2.getMessage.contains("cannot be mixed"))
+    } finally spark.conf.unset(SnapshotStore.CommitterConfKey)
+  }
+
+  test("IncrementalAgg runs end-to-end on an objsim state root, bit-equal " +
+      "to the same merges on a posix root, with replay skipped") {
+    import spark.implicits._
+    def ops(b: Int) = Seq(
+      ("i", b * 10L + 1, null.asInstanceOf[String], null.asInstanceOf[java.lang.Double],
+        s"g${b % 2}", java.lang.Double.valueOf(b + 0.5)),
+      ("i", b * 10L + 2, null.asInstanceOf[String], null.asInstanceOf[java.lang.Double],
+        "g0", java.lang.Double.valueOf(1.25)))
+      .toDF("op", "id", "grp_old", "amount_old", "grp_new", "amount_new")
+    val obj = objRoot()
+    val posix = Files.createTempDirectory("agg-posix").toString
+    (0 until 4).foreach { b =>
+      IncrementalAgg.merge(ops(b), b.toLong, obj)
+      IncrementalAgg.merge(ops(b), b.toLong, posix)
+    }
+    IncrementalAgg.merge(ops(2), 2L, obj) // replayed batch: must be skipped
+    def state(root: String) = IncrementalAgg.read(spark, root).get.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).toPlainString))
+      .toMap
+    assert(state(obj) === state(posix))
+    assert(SnapshotStore.lastBatchId(obj) === 3L)
+  }
+}
