@@ -93,6 +93,50 @@ object IncrementalShardManifest {
     SnapshotStore.writeNextBuckets(merged, stateRoot, Some(batchId), buckets, Some(tb))
   }
 
+  /** Takedown follow-through — the scaladoc's "rewrite the shard and
+    * re-publish its card" as code: after a takedown physically rewrote
+    * shard `shardId`'s file, recompute that ONE shard's manifest cells
+    * from the surviving rows (the batch p23 over the post-rewrite shard,
+    * via the same shared [[graft.analytics.Curation.shardCards]]
+    * projection and cell aggregate the arrival path uses) and swap them
+    * into the snapshot in place of the shard's previous cells — under the
+    * usual batch-id discipline, so a crash-replay of the republish is
+    * skipped like any other batch.
+    *
+    * `survivingDocs` must be the COMPLETE post-takedown content of the
+    * shard (doc_id, text, lang, source, n_chars) — exactly the rows the
+    * shard rewrite just wrote; rows hashing to any other shard are a
+    * caller error and refused loudly (they would corrupt that shard's
+    * cells). Cost: one pass over the rewritten shard (which the physical
+    * rewrite already paid) + a cell-sized snapshot swap; untouched
+    * shards' cells ride through the bucketed write untouched. */
+  def republishShard(survivingDocs: DataFrame, shardId: Int, batchId: Long,
+      stateRoot: String): Unit = {
+    if (batchId <= SnapshotStore.lastBatchId(stateRoot)) return // replay
+    val spark = survivingDocs.sparkSession
+    import graft.GraftSession.MaterializeOps
+    val fresh = deltas(survivingDocs).materialized
+    require(fresh.filter(col("shard") =!= shardId).isEmpty,
+      s"republishShard($shardId) was fed rows hashing to OTHER shards — " +
+        "pass exactly the rewritten shard's surviving rows")
+    // the state is cell-granularity (shards x langs x sources — hundreds
+    // of rows), so reading it whole to locate the shard's previous cells
+    // is metadata-cheap; the WRITE still prunes to the touched buckets
+    val cur = SnapshotStore.read(spark, stateRoot)
+    val merged = cur match {
+      case Some(c) => c.filter(col("shard") =!= shardId).unionByName(fresh)
+      case None => fresh
+    }
+    val buckets = SnapshotStore.bucketsFor(spark, Key)
+    val touchedKeys = (cur match {
+      case Some(c) => c.filter(col("shard") === shardId)
+        .select(Key.map(col): _*).unionByName(fresh.select(Key.map(col): _*))
+      case None => fresh.select(Key.map(col): _*)
+    })
+    val tb = SnapshotStore.bucketIds(touchedKeys, buckets)
+    SnapshotStore.writeNextBuckets(merged, stateRoot, Some(batchId), buckets, Some(tb))
+  }
+
   /** Start the streaming maintainer over a document-arrival stream. */
   def start(docs: DataFrame, stateRoot: String, checkpointDir: String): StreamingQuery =
     docs.writeStream

@@ -90,6 +90,53 @@ class IncrementalShardManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(liveManifest(root2) === before)
   }
 
+  test("takedown republish: arrival stream + one shard republish equals " +
+      "the batch p23 over the post-takedown corpus, bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("shardmT").toString
+    val allIds = 0L until 80L
+    // arrivals in two batches
+    IncrementalShardManifest.merge(
+      allIds.take(50).map(doc).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      0L, root)
+    IncrementalShardManifest.merge(
+      allIds.drop(50).map(doc).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      1L, root)
+    // takedown: remove three docs; they share a shard by construction of
+    // the md5 shard key only by luck, so pick victims from ONE shard
+    val corpus = allIds.map(doc).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val withShard = graft.analytics.Curation.shardCards(corpus)
+      .select(col("doc_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val shardId = withShard(0L)
+    val victims = withShard.filter(_._2 == shardId).keys.take(3).toSet
+    assert(victims.nonEmpty)
+    val survivorIds = allIds.filterNot(victims)
+    // the rewritten shard's surviving content (what the physical shard
+    // rewrite just wrote) feeds the republish
+    val survivingShardDocs = survivorIds.filter(id => withShard(id) == shardId)
+      .map(doc).toDF("doc_id", "text", "lang", "source", "n_chars")
+    IncrementalShardManifest.republishShard(survivingShardDocs, shardId, 2L, root)
+    // == batch p23 over the post-takedown corpus
+    val union = Files.createTempDirectory("shardmTU").toString
+    writeDocs(survivorIds, union)
+    assert(liveManifest(root) === batchManifest(union),
+      "republished manifest diverged from the batch recompute")
+    // replayed republish is a no-op
+    val before = liveManifest(root)
+    IncrementalShardManifest.republishShard(survivingShardDocs, shardId, 2L, root)
+    assert(liveManifest(root) === before)
+    // feeding another shard's rows is refused loudly
+    val foreign = survivorIds.filter(id => withShard(id) != shardId).take(2)
+      .map(doc).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalShardManifest.republishShard(foreign, shardId, 3L, root)
+    }
+    assert(e.getMessage.contains("OTHER shards"))
+    assert(liveManifest(root) === before, "refused republish must not commit")
+  }
+
   test("merge plan reads snapshot + batch only — no window, single join") {
     import spark.implicits._
     val d = IncrementalShardManifest.deltas(
