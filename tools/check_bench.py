@@ -67,6 +67,26 @@ def check_fresh(path, obj=None):
     return 'mtime'
 
 bench = json.load(open(bench_path))
+if 'count' not in bench and isinstance(bench.get('tail'), str):
+    # the driver's LOCAL bench artifact (BENCH_rN.json) is a raw sbt-tail
+    # wrapper whose "parsed" stays null because the embedded JSON line
+    # carries sbt's "[info] " prefix — recover it from the tail so the
+    # same guard covers the local artifact (round-13 "What's wrong" 1)
+    parsed = bench.get('parsed')
+    if not isinstance(parsed, dict):
+        for line in bench['tail'].splitlines():
+            line = line.strip()
+            if line.startswith('[info] '):
+                line = line[len('[info] '):]
+            if line.startswith('{"metric"'):
+                try:
+                    parsed = json.loads(line)
+                except ValueError:
+                    pass
+    if not isinstance(parsed, dict):
+        sys.exit(f'REFUSED: {bench_path} has no parsed bench JSON and none '
+                 'recoverable from its tail')
+    bench = parsed
 how = check_fresh(bench_path, bench)
 
 oracle_file = f'{dump_dir}/oracle_sql.json'
