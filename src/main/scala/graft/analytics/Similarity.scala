@@ -340,6 +340,21 @@ object Similarity {
     * the batch IVF build so the streaming maintainer
     * ([[graft.streaming.IncrementalIvf]]) assigns arriving vectors with
     * BIT-IDENTICAL semantics against the same frozen quantizer. */
+  /** Sweep seams ([[graft.IvfNlistSweep]]): explicit-NLIST access to the
+    * cached index build and the ranked probe-limited top-k, so the sweep
+    * can time build and search separately without duplicating the
+    * operator's plan. Probing nprobe = nlist degenerates to exact search
+    * over the corpus (every cell scanned, same tie-breaks), which is how
+    * the sweep derives its ground truth without a second formulation. */
+  private[graft] def ivfIndexFor(s: SparkSession, dir: String,
+      nlist: Int): (DataFrame, DataFrame) = ivfBuild(s, dir, nlist)
+
+  private[graft] def ivfTopKFor(s: SparkSession, dir: String, nlist: Int,
+      nprobe: Int): DataFrame = ivfTopK(s, dir, nlist, nprobe)
+
+  private[graft] def ivfCandidatesFor(s: SparkSession, dir: String, nlist: Int,
+      nprobe: Int): DataFrame = ivfCandidates(s, dir, nlist, nprobe)
+
   private[graft] def assignVectors(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.join(broadcast(cents))
       .withColumn("ccos", cosine(dotInt("qc", "qb"), col("n2c"), col("n2b")))
