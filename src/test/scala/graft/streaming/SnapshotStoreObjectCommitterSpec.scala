@@ -214,6 +214,89 @@ class SnapshotStoreObjectCommitterSpec extends AnyFunSuite with BeforeAndAfterAl
     } finally spark.conf.unset(SnapshotStore.CommitterConfKey)
   }
 
+  test("readTouched on an object-layout root scans ONLY the touched " +
+      "buckets' dirs — the MERGE-INTO read prune holds under the object " +
+      "committer too") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val root = objRoot()
+    val B = SnapshotStore.Buckets(Seq("k"), 8)
+    val all = (0L until 80L).map(k => k -> s"v$k")
+    SnapshotStore.writeNextBuckets(kv(all), root, Some(0L), B, None)
+    val tb = SnapshotStore.bucketIds(kv(Seq(3L -> "")).select("k"), B)
+    assert(tb.size == 1)
+    val pruned = SnapshotStore.readTouched(spark, root, B, tb).get
+    val scans = pruned.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    // physical: exactly the touched buckets' dirs, resolved through the
+    // commit object's by-name dir map
+    assert(scans.nonEmpty && scans.forall(p =>
+      tb.exists(b => p.endsWith(s"${SnapshotStore.BucketCol}=$b")) &&
+        p.contains("/d=")),
+      s"prune leaked beyond the touched buckets: $scans")
+    // logical: key 3 plus its bucket cohabitants, nobody else
+    val expectKeys = kv(all)
+      .filter(pmod(hash(col("k")), lit(B.num)).isin(tb.toSeq.map(Int.box): _*))
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.collect().map(_.getLong(0)).toSet === expectKeys)
+    assert(expectKeys(3L) && expectKeys.size < all.size)
+  }
+
+  test("orphanDataDirs flags exactly the data dirs no kept commit " +
+      "references, and a clean write sweeps them") {
+    val root = objRoot()
+    SnapshotStore.writeNext(df(1L), root, Some(0L))
+    assert(SnapshotStore.orphanArtifacts(root).isEmpty)
+    // a dead writer's never-committed output
+    df(9L, 9L).write.parquet(s"$root/d=9.dead-writer")
+    assert(SnapshotStore.orphanArtifacts(root) === Seq("d=9.dead-writer"))
+    // readers never see it
+    assert(SnapshotStore.read(spark, root).get.collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    SnapshotStore.writeNext(df(1L, 2L), root, Some(1L))
+    assert(SnapshotStore.orphanArtifacts(root).isEmpty,
+      "the next successful write's retention must sweep the orphan")
+    assert(!rootNames(root).contains("d=9.dead-writer"))
+  }
+
+  test("the real streaming path (writeStream.foreachBatch) maintains an " +
+      "objsim state root — checkpoint on posix, state on the object store") {
+    import spark.implicits._
+    val root = objRoot()
+    val dir = Files.createTempDirectory("objstream")
+    val b0 = Seq(
+      ("i", 1L, null.asInstanceOf[String], null.asInstanceOf[java.lang.Double],
+        "g0", java.lang.Double.valueOf(1.5)),
+      ("i", 2L, null.asInstanceOf[String], null.asInstanceOf[java.lang.Double],
+        "g1", java.lang.Double.valueOf(2.5)))
+      .toDF("op", "id", "grp_old", "amount_old", "grp_new", "amount_new")
+    val b1 = Seq(
+      ("u", 1L, "g0", java.lang.Double.valueOf(1.5), "g1",
+        java.lang.Double.valueOf(4.0)),
+      ("d", 2L, "g1", java.lang.Double.valueOf(2.5),
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Double]))
+      .toDF("op", "id", "grp_old", "amount_old", "grp_new", "amount_new")
+    b0.write.parquet(s"$dir/f0")
+    b1.write.parquet(s"$dir/f1")
+    val stream = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/f*")
+    val q = IncrementalAgg.start(stream, root,
+      Files.createTempDirectory("objstreamC").toString)
+    q.processAllAvailable()
+    q.stop()
+    val got = IncrementalAgg.read(spark, root).get.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).toPlainString))
+      .toMap
+    assert(got.keySet === Set("g1"))
+    assert(got("g1")._1 === 1L)
+    assert(BigDecimal(got("g1")._2) === BigDecimal("4.0"))
+    assert(rootNames(root).exists(_.startsWith("c=")), "object layout expected")
+  }
+
   test("IncrementalAgg runs end-to-end on an objsim state root, bit-equal " +
       "to the same merges on a posix root, with replay skipped") {
     import spark.implicits._
