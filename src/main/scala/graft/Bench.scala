@@ -19,6 +19,86 @@ object Bench {
     * per-round adjudication verdicts) without editing this file. */
   private[graft] def benchNote(): String =
     sys.env.get("SPARK_GRAFT_BENCH_NOTE").map("; " + _).getOrElse("")
+
+  /** Method-note suffix for a given detail artifact: the CHECKED-IN note
+    * file `tools/bench_notes/<key>.txt` (key = the detail basename with
+    * any `_r<N>` round tag and the extension stripped) plus the
+    * SPARK_GRAFT_BENCH_NOTE env sentence. The file is the durable home of
+    * an artifact's trend/session-spread history: an env-only note only
+    * exists when a human remembers to export it, so a driver re-run used
+    * to silently drop it (round-14 "What's wrong" 2) — a checked-in file
+    * the bench always re-reads cannot be lost that way. Content is
+    * flattened to one line and quote-sanitized so it embeds in the JSON
+    * method string verbatim. */
+  private[graft] def noteFor(detailPath: String): String = {
+    val key = new java.io.File(detailPath).getName
+      .replaceAll("_r\\d+", "").replaceAll("\\.json$", "")
+    val f = java.nio.file.Paths.get("tools/bench_notes", key + ".txt")
+    val fileNote =
+      if (java.nio.file.Files.isRegularFile(f))
+        new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          .trim.replaceAll("\\s+", " ").replaceAll("[\"\\\\]", "'")
+      else ""
+    (if (fileNote.nonEmpty) "; " + fileNote else "") + benchNote()
+  }
+
+  /** The previous round's committed detail file for the CLUSTER artifact
+    * series (`BENCH_cluster_r<N>_queries.json`): the highest round below
+    * this one, discovered from the detail file's own directory —
+    * env-independent, so a bare driver re-run still gets the
+    * machine-derived comparison. SPARK_GRAFT_BENCH_PREV overrides. */
+  private def autoPrevDetail(detailPath: String): Option[java.io.File] =
+    sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_)).orElse {
+      val M = "BENCH_cluster_r(\\d+)_queries\\.json".r
+      val f = new java.io.File(detailPath).getAbsoluteFile
+      f.getName match {
+        case M(n) =>
+          Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+            .flatMap(p => p.getName match {
+              case M(k) if k.toInt < n.toInt => Some(k.toInt -> p)
+              case _ => None
+            }).sortBy(_._1).lastOption.map(_._2)
+        case _ => None
+      }
+    }
+
+  /** Cross-round comparison sentence computed from THIS run's medians and
+    * the previous detail file — round-14 "What's wrong" 1: a quantified
+    * "no query above X" claim must be derived from the artifact it ships
+    * with, at write time, not hand-written from an earlier session. */
+  private def vsPrevNote(results: collection.Map[String, Double]): (String) => String =
+    prevPath => try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), "UTF-8")
+      val qBlock = txt.split("\"queries\":\\{", 2)(1).split("\\}", 2)(0)
+      val prev = qBlock.split(",").flatMap { kv =>
+        val parts = kv.split(":", 2)
+        scala.util.Try(
+          parts(0).trim.stripPrefix("\"").stripSuffix("\"") -> parts(1).toDouble
+        ).toOption
+      }.toMap
+      val ratios = results.toSeq.flatMap { case (n, v) =>
+        prev.get(n).filter(_ > 0).map(p => (n, v / p, p, v))
+      }
+      if (ratios.isEmpty) ""
+      else {
+        val (wn, wr, wp, wv) = ratios.maxBy(_._2)
+        val above = ratios.filter(_._2 > 1.25).sortBy(-_._2)
+        val aboveTxt =
+          if (above.isEmpty) "no query above 1.25x"
+          else above.take(6).map { case (n, r, _, _) => f"$n $r%.2fx" }
+            .mkString(", ") +
+            (if (above.size > 6) s" (+${above.size - 6} more)" else "") +
+            " above 1.25x"
+        val common = ratios.map(_._1).toSet
+        val tPrev = prev.view.filterKeys(common).values.sum
+        val tThis = results.view.filterKeys(common).values.sum
+        val name = new java.io.File(prevPath).getName
+        f"; auto-vs-prev($name, ${ratios.size} common queries): total " +
+          f"$tThis%.1fs vs $tPrev%.1fs (${tThis / tPrev}%.2fx), max per-query " +
+          f"ratio $wr%.2fx ($wn $wp%.3f->$wv%.3fs), $aboveTxt"
+      }
+    } catch { case _: Throwable => "" }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -128,8 +208,10 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       if (sfTag == "sf0.1") "bench_queries.json" else s"bench_queries_$sfTag.json")
     val head = gitHead()
+    val prevNote = autoPrevDetail(detailPath)
+      .map(f => vsPrevNote(results)(f.getPath)).getOrElse("")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"rounds":$rounds,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","master":"$master","head":"$head","method":"warm-cache, median-of-$rounds per query, after one UNTIMED full pass over all queries that builds every shared session index (shingle/signature/simhash-pair/IVF/SQ8/PQ/cluster-label/BPE caches) outside timing — so medians measure queries, not first-toucher index-build attribution. Cold-read parquet numbers would be higher (see README). Queries that throw are EXCLUDED from count/total and listed in failed[]. History: the r6 q05-q10 and r8 s06/s05/d15/d16/d02/d20 regression clusters both failed to reproduce under graft.ClusterBench (interleaved median-of-3, two back-to-back passes, flat q01/q03 controls; r8: s06 1.48/1.36s vs official 4.63) — session-scale attribution noise, which this warm-up phase now removes at the source; r10's lone e23 move (0.838->1.245s) likewise failed to reproduce in r11 adjudication (ClusterBench passes 0.972/0.802s, controls drifting in step) — noise verdict, no plan change; r11's s17/e19 moves (1.41x/1.37x vs r10) were adjudicated in r12 with ClusterBench AND per-pass ProfOne: they REPRODUCE at the new level in a fresh 4-query session (s17 1.841/1.918, e19 2.244/2.180, controls flat — so NOT attribution noise), but single-session per-pass profiling spans s17 0.94-1.57s and e19 1.65-1.91s, i.e. the shift sits inside one session's own JIT/codegen-depth variance at sub-2s scale; both files untouched since r9, plans verified unchanged, suite-wide r10->r11 median ratio 1.02x — verdict: environment/JIT-level drift, no plan change to make; r12's s05 (+20%)/d03 (+12%)/t06 (+9%) moves were adjudicated in r13 (ClusterBench two-pass + 6-8-pass ProfOne): t06 passA landed exactly at its r11 level (0.658) and d03's warm floor (0.950) is BELOW its r11 official (1.137), while the q01 CONTROL itself spans 0.46-1.14s across passes of one session with zero code change — every suspect's cross-round move (<0.15s absolute) sits inside that same envelope, s05's batch path untouched since r9 (r13 touched only the streaming IncrementalIvf maintainer, not Similarity) — verdict: session-scale JIT noise, no plan change to make; driver heap stays 32g (8g evicted shared frames, build.sbt)${benchNote()}"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},"rounds":$rounds,"failed":$failedJson,"queries":$qs,"sf":"$sfDir","master":"$master","head":"$head","method":"warm-cache, median-of-$rounds per query, after one UNTIMED full pass over all queries that builds every shared session index (shingle/signature/simhash-pair/IVF/SQ8/PQ/cluster-label/BPE caches) outside timing — so medians measure queries, not first-toucher index-build attribution. Cold-read parquet numbers would be higher (see README). Queries that throw are EXCLUDED from count/total and listed in failed[]. History: the r6 q05-q10 and r8 s06/s05/d15/d16/d02/d20 regression clusters both failed to reproduce under graft.ClusterBench (interleaved median-of-3, two back-to-back passes, flat q01/q03 controls; r8: s06 1.48/1.36s vs official 4.63) — session-scale attribution noise, which this warm-up phase now removes at the source; r10's lone e23 move (0.838->1.245s) likewise failed to reproduce in r11 adjudication (ClusterBench passes 0.972/0.802s, controls drifting in step) — noise verdict, no plan change; r11's s17/e19 moves (1.41x/1.37x vs r10) were adjudicated in r12 with ClusterBench AND per-pass ProfOne: they REPRODUCE at the new level in a fresh 4-query session (s17 1.841/1.918, e19 2.244/2.180, controls flat — so NOT attribution noise), but single-session per-pass profiling spans s17 0.94-1.57s and e19 1.65-1.91s, i.e. the shift sits inside one session's own JIT/codegen-depth variance at sub-2s scale; both files untouched since r9, plans verified unchanged, suite-wide r10->r11 median ratio 1.02x — verdict: environment/JIT-level drift, no plan change to make; r12's s05 (+20%)/d03 (+12%)/t06 (+9%) moves were adjudicated in r13 (ClusterBench two-pass + 6-8-pass ProfOne): t06 passA landed exactly at its r11 level (0.658) and d03's warm floor (0.950) is BELOW its r11 official (1.137), while the q01 CONTROL itself spans 0.46-1.14s across passes of one session with zero code change — every suspect's cross-round move (<0.15s absolute) sits inside that same envelope, s05's batch path untouched since r9 (r13 touched only the streaming IncrementalIvf maintainer, not Similarity) — verdict: session-scale JIT noise, no plan change to make; driver heap stays 32g (8g evicted shared frames, build.sbt)${noteFor(detailPath)}$prevNote"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     // Headline subset keeps the stdout line short (<400 chars) while still

@@ -41,9 +41,12 @@ import org.apache.spark.sql.functions._
   * `SPARK_GRAFT_DRILL_FS=objsim` points every state root at the simulated
   * object store ([[graft.streaming.ObjStoreSimFs]] — atomic conditional
   * PUT, non-atomic copy+delete rename), driving the SnapshotStore
-  * object-store committer through the same kill sweep; `ivf` is excluded
-  * there (its delta/ledger layout is rename-based by design and gated to
-  * rename-atomic filesystems).
+  * object-store committer AND IncrementalIvf's ledger-driven fold layout
+  * (fold dirs at final `fold=<seq>.<uuid>` names, conditional-PUT ledger
+  * publish — no rename on the commit path) through the same kill sweep.
+  * State dumps compare as sorted MULTISETS, so a replay that re-appends
+  * a byte-identical row (duplicated SCD version, doubled fold rows)
+  * fails the gate instead of collapsing into a set.
   *
   * Run (after `sbt package`; the child JVM boots from `$SPARK_HOME/jars`
   * + the packaged jar):
@@ -172,14 +175,18 @@ object DriverLossDrill {
       prepare: (SparkSession, String, Int) => Unit,
       // exact recompute: ALL ops as one batch into a fresh truth root
       oneShot: (SparkSession, String, Int, String) => Unit,
-      // canonical dump of the maintained state at a root
-      state: (SparkSession, String) => Set[String],
+      // canonical MULTISET dump of the maintained state at a root — a
+      // sorted Seq, not a Set: a crash-replay bug that re-appends a
+      // byte-identical row (e.g. a duplicated SCD version) must FAIL the
+      // gate, and a Set compare would collapse exactly that duplicate
+      state: (SparkSession, String) => Seq[String],
       // the store whose recorded batch id gates replay
       gateRoot: String => String,
       // store roots swept for staging/orphan residue
       stores: String => Seq[String])
 
-  private def dump(df: DataFrame): Set[String] = df.collect().map(_.toString).toSet
+  private def dump(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
 
   private val maints = Seq(
     Maint("agg", prepareAgg,
@@ -201,7 +208,8 @@ object DriverLossDrill {
         val a = graft.streaming.IncrementalIvf.assignments(s, root)
           .select(col("cid"), col("cent_id"))
         val c = graft.streaming.SnapshotStore.read(s, s"$root/cells").get
-        a.collect().map("a:" + _.toString).toSet ++ c.collect().map("c:" + _.toString)
+        (a.collect().map("a:" + _.toString) ++
+          c.collect().map("c:" + _.toString)).sorted.toSeq
       },
       root => s"$root/cells",
       root => Seq(s"$root/cells")))
@@ -212,8 +220,7 @@ object DriverLossDrill {
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_DRILL_BATCHES", "10").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_DRILL_ROUNDS", "4").toInt
     val fsMode = sys.env.getOrElse("SPARK_GRAFT_DRILL_FS", "file")
-    val defaultMaints = if (fsMode == "objsim") "agg,gapfill,scd" else "agg,gapfill,scd,ivf"
-    val chosen = sys.env.getOrElse("SPARK_GRAFT_DRILL_MAINTAINERS", defaultMaints)
+    val chosen = sys.env.getOrElse("SPARK_GRAFT_DRILL_MAINTAINERS", "agg,gapfill,scd,ivf")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val jar = sys.env.getOrElse("SPARK_GRAFT_JARS",
       "target/scala-2.13/dolphinbeatspark_2.13-0.1.0.jar")
@@ -318,9 +325,7 @@ object DriverLossDrill {
       val residue = m.stores(stateRoot)
         .flatMap(graft.streaming.SnapshotStore.orphanArtifacts).size +
         (if (mName == "ivf")
-          Option(new java.io.File(
-            stateRoot.stripPrefix("objsim://") + "/assign").listFiles())
-            .getOrElse(Array.empty).count(_.getName.startsWith("_fold_v"))
+          graft.streaming.IncrementalIvf.orphanArtifacts(stateRoot).size
          else 0)
       val vacuous = midMergeKills < 1
       val ok = matches && !vacuous && finalExit == 0 &&

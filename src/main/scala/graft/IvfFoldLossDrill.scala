@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * directory count stayed bounded.
   *
   * Split of proof with IncrementalIvfSpec: the DRIVER-side crash windows
-  * (ledger publish ordering, finalize deletes before the staging rename,
-  * read-only recovery) are deterministic and spec-pinned there; what a
-  * spec cannot exercise is the EXECUTOR-side half — the staged fold
-  * parquet job and the per-batch delta writes surviving a real process
-  * kill via task retry on the surviving executor. That is this drill,
+  * (fold-write-then-ledger-publish ordering, the ledger-driven live set,
+  * the post-publish garbage sweep, legacy-staging migration) are
+  * deterministic and spec-pinned there; what a spec cannot exercise is
+  * the EXECUTOR-side half — the fold parquet job (written directly at
+  * its final `fold=<seq>.<uuid>` name) and the per-batch delta writes
+  * surviving a real process kill via task retry on the surviving
+  * executor. That is this drill,
   * the [[StreamStateLossDrill]] pattern applied to the fold path.
   *
   * Run (after `sbt package`):
@@ -91,7 +93,9 @@ object IvfFoldLossDrill {
     val vacuous = killedPid < 0 || killBatch < 0
     val names = Option(new java.io.File(s"$stateRoot/assign").listFiles())
       .getOrElse(Array.empty).map(_.getName)
-    val deltaDirs = names.count(_.startsWith("batch="))
+    // raw deltas + ledger-listed fold dirs (final `fold=<seq>.<uuid>`
+    // names since the object-store-safe layout; legacy folds were batch=)
+    val deltaDirs = names.count(n => n.startsWith("batch=") || n.startsWith("fold="))
     val ledgerFiles = names.count(n =>
       n.startsWith("_folded_through") && !n.endsWith(".tmp"))
     val stagingLeft = names.count(_.startsWith("_fold_v"))

@@ -65,6 +65,12 @@ object IvfNlistSweep {
       val exact = graft.analytics.Similarity.ivfTopKFor(spark, sfDir, nlist, nlist)
         .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val nQueries = exact.map(_._1).size.toDouble.max(1.0)
+      // the recall denominator assumes the ranked top-k yields exactly 10
+      // rows per query — fail loudly if tie behavior ever breaks that,
+      // rather than shipping a silently mis-scaled recall
+      require(exact.size == 10 * exact.map(_._1).size,
+        s"nlist=$nlist ground truth has ${exact.size} rows for " +
+          s"${exact.map(_._1).size} queries — expected exactly 10 per query")
       val probeRows = nprobes.filter(_ < nlist).map { np =>
         val t1 = System.nanoTime()
         graft.analytics.Similarity.ivfTopKFor(spark, sfDir, nlist, np)
@@ -72,10 +78,10 @@ object IvfNlistSweep {
         val searchSec = (System.nanoTime() - t1) / 1e9
         val got = graft.analytics.Similarity.ivfTopKFor(spark, sfDir, nlist, np)
           .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val recall = (exact & got).size / (10.0 * exact.map(_._1).size)
+        val recall = (exact & got).size / (10.0 * nQueries)
         val candN = graft.analytics.Similarity
           .ivfCandidatesFor(spark, sfDir, nlist, np).count()
-        val candFrac = candN.toDouble / (exact.map(_._1).size.toDouble * corpusN)
+        val candFrac = candN.toDouble / (nQueries * corpusN)
         s"""{"nprobe":$np,"recall_at_10":${r3(recall)},"search_sec":${r3(searchSec)},"cand_frac":${f"$candFrac%.4f"}}"""
       }
       println(s"[sweep] nlist=$nlist build=${r3(buildSec)}s skew=${r3(skew)}")

@@ -21,7 +21,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    any corpus size — the balance view's only state), and
   *  - the batch's assignment rows land as an idempotent parquet delta
   *    under `assignDir/batch=<id>` (a replayed micro-batch sees its
-  *    directory exists and skips — the write-once twin of
+  *    directory complete and skips — the write-once twin of
   *    [[SnapshotStore]]'s batch-id contract, without rewriting the
   *    corpus-sized table per batch).
   *
@@ -31,35 +31,71 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the oldest half folds into one tier-1 dir; past maxDirs/4 tier-1
   * dirs, those merge into one — amortized per-batch fold IO
   * ∝ arrived/(maxDirs²/8), never a per-batch corpus rewrite (see
-  * maybeCompact). Folds are crash-safe: combined rows land in an
-  * underscore-prefixed staging dir (invisible to the root parquet read)
-  * with a `_FOLDS` record of exactly the dirs it replaces, the
-  * `_folded_through.<seq>` LEDGER (replay watermark + live fold-dir ids;
-  * versioned so a publish never deletes the live ledger before its
-  * replacement is visible — readers take the max seq) publishes via
-  * atomic rename BEFORE any original dir is deleted, and
-  * an interrupted fold is either completed or discarded
-  * deterministically on the next merge. The watermark keeps replay
-  * exact: a replayed batch at or below it must NOT rewrite its (now
-  * folded-away) delta dir.
+  * maybeCompact).
   *
-  * All metadata IO (existence probes, watermark, fold staging) goes
-  * through `org.apache.hadoop.fs.FileSystem` resolved from the state
-  * root's scheme, so the index works unchanged on `file://` and HDFS
-  * (S3A rename caveat as documented on [[SnapshotStore]]).
+  * == Commit protocol (object-store-safe: NO rename on the object-store
+  * commit path) ==
+  *
+  * The live directory set is defined entirely by the LEDGER
+  * (`_folded_through.<seq>`, readers take the max seq):
+  *
+  *   live = {fold dirs the ledger lists, BY NAME}
+  *        ∪ {`batch=<id>` dirs with id > foldedThrough AND `_SUCCESS`}
+  *
+  * A fold writes its combined rows DIRECTLY to a final, never-colliding
+  * `fold=<seq>.<uuid>` dir (no staging, no rename — a dir the ledger does
+  * not list is invisible garbage, exactly the stance of
+  * [[SnapshotStore.ObjMode]]'s `d=<N>.<uuid>` data dirs), then publishes
+  * the next ledger version with ONE exclusive publish — a conditional
+  * PUT on object stores ([[SnapshotStore.createExclusive]], If-None-Match
+  * on S3-class stores, [[ObjStoreSimFs]]'s hard-link arbiter; a PUT is
+  * all-or-nothing, so no rename is needed OR used there), tmp + atomic
+  * exclusive rename on posix/HDFS where create is not atomic-at-close —
+  * and only THEN garbage-collects the replaced dirs and superseded ledger
+  * versions. A crash before the publish leaves the originals live and a
+  * garbage fold dir to sweep; a crash after it leaves dead originals the
+  * next merge sweeps — in both halves readers resolve a consistent,
+  * never-double-counted index from the ledger alone, with no recovery
+  * step. The `_SUCCESS` clause makes a torn raw delta (writer crashed
+  * mid-parquet-job) invisible to readers too — its replay repairs the dir
+  * with `mode(overwrite)` before the cell counts ever include it.
+  *
+  * Because the commit point is an exclusive create, the store carries the
+  * same capability requirement as the object committer: `merge` gates on
+  * [[SnapshotStore.requireExclusiveCreate]] (classic S3A's HEAD-then-PUT
+  * `overwrite=false` is refused unless explicitly acknowledged). The
+  * watermark keeps replay exact: a replayed batch at or below
+  * foldedThrough must NOT rewrite its (now folded-away) delta dir.
+  *
+  * == Legacy layout migration ==
+  *
+  * Stores written before this protocol staged folds at `_fold_v<target>`
+  * and RENAMED them onto `batch=<target>` after a ledger whose fold list
+  * was bare ids. Those ledgers parse transparently (a bare id token means
+  * dir `batch=<id>`), so a legacy store's live set resolves through the
+  * same ledger-driven read with zero rewrite; an interrupted legacy fold
+  * (staging dir present) is completed or discarded by
+  * `recoverLegacyFold` — the one surviving rename, safe by construction
+  * because only rename-atomic filesystems can hold legacy layouts (the
+  * old code refused object schemes outright).
+  *
+  * All metadata IO (existence probes, ledger, sweep deletes) goes through
+  * `org.apache.hadoop.fs.FileSystem` resolved from the state root's
+  * scheme, so the index works unchanged on `file://`, HDFS, and
+  * conditional-create object stores.
   *
   * `balanceView` reproduces the s20 cell-balance audit (the re-train
-  * signal) over everything arrived so far; `assignments` reads the delta
-  * directories back as the full index — both parity-specced against the
-  * batch forms on the same rows (IncrementalIvfSpec). When the audit
-  * crosses its threshold, the operator re-trains offline, swaps the
-  * frozen centroids, and resets state — each generation is one exact
-  * batch build.
+  * signal) over everything arrived so far; `assignments` reads the live
+  * set back as the full index — both parity-specced against the batch
+  * forms on the same rows (IncrementalIvfSpec). When the audit crosses
+  * its threshold, the operator re-trains offline, swaps the frozen
+  * centroids, and resets state — each generation is one exact batch
+  * build.
   */
 object IncrementalIvf {
 
-  /** Conf key bounding the number of `assign/batch=<id>` delta dirs;
-    * crossing it folds the older half into one dir. */
+  /** Conf key bounding the number of live raw `assign/batch=<id>` delta
+    * dirs; crossing it folds the older half into one dir. */
   val MaxDeltaDirsKey = "spark.graft.ivf.assign.maxDeltaDirs"
 
   private def fsFor(root: String): FileSystem =
@@ -84,37 +120,37 @@ object IncrementalIvf {
 
   private def assignDir(stateRoot: String) = new Path(s"$stateRoot/assign")
 
-  private def deltaDirIds(fs: FileSystem, stateRoot: String): Seq[Long] = {
+  private val FoldPrefix = "fold="
+
+  private def rawId(name: String): Option[Long] =
+    if (name.startsWith("batch="))
+      scala.util.Try(name.stripPrefix("batch=").toLong).toOption
+    else None
+
+  private def dirNames(fs: FileSystem, stateRoot: String): Seq[String] = {
     val d = assignDir(stateRoot)
     if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong)
-      .sorted
+    else fs.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 
   private val LedgerName = "_folded_through"
 
   /** Durable fold ledger: `through` = highest RAW batch id whose delta
     * rows live inside a folded dir (the replay guard — a batch at or
-    * below it must not rewrite its delta), `folds` = the ids of the LIVE
-    * fold-produced dirs (tier 1), so compaction can tell a fold dir from
-    * a raw delta without refolding deep history every cycle. Marker file
-    * format: line 1 = through, line 2 = space-separated fold ids (absent
-    * line 2 = legacy single-value marker, parsed with no fold list). */
-  private[streaming] final case class FoldState(through: Long, folds: Seq[Long])
+    * below it must not rewrite its delta), `folds` = the NAMES of the
+    * live fold-produced dirs, making the ledger the single source of the
+    * live directory set. File format: line 1 = through, line 2 =
+    * space-separated fold dir names; a bare-number token `N` is the
+    * legacy spelling of `batch=N` (the pre-object-store fold target
+    * naming), so legacy ledgers parse with no migration step. */
+  private[streaming] final case class FoldState(through: Long, folds: Seq[String])
 
   /** Ledger files are VERSIONED (`_folded_through.<seq>`, readers take
     * the max seq) so a publish NEVER deletes the live ledger before its
-    * replacement is in place: the classic tmp-write + delete(dst) +
-    * rename(dst) pattern has a crash window between the delete and the
-    * rename in which the ledger is simply absent — a fresh process would
-    * then read foldedThrough = −1, let a replayed already-folded batch
-    * rewrite its delta dir, and double-count that batch's rows. With
-    * versioned names the new ledger renames into a FRESH path (atomic,
-    * nothing to delete first) and old versions are garbage-collected
-    * only after the new one is durably visible. A bare legacy
-    * `_folded_through` parses as seq 0. */
+    * replacement is in place: each new ledger version is ONE exclusive
+    * create of a FRESH name — nothing deleted first, nothing renamed —
+    * and old versions are garbage-collected only after the new one is
+    * durably visible. A bare legacy `_folded_through` parses as seq 0. */
   private def ledgerSeq(name: String): Option[Long] =
     if (name == LedgerName) Some(0L)
     else if (name.startsWith(LedgerName + ".") && !name.endsWith(".tmp"))
@@ -137,6 +173,9 @@ object IncrementalIvf {
     new String(buf)
   }
 
+  private def parseFoldToken(tok: String): String =
+    if (tok.contains("=")) tok else s"batch=$tok" // bare id = legacy naming
+
   private[streaming] def foldState(fs: FileSystem, stateRoot: String): FoldState = {
     ledgerFiles(fs, stateRoot).lastOption match {
       case None => FoldState(-1L, Seq.empty)
@@ -144,73 +183,102 @@ object IncrementalIvf {
         val lines = readSmall(fs, p).split("\n", -1).toSeq
         FoldState(lines.head.trim.toLong,
           lines.lift(1).map(_.trim).filter(_.nonEmpty)
-            .map(_.split(" ").toSeq.map(_.toLong)).getOrElse(Seq.empty).sorted)
+            .map(_.split(" ").toSeq.map(parseFoldToken)).getOrElse(Seq.empty).sorted)
     }
   }
 
   private def foldedThrough(fs: FileSystem, stateRoot: String): Long =
     foldState(fs, stateRoot).through
 
-  /** Ledger publish with NO absent-ledger window: write the next
-    * versioned name via tmp + atomic rename (the destination is fresh, so
-    * nothing is deleted before the rename), then best-effort GC of the
-    * superseded versions and stray tmps. A crash at any point leaves
-    * either the old ledger (pre-rename) or both (post-rename, pre-GC) —
-    * readers take the max seq, so foldedThrough never regresses. */
-  private def publishState(fs: FileSystem, stateRoot: String, st: FoldState): Unit = {
-    val existing = ledgerFiles(fs, stateRoot)
-    val seq = existing.lastOption.map(_._1).getOrElse(0L) + 1
+  /** Ledger publish: ONE exclusive publish of the next versioned name
+    * (the commit point — always a fresh path, so no absent-ledger window
+    * and no delete-before-replace). The primitive is scheme-matched to
+    * whichever operation is atomic there: on object stores a conditional
+    * PUT ([[SnapshotStore.createExclusive]] — a PUT is all-or-nothing, a
+    * killed writer leaves NOTHING at the name, and If-None-Match is the
+    * arbiter), on posix/HDFS tmp + atomic exclusive rename
+    * ([[SnapshotStore.publishSmallExclusive]] — a posix create is NOT
+    * atomic-at-close, so a kill mid-write would otherwise leave a torn
+    * ledger at the final name; the stray `.tmp` is swept). A lost
+    * publish means a second writer raced this seq: the single-writer
+    * contract was violated, and the loser fails loudly with
+    * [[SnapshotStore.ConcurrentWriterException]] instead of silently
+    * adopting a fold set it did not compute. Superseded versions are
+    * swept AFTER the publish (sweepGarbage), so foldedThrough never
+    * regresses — readers take the max seq. */
+  private def publishState(fs: FileSystem, stateRoot: String, st: FoldState,
+      seq: Long): Unit = {
     val dst = new Path(assignDir(stateRoot), s"$LedgerName.$seq")
-    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"${st.through}\n${st.folds.sorted.mkString(" ")}".getBytes)
-    finally out.close()
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"rename $tmp -> $dst failed")
-    // GC only AFTER the new ledger is durably visible
-    existing.foreach { case (_, p) => fs.delete(p, false) }
-    fs.listStatus(assignDir(stateRoot))
-      .filter(st => st.isFile && st.getPath.getName.startsWith(LedgerName + ".")
-        && st.getPath.getName.endsWith(".tmp"))
-      .foreach(st => fs.delete(st.getPath, false))
+    val bytes = s"${st.through}\n${st.folds.sorted.mkString(" ")}".getBytes
+    if (SnapshotStore.isObjectScheme(stateRoot))
+      SnapshotStore.createExclusive(fs, dst, bytes)
+    else
+      SnapshotStore.publishSmallExclusive(fs, dst, bytes)
   }
+
+  private def nextLedgerSeq(fs: FileSystem, stateRoot: String): Long =
+    ledgerFiles(fs, stateRoot).lastOption.map(_._1).getOrElse(0L) + 1
+
+  /** Fold the given live dirs into one `fold=<seq>.<uuid>` dir written
+    * directly at its final name, publish the ledger that swaps the fold
+    * set, then sweep the replaced dirs. Crash-safe with no recovery step:
+    * before the publish the new dir is unlisted garbage and the originals
+    * stay live; after it the originals are unlisted garbage — either way
+    * the ledger names exactly one consistent set. */
+  private def foldOnce(spark: SparkSession, stateRoot: String, fs: FileSystem,
+      prev: FoldState, foldSet: Seq[String], newThrough: Long): Unit = {
+    val seq = nextLedgerSeq(fs, stateRoot)
+    val newDir = s"$FoldPrefix$seq.${java.util.UUID.randomUUID}"
+    spark.read.parquet(foldSet.map(n => s"$stateRoot/assign/$n"): _*)
+      .select(col("cid"), col("cent_id"))
+      .write.mode("overwrite").parquet(s"$stateRoot/assign/$newDir")
+    publishState(fs, stateRoot,
+      FoldState(math.max(prev.through, newThrough),
+        (prev.folds.filterNot(foldSet.contains) :+ newDir).sorted), seq)
+    sweepGarbage(fs, stateRoot)
+  }
+
+  /** Maintainer-side garbage sweep, idempotent and safe at any time AFTER
+    * a ledger publish: deletes fold dirs the ledger does not list (a
+    * pre-publish crash's orphan, or a post-publish original), raw batch
+    * dirs at or below the watermark that are not themselves listed (the
+    * originals of legacy raw folds keep their `batch=<id>` names in the
+    * ledger), superseded ledger versions, and stray legacy ledger tmps.
+    * Never touches `_fold_v` staging (that is [[recoverLegacyFold]]'s
+    * job — an unpublished staging dir may be a live legacy maintainer's
+    * in-flight fold). */
+  private def sweepGarbage(fs: FileSystem, stateRoot: String): Unit = {
+    val d = assignDir(stateRoot)
+    if (!fs.exists(d)) return
+    val ledgers = ledgerFiles(fs, stateRoot)
+    val st = foldState(fs, stateRoot)
+    val topSeq = ledgers.lastOption.map(_._1).getOrElse(-1L)
+    fs.listStatus(d).foreach { s =>
+      val n = s.getPath.getName
+      val dead =
+        if (s.isDirectory)
+          (n.startsWith(FoldPrefix) && !st.folds.contains(n)) ||
+            rawId(n).exists(id => id <= st.through && !st.folds.contains(n))
+        else
+          ledgerSeq(n).exists(_ < topSeq) ||
+            (n.startsWith(LedgerName + ".") && n.endsWith(".tmp"))
+      if (dead) fs.delete(s.getPath, true)
+    }
+  }
+
+  // ------------------------------------------------- legacy fold migration
 
   private def foldStaging(stateRoot: String, target: Long) =
     new Path(assignDir(stateRoot), s"_fold_v$target")
 
-  /** The exact `batch=<id>` dirs a staged fold replaces, recorded INSIDE
-    * the staging dir (after the parquet `_SUCCESS`, before the ledger
-    * publish) so recovery deletes precisely the folded dirs — tiering
-    * breaks the old "everything ≤ target" prefix invariant (an older
-    * live fold dir may have a smaller id than a raw fold's target). */
   private def foldsFile(staging: Path) = new Path(staging, "_FOLDS")
 
-  /** Fold the given dirs into one `batch=<max id>` dir, crash-safe:
-    * staged parquet → `_FOLDS` id list → atomic ledger publish (the
-    * commit point) → delete originals → rename staging into place.
-    * A crash before the publish leaves the originals intact and the
-    * staging dir is discarded on recovery; after it, recovery completes
-    * the deletes + rename deterministically from `_FOLDS`. */
-  private def foldOnce(spark: SparkSession, stateRoot: String, fs: FileSystem,
-      prev: FoldState, foldSet: Seq[Long], newThrough: Long): Unit = {
-    val target = foldSet.max
-    val staging = foldStaging(stateRoot, target)
-    spark.read.parquet(
-        foldSet.map(id => s"$stateRoot/assign/batch=$id"): _*)
-      .select(col("cid"), col("cent_id"))
-      .write.mode("overwrite").parquet(staging.toString)
-    val out = fs.create(foldsFile(staging), true)
-    try out.write(foldSet.sorted.mkString(" ").getBytes) finally out.close()
-    publishState(fs, stateRoot, FoldState(math.max(prev.through, newThrough),
-      prev.folds.filterNot(foldSet.contains) :+ target))
-    finalizeFold(fs, stateRoot, target, foldSet)
-  }
-
-  /** Delete exactly the folded dirs, then rename the staging dir to
-    * `batch=<target>`. Idempotent — safe to re-run after a crash at any
-    * step (a folded dir already gone deletes as a no-op; a completed
-    * rename leaves no staging dir to move). */
-  private def finalizeFold(fs: FileSystem, stateRoot: String, target: Long,
+  /** Complete the legacy finalize: delete exactly the recorded original
+    * dirs, then rename the staging dir to `batch=<target>`. Legacy stores
+    * only exist on rename-atomic filesystems (the old code refused object
+    * schemes before any write), so the rename here is safe; new-layout
+    * folds never create staging dirs, so this path is migration-only. */
+  private def finalizeLegacyFold(fs: FileSystem, stateRoot: String, target: Long,
       foldSet: Seq[Long]): Unit = {
     foldSet.foreach { id =>
       fs.delete(new Path(assignDir(stateRoot), s"batch=$id"), true)
@@ -221,47 +289,66 @@ object IncrementalIvf {
       throw new java.io.IOException(s"fold rename failed for $staging")
   }
 
-  /** Complete or discard an interrupted fold. Deterministic from on-disk
-    * state alone: a staging dir whose target the LEDGER lists as a live
-    * fold dir (and which carries `_SUCCESS` + `_FOLDS`) was mid-publish —
+  /** Complete or discard an interrupted LEGACY fold (`_fold_v<target>`
+    * staging). Deterministic from on-disk state alone: a staging dir
+    * whose target the ledger lists as a live fold dir (and which carries
+    * `_SUCCESS` + `_FOLDS`) was mid-publish under the old protocol —
     * finish it by replaying the recorded deletes + rename; anything else
-    * is pre-publish garbage — the originals are intact, drop the staging
-    * dir.
+    * is pre-publish garbage — the originals are intact, drop it.
     *
     * `gcIncomplete` distinguishes the two callers: the MAINTAINER (merge)
     * passes true and also drops pre-publish garbage; READ-ONLY consumers
     * (assignments/balanceView, possibly in a different process while a
     * maintainer is live) pass false — they still COMPLETE a published
-    * fold (finalize is idempotent, and without it a crash inside
-    * finalizeFold would leave the folded rows invisible: originals
-    * deleted, staging still underscore-prefixed), but they must never
-    * delete a staging dir a concurrent maintainer may be mid-writing. */
-  private def recoverFold(fs: FileSystem, stateRoot: String,
+    * legacy fold (finalize is idempotent, and without it the folded rows
+    * would be invisible: originals deleted, staging unlisted), but they
+    * must never delete a staging dir a concurrent legacy maintainer may
+    * be mid-writing. */
+  private def recoverLegacyFold(fs: FileSystem, stateRoot: String,
       gcIncomplete: Boolean): Unit = {
     val d = assignDir(stateRoot)
     if (!fs.exists(d)) return
-    val st = foldState(fs, stateRoot)
-    fs.listStatus(d)
+    val stale = fs.listStatus(d)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_fold_v"))
-      .foreach { s =>
-        val target = s.getPath.getName.stripPrefix("_fold_v").toLong
-        val complete = fs.exists(new Path(s.getPath, "_SUCCESS")) &&
-          fs.exists(foldsFile(s.getPath))
-        if (complete && st.folds.contains(target)) {
-          val foldSet = readSmall(fs, foldsFile(s.getPath)).trim
-            .split(" ").toSeq.filter(_.nonEmpty).map(_.toLong)
-          finalizeFold(fs, stateRoot, target, foldSet)
-        } else if (gcIncomplete)
-          fs.delete(s.getPath, true)
-      }
+    if (stale.isEmpty) return
+    val st = foldState(fs, stateRoot)
+    stale.foreach { s =>
+      val target = s.getPath.getName.stripPrefix("_fold_v").toLong
+      val complete = fs.exists(new Path(s.getPath, "_SUCCESS")) &&
+        fs.exists(foldsFile(s.getPath))
+      if (complete && st.folds.contains(s"batch=$target")) {
+        val foldSet = readSmall(fs, foldsFile(s.getPath)).trim
+          .split(" ").toSeq.filter(_.nonEmpty).map(_.toLong)
+        finalizeLegacyFold(fs, stateRoot, target, foldSet)
+      } else if (gcIncomplete)
+        fs.delete(s.getPath, true)
+    }
+  }
+
+  // --------------------------------------------------------- live-set read
+
+  /** The current live directory set, resolved from the ledger alone:
+    * ledger-listed fold dirs plus raw deltas above the watermark whose
+    * parquet job committed (`_SUCCESS`) — a torn raw dir is invisible
+    * until its replay repairs it, and an unlisted fold dir is garbage by
+    * definition. */
+  private[streaming] def livePaths(fs: FileSystem, stateRoot: String): Seq[String] = {
+    val st = foldState(fs, stateRoot)
+    val names = dirNames(fs, stateRoot)
+    val raws = names
+      .filter(n => rawId(n).exists(_ > st.through))
+      .filter(n => fs.exists(new Path(assignDir(stateRoot), s"$n/_SUCCESS")))
+    (st.folds ++ raws).distinct.sorted.map(n => s"$stateRoot/assign/$n")
   }
 
   /** Two-tier compaction, so per-batch fold IO stays amortized-bounded
     * instead of refolding all history every cycle:
     *
-    *  - tier 0 (raw deltas): when more than `maxDirs` raw batch dirs
+    *  - tier 0 (raw deltas): when more than `maxDirs` live raw batch dirs
     *    exist, the oldest half fold into ONE tier-1 dir — each raw row
-    *    is folded here exactly once;
+    *    is folded here exactly once. Only the contiguous `_SUCCESS`
+    *    prefix is foldable: folding past a torn raw dir would put it
+    *    under the watermark and lose its replay;
     *  - tier 1 (fold dirs, tracked in the ledger): when more than
     *    max(2, maxDirs/4) fold dirs accumulate, they merge into one —
     *    a row re-folds here once per ~(maxDirs/2 × maxDirs/4) batches,
@@ -275,31 +362,35 @@ object IncrementalIvf {
     * maxDirs the raw count sits above maxDirs on every batch even when
     * its foldSet is too small to act, and an else-chained tier-1 branch
     * would then be starved forever — fold dirs accreted without bound at
-    * maxDirs=2 until the IvfFoldLossDrill caught it. Runs inside
-    * `merge` — a concurrent `assignments` read during the publish step
-    * may see a torn view, the usual caveat for any non-snapshot
-    * directory read. */
+    * maxDirs=2 until the IvfFoldLossDrill caught it. */
   private def maybeCompact(spark: SparkSession, stateRoot: String,
       fs: FileSystem): Unit = {
     val maxDirs = spark.conf.getOption(MaxDeltaDirsKey).map(_.toInt).getOrElse(16)
     val maxFolds = math.max(2, maxDirs / 4)
-    val st = foldState(fs, stateRoot)
-    val ids = deltaDirIds(fs, stateRoot)
-    val folds = st.folds.filter(ids.contains)
-    val raws = ids.filterNot(folds.contains)
+    def liveState(): (FoldState, Seq[(Long, String)]) = {
+      val st = foldState(fs, stateRoot)
+      val names = dirNames(fs, stateRoot)
+      val raws = names.flatMap(n => rawId(n).map(_ -> n))
+        .filter { case (id, _) => id > st.through }
+        .sortBy(_._1)
+      (st.copy(folds = st.folds.filter(names.contains)), raws)
+    }
+    val (st, raws) = liveState()
     if (raws.size > maxDirs) {
-      val foldSet = raws.dropRight(math.max(2, maxDirs / 2))
+      // fold only the contiguous committed prefix (see scaladoc)
+      val committedPrefix = raws.takeWhile { case (_, n) =>
+        fs.exists(new Path(assignDir(stateRoot), s"$n/_SUCCESS"))
+      }
+      val foldSet = committedPrefix.take(
+        math.max(0, raws.size - math.max(2, maxDirs / 2)))
       if (foldSet.size >= 2)
-        foldOnce(spark, stateRoot, fs, st.copy(folds = folds), foldSet,
-          newThrough = foldSet.max)
+        foldOnce(spark, stateRoot, fs, st, foldSet.map(_._2),
+          newThrough = foldSet.map(_._1).max)
     }
     // re-read: the raw fold above may have changed the ledger/dir set
-    val st2 = foldState(fs, stateRoot)
-    val ids2 = deltaDirIds(fs, stateRoot)
-    val folds2 = st2.folds.filter(ids2.contains)
-    if (folds2.size > maxFolds)
-      foldOnce(spark, stateRoot, fs, st2.copy(folds = folds2), folds2,
-        newThrough = st2.through)
+    val (st2, _) = liveState()
+    if (st2.folds.size > maxFolds)
+      foldOnce(spark, stateRoot, fs, st2, st2.folds, newThrough = st2.through)
   }
 
   // ---------------------------------------------------------------- merge
@@ -308,17 +399,19 @@ object IncrementalIvf {
     * batch directory) and merge the per-cell counts (additive). Write
     * completion is judged by the committer's `_SUCCESS` marker, not bare
     * directory existence — a crash mid-write leaves a partial
-    * `batch=<id>` dir, and the replay must repair it (mode("overwrite")
-    * clears the torn files), or the assignment index would silently miss
-    * the batch the cell counts include. A batch at or below the fold
-    * watermark is already inside a folded dir — rewriting its delta
-    * would double its rows, so the watermark check comes first. */
+    * `batch=<id>` dir (invisible to readers via the live-set rule), and
+    * the replay must repair it (mode("overwrite") clears the torn
+    * files), or the assignment index would silently miss the batch the
+    * cell counts include. A batch at or below the fold watermark is
+    * already inside a folded dir — rewriting its delta would double its
+    * rows, so the watermark check comes first. */
   def merge(batch: DataFrame, cents: DataFrame, batchId: Long,
       stateRoot: String): Unit = {
     val spark = batch.sparkSession
-    SnapshotStore.requireAtomicRename(stateRoot) // fail BEFORE the delta write
+    SnapshotStore.requireExclusiveCreate(stateRoot) // fail BEFORE the delta write
     val fs = fsFor(stateRoot)
-    recoverFold(fs, stateRoot, gcIncomplete = true)
+    recoverLegacyFold(fs, stateRoot, gcIncomplete = true)
+    sweepGarbage(fs, stateRoot)
     val batchDir = new Path(assignDir(stateRoot), s"batch=$batchId")
     val deltaComplete = batchId <= foldedThrough(fs, stateRoot) ||
       fs.exists(new Path(batchDir, "_SUCCESS"))
@@ -339,29 +432,54 @@ object IncrementalIvf {
     } finally d.unpersist()
   }
 
-  /** The full maintained assignment index: union of the batch deltas —
-    * empty (same schema) before the first batch lands, like
-    * [[balanceView]]. Completes any PUBLISHED-but-unfinalized fold first
-    * (read-only recovery): a crash inside finalizeFold deletes the
-    * original dirs before the staging rename, and without this a fresh
-    * consumer would silently read a shrunken index. */
+  /** Diagnostic for the loss drills: artifacts a clean final merge should
+    * have swept — legacy `_fold_v` staging, fold dirs the ledger does not
+    * list, raw dirs at or below the watermark, superseded ledger
+    * versions. Non-empty after a clean run means the sweep failed to
+    * converge the store. */
+  private[graft] def orphanArtifacts(stateRoot: String): Seq[String] = {
+    val fs = fsFor(stateRoot)
+    val d = assignDir(stateRoot)
+    if (!fs.exists(d)) return Seq.empty
+    val st = foldState(fs, stateRoot)
+    val topSeq = ledgerFiles(fs, stateRoot).lastOption.map(_._1).getOrElse(-1L)
+    fs.listStatus(d).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      val orphan =
+        if (s.isDirectory)
+          n.startsWith("_fold_v") ||
+            (n.startsWith(FoldPrefix) && !st.folds.contains(n)) ||
+            rawId(n).exists(id => id <= st.through && !st.folds.contains(n))
+        else ledgerSeq(n).exists(_ < topSeq)
+      if (orphan) Some(n) else None
+    }
+  }
+
+  /** The full maintained assignment index: union of the live fold and
+    * delta dirs — empty (same schema) before the first batch lands, like
+    * [[balanceView]]. Resolves the live set from the ledger alone (no
+    * recovery step on the current layout); the one legacy exception is a
+    * published-but-unfinalized `_fold_v` staging from the pre-object-store
+    * protocol, completed here so a migrated store never reads shrunken. */
   def assignments(spark: SparkSession, stateRoot: String): DataFrame = {
     val fs = fsFor(stateRoot)
-    recoverFold(fs, stateRoot, gcIncomplete = false)
-    if (deltaDirIds(fs, stateRoot).isEmpty)
+    recoverLegacyFold(fs, stateRoot, gcIncomplete = false)
+    val paths = livePaths(fs, stateRoot)
+    if (paths.isEmpty)
       spark.emptyDataFrame
         .select(lit(0L).as("cid"), lit(0L).as("cent_id")).limit(0)
-    else spark.read.parquet(s"$stateRoot/assign")
+    else spark.read.parquet(paths: _*)
   }
 
   /** The live s20 cell-balance report over everything arrived so far —
     * cell-count-sized compute off the k-row state, never a corpus scan.
     * (The cells snapshot itself is fold-independent, but a fresh
-    * read-only consumer may be the first process up after a crash, so it
-    * completes a published fold too — keeps the store's on-disk state
-    * converging regardless of which entry point runs first.) */
+    * read-only consumer may be the first process up after a legacy-store
+    * crash, so it completes a published legacy fold too — keeps the
+    * store's on-disk state converging regardless of which entry point
+    * runs first.) */
   def balanceView(spark: SparkSession, stateRoot: String): DataFrame = {
-    recoverFold(fsFor(stateRoot), stateRoot, gcIncomplete = false)
+    recoverLegacyFold(fsFor(stateRoot), stateRoot, gcIncomplete = false)
     val counts = SnapshotStore.read(spark, s"$stateRoot/cells")
       .getOrElse(spark.emptyDataFrame.select(lit(0L).as("cent_id"),
         lit(0L).as("n_vectors")).limit(0))

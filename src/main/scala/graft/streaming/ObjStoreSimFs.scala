@@ -45,6 +45,21 @@ class ObjStoreSimFs extends RawLocalFileSystem {
 
   override def getUri: URI = URI.create(s"${ObjStoreSimFs.Scheme}:///")
 
+  /** Whether exclusive create is a TRUE atomic arbiter (hard-link publish,
+    * modeling S3 If-None-Match). [[WeakCreateSimFs]] overrides to false to
+    * model the classic-S3A shape: `overwrite=false` degraded to a HEAD
+    * pre-check (check-then-act) with a plain last-writer-wins PUT — the
+    * FileSystem the [[SnapshotStore.requireExclusiveCreate]] gate exists
+    * to refuse. */
+  protected def conditionalCreateSupported: Boolean = true
+
+  /** Advertises the conditional-create path capability when the arbiter
+    * is real — what [[SnapshotStore.requireExclusiveCreate]] probes. */
+  override def hasPathCapability(path: Path, capability: String): Boolean =
+    if (capability == SnapshotStore.ConditionalCreateCapability)
+      conditionalCreateSupported
+    else super.hasPathCapability(path, capability)
+
   /** Atomic-PUT create: write to a hidden sibling, publish at close.
     * Exclusive mode (`overwrite=false`) publishes by hard-link, the
     * filesystem-level arbiter of If-None-Match. */
@@ -63,7 +78,10 @@ class ObjStoreSimFs extends RawLocalFileSystem {
         raw.write(b, off, len)
       override def close(): Unit = {
         super.close()
-        if (overwrite)
+        if (overwrite || !conditionalCreateSupported)
+          // plain PUT — in weak mode an exclusive create that passed the
+          // pre-check above publishes WITHOUT an arbiter (last writer wins),
+          // exactly the check-then-act window the capability gate refuses
           Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
         else {
@@ -137,13 +155,34 @@ class ObjStoreSimFs extends RawLocalFileSystem {
   }
 }
 
+/** [[ObjStoreSimFs]] WITHOUT the conditional-create arbiter — models the
+  * classic-S3A object store whose `create(path, overwrite=false)` is a
+  * HEAD pre-check followed by an unconditional PUT (check-then-act): two
+  * writers passing the pre-check together both "win", last PUT silently
+  * overwrites. Advertises NO conditional-create capability, so
+  * [[SnapshotStore.requireExclusiveCreate]] must refuse roots on this
+  * scheme unless `spark.graft.snapshot.assumeConditionalCreate=true`
+  * acknowledges the window — the spec-pinned contract. */
+class WeakCreateSimFs extends ObjStoreSimFs {
+  override def getScheme: String = ObjStoreSimFs.WeakScheme
+  override def getUri: URI = URI.create(s"${ObjStoreSimFs.WeakScheme}:///")
+  override protected def conditionalCreateSupported: Boolean = false
+}
+
 object ObjStoreSimFs {
   val Scheme = "objsim"
+
+  /** Scheme of the check-then-act variant ([[WeakCreateSimFs]]). */
+  val WeakScheme = "objweak"
 
   /** Hadoop conf binding for the scheme — set on the SparkSession as
     * `spark.hadoop.` + this. */
   val ImplConfKey = s"fs.$Scheme.impl"
   val ImplClass: String = classOf[ObjStoreSimFs].getName
+
+  /** Conf binding for the weak-create variant's scheme. */
+  val WeakImplConfKey = s"fs.$WeakScheme.impl"
+  val WeakImplClass: String = classOf[WeakCreateSimFs].getName
 
   /** Crash injection: when ≥ 0, the (N+1)-th object copied by any rename
     * throws, leaving a partial destination. −1 disables. Reset via

@@ -125,7 +125,7 @@ private[graft] object SnapshotStore {
     * real stores so the selection logic is exercised end-to-end. */
   private[streaming] val NonAtomicRenameSchemes = Set(
     "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
-    "cos", "cosn", "swift", ObjStoreSimFs.Scheme)
+    "cos", "cosn", "swift", ObjStoreSimFs.Scheme, ObjStoreSimFs.WeakScheme)
 
   /** Conf escape hatch for deployments that accept the narrowed-but-open
     * crash window on object stores (e.g. a dev bucket): the exactly-once
@@ -137,9 +137,8 @@ private[graft] object SnapshotStore {
     * explicitly set. Reads are unaffected (a reader cannot tear the
     * store). SnapshotStore itself only reaches this gate when the rename
     * committer is FORCED onto an object-store scheme (auto mode routes
-    * those schemes to the object committer, which needs no gate); it is
-    * also used directly by [[IncrementalIvf]] for its delta/ledger root,
-    * whose fold machinery genuinely depends on atomic rename. */
+    * those schemes to the object committer, which is gated instead on
+    * [[requireExclusiveCreate]] — its commit path needs no rename). */
   def requireAtomicRename(root: String): Unit = {
     val scheme = schemeOf(root)
     if (NonAtomicRenameSchemes(scheme)) {
@@ -159,6 +158,75 @@ private[graft] object SnapshotStore {
   private def schemeOf(root: String): String =
     Option(new Path(root).toUri.getScheme)
       .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file")
+
+  // ------------------------------------------- conditional-create capability
+
+  /** Path-capability name a `FileSystem` can advertise to declare that
+    * `create(path, overwrite=false)` is an ATOMIC exclusive-create arbiter
+    * (a true If-None-Match conditional PUT), not a HEAD-then-PUT pre-check.
+    * [[ObjStoreSimFs]] advertises it (its exclusive create publishes via
+    * an atomic hard link); a store-side connector with genuine conditional
+    * writes can advertise either this name or the generic probe below. */
+  val ConditionalCreateCapability = "fs.capability.graft.conditional-create"
+
+  /** Capability names probed (in order) before refusing an object-store
+    * root: the graft-specific name above plus a generic spelling a future
+    * Hadoop conditional-create capability may publish. `hasPathCapability`
+    * returns false for names a FileSystem does not recognize, so probing
+    * is safe on any connector. */
+  private val ConditionalCreateProbes =
+    Seq(ConditionalCreateCapability, "fs.capability.create.conditional")
+
+  /** Conf acknowledging a deployment whose FileSystem provides atomic
+    * exclusive-create but does not advertise it as a path capability
+    * (e.g. a Hadoop build with S3 conditional-write support predating a
+    * probe-recognized capability name). Setting it on a FileSystem whose
+    * `create(overwrite=false)` is really check-then-act re-opens the
+    * narrow two-concurrent-writer window the arbiter exists to close —
+    * the single-writer contract then rests on deployment discipline. */
+  val AssumeConditionalCreateKey = "spark.graft.snapshot.assumeConditionalCreate"
+
+  /** Filesystems whose exclusive create is atomic by construction: a posix
+    * local create and an HDFS namenode create are single metadata ops (the
+    * local-scheme caveat — two same-host JVMs racing through the Hadoop
+    * local FS wrapper — is out of scope, since rename is the default
+    * committer there and the drills' kill/restart never run two writers
+    * concurrently). */
+  private val SchemesWithAtomicCreate = Set("file", "hdfs", "viewfs")
+
+  /** Fail-fast gate for every commit path whose single commit point is
+    * [[createExclusive]] (the object committer's `c=<N>` publish and
+    * [[IncrementalIvf]]'s fold-ledger publish): the protocol is only
+    * exactly-once if `FileSystem.create(dst, overwrite=false)` is an
+    * atomic arbiter. Classic Hadoop S3A implements `overwrite=false` as a
+    * HEAD pre-check — check-then-act, which NARROWS but does not close the
+    * two-writer window — so object schemes must either advertise a
+    * conditional-create path capability ([[ConditionalCreateCapability]])
+    * or be explicitly acknowledged via [[AssumeConditionalCreateKey]]. */
+  def requireExclusiveCreate(root: String): Unit = {
+    val scheme = schemeOf(root)
+    if (SchemesWithAtomicCreate(scheme)) return
+    val capable = scala.util.Try {
+      fsFor(root).hasPathCapability(new Path(root), ConditionalCreateProbes.head) ||
+        ConditionalCreateProbes.tail.exists(c =>
+          fsFor(root).hasPathCapability(new Path(root), c))
+    }.getOrElse(false)
+    if (!capable) {
+      val assumed = activeConf(AssumeConditionalCreateKey)
+        .exists(_.trim.equalsIgnoreCase("true"))
+      require(assumed,
+        s"state root '$root' (scheme '$scheme') does not advertise atomic " +
+          "exclusive-create: the commit protocol's single commit point is " +
+          "FileSystem.create(path, overwrite=false) and requires a true " +
+          "If-None-Match conditional PUT (HDFS namenode create, S3 " +
+          "conditional writes) — a HEAD-then-PUT emulation (classic S3A) " +
+          "leaves a two-writer race window. Run on a connector advertising " +
+          s"'$ConditionalCreateCapability' (or " +
+          s"'${ConditionalCreateProbes(1)}'), or set " +
+          s"$AssumeConditionalCreateKey=true to acknowledge the FileSystem " +
+          "provides it without advertising (SnapshotStore class doc).")
+    }
+  }
 
   private def activeConf(key: String): Option[String] =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -247,11 +315,20 @@ private[graft] object SnapshotStore {
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }
 
+  /** Whether `root`'s scheme is an object store (non-atomic rename,
+    * atomic all-or-nothing PUT) — the selector between the two exclusive
+    * small-object publish primitives: [[createExclusive]] is torn-proof
+    * there (an object appears only complete), while on posix/HDFS a
+    * create is NOT atomic-at-close and the tmp + exclusive-rename form
+    * ([[publishSmallExclusive]]) is the torn-proof one. */
+  private[streaming] def isObjectScheme(root: String): Boolean =
+    NonAtomicRenameSchemes(schemeOf(root))
+
   /** [[publishSmall]] but EXCLUSIVE: refuses to replace an existing `dst`.
     * Used for `_COMMIT` markers, where an existing marker means another
     * writer committed this version first — overwriting would silently
     * adopt a version whose parquet contents are not this writer's. */
-  private def publishSmallExclusive(fs: FileSystem, dst: Path,
+  private[streaming] def publishSmallExclusive(fs: FileSystem, dst: Path,
       bytes: Array[Byte]): Unit = {
     if (fs.exists(dst))
       throw new ConcurrentWriterException(
@@ -278,8 +355,10 @@ private[graft] object SnapshotStore {
     * create, S3A conditional writes, [[ObjStoreSimFs]]'s hard-link
     * arbiter); the exclusivity violation can surface at create() (the
     * pre-check) or at close() (the atomic arbiter) — both map to
-    * [[ConcurrentWriterException]]. */
-  private def createExclusive(fs: FileSystem, dst: Path, bytes: Array[Byte]): Unit =
+    * [[ConcurrentWriterException]]. Callers gate the store root with
+    * [[requireExclusiveCreate]] first (the object committer and
+    * [[IncrementalIvf]]'s ledger publish both do). */
+  private[streaming] def createExclusive(fs: FileSystem, dst: Path, bytes: Array[Byte]): Unit =
     try {
       val out = fs.create(dst, false)
       try out.write(bytes) finally out.close()
@@ -785,7 +864,14 @@ private[graft] object SnapshotStore {
     * Retention keeps the two newest commit objects plus every data dir
     * either references; bucket subdirs neither kept manifest references
     * are pruned inside surviving dirs — storage stays ∝ 2× live state,
-    * as in rename mode. */
+    * as in rename mode.
+    *
+    * Both write paths gate on [[requireExclusiveCreate]] before any
+    * mutation: the whole protocol's exactly-once claim rests on the
+    * commit object's publish being a true atomic If-None-Match create,
+    * and a FileSystem that emulates `overwrite=false` with a HEAD
+    * pre-check must be refused (or explicitly acknowledged by conf) at
+    * store open rather than silently narrowing the guarantee. */
   private[streaming] object ObjMode {
 
     private val CommitPrefix = "c="
@@ -919,6 +1005,7 @@ private[graft] object SnapshotStore {
       s"$DataPrefix$next.${java.util.UUID.randomUUID}"
 
     def writeNext(df: DataFrame, root: String, batchId: Option[Long]): Unit = {
+      requireExclusiveCreate(root) // capability gate, before any mutation
       val fs = fsFor(root)
       fs.mkdirs(new Path(root))
       val next = commitFiles(root).lastOption.map(_._1).getOrElse(0L) + 1
@@ -931,6 +1018,7 @@ private[graft] object SnapshotStore {
 
     def writeNextBuckets(df: DataFrame, root: String, batchId: Option[Long],
         buckets: Buckets, touchedBuckets: Option[Set[Int]]): Unit = {
+      requireExclusiveCreate(root) // capability gate, before any mutation
       val fs = fsFor(root)
       fs.mkdirs(new Path(root))
       val prev = newestCommit(root).flatMap(_._2.man)

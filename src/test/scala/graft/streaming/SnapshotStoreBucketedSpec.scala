@@ -313,8 +313,7 @@ class SnapshotStoreBucketedSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(e.getMessage.contains(SnapshotStore.AllowNonAtomicRenameKey))
     } finally spark.conf.unset(SnapshotStore.CommitterConfKey)
     // the direct gate keeps refusing object schemes without the legacy
-    // escape hatch ([[IncrementalIvf]] still relies on it for its
-    // rename-dependent delta/ledger layout)
+    // escape hatch (consulted only when the rename committer is forced)
     Seq("s3://b/x", "gs://b/x", "abfss://c@a.dfs.core.windows.net/x",
       "wasb://c@a/x").foreach { root =>
       intercept[IllegalArgumentException](SnapshotStore.requireAtomicRename(root))
@@ -330,13 +329,18 @@ class SnapshotStoreBucketedSpec extends AnyFunSuite with BeforeAndAfterAll {
     SnapshotStore.requireAtomicRename("hdfs://nn:8020/x")
     assert(SnapshotStore.committerFor(
       java.nio.file.Files.createTempDirectory("cfr").toString) == "rename")
-    // and the IVF maintainer shares the direct gate for its delta/ledger
-    // root (its fold machinery genuinely depends on atomic rename)
+    // the IVF maintainer's delta/ledger root is gated on the
+    // conditional-create CAPABILITY (its ledger publish is an exclusive
+    // create on object schemes): an s3a root with no connector — and, on
+    // a real cluster, a classic S3A whose create(overwrite=false) is
+    // HEAD-then-PUT — is refused before any write, naming the conf that
+    // acknowledges a store with unadvertised conditional-create support
     val e2 = intercept[IllegalArgumentException] {
       IncrementalIvf.merge(df(Seq(1L -> "a")), df(Seq(1L -> "a")),
         0L, "s3a://some-bucket/ivf")
     }
-    assert(e2.getMessage.contains("not atomic"))
+    assert(e2.getMessage.contains("exclusive-create"))
+    assert(e2.getMessage.contains(SnapshotStore.AssumeConditionalCreateKey))
   }
 
   test("empty state round-trips: schema survives in the manifest") {

@@ -319,4 +319,44 @@ class SnapshotStoreObjectCommitterSpec extends AnyFunSuite with BeforeAndAfterAl
     assert(state(obj) === state(posix))
     assert(SnapshotStore.lastBatchId(obj) === 3L)
   }
+
+  test("conditional-create capability gate: a FileSystem whose exclusive " +
+      "create is check-then-act (WeakCreateSimFs — the classic-S3A shape) " +
+      "is REFUSED at store open; the acknowledgment conf proceeds; objsim " +
+      "(true If-None-Match arbiter) passes by advertised capability") {
+    spark.sparkContext.hadoopConfiguration
+      .set(ObjStoreSimFs.WeakImplConfKey, ObjStoreSimFs.WeakImplClass)
+    // objsim advertises the capability — the gate passes with no conf
+    SnapshotStore.requireExclusiveCreate(objRoot())
+    val weakRoot = "objweak://" + Files.createTempDirectory("objweak").toString
+    // the committer selection still routes the weak scheme to the object
+    // committer (it IS an object store — rename is worse)...
+    assert(SnapshotStore.committerFor(weakRoot) == "object")
+    // ...but the capability gate refuses the write before any mutation,
+    // naming the requirement and the acknowledgment conf
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.writeNext(df(1L), weakRoot, Some(0L))
+    }
+    assert(e.getMessage.contains("exclusive-create"))
+    assert(e.getMessage.contains("If-None-Match"))
+    assert(e.getMessage.contains(SnapshotStore.AssumeConditionalCreateKey))
+    assert(!rootNames(weakRoot).exists(_.startsWith("c=")), "refusal must precede writes")
+    // the IVF maintainer's ledger publish shares the same gate
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val eIvf = intercept[IllegalArgumentException] {
+      IncrementalIvf.merge(vecs, vecs, 0L, s"$weakRoot/ivf")
+    }
+    assert(eIvf.getMessage.contains(SnapshotStore.AssumeConditionalCreateKey))
+    // the documented acknowledgment: deployment asserts its store DOES
+    // provide conditional create even though the connector does not
+    // advertise it — the write then proceeds and round-trips
+    spark.conf.set(SnapshotStore.AssumeConditionalCreateKey, "true")
+    try {
+      SnapshotStore.writeNext(df(1L), weakRoot, Some(0L))
+      SnapshotStore.writeNext(df(1L, 2L), weakRoot, Some(1L))
+      assert(SnapshotStore.read(spark, weakRoot).get.count() === 2L)
+      assert(SnapshotStore.lastBatchId(weakRoot) === 1L)
+    } finally spark.conf.unset(SnapshotStore.AssumeConditionalCreateKey)
+  }
 }

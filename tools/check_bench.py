@@ -73,19 +73,26 @@ if 'count' not in bench and isinstance(bench.get('tail'), str):
     # carries sbt's "[info] " prefix — recover it from the tail so the
     # same guard covers the local artifact (round-13 "What's wrong" 1)
     parsed = bench.get('parsed')
-    if not isinstance(parsed, dict):
+    if not isinstance(parsed, dict) or parsed.get('metric') != 'total':
+        # recover specifically the TOTAL line (a tail may carry other
+        # metric lines after it, and a malformed candidate must not be
+        # silently swallowed in favor of a later wrong object): take the
+        # last line that parses AND declares metric == total
+        parsed = None
         for line in bench['tail'].splitlines():
             line = line.strip()
             if line.startswith('[info] '):
                 line = line[len('[info] '):]
-            if line.startswith('{"metric"'):
+            if line.startswith('{"metric":"total"'):
                 try:
-                    parsed = json.loads(line)
+                    cand = json.loads(line)
                 except ValueError:
-                    pass
+                    continue
+                if cand.get('metric') == 'total':
+                    parsed = cand
     if not isinstance(parsed, dict):
-        sys.exit(f'REFUSED: {bench_path} has no parsed bench JSON and none '
-                 'recoverable from its tail')
+        sys.exit(f'REFUSED: {bench_path} has no parsed bench JSON and no '
+                 'metric=total line recoverable from its tail')
     bench = parsed
 how = check_fresh(bench_path, bench)
 

@@ -1,0 +1,99 @@
+#!/bin/bash
+# Round-15 evidence regeneration chain — runs sequentially on a quiet box
+# after the final source commit, per the round protocol. Each step logs to
+# /tmp/r15_<step>.log; the script stops at the first failure. pipefail is
+# load-bearing (round-14 ADVICE): the correctness guards and bench
+# extractions are piped through tail/sed, and without it a nonzero exit
+# from check.py / check_cluster.py / grep would be masked by the pipe
+# tail's exit 0 and the chain would run to DONE past a failed gate.
+set -e
+set -o pipefail
+cd /root/repo
+JAR=/root/repo/target/scala-2.13/dolphinbeatspark_2.13-0.1.0.jar
+export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+
+step() { echo "== $(date -u +%H:%M:%S) $1 =="; }
+
+step "verify local"
+rm -rf /tmp/v15f
+SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/v15f" > /tmp/r15_verify.log 2>&1
+python3 tools/check.py /root/testdata/sf0.01 /tmp/v15f 2>&1 | tail -1
+
+step "package"
+sbt -batch package > /tmp/r15_package.log 2>&1
+
+step "cluster verify"
+rm -rf /tmp/v15fc
+SPARK_GRAFT_CPUS=32 SPARK_GRAFT_MASTER='local-cluster[2,16,4096]' SPARK_GRAFT_JARS=$JAR \
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/v15fc" > /tmp/r15_cverify.log 2>&1
+python3 tools/check_cluster.py /root/testdata/sf0.01 /tmp/v15fc CORRECTNESS_cluster.json 'local-cluster[2,16,4096]' 2>&1 | tail -1
+
+step "local bench sf0.1"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" > /tmp/r15_bench.log 2>&1
+grep '"metric":"total"' /tmp/r15_bench.log | sed 's/^\[info\] //' | tail -1
+
+step "cluster bench sf0.01"
+SPARK_GRAFT_CPUS=32 SPARK_GRAFT_MASTER='local-cluster[2,16,4096]' SPARK_GRAFT_JARS=$JAR \
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  SPARK_GRAFT_BENCH_DETAIL=/root/repo/BENCH_cluster_r15_queries.json \
+  SPARK_GRAFT_BENCH_NOTE="$CLUSTER_NOTE" \
+  sbt -batch "runMain graft.Bench" > /tmp/r15_cbench.log 2>&1
+grep '"metric":"total"' /tmp/r15_cbench.log | sed 's/^\[info\] //' | tail -1 > /tmp/r15_cluster_line.json
+python3 - <<'EOF'
+import json
+obj = json.load(open('/tmp/r15_cluster_line.json'))
+json.dump(obj, open('/root/repo/BENCH_cluster_r15.json','w'), indent=1)
+open('/root/repo/BENCH_cluster_r15.json','a').write('\n')
+print('cluster total', obj['value'], obj['count'])
+EOF
+
+step "sf1 checkpoint"
+SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_NOTE="$SF1_NOTE" \
+  sbt -batch "runMain graft.BenchSf1" > /tmp/r15_sf1.log 2>&1
+grep -c '"metric":"sf1_checkpoint"' /tmp/r15_sf1.log
+
+step "ivf nlist sweep at sf1"
+SPARK_GRAFT_SF_DIR=/root/repo/.bench-sf1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.IvfNlistSweep" > /tmp/r15_nlist.log 2>&1
+grep -c '"metric":"ivf_nlist_sweep"' /tmp/r15_nlist.log
+
+step "executor loss drill"
+SPARK_GRAFT_JARS=$JAR sbt -batch "runMain graft.ExecutorLossDrill" > /tmp/r15_dexec.log 2>&1
+tail -c 300 DRILL_executor_loss.json
+
+step "stream state loss drill"
+SPARK_GRAFT_JARS=$JAR sbt -batch "runMain graft.StreamStateLossDrill" > /tmp/r15_dstream.log 2>&1
+tail -c 300 DRILL_stream_state_loss.json
+
+step "ivf fold loss drill"
+SPARK_GRAFT_JARS=$JAR sbt -batch "runMain graft.IvfFoldLossDrill" > /tmp/r15_divf.log 2>&1
+tail -c 300 DRILL_ivf_fold_loss.json
+
+step "driver loss drill (file)"
+SPARK_GRAFT_JARS=$JAR sbt -batch "runMain graft.DriverLossDrill" > /tmp/r15_ddrv.log 2>&1
+tail -c 400 DRILL_driver_loss.json
+
+step "driver loss drill (objsim, ivf included since r15)"
+SPARK_GRAFT_JARS=$JAR SPARK_GRAFT_DRILL_FS=objsim \
+  sbt -batch "runMain graft.DriverLossDrill" > /tmp/r15_ddrvo.log 2>&1
+tail -c 500 DRILL_driver_loss_objsim.json
+
+step "cdc bench"
+sbt -batch "runMain graft.CdcBench" > /tmp/r15_cdc.log 2>&1
+grep '"metric":"cdc_throughput"' /tmp/r15_cdc.log | sed 's/^\[info\] //' | tail -1 | python3 -m json.tool > /dev/null
+grep '"metric":"cdc_throughput"' /tmp/r15_cdc.log | sed 's/^\[info\] //' | tail -1 > BENCH_cdc.json
+
+step "ingest bench"
+sbt -batch "runMain graft.IngestBench" > /tmp/r15_ingest.log 2>&1
+tail -c 200 BENCH_ingest.json
+
+step "media bench"
+sbt -batch "runMain graft.MediaIngestBench" > /tmp/r15_media.log 2>&1
+tail -c 200 BENCH_media.json
+
+step "guards"
+python3 tools/check_bench.py BENCH_cluster_r15.json /tmp/v15f BENCH_cluster_r15_queries.json
+python3 tools/check_bench.py BENCH_cluster_r15.json /tmp/v15f bench_queries.json
+
+step "DONE"
