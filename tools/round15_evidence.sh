@@ -53,8 +53,9 @@ SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_NOTE="$SF1_NOTE" \
   sbt -batch "runMain graft.BenchSf1" > /tmp/r15_sf1.log 2>&1
 grep -c '"metric":"sf1_checkpoint"' /tmp/r15_sf1.log
 
-step "ivf nlist sweep at sf1"
+step "ivf nlist sweep at sf1 (NPROBE axis widened to 16 since r15 - pins the other half of the dial the s06 gate negotiates)"
 SPARK_GRAFT_SF_DIR=/root/repo/.bench-sf1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_NPROBES=1,2,4,8,16 \
   sbt -batch "runMain graft.IvfNlistSweep" > /tmp/r15_nlist.log 2>&1
 grep -c '"metric":"ivf_nlist_sweep"' /tmp/r15_nlist.log
 
