@@ -34,10 +34,12 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 grep '"metric":"total"' /tmp/r15_bench.log | sed 's/^\[info\] //' | tail -1
 
 step "cluster bench sf0.01"
+# set the note env only when non-empty: an empty exported note still
+# appends its "; " separator into the method string
+if [ -n "$CLUSTER_NOTE" ]; then export SPARK_GRAFT_BENCH_NOTE="$CLUSTER_NOTE"; else unset SPARK_GRAFT_BENCH_NOTE; fi
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_MASTER='local-cluster[2,16,4096]' SPARK_GRAFT_JARS=$JAR \
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
   SPARK_GRAFT_BENCH_DETAIL=/root/repo/BENCH_cluster_r15_queries.json \
-  SPARK_GRAFT_BENCH_NOTE="$CLUSTER_NOTE" \
   sbt -batch "runMain graft.Bench" > /tmp/r15_cbench.log 2>&1
 grep '"metric":"total"' /tmp/r15_cbench.log | sed 's/^\[info\] //' | tail -1 > /tmp/r15_cluster_line.json
 python3 - <<'EOF'
@@ -49,8 +51,10 @@ print('cluster total', obj['value'], obj['count'])
 EOF
 
 step "sf1 checkpoint"
-SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_NOTE="$SF1_NOTE" \
+if [ -n "$SF1_NOTE" ]; then export SPARK_GRAFT_BENCH_NOTE="$SF1_NOTE"; else unset SPARK_GRAFT_BENCH_NOTE; fi
+SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.BenchSf1" > /tmp/r15_sf1.log 2>&1
+unset SPARK_GRAFT_BENCH_NOTE
 grep -c '"metric":"sf1_checkpoint"' /tmp/r15_sf1.log
 
 step "ivf nlist sweep at sf1 (NPROBE axis widened to 16 since r15 - pins the other half of the dial the s06 gate negotiates)"
