@@ -1,0 +1,104 @@
+#!/bin/bash
+# Round-16 evidence regeneration chain — runs sequentially on a quiet box
+# after the final source commit, per the round protocol. Each step logs to
+# /tmp/r16_<step>.log; the script stops at the first failure. pipefail is
+# load-bearing (round-14 ADVICE): the correctness guards and bench
+# extractions are piped through tail/sed, and without it a nonzero exit
+# from check.py / check_cluster.py / grep would be masked by the pipe
+# tail's exit 0 and the chain would run to DONE past a failed gate.
+set -e
+set -o pipefail
+cd /root/repo
+JAR=/root/repo/target/scala-2.13/dolphinbeatspark_2.13-0.1.0.jar
+export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+
+step() { echo "== $(date -u +%H:%M:%S) $1 =="; }
+
+step "verify local"
+rm -rf /tmp/v16f
+SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/v16f" > /tmp/r16_verify.log 2>&1
+python3 tools/check.py /root/testdata/sf0.01 /tmp/v16f 2>&1 | tail -1
+
+step "package"
+sbt -batch package > /tmp/r16_package.log 2>&1
+
+step "cluster verify"
+rm -rf /tmp/v16fc
+SPARK_GRAFT_CPUS=32 SPARK_GRAFT_MASTER='local-cluster[2,16,4096]' SPARK_GRAFT_JARS=$JAR \
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/v16fc" > /tmp/r16_cverify.log 2>&1
+python3 tools/check_cluster.py /root/testdata/sf0.01 /tmp/v16fc CORRECTNESS_cluster.json 'local-cluster[2,16,4096]' 2>&1 | tail -1
+
+step "local bench sf0.1"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" > /tmp/r16_bench.log 2>&1
+grep '"metric":"total"' /tmp/r16_bench.log | sed 's/^\[info\] //' | tail -1
+
+step "cluster bench sf0.01"
+# set the note env only when non-empty: an empty exported note still
+# appends its "; " separator into the method string
+if [ -n "$CLUSTER_NOTE" ]; then export SPARK_GRAFT_BENCH_NOTE="$CLUSTER_NOTE"; else unset SPARK_GRAFT_BENCH_NOTE; fi
+SPARK_GRAFT_CPUS=32 SPARK_GRAFT_MASTER='local-cluster[2,16,4096]' SPARK_GRAFT_JARS=$JAR \
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  SPARK_GRAFT_BENCH_DETAIL=/root/repo/BENCH_cluster_r16_queries.json \
+  sbt -batch "runMain graft.Bench" > /tmp/r16_cbench.log 2>&1
+grep '"metric":"total"' /tmp/r16_cbench.log | sed 's/^\[info\] //' | tail -1 > /tmp/r16_cluster_line.json
+python3 - <<'EOF'
+import json
+obj = json.load(open('/tmp/r16_cluster_line.json'))
+json.dump(obj, open('/root/repo/BENCH_cluster_r16.json','w'), indent=1)
+open('/root/repo/BENCH_cluster_r16.json','a').write('\n')
+print('cluster total', obj['value'], obj['count'])
+EOF
+
+step "sf1 checkpoint"
+if [ -n "$SF1_NOTE" ]; then export SPARK_GRAFT_BENCH_NOTE="$SF1_NOTE"; else unset SPARK_GRAFT_BENCH_NOTE; fi
+SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.BenchSf1" > /tmp/r16_sf1.log 2>&1
+unset SPARK_GRAFT_BENCH_NOTE
+grep -c '"metric":"sf1_checkpoint"' /tmp/r16_sf1.log
+
+step "ivf nlist sweep at sf1 (NPROBE axis widened to 16 since r15 - pins the other half of the dial the s06 gate negotiates)"
+SPARK_GRAFT_SF_DIR=/root/repo/.bench-sf1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_NPROBES=1,2,4,8,16 \
+  sbt -batch "runMain graft.IvfNlistSweep" > /tmp/r16_nlist.log 2>&1
+grep -c '"metric":"ivf_nlist_sweep"' /tmp/r16_nlist.log
+
+step "executor loss drill"
+SPARK_GRAFT_JARS=$JAR sbt -batch "runMain graft.ExecutorLossDrill" > /tmp/r16_dexec.log 2>&1
+tail -c 300 DRILL_executor_loss.json
+
+step "stream state loss drill"
+SPARK_GRAFT_JARS=$JAR sbt -batch "runMain graft.StreamStateLossDrill" > /tmp/r16_dstream.log 2>&1
+tail -c 300 DRILL_stream_state_loss.json
+
+step "ivf fold loss drill"
+SPARK_GRAFT_JARS=$JAR sbt -batch "runMain graft.IvfFoldLossDrill" > /tmp/r16_divf.log 2>&1
+tail -c 300 DRILL_ivf_fold_loss.json
+
+step "driver loss drill (file)"
+SPARK_GRAFT_JARS=$JAR sbt -batch "runMain graft.DriverLossDrill" > /tmp/r16_ddrv.log 2>&1
+tail -c 400 DRILL_driver_loss.json
+
+step "driver loss drill (objsim, ivf included since r15)"
+SPARK_GRAFT_JARS=$JAR SPARK_GRAFT_DRILL_FS=objsim \
+  sbt -batch "runMain graft.DriverLossDrill" > /tmp/r16_ddrvo.log 2>&1
+tail -c 500 DRILL_driver_loss_objsim.json
+
+step "cdc bench"
+sbt -batch "runMain graft.CdcBench" > /tmp/r16_cdc.log 2>&1
+grep '"metric":"cdc_throughput"' /tmp/r16_cdc.log | sed 's/^\[info\] //' | tail -1 | python3 -m json.tool > /dev/null
+grep '"metric":"cdc_throughput"' /tmp/r16_cdc.log | sed 's/^\[info\] //' | tail -1 > BENCH_cdc.json
+
+step "ingest bench"
+sbt -batch "runMain graft.IngestBench" > /tmp/r16_ingest.log 2>&1
+tail -c 200 BENCH_ingest.json
+
+step "media bench"
+sbt -batch "runMain graft.MediaIngestBench" > /tmp/r16_media.log 2>&1
+tail -c 200 BENCH_media.json
+
+step "guards"
+python3 tools/check_bench.py BENCH_cluster_r16.json /tmp/v16f BENCH_cluster_r16_queries.json
+python3 tools/check_bench.py BENCH_cluster_r16.json /tmp/v16f bench_queries.json
+
+step "DONE"
