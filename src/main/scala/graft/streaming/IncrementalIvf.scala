@@ -55,8 +55,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * versions. A crash before the publish leaves the originals live and a
   * garbage fold dir to sweep; a crash after it leaves dead originals the
   * next merge sweeps — in both halves readers resolve a consistent,
-  * never-double-counted index from the ledger alone, with no recovery
-  * step. The `_SUCCESS` clause makes a torn raw delta (writer crashed
+  * never-double-counted index with no recovery step. Reads RACING a live
+  * maintainer are made consistent by [[livePaths]]' seq-stable read (the
+  * ledger seq is re-checked after the listing/probes and the read retries
+  * if a publish interleaved — see its doc for the window it closes). The `_SUCCESS` clause makes a torn raw delta (writer crashed
   * mid-parquet-job) invisible to readers too — its replay repairs the dir
   * with `mode(overwrite)` before the cell counts ever include it.
   *
@@ -232,10 +234,34 @@ object IncrementalIvf {
     spark.read.parquet(foldSet.map(n => s"$stateRoot/assign/$n"): _*)
       .select(col("cid"), col("cent_id"))
       .write.mode("overwrite").parquet(s"$stateRoot/assign/$newDir")
-    publishState(fs, stateRoot,
+    publishFold(fs, stateRoot,
       FoldState(math.max(prev.through, newThrough),
-        (prev.folds.filterNot(foldSet.contains) :+ newDir).sorted), seq)
+        (prev.folds.filterNot(foldSet.contains) :+ newDir).sorted), seq, newDir)
     sweepGarbage(fs, stateRoot)
+  }
+
+  /** The guarded commit step of a fold: re-verify the fold dir this writer
+    * just wrote still exists, then publish the ledger version that makes
+    * it live. The existence re-check closes (to a hairline) the one
+    * interleaving a single-writer-contract violation could slip through
+    * SILENTLY: a second maintainer's merge-start [[sweepGarbage]] deletes
+    * any UNLISTED fold dir, so it can remove this writer's
+    * written-but-unpublished fold — and this writer's exclusive ledger
+    * publish would still WIN (no seq conflict: the sweeper published
+    * nothing), committing a ledger that lists a missing dir while the
+    * replaced originals get swept. That is silent data loss where the
+    * contract promises a loud failure; checking immediately before the
+    * publish turns the interleaving into
+    * [[SnapshotStore.ConcurrentWriterException]] with the previous ledger
+    * state untouched (a racer must now land its sweep inside the
+    * check→publish gap — the IvfLedgerRaceSpec pins both shapes). */
+  private[streaming] def publishFold(fs: FileSystem, stateRoot: String,
+      st: FoldState, seq: Long, newDir: String): Unit = {
+    if (!fs.exists(new Path(assignDir(stateRoot), newDir)))
+      throw new SnapshotStore.ConcurrentWriterException(
+        s"fold dir $newDir vanished before its ledger publish — a concurrent " +
+          "maintainer's sweep deleted it (two writers on one IVF state root)")
+    publishState(fs, stateRoot, st, seq)
   }
 
   /** Maintainer-side garbage sweep, idempotent and safe at any time AFTER
@@ -247,7 +273,7 @@ object IncrementalIvf {
     * Never touches `_fold_v` staging (that is [[recoverLegacyFold]]'s
     * job — an unpublished staging dir may be a live legacy maintainer's
     * in-flight fold). */
-  private def sweepGarbage(fs: FileSystem, stateRoot: String): Unit = {
+  private[streaming] def sweepGarbage(fs: FileSystem, stateRoot: String): Unit = {
     val d = assignDir(stateRoot)
     if (!fs.exists(d)) return
     val ledgers = ledgerFiles(fs, stateRoot)
@@ -327,18 +353,58 @@ object IncrementalIvf {
 
   // --------------------------------------------------------- live-set read
 
-  /** The current live directory set, resolved from the ledger alone:
-    * ledger-listed fold dirs plus raw deltas above the watermark whose
-    * parquet job committed (`_SUCCESS`) — a torn raw dir is invisible
-    * until its replay repairs it, and an unlisted fold dir is garbage by
-    * definition. */
+  /** The current live directory set: ledger-listed fold dirs (taken from
+    * the ledger BY NAME — they exist before their ledger version is ever
+    * visible) plus raw deltas above the watermark whose parquet job
+    * committed (`_SUCCESS`) — a torn raw dir is invisible until its
+    * replay repairs it, and an unlisted fold dir is garbage by definition.
+    *
+    * == Concurrent-read consistency (seq-stable read) ==
+    *
+    * A read-only consumer may race a live maintainer (explicitly
+    * supported), and this resolution spans several metadata calls: a fold
+    * publish + sweep landing BETWEEN them could hand back a shrunken set
+    * — e.g. ledger read first, then a fold publishes and sweeps its raw
+    * dirs, then the listing/`_SUCCESS` probes run: the folded raws are
+    * gone and the stale fold list does not name their fold dir. The
+    * guard: the ledger seq is read before AND re-read after the
+    * listing+probes — an UNCHANGED seq proves no publish interleaved, and
+    * without a publish no sweep can have touched anything this read
+    * references (a merge-start sweep only deletes dirs already dead under
+    * the seq both reads saw: raws at/below the watermark and unlisted
+    * fold dirs, none of which this read returns). A changed seq (or a
+    * dir swept mid-read) retries the whole read; folds are rare (once
+    * per ~maxDirs/2 batches) so a second pass is already unlikely, and a
+    * pathological always-advancing ledger fails loudly rather than
+    * looping.
+    *
+    * Remaining caveat (inherent to snapshot-less directory reads): the
+    * returned paths are consumed LAZILY by Spark — a frame held
+    * unmaterialized across later fold cycles can still race the sweep of
+    * a superseded dir. Materialize promptly. */
   private[streaming] def livePaths(fs: FileSystem, stateRoot: String): Seq[String] = {
-    val st = foldState(fs, stateRoot)
-    val names = dirNames(fs, stateRoot)
-    val raws = names
-      .filter(n => rawId(n).exists(_ > st.through))
-      .filter(n => fs.exists(new Path(assignDir(stateRoot), s"$n/_SUCCESS")))
-    (st.folds ++ raws).distinct.sorted.map(n => s"$stateRoot/assign/$n")
+    var attempt = 0
+    while (attempt < 8) {
+      try {
+        val seq0 = ledgerFiles(fs, stateRoot).lastOption.map(_._1).getOrElse(-1L)
+        val st = foldState(fs, stateRoot)
+        val names = dirNames(fs, stateRoot)
+        val raws = names
+          .filter(n => rawId(n).exists(_ > st.through))
+          .filter(n => fs.exists(new Path(assignDir(stateRoot), s"$n/_SUCCESS")))
+        val seq1 = ledgerFiles(fs, stateRoot).lastOption.map(_._1).getOrElse(-1L)
+        if (seq1 == seq0)
+          return (st.folds ++ raws).distinct.sorted.map(n => s"$stateRoot/assign/$n")
+      } catch {
+        // a superseded ledger version swept between our listing and read:
+        // a publish interleaved — same signal as an advanced seq, retry
+        case _: java.io.FileNotFoundException => ()
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"IVF fold ledger at $stateRoot advanced concurrently through $attempt " +
+        "consecutive live-set reads — cannot resolve a consistent index")
   }
 
   /** Two-tier compaction, so per-batch fold IO stays amortized-bounded
@@ -457,8 +523,9 @@ object IncrementalIvf {
 
   /** The full maintained assignment index: union of the live fold and
     * delta dirs — empty (same schema) before the first batch lands, like
-    * [[balanceView]]. Resolves the live set from the ledger alone (no
-    * recovery step on the current layout); the one legacy exception is a
+    * [[balanceView]]. Resolves the live set via [[livePaths]]' seq-stable
+    * read (consistent under a racing maintainer, no recovery step on the
+    * current layout); the one legacy exception is a
     * published-but-unfinalized `_fold_v` staging from the pre-object-store
     * protocol, completed here so a migrated store never reads shrunken. */
   def assignments(spark: SparkSession, stateRoot: String): DataFrame = {

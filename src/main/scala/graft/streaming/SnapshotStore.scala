@@ -202,7 +202,11 @@ private[graft] object SnapshotStore {
     * HEAD pre-check — check-then-act, which NARROWS but does not close the
     * two-writer window — so object schemes must either advertise a
     * conditional-create path capability ([[ConditionalCreateCapability]])
-    * or be explicitly acknowledged via [[AssumeConditionalCreateKey]]. */
+    * or be explicitly acknowledged via [[AssumeConditionalCreateKey]].
+    * [[SchemesWithAtomicCreate]] passes because both commit paths are
+    * SCHEME-MATCHED: on posix/HDFS they publish via
+    * [[publishSmallExclusive]] (tmp + exclusive rename — the arbiter AND
+    * the torn-proof form there), never via a bare create-at-final-name. */
   def requireExclusiveCreate(root: String): Unit = {
     val scheme = schemeOf(root)
     if (SchemesWithAtomicCreate(scheme)) return
@@ -526,6 +530,10 @@ private[graft] object SnapshotStore {
   def livePaths(root: String): Seq[String] =
     ObjMode.newestCommit(root) match {
       case Some((_, c)) => ObjMode.livePaths(root, c, None)
+      // object layout with no PARSEABLE commit (every commit file torn —
+      // only a crashed pre-scheme-matched writer could leave this): an
+      // empty store, not a fall-through to the version-dir read
+      case None if ObjMode.commitFiles(root).nonEmpty => Seq.empty
       case None =>
         versions(root).lastOption.toSeq.flatMap { v =>
           manifestAt(root, v) match {
@@ -579,6 +587,8 @@ private[graft] object SnapshotStore {
     ObjMode.newestCommit(root).foreach { case (_, c) =>
       return Some(ObjMode.readCommit(spark, root, c, only))
     }
+    // object layout, nothing parseable: empty store (see livePaths)
+    if (ObjMode.commitFiles(root).nonEmpty) return None
     versions(root).lastOption.map { v =>
       manifestAt(root, v) match {
         case Some(m) =>
@@ -602,6 +612,7 @@ private[graft] object SnapshotStore {
     * replayed batches re-merge, the safe direction for idempotent merges). */
   def lastBatchId(root: String): Long = {
     ObjMode.newestCommit(root).foreach { case (_, c) => return c.batchId }
+    if (ObjMode.commitFiles(root).nonEmpty) return -1L // all commits torn
     val fs = fsFor(root)
     versions(root).lastOption.map { v =>
       val f = new Path(root, s"v=$v/_COMMIT")
@@ -843,9 +854,12 @@ private[graft] object SnapshotStore {
     * commit object references is invisible garbage, so the job's internal
     * task-commit renames are correctness-irrelevant even when torn), and
     * the SINGLE commit point is a small `c=<N>` commit OBJECT at the root,
-    * published by ONE conditional PUT ([[createExclusive]] — If-None-Match
-    * on S3-class stores, namenode create on HDFS, a hard-link arbiter on
-    * [[ObjStoreSimFs]]). The commit object carries the batch id AND the
+    * published by ONE exclusive publish — a conditional PUT on object
+    * schemes ([[createExclusive]] — If-None-Match on S3-class stores, a
+    * hard-link arbiter on [[ObjStoreSimFs]]), tmp + atomic exclusive
+    * rename ([[publishSmallExclusive]]) when the committer is forced onto
+    * a posix/HDFS root, where a create is not atomic-at-close (see
+    * [[publishCommit]]). The commit object carries the batch id AND the
     * full data location map (the flat data dir, or the bucketed manifest
     * with every bucket's hosting dir recorded BY NAME), so readers resolve
     * a snapshot from one object read with no transitive lookups: either
@@ -888,7 +902,10 @@ private[graft] object SnapshotStore {
     final case class ObjCommit(batchId: Long, flatDir: Option[String],
         man: Option[ObjManifest])
 
-    /** Data dirs no kept (top-2) commit object references — see
+    /** Artifacts a clean final write should have swept — data dirs no kept
+      * (top-2 parseable) commit object references, torn commit files (name
+      * parses, content does not), and stray `c=<N>.tmp` publish leftovers
+      * from a posix-root mid-publish crash. See
       * [[SnapshotStore.orphanArtifacts]]. */
     def orphanDataDirs(root: String): Seq[String] = {
       val fs = fsFor(root)
@@ -896,13 +913,20 @@ private[graft] object SnapshotStore {
       if (!fs.exists(d)) return Seq.empty
       val commits = commitFiles(root)
       if (commits.isEmpty) return Seq.empty // not an object-layout root
-      val live: Set[String] = commits.takeRight(2).flatMap { case (_, p) =>
-        val c = parse(readSmall(fs, p))
+      val parsed = commits.flatMap { case (v, p) =>
+        parseCommit(fs, p).map(c => (v, p.getName, c))
+      }
+      val live: Set[String] = parsed.takeRight(2).flatMap { case (_, _, c) =>
         c.flatDir.toSeq ++ c.man.toSeq.flatMap(_.buckets.values)
       }.toSet
-      fs.listStatus(d).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(DataPrefix))
-        .map(_.getPath.getName).filterNot(live)
+      val parseableNames = parsed.map(_._2).toSet
+      val entries = fs.listStatus(d).toSeq
+      entries.filter(st => st.isDirectory && st.getPath.getName.startsWith(DataPrefix))
+        .map(_.getPath.getName).filterNot(live) ++
+        commits.map(_._2.getName).filterNot(parseableNames) ++
+        entries.filter(st => st.isFile &&
+          st.getPath.getName.matches(s"$CommitPrefix\\d+\\.tmp"))
+          .map(_.getPath.getName)
     }
 
     def commitFiles(root: String): Seq[(Long, Path)] = {
@@ -918,10 +942,27 @@ private[graft] object SnapshotStore {
         .sortBy(_._1)
     }
 
-    def newestCommit(root: String): Option[(Long, ObjCommit)] =
-      commitFiles(root).lastOption.map { case (v, p) =>
-        v -> parse(readSmall(fsFor(root), p))
-      }
+    /** The newest PARSEABLE commit object. A malformed commit file — a
+      * torn `c=<N>` left at its final name by a pre-scheme-matched-publish
+      * writer crashing mid-write on a posix root, or a foreign file that
+      * happens to match the name pattern — is SKIPPED, not thrown on:
+      * readers fall back to the newest genuinely-committed snapshot
+      * (exactly the crash contract: the torn object's version never
+      * became visible). The skip is safe for writers too, because the
+      * monotonic pre-check in [[publishCommit]] and the next-version
+      * computation are NAME-based and still count the malformed file, so
+      * a version number is never reused while the torn file exists;
+      * [[retainObj]] sweeps it on the next successful write. */
+    def newestCommit(root: String): Option[(Long, ObjCommit)] = {
+      val fs = fsFor(root)
+      commitFiles(root).reverseIterator
+        .flatMap { case (v, p) => parseCommit(fs, p).map(v -> _) }
+        .nextOption()
+    }
+
+    /** [[parse]] that tolerates torn/foreign commit files (None). */
+    private def parseCommit(fs: FileSystem, p: Path): Option[ObjCommit] =
+      scala.util.Try(parse(readSmall(fs, p))).toOption
 
     /** Line format: batchId, layout tag, then either the flat data dir or
       * `num / keyCols-csv / schema-json / "b dir"…` (schema json is
@@ -982,8 +1023,24 @@ private[graft] object SnapshotStore {
         case None => spark.read.parquet(s"$root/${c.flatDir.get}")
       }
 
-    /** The commit point: monotonic pre-check, ONE conditional PUT of the
-      * commit object, TOCTOU re-check (mirror of [[commit]]). */
+    /** The commit point: monotonic pre-check, ONE exclusive publish of the
+      * commit object, TOCTOU re-check (mirror of [[commit]]).
+      *
+      * The publish primitive is SCHEME-MATCHED to whichever operation is
+      * atomic on the root's filesystem — the same selection
+      * [[IncrementalIvf]]'s fold-ledger publish makes, and for the same
+      * reason: on object schemes [[createExclusive]] is one conditional
+      * PUT (all-or-nothing — a killed writer leaves NOTHING at the name,
+      * If-None-Match is the arbiter), but the object committer can also
+      * be FORCED onto a posix root ([[committerFor]]'s conf override),
+      * where `create(dst, overwrite=false)` is NOT atomic-at-close — a
+      * SIGKILL between create and close would strand a torn `c=<N>` at
+      * its final name. There the torn-proof form is
+      * [[publishSmallExclusive]] (tmp + atomic exclusive rename; a
+      * mid-write kill leaves only a stray `.tmp`, swept by retention).
+      * Readers additionally skip malformed commit files
+      * ([[newestCommit]]) so even a legacy torn object cannot strand the
+      * store unreadable. */
     private[streaming] def publishCommit(fs: FileSystem, root: String, version: Long,
         c: ObjCommit): Unit = {
       commitFiles(root).lastOption.map(_._1).filter(_ >= version).foreach { n =>
@@ -992,7 +1049,8 @@ private[graft] object SnapshotStore {
             s"commit v=$version behind it")
       }
       val dst = new Path(root, s"$CommitPrefix$version")
-      createExclusive(fs, dst, serialize(c))
+      if (isObjectScheme(root)) createExclusive(fs, dst, serialize(c))
+      else publishSmallExclusive(fs, dst, serialize(c))
       commitFiles(root).lastOption.map(_._1).filter(_ > version).foreach { n =>
         fs.delete(dst, false)
         throw new ConcurrentWriterException(
@@ -1055,20 +1113,31 @@ private[graft] object SnapshotStore {
       retainObj(root)
     }
 
-    /** Retention: keep the two newest commit objects + every data dir
-      * either references; everything else — older commit objects,
-      * superseded data dirs, dead writers' orphan dirs (a crashed or
-      * racing writer's parquet output that no commit ever adopted) — is
-      * deleted, bucket subdirs pruned inside surviving dirs. All deletes
-      * go through [[deleteUnder]]. */
+    /** Retention: keep the two newest PARSEABLE commit objects + every
+      * data dir either references; everything else — older commit objects,
+      * malformed/torn commit files (a pre-scheme-matched-publish crash's
+      * leftover: the current publish cannot tear — conditional PUT on
+      * object schemes, tmp+exclusive-rename on posix), stray `c=<N>.tmp`
+      * publish tmps, superseded data dirs, dead writers' orphan dirs (a
+      * crashed or racing writer's parquet output that no commit ever
+      * adopted) — is deleted, bucket subdirs pruned inside surviving dirs.
+      * All dir deletes go through [[deleteUnder]]. Called only right after
+      * a successful [[publishCommit]], so at least one parseable commit
+      * always survives. */
     private def retainObj(root: String): Unit = {
       val fs = fsFor(root)
       val rootPath = new Path(root)
       val commits = commitFiles(root)
-      val kept = commits.takeRight(2).map { case (v, p) =>
-        v -> parse(readSmall(fs, p))
-      }
-      commits.dropRight(2).foreach { case (_, p) => fs.delete(p, false) }
+      val kept = commits.flatMap { case (v, p) =>
+        parseCommit(fs, p).map(c => (v, p, c))
+      }.takeRight(2).map { case (v, _, c) => v -> c }
+      val keptVersions = kept.map(_._1).toSet
+      commits.filterNot { case (v, _) => keptVersions(v) }
+        .foreach { case (_, p) => fs.delete(p, false) }
+      fs.listStatus(rootPath).toSeq
+        .filter(st => st.isFile &&
+          st.getPath.getName.matches(s"$CommitPrefix\\d+\\.tmp"))
+        .foreach(st => fs.delete(st.getPath, false))
       val liveDirs: Set[String] = kept.flatMap { case (_, c) =>
         c.flatDir.toSeq ++ c.man.toSeq.flatMap(_.buckets.values)
       }.toSet

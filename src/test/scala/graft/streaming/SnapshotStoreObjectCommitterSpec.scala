@@ -320,6 +320,141 @@ class SnapshotStoreObjectCommitterSpec extends AnyFunSuite with BeforeAndAfterAl
     assert(SnapshotStore.lastBatchId(obj) === 3L)
   }
 
+  test("FORCED-POSIX object root: a torn c=<N> at its final name (the " +
+      "legacy pre-scheme-matched-publish crash shape) is skipped by " +
+      "readers, flagged as an orphan, and swept by the next clean write") {
+    import java.nio.file.Paths
+    val root = Files.createTempDirectory("torncommit").toString
+    spark.conf.set(SnapshotStore.CommitterConfKey, "object")
+    try {
+      SnapshotStore.writeNext(df(1L), root, Some(0L)) // c=1
+      SnapshotStore.writeNext(df(1L, 2L), root, Some(1L)) // c=2
+      // the shape a SIGKILL between create and close used to leave when the
+      // commit object was published by bare create-at-final-name: empty
+      Files.write(Paths.get(root, "c=3"), Array.emptyByteArray)
+      assert(SnapshotStore.read(spark, root).get.count() === 2L,
+        "a torn commit object must not strand the store unreadable")
+      assert(SnapshotStore.lastBatchId(root) === 1L)
+      assert(SnapshotStore.orphanArtifacts(root).contains("c=3"))
+      // killed mid-write (partial content) is equally skipped
+      Files.write(Paths.get(root, "c=3"), "2\nfl".getBytes)
+      assert(SnapshotStore.read(spark, root).get.count() === 2L)
+      assert(SnapshotStore.lastBatchId(root) === 1L)
+      // a clean write commits PAST the torn name (name-monotonic, so the
+      // version number is never reused while the torn file exists) and its
+      // retention sweeps the torn file
+      SnapshotStore.writeNext(df(1L, 2L, 3L), root, Some(2L)) // c=4
+      assert(SnapshotStore.read(spark, root).get.count() === 3L)
+      assert(SnapshotStore.lastBatchId(root) === 2L)
+      assert(!rootNames(root).contains("c=3"),
+        "retention must sweep the torn commit file")
+      assert(SnapshotStore.orphanArtifacts(root).isEmpty)
+    } finally spark.conf.unset(SnapshotStore.CommitterConfKey)
+  }
+
+  test("FORCED-POSIX object root, fault-injected kill between the commit " +
+      "object's create and close: the publish is scheme-matched " +
+      "(tmp + exclusive rename), so the final c=<N> name is NEVER touched " +
+      "— readers resolve the previous commit and the retry recovers") {
+    spark.sparkContext.hadoopConfiguration
+      .set(FaultyCommitLocalFs.ImplConfKey, FaultyCommitLocalFs.ImplClass)
+    spark.sparkContext.hadoopConfiguration
+      .set(FaultyCommitLocalFs.AbstractImplConfKey,
+        FaultyCommitLocalFs.AbstractImplClass)
+    val local = Files.createTempDirectory("faultposix").toString
+    val root = s"${FaultyCommitLocalFs.Scheme}://$local"
+    spark.conf.set(SnapshotStore.CommitterConfKey, "object")
+    // the scheme is neither posix-whitelisted nor capability-advertising,
+    // so the exclusive-create gate needs the acknowledgment conf — the
+    // commit publish itself then routes through the POSIX (tmp+rename)
+    // primitive because the scheme is not an object scheme
+    spark.conf.set(SnapshotStore.AssumeConditionalCreateKey, "true")
+    try {
+      SnapshotStore.writeNext(df(1L), root, Some(0L)) // c=1
+      SnapshotStore.writeNext(df(1L, 2L), root, Some(1L)) // c=2
+      assert(SnapshotStore.read(spark, root).get.count() === 2L)
+      FaultyCommitLocalFs.armed.set(true)
+      try {
+        val e = intercept[java.io.IOException] {
+          SnapshotStore.writeNext(df(1L, 2L, 3L), root, Some(2L))
+        }
+        assert(e.getMessage.contains("injected kill"))
+      } finally FaultyCommitLocalFs.armed.set(false)
+      val names = rootNames(root)
+      // THE fix under test: pre-fix, publishCommit created c=3 at its final
+      // name and died mid-write — a torn commit object. Now the only
+      // artifact a kill in that window can leave is the tmp sibling.
+      assert(!names.contains("c=3"),
+        s"final commit name was created before its content was durable: $names")
+      assert(names.contains("c=3.tmp"))
+      assert(SnapshotStore.read(spark, root).get.count() === 2L,
+        "readers must resolve the previous commit")
+      assert(SnapshotStore.lastBatchId(root) === 1L)
+      assert(SnapshotStore.orphanArtifacts(root).contains("c=3.tmp"))
+      // the re-run merge (same batch) publishes cleanly over the stray tmp
+      SnapshotStore.writeNext(df(1L, 2L, 3L), root, Some(2L)) // c=3
+      assert(SnapshotStore.read(spark, root).get.count() === 3L)
+      assert(SnapshotStore.lastBatchId(root) === 2L)
+      assert(!rootNames(root).exists(_.endsWith(".tmp")),
+        "the stray publish tmp must be gone after a clean publish")
+      assert(SnapshotStore.orphanArtifacts(root).isEmpty)
+    } finally {
+      spark.conf.unset(SnapshotStore.CommitterConfKey)
+      spark.conf.unset(SnapshotStore.AssumeConditionalCreateKey)
+    }
+  }
+
+  test("PINNED FAILURE SHAPE of the acknowledged weak create: on the " +
+      "check-then-act FileSystem two racing commit publishes BOTH succeed " +
+      "(silent lost update — the window assumeConditionalCreate waives); " +
+      "the true arbiter turns the same interleaving into a LOUD loss") {
+    spark.sparkContext.hadoopConfiguration
+      .set(ObjStoreSimFs.WeakImplConfKey, ObjStoreSimFs.WeakImplClass)
+    def contentOf(fsRoot: String, name: String): String = {
+      val f = fs(fsRoot)
+      val p = new Path(fsRoot, name)
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8")
+    }
+    val aBytes = "0\nflat\nd=1.a".getBytes("UTF-8")
+    val bBytes = "1\nflat\nd=1.b".getBytes("UTF-8")
+    // strong arbiter (objsim, the If-None-Match model): writers A and B
+    // both pass the exists() pre-check (B opened its PUT first), A's PUT
+    // completes, B's close — the arbiter — fails loudly; A's commit object
+    // survives byte-for-byte. This is publishCommit's primitive on object
+    // schemes ([[SnapshotStore.createExclusive]]).
+    val sRoot = objRoot()
+    val fsS = fs(sRoot)
+    fsS.mkdirs(new Path(sRoot))
+    val sB = fsS.create(new Path(sRoot, "c=1"), false)
+    sB.write(bBytes)
+    val sA = fsS.create(new Path(sRoot, "c=1"), false)
+    sA.write(aBytes)
+    sA.close()
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] { sB.close() }
+    assert(contentOf(sRoot, "c=1") === new String(aBytes, "UTF-8"),
+      "the arbiter must preserve the first committed object")
+    // weak create (classic-S3A shape, admitted only via the conf): the SAME
+    // interleaving has no arbiter — both closes succeed and B's PUT
+    // silently replaces A's already-committed object. Writer A believes its
+    // batch committed; its commit is gone. This spec makes the waiver's
+    // cost concrete: the conf does not narrow this window, it accepts it.
+    val wRoot = "objweak://" + Files.createTempDirectory("objweak-race")
+    val fsW = fs(wRoot)
+    fsW.mkdirs(new Path(wRoot))
+    val wB = fsW.create(new Path(wRoot, "c=1"), false)
+    wB.write(bBytes)
+    val wA = fsW.create(new Path(wRoot, "c=1"), false)
+    wA.write(aBytes)
+    wA.close() // "committed", as far as writer A can tell
+    wB.close() // no arbiter: silently replaces A
+    assert(contentOf(wRoot, "c=1") === new String(bBytes, "UTF-8"),
+      "documented lost-update shape: the later PUT wins with no error")
+  }
+
   test("conditional-create capability gate: a FileSystem whose exclusive " +
       "create is check-then-act (WeakCreateSimFs — the classic-S3A shape) " +
       "is REFUSED at store open; the acknowledgment conf proceeds; objsim " +
