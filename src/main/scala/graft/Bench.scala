@@ -46,7 +46,12 @@ object Bench {
     * series (`BENCH_cluster_r<N>_queries.json`): the highest round below
     * this one, discovered from the detail file's own directory —
     * env-independent, so a bare driver re-run still gets the
-    * machine-derived comparison. SPARK_GRAFT_BENCH_PREV overrides. */
+    * machine-derived comparison. SPARK_GRAFT_BENCH_PREV overrides — and is
+    * the only route for the LOCAL series (`bench_queries.json` is
+    * overwritten in place each round, so there are no round-stamped
+    * siblings to discover): the evidence script exports it from the
+    * previous round's COMMITTED copy via `git show` (r15 "What's wrong"
+    * 2 — both series now carry the machine-derived clause). */
   private def autoPrevDetail(detailPath: String): Option[java.io.File] =
     sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_)).orElse {
       val M = "BENCH_cluster_r(\\d+)_queries\\.json".r
@@ -65,23 +70,42 @@ object Bench {
   /** Cross-round comparison sentence computed from THIS run's medians and
     * the previous detail file — round-14 "What's wrong" 1: a quantified
     * "no query above X" claim must be derived from the artifact it ships
-    * with, at write time, not hand-written from an earlier session. */
+    * with, at write time, not hand-written from an earlier session.
+    * Parsed with a real JSON parser (Jackson, on Spark's classpath) — the
+    * old string-splitting parse silently returned "" on any format drift
+    * (nested objects, indented output), recreating the round-14
+    * silently-missing-note failure mode this code exists to prevent; now
+    * a previous file that exists but yields no comparison WARNS loudly. */
   private def vsPrevNote(results: collection.Map[String, Double]): (String) => String =
-    prevPath => try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(prevPath)), "UTF-8")
-      val qBlock = txt.split("\"queries\":\\{", 2)(1).split("\\}", 2)(0)
-      val prev = qBlock.split(",").flatMap { kv =>
-        val parts = kv.split(":", 2)
-        scala.util.Try(
-          parts(0).trim.stripPrefix("\"").stripSuffix("\"") -> parts(1).toDouble
-        ).toOption
-      }.toMap
+    prevPath => {
+      val prev: Map[String, Double] =
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new java.io.File(prevPath))
+          val q = if (node == null) null else node.get("queries")
+          if (q == null || !q.isObject) Map.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            q.fields().asScala
+              .filter(_.getValue.isNumber)
+              .map(e => e.getKey -> e.getValue.asDouble())
+              .filter { case (_, v) => v > 0 }.toMap
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] WARN: failed to parse previous detail $prevPath: $e")
+            Map.empty
+        }
       val ratios = results.toSeq.flatMap { case (n, v) =>
-        prev.get(n).filter(_ > 0).map(p => (n, v / p, p, v))
+        prev.get(n).map(p => (n, v / p, p, v))
       }
-      if (ratios.isEmpty) ""
-      else {
+      if (ratios.isEmpty) {
+        System.err.println(s"[bench] WARN: previous detail $prevPath exists " +
+          "but yielded no comparable queries — the auto-vs-prev clause is " +
+          "OMITTED from the method note")
+        ""
+      } else {
         val (wn, wr, wp, wv) = ratios.maxBy(_._2)
         val above = ratios.filter(_._2 > 1.25).sortBy(-_._2)
         val aboveTxt =
@@ -98,7 +122,7 @@ object Bench {
           f"$tThis%.1fs vs $tPrev%.1fs (${tThis / tPrev}%.2fx), max per-query " +
           f"ratio $wr%.2fx ($wn $wp%.3f->$wv%.3fs), $aboveTxt"
       }
-    } catch { case _: Throwable => "" }
+    }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -178,7 +178,17 @@ object CdcBench {
     spark.stop()
 
     def arr(a: Array[Long]): String = a.mkString("[", ",", "]")
+    // machine-derived trend clause (r15 "What's wrong" 4) — computed against
+    // the previous round's committed BENCH_cdc.json before the evidence
+    // script overwrites it with this line
+    val vsPrev = BenchPrev.note("BENCH_cdc.json", Seq(
+      "encode_ops_per_sec" -> n / encSec,
+      "pipeline_ops_per_sec" -> filePipe.toDouble,
+      "pipeline_topicsim_ops_per_sec" -> simPipe.toDouble,
+      "pipeline_kafka_ops_per_sec" -> kafkaPipe.toDouble,
+      "pipeline_kafka2_ops_per_sec" -> kafka2Pipe.toDouble))
     println(s"""{"metric":"cdc_throughput","n_ops":$n,""" +
+      s""""vs_prev":"$vsPrev",""" +
       s""""encode_ops_per_sec":${(n / encSec).toLong},""" +
       s""""pipeline_ops_per_sec":$filePipe,""" +
       s""""pipeline_topicsim_ops_per_sec":$simPipe,""" +

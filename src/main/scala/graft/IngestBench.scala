@@ -103,8 +103,12 @@ object IngestBench {
 
     val vjson = counts.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // machine-derived trend clause (r15 "What's wrong" 4), computed against
+    // the previous round's committed artifact before this run overwrites it
+    val vsPrev = BenchPrev.note("BENCH_ingest.json",
+      Seq("ingest_docs_per_sec" -> rate.toDouble))
     val out =
-      s"""{"metric":"ingest_throughput","docs":$total,"batches":$nBatches,"secs":${f"$secs%.2f"},"ingest_docs_per_sec":$rate,"verdicts":$vjson,"corpus_docs":$nCorpus,"sf":"$sfDir","method":"composed quality->tile->minhash->semantic gate via Structured Streaming foreachBatch, $nBatches file micro-batches, corpus indexes persisted outside timing; arrival mix 1/3 exact copies + 1/3 near-dups (8 words dropped) + 1/3 fresh (replica-prefixed words, rotated embeddings)"}"""
+      s"""{"metric":"ingest_throughput","docs":$total,"batches":$nBatches,"secs":${f"$secs%.2f"},"ingest_docs_per_sec":$rate,"vs_prev":"$vsPrev","verdicts":$vjson,"corpus_docs":$nCorpus,"sf":"$sfDir","method":"composed quality->tile->minhash->semantic gate via Structured Streaming foreachBatch, $nBatches file micro-batches, corpus indexes persisted outside timing; arrival mix 1/3 exact copies + 1/3 near-dups (8 words dropped) + 1/3 fresh (replica-prefixed words, rotated embeddings)"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_ingest.json"),
       (out + "\n").getBytes("UTF-8"))
     println(out)

@@ -193,8 +193,13 @@ object MediaIngestBench {
       leg("audio", audArr, "audio_id", "overlap",
         b => IngestAudioDedup.flagBatch(b.select(col("audio_id"), col("payload")), audIdx)))
 
+    // machine-derived trend clause (r15 "What's wrong" 4), computed against
+    // the previous round's committed artifact before this run overwrites it
+    val vsPrev = BenchPrev.note("BENCH_media.json",
+      legs.map { case (n, r, _) => s"${n}_payloads_per_sec" -> r.toDouble })
     val json = "{" +
       s""""metric":"media_gate_throughput","n_images":$nImages,""" +
+      s""""vs_prev":"$vsPrev",""" +
       s""""n_clips":$nClips,"n_audios":$nAudios,"batches":$nBatches,""" +
       legs.map { case (n, r, _) => s""""${n}_payloads_per_sec":$r""" }.mkString(",") + "," +
       legs.map(_._3).mkString(",") +

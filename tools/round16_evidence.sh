@@ -29,9 +29,28 @@ SPARK_GRAFT_CPUS=32 SPARK_GRAFT_MASTER='local-cluster[2,16,4096]' SPARK_GRAFT_JA
 python3 tools/check_cluster.py /root/testdata/sf0.01 /tmp/v16fc CORRECTNESS_cluster.json 'local-cluster[2,16,4096]' 2>&1 | tail -1
 
 step "local bench sf0.1"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+# r15 "What's wrong" 2: the LOCAL detail (bench_queries.json, overwritten
+# in place) never got the machine-derived auto-vs-prev clause because it
+# has no round-stamped siblings to discover. Export the previous ROUND's
+# committed copy (anchored on the driver's last "round N:" commit, so a
+# same-round driver re-run still compares against the real previous round,
+# not this round's own output) as SPARK_GRAFT_BENCH_PREV for THIS step
+# only — the cluster bench below must keep its own filename-based
+# discovery.
+PREV_ROUND_COMMIT=$(git log -1 --format=%H --grep='^round [0-9]\+:' || true)
+PREV_ROUND_N=$(git log -1 --format=%s --grep='^round [0-9]\+:' | sed 's/^round \([0-9]*\).*/\1/' || true)
+BENCH_PREV_ENV=()
+if [ -n "$PREV_ROUND_COMMIT" ] && \
+   git show "$PREV_ROUND_COMMIT:bench_queries.json" > "/tmp/bench_queries_r${PREV_ROUND_N}_committed.json" 2>/dev/null; then
+  BENCH_PREV_ENV=(SPARK_GRAFT_BENCH_PREV="/tmp/bench_queries_r${PREV_ROUND_N}_committed.json")
+  echo "local auto-vs-prev baseline: round $PREV_ROUND_N ($PREV_ROUND_COMMIT)"
+else
+  echo "WARN: no previous-round bench_queries.json found - local detail will carry no auto-vs-prev clause"
+fi
+env "${BENCH_PREV_ENV[@]}" SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" > /tmp/r16_bench.log 2>&1
 grep '"metric":"total"' /tmp/r16_bench.log | sed 's/^\[info\] //' | tail -1
+{ grep -o 'auto-vs-prev([^)]*)[^"]*' bench_queries.json || echo "NOTE: local detail has no auto-vs-prev clause"; } | tail -1
 
 step "cluster bench sf0.01"
 # set the note env only when non-empty: an empty exported note still
@@ -84,17 +103,31 @@ SPARK_GRAFT_JARS=$JAR SPARK_GRAFT_DRILL_FS=objsim \
   sbt -batch "runMain graft.DriverLossDrill" > /tmp/r16_ddrvo.log 2>&1
 tail -c 500 DRILL_driver_loss_objsim.json
 
+# aux benches: anchor each vs_prev clause on the previous ROUND's committed
+# artifact (same PREV_ROUND_COMMIT as the local bench), so a same-round
+# driver re-run still compares against the real previous round; without the
+# export the Scala mains fall back to the on-disk file they overwrite.
+aux_prev() { # $1 = artifact name; prints env assignment or nothing
+  if [ -n "$PREV_ROUND_COMMIT" ] && \
+     git show "$PREV_ROUND_COMMIT:$1" > "/tmp/prev_$1" 2>/dev/null; then
+    echo "SPARK_GRAFT_AUX_PREV=/tmp/prev_$1"
+  fi
+}
+
 step "cdc bench"
-sbt -batch "runMain graft.CdcBench" > /tmp/r16_cdc.log 2>&1
+env $(aux_prev BENCH_cdc.json) sbt -batch "runMain graft.CdcBench" > /tmp/r16_cdc.log 2>&1
 grep '"metric":"cdc_throughput"' /tmp/r16_cdc.log | sed 's/^\[info\] //' | tail -1 | python3 -m json.tool > /dev/null
 grep '"metric":"cdc_throughput"' /tmp/r16_cdc.log | sed 's/^\[info\] //' | tail -1 > BENCH_cdc.json
+grep -o '"vs_prev":"[^"]*"' BENCH_cdc.json || true
 
 step "ingest bench"
-sbt -batch "runMain graft.IngestBench" > /tmp/r16_ingest.log 2>&1
+env $(aux_prev BENCH_ingest.json) sbt -batch "runMain graft.IngestBench" > /tmp/r16_ingest.log 2>&1
+grep -o '"vs_prev":"[^"]*"' BENCH_ingest.json || true
 tail -c 200 BENCH_ingest.json
 
 step "media bench"
-sbt -batch "runMain graft.MediaIngestBench" > /tmp/r16_media.log 2>&1
+env $(aux_prev BENCH_media.json) sbt -batch "runMain graft.MediaIngestBench" > /tmp/r16_media.log 2>&1
+grep -o '"vs_prev":"[^"]*"' BENCH_media.json || true
 tail -c 200 BENCH_media.json
 
 step "guards"
