@@ -45,6 +45,10 @@ object DriverLossChild {
         graft.streaming.ObjStoreSimFs.ImplClass)
     if (maintainer == "ivf") // fold on nearly every batch: the risky window
       builder.config(graft.streaming.IncrementalIvf.MaxDeltaDirsKey, "2")
+    // fileobj drill mode: force the object committer onto the posix state
+    // root — the drill parent sets this env on the child it SIGKILLs
+    sys.env.get("SPARK_GRAFT_DRILL_COMMITTER").foreach(c =>
+      builder.config(graft.streaming.SnapshotStore.CommitterConfKey, c))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cents =

@@ -44,6 +44,12 @@ import org.apache.spark.sql.functions._
   * object-store committer AND IncrementalIvf's ledger-driven fold layout
   * (fold dirs at final `fold=<seq>.<uuid>` names, conditional-PUT ledger
   * publish — no rename on the commit path) through the same kill sweep.
+  * `SPARK_GRAFT_DRILL_FS=fileobj` keeps posix state roots but FORCES the
+  * object committer onto them (`spark.graft.snapshot.committer=object` in
+  * both the child writer and this drill's truth-side session) — the third
+  * legal substrate pairing, whose commit publish is the scheme-matched
+  * tmp + exclusive-rename path (a bare create-at-final-name there could be
+  * torn by exactly these SIGKILLs; the round-16 fix under drill).
   * State dumps compare as sorted MULTISETS, so a replay that re-appends
   * a byte-identical row (duplicated SCD version, doubled fold rows)
   * fails the gate instead of collapsing into a set.
@@ -224,13 +230,17 @@ object DriverLossDrill {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val jar = sys.env.getOrElse("SPARK_GRAFT_JARS",
       "target/scala-2.13/dolphinbeatspark_2.13-0.1.0.jar")
-    val spark = GraftSession.builder(8)
+    val builder = GraftSession.builder(8)
       .master("local[8]")
       .appName("driver-loss-drill")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop." + graft.streaming.ObjStoreSimFs.ImplConfKey,
         graft.streaming.ObjStoreSimFs.ImplClass)
-      .getOrCreate()
+    // fileobj: the truth-side one-shot writes must use the same forced
+    // committer the child uses (reads are layout-detected and unaffected)
+    if (fsMode == "fileobj")
+      builder.config(graft.streaming.SnapshotStore.CommitterConfKey, "object")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def newRoot(tag: String): String = {
@@ -243,13 +253,16 @@ object DriverLossDrill {
     // boot on whatever Spark install the parent runs against.
     val sparkJars = sys.env.getOrElse("SPARK_HOME", "/opt/spark") + "/jars/*"
     val cp = sparkJars + ":" + new java.io.File(jar).getAbsolutePath
-    def newChild(maint: String, stateRoot: String, opsDir: String): Process =
-      new ProcessBuilder(
+    def newChild(maint: String, stateRoot: String, opsDir: String): Process = {
+      val pb = new ProcessBuilder(
         javaBin, "-Xmx3g", "-cp", cp, "graft.DriverLossChild",
         maint, stateRoot, opsDir, nBatches.toString)
         .redirectErrorStream(false)
         .redirectError(Files.createTempFile("drill-child-err", ".log").toFile)
-        .start()
+      if (fsMode == "fileobj") // the child forces the object committer too
+        pb.environment().put("SPARK_GRAFT_DRILL_COMMITTER", "object")
+      pb.start()
+    }
 
     // a SIGKILLed child's stdout surfaces as "Stream closed" IOException,
     // not a null EOF — treat both as end-of-stream
@@ -341,13 +354,20 @@ object DriverLossDrill {
 
     val totalMs = (System.nanoTime() - t0) / 1000000L
     val perM = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val committer = if (fsMode == "objsim") "object-store committer (conditional-PUT commit objects on ObjStoreSimFs: atomic PUT, non-atomic copy+delete rename)" else "rename committer (staged exclusive rename, posix)"
+    val committer = fsMode match {
+      case "objsim" => "object-store committer (conditional-PUT commit objects on ObjStoreSimFs: atomic PUT, non-atomic copy+delete rename)"
+      case "fileobj" => "object-store committer FORCED onto posix roots (spark.graft.snapshot.committer=object): commit objects published via the scheme-matched tmp + atomic exclusive rename, since a posix create is not atomic-at-close"
+      case _ => "rename committer (staged exclusive rename, posix)"
+    }
     val json = s"""{"metric":"driver_loss_drill","fs":"$fsMode","batches":$nBatches,""" +
       s""""rounds_per_maintainer":$rounds,"total_ms":$totalMs,""" +
       s""""maintainers":$perM,"all_ok":$allOk,""" +
       s""""method":"SIGKILL of the writer JVM at seeded-jitter offsets inside each maintainer's merge; cold JVM replay from batch 0 each round; gate = state equals the one-shot exact recompute, batch id recorded, zero staging/orphan residue; $committer"}"""
-    val outName = if (fsMode == "objsim") "DRILL_driver_loss_objsim.json"
-      else "DRILL_driver_loss.json"
+    val outName = fsMode match {
+      case "objsim" => "DRILL_driver_loss_objsim.json"
+      case "fileobj" => "DRILL_driver_loss_fileobj.json"
+      case _ => "DRILL_driver_loss.json"
+    }
     Files.write(Paths.get(outName), (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()

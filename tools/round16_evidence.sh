@@ -103,6 +103,11 @@ SPARK_GRAFT_JARS=$JAR SPARK_GRAFT_DRILL_FS=objsim \
   sbt -batch "runMain graft.DriverLossDrill" > /tmp/r16_ddrvo.log 2>&1
 tail -c 500 DRILL_driver_loss_objsim.json
 
+step "driver loss drill (fileobj - object committer forced onto posix roots, new in r16: drills the scheme-matched tmp+exclusive-rename commit publish under SIGKILL)"
+SPARK_GRAFT_JARS=$JAR SPARK_GRAFT_DRILL_FS=fileobj \
+  sbt -batch "runMain graft.DriverLossDrill" > /tmp/r16_ddrvf.log 2>&1
+tail -c 500 DRILL_driver_loss_fileobj.json
+
 # aux benches: anchor each vs_prev clause on the previous ROUND's committed
 # artifact (same PREV_ROUND_COMMIT as the local bench), so a same-round
 # driver re-run still compares against the real previous round; without the
