@@ -21,6 +21,12 @@ object BenchPrev {
     * copy of the artifact being regenerated. */
   val PrevEnvKey = "SPARK_GRAFT_AUX_PREV"
 
+  /** The returned sentence is JSON-STRING-SAFE: every caller interpolates
+    * it into a hand-built JSON line (`"vs_prev":"$note"`), so quotes and
+    * backslashes — possible in a future key or artifact name — are escaped
+    * HERE rather than trusted to never occur (r16 ADVICE), and all numbers
+    * format under Locale.ROOT so a comma-decimal default locale cannot
+    * emit `1,24x` into the artifact. */
   def note(artifactPath: String, fresh: Seq[(String, Double)]): String = {
     val prevPath = sys.env.getOrElse(PrevEnvKey, artifactPath)
     val f = new java.io.File(prevPath)
@@ -30,13 +36,13 @@ object BenchPrev {
       val parts = fresh.flatMap { case (k, v) =>
         Option(if (node == null) null else node.get(k))
           .filter(_.isNumber).map(_.asDouble).filter(_ > 0)
-          .map { p => f"$k ${fmt(p)}->${fmt(v)} (${v / p}%.2fx)" }
+          .map { p => s"$k ${fmt(p)}->${fmt(v)} (${ratio(v / p)}x)" }
       }
       if (parts.isEmpty) {
         System.err.println(s"[bench] WARN: prev artifact $prevPath exists " +
           "but yielded no comparable fields — vs_prev OMITTED")
         ""
-      } else s"prev-vs-this(${f.getName}): " + parts.mkString(", ")
+      } else jsonSafe(s"prev-vs-this(${f.getName}): " + parts.mkString(", "))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] WARN: failed to parse prev artifact $prevPath: $e")
@@ -44,6 +50,19 @@ object BenchPrev {
     }
   }
 
+  /** Escape for embedding inside a hand-built JSON string literal. */
+  private[graft] def jsonSafe(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => " " // control chars would also break the line
+      case c => c.toString
+    }
+
+  private[graft] def ratio(r: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
+
   private def fmt(v: Double): String =
-    if (v == v.floor && v.abs < 1e15) v.toLong.toString else f"$v%.2f"
+    if (v == v.floor && v.abs < 1e15) v.toLong.toString
+    else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 }

@@ -384,6 +384,7 @@ object IncrementalIvf {
     * a superseded dir. Materialize promptly. */
   private[streaming] def livePaths(fs: FileSystem, stateRoot: String): Seq[String] = {
     var attempt = 0
+    var lastRace: Throwable = null
     while (attempt < 8) {
       try {
         val seq0 = ledgerFiles(fs, stateRoot).lastOption.map(_._1).getOrElse(-1L)
@@ -397,14 +398,36 @@ object IncrementalIvf {
           return (st.folds ++ raws).distinct.sorted.map(n => s"$stateRoot/assign/$n")
       } catch {
         // a superseded ledger version swept between our listing and read:
-        // a publish interleaved — same signal as an advanced seq, retry
-        case _: java.io.FileNotFoundException => ()
+        // a publish interleaved — same signal as an advanced seq, retry.
+        // Hadoop filesystems surface this as a bare FileNotFoundException,
+        // OTHER IOException subclasses ("<p> does not exist"), or an FNFE
+        // wrapped in a cause — match the whole chain, mirroring the
+        // IvfLedgerRaceSpec reader's own matcher (r16 ADVICE); anything
+        // that is NOT a missing-path signal is a real IO failure and
+        // rethrows rather than burning retries against it
+        case e: java.io.IOException if isMissingPathSignal(e) => lastRace = e
       }
       attempt += 1
     }
     throw new java.io.IOException(
       s"IVF fold ledger at $stateRoot advanced concurrently through $attempt " +
-        "consecutive live-set reads — cannot resolve a consistent index")
+        "consecutive live-set reads — cannot resolve a consistent index",
+      lastRace)
+  }
+
+  /** True when `e`'s cause chain carries a missing-path signal — a
+    * [[java.io.FileNotFoundException]] at any depth, or an IOException
+    * whose message says the path does not exist (the two shapes a
+    * sweep-vs-list race takes across Hadoop FileSystem implementations). */
+  private[streaming] def isMissingPathSignal(e: Throwable): Boolean = {
+    @annotation.tailrec
+    def loop(t: Throwable, depth: Int): Boolean =
+      if (t == null || depth > 16) false
+      else if (t.isInstanceOf[java.io.FileNotFoundException]) true
+      else if (Option(t.getMessage).exists(m =>
+        m.contains("does not exist") || m.contains("FileNotFound"))) true
+      else loop(t.getCause, depth + 1)
+    loop(e, 0)
   }
 
   /** Two-tier compaction, so per-batch fold IO stays amortized-bounded

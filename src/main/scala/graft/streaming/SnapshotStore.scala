@@ -528,13 +528,15 @@ private[graft] object SnapshotStore {
     * object instead). Shape specs assert a merge plan scans exactly these
     * (per-batch read cost must not grow with the store's history). */
   def livePaths(root: String): Seq[String] =
-    ObjMode.newestCommit(root) match {
-      case Some((_, c)) => ObjMode.livePaths(root, c, None)
+    ObjMode.scanCommits(root) match {
+      case ObjMode.CommitScan(Some((_, c)), _) => ObjMode.livePaths(root, c, None)
       // object layout with no PARSEABLE commit (every commit file torn —
       // only a crashed pre-scheme-matched writer could leave this): an
-      // empty store, not a fall-through to the version-dir read
-      case None if ObjMode.commitFiles(root).nonEmpty => Seq.empty
-      case None =>
+      // empty store, not a fall-through to the version-dir read. Both
+      // facts come from ONE listing, so a commit published mid-read
+      // cannot surface as a spurious empty store (r16 ADVICE).
+      case ObjMode.CommitScan(None, true) => Seq.empty
+      case _ =>
         versions(root).lastOption.toSeq.flatMap { v =>
           manifestAt(root, v) match {
             case Some(m) => m.buckets.toSeq.sorted.map { case (b, bv) =>
@@ -584,11 +586,12 @@ private[graft] object SnapshotStore {
 
   private def readPruned(spark: SparkSession, root: String,
       only: Option[Set[Int]]): Option[DataFrame] = {
-    ObjMode.newestCommit(root).foreach { case (_, c) =>
+    val scan = ObjMode.scanCommits(root) // one listing for both guards
+    scan.newest.foreach { case (_, c) =>
       return Some(ObjMode.readCommit(spark, root, c, only))
     }
     // object layout, nothing parseable: empty store (see livePaths)
-    if (ObjMode.commitFiles(root).nonEmpty) return None
+    if (scan.anyCommitFile) return None
     versions(root).lastOption.map { v =>
       manifestAt(root, v) match {
         case Some(m) =>
@@ -611,8 +614,9 @@ private[graft] object SnapshotStore {
     * a migrated pre-_COMMIT snapshot — its producing batch is unknown, so
     * replayed batches re-merge, the safe direction for idempotent merges). */
   def lastBatchId(root: String): Long = {
-    ObjMode.newestCommit(root).foreach { case (_, c) => return c.batchId }
-    if (ObjMode.commitFiles(root).nonEmpty) return -1L // all commits torn
+    val scan = ObjMode.scanCommits(root) // one listing for both guards
+    scan.newest.foreach { case (_, c) => return c.batchId }
+    if (scan.anyCommitFile) return -1L // all commits torn
     val fs = fsFor(root)
     versions(root).lastOption.map { v =>
       val f = new Path(root, s"v=$v/_COMMIT")
@@ -940,6 +944,27 @@ private[graft] object SnapshotStore {
             .toOption.map(_ -> st.getPath)
         }
         .sortBy(_._1)
+    }
+
+    /** ONE listing's consistent view of a root's commit files: the newest
+      * PARSEABLE commit plus whether ANY commit file (parseable or torn)
+      * exists. The read paths' all-torn guards used to derive the two
+      * facts from two separate listings (`newestCommit` then
+      * `commitFiles`) — a first commit published between the listings
+      * made a reader report an EMPTY store even though a parseable commit
+      * then existed, and every empty-or-torn read paid a second full
+      * listing (r16 ADVICE). */
+    final case class CommitScan(newest: Option[(Long, ObjCommit)],
+        anyCommitFile: Boolean)
+
+    def scanCommits(root: String): CommitScan = {
+      val fs = fsFor(root)
+      val files = commitFiles(root)
+      CommitScan(
+        files.reverseIterator
+          .flatMap { case (v, p) => parseCommit(fs, p).map(v -> _) }
+          .nextOption(),
+        files.nonEmpty)
     }
 
     /** The newest PARSEABLE commit object. A malformed commit file — a
