@@ -100,6 +100,17 @@ object IncrementalIvf {
     * dirs; crossing it folds the older half into one dir. */
   val MaxDeltaDirsKey = "spark.graft.ivf.assign.maxDeltaDirs"
 
+  /** Conf key (default false) making [[assignments]] EAGER: the returned
+    * frame is materialized (localCheckpoint) before it is handed out, so
+    * holding it across later fold cycles cannot race the post-publish
+    * sweep of a superseded dir — the lazy-read caveat
+    * [[IvfLazyReadSpec]] pins. The trade: the snapshot occupies block
+    * storage and, on a real cluster, dies with its executors (recompute
+    * is impossible once the source dirs are swept) — right for a consumer
+    * that reads, computes, and releases; wrong for a frame cached across
+    * the application's lifetime. */
+  val EagerAssignmentsKey = "spark.graft.ivf.eagerAssignments"
+
   private def fsFor(root: String): FileSystem =
     new Path(root).getFileSystem(
       SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -550,15 +561,27 @@ object IncrementalIvf {
     * read (consistent under a racing maintainer, no recovery step on the
     * current layout); the one legacy exception is a
     * published-but-unfinalized `_fold_v` staging from the pre-object-store
-    * protocol, completed here so a migrated store never reads shrunken. */
+    * protocol, completed here so a migrated store never reads shrunken.
+    *
+    * LAZY-READ CAVEAT (pinned by IvfLazyReadSpec): the returned frame
+    * references the live dirs by path, and Spark consumes them lazily — a
+    * frame held UNMATERIALIZED across enough later fold cycles races the
+    * post-publish sweep of a superseded dir and fails loudly (missing-
+    * path error) at materialize time; it never returns partial data.
+    * Materialize promptly, or set [[EagerAssignmentsKey]]=true to have
+    * this method hand out an already-materialized snapshot. */
   def assignments(spark: SparkSession, stateRoot: String): DataFrame = {
     val fs = fsFor(stateRoot)
     recoverLegacyFold(fs, stateRoot, gcIncomplete = false)
     val paths = livePaths(fs, stateRoot)
-    if (paths.isEmpty)
-      spark.emptyDataFrame
-        .select(lit(0L).as("cid"), lit(0L).as("cent_id")).limit(0)
-    else spark.read.parquet(paths: _*)
+    val df =
+      if (paths.isEmpty)
+        spark.emptyDataFrame
+          .select(lit(0L).as("cid"), lit(0L).as("cent_id")).limit(0)
+      else spark.read.parquet(paths: _*)
+    if (spark.conf.getOption(EagerAssignmentsKey).exists(_.trim.equalsIgnoreCase("true")))
+      df.localCheckpoint(true) // materialized now: immune to later sweeps
+    else df
   }
 
   /** The live s20 cell-balance report over everything arrived so far —

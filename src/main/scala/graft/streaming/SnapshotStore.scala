@@ -194,6 +194,49 @@ private[graft] object SnapshotStore {
     * concurrently). */
   private val SchemesWithAtomicCreate = Set("file", "hdfs", "viewfs")
 
+  /** Conf key (default true) for the one-time per-root exclusive-create
+    * PROBE that backs the scheme whitelist above with a measured fact
+    * (r16 verdict task 4): a `file://` root on a filesystem with weak
+    * O_EXCL semantics (historic NFS, a permissive FUSE layer) would pass
+    * the static scheme gate while the rename/create arbiter assumption
+    * silently degrades. The probe creates a dotfile exclusively and
+    * requires a SECOND exclusive create of the same name to FAIL — the
+    * cheapest observable consequence of real exclusive-create semantics.
+    * (A sequential double-create cannot distinguish an atomic arbiter
+    * from a check-then-act emulation — only a true race can — so the
+    * probe catches filesystems that do not arbitrate AT ALL, the failure
+    * class the whitelist was silently trusting; check-then-act object
+    * schemes are still handled by the capability path below.) */
+  val ProbeCreateKey = "spark.graft.snapshot.probeCreate"
+
+  /** Roots whose probe already passed (or was explicitly waived) in this
+    * JVM — the probe is a measurement of the FILESYSTEM, once per root. */
+  private val probedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** One-time probe: true iff a second exclusive create of an existing
+    * name fails. Self-cleaning (the probe file is deleted on every exit
+    * path; stale siblings from a killed probe are swept first — they are
+    * dotfiles, invisible to readers and residue checks either way). */
+  private[streaming] def probeExclusiveCreate(fs: FileSystem, root: String): Boolean = {
+    val dir = new Path(root)
+    fs.mkdirs(dir)
+    scala.util.Try {
+      fs.globStatus(new Path(dir, ".graft_probe_create_*"))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+    val p = new Path(dir,
+      s".graft_probe_create_${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      val out = fs.create(p, false)
+      out.close()
+      val secondSucceeded =
+        try { val o2 = fs.create(p, false); o2.close(); true }
+        catch { case _: java.io.IOException => false } // both FAEE types are IOE
+      !secondSucceeded
+    } finally scala.util.Try(fs.delete(p, false))
+  }
+
   /** Fail-fast gate for every commit path whose single commit point is
     * [[createExclusive]] (the object committer's `c=<N>` publish and
     * [[IncrementalIvf]]'s fold-ledger publish): the protocol is only
@@ -209,7 +252,33 @@ private[graft] object SnapshotStore {
     * the torn-proof form there), never via a bare create-at-final-name. */
   def requireExclusiveCreate(root: String): Unit = {
     val scheme = schemeOf(root)
-    if (SchemesWithAtomicCreate(scheme)) return
+    if (SchemesWithAtomicCreate(scheme)) {
+      // static trust, turned into a measured fact once per root per JVM
+      // (r16 verdict task 4): a whitelisted scheme backed by a filesystem
+      // whose create(overwrite=false) silently overwrites is refused
+      // unless the deployment explicitly acknowledges it
+      val probeOn = activeConf(ProbeCreateKey)
+        .forall(!_.trim.equalsIgnoreCase("false")) // default ON
+      if (probeOn && !probedRoots.contains(root)) {
+        val exclusive = probeExclusiveCreate(fsFor(root), root)
+        if (!exclusive) {
+          val assumed = activeConf(AssumeConditionalCreateKey)
+            .exists(_.trim.equalsIgnoreCase("true"))
+          require(assumed,
+            s"state root '$root' (scheme '$scheme') FAILED the exclusive-" +
+              "create probe: a second create(path, overwrite=false) of an " +
+              "existing name SUCCEEDED, so this filesystem does not " +
+              "arbitrate exclusive creates at all (weak O_EXCL — historic " +
+              "NFS, permissive FUSE). The commit protocol's publish " +
+              "primitives rely on that arbitration; move the state root " +
+              s"to a compliant filesystem, or set " +
+              s"$AssumeConditionalCreateKey=true to acknowledge the risk " +
+              s"(or $ProbeCreateKey=false to skip probing).")
+        }
+        probedRoots.add(root)
+      }
+      return
+    }
     val capable = scala.util.Try {
       fsFor(root).hasPathCapability(new Path(root), ConditionalCreateProbes.head) ||
         ConditionalCreateProbes.tail.exists(c =>
