@@ -142,7 +142,7 @@ object BenchSf1 {
     }.mkString("{", ",", "}")
     val autoJson = auto.map("\"" + _ + "\"").mkString("[", ",", "]")
     val out =
-      s"""{"metric":"sf1_checkpoint","lineitem_rows":$rows,"document_rows":$docs,"reps":$Reps,"queries":$qjson,"src":"$srcDir","selection":{"threshold_sec":$CostThresholdSec,"auto":$autoJson,"always":${Always.size}},"method":"selection = structural always-list UNION every query with sf0.1 median >= ${CostThresholdSec}s in bench_queries.json (auto leg - new heavy queries cannot skip the 10x gate); cold = first pass in a fresh session (scan + cache + shared index builds attributed to first toucher); warm = median of 3 subsequent passes; x_vs_10x_sf01 = warm / (10 x sf0.1 median from bench_queries.json). Watch-list trend (suite-worst structural ratio, recorded so round-over-round drift stays visible): d03_minhash_lsh_pairs x_vs_10x_sf01 was 0.524 in r10, 0.478 in r11, 0.389 in r12, 0.475 in r13 — this file's queries.d03_minhash_lsh_pairs.x_vs_10x_sf01 is the current point${Bench.noteFor("BENCH_sf1.json")}"}"""
+      s"""{"metric":"sf1_checkpoint","lineitem_rows":$rows,"document_rows":$docs,"reps":$Reps,"queries":$qjson,"src":"$srcDir","selection":{"threshold_sec":$CostThresholdSec,"auto":$autoJson,"always":${Always.size}},"method":"selection = structural always-list UNION every query with sf0.1 median >= ${CostThresholdSec}s in bench_queries.json (auto leg - new heavy queries cannot skip the 10x gate); cold = first pass in a fresh session, warm = median of 3 subsequent passes, x_vs_10x_sf01 = warm / (10 x sf0.1 median from bench_queries.json). Full protocol, the d03 watch-list trend and all adjudication history: tools/bench_notes/PROTOCOL.md${Bench.noteFor("BENCH_sf1.json")}"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1.json"),
       (out + "\n").getBytes("UTF-8"))
     println(out)

@@ -28,15 +28,12 @@ SPARK_GRAFT_CPUS=32 SPARK_GRAFT_MASTER='local-cluster[2,16,4096]' SPARK_GRAFT_JA
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/v17fc" > /tmp/r17_cverify.log 2>&1
 python3 tools/check_cluster.py /root/testdata/sf0.01 /tmp/v17fc CORRECTNESS_cluster.json 'local-cluster[2,16,4096]' 2>&1 | tail -1
 
-step "local bench sf0.1"
-# r15 "What's wrong" 2: the LOCAL detail (bench_queries.json, overwritten
-# in place) never got the machine-derived auto-vs-prev clause because it
-# has no round-stamped siblings to discover. Export the previous ROUND's
-# committed copy (anchored on the driver's last "round N:" commit, so a
-# same-round driver re-run still compares against the real previous round,
-# not this round's own output) as SPARK_GRAFT_BENCH_PREV for THIS step
-# only — the cluster bench below must keep its own filename-based
-# discovery.
+# Previous-round baseline for the LOCAL series (r15 "What's wrong" 2):
+# bench_queries.json is overwritten in place, so export the previous
+# ROUND's committed copy (anchored on the driver's last "round N:" commit,
+# so a same-round driver re-run still compares against the real previous
+# round) as SPARK_GRAFT_BENCH_PREV. The cluster bench keeps its own
+# filename-based discovery.
 PREV_ROUND_COMMIT=$(git log -1 --format=%H --grep='^round [0-9]\+:' || true)
 PREV_ROUND_N=$(git log -1 --format=%s --grep='^round [0-9]\+:' | sed 's/^round \([0-9]*\).*/\1/' || true)
 BENCH_PREV_ENV=()
@@ -47,12 +44,31 @@ if [ -n "$PREV_ROUND_COMMIT" ] && \
 else
   echo "WARN: no previous-round bench_queries.json found - local detail will carry no auto-vs-prev clause"
 fi
+
+# Two-session protocol (r16 verdict top task): the official bench runs
+# TWICE in fresh JVMs. Session A writes <detail>_sibling.json; session B
+# pairs with it, ships the per-query min, and flags only queries above
+# 1.25x vs prev in BOTH sessions.
+step "local bench sf0.1 session A (sibling)"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_DETAIL=bench_queries_sibling.json \
+  sbt -batch "runMain graft.Bench" > /tmp/r17_benchA.log 2>&1
+grep '"metric":"total"' /tmp/r17_benchA.log | sed 's/^\[info\] //' | tail -1
+
+step "local bench sf0.1 session B (official, ships min of both sessions)"
 env "${BENCH_PREV_ENV[@]}" SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" > /tmp/r17_bench.log 2>&1
 grep '"metric":"total"' /tmp/r17_bench.log | sed 's/^\[info\] //' | tail -1
 { grep -o 'auto-vs-prev([^)]*)[^"]*' bench_queries.json || echo "NOTE: local detail has no auto-vs-prev clause"; } | tail -1
 
-step "cluster bench sf0.01"
+step "cluster bench sf0.01 session A (sibling)"
+SPARK_GRAFT_CPUS=32 SPARK_GRAFT_MASTER='local-cluster[2,16,4096]' SPARK_GRAFT_JARS=$JAR \
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  SPARK_GRAFT_BENCH_DETAIL=/root/repo/BENCH_cluster_r17_queries_sibling.json \
+  sbt -batch "runMain graft.Bench" > /tmp/r17_cbenchA.log 2>&1
+grep '"metric":"total"' /tmp/r17_cbenchA.log | sed 's/^\[info\] //' | tail -1
+
+step "cluster bench sf0.01 session B (official)"
 # set the note env only when non-empty: an empty exported note still
 # appends its "; " separator into the method string
 if [ -n "$CLUSTER_NOTE" ]; then export SPARK_GRAFT_BENCH_NOTE="$CLUSTER_NOTE"; else unset SPARK_GRAFT_BENCH_NOTE; fi
@@ -66,7 +82,49 @@ import json
 obj = json.load(open('/tmp/r17_cluster_line.json'))
 json.dump(obj, open('/root/repo/BENCH_cluster_r17.json','w'), indent=1)
 open('/root/repo/BENCH_cluster_r17.json','a').write('\n')
-print('cluster total', obj['value'], obj['count'])
+print('cluster total', obj['value'], obj['count'], 'flags', obj.get('flags'))
+EOF
+
+step "watch-list recurrence report (t09/c06/s17 local, q11/e05/e06 cluster)"
+python3 - <<'EOF'
+import json, os
+local = json.load(open('bench_queries.json'))
+cluster = json.load(open('BENCH_cluster_r17_queries.json'))
+print('local flags (both-session rule):', local.get('flags'))
+print('cluster flags (both-session rule):', cluster.get('flags'))
+prev_local_path = [p for p in os.listdir('/tmp') if p.startswith('bench_queries_r') and p.endswith('_committed.json')]
+prev_local = json.load(open('/tmp/' + sorted(prev_local_path)[-1])).get('queries', {}) if prev_local_path else {}
+for name in ['t09_repetition', 'c06_changelog_join', 's17_embedding_outliers']:
+    v, p = local['queries'].get(name), prev_local.get(name)
+    r = round(v / p, 2) if (v and p) else None
+    print(f'local watch {name}: shipped {v} prev {p} ratio {r}')
+prev_cluster = json.load(open('BENCH_cluster_r16_queries.json')).get('queries', {})
+for name in ['q11_important_parts', 'e05_top_users', 'e06_inter_event_gaps']:
+    v, p = cluster['queries'].get(name), prev_cluster.get(name)
+    r = round(v / p, 2) if (v and p) else None
+    print(f'cluster watch {name}: shipped {v} prev {p} ratio {r}')
+EOF
+
+step "two-session A/B self-test vs this round's own artifact (done-criterion: zero flags)"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_DETAIL=/tmp/r17_selftest_sibling.json \
+  sbt -batch "runMain graft.Bench" > /tmp/r17_selftestA.log 2>&1
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_DETAIL=/tmp/r17_selftest_queries.json \
+  SPARK_GRAFT_BENCH_SIBLING=/tmp/r17_selftest_sibling.json \
+  SPARK_GRAFT_BENCH_PREV=/root/repo/bench_queries.json \
+  sbt -batch "runMain graft.Bench" > /tmp/r17_selftestB.log 2>&1
+python3 - <<'EOF'
+import json, sys
+d = json.load(open('/tmp/r17_selftest_queries.json'))
+flags = d.get('flags', None)
+print('self-test flags:', flags, ' method-clause:',
+      [s for s in d.get('method','').split(';') if 'auto-vs-prev' in s])
+if flags is None:
+    sys.exit('SELF-TEST BROKEN: no flags field in detail')
+if flags:
+    sys.exit(f'SELF-TEST FAILED: same-code A/B produced flags {flags}')
+print('self-test OK: zero flags')
 EOF
 
 step "sf1 checkpoint"
@@ -103,7 +161,7 @@ SPARK_GRAFT_JARS=$JAR SPARK_GRAFT_DRILL_FS=objsim \
   sbt -batch "runMain graft.DriverLossDrill" > /tmp/r17_ddrvo.log 2>&1
 tail -c 500 DRILL_driver_loss_objsim.json
 
-step "driver loss drill (fileobj - object committer forced onto posix roots, : drills the scheme-matched tmp+exclusive-rename commit publish under SIGKILL)"
+step "driver loss drill (fileobj - object committer forced onto posix roots: drills the scheme-matched tmp+exclusive-rename commit publish under SIGKILL)"
 SPARK_GRAFT_JARS=$JAR SPARK_GRAFT_DRILL_FS=fileobj \
   sbt -batch "runMain graft.DriverLossDrill" > /tmp/r17_ddrvf.log 2>&1
 tail -c 500 DRILL_driver_loss_fileobj.json
@@ -112,26 +170,33 @@ tail -c 500 DRILL_driver_loss_fileobj.json
 # artifact (same PREV_ROUND_COMMIT as the local bench), so a same-round
 # driver re-run still compares against the real previous round; without the
 # export the Scala mains fall back to the on-disk file they overwrite.
-aux_prev() { # $1 = artifact name; prints env assignment or nothing
+# Consumed via an env ARRAY (r16 ADVICE: unquoted $(aux_prev ...)
+# word-splitting breaks on paths with spaces), same pattern as
+# BENCH_PREV_ENV above.
+aux_prev_env() { # $1 = artifact name; sets AUX_PREV_ENV array
+  AUX_PREV_ENV=()
   if [ -n "$PREV_ROUND_COMMIT" ] && \
      git show "$PREV_ROUND_COMMIT:$1" > "/tmp/prev_$1" 2>/dev/null; then
-    echo "SPARK_GRAFT_AUX_PREV=/tmp/prev_$1"
+    AUX_PREV_ENV=(SPARK_GRAFT_AUX_PREV="/tmp/prev_$1")
   fi
 }
 
 step "cdc bench"
-env $(aux_prev BENCH_cdc.json) sbt -batch "runMain graft.CdcBench" > /tmp/r17_cdc.log 2>&1
+aux_prev_env BENCH_cdc.json
+env "${AUX_PREV_ENV[@]}" sbt -batch "runMain graft.CdcBench" > /tmp/r17_cdc.log 2>&1
 grep '"metric":"cdc_throughput"' /tmp/r17_cdc.log | sed 's/^\[info\] //' | tail -1 | python3 -m json.tool > /dev/null
 grep '"metric":"cdc_throughput"' /tmp/r17_cdc.log | sed 's/^\[info\] //' | tail -1 > BENCH_cdc.json
 grep -o '"vs_prev":"[^"]*"' BENCH_cdc.json || true
 
 step "ingest bench"
-env $(aux_prev BENCH_ingest.json) sbt -batch "runMain graft.IngestBench" > /tmp/r17_ingest.log 2>&1
+aux_prev_env BENCH_ingest.json
+env "${AUX_PREV_ENV[@]}" sbt -batch "runMain graft.IngestBench" > /tmp/r17_ingest.log 2>&1
 grep -o '"vs_prev":"[^"]*"' BENCH_ingest.json || true
 tail -c 200 BENCH_ingest.json
 
 step "media bench"
-env $(aux_prev BENCH_media.json) sbt -batch "runMain graft.MediaIngestBench" > /tmp/r17_media.log 2>&1
+aux_prev_env BENCH_media.json
+env "${AUX_PREV_ENV[@]}" sbt -batch "runMain graft.MediaIngestBench" > /tmp/r17_media.log 2>&1
 grep -o '"vs_prev":"[^"]*"' BENCH_media.json || true
 tail -c 200 BENCH_media.json
 
