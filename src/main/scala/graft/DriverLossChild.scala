@@ -12,6 +12,9 @@ package graft
   *                must be healed by the view-gated replay;
   *  - `scd`     — [[graft.streaming.ScdHistory]]: close-then-append — a
   *                replayed batch must not re-close or duplicate versions;
+  *  - `shard`   — [[graft.streaming.IncrementalShardManifest]]: the
+  *                bucketed read-pruned store's manifest commit path
+  *                (readTouched + writeNextBuckets);
   *  - `ivf`     — [[graft.streaming.IncrementalIvf]]: delta dir + cells
   *                snapshot + fold ledger, with `maxDeltaDirs=2` so the
   *                kill window overlaps the fold publish/finalize path.
@@ -61,6 +64,8 @@ object DriverLossChild {
         case "agg" => graft.streaming.IncrementalAgg.merge(ops, b.toLong, stateRoot)
         case "gapfill" => graft.streaming.IncrementalGapFill.merge(ops, b.toLong, stateRoot)
         case "scd" => graft.streaming.ScdHistory.merge(ops, b.toLong, stateRoot)
+        case "shard" =>
+          graft.streaming.IncrementalShardManifest.merge(ops, b.toLong, stateRoot)
         case "ivf" =>
           graft.streaming.IncrementalIvf.merge(ops, cents.get, b.toLong, stateRoot)
         case other => sys.error(s"unknown maintainer '$other'")

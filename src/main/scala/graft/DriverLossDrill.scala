@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   *                writes leaves obs ahead of view, and the view-gated
   *                replay must re-merge (idempotent) and complete the view;
   *  - `scd`     — close-then-append history rewrite;
+  *  - `shard`   — the bucketed READ-PRUNED store's manifest commit path
+  *                ([[graft.streaming.IncrementalShardManifest]]:
+  *                readTouched + writeNextBuckets — the manifest that
+  *                carries untouched buckets forward is itself part of
+  *                the commit, so a torn write must not strand or double
+  *                any bucket), added r17 so every commit-path variant is
+  *                SIGKILL-drilled on all three substrates;
   *  - `ivf`     — delta dir + cells snapshot + fold ledger, with
   *                `maxDeltaDirs=2` forcing folds into the kill window.
   *
@@ -160,6 +167,16 @@ object DriverLossDrill {
     }
   }
 
+  private def prepareShard(spark: SparkSession, opsDir: String, n: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    (0 until n).foreach { b =>
+      docs.filter(pmod(col("doc_id"), lit(n.toLong)) === b.toLong)
+        .coalesce(1).write.parquet(s"$opsDir/b=$b")
+    }
+  }
+
   private def prepareIvf(spark: SparkSession, opsDir: String, n: Int): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val emb = Tables.t(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -207,6 +224,11 @@ object DriverLossDrill {
       (s, ops, n, troot) => graft.streaming.ScdHistory.merge(slices(s, ops, n), 0L, troot),
       (s, root) => dump(graft.streaming.ScdHistory.read(s, root).get),
       identity, root => Seq(root)),
+    Maint("shard", prepareShard,
+      (s, ops, n, troot) => graft.streaming.IncrementalShardManifest.merge(
+        slices(s, ops, n), 0L, troot),
+      (s, root) => dump(graft.streaming.SnapshotStore.read(s, root).get),
+      identity, root => Seq(root)),
     Maint("ivf", prepareIvf,
       (s, ops, n, troot) => graft.streaming.IncrementalIvf.merge(
         slices(s, ops, n), s.read.parquet(s"$ops/cents"), 0L, troot),
@@ -226,7 +248,7 @@ object DriverLossDrill {
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_DRILL_BATCHES", "10").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_DRILL_ROUNDS", "4").toInt
     val fsMode = sys.env.getOrElse("SPARK_GRAFT_DRILL_FS", "file")
-    val chosen = sys.env.getOrElse("SPARK_GRAFT_DRILL_MAINTAINERS", "agg,gapfill,scd,ivf")
+    val chosen = sys.env.getOrElse("SPARK_GRAFT_DRILL_MAINTAINERS", "agg,gapfill,scd,shard,ivf")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val jar = sys.env.getOrElse("SPARK_GRAFT_JARS",
       "target/scala-2.13/dolphinbeatspark_2.13-0.1.0.jar")
