@@ -159,11 +159,30 @@ object Bench {
     }
   }
 
+  /** Minimum ABSOLUTE shipped-delta (seconds) for a per-query flag: the
+    * ratio rule alone cannot separate sub-quarter-second moves from this
+    * box's measured noise — the r17 calibration run had eleven same-code
+    * A/B names above 1.25x in both sessions whose largest absolute move
+    * was +0.19s, and the r13-adjudicated q01 CONTROL swings +0.68s within
+    * ONE session — so moves this small are trend-tracked via the totals
+    * and the sf1 gate instead of per-query flags (PROTOCOL.md). */
+  private[graft] val FlagFloorSec = 0.25
+
+  /** The per-query flag predicate (see PROTOCOL.md): the shipped value
+    * must exceed the previous round's by >=[[FlagFloorSec]] ABSOLUTE, and
+    * the >1.25x ratio must hold in THIS session and (when the sibling
+    * measured the query) the sibling session too. */
+  private[graft] def isFlag(prev: Double, shipped: Double, thisSess: Double,
+      sib: Option[Double]): Boolean =
+    shipped - prev >= FlagFloorSec && thisSess / prev > 1.25 &&
+      sib.forall(_ / prev > 1.25)
+
   /** Cross-round comparison clause + the machine flag list, computed from
     * the SHIPPED per-query values, the raw per-session medians, and the
-    * previous round's committed detail. A flag requires the >1.25x ratio
-    * in BOTH sessions when a valid sibling exists (see PROTOCOL.md);
-    * everything formats under Locale.ROOT and is JSON-string-escaped. */
+    * previous round's committed detail. A flag requires [[isFlag]] (both
+    * sessions over 1.25x when a valid sibling exists, plus the absolute
+    * floor — see PROTOCOL.md); everything formats under Locale.ROOT and
+    * is JSON-string-escaped. */
   private def vsPrev(shipped: collection.Map[String, Double],
       thisSession: collection.Map[String, Double],
       sibling: Option[(String, Map[String, Double])],
@@ -179,13 +198,11 @@ object Bench {
         "OMITTED from the method note")
       return ("", Seq.empty)
     }
-    val flags = ratios.collect { case (n, _, p, _)
-      if thisSession.get(n).exists(_ / p > 1.25) &&
-        sibling.forall { case (_, sq) =>
-          // a query the sibling lacks (failed there) cannot be cleared by
-          // it — the single-session ratio stands
-          sq.get(n).forall(_ / p > 1.25)
-        } => n
+    val flags = ratios.collect { case (n, _, p, v)
+      if thisSession.get(n).exists(t =>
+        // a query the sibling lacks (failed there) cannot be cleared by
+        // it — the single-session ratio stands
+        isFlag(p, v, t, sibling.flatMap(_._2.get(n)))) => n
     }.sorted
     val (wn, wr, wp, wv) = ratios.maxBy(_._2)
     val common = ratios.map(_._1).toSet
@@ -206,7 +223,7 @@ object Bench {
       s"shipped total ${fmt(tThis, 1)}s vs ${fmt(tPrev, 1)}s " +
       s"(${fmt(tThis / tPrev, 2)}x), max shipped per-query ratio " +
       s"${fmt(wr, 2)}x ($wn ${fmt(wp, 3)}->${fmt(wv, 3)}s), " +
-      s"flags(>1.25x in ${if (sibling.isDefined) "BOTH sessions" else "the single session"}): $flagTxt"
+      s"flags(>1.25x in ${if (sibling.isDefined) "BOTH sessions" else "the single session"} AND >=${fmt(FlagFloorSec, 2)}s shipped delta): $flagTxt"
     (BenchPrev.jsonSafe(clause), flags)
   }
 

@@ -17,6 +17,23 @@ class BenchSiblingSpec extends AnyFunSuite {
     assert(!Bench.isSiblingRun("BENCH_cluster_r17_queries.json"))
   }
 
+  test("the flag predicate: >1.25x in BOTH sessions AND a 0.25s absolute " +
+      "shipped delta — sub-quarter-second moves and one-session spikes " +
+      "never flag (PROTOCOL.md calibration)") {
+    import Bench.isFlag
+    // real regression shape: both sessions up 1.5x on a 1s query
+    assert(isFlag(prev = 1.0, shipped = 1.5, thisSess = 1.55, sib = Some(1.5)))
+    // r17 self-test shape: both sessions over 1.25x but the absolute move
+    // is noise-sized (s04: 0.429 -> 0.617 shipped, +0.19s)
+    assert(!isFlag(prev = 0.429, shipped = 0.617, thisSess = 0.62, sib = Some(0.63)))
+    // r16 shape: one session spikes 1.63x, the sibling is flat
+    assert(!isFlag(prev = 1.0, shipped = 1.05, thisSess = 1.63, sib = Some(1.05)))
+    // single-session fallback (no sibling measured the query): ratio +
+    // floor still required
+    assert(isFlag(prev = 1.0, shipped = 1.4, thisSess = 1.4, sib = None))
+    assert(!isFlag(prev = 0.2, shipped = 0.3, thisSess = 0.3, sib = None))
+  }
+
   test("the official session derives its sibling's path from its own " +
       "detail path (env override aside), so a bare driver re-run pairs " +
       "with the COMMITTED sibling") {
