@@ -36,6 +36,38 @@ object Curation {
     labelsCache.getOrElseUpdate((s, dir),
       contractComponents(s, Dedup.simhashPairs(s, dir).select("i", "j")))
 
+  /** Symmetric near-dup adjacency `(src, dst)` (both orientations of the
+    * d05 pair set), hash-partitioned by `src` and persisted per
+    * (session, dir) — the SAME shared-index contract as
+    * [[dupClusterLabels]]: p15 (PageRank), p16 (BFS) and p21
+    * (transitivity) all walk this edge list, and each previously
+    * re-symmetrized + re-shuffled + re-materialized it per call. The
+    * `src` partitioning is the one every consumer's first join/groupBy
+    * keys on, so it is established once for the session. */
+  private val symmEdgesCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private[analytics] def symmEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    symmEdgesCache.getOrElseUpdate((s, dir), {
+      val pairs = Dedup.simhashPairs(s, dir).select(col("i"), col("j"))
+      pairs.select(col("i").as("src"), col("j").as("dst"))
+        .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Per-node degree `(src, deg)` of [[symmEdges]], persisted — p15's
+    * rank seed/denominator and p21's neighbor-degree orientation are the
+    * same aggregate. Shuffle-free on top of the edge cache (grouped on
+    * its partitioning key). */
+  private val symmDegCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private[analytics] def symmDeg(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    symmDegCache.getOrElseUpdate((s, dir),
+      symmEdges(s, dir).groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** The iterated per-partition union-find contraction over an arbitrary
     * `(i, j)` edge set — factored so other edge graphs (m10's cross-modal
     * union, streaming.IncrementalComponents' per-batch delta graph) run
@@ -877,12 +909,12 @@ object Curation {
       (s, dir) => {
         import s.implicits._
         val SCALE = 1000000L
-        val pairs = Dedup.simhashPairs(s, dir).select($"i", $"j")
-        val edges = pairs.select($"i".as("src"), $"j".as("dst"))
-          .unionByName(pairs.select($"j".as("src"), $"i".as("dst")))
-          .materialized
-        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-          .materialized
+        // shared session adjacency + degrees (see symmEdges): the edge
+        // list arrives already src-partitioned and persisted, so each
+        // power-iteration's edges⋈contrib join reuses that partitioning
+        // and the per-call symmetrize+materialize jobs are gone
+        val edges = symmEdges(s, dir)
+        val deg = symmDeg(s, dir)
         var ranks = deg.select($"src".as("node"), $"deg", lit(SCALE).as("r"))
         for (_ <- 1 to 3) {
           val contrib = ranks.select($"node".as("src"), expr("r DIV deg").as("c"))
@@ -958,12 +990,10 @@ object Curation {
       "p16_dup_graph_bfs",
       (s, dir) => {
         import s.implicits._
-        val pairs = Dedup.simhashPairs(s, dir).select($"i", $"j")
         val labels = dupClusterLabels(s, dir)
-        val edges = pairs.select($"i".as("src"), $"j".as("dst"))
-          .unionByName(pairs.select($"j".as("src"), $"i".as("dst")))
-          .repartition($"src")
-          .materialized
+        // the shared src-partitioned adjacency (symmEdges) — same frame,
+        // same partitioning contract as the per-call build it replaces
+        val edges = symmEdges(s, dir)
         var levels = List(
           labels.select($"lab").distinct()
             .select($"lab".as("node"), lit(0L).as("hops"))
@@ -1305,7 +1335,6 @@ object Curation {
       "p21_cluster_transitivity",
       (s, dir) => {
         import s.implicits._
-        val edges = Dedup.simhashPairs(s, dir).select($"i", $"j")
         val labels = dupClusterLabels(s, dir)
         // ONE adjacency build feeds everything: symmetric edges, neighbor
         // degree attached by a single co-partitioned join (the degree agg's
@@ -1315,10 +1344,10 @@ object Curation {
         // stats, the probe side) as cheap per-row maps — the first cut
         // recomputed the two degree joins in every consumer, and the sf0.1
         // cost was pure exchange-scheduling, not data.
-        val symm = edges.select($"i".as("src"), $"j".as("dst"))
-          .unionAll(edges.select($"j".as("src"), $"i".as("dst")))
-        val degF = symm.groupBy($"src").agg(count(lit(1)).as("dd"))
-          .select($"src".as("dst"), $"dd")
+        // shared session adjacency + degrees (symmEdges/symmDeg) — the
+        // same symmetrize + degree agg this query previously re-ran
+        val symm = symmEdges(s, dir)
+        val degF = symmDeg(s, dir).select($"src".as("dst"), $"deg".as("dd"))
         val adjFull = symm.join(degF, "dst")
           .groupBy($"src").agg(
             count(lit(1)).as("d"),

@@ -439,8 +439,16 @@ object Dedup {
         // the cap is semantically inert here; at 100 TB it is the
         // difference between a linear candidate join and a stalled stage.
         // d03 (MinHash+LSH) remains the principled scale path.
-        val w = org.apache.spark.sql.expressions.Window.partitionBy($"s")
-        val capped = sh.withColumn("df", count(lit(1)).over(w)).filter($"df" <= 128)
+        // DF via aggregate + join, not count().over(Window.partitionBy(s)):
+        // the window form shuffles EVERY (doc_id, s) row by s and sorts it
+        // inside each partition before counting; the aggregate
+        // partial-combines map-side to one row per shingle (no sort), and
+        // the df<=128 filter then prunes the join build side to the cold
+        // shingles before any wide row moves — same rows out (a row
+        // survives iff its shingle's corpus DF is <=128).
+        val dfreq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+          .filter($"df" <= 128)
+        val capped = sh.join(dfreq, "s")
         val shared = capped.as("a")
           .join(capped.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
@@ -1092,36 +1100,40 @@ object Dedup {
         // corpus-level document frequency — the exact DF d02's cap uses
         val dfreq = full.groupBy($"s").agg(count(lit(1)).as("df"))
         val caps = capsList.toDF("df_cap")
-        val capped = sh.join(dfreq, "s").filter($"df" <= capsList.max)
+        // ONE self-join serves every cap AND the truth set: the uncapped
+        // sample self-join (truth's input) subsumes the cap-128 join, so
+        // per-cap shared counts are conditional tallies (df <= c) in the
+        // SAME aggregate, the uncapped count s_all is the truth Jaccard's
+        // numerator, and the second self-join + its cnt re-joins vanish
+        // from the plan (it previously ran the capped join AND the truth
+        // join over the same sampled index).
         val tallies = capsList.map(c =>
-          sum(when($"a.df" <= c, 1L).otherwise(0L)).as(s"s_$c"))
-        val sharedByCap = capped.as("a")
-          .join(capped.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          sum(when($"a.df" <= c, 1L).otherwise(0L)).as(s"s_$c")) :+
+          count(lit(1)).as("s_all")
+        val withDf = sh.join(dfreq, "s")
+        val pairStats = withDf.as("a")
+          .join(withDf.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
           .agg(tallies.head, tallies.tail: _*)
-        val pairs = sharedByCap
-          .select($"i", $"j", explode(array(capsList.map(c =>
+          .join(cnt.select($"doc_id".as("i"), $"n".as("ni")), "i")
+          .join(cnt.select($"doc_id".as("j"), $"n".as("nj")), "j")
+          .withColumn("t",
+            $"s_all".cast("double") / ($"ni" + $"nj" - $"s_all") >= 0.8)
+        val pairs = pairStats
+          .select($"i", $"j", $"t", $"ni", $"nj", explode(array(capsList.map(c =>
             struct(lit(c).as("df_cap"), col(s"s_$c").as("shared"))): _*)).as("cs"))
-          .select($"i", $"j", $"cs.df_cap".as("df_cap"), $"cs.shared".as("shared"))
+          .select($"i", $"j", $"t", $"ni", $"nj",
+            $"cs.df_cap".as("df_cap"), $"cs.shared".as("shared"))
           .filter($"shared" > 0L) // the cap-c join would not have seen this pair
-          .join(cnt.select($"doc_id".as("i"), $"n".as("ni")), "i")
-          .join(cnt.select($"doc_id".as("j"), $"n".as("nj")), "j")
           .filter($"shared".cast("double") / ($"ni" + $"nj" - $"shared") >= 0.8)
-          .select($"df_cap", $"i", $"j")
-        val truth = sh.as("a")
-          .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-          .agg(count(lit(1)).as("shared"))
-          .join(cnt.select($"doc_id".as("i"), $"n".as("ni")), "i")
-          .join(cnt.select($"doc_id".as("j"), $"n".as("nj")), "j")
-          .filter($"shared".cast("double") / ($"ni" + $"nj" - $"shared") >= 0.8)
-          .select($"i", $"j")
-        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+          .select($"df_cap", $"i", $"j", $"t")
+        val nTruth = pairStats
+          .agg(coalesce(sum(when($"t", 1L).otherwise(0L)), lit(0L)).as("n_truth"))
         caps
-          .join(pairs.join(truth.withColumn("t", lit(1L)), Seq("i", "j"), "left"),
-            Seq("df_cap"), "left")
+          .join(pairs, Seq("df_cap"), "left")
           .groupBy($"df_cap")
-          .agg(count($"i").as("n_pairs"), coalesce(sum($"t"), lit(0L)).as("n_hit"))
+          .agg(count($"i").as("n_pairs"),
+            coalesce(sum(when($"t", 1L).otherwise(0L)), lit(0L)).as("n_hit"))
           .crossJoin(broadcast(nTruth))
           .withColumn("recall", $"n_hit".cast("double") / $"n_truth")
           .select($"df_cap", $"n_truth", $"n_pairs", $"n_hit", $"recall")

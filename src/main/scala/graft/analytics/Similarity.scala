@@ -1146,10 +1146,14 @@ object Similarity {
         def sub(qc: Column, m: Int) = slice(qc, m * SUBDIM + 1, SUBDIM)
         def ssd(a: Column, b: Column): Column = longSsd(a, b)
         val emb = withQNorm(t(s, dir, "embeddings"))
+        // one pass, not M: posexplode of the M sub-slices replaces the
+        // M-way unionAll (which re-scanned the input once per subspace and
+        // quadrupled the plan) — same rows, same (idCol, m, qs) schema,
+        // and every consumer is a groupBy aggregate, so row order is moot
         def subRows(df: DataFrame, idCol: String, id: Column): DataFrame =
-          (0 until M).map(m =>
-            df.select(id.as(idCol), lit(m).as("m"), sub($"q", m).as("qs")))
-            .reduce(_ unionAll _)
+          df.select(id.as(idCol),
+            posexplode(array((0 until M).map(m => sub($"q", m)): _*))
+              .as(Seq("m", "qs")))
         // per-subspace seed codebook: subvectors of the first K vectors
         val seed = subRows(emb.filter($"vec_id" < K), "cent", $"vec_id")
           .withColumnRenamed("qs", "qc")
@@ -1316,11 +1320,12 @@ object Similarity {
           .withColumn("rb", zip_with($"qb", $"qc", (x, y) => x - y))
           .select($"cid", $"cent_id", $"rb")
           .persistOnce()
+        // one pass, not M — see s13's subRows note (posexplode of the M
+        // sub-slices; consumers are all groupBy aggregates)
         def subRows(df: DataFrame, col0: String): DataFrame =
-          (0 until M).map(m =>
-            df.select(df.columns.filterNot(_ == col0).map(col) :+
-              lit(m).as("m") :+ sub(col(col0), m).as("rs"): _*))
-            .reduce(_ unionAll _)
+          df.select(df.columns.filterNot(_ == col0).map(col) :+
+            posexplode(array((0 until M).map(m => sub(col(col0), m)): _*))
+              .as(Seq("m", "rs")): _*)
         // seed codebook: residual subvectors of the first K corpus cids
         val seed = subRows(res.filter($"cid" < PQSEED).select($"cid", $"rb"), "rb")
           .select($"cid".as("cent"), $"m", $"rs".as("rc"))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -97,15 +97,15 @@ object PrefixScan {
 
   /** Running MAX of `value` over the global `order`, appended as `out`. */
   def runningMax(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame =
-    scan(df, order, value, out, max, greatest(_, _), math.max)
+    scan(df, order, value, out, max, greatest(_, _), "max")
 
   /** Running SUM of `value` over the global `order`, appended as `out`. */
   def runningSum(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame =
-    scan(df, order, value, out, sum, _ + _, _ + _)
+    scan(df, order, value, out, sum, _ + _, "sum")
 
   /** Running MIN of `value` over the global `order`, appended as `out`. */
   def runningMin(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame =
-    scan(df, order, value, out, min, least(_, _), math.min)
+    scan(df, order, value, out, min, least(_, _), "min")
 
   /** Bucket boundaries for the two-pass scan: each is `(kb, None)` — the
     * bucket index increments where `k > kb` — or, for a DOMINANT leading
@@ -179,7 +179,7 @@ object PrefixScan {
       out: String,
       agg: Column => Column,
       combine: (Column, Column) => Column,
-      op: (Long, Long) => Long): DataFrame = {
+      op: String): DataFrame = {
     // Caller-contract enforcement: a non-deterministic, un-persisted
     // input is auto-persisted so every consumer reads ONE materialization
     // (an already-persisted input is replay-stable as cached). The frame
@@ -234,22 +234,13 @@ object PrefixScan {
       .withColumn(bkt, bucket)
       .repartition(n, col(bkt))
       .sortWithinPartitions(col(bkt) +: order: _*)
-    val schemaOut = ranged.schema.add(local, LongType, nullable = true)
-    val idxV = ranged.schema.fieldIndex(v)
-    val idxB = ranged.schema.fieldIndex(bkt)
-    val scanned = ranged.mapPartitions { it =>
-      var cur = -1
-      var acc: java.lang.Long = null
-      it.map { r =>
-        val b = r.getInt(idxB)
-        if (b != cur) { cur = b; acc = null }
-        if (!r.isNullAt(idxV)) {
-          val x = r.getLong(idxV)
-          acc = if (acc == null) x else op(acc, x)
-        }
-        Row.fromSeq(r.toSeq :+ (acc: Any))
-      }
-    }(Encoders.row(schemaOut))
+    // The carry pass runs as the native InternalRow operator
+    // (BucketRunningScan) — the Dataset.mapPartitions form paid a full
+    // Row-encoder round trip (deserialize → Seq append → re-encode) PER
+    // ROW, and the scan covers the whole input twice per query (carries
+    // subtree + join subtree). Same algorithm, same object barrier
+    // against column pruning (exchange reuse still holds).
+    val scanned = BucketRunningScan.append(ranged, bkt, v, local, op)
     // Exclusive per-bucket carries: #buckets rows end-to-end. Derived
     // from `scanned`, NOT from `ranged` — column pruning pushes below a
     // plain aggregate and produces a narrower (different) exchange
