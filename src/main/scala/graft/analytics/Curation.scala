@@ -50,10 +50,16 @@ object Curation {
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     symmEdgesCache.getOrElseUpdate((s, dir), {
       val pairs = Dedup.simhashPairs(s, dir).select(col("i"), col("j"))
+      // materialized (LogicalRDD), NOT persist: p15/p16 nest this frame
+      // inside diameter-many iterated joins, and a lazy persisted frame
+      // embeds the whole simhash lineage as an InMemoryRelation subtree
+      // at EVERY leaf — measured 2s -> 9s on p15 from pure planning/AQE
+      // work over the exploded tree. The checkpoint seam keeps the plan
+      // leaf compact and preserves the src hash-partitioning.
       pairs.select(col("i").as("src"), col("j").as("dst"))
         .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
         .repartition(col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .materialized
     })
 
   /** Per-node degree `(src, deg)` of [[symmEdges]], persisted — p15's
@@ -66,7 +72,7 @@ object Curation {
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     symmDegCache.getOrElseUpdate((s, dir),
       symmEdges(s, dir).groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .materialized) // compact LogicalRDD leaf — see symmEdges note
 
   /** The iterated per-partition union-find contraction over an arbitrary
     * `(i, j)` edge set — factored so other edge graphs (m10's cross-modal

@@ -93,6 +93,11 @@ object Dedup {
     * corpus index above — the injection changes the text). */
   private val tplShCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** d10's corpus-tile Bloom sketch (built over the persisted tile
+    * index) — index artifact, one build per (session, dir). */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
   private[analytics] def shingleIndex(s: SparkSession, dir: String): DataFrame =
     shCache.getOrElseUpdate((s, dir),
       withShingles(t(s, dir, "documents").repartition(col("doc_id")))
@@ -215,15 +220,23 @@ object Dedup {
     * band hash = md5 of the band's 4 signature values in h order; only
     * band-hash equality drives the self-join, so the shuffle carries
     * fixed-width band hashes — the shape that survives 100×. */
-  private[analytics] def minhashCands(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandsOf(minhashSigs(s, dir))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
-  }
+  private val mhCandsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[analytics] def minhashCands(s: SparkSession, dir: String): DataFrame =
+    // persisted per (session, dir) like simhashPairs: d03 (the operator),
+    // d12 (its recall gate, which re-runs d03's own plan) and d15 (the
+    // calibration curve) each re-ran the band self-join + distinct per
+    // call — the candidate set is index output, built once per session
+    mhCandsCache.getOrElseUpdate((s, dir), {
+      val bands = bandsOf(minhashSigs(s, dir))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** (doc_id, b0..b3, simhash) — 64-bit SimHash per document as FOUR 16-bit
     * band values plus the 16-hex-char fingerprint, persisted and shared by
@@ -748,9 +761,13 @@ object Dedup {
         // production scale it comes from table stats instead. Correctness
         // never depends on the sketch — the semi-join confirms — so the
         // count influences only prefilter selectivity.
-        val nTiles = math.max(corpus.count(), 1000L)
-        val bloom = corpus.stat.bloomFilter("th", nTiles, 0.01)
-        val bbl = s.sparkContext.broadcast(bloom)
+        // The count job + the treeAggregate sketch build are INDEX work
+        // over the persisted tile index (the same contract as tileIndex
+        // itself), so both run once per (session, dir), not once per call.
+        val bbl = bloomCache.getOrElseUpdate((s, dir), {
+          val nTiles = math.max(corpus.count(), 1000L)
+          s.sparkContext.broadcast(corpus.stat.bloomFilter("th", nTiles, 0.01))
+        })
         val mightMatch = udf((th: String) => bbl.value.mightContain(th))
         val confirmed = batch.filter(mightMatch($"th"))
           .join(corpus, Seq("th"), "left_semi")
@@ -1375,12 +1392,25 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents").repartition($"doc_id")
-        val grams = posGramsOf(docs)
+        // ONE tokenize pass, not two: the gram explode carries the doc's
+        // token count (posexplode_outer keeps sub-K-token docs as a null
+        // gram row), so the separate tokenCounts regexp pass over the
+        // corpus is gone — same gram rows as posGramsOf, same per-doc
+        // n_tokens as tokenCounts
+        val tokd = docs
+          .withColumn("toks",
+            regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0)))
+          .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+            posexplode_outer(graft.functions.Shingles.ngrams(SPAN_K)($"toks"))
+              .as(Seq("pos", "g")))
+        val grams = tokd.filter($"pos".isNotNull)
+          .select($"doc_id", $"pos", md5($"g").as("gh"))
+        val nTok = tokd.groupBy($"doc_id").agg(max($"n_tokens").as("n_tokens"))
         val dup = grams.groupBy($"gh").agg(count(lit(1)).as("n"))
           .filter($"n" >= 2).select($"gh")
         val agg = spanStats(grams.join(dup, "gh"))
           .withColumnRenamed("span_tokens", "dup_tokens")
-        tokenCounts(docs)
+        nTok
           .join(agg, Seq("doc_id"), "left")
           .na.fill(0L, Seq("dup_tokens", "n_spans"))
           .select($"doc_id", $"n_tokens", $"dup_tokens", $"n_spans",
@@ -1511,7 +1541,13 @@ object Dedup {
           .filter($"docs_with" * 100L >= $"n_docs" * 20L)
           .select($"source", $"g")
         val per = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-        val cov = sh.join(tpl, Seq("source", "g"))
+        // broadcast the template set: it is df-thresholded (>=20% of a
+        // source's docs) and so bounded — a handful of grams per source —
+        // while the left side is the corpus-sized shingle index; the
+        // broadcast turns the coverage join's index shuffle into a narrow
+        // map over the cached index partitions (doc_id-partitioned, so
+        // the groupBy that follows stays shuffle-free)
+        val cov = sh.join(broadcast(tpl), Seq("source", "g"))
           .groupBy($"doc_id").agg(count(lit(1)).as("n_tpl"))
         per.join(cov, Seq("doc_id"), "left")
           .na.fill(0L, Seq("n_tpl"))
@@ -1567,7 +1603,17 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents").repartition($"doc_id")
-        val toks = posTokensOf(docs)
+        // token rows + per-doc counts from ONE tokenize pass (the d20
+        // posexplode_outer trick): posTokensOf + tokenCounts each re-ran
+        // the regexp over the corpus — three tokenize passes per call
+        // (with grams) are now two
+        val tokd = docs
+          .withColumn("toks",
+            regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0)))
+          .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+            posexplode_outer($"toks").as(Seq("p", "tok")))
+        val toks = tokd.filter($"p".isNotNull).select($"doc_id", $"p", $"tok")
+        val nTok = tokd.groupBy($"doc_id").agg(max($"n_tokens").as("n_tokens"))
         val grams = posGramsOf(docs)
         val firstOcc = grams.groupBy($"gh")
           .agg(count(lit(1)).as("n"),
@@ -1580,7 +1626,7 @@ object Dedup {
             $"pos".cast("long") + (SPAN_K - 1))).as("p"))
           .distinct()
         val rebuilt = rebuildKept(toks.join(cut, Seq("doc_id", "p"), "left_anti"))
-        tokenCounts(docs)
+        nTok
           .join(rebuilt, Seq("doc_id"), "left")
           .na.fill(0L, Seq("kept_tokens")).na.fill("", Seq("text_dedup"))
           .select($"doc_id", $"n_tokens", $"kept_tokens",

@@ -1716,9 +1716,17 @@ object Similarity {
         val dims = emb.select($"vec_id", $"label", posexplode($"q").as(Seq("dim", "v")))
         val cents = dims.groupBy($"label", $"dim")
           .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cv"))
-        val scored = dims.join(broadcast(cents), Seq("label", "dim"))
-          .withColumn("d", $"v" - $"cv")
-          .groupBy($"vec_id", $"label").agg(sum($"d" * $"d").as("ssd"))
+        // per-vector SSD via the native fused kernel against the label's
+        // centroid ARRAY (the s13/s14 pattern) — the per-dim join form
+        // exploded the corpus 64x a second time and shuffled every
+        // (vec, dim) row back through a groupBy; this is one broadcast
+        // join + one codegen'd loop per row, same exact BIGINT sum
+        val centArr = cents.groupBy($"label")
+          .agg(transform(array_sort(collect_list(struct($"dim", $"cv"))),
+            x => x.getField("cv")).as("qc"))
+        val scored = emb.join(broadcast(centArr), "label")
+          .withColumn("ssd", longSsd($"q", $"qc"))
+          .select($"vec_id", $"label", $"ssd")
         val moms = scored.groupBy($"label").agg(
           count(lit(1)).as("n"), sum($"ssd").as("s1"),
           sum($"ssd".cast("decimal(19,0)") * $"ssd".cast("decimal(19,0)")).as("q2"))

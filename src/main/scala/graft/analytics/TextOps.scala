@@ -293,13 +293,16 @@ object TextOps {
       "t09_repetition",
       (s, dir) => {
         import s.implicits._
-        val d = t(s, dir, "documents")
+        // both n-gram lengths from ONE tokenize pass: posexplode over the
+        // two ngram arrays replaces the two-branch union (which re-ran
+        // tokenize + ngrams once per branch); n = pos + 2 reproduces the
+        // tag, and the consumer is a groupBy, so row order is moot
+        val grams = t(s, dir, "documents")
           .withColumn("tk", toks($"text"))
-        val grams = d
-          .select($"doc_id", lit(2).as("n"),
-            explode(graft.functions.Shingles.ngrams(2)($"tk")).as("g"))
-          .unionByName(d.select($"doc_id", lit(3).as("n"),
-            explode(graft.functions.Shingles.ngrams(3)($"tk")).as("g")))
+          .select($"doc_id", posexplode(array(
+            graft.functions.Shingles.ngrams(2)($"tk"),
+            graft.functions.Shingles.ngrams(3)($"tk"))).as(Seq("i", "gs")))
+          .select($"doc_id", ($"i" + 2).as("n"), explode($"gs").as("g"))
         grams.groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
           .groupBy($"doc_id")
           .agg(
@@ -624,8 +627,13 @@ object TextOps {
       "t16_unigram_logprob",
       (s, dir) => {
         import s.implicits._
+
+        // persisted: the token stream feeds the vocab build AND the
+        // scoring join (same two-consumer argument as t19's bigram
+        // stream; plain string columns, cache-friendly)
         val tok = t(s, dir, "documents")
           .select($"doc_id", explode(toks($"text")).as("w"))
+          .persistOnce()
         val vocab = tok.groupBy($"w").agg(count(lit(1)).cast("double").as("cnt"))
         // Σ vocab counts ≡ total token instances — computed as a narrow
         // sum(size(tokens)) over the doc scan instead of re-exploding the
@@ -796,10 +804,17 @@ object TextOps {
       "t19_bigram_surprisal",
       (s, dir) => {
         import s.implicits._
+
+        // persisted: the bigram stream feeds BOTH the model build (bcnt)
+        // and the final scoring join — without reuse each consumer re-ran
+        // tokenize + ngrams + explode over the corpus (plain string
+        // columns, so the columnar cache reads fast — unlike the
+        // array<string> boundary the tokDocs note pins)
         val big = t(s, dir, "documents")
           .withColumn("toks", toks($"text"))
           .withColumn("grams", graft.functions.Shingles.ngrams(2)($"toks"))
           .select($"doc_id", explode($"grams").as("gram"))
+          .persistOnce()
         val bcnt = big.groupBy($"gram").agg(count(lit(1)).as("c2"))
         val prefix = bcnt
           .withColumn("w1", substring_index($"gram", " ", 1))
