@@ -821,11 +821,15 @@ object Curation {
           .withColumn("is_tgt",
             conv(substring(md5(concat(lit("dsir:"), $"doc_id".cast("string"))), 1, 6), 16, 10)
               .cast("long") < cutTgt)
+        // persisted: three consumers (target counts, raw counts, per-doc
+        // tf) each re-ran the ngram explode + md5 bucketing otherwise;
+        // narrow (long, bool, int) rows — cache-friendly
         val bt = docs
           .select($"doc_id", $"is_tgt", explode(ngrams2($"w")).as("g"))
           .withColumn("bucket",
             (conv(substring(md5($"g"), 1, 6), 16, 10).cast("long") % D).cast("int"))
           .select($"doc_id", $"is_tgt", $"bucket")
+          .persistOnce()
         val pcnt = bt.filter($"is_tgt").groupBy($"bucket").agg(count(lit(1)).as("pn"))
         val qcnt = bt.groupBy($"bucket").agg(count(lit(1)).as("qn"))
         val tot = pcnt.agg(sum($"pn").as("pt")).crossJoin(qcnt.agg(sum($"qn").as("qt")))
@@ -1123,12 +1127,18 @@ object Curation {
           .withColumn("tk", regexp_extract_all(lower($"text"), lit("[a-z0-9']+"), lit(0)))
           .withColumn("n", size($"tk").cast("long"))
           .withColumn("h", md5($"text"))
+        // quality survivors persisted: the frame feeds its own stage
+        // count, the exact-dedup keep set, and (through exact) two later
+        // stages — each otherwise re-ran the tokenize + distinct + md5
+        // pass over the corpus
         val quality = toksed
           .filter($"n" >= 25L &&
             size(array_distinct($"tk")).cast("double") >= $"n" * 0.4)
           .select($"doc_id", $"source", $"n", $"h")
+          .persistOnce()
         val keep = quality.groupBy($"h").agg(min($"doc_id").as("doc_id"))
         val exact = quality.join(keep, Seq("h", "doc_id"), "left_semi")
+          .persistOnce()
         // d18's corpus-wide canonical set (over ALL docs, then applied)
         val labels = dupClusterLabels(s, dir)
         val lab = docs.select($"doc_id", $"n_chars")

@@ -93,6 +93,19 @@ object Dedup {
     * corpus index above — the injection changes the text). */
   private val tplShCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Corpus-level shingle document-frequency table `(s, df)` over the
+    * shared shingle index — the DF both d02's stop-shingle cap and d16's
+    * cap sweep consult; one linear aggregate per (session, dir) instead
+    * of one per call. Materialized (compact LogicalRDD leaf — the
+    * symmEdges plan-bloat lesson) since both consumers splice it into
+    * self-join subtrees. */
+  private val shingleDfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[analytics] def shingleDf(s: SparkSession, dir: String): DataFrame =
+    shingleDfCache.getOrElseUpdate((s, dir),
+      graft.GraftSession.materialize(
+        shingleIndex(s, dir).groupBy(col("s")).agg(count(lit(1)).as("df"))))
+
   /** d10's corpus-tile Bloom sketch (built over the persisted tile
     * index) — index artifact, one build per (session, dir). */
   private val bloomCache =
@@ -459,8 +472,7 @@ object Dedup {
         // the df<=128 filter then prunes the join build side to the cold
         // shingles before any wide row moves — same rows out (a row
         // survives iff its shingle's corpus DF is <=128).
-        val dfreq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-          .filter($"df" <= 128)
+        val dfreq = shingleDf(s, dir).filter($"df" <= 128)
         val capped = sh.join(dfreq, "s")
         val shared = capped.as("a")
           .join(capped.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
@@ -1115,7 +1127,8 @@ object Dedup {
         val sh = full.filter(evalSampled($"doc_id", evalPct(s, dir)))
         val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         // corpus-level document frequency — the exact DF d02's cap uses
-        val dfreq = full.groupBy($"s").agg(count(lit(1)).as("df"))
+        // (the shared session table)
+        val dfreq = shingleDf(s, dir)
         val caps = capsList.toDF("df_cap")
         // ONE self-join serves every cap AND the truth set: the uncapped
         // sample self-join (truth's input) subsumes the cap-128 join, so

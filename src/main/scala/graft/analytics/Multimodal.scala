@@ -695,8 +695,31 @@ object Multimodal {
         import s.implicits._
         val text = Dedup.simhashPairs(s, dir).select($"i", $"j")
         val image = phashPairs(s, dir).select($"i", $"j")
-        val edges = text.union(image).distinct()
-        val labels = Curation.contractComponents(s, edges)
+        // Components of text∪image = components of the QUOTIENT graph:
+        // map every image edge through the cached text labels (absent
+        // nodes map to themselves), drop the self-loops (image edges
+        // inside one text component change nothing), and contract only
+        // that reduced edge set — instead of re-contracting the full
+        // union from scratch per call. Labels stay component MINIMA:
+        // reduced-node ids are text-component minima or raw ids, and the
+        // quotient contraction takes the min of those, i.e. the min over
+        // the whole union component. Final label = quotient label of the
+        // node's base label (its text label, else itself).
+        val tl = Curation.dupClusterLabels(s, dir)
+        val mapped = image
+          .join(tl.select($"node".as("i"), $"lab".as("li")), Seq("i"), "left")
+          .join(tl.select($"node".as("j"), $"lab".as("lj")), Seq("j"), "left")
+          .select(coalesce($"li", $"i").as("i"), coalesce($"lj", $"j").as("j"))
+          .filter($"i" =!= $"j")
+        val quotient = Curation.contractComponents(s, mapped)
+        val imageNodes = image.select($"i".as("node"))
+          .unionAll(image.select($"j".as("node"))).distinct()
+        val baseLabels = tl
+          .unionByName(imageNodes.join(tl.select($"node"), Seq("node"), "left_anti")
+            .withColumn("lab", $"node"))
+        val labels = baseLabels
+          .join(quotient.select($"node".as("lab"), $"lab".as("lab2")), Seq("lab"), "left")
+          .select($"node", coalesce($"lab2", $"lab").as("lab"))
         val report = labels.groupBy($"lab".as("cluster_rep"))
           .agg(count(lit(1)).as("size"), max($"node").as("max_doc"))
         def edgeCnt(p: org.apache.spark.sql.DataFrame, name: String) =

@@ -1171,12 +1171,17 @@ object Similarity {
           .groupBy($"vec_id", $"m")
           .agg(min(struct($"ssd", $"cent", $"qs")).as("best"))
           .select($"m", $"best.cent".as("cent"), $"best.qs".as("qs"))
+        // codebook + codes persisted: cent1 is broadcast into BOTH the
+        // encode pass and the ADC-table build (its lineage is a corpus
+        // pass), and the 4-byte code table IS the persisted index a PQ
+        // deployment serves from — neither should rebuild per consumer
         val cent1 = a0.select($"m", $"cent", posexplode($"qs").as(Seq("sd", "v")))
           .groupBy($"m", $"cent", $"sd")
           .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cv"))
           .groupBy($"m", $"cent")
           .agg(transform(array_sort(collect_list(struct($"sd", $"cv"))),
             x => x.getField("cv")).as("qc"))
+          .persistOnce()
         // encode the corpus: 4 nearest-centroid ids per vector — the same
         // sort-free argmin (this is the M×K×corpus hot path of the build)
         val codes = subRows(emb.filter($"vec_id" >= 5), "cid", $"vec_id")
@@ -1185,6 +1190,7 @@ object Similarity {
           .groupBy($"cid", $"m")
           .agg(min(struct($"ssd", $"cent")).as("best"))
           .select($"cid", $"m", $"best.cent".as("cent"))
+          .persistOnce()
         // per-query ADC tables: exact ssd to every codebook entry
         val tab = subRows(emb.filter($"vec_id" < 5), "qid", $"vec_id")
           .join(broadcast(cent1), "m")
@@ -1338,12 +1344,15 @@ object Similarity {
           .groupBy($"cid", $"m")
           .agg(min(struct($"ssd", $"cent", $"rs")).as("best"))
           .select($"m", $"best.cent".as("cent"), $"best.rs".as("rs"))
+        // persisted like s13's cent1/codes: the residual codebook is
+        // broadcast into the encode pass AND the per-probe ADC tables
         val pqCent = a0.select($"m", $"cent", posexplode($"rs").as(Seq("sd", "v")))
           .groupBy($"m", $"cent", $"sd")
           .agg(floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("cv"))
           .groupBy($"m", $"cent")
           .agg(transform(array_sort(collect_list(struct($"sd", $"cv"))),
             x => x.getField("cv")).as("rc"))
+          .persistOnce()
         // encode EVERY corpus residual as its 4 nearest-centroid ids —
         // the round-7 verdict's one perf-weak spot: the row_number form
         // shuffled+sorted 64×corpus rows; min(struct) is a partial-merge
@@ -1354,6 +1363,7 @@ object Similarity {
           .groupBy($"cid", $"m")
           .agg(min(struct($"ssd", $"cent")).as("best"))
           .select($"cid", $"m", $"best.cent".as("cent"))
+          .persistOnce()
         // query probes (the s05 coarse search) + per-(query, cell) residual
         val q = emb.filter($"vec_id" < 5)
           .select($"vec_id".as("qid"), $"q".as("qa"), $"n2".as("n2a"))

@@ -1285,12 +1285,25 @@ object Tpch {
       "q45_bag_set_ops",
       (s, dir) => {
         import s.implicits._
-        val a = li(s, dir).filter($"l_quantity" >= 45).select($"l_partkey")
-        val b = li(s, dir).filter($"l_returnflag" === "R").select($"l_partkey")
-        val ex = a.exceptAll(b).groupBy($"l_partkey")
-          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
-        val in = a.intersectAll(b).groupBy($"l_partkey")
-          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        // Bag EXCEPT/INTERSECT as COUNTING arithmetic: for key k with ca
+        // copies in a and cb in b, EXCEPT ALL keeps max(ca-cb, 0) and
+        // INTERSECT ALL min(ca, cb) — so one partial-combined aggregate
+        // per side plus one key join replaces Spark's ExceptAll/
+        // IntersectAll rewrites, which shuffle every ROW of both inputs
+        // (tag + row_number machinery) before any reduction. Same
+        // (op, key, n) rows out.
+        val ca = li(s, dir).filter($"l_quantity" >= 45)
+          .groupBy($"l_partkey").agg(count(lit(1)).as("ca"))
+        val cb = li(s, dir).filter($"l_returnflag" === "R")
+          .groupBy($"l_partkey").agg(count(lit(1)).as("cb"))
+        val j = ca.join(cb, Seq("l_partkey"), "full_outer")
+          .select($"l_partkey",
+            coalesce($"ca", lit(0L)).as("ca"), coalesce($"cb", lit(0L)).as("cb"))
+        val ex = j.filter($"ca" > $"cb")
+          .select(lit("except_all").as("op"), $"l_partkey", ($"ca" - $"cb").as("n"))
+        val in = j.filter($"ca" >= 1L && $"cb" >= 1L)
+          .select(lit("intersect_all").as("op"), $"l_partkey",
+            least($"ca", $"cb").as("n"))
         ex.unionByName(in)
           .select($"op", $"l_partkey", $"n")
           .orderBy($"op", $"l_partkey")
