@@ -27,9 +27,23 @@ object Tables {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Self-register the engine's optimizer rule on any session running
+    // declared queries (the TopK.perKey extraStrategies pattern):
+    // sessions built without spark.sql.extensions=GraftExtensions (the
+    // bench/verify mains, embedding applications) otherwise run every
+    // row_number rank-filter as a full WindowExec — shuffle + sort of
+    // every row — instead of the bounded-heap TopKPerKey rewrite
+    // (TopKBench: 2.1x at sf0.1, and the gap grows with data). The rule
+    // is a no-op when GraftExtensions already injected it (idempotent
+    // transform; double registration is prevented by the contains check).
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies ++= Seq(graft.plans.TopKStrategy)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RankFilterToTopK))
+      spark.experimental.extraOptimizations ++= Seq(graft.plans.RankFilterToTopK)
     cache.getOrElseUpdate((spark, dir, name),
       load(spark, dir, name).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The loader owns physical-type normalization: the driver regenerates the

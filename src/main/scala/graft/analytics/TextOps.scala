@@ -1123,16 +1123,34 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         val cp = s.range(1, 5).select(($"id" * 25L).as("pct"))
-        t(s, dir, "documents")
+        // Pre-aggregate, then sweep the checkpoints: the direct form
+        // cross-joined the token stream 4x and ran THREE count-distincts
+        // in one aggregate (Spark's multi-distinct Expand triples the
+        // rows again — 12x the corpus through one exchange). Because the
+        // checkpoints are NESTED samples, a type is present at pct iff
+        // its MINIMUM doc bucket < pct — so one (source, w) -> min(b)
+        // aggregate (map-side combined, corpus shuffled once) plus a
+        // per-doc count frame replace the whole Expand; the 4-way
+        // checkpoint sweep then runs over vocab-/doc-sized frames. Same
+        // integers by construction.
+        val tokStream = t(s, dir, "documents")
           .select($"doc_id", $"source",
             graft.analytics.Sampling.pctBucket($"doc_id").as("b"),
             explode(toks($"text")).as("w"))
+        val wmb = tokStream.groupBy($"source", $"w").agg(min($"b").as("mb"))
+        val types = wmb.crossJoin(broadcast(cp))
+          .groupBy($"source", $"pct")
+          .agg(count(when($"mb" < $"pct", lit(1))).as("n_types"))
+        val dstats = t(s, dir, "documents")
+          .select($"source", graft.analytics.Sampling.pctBucket($"doc_id").as("b"),
+            size(toks($"text")).cast("long").as("nt"))
+          .filter($"nt" >= 1L) // the token stream never sees 0-token docs
           .crossJoin(broadcast(cp))
           .groupBy($"source", $"pct")
-          .agg(
-            countDistinct(when($"b" < $"pct", $"doc_id")).as("n_docs"),
-            count(when($"b" < $"pct", lit(1))).as("n_tokens"),
-            countDistinct(when($"b" < $"pct", $"w")).as("n_types"))
+          .agg(count(when($"b" < $"pct", lit(1))).as("n_docs"),
+            sum(when($"b" < $"pct", $"nt").otherwise(0L)).as("n_tokens"))
+        dstats.join(types, Seq("source", "pct"))
+          .select($"source", $"pct", $"n_docs", $"n_tokens", $"n_types")
           .orderBy($"source", $"pct")
       },
       Some(s"""
