@@ -86,9 +86,9 @@ object Bench {
     }
 
   /** Jackson parse of a detail file's numeric `queries` map (plus the
-    * recorded `head` and `sf`) — a real parser, so format drift cannot
-    * silently return an empty comparison (round-14 failure mode). */
-  private def parseDetail(f: java.io.File): Option[(Map[String, Double], String, String)] =
+    * recorded `head`, `sf` and `master`) — a real parser, so format drift
+    * cannot silently return an empty comparison (round-14 failure mode). */
+  private def parseDetail(f: java.io.File): Option[(Map[String, Double], String, String, String)] =
     try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
       val q = if (node == null) null else node.get("queries")
@@ -101,7 +101,7 @@ object Bench {
           .filter { case (_, v) => v > 0 }.toMap
         def str(k: String) =
           Option(node.get(k)).map(_.asText("")).getOrElse("")
-        Some((m, str("head"), str("sf")))
+        Some((m, str("head"), str("sf"), str("master")))
       }
     } catch {
       case e: Throwable =>
@@ -123,12 +123,16 @@ object Bench {
           f.getName.replaceAll("\\.json$", "") + "_sibling.json")
       }
 
-  /** Load and VALIDATE the same-code sibling session's detail: its sf
-    * must match and its recorded head must be at-or-after the last
-    * source commit — a stale sibling contributing mins would understate
-    * the round, so validation fails CLOSED to single-session mode with a
-    * loud warning. */
-  private def loadSibling(detailPath: String, sfDir: String): Option[(String, Map[String, Double])] = {
+  /** Load and VALIDATE the same-code sibling session's detail: its sf AND
+    * master (core count) must match and its recorded head must be
+    * at-or-after the last source commit — a stale sibling contributing
+    * mins would understate the round, and a sibling measured at a
+    * DIFFERENT core count would contaminate scaling runs (the r17 8-core
+    * driver run min-paired against the committed 32-core sibling, mixing
+    * the two populations), so validation fails CLOSED to single-session
+    * mode with a loud warning. */
+  private[graft] def loadSibling(detailPath: String, sfDir: String,
+      master: String): Option[(String, Map[String, Double])] = {
     val f = siblingPathFor(detailPath)
     if (!f.isFile) {
       System.err.println(s"[bench] no sibling session detail at $f — " +
@@ -136,7 +140,7 @@ object Bench {
         "the two-session protocol)")
       return None
     }
-    parseDetail(f).flatMap { case (qs, head, sf) =>
+    parseDetail(f).flatMap { case (qs, head, sf, sibMaster) =>
       def reject(why: String): Option[(String, Map[String, Double])] = {
         System.err.println(s"[bench] WARN: sibling $f REJECTED ($why) — " +
           "falling back to single-session flags")
@@ -144,6 +148,8 @@ object Bench {
       }
       if (qs.isEmpty) reject("no numeric queries")
       else if (sf.nonEmpty && sf != sfDir) reject(s"sf '$sf' != '$sfDir'")
+      else if (sibMaster.isEmpty) reject("no recorded master")
+      else if (sibMaster != master) reject(s"master '$sibMaster' != '$master'")
       else if (head.isEmpty || head == "unknown") reject("no recorded head")
       else {
         val fresh = try {
@@ -188,7 +194,7 @@ object Bench {
       sibling: Option[(String, Map[String, Double])],
       prevPath: String): (String, Seq[String]) = {
     val prev = parseDetail(new java.io.File(prevPath))
-      .map(_._1).getOrElse(Map.empty)
+      .map(_._1).getOrElse(Map.empty[String, Double])
     val ratios = shipped.toSeq.flatMap { case (n, v) =>
       prev.get(n).map(p => (n, v / p, p, v))
     }
@@ -246,6 +252,11 @@ object Bench {
     // JIT/codegen warmup so the first measured query doesn't absorb
     // session startup cost: a synthetic agg plus the sf0.001 flagship
     // (exercises the parquet reader, shuffle, window and agg codegen paths).
+    // The whole untimed setup (JIT warmup + table cache + the full
+    // index-building pass) is WALL-TIMED as warmup_sec and reported in the
+    // artifact, so work moved out of per-query medians into the shared
+    // session builds stays visible round over round (r17 verdict).
+    val warmup0 = System.nanoTime()
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
@@ -268,6 +279,7 @@ object Bench {
     for ((name, fn) <- SparkEntry.queries)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // a failing query lands in failed[] below
+    val warmupSec = (System.nanoTime() - warmup0) / 1e9
     val samples = collection.mutable.LinkedHashMap.empty[String, List[Double]]
     // A query that throws must NEVER masquerade as a fast one: round 7
     // shipped sixteen 2–12 ms "medians" that were exception paths (stderr
@@ -303,7 +315,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       if (sfTag == "sf0.1") "bench_queries.json" else s"bench_queries_$sfTag.json")
     val siblingRun = isSiblingRun(detailPath)
-    val sibling = if (siblingRun) None else loadSibling(detailPath, sfDir)
+    val sibling = if (siblingRun) None else loadSibling(detailPath, sfDir, master)
     // shipped value = min of the two same-code sessions' medians where the
     // sibling has the query; the per-session medians stay available to the
     // flag logic so a flag requires the regression in BOTH sessions
@@ -353,17 +365,17 @@ object Bench {
           s"${noteFor(detailPath)}$prevNote"
       }
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${shipped.size},"rounds":$rounds,"failed":$failedJson,"flags":$flagsJson$sessionsJson,"queries":$qs,"sf":"$sfDir","master":"$master","head":"$head","method":"$method"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${shipped.size},"rounds":$rounds,"warmup_sec":${r3(warmupSec)},"failed":$failedJson,"flags":$flagsJson$sessionsJson,"queries":$qs,"sf":"$sfDir","master":"$master","head":"$head","method":"$method"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
-    // Headline subset keeps the stdout line short (<400 chars) while still
-    // carrying per-query signal if the detail file is not collected.
-    val headline = Seq("q01_pricing_summary", "q05_regional_revenue",
-      "q18_large_volume_customers", "d03_minhash_lsh_pairs", "d05_simhash_pairs",
-      "s05_ivf_ann", "e10_asof_join", "t06_top_bigrams")
-      .flatMap(k => shipped.get(k).map(v => "\"" + k + "\":" + r3(v)))
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${shipped.size},"failed":$failedJson,"flags":$flagsJson,"queries":$headline,"sf":"$sfDir","master":"$master","head":"$head","detail":"$detailPath","method":"warm-cache median-of-$rounds${if (sibling.isDefined) ", two-session min" else ""}${benchNote()}"}""")
+    // The stdout line carries the FULL per-query map: the driver's
+    // round-over-round comparator parses stdout, and the 8-query headline
+    // subset shipped since the round-1 truncation incident left
+    // PERF_r15..r17 with parsed:null / empty per_query (r17 verdict —
+    // "the driver's comparison machinery is effectively dead"). ~6 KB on
+    // one line is safe for the driver's tail capture; the detail file
+    // stays as the durable sibling/vs-prev artifact.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${shipped.size},"warmup_sec":${r3(warmupSec)},"failed":$failedJson,"flags":$flagsJson,"queries":$qs,"sf":"$sfDir","master":"$master","head":"$head","detail":"$detailPath","method":"warm-cache median-of-$rounds${if (sibling.isDefined) ", two-session min" else ""}${benchNote()}"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,28 @@ class BenchSiblingSpec extends AnyFunSuite {
     assert(!isFlag(prev = 0.2, shipped = 0.3, thisSess = 0.3, sib = None))
   }
 
+  test("sibling pairing validates MASTER: a sibling recorded at a " +
+      "different core count (the r17 8-core-vs-32-core contamination) or " +
+      "with no recorded master is rejected; a matching one is accepted") {
+    if (sys.env.contains("SPARK_GRAFT_BENCH_SIBLING")) cancel("env override set")
+    val dir = java.nio.file.Files.createTempDirectory("benchsib").toFile
+    val head = Bench.gitHead()
+    def write(master: String): String = {
+      val masterField = if (master.isEmpty) "" else s""","master":"$master""""
+      val sib = new java.io.File(dir, "d_sibling.json")
+      val json = s"""{"metric":"total","value":1.0,"queries":{"q01":0.5}""" +
+        s""","sf":"/root/testdata/sf0.1","head":"$head"$masterField}"""
+      java.nio.file.Files.write(sib.toPath, (json + "\n").getBytes("UTF-8"))
+      new java.io.File(dir, "d.json").getPath
+    }
+    assert(Bench.loadSibling(write("local[8]"), "/root/testdata/sf0.1",
+      "local[32]").isEmpty, "8-core sibling must not pair with a 32-core run")
+    assert(Bench.loadSibling(write(""), "/root/testdata/sf0.1",
+      "local[32]").isEmpty, "a sibling with no recorded master must be rejected")
+    assert(Bench.loadSibling(write("local[32]"), "/root/testdata/sf0.1",
+      "local[32]").nonEmpty, "a same-master fresh sibling must pair")
+  }
+
   test("the official session derives its sibling's path from its own " +
       "detail path (env override aside), so a bare driver re-run pairs " +
       "with the COMMITTED sibling") {
