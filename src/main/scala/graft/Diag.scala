@@ -3,55 +3,74 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch diagnostic harness — contents change per investigation.
-  * Current probe: outer interval join null-emission boundary — what is
-  * the final watermark, and which unconverted clicks emit? */
+  * Current probe: where do p16_dup_graph_bfs's ~3s go? Times each BFS
+  * iteration's fused materialize+count job and the final consumer
+  * separately, in a warm session. */
 object Diag {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("DIAG_AQE", "true"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val all = Tables.t(spark, "/root/testdata/sf0.001", "events")
-      .select("event_id", "ts", "user_id", "event_type")
-    val n = all.count()
-    val ordered = all.orderBy($"ts").collect()
-    val dir = java.nio.file.Files.createTempDirectory("evattro")
-    val (first, second) = ordered.toSeq.splitAt((n / 2).toInt)
-    Seq("0" -> first, "1" -> second).foreach { case (name, rows) =>
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 2), all.schema)
-        .write.parquet(s"$dir/f$name")
+    // warm pass builds every shared cache (labels, symmetric edges)
+    SparkEntry.queries("p16_dup_graph_bfs")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    def tt[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[diag] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
     }
-    val stream = spark.readStream.schema(all.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/f*")
-    val q = graft.streaming.EventTimeWindows.attributionOuter(stream)
-      .writeStream.outputMode("append").format("memory").queryName("attro").start()
-    q.processAllAvailable()
-    val progs = q.recentProgress
-    progs.foreach(p => println(s"[diag] batch=${p.batchId} rows=${p.numInputRows} wm=${p.eventTime.get("watermark")}"))
-    q.stop()
-    val maxUs = all.agg(max(unix_micros($"ts"))).head().getLong(0)
-    println(s"[diag] maxUs=$maxUs  maxTs=${new java.sql.Timestamp(maxUs/1000)}")
-    val clicks = all.filter($"event_type" === "click")
-      .select($"user_id", $"event_id".as("click_id"), unix_micros($"ts").as("c_us"))
-    val purchases = all.filter($"event_type" === "purchase")
-      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"), unix_micros($"ts").as("p_us"))
-    val conv = clicks.join(purchases,
-        $"user_id" === $"p_user" && $"p_us" > $"c_us" && $"p_us" <= $"c_us" + lit(7200L*1000000L))
-      .select($"user_id", $"click_id").distinct()
-      .as[(Long, Long)].collect().toSet
-    val nulls = spark.sql("SELECT user_id, click_id FROM attro WHERE purchase_id IS NULL")
-      .as[(Long, Long)].collect().toSet
-    val unconv = clicks.as[(Long, Long, Long)].collect().filterNot(c => conv((c._1, c._2)))
-    val emitted = unconv.filter(c => nulls((c._1, c._2)))
-    val missing = unconv.filterNot(c => nulls((c._1, c._2)))
-    println(s"[diag] unconverted=${unconv.length} emitted=${emitted.length} missing=${missing.length}")
-    if (emitted.nonEmpty) println(s"[diag] emitted c_us max = ${emitted.map(_._3).max}")
-    if (missing.nonEmpty) println(s"[diag] missing c_us min = ${missing.map(_._3).min}")
-    println(s"[diag] proofCut(old) = ${maxUs - 3600000000L - 7200000000L - 1000000L}")
+    for (pass <- 1 to 3) {
+      println(s"=== pass $pass ===")
+      val labels = tt("labels (cached)") { graft.analytics.Curation.dupClusterLabels(spark, sfDir) }
+      val edges = tt("edges (cached)") { graft.analytics.Curation.symmEdges(spark, sfDir) }
+      var (batch, batchN) = tt("level0 mat+count") {
+        GraftSession.materializeCounted(
+          labels.select($"lab").distinct()
+            .select($"lab".as("node"), lit(0L).as("hops")))
+      }
+      var levels = List(batch)
+      var hop = 0L
+      while (batchN > 0) {
+        val visited = levels.map(_.select($"node")).reduce(_ unionByName _)
+        def expand(src: org.apache.spark.sql.DataFrame) = src.as("f")
+          .join(edges.as("e"), $"f.node" === $"e.src")
+          .select($"e.dst".as("node"), ($"f.hops" + 1L).as("hops"))
+          .groupBy($"node").agg(min($"hops").as("hops"))
+        val next1 = expand(batch.filter($"hops" === hop))
+          .join(visited, Seq("node"), "left_anti")
+        val next2 = expand(next1)
+          .join(visited.unionByName(next1.select($"node")), Seq("node"), "left_anti")
+        if (pass == 3) {
+          val ep = next1.unionByName(next2).queryExecution.executedPlan.toString
+          println(s"[diag]   plan: Exchange=${"Exchange".r.findAllIn(ep).size} " +
+            s"BHJ=${"BroadcastHashJoin".r.findAllIn(ep).size} " +
+            s"SMJ=${"SortMergeJoin".r.findAllIn(ep).size} " +
+            s"Sort=${"\\bSort\\b".r.findAllIn(ep).size} lines=${ep.linesIterator.size}")
+        }
+        val (nb, nn) = tt(s"batch hop=${hop + 1},${hop + 2}") {
+          GraftSession.materializeCounted(next1.unionByName(next2))
+        }
+        println(s"[diag]   rows=$nn")
+        levels ::= nb
+        batch = nb
+        batchN = nn
+        hop += 2L
+      }
+      tt("final consumer") {
+        levels.reduce(_ unionByName _)
+          .join(labels, "node")
+          .select($"node".as("doc_id"), $"lab".as("rep"), $"hops")
+          .orderBy($"rep", $"hops", $"doc_id")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     spark.stop()
   }
 }

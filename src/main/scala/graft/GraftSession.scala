@@ -61,16 +61,33 @@ object GraftSession {
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` alongside it
     * to GC checkpoint files whose frames have gone out of scope.
     */
-  def materialize[T](ds: Dataset[T]): Dataset[T] = {
+  def materialize[T](ds: Dataset[T]): Dataset[T] = materializeCountedT(ds)._1
+
+  /** [[materialize]] fused with the emptiness probe every iterated loop
+    * needs: returns the materialized frame AND its row count, computed by
+    * the same eager job that forces the checkpoint (Spark's eager
+    * checkpoint already runs `count()` internally and discards the
+    * result). One job per iteration instead of materialize + isEmpty —
+    * the per-pass action budget of the contraction/BFS loops. The count
+    * also lands on the LogicalRDD leaf as EXACT statistics (row count +
+    * size), so planning over materialized frames broadcasts small ones
+    * instead of treating every seam as unknown-huge (see
+    * MaterializeBridge). Honors the same [[CheckpointDirKey]] reliability
+    * seam as [[materialize]]. */
+  def materializeCounted(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Long) =
+    materializeCountedT(df)
+
+  private def materializeCountedT[T](ds: Dataset[T]): (Dataset[T], Long) = {
     val spark = ds.sparkSession
-    spark.conf.getOption(CheckpointDirKey) match {
+    val reliable = spark.conf.getOption(CheckpointDirKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = spark.sparkContext
         // setCheckpointDir mints a fresh UUID subdir per call — set once
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        ds.checkpoint(eager = true)
-      case _ => ds.localCheckpoint(eager = true)
+        true
+      case _ => false
     }
+    org.apache.spark.sql.graft.MaterializeBridge.checkpointCounted(ds, reliable)
   }
 
   /** `import graft.GraftSession.MaterializeOps` → `df.materialized` reads

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.GraftSession
 import graft.GraftSession.MaterializeOps
 import graft.{QueryDef, Tables}
 import graft.sqlx.PersistOnceOps
@@ -31,7 +32,7 @@ object Curation {
     * a production pipeline materializes components once and fans out. */
   private val labelsCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
-  private[analytics] def dupClusterLabels(
+  private[graft] def dupClusterLabels(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     labelsCache.getOrElseUpdate((s, dir),
       contractComponents(s, Dedup.simhashPairs(s, dir).select("i", "j")))
@@ -46,7 +47,7 @@ object Curation {
     * keys on, so it is established once for the session. */
   private val symmEdgesCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
-  private[analytics] def symmEdges(
+  private[graft] def symmEdges(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     symmEdgesCache.getOrElseUpdate((s, dir), {
       val pairs = Dedup.simhashPairs(s, dir).select(col("i"), col("j"))
@@ -81,15 +82,24 @@ object Curation {
   private[graft] def contractComponents(
       s: org.apache.spark.sql.SparkSession, pairs: DataFrame): DataFrame = {
       import s.implicits._
-      var active: DataFrame = pairs
-        .select(least($"i", $"j").as("src"), greatest($"i", $"j").as("dst"))
-        .materialized
+      // Per-pass action budget (r18): the r17 cadence ran THREE actions
+      // per pass — labels materialize, active materialize, active.isEmpty
+      // — and computed the per-pass root map TWICE (lazily, inside both
+      // its consumers). Now each pass runs TWO jobs: the root map
+      // materializes once (shared by both consumers), and the contracted
+      // edge set materializes FUSED with its row count
+      // (GraftSession.materializeCounted — the count doubles as the loop
+      // condition, so the separate isEmpty probe is gone). The label
+      // relabeling stays lazy: a depth-many coalesce-join fold over
+      // LogicalRDD leaves (depth = contraction passes, 2-4 in practice),
+      // collapsed by the single final materialize.
+      var (active, activeN) = GraftSession.materializeCounted(pairs
+        .select(least($"i", $"j").as("src"), greatest($"i", $"j").as("dst")))
       var labels: DataFrame = active.select($"src".as("node"))
         .union(active.select($"dst"))
         .distinct()
         .withColumn("lab", $"node")
-        .materialized
-      while (!active.isEmpty) {
+      while (activeN > 0) {
         // union-find inside each partition: node -> min reachable root
         // THERE; a node split across partitions reconciles via min()
         val local = active.as[(Long, Long)].mapPartitions { it =>
@@ -111,22 +121,24 @@ object Curation {
           ks.iterator.map(n => (n, find(n)))
         }.toDF("node", "root")
           .groupBy($"node").agg(min($"root").as("root"))
-        // relabel the accumulated labels through this pass's roots
+          .materialized // one job; shared by the relabel fold + contraction
+        // relabel the accumulated labels through this pass's roots (lazy —
+        // folded over LogicalRDD leaves, see the cadence note above)
         labels = labels.as("l")
           .join(local.as("m"), $"l.lab" === $"m.node", "left")
           .select($"l.node".as("node"), coalesce($"m.root", $"l.lab").as("lab"))
-          .materialized
         // contract the edge list; same-root edges vanish as self-loops
-        active = active.as("e")
+        val (nextActive, nextN) = GraftSession.materializeCounted(active.as("e")
           .join(local.as("a"), $"e.src" === $"a.node", "left")
           .join(local.as("b"), $"e.dst" === $"b.node", "left")
           .select(coalesce($"a.root", $"e.src").as("u"), coalesce($"b.root", $"e.dst").as("v"))
           .filter($"u" =!= $"v")
           .select(least($"u", $"v").as("src"), greatest($"u", $"v").as("dst"))
-          .distinct()
-          .materialized
+          .distinct())
+        active = nextActive
+        activeN = nextN
       }
-      labels
+      labels.materialized
   }
 
   /** Oracle twin of [[dupClusterLabels]]: CTE tail (edges/reach/labels)
@@ -1004,21 +1016,30 @@ object Curation {
         // the shared src-partitioned adjacency (symmEdges) — same frame,
         // same partitioning contract as the per-call build it replaces
         val edges = symmEdges(s, dir)
-        var levels = List(
+        // delta-frontier cadence (r18): each level materializes FUSED
+        // with its row count (GraftSession.materializeCounted) — the
+        // count is the loop condition, so the separate per-hop isEmpty
+        // job is gone; one action per level instead of two, and the
+        // level frames carry exact statistics so the visited anti-join
+        // and the frontier side of the expansion join auto-broadcast
+        // while they are provably small. (A stride-2 variant — two exact
+        // levels per fused job — was measured and REJECTED: the second
+        // level re-plans the first's subtree three times, growing the
+        // per-job stage count past what the saved job recovers.)
+        var (frontier, frontierN) = GraftSession.materializeCounted(
           labels.select($"lab").distinct()
-            .select($"lab".as("node"), lit(0L).as("hops"))
-            .materialized)
-        var frontier = levels.head
-        while (!frontier.isEmpty) {
+            .select($"lab".as("node"), lit(0L).as("hops")))
+        var levels = List(frontier)
+        while (frontierN > 0) {
           val visited = levels.map(_.select($"node")).reduce(_ unionByName _)
-          val next = frontier.as("f")
+          val (next, nextN) = GraftSession.materializeCounted(frontier.as("f")
             .join(edges.as("e"), $"f.node" === $"e.src")
             .select($"e.dst".as("node"), ($"f.hops" + 1L).as("hops"))
             .groupBy($"node").agg(min($"hops").as("hops"))
-            .join(visited, Seq("node"), "left_anti")
-            .materialized
+            .join(visited, Seq("node"), "left_anti"))
           levels ::= next
           frontier = next
+          frontierN = nextN
         }
         levels.reduce(_ unionByName _)
           .join(labels, "node")

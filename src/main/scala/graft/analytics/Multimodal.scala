@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.{QueryDef, Tables}
+import graft.GraftSession.MaterializeOps
 import graft.sqlx.PersistOnceOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -717,9 +718,16 @@ object Multimodal {
         val baseLabels = tl
           .unionByName(imageNodes.join(tl.select($"node"), Seq("node"), "left_anti")
             .withColumn("lab", $"node"))
+        // materialized (LogicalRDD): three consumers walk `labels` (the
+        // size report and both per-modality edge counts), and baseLabels
+        // embeds the lazily-persisted pHash pair lineage — un-cut, the
+        // r17 quotient rewrite re-planned that subtree at every consumer
+        // (plan 3.3k -> 13.3k lines, Exchanges 305 -> 1371, +28% wall).
+        // Same §7.3 plan-bloat fix as p15's shared adjacency.
         val labels = baseLabels
           .join(quotient.select($"node".as("lab"), $"lab".as("lab2")), Seq("lab"), "left")
           .select($"node", coalesce($"lab2", $"lab").as("lab"))
+          .materialized
         val report = labels.groupBy($"lab".as("cluster_rep"))
           .agg(count(lit(1)).as("size"), max($"node").as("max_doc"))
         def edgeCnt(p: org.apache.spark.sql.DataFrame, name: String) =
