@@ -1203,12 +1203,22 @@ object Events {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"user_id").orderBy($"us", $"event_id")
           .rowsBetween(-6, 0)
+        // ONE corpus exchange instead of two (r18): range-partition by
+        // user_id up front — equal keys colocate under range
+        // partitioning, so the window's ClusteredDistribution(user_id)
+        // is satisfied, and the window's required within-partition sort
+        // (user_id, us, event_id) IS the output order, so the final
+        // global sort collapses to the already-satisfied
+        // sortWithinPartitions. The r17 shape hash-exchanged the corpus
+        // for the window and then range-exchanged + re-sorted it again
+        // for the ORDER BY.
         t(s, dir, "events")
           .withColumn("us", unix_micros($"ts"))
+          .repartitionByRange($"user_id")
           .select($"user_id", $"event_id", $"us",
             size(array_distinct(collect_list($"event_type").over(w)))
               .cast("long").as("n_distinct_types"))
-          .orderBy($"user_id", $"us", $"event_id")
+          .sortWithinPartitions($"user_id", $"us", $"event_id")
       },
       Some("""
         SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -282,6 +282,11 @@ object Multimodal {
     * re-ran the four band joins per invocation (m10 paid them on every
     * call — the r8 bench's second most expensive query was mostly this
     * rebuild). */
+  /** m11's DF-capped landmark index, hash-partitioned + sorted by `h` and
+    * materialized — see the m11 comment. */
+  private val m11IdxCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
   private val phPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
   private def phashPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
@@ -784,11 +789,21 @@ object Multimodal {
       "m11_audio_alignment",
       (s, dir) => {
         import s.implicits._
-        val fp = mediaFingerprints(s, dir).filter($"kind" === "landmark")
-          .select($"doc_id", $"idx".as("frame_idx"), $"v".as("h"))
-        val dfc = fp.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
-        // persisted for the same two-sided-join reason as m09's idx
-        val idx = fp.join(dfc.filter($"df" <= 16), "h").persistOnce()
+        // Cached per (session, dir) for the same two-sided-join reason as
+        // m09's idx — but materialized hash-partitioned AND sorted on the
+        // join key (r18): a lazily-persisted idx re-exchanged and
+        // re-sorted both sides of the self-join on every pass, while the
+        // LogicalRDD leaf's preserved partitioning+ordering lets the
+        // sort-merge self-join run exchange-free and sort-free.
+        val idx = m11IdxCache.getOrElseUpdate((s, dir), {
+          Dedup.evictStopped(m11IdxCache)
+          val fp = mediaFingerprints(s, dir).filter($"kind" === "landmark")
+            .select($"doc_id", $"idx".as("frame_idx"), $"v".as("h"))
+          val dfc = fp.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
+          fp.join(dfc.filter($"df" <= 16), "h")
+            .repartition($"h").sortWithinPartitions($"h")
+            .materialized
+        })
         idx.as("a").join(idx.as("b"),
             $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"),

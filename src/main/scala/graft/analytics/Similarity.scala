@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.{QueryDef, Tables}
+import graft.GraftSession.MaterializeOps
 import graft.sqlx.PersistOnceOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1525,11 +1526,19 @@ object Similarity {
           (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
         val qterms = toks.filter($"doc_id" === 0)
           .select(explode(array_distinct($"w")).as("term"))
+        // ONE token pass (r18): tf used to feed a separate dfreq
+        // aggregate that was broadcast-joined back, re-running the
+        // corpus-wide token explode + query-term join a second time. df
+        // (docs containing the term) is just the per-term row count of
+        // tf — a window over the same frame — so the whole lexical arm is
+        // a single pass. (An eager materialize of tf was measured and
+        // rejected: the extra fixed-cost job outweighs the duplicated
+        // cached-input pass.)
         val tf = cand.select($"doc_id", $"dl", explode($"w").as("term"))
           .join(broadcast(qterms), "term")
           .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-        val lex = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+        val lex = tf.crossJoin(broadcast(stats))
           .withColumn("cq",
             round(log2(lit(1.0) + ($"nd" - $"df" + 0.5) / ($"df" + 0.5)) *
               (($"tf" * 2.2) / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl")))) * 1e6)

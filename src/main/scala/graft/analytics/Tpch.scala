@@ -807,11 +807,19 @@ object Tpch {
       "q30_approx_distinct",
       (s, dir) => {
         import s.implicits._
-        li(s, dir).agg(
-          approx_count_distinct($"l_partkey").as("ap"),
-          countDistinct($"l_partkey").as("ep"),
-          approx_count_distinct($"l_orderkey").as("ao"),
-          countDistinct($"l_orderkey").as("eo"))
+        // Expand-free (r18): two countDistincts on DIFFERENT keys made
+        // the planner Expand every lineitem row 3x through one exchange.
+        // Per key: map-side partial dedup (distinct = partial-combined
+        // hash agg, so the exchange carries unique keys per partition,
+        // not rows), then count + the HLL sketch over the deduped keys —
+        // an HLL register set is insert-idempotent, so the sketch (and
+        // its estimate) over distinct values is bit-identical to the
+        // sketch over all rows. The isNotNull guard keeps count(*) over
+        // the deduped set exactly countDistinct (both drop NULLs).
+        def arm(key: String, a: String, e: String) =
+          li(s, dir).select(col(key)).where(col(key).isNotNull).distinct()
+            .agg(approx_count_distinct(col(key)).as(a), count(lit(1)).as(e))
+        arm("l_partkey", "ap", "ep").crossJoin(arm("l_orderkey", "ao", "eo"))
           .select(
             (abs($"ap" - $"ep") <= $"ep" * 0.15).cast("long").as("parts_in_bounds"),
             (abs($"ao" - $"eo") <= $"eo" * 0.15).cast("long").as("orders_in_bounds"))
