@@ -75,6 +75,33 @@ object Curation {
       symmEdges(s, dir).groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .materialized) // compact LogicalRDD leaf — see symmEdges note
 
+  /** Canonical-selection frames shared by d18 (the per-doc keep report)
+    * and p18 (the pipeline's canonical stage): per-cluster
+    * (cluster_size, max n_chars) and the canonical winner per cluster
+    * (max chars, ties to smallest doc_id). Both are CLUSTER-sized,
+    * materialized once per (session, dir) — each consumer previously
+    * re-ran the corpus-wide label join plus two aggregates per
+    * invocation. Same shared-index contract as [[dupClusterLabels]]. */
+  private val canonCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+  private[graft] def canonFrames(
+      s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =
+    canonCache.getOrElseUpdate((s, dir), {
+      val labels = dupClusterLabels(s, dir)
+      val lab = Tables.t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lab"), col("doc_id")).as("cluster_rep"), col("n_chars"))
+      val per = lab.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"), max(col("n_chars")).as("mx"))
+        .materialized
+      val canon = lab.join(per, "cluster_rep")
+        .filter(col("n_chars") === col("mx"))
+        .groupBy(col("cluster_rep")).agg(min(col("doc_id")).as("canonical_id"))
+        .materialized
+      (per, canon)
+    })
+
   /** The iterated per-partition union-find contraction over an arbitrary
     * `(i, j)` edge set — factored so other edge graphs (m10's cross-modal
     * union, streaming.IncrementalComponents' per-batch delta graph) run
@@ -1160,16 +1187,10 @@ object Curation {
         val keep = quality.groupBy($"h").agg(min($"doc_id").as("doc_id"))
         val exact = quality.join(keep, Seq("h", "doc_id"), "left_semi")
           .persistOnce()
-        // d18's corpus-wide canonical set (over ALL docs, then applied)
-        val labels = dupClusterLabels(s, dir)
-        val lab = docs.select($"doc_id", $"n_chars")
-          .join(labels, $"doc_id" === $"node", "left")
-          .select($"doc_id", coalesce($"lab", $"doc_id").as("cluster_rep"), $"n_chars")
-        val per = lab.groupBy($"cluster_rep").agg(max($"n_chars").as("mx"))
-        val canon = lab.join(per, "cluster_rep")
-          .filter($"n_chars" === $"mx")
-          .groupBy($"cluster_rep").agg(min($"doc_id").as("doc_id"))
-          .select($"doc_id")
+        // d18's corpus-wide canonical set (over ALL docs, then applied) —
+        // read from the shared session cache (r18): the corpus-wide label
+        // join + two aggregates previously re-ran per invocation
+        val canon = canonFrames(s, dir)._2.select($"canonical_id".as("doc_id"))
         val deduped = exact.join(canon, Seq("doc_id"), "left_semi")
         val admitted = graft.plans.TopK.perKey(
           deduped.select($"source", $"doc_id", $"n"),

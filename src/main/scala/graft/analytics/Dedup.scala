@@ -1141,14 +1141,19 @@ object Dedup {
           sum(when($"a.df" <= c, 1L).otherwise(0L)).as(s"s_$c")) :+
           count(lit(1)).as("s_all")
         val withDf = sh.join(dfreq, "s")
-        val pairStats = withDf.as("a")
+        // materialized (r18): pairStats feeds BOTH the per-cap pair
+        // explosion and the truth-set count — un-cut, the sampled-index
+        // self-join + conditional-tally aggregate (the expensive half of
+        // the query) ran twice per invocation. The frame itself is the
+        // already-tiny aggregated pair set.
+        val pairStats = graft.GraftSession.materialize(withDf.as("a")
           .join(withDf.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
           .agg(tallies.head, tallies.tail: _*)
           .join(cnt.select($"doc_id".as("i"), $"n".as("ni")), "i")
           .join(cnt.select($"doc_id".as("j"), $"n".as("nj")), "j")
           .withColumn("t",
-            $"s_all".cast("double") / ($"ni" + $"nj" - $"s_all") >= 0.8)
+            $"s_all".cast("double") / ($"ni" + $"nj" - $"s_all") >= 0.8))
         val pairs = pairStats
           .select($"i", $"j", $"t", $"ni", $"nj", explode(array(capsList.map(c =>
             struct(lit(c).as("df_cap"), col(s"s_$c").as("shared"))): _*)).as("cs"))
@@ -1304,11 +1309,10 @@ object Dedup {
         val lab = t(s, dir, "documents").select($"doc_id", $"n_chars")
           .join(labels, $"doc_id" === $"node", "left")
           .select($"doc_id", coalesce($"lab", $"doc_id").as("cluster_rep"), $"n_chars")
-        val per = lab.groupBy($"cluster_rep")
-          .agg(count(lit(1)).as("cluster_size"), max($"n_chars").as("mx"))
-        val canon = lab.join(per, "cluster_rep")
-          .filter($"n_chars" === $"mx")
-          .groupBy($"cluster_rep").agg(min($"doc_id").as("canonical_id"))
+        // per/canon from the shared session cache (r18) — cluster-sized
+        // frames that p18's canonical stage reads too; each invocation
+        // previously re-aggregated them from the corpus-wide lab join
+        val (per, canon) = Curation.canonFrames(s, dir)
         lab.join(per, "cluster_rep").join(canon, "cluster_rep")
           .select($"doc_id", $"cluster_rep", $"cluster_size", $"canonical_id",
             ($"doc_id" === $"canonical_id").as("keep"))

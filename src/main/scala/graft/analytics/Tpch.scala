@@ -1304,16 +1304,21 @@ object Tpch {
           .groupBy($"l_partkey").agg(count(lit(1)).as("ca"))
         val cb = li(s, dir).filter($"l_returnflag" === "R")
           .groupBy($"l_partkey").agg(count(lit(1)).as("cb"))
-        val j = ca.join(cb, Seq("l_partkey"), "full_outer")
+        // one pass over the joined counts (r18): the union of two filtered
+        // reads re-ran BOTH aggregates + the key join per arm; a
+        // conditional explode emits the except/intersect rows a key owes
+        // in the same pass — same (op, key, n) rows out
+        ca.join(cb, Seq("l_partkey"), "full_outer")
           .select($"l_partkey",
             coalesce($"ca", lit(0L)).as("ca"), coalesce($"cb", lit(0L)).as("cb"))
-        val ex = j.filter($"ca" > $"cb")
-          .select(lit("except_all").as("op"), $"l_partkey", ($"ca" - $"cb").as("n"))
-        val in = j.filter($"ca" >= 1L && $"cb" >= 1L)
-          .select(lit("intersect_all").as("op"), $"l_partkey",
-            least($"ca", $"cb").as("n"))
-        ex.unionByName(in)
-          .select($"op", $"l_partkey", $"n")
+          .select($"l_partkey", explode(array(
+            when($"ca" > $"cb",
+              struct(lit("except_all").as("op"), ($"ca" - $"cb").as("n"))),
+            when($"ca" >= 1L && $"cb" >= 1L,
+              struct(lit("intersect_all").as("op"), least($"ca", $"cb").as("n")))
+          )).as("e"))
+          .filter($"e".isNotNull)
+          .select($"e.op".as("op"), $"l_partkey", $"e.n".as("n"))
           .orderBy($"op", $"l_partkey")
       },
       Some("""
