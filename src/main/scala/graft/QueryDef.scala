@@ -36,11 +36,15 @@ object Tables {
     // every row — instead of the bounded-heap TopKPerKey rewrite
     // (TopKBench: 2.1x at sf0.1, and the gap grows with data). The rule
     // is a no-op when GraftExtensions already injected it (idempotent
-    // transform; double registration is prevented by the contains check).
-    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
-      spark.experimental.extraStrategies ++= Seq(graft.plans.TopKStrategy)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.RankFilterToTopK))
-      spark.experimental.extraOptimizations ++= Seq(graft.plans.RankFilterToTopK)
+    // transform; double registration is prevented by the contains check,
+    // and PlanRegistry.withLock makes the check-then-act atomic against
+    // concurrent first-touch from another engine entry point).
+    graft.plans.PlanRegistry.withLock(spark) {
+      if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+        spark.experimental.extraStrategies ++= Seq(graft.plans.TopKStrategy)
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.RankFilterToTopK))
+        spark.experimental.extraOptimizations ++= Seq(graft.plans.RankFilterToTopK)
+    }
     cache.getOrElseUpdate((spark, dir, name),
       load(spark, dir, name).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }

@@ -107,7 +107,13 @@ object Dedup {
         shingleIndex(s, dir).groupBy(col("s")).agg(count(lit(1)).as("df"))))
 
   /** d10's corpus-tile Bloom sketch (built over the persisted tile
-    * index) — index artifact, one build per (session, dir). */
+    * index) — index artifact, one build per (session, dir). Lifetime
+    * note (r17 ADVICE): entries live as long as the session; a
+    * long-lived multi-dir session accumulates one ~nTiles-sized
+    * broadcast per dir consulted only by d10. Stopped sessions' entries
+    * are destroyed and evicted on the next build (below) — an in-session
+    * LRU is deliberately NOT applied: tileIndex is session-immutable, so
+    * evicting a live entry only forces a rebuild. */
   private val bloomCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
@@ -777,6 +783,13 @@ object Dedup {
         // over the persisted tile index (the same contract as tileIndex
         // itself), so both run once per (session, dir), not once per call.
         val bbl = bloomCache.getOrElseUpdate((s, dir), {
+          // destroy + evict sketches owned by stopped sessions (their
+          // executor blocks are gone; destroying releases driver memory)
+          bloomCache.keys.foreach { case k @ (ks, _) =>
+            if (ks.sparkContext.isStopped)
+              bloomCache.remove(k).foreach(b =>
+                try b.destroy() catch { case _: Throwable => () })
+          }
           val nTiles = math.max(corpus.count(), 1000L)
           s.sparkContext.broadcast(corpus.stat.bloomFilter("th", nTiles, 0.01))
         })

@@ -1743,6 +1743,12 @@ object Similarity {
         val centArr = cents.groupBy($"label")
           .agg(transform(array_sort(collect_list(struct($"dim", $"cv"))),
             x => x.getField("cv")).as("qc"))
+        // Embedding contract (pinned): `q` is the fixed-width, non-null
+        // quantized vector every embeddings row carries (withQNorm rests
+        // on the same invariant). A null/short q would survive this join
+        // with a null ssd and inflate the per-label count(1) denominator
+        // below — where the pre-r17 explode form silently dropped such
+        // rows — so malformed embeddings are out of contract here.
         val scored = emb.join(broadcast(centArr), "label")
           .withColumn("ssd", longSsd($"q", $"qc"))
           .select($"vec_id", $"label", $"ssd")

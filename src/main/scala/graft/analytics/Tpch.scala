@@ -1307,7 +1307,11 @@ object Tpch {
         // one pass over the joined counts (r18): the union of two filtered
         // reads re-ran BOTH aggregates + the key join per arm; a
         // conditional explode emits the except/intersect rows a key owes
-        // in the same pass — same (op, key, n) rows out
+        // in the same pass — same (op, key, n) rows out.
+        // NULL-key contract (r17 ADVICE): this USING join is null-UNSAFE
+        // while exceptAll/intersectAll treat NULL keys as equal; the
+        // rewrite leans on TPC-H's NOT NULL l_partkey — a nullable key
+        // column would need a null-safe (<=>) join here.
         ca.join(cb, Seq("l_partkey"), "full_outer")
           .select($"l_partkey",
             coalesce($"ca", lit(0L)).as("ca"), coalesce($"cb", lit(0L)).as("cb"))

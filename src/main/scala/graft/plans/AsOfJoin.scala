@@ -154,8 +154,10 @@ object AsOf {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
-      spark.experimental.extraStrategies ++= Seq(AsOfStrategy)
+    PlanRegistry.withLock(spark) {
+      if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
+        spark.experimental.extraStrategies ++= Seq(AsOfStrategy)
+    }
     val lp = PlanBridge.logicalPlan(left)
     val rp0 = PlanBridge.logicalPlan(right)
     // Join gets attribute de-duplication from the analyzer

@@ -117,8 +117,10 @@ object BucketRunningScan {
   private[plans] def append(df: DataFrame, bktName: String, vName: String,
       outName: String, op: String): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(BucketRunningScanStrategy))
-      spark.experimental.extraStrategies ++= Seq(BucketRunningScanStrategy)
+    PlanRegistry.withLock(spark) {
+      if (!spark.experimental.extraStrategies.contains(BucketRunningScanStrategy))
+        spark.experimental.extraStrategies ++= Seq(BucketRunningScanStrategy)
+    }
     val child = PlanBridge.logicalPlan(df)
     def attr(n: String): Attribute = child.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(

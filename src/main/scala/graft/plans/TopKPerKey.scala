@@ -177,8 +177,10 @@ object TopK {
   def perKey(df: DataFrame, keys: Seq[String],
       order: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies ++= Seq(TopKStrategy)
+    PlanRegistry.withLock(spark) {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies ++= Seq(TopKStrategy)
+    }
     val child = PlanBridge.logicalPlan(df)
     // resolve like every other DataFrame API: the session's resolver
     // (case-insensitive unless spark.sql.caseSensitive), ambiguity is an error
