@@ -619,9 +619,18 @@ object Curation {
               .when($"bucket" < cutVal, "val")
               .otherwise("test"))
           .select($"doc_id", $"source", $"split")
-        val sh = Dedup.shingleIndex(s, dir).join(split, "doc_id")
-        val valSh = sh.filter($"split" === "val").select($"s").distinct()
-        val leaky = sh.filter($"split" === "train")
+        // the split is a PURE FUNCTION of doc_id (r18): evaluate the
+        // bucket expression directly on the shingle index rows instead of
+        // joining the doc-level split frame into BOTH sides of the
+        // overlap join — two corpus-scale joins become two codegen'd
+        // filters over the cached index
+        val bucket = conv(substring(
+          md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 6), 16, 10)
+          .cast("long")
+        val shB = Dedup.shingleIndex(s, dir).withColumn("bucket", bucket)
+        val valSh = shB.filter($"bucket" >= cutTrain && $"bucket" < cutVal)
+          .select($"s").distinct()
+        val leaky = shB.filter($"bucket" < cutTrain)
           .join(valSh, "s")
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("overlap")) // shingles distinct per doc
