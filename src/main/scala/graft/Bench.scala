@@ -192,9 +192,19 @@ object Bench {
   private def vsPrev(shipped: collection.Map[String, Double],
       thisSession: collection.Map[String, Double],
       sibling: Option[(String, Map[String, Double])],
-      prevPath: String): (String, Seq[String]) = {
-    val prev = parseDetail(new java.io.File(prevPath))
-      .map(_._1).getOrElse(Map.empty[String, Double])
+      prevPath: String, master: String): (String, Seq[String]) = {
+    // A previous detail measured at a DIFFERENT master/core count cannot
+    // anchor ratios (r17's committed detail was the driver's 8-core
+    // scaling run — pairing 32-core sessions against it flagged half the
+    // suite): reject it loudly and omit the clause.
+    val prev = parseDetail(new java.io.File(prevPath)) match {
+      case Some((qs, _, _, m)) if m.isEmpty || m == master => qs
+      case Some((_, _, _, m)) =>
+        System.err.println(s"[bench] WARN: previous detail $prevPath " +
+          s"REJECTED (master '$m' != '$master') — no auto-vs-prev clause")
+        Map.empty[String, Double]
+      case None => Map.empty[String, Double]
+    }
     val ratios = shipped.toSeq.flatMap { case (n, v) =>
       prev.get(n).map(p => (n, v / p, p, v))
     }
@@ -335,7 +345,7 @@ object Bench {
     val (prevNote, flags) =
       if (siblingRun) ("", Seq.empty[String])
       else autoPrevDetail(detailPath)
-        .map(f => vsPrev(shipped, results, sibling, f.getPath))
+        .map(f => vsPrev(shipped, results, sibling, f.getPath, master))
         .getOrElse(("", Seq.empty[String]))
     val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sessionsJson = sibling match {
