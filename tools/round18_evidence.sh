@@ -108,7 +108,15 @@ for name in ['m10_crossmodal_clusters', 'p13_unimax_budget', 'p16_dup_graph_bfs'
     v, p = local['queries'].get(name), prev_local.get(name)
     r = round(v / p, 2) if (v and p) else None
     print(f'local watch {name}: shipped {v} prev {p} ratio {r}')
-prev_cluster = json.load(open('BENCH_cluster_r17_queries.json')).get('queries', {})
+# newest committed cluster detail below this round — r17's was never
+# committed (r17 verdict bookkeeping failure #4), so discover like
+# Bench.autoPrevDetail does instead of hardcoding r17
+import re
+cands = sorted((int(m.group(1)), p) for p in os.listdir('.')
+               for m in [re.match(r'BENCH_cluster_r(\d+)_queries\.json$', p)]
+               if m and int(m.group(1)) < 18)
+prev_cluster = json.load(open(cands[-1][1])).get('queries', {}) if cands else {}
+print('cluster watch baseline:', cands[-1][1] if cands else 'NONE')
 for name in ['q11_important_parts', 'e05_top_users', 'e06_inter_event_gaps']:
     v, p = cluster['queries'].get(name), prev_cluster.get(name)
     r = round(v / p, 2) if (v and p) else None
